@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local self-check mimicking the driver's correctness gate:
+run each SparkEntry oracle SQL in DuckDB over the sf tables and compare
+with the parquet dumped by graft.Verify (columns sorted by name, rows
+sorted, exact value equality). Usage:
+  python3 scripts/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output"))
+        continue
+    spark_df = pq.ParquetDataset(files).read().to_pandas()
+    if name not in oracle:
+        skips.append((name, len(spark_df)))
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}"))
+        continue
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        fails.append((name, f"columns {list(a.columns)} vs {list(b.columns)}"))
+        continue
+    if len(a) != len(b):
+        fails.append((name, f"rows {len(a)} vs {len(b)}"))
+        continue
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        passes.append((name, len(a)))
+    except AssertionError as e:
+        # find first differing cell for diagnostics
+        msg = str(e).split("\n")[0]
+        detail = ""
+        for c in a.columns:
+            neq = ~((a[c] == b[c]) | (a[c].isna() & b[c].isna()))
+            if neq.any():
+                i = neq.idxmax()
+                detail = f" col={c} row={i} spark={a[c][i]!r} duck={b[c][i]!r}"
+                break
+        fails.append((name, msg + detail))
+
+for n, r in passes:
+    print(f"PASS  {n}  ({r} rows)")
+for n, r in skips:
+    print(f"SKIP  {n}  (rows-only, {r} rows)")
+for n, m in fails:
+    print(f"FAIL  {n}  {m}")
+print(f"\n{len(passes)} pass, {len(skips)} rows-only, {len(fails)} fail")
+sys.exit(1 if fails else 0)

@@ -1,13 +1,577 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.Coerce
+import graft.functions.TextAnalysis
+import graft.operators.{Multimodal, NearDup, Similarity}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is a self-contained (SparkSession, sfDir) => DataFrame over
+  * the driver testdata tables; `oracleSql` holds the DuckDB-equivalent ANSI
+  * SQL for the hash-compare gate. Numeric discipline for engine parity:
+  * money aggregates run in DECIMAL (order-independent, exact) and are cast
+  * to DOUBLE at the end; raw doubles pass through untouched; epoch values
+  * are integer milliseconds; every output is totally ordered.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read it as raw nanos and truncate to
+    * microseconds (integer division — ns magnitudes overflow double), the
+    * exact conversion DuckDB applies when reading the same file. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private val D = "decimal(12,2)"
+  private def dec(c: Column): Column = c.cast(D)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O-agg analog / TPC-H Q1 shape: wide aggregate after a pushed filter.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Pushdown filter + single-row aggregate (TPC-H Q6 shape).
+    "q02_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1999-01-01").cast("timestamp")
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // 3-way join + aggregate; small dims broadcast.
+    "q03_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Join through two broadcast dims.
+    "q04_nation_revenue" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // Window top-n per group (deterministic total order).
+    "q05_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("l_suppkey"), col("rnk"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_suppkey", "rnk")
+    }),
+
+    // Global top-k with deterministic tiebreak.
+    "q06_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Set operation (EXCEPT DISTINCT).
+    "q07_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val b = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      o.except(b).orderBy("custkey")
+    }),
+
+    // Schema-evolution union: unionByName with missing columns (O-30 analog).
+    "q08_union_evolve" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+        col("o_totalprice").as("price"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        col("c_name").as("name"))
+      o.unionByName(c, allowMissingColumns = true)
+        .orderBy(col("id").asc, col("price").asc_nulls_first, col("name").asc_nulls_first)
+    }),
+
+    // O-20: distinct event names, sorted.
+    "q09_distinct_events" -> ((s, dir) =>
+      events(s, dir).select(col("event_type")).distinct().orderBy("event_type")),
+
+    // O-12: type split (one discriminator filter) + O-24 date derivation.
+    "q10_type_split" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .orderBy("event_id")
+    }),
+
+    // O-11: epoch-millis derivation.
+    "q11_epoch_millis" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+        .orderBy("event_id")
+    }),
+
+    // O-9: event-name normalization chain (spaces, &->and, decamelize, lower).
+    "q12_event_name_norm" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type")).distinct()
+        .withColumn("normalized",
+          graft.etl.Normalize.normalizeEventNameCol(
+            concat(lit("Seg Ment&"), col("event_type"), lit("X"))))
+        .orderBy("event_type")
+    }),
+
+    // O-22 analog: deterministic dedup — latest row per (user_id, event_type).
+    "q13_dedup_latest" -> ((s, dir) => {
+      graft.etl.Dedup.dedupDeterministic(
+          events(s, dir),
+          Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"),
+          unix_millis(col("ts")).as("last_ts_ms"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // O-21: last-write-wins per user (ReplacingMergeTree(ver) semantics).
+    "q14_users_lww" -> ((s, dir) => {
+      graft.etl.Dedup.lastWriteWins(
+          events(s, dir).withColumn("ver", unix_millis(col("ts"))),
+          Seq("user_id"), "ver", Seq(col("event_id").desc))
+        .select(col("user_id"), col("ver"), col("event_type").as("last_event_type"))
+        .orderBy("user_id")
+    }),
+
+    // O-5 analog: JSON value extraction + integer aggregate.
+    "q15_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy("event_type")
+    }),
+
+    // O-24: date-partition aggregate.
+    "q16_date_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_date")
+    }),
+
+    // O-10: extra-timezone column (naive wall clock in target zone).
+    "q17_extra_tz" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("ny_time"))
+        .orderBy("event_id")
+    }),
+
+    // O-19: table-schema-authoritative coercion with misfit quarantine.
+    "q18_coerce_misfits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("message_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, col("n_chars").cast("string"))
+          .otherwise(col("lang")).as("payload"))
+      val target = StructType(Seq(
+        StructField("message_id", StringType),
+        StructField("payload", LongType)))
+      Coerce.coerce(docs, target, "docs_payload", persistIntermediate = false)
+        .misfits
+        .orderBy("message_id")
+    }),
+
+    // Extension — exact content dedup (hash fingerprint, one shuffle).
+    "q20_exact_dedup" -> ((s, dir) => {
+      NearDup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fp")
+    }),
+
+    // Extension — token/char-class statistics (all integer-exact).
+    "q21_token_stats" -> ((s, dir) => {
+      val c = col("text")
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.nChars(c).as("n_chars_computed"),
+          TextAnalysis.tokenCount(c).as("n_tokens"),
+          TextAnalysis.nPunct(c).as("n_punct"),
+          TextAnalysis.nDigits(c).as("n_digits"),
+          size(array_distinct(TextAnalysis.tokens(c))).as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Extension — quality gate (integer cross-multiplied ratios).
+    "q22_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.qualityOk(col("text")).as("quality_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Extension — language ID (function-word argmax, stable tiebreak).
+    "q23_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Extension — canonical md5 fingerprint.
+    "q24_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Extension — exact n-gram-Jaccard similarity join (inverted index) on a
+    // bounded slice; the unbounded scale path is q26 (MinHash-LSH).
+    "q25_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)
+      NearDup.jaccardPairs(docs, "text", "doc_id", n = 3, thresholdPct = 5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Extension — MinHash+LSH near-dup at its real operating point (high
+    // similarity), over the corpus plus planted near-duplicates so the
+    // pipeline provably surfaces them (rows-only; recall also unit-tested).
+    "q26_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+      NearDup.minhashLshPairs(docs.unionByName(planted), "text", "doc_id",
+          n = 3, bands = 16, rowsPerBand = 4, thresholdPct = 60)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Extension — SimHash near-dup pairs (rows-only).
+    "q27_simhash_pairs" -> ((s, dir) => {
+      NearDup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Extension — brute-force cosine top-k against vec_id=0's embedding.
+    "q28_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
+    // Extension — LSH-bucketed ANN top-k (rows-only; recall tested in suite).
+    "q29_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 8)
+      Similarity.annTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10, lsh)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
+    // Extension — embedding-cosine near-dup pairs via LSH (rows-only).
+    "q30_cosine_dups" -> ((s, dir) => {
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      Similarity.cosineDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.5, lsh)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Extension — multimodal metadata plumbing (payload as binary column).
+    "q31_media_meta" -> ((s, dir) => {
+      Multimodal.fixtureFromDocuments(s, t(s, dir, "documents"))
+        .toDF()
+        .select(col("media_id"), col("kind"), length(col("content")).as("n_bytes"))
+        .orderBy("media_id")
+    }),
+
+    // Extension — per-partition batch feature extraction (stub codec;
+    // deterministic, rows-only).
+    "q32_media_features" -> ((s, dir) => {
+      val items = Multimodal.fixtureFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(items).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          element_at(col("feature"), 1).as("f0"))
+        .orderBy("media_id")
+    }),
+
+    // Extension — order-sensitive rolling fingerprint (rows-only).
+    "q33_rolling_fp" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"))
+        .orderBy("doc_id")
+    }),
+
+    // Extension — BPE-ish subword count (Java regex lookarounds; rows-only).
+    "q34_subword_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB-runnable equivalents, same column aliases, same total order.
+    * Rows-only queries (hash-free weaker check) are intentionally absent:
+    * q26, q27, q29, q30, q32, q33, q34. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '2000-01-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_pushdown" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders,
+         count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q04_nation_revenue" ->
+      """SELECT n_name,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q05_window_topn" ->
+      """SELECT l_suppkey, rnk, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk
+           FROM lineitem) x
+         WHERE rnk <= 3 ORDER BY l_suppkey, rnk""",
+
+    "q06_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q07_setops" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+         EXCEPT
+         SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         ORDER BY custkey""",
+
+    "q08_union_evolve" ->
+      """SELECT id, price, name FROM (
+           SELECT o_orderkey AS id, o_totalprice AS price FROM orders
+           UNION ALL BY NAME
+           SELECT c_custkey AS id, c_name AS name FROM customer)
+         ORDER BY id ASC, price ASC NULLS FIRST, name ASC NULLS FIRST""",
+
+    "q09_distinct_events" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q10_type_split" ->
+      """SELECT event_id, user_id, value, strftime(ts, '%Y-%m-%d') AS event_date
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "q11_epoch_millis" ->
+      "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events ORDER BY event_id",
+
+    "q12_event_name_norm" ->
+      """SELECT event_type,
+         lower(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace('Seg Ment&' || event_type || 'X', ' ', '', 'g'), '&', 'and', 'g'),
+           '([A-Z]+)([A-Z][a-z])', '\1_\2', 'g'),
+           '([a-z0-9])([A-Z])', '\1_\2', 'g')) AS normalized
+         FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type""",
+
+    "q13_dedup_latest" ->
+      """SELECT user_id, event_type, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events) x
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q14_users_lww" ->
+      """SELECT user_id, ver, event_type AS last_event_type FROM (
+           SELECT user_id, epoch_ms(ts) AS ver, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn FROM events) x
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "q15_json_props" ->
+      """SELECT event_type,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q16_date_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY event_date""",
+
+    "q17_extra_tz" ->
+      """SELECT event_id,
+         strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+           '%Y-%m-%d %H:%M:%S') AS ny_time
+         FROM events ORDER BY event_id""",
+
+    "q18_coerce_misfits" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS message_id,
+           'docs_payload' AS table_name, 'payload' AS column_name,
+           lang AS column_value, 'int64' AS expected_data_type,
+           'string' AS actual_data_type
+         FROM documents
+         WHERE doc_id % 3 <> 0 AND TRY_CAST(lang AS BIGINT) IS NULL
+         ORDER BY message_id""",
+
+    "q20_exact_dedup" ->
+      """SELECT md5(array_to_string(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q21_token_stats" ->
+      """SELECT doc_id,
+         length(text) AS n_chars_computed,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         len(list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''))) AS n_distinct_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q22_quality" ->
+      """WITH s AS (SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+           len(list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''))) AS n_distinct
+         FROM documents)
+         SELECT doc_id,
+           (n_tokens BETWEEN 5 AND 100000) AND n_distinct * 5 >= n_tokens
+             AND n_punct * 10 <= n_chars * 3 AS quality_ok
+         FROM s ORDER BY doc_id""",
+
+    "q23_langid" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+         FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(t, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS s_en,
+           len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
+           len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+           len(list_filter(t, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
+         FROM toks)
+         SELECT doc_id, CASE
+           WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+           WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+           WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+           WHEN s_de >= s_fr THEN 'de'
+           ELSE 'fr' END AS lang_id
+         FROM sc ORDER BY doc_id""",
+
+    "q24_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fp_md5
+         FROM documents ORDER BY doc_id""",
+
+    "q25_jaccard_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 1, 1)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             FROM documents WHERE doc_id % 3 = 0)
+           WHERE len(t) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s)) AS inter,
+           len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 100 >=
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 5
+         ORDER BY id_a, id_b""",
+
+    "q28_knn_brute" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         scored AS (SELECT vec_id,
+           list_reduce(list_transform(range(1, 65),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x + y))) AS score
+         FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, score FROM scored
+         ORDER BY score DESC, vec_id ASC LIMIT 10""",
+
+    "q31_media_meta" ->
+      """SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+         FROM documents ORDER BY media_id"""
+  )
 }

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language-ID (n-gram/function-word
+  * heuristic), quality scoring, and document fingerprinting.
+  *
+  * Everything here is a per-row narrow transform built from codegen'd
+  * built-ins (split/regexp/higher-order array functions) — no UDFs, no
+  * shuffle, so it streams at scan speed over 100 TB and pushes column
+  * pruning down to the parquet reader (only `text` is read).
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= lit(""))
+
+  /** Whitespace + BPE-ish subword count: word tokens are further split on
+    * letter/digit/punct class boundaries, approximating a byte-pair-encoder
+    * token budget without a vocab file. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def subwordCount(c: Column): Column =
+    size(filter(
+      split(lower(trim(c)),
+        "(?=[^a-z0-9\\s])|(?<=[^a-z0-9\\s])|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|\\s+"),
+      t => t =!= lit("")))
+
+  /** Character-class counts for quality scoring (all integer-exact). */
+  def nChars(c: Column): Column = length(c)
+  def nPunct(c: Column): Column = length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
+  def nDigits(c: Column): Column = length(c) - length(regexp_replace(c, "[0-9]", ""))
+
+  /** Small function-word profiles per language. Real pipelines load large
+    * frequency tables; the mechanism (score = matched function words per
+    * token) is identical and the profiles are trivially swappable. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour")
+  )
+
+  def stopwordCount(c: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(arr, t)))
+  }
+
+  /** Language ID: argmax over per-language function-word hit counts, with a
+    * deterministic tiebreak (profile order); no hits at all -> "und". */
+  def langId(c: Column): Column = {
+    val toks   = tokens(c)
+    val scored = LangProfiles.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(arr, t))).as("score"), lit(lang).as("lang"))
+    }
+    // stable argmax: fold keeping the strictly-greater score, so earlier
+    // profiles win ties
+    val best = scored.reduceLeft((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality signals (length / punct / stopword / repetition),
+    * integer-exact so results are engine-portable. `qualityOk` is the usual
+    * boolean gate a filtering pipeline applies before training. */
+  def qualitySignals(c: Column): Column = {
+    val t = tokens(c)
+    struct(
+      nChars(c).as("n_chars"),
+      size(t).as("n_tokens"),
+      nPunct(c).as("n_punct"),
+      nDigits(c).as("n_digits"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      stopwordCount(c, LangProfiles.head._2).as("n_stopwords_en")
+    )
+  }
+
+  def qualityOk(c: Column, minTokens: Int = 5, maxTokens: Int = 100000): Column = {
+    val s = qualitySignals(c)
+    val nTok = s.getField("n_tokens")
+    nTok.between(minTokens, maxTokens) &&
+      // repetition gate: distinct/total >= 20% (integer cross-multiply, exact)
+      s.getField("n_distinct_tokens") * 5 >= nTok &&
+      // punctuation gate: punct <= 30% of chars
+      s.getField("n_punct") * 10 <= s.getField("n_chars") * 3
+  }
+
+  /** Canonical content fingerprint: md5 of the whitespace-normalized,
+    * lowercased text — engine-portable (md5 is standard everywhere), used
+    * for exact near-canonical dedup. */
+  def canonicalFingerprint(c: Column): Column =
+    md5(concat_ws(" ", tokens(c)).cast("binary"))
+
+  /** 64-bit rolling (chained) hash fingerprint: xxhash64 folded across the
+    * token stream. Order-sensitive (unlike a bag-of-words hash) and
+    * overflow-free under ANSI mode because xxhash64 mixes internally. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Word n-gram shingles ("w1 w2 .. wn" strings); the unit of Jaccard /
+    * MinHash near-dup. Documents shorter than n yield an empty array. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** Convenience: attach the standard text-analysis columns. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("lang_id", langId(c))
+      .withColumn("n_tokens", tokenCount(c))
+      .withColumn("n_subwords", subwordCount(c))
+      .withColumn("quality", qualitySignals(c))
+      .withColumn("quality_ok", qualityOk(c))
+      .withColumn("fingerprint_md5", canonicalFingerprint(c))
+      .withColumn("fingerprint_rolling", rollingFingerprint(c))
+  }
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Near-duplicate detection over a document corpus, at three cost tiers:
+  *
+  *  1. exact content dedup — one hash-shuffle on a fingerprint;
+  *  2. exact n-gram-Jaccard all-pairs via a shingle inverted index — the
+  *     classic similarity-join: explode shingles, join on shingle, count
+  *     co-occurrences (= |A∩B|), derive Jaccard from set sizes. Correct
+  *     but quadratic in the worst case; `maxShingleFreq` applies the
+  *     standard frequency-cutoff so ubiquitous shingles don't produce a
+  *     pair explosion (a shingle shared by f docs yields f² join rows);
+  *  3. MinHash + LSH banding — the 100 TB path: constant-size signatures
+  *     per doc, candidate pairs only from docs colliding in ≥1 band, then
+  *     exact-Jaccard verification of candidates only.
+  *
+  * Plus SimHash (Hamming-distance near-dup on a 64-bit signature) and
+  * embedding-cosine near-dup (see [[Similarity]] for the ANN machinery).
+  *
+  * All signatures are computed per-row with higher-order array functions
+  * (no UDF, no shuffle); the only shuffles are the joins/groupBys that any
+  * pairwise algorithm fundamentally requires.
+  */
+object NearDup {
+
+  /** Tier 1 — exact dedup: one representative (min id) per distinct
+    * canonical fingerprint + the duplicate count. Single hash aggregate. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.canonicalFingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct shingle sets per doc. */
+  private def docShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Same, but sets hashed to int64 (xxhash64 per shingle): ~8 bytes per
+    * element in every downstream shuffle/intersection instead of a string;
+    * 64-bit collisions are negligible for set-overlap counting. */
+  private def docShingles64(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(transform(TextAnalysis.shingles(col(textCol), n),
+          s => xxhash64(s))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Tier 2 — exact n-gram-Jaccard similar pairs (id_a < id_b, jaccard ≥
+    * threshold as an exact integer comparison: inter * 100 ≥ t% * union).
+    *
+    * @param maxShingleFreq drop shingles present in more than this many
+    *        docs from the INDEX (both docs' set sizes stay exact, so
+    *        reported Jaccard is exact; only candidate generation is
+    *        filtered — a pair sharing exclusively ultra-common shingles is
+    *        not reported, which is the standard scale trade-off; pass
+    *        Int.MaxValue for fully-exhaustive semantics).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      thresholdPct: Int = 80,
+      maxShingleFreq: Int = Int.MaxValue
+  ): DataFrame = {
+    // sets are hashed to int64 once (8-byte shuffle keys, cheap intersects);
+    // checkpoint so the three consumers below don't recompute them
+    val sets = docShingles64(df, textCol, idCol, n)
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint(true)
+    val ds = sets.select(col("id"), explode(col("sh")).as("shingle"))
+
+    val indexed =
+      if (maxShingleFreq == Int.MaxValue) ds
+      else {
+        val freq = ds.groupBy("shingle").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= maxShingleFreq)
+          .select("shingle")
+        ds.join(freq, "shingle") // broadcast-eligible if the surviving vocab is small
+      }
+
+    // candidate pairs = docs sharing ≥1 (rare) shingle, ids only through the
+    // shuffle; exact verification computes the true intersection ONCE per
+    // pair (on a shared-shingle-heavy corpus this beats counting join
+    // partials, whose row count is Σ_shingle f² instead of |pairs|)
+    val a = indexed.select(col("shingle"), col("id").as("id_a"))
+    val b = indexed.select(col("shingle"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 100 >= col("uni") * thresholdPct)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * xxhash64(shingle, seed); sig[i] = min over shingles. Per-row compute,
+    * constant size, no shuffle. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => aggregate(shingleSet, lit(Long.MaxValue), (acc, x) => least(acc, xxhash64(x, s))))
+
+  /** Tier 3 — MinHash-LSH candidate pairs, verified with exact Jaccard.
+    *
+    * Banding: `numHashes` = bands × rowsPerBand; docs colliding on the
+    * hash of any band's sub-signature become candidates. With b=16, r=8 the
+    * collision probability at j=0.8 is 1-(1-0.8^8)^16 ≈ 0.94 and near zero
+    * below j≈0.5 — tune per corpus. Shuffle cost: one explode(bands) +
+    * one groupBy bucket, each row constant-size — linear in corpus size,
+    * never quadratic in non-duplicate data.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      thresholdPct: Int = 80,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // localCheckpoint: materialize signatures ONCE and cut lineage — the
+    // signature is a large nested higher-order-function expression, and
+    // letting projection-collapse inline it into all `bands` slice
+    // extractions blows up optimizer time superlinearly (observed: minutes
+    // of pure planning). The checkpoint also stops every downstream
+    // consumer (banding, both verification joins) from recomputing it.
+    val sigs = docShingles64(df, textCol, idCol, n)
+      .withColumn("sz", size(col("sh")))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(true)
+
+    val banded = sigs.select(
+        col("id"),
+        explode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+              .as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+    // candidate pairs: distinct (a<b) sharing any (band,bucket); cap
+    // pathological buckets (degenerate corpora) to bound the self-join.
+    // Only ids travel through the candidate shuffle — shingle sets are
+    // re-attached afterwards, so the wide arrays are never shuffled N× per
+    // band.
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bucket_n") <= maxBucketSize)
+
+    val l = bucketed.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = bucketed.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verification on candidates only (re-join the shingle sets)
+    val sets = sigs.select(col("id"), col("sz"), col("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 100 >= col("uni") * thresholdPct)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  /** SimHash: 64-bit signature whose Hamming distance tracks cosine
+    * similarity of the token multiset. Bit b is the sign of
+    * Σ_tokens (±1 by bit b of xxhash64(token)). Built entirely from
+    * higher-order functions + bitwise ops (overflow-free). */
+  def simhash64(c: Column): Column = {
+    // hash each token ONCE, then fan its 64 bits out — keeping xxhash64
+    // inside the per-bit lambda would recompute it 64× per token
+    val hashes = transform(TextAnalysis.tokens(c), t => xxhash64(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("getbit", h, i) === 1, lit(1L))
+            .otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (cnt, i) => when(cnt > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  private def popcount64(c: Column): Column = bit_count(c)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, banded for
+    * scale: split the 64-bit signature into `maxHamming+1` chunks — by
+    * pigeonhole any pair within the distance budget agrees exactly on at
+    * least one chunk, so an equi-join on (chunkIdx, chunkValue) finds all
+    * such pairs without a cross join. */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    // checkpoint for the same planning/recompute reasons as minhashLshPairs
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .localCheckpoint(true)
+    // chunk k = bits [k*bitsPer, (k+1)*bitsPer) of the signature
+    val banded = sigs.select(
+        col("id"), col("sig"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("k"))
+      .withColumn("chunk",
+        call_function("shiftrightunsigned", col("sig"), col("k") * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)))
+
+    val l = banded.select(col("k"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("k"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("k", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", popcount64(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

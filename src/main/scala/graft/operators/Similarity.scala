@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: one narrow scan computing the score per row
+  *    + a TakeOrdered top-k. No shuffle at all (Spark's sort-limit collects
+  *    only k rows per partition to the driver) — the exact baseline, and
+  *    at 100 TB still the right answer for one-off queries because it's
+  *    scan-bound and embarrassingly parallel.
+  *  - LSH-bucketed ANN (random hyperplane signatures): an H-bit signature
+  *    per vector; queries probe their own bucket plus all Hamming-≤1
+  *    neighbors (multiprobe) so recall degrades gracefully while the join
+  *    touches only ~(H+1)/2^H of the corpus — the repeated-query / knn-join
+  *    scale path. Signatures are computed per-row with higher-order
+  *    functions; the join is a plain equi-join on the bucket id, which
+  *    Spark hash-partitions (and AQE handles skewed buckets).
+  *
+  * Dot products run in double precision via `aggregate(zip_with(...))` —
+  * sequential left-fold, so results are deterministic.
+  */
+object Similarity {
+
+  /** Σ a_i * b_i in double precision (deterministic left-fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalized copy (double precision). Pair-scoring paths normalize
+    * each vector ONCE so every candidate pair costs a single dot product
+    * instead of dot + two norms. */
+  def normalized(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * Deterministic tiebreak on id. */
+  def bruteForceTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int
+  ): DataFrame =
+    df.select(col(idCol), cosine(col(embCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Random hyperplane LSH signature: bit h = sign(v · plane_h). Planes are
+    * generated driver-side from a deterministic seed and inlined as
+    * literals (tiny: H × dim doubles), so the signature is a pure per-row
+    * projection — the same planes serve index build and query time. */
+  final case class HyperplaneLsh(dim: Int, bits: Int, seed: Long = 42L) {
+    val planes: IndexedSeq[IndexedSeq[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      IndexedSeq.fill(bits, dim)(rnd.nextGaussian())
+    }
+
+    def signature(emb: Column): Column =
+      planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, h)) =>
+        acc.bitwiseOR(
+          when(dot(emb, litVec(p)) >= 0, lit(1L << h)).otherwise(lit(0L)))
+      }
+
+    /** Bucket ids a query probes: own signature + all single-bit flips. */
+    def probeBuckets(sig: Column): Column =
+      array_union(
+        array(sig),
+        transform(sequence(lit(0), lit(bits - 1)),
+          i => sig.bitwiseXOR(call_function("shiftleft", lit(1L), i))))
+  }
+
+  /** ANN top-k for a single query vector via LSH multiprobe: scan only rows
+    * whose bucket matches one of the probe buckets. */
+  def annTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      lsh: HyperplaneLsh
+  ): DataFrame = {
+    val qSig: Long = {
+      // driver-side signature of the literal query (same math as signature())
+      lsh.planes.zipWithIndex.foldLeft(0L) { case (acc, (p, h)) =>
+        val d = p.zip(query).map { case (x, y) => x * y }.sum
+        if (d >= 0) acc | (1L << h) else acc
+      }
+    }
+    val probes: Seq[Long] = qSig +: (0 until lsh.bits).map(i => qSig ^ (1L << i))
+    df.withColumn("__sig", lsh.signature(col(embCol)))
+      .filter(col("__sig").isin(probes: _*))
+      .select(col(idCol), cosine(col(embCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Distributed knn-join: top-k base neighbors for EVERY query row.
+    * Both sides are signed; the equi-join on bucket id (with multiprobe on
+    * the query side) replaces the quadratic cross join; per-query top-k is
+    * a window over the join result. */
+  def annJoin(
+      queries: DataFrame,
+      base: DataFrame,
+      embCol: String,
+      idCol: String,
+      k: Int,
+      lsh: HyperplaneLsh
+  ): DataFrame = {
+    val q = queries.select(
+        col(idCol).as("query_id"), normalized(col(embCol)).as("q_emb"),
+        lsh.signature(col(embCol)).as("__qsig"))
+      .select(col("query_id"), col("q_emb"),
+        explode(lsh.probeBuckets(col("__qsig"))).as("bucket"))
+    val b = base.select(
+      col(idCol).as("base_id"), normalized(col(embCol)).as("b_emb"),
+      lsh.signature(col(embCol)).as("bucket"))
+
+    val scored = q.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("base_id"))
+      .dropDuplicates("query_id", "base_id")
+      .withColumn("score", dot(col("q_emb"), col("b_emb")))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("base_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "base_id", "score", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs: all (a<b) with cosine ≥ threshold,
+    * generated through the LSH buckets (multiprobe on the left side) and
+    * verified exactly. */
+  def cosineDupPairs(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      threshold: Double,
+      lsh: HyperplaneLsh
+  ): DataFrame = {
+    // candidate generation shuffles only (bucket, id) pairs; unit-normalized
+    // embeddings are re-attached afterwards (AQE broadcasts the embedding
+    // side when it fits), so vectors are never duplicated per probe
+    val sigs = df.select(col(idCol).as("id"), normalized(col(embCol)).as("emb"),
+      lsh.signature(col(embCol)).as("sig"))
+      .localCheckpoint(true) // materialize sig+normalized once; cut lineage
+    val l = sigs.select(col("id").as("id_a"),
+      explode(lsh.probeBuckets(col("sig"))).as("bucket"))
+    val r = sigs.select(col("id").as("id_b"), col("sig").as("bucket"))
+    val cand = l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val embs = sigs.select(col("id"), col("emb"))
+    cand
+      .join(embs.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(embs.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .withColumn("score", dot(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Coerce, Dedup}
+import graft.model.EventSchema._
+
+/** The warehouse load path (reference O-24, O-25, O-31, O-32, O-28/O-21).
+  *
+  * Physical layout mirrors what the reference delegates to ClickHouse
+  * MergeTree: date partitioning (`PARTITION BY toDate(timestamp)`,
+  * clickhouse.py:86) becomes `partitionBy(event_date)`, and the
+  * `(timestamp, message_id)` sort key (clickhouse.py:87) becomes
+  * `sortWithinPartitions` — giving parquet row-group locality /
+  * min-max-pruning on the same keys CH clusters on.
+  *
+  * Insert protocol (clickhouse.py:193-215): the table schema is
+  * authoritative; the batch is aligned (missing columns added as NULL),
+  * coerced with misfit quarantine, then appended. The reference's
+  * copy/pivot-to-rows dance disappears: one aligned projection + one
+  * distributed partitioned write.
+  */
+final class WarehouseSink(val catalog: TableCatalog) {
+
+  private val PartitionCol = "event_date"
+
+  /** O-31: insert a batch into `db.t`, evolving the schema (append-only) and
+    * quarantining coercion failures into the misfits table. Returns the
+    * number of misfit rows written. */
+  def insertDf(
+      spark: SparkSession,
+      db: String,
+      t: String,
+      batch: DataFrame,
+      partitionByDate: Boolean = true,
+      ddlSchema: Option[StructType] = None
+  ): Long = {
+    if (batch.isEmpty) return 0L
+    val authoritative = catalog.ensureTableStructure(db, t, ddlSchema.getOrElse(batch.schema))
+    val result        = Coerce.coerce(batch, authoritative, t)
+    try {
+      val misfitCount = writeMisfits(spark, db, result.misfits)
+      val withPart =
+        if (partitionByDate && authoritative.fieldNames.contains(Timestamp))
+          result.main.withColumn(PartitionCol, to_date(col(Timestamp)))
+        else result.main
+      val writer =
+        if (withPart.columns.contains(PartitionCol))
+          withPart
+            .sortWithinPartitions(col(Timestamp), col(MessageId))
+            .write.partitionBy(PartitionCol)
+        else withPart.write
+      writer.mode("append").parquet(catalog.tablePath(db, t))
+      misfitCount
+    } finally result.unpersist()
+  }
+
+  /** O-32: lazy-create + append the misfits dead-letter table (deduped on
+    * its CH sort key first, O-23). */
+  def writeMisfits(spark: SparkSession, db: String, misfits: DataFrame): Long = {
+    val deduped = Dedup.dedupMisfits(misfits).persist()
+    try {
+      val n = deduped.count()
+      if (n > 0) {
+        catalog.ensureTableStructure(db, MisfitsTable, deduped.schema)
+        deduped.write.mode("append").parquet(catalog.tablePath(db, MisfitsTable))
+      }
+      n
+    } finally { deduped.unpersist(); () }
+  }
+
+  /** O-21/O-28: last-write-wins users upsert — the ReplacingMergeTree(ver)
+    * equivalent. Read current users ∪ incoming, keep the max-`ver` row per
+    * user_id, atomically replace. The users table is small relative to
+    * events (bounded by |distinct users|), so read-merge-overwrite per
+    * batch is the right trade (SURVEY §7.3 hard part 2). */
+  def upsertUsers(spark: SparkSession, db: String, identities: DataFrame): Unit = {
+    val incoming = Dedup.usersFromIdentities(identities)
+    if (incoming.isEmpty) return
+    val authoritative = catalog.ensureTableStructure(db, UsersTable, incoming.schema)
+    val result        = Coerce.coerce(incoming, authoritative, UsersTable)
+    try {
+      writeMisfits(spark, db, result.misfits)
+      val existing = catalog.read(spark, db, UsersTable)
+      val aligned =
+        if (existing.schema.fields.isEmpty) result.main
+        else {
+          val exCoerced = Coerce.coerce(Coerce.addMissingColumns(existing, authoritative),
+            authoritative, UsersTable, persistIntermediate = false)
+          exCoerced.main.unionByName(result.main, allowMissingColumns = true)
+        }
+      val winners = Dedup.lastWriteWins(aligned, Seq(UserId), Ver, Seq(col(MessageId).desc))
+      // overwrite via temp dir: parquet has no transactional replace; stage
+      // then swap so a crash never leaves a truncated users table
+      val target = catalog.tablePath(db, UsersTable)
+      val tmp    = target + "__staged"
+      winners.write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val tgtPath = new org.apache.hadoop.fs.Path(target)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      // preserve the _schema.json catalog marker
+      val schemaJson = catalog.describe(db, UsersTable)
+      if (fs.exists(tgtPath)) fs.delete(tgtPath, true)
+      fs.rename(tmpPath, tgtPath)
+      schemaJson.foreach(s => catalog.ensureTableStructure(db, UsersTable, s))
+      ()
+    } finally result.unpersist()
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NearDup
+
+class NearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearA = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    val distinct1 = "completely different content about spark catalyst optimizer internals"
+    val distinct2 = "yet another unrelated document discussing parquet column pruning"
+    Seq(
+      (0L, base), (1L, nearA), (2L, base), // 2 is exact dup of 0
+      (3L, distinct1), (4L, distinct2)
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical canonical content") {
+    val r = NearDup.exactDedup(corpus, "text", "doc_id").collect()
+    assert(r.length == 4) // 5 docs, one exact pair
+    val dupGroup = r.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("exact jaccard pairs finds near + exact dups, not unrelated docs") {
+    val pairs = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3, thresholdPct = 60)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 2L))) // exact dup: jaccard 1
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH candidates recover all high-similarity pairs (recall)") {
+    val exact = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3, thresholdPct = 60)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = NearDup.minhashLshPairs(corpus, "text", "doc_id",
+        n = 3, bands = 16, rowsPerBand = 4, thresholdPct = 60)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // at j>=0.6 with b=16,r=4 collision prob ≈ 1-(1-0.6^4)^16 ≈ 0.91;
+    // on this tiny corpus every true pair must surface
+    assert(exact.subsetOf(lsh))
+    // and LSH output is exact-verified, so no false positives either
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash: identical docs distance 0, near dups close, distinct far") {
+    val pairs = NearDup.simhashPairs(corpus, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Number]("hamming").longValue).toMap
+    assert(pairs((0L, 2L)) == 0L)
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(7)
+  private def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+
+  private val base = {
+    val rows = (0L until 200L).map(i => (i, vec()))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k is exact and deterministic") {
+    val q = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val top = Similarity.bruteForceTopK(base.filter($"vec_id" =!= 0), "embedding", "vec_id", q, 5)
+      .collect()
+    assert(top.length == 5)
+    // scores strictly ordered desc
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // rerun identical
+    val top2 = Similarity.bruteForceTopK(base.filter($"vec_id" =!= 0), "embedding", "vec_id", q, 5)
+      .collect()
+    assert(top.map(_.toString).toSeq == top2.map(_.toString).toSeq)
+  }
+
+  test("LSH ANN recovers planted near-neighbors with high recall") {
+    // plant 10 jittered copies of vec 0: the genuinely-similar neighborhood
+    // an ANN index exists to find (random points have no structure to hash)
+    val q0 = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val jit = new scala.util.Random(13)
+    val planted = (1000L until 1010L).map { i =>
+      (i, q0.map(x => x + jit.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val all = base.union(planted)
+    val q = q0.map(_.toDouble).toSeq
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 6)
+    val exact = Similarity.bruteForceTopK(all.filter($"vec_id" =!= 0), "embedding", "vec_id", q, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(exact.forall(_ >= 1000L)) // sanity: planted vectors are the true top-10
+    val ann = Similarity.annTopK(all.filter($"vec_id" =!= 0), "embedding", "vec_id", q, 10, lsh)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("annJoin returns k ranked neighbors per query") {
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 4)
+    val queries = base.filter($"vec_id" < 5)
+    val out = Similarity.annJoin(queries, base, "embedding", "vec_id", 3, lsh)
+    val got = out.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+    assert(got.forall(_.getAs[Long]("n") <= 3))
+    assert(out.filter($"rank" === 1).count() <= 5)
+    // self-matches excluded
+    assert(out.filter($"query_id" === $"base_id").isEmpty)
+  }
+
+  test("cosineDupPairs finds planted near-duplicate") {
+    val planted = base.union(
+      base.filter($"vec_id" === 7)
+        .select(lit(9999L).as("vec_id"), col("embedding")))
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 6)
+    val pairs = Similarity.cosineDupPairs(planted, "embedding", "vec_id", 0.99, lsh)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((7L, 9999L)))
+  }
+}
