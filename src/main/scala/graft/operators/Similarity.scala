@@ -25,14 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a_i * b_i in double precision (deterministic left-fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ a_i * b_i in double precision, via the native codegen'd expression
+    * (graft.plans.DotProduct) — sequential index-order accumulation, so
+    * results are bit-identical to the HOF fold it replaces. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorFunctions.dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = graft.plans.VectorFunctions.norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass dot + both norms (graft.plans.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column = graft.plans.VectorFunctions.cosine(a, b)
 
   /** Unit-normalized copy (double precision). Pair-scoring paths normalize
     * each vector ONCE so every candidate pair costs a single dot product
