@@ -361,6 +361,29 @@ object SparkEntry {
       t(s, dir, "documents").select(
           col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
+    }),
+
+    // Extension — IVF-indexed ANN: coarse k-means cells, nprobe-bounded
+    // scan (rows-only; recall unit-tested against brute force).
+    "q35_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val idx = Similarity.IvfIndex.train(e, "embedding", k = 16, sampleSize = 1000)
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10, idx, nprobe = 4)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
+    // Streaming-shaped windowed aggregate (same logical plan batch/stream;
+    // the streaming variant is EventAggregates.tumblingCounts + watermark).
+    "q36_tumbling_windows" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
     })
   )
 
@@ -572,6 +595,12 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          octet_length(CAST(text AS BLOB)) AS n_bytes
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+
+    "q36_tumbling_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
   )
 }

@@ -53,14 +53,15 @@ object TextAnalysis {
     * deterministic tiebreak (profile order); no hits at all -> "und". */
   def langId(c: Column): Column = {
     val toks   = tokens(c)
-    val scored = LangProfiles.map { case (lang, words) =>
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
       val arr = array(words.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(arr, t))).as("score"), lit(lang).as("lang"))
+      struct(size(filter(toks, t => array_contains(arr, t))).as("score"),
+        lit(-i).as("nrank"), lit(lang).as("lang"))
     }
-    // stable argmax: fold keeping the strictly-greater score, so earlier
-    // profiles win ties
-    val best = scored.reduceLeft((a, b) =>
-      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    // stable argmax via array_max over (score, -profileIndex, lang):
+    // earlier profiles win ties. (A when/otherwise reduce would duplicate
+    // the accumulated tree exponentially — see Similarity.IvfIndex.assign.)
+    val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 

@@ -17,7 +17,8 @@ import graft.util.Names
 final case class JobConf(
     skipFields: Seq[String] = Nil,
     extraTimestamps: Map[String, String] = Map.empty,
-    warehouseRoots: Seq[String] = Nil
+    warehouseRoots: Seq[String] = Nil,
+    jdbcSinks: Seq[(String, Map[String, String])] = Nil
 )
 
 /** EP-1: the full ingestion dataflow, Spark-native.
@@ -43,8 +44,9 @@ final class SendToWarehouseJob(
 ) {
   val schema: String = Names.decamelize(namespace)
 
-  private val sinks: Seq[WarehouseSink] =
-    conf.warehouseRoots.map(r => new WarehouseSink(new TableCatalog(r)))
+  private val sinks: Seq[graft.sink.Warehouse] =
+    conf.warehouseRoots.map(graft.sink.WarehouseFactory.parquet) ++
+      conf.jdbcSinks.map { case (url, props) => graft.sink.WarehouseFactory.jdbc(url, props) }
 
   def execute(sourceDir: String): Unit = {
     val raw = Readers.ndjson(spark, sourceDir)
@@ -55,7 +57,7 @@ final class SendToWarehouseJob(
   /** The batch core, reused verbatim by the streaming variant's
     * foreachBatch. */
   def processBatch(raw: DataFrame): Unit = {
-    sinks.foreach(_.catalog.createDatabase(schema))
+    sinks.foreach(_.createDatabase(schema))
 
     val flat = normalize(raw)
     // the one real physical-plan decision (SURVEY §4): persist the parsed

@@ -140,6 +140,105 @@ object Similarity {
       .select("query_id", "base_id", "score", "rank")
   }
 
+  /** IVF (inverted-file) index: coarse k-means centroids partition the
+    * corpus into cells; a query scans only the `nprobe` nearest cells.
+    * Complementary to hyperplane LSH: data-adaptive (learns the actual
+    * cluster structure) at the cost of a training pass.
+    *
+    * Training is a bounded-sample driver-side Lloyd's iteration — the
+    * standard IVF recipe (train on ≤`sampleSize` vectors, assign the full
+    * corpus distributedly). Assignment is a per-row argmax of
+    * `dot(x, c) - ||c||²/2` (equivalent to nearest-Euclidean-centroid)
+    * over centroid literals, scored with the native codegen DotProduct —
+    * a narrow projection, no shuffle.
+    */
+  final case class IvfIndex(centroids: IndexedSeq[IndexedSeq[Double]]) {
+    private def halfNorm2(c: Seq[Double]): Double = c.map(x => x * x).sum / 2.0
+
+    /** cluster id column for a vector column.
+      *
+      * argmax via `array_max` over (score, -cid) structs — NEVER a
+      * reduceLeft of when/otherwise, which duplicates the accumulated
+      * tree on both branches and grows the expression 2^k-fold (observed:
+      * OOM in codegen at k=16). Struct max compares score first; ties
+      * pick the lower centroid id (matching the driver-side `probes`
+      * stable sort). */
+    def assign(emb: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct((dot(emb, litVec(c)) - lit(halfNorm2(c))).as("score"), lit(-i).as("ncid"))
+      }
+      -array_max(array(scored: _*)).getField("ncid")
+    }
+
+    /** ids of the nprobe centroids nearest to a literal query vector. */
+    def probes(query: Seq[Double], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (c.zip(query).map { case (a, b) => a * b }.sum - halfNorm2(c), i) }
+        .sortBy(-_._1).take(nprobe).map(_._2)
+  }
+
+  object IvfIndex {
+    /** Bounded-sample driver-side k-means (deterministic seed). */
+    def train(
+        df: DataFrame,
+        embCol: String,
+        k: Int,
+        sampleSize: Int = 2000,
+        iters: Int = 8,
+        seed: Long = 42L
+    ): IvfIndex = {
+      val sample: Array[Array[Double]] = df.select(col(embCol))
+        .limit(sampleSize).collect()
+        .map(_.getSeq[Any](0).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case x                   => x.toString.toDouble
+        }.toArray)
+      require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+      val dim = sample.head.length
+      val rnd = new scala.util.Random(seed)
+      var cents: Array[Array[Double]] =
+        rnd.shuffle(sample.indices.toList).take(k).map(sample(_).clone()).toArray
+      (0 until iters).foreach { _ =>
+        val sums   = Array.fill(cents.length, dim)(0.0)
+        val counts = Array.fill(cents.length)(0)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          cents.indices.foreach { c =>
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          counts(best) += 1
+          var i = 0; while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      IvfIndex(cents.map(_.toIndexedSeq).toIndexedSeq)
+    }
+  }
+
+  /** IVF top-k: scan only the nprobe nearest cells, exact cosine within. */
+  def ivfTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      index: IvfIndex,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val cells = index.probes(query, nprobe)
+    df.withColumn("__cell", index.assign(col(embCol)))
+      .filter(col("__cell").isin(cells: _*))
+      .select(col(idCol), cosine(col(embCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs: all (a<b) with cosine ≥ threshold,
     * generated through the LSH buckets (multiprobe on the left side) and
     * verified exactly. */

@@ -1,0 +1,186 @@
+package graft.sink
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import scala.collection.mutable
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Coerce, Dedup}
+import graft.model.EventSchema._
+
+/** JDBC warehouse sink — the "Structured Streaming + JDBC sink" shape: the
+  * same schema-evolving insert protocol as the parquet sink, but DDL runs
+  * over a JDBC connection exactly like the reference drives ClickHouse
+  * (CREATE SCHEMA / CREATE TABLE IF missing / metadata describe / ALTER
+  * TABLE ADD COLUMN — clickhouse.py:59-191), and data lands via Spark's
+  * distributed JDBC writer (each partition opens its own connection, so
+  * the insert parallelism scales with the cluster, unlike the reference's
+  * single synchronous socket).
+  *
+  * ANSI-leaning DDL, validated against embedded Derby in the test suite;
+  * `typeSql` is the single dialect hook a ClickHouse/Postgres deployment
+  * would override.
+  */
+final class JdbcWarehouse(
+    url: String,
+    extraProps: Map[String, String] = Map.empty
+) extends Warehouse {
+
+  private val createdTables = mutable.Set[String]()
+
+  private def props: Properties = {
+    val p = new Properties()
+    extraProps.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  private def withConn[T](f: Connection => T): T =
+    Using.resource(DriverManager.getConnection(url, props))(f)
+
+  private def q(ident: String): String = "\"" + ident + "\""
+
+  /** Spark type -> SQL column type (dialect hook). */
+  protected def typeSql(dt: DataType): String = dt match {
+    case StringType    => "VARCHAR(4096)"
+    case LongType      => "BIGINT"
+    case IntegerType   => "INTEGER"
+    case ShortType     => "SMALLINT"
+    case ByteType      => "SMALLINT"
+    case DoubleType    => "DOUBLE"
+    case FloatType     => "REAL"
+    case BooleanType   => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType      => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"no JDBC mapping for ${other.simpleString} (flatten removes nesting upstream)")
+  }
+
+  override def createDatabase(db: String): Unit = withConn { c =>
+    val exists = Using.resource(
+      c.getMetaData.getSchemas(null, db.toUpperCase)) { rs => rs.next() }
+    if (!exists) {
+      Using.resource(c.createStatement())(_.executeUpdate(s"CREATE SCHEMA ${q(db.toUpperCase)}"))
+    }
+    ()
+  }
+
+  private def tableRef(db: String, t: String): String =
+    s"${q(db.toUpperCase)}.${q(t)}"
+
+  /** DESCRIBE via JDBC metadata -> authoritative schema, or None. */
+  def describe(db: String, t: String): Option[StructType] = withConn { c =>
+    val cols = mutable.ArrayBuffer[StructField]()
+    Using.resource(c.getMetaData.getColumns(null, db.toUpperCase, t, null)) { rs =>
+      while (rs.next()) {
+        val name = rs.getString("COLUMN_NAME")
+        val sqlType = rs.getInt("DATA_TYPE")
+        cols += StructField(name, fromSqlType(sqlType,
+          rs.getInt("COLUMN_SIZE"), rs.getInt("DECIMAL_DIGITS")))
+      }
+    }
+    if (cols.isEmpty) None else Some(StructType(cols.toSeq))
+  }
+
+  private def fromSqlType(t: Int, size: Int, scale: Int): DataType = t match {
+    case java.sql.Types.VARCHAR | java.sql.Types.CLOB | java.sql.Types.CHAR
+       | java.sql.Types.LONGVARCHAR => StringType
+    case java.sql.Types.BIGINT    => LongType
+    case java.sql.Types.INTEGER   => IntegerType
+    case java.sql.Types.SMALLINT  => ShortType
+    case java.sql.Types.DOUBLE | java.sql.Types.FLOAT => DoubleType
+    case java.sql.Types.REAL      => FloatType
+    case java.sql.Types.BOOLEAN | java.sql.Types.BIT => BooleanType
+    case java.sql.Types.TIMESTAMP => TimestampType
+    case java.sql.Types.DATE      => DateType
+    case java.sql.Types.DECIMAL | java.sql.Types.NUMERIC => DecimalType(size.min(38), scale)
+    case _ => StringType
+  }
+
+  /** CREATE TABLE if absent (memoized), then ALTER TABLE ADD COLUMN for
+    * every new column — append-only evolution, O-27/O-30. Returns the
+    * post-evolution schema. */
+  def ensureTableStructure(db: String, t: String, batchSchema: StructType): StructType = {
+    val key = s"$db.$t"
+    describe(db, t) match {
+      case None =>
+        val colsSql = batchSchema.fields
+          .map(f => s"${q(f.name)} ${typeSql(f.dataType)}").mkString(", ")
+        withConn { c =>
+          Using.resource(c.createStatement())(
+            _.executeUpdate(s"CREATE TABLE ${tableRef(db, t)} ($colsSql)"))
+        }
+        createdTables += key
+        batchSchema
+      case Some(existing) =>
+        // JDBC metadata uppercases unquoted... we quote, so names match
+        val known = existing.fieldNames.toSet
+        val newCols = batchSchema.fields.filterNot(f => known(f.name))
+        newCols.foreach { f =>
+          withConn { c =>
+            Using.resource(c.createStatement())(_.executeUpdate(
+              s"ALTER TABLE ${tableRef(db, t)} ADD COLUMN ${q(f.name)} ${typeSql(f.dataType)}"))
+          }
+        }
+        StructType(existing.fields ++ newCols)
+    }
+  }
+
+  private def jdbcWrite(df: DataFrame, db: String, t: String): Unit =
+    df.write.mode("append").jdbc(url, tableRef(db, t), props)
+
+  def read(spark: SparkSession, db: String, t: String): DataFrame =
+    spark.read.jdbc(url, tableRef(db, t), props)
+
+  override def insertDf(
+      spark: SparkSession,
+      db: String,
+      t: String,
+      batch: DataFrame,
+      partitionByDate: Boolean = true, // physical layout is the DB's concern
+      ddlSchema: Option[StructType] = None
+  ): Long = {
+    if (batch.isEmpty) return 0L
+    val authoritative = ensureTableStructure(db, t, ddlSchema.getOrElse(batch.schema))
+    val result = Coerce.coerce(batch, authoritative, t)
+    try {
+      val misfits = Dedup.dedupMisfits(result.misfits).persist()
+      val n = misfits.count()
+      if (n > 0) {
+        ensureTableStructure(db, MisfitsTable, misfits.schema)
+        jdbcWrite(misfits, db, MisfitsTable)
+      }
+      misfits.unpersist()
+      jdbcWrite(result.main, db, t)
+      n
+    } finally result.unpersist()
+  }
+
+  override def upsertUsers(spark: SparkSession, db: String, identities: DataFrame): Unit = {
+    val incoming = Dedup.usersFromIdentities(identities)
+    if (incoming.isEmpty) return
+    val authoritative = ensureTableStructure(db, UsersTable, incoming.schema)
+    val result = Coerce.coerce(incoming, authoritative, UsersTable)
+    try {
+      val existing: Option[DataFrame] = describe(db, UsersTable).map(_ => read(spark, db, UsersTable))
+      val aligned = existing match {
+        case Some(ex) if ex.columns.nonEmpty =>
+          Coerce.coerce(Coerce.addMissingColumns(ex, authoritative), authoritative,
+            UsersTable, persistIntermediate = false).main
+            .unionByName(result.main, allowMissingColumns = true)
+        case _ => result.main
+      }
+      val winners = Dedup.lastWriteWins(aligned, Seq(UserId), Ver, Seq(col(MessageId).desc))
+        .localCheckpoint(true) // materialize BEFORE truncating the source table
+      withConn { c =>
+        Using.resource(c.createStatement())(_.executeUpdate(s"DELETE FROM ${tableRef(db, UsersTable)}"))
+      }
+      jdbcWrite(winners, db, UsersTable)
+    } finally result.unpersist()
+  }
+}

@@ -1,0 +1,34 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Abstract warehouse surface (reference seghouse/warehouse/warehouse.py:
+  * 1-60): create database, schema-evolving batch insert with misfit
+  * quarantine, last-write-wins users upsert. Implementations: parquet
+  * lakehouse ([[WarehouseSink]]) and JDBC ([[JdbcWarehouse]]). The job
+  * layer fans every batch out to all configured warehouses (O-34). */
+trait Warehouse {
+  def createDatabase(db: String): Unit
+
+  /** Insert one batch; table schema is authoritative, misfits quarantined.
+    * `ddlSchema` overrides the schema used for table creation/evolution
+    * (first-non-null inference); returns misfit row count. */
+  def insertDf(
+      spark: SparkSession,
+      db: String,
+      t: String,
+      batch: DataFrame,
+      partitionByDate: Boolean = true,
+      ddlSchema: Option[org.apache.spark.sql.types.StructType] = None
+  ): Long
+
+  /** ReplacingMergeTree(ver)-equivalent users upsert. */
+  def upsertUsers(spark: SparkSession, db: String, identities: DataFrame): Unit
+}
+
+/** Reference seghouse/warehouse/factory.py:4-13. */
+object WarehouseFactory {
+  def parquet(root: String): Warehouse = new WarehouseSink(new TableCatalog(root))
+  def jdbc(url: String, props: Map[String, String] = Map.empty): Warehouse =
+    new JdbcWarehouse(url, props)
+}

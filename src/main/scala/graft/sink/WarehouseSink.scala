@@ -22,14 +22,16 @@ import graft.model.EventSchema._
   * copy/pivot-to-rows dance disappears: one aligned projection + one
   * distributed partitioned write.
   */
-final class WarehouseSink(val catalog: TableCatalog) {
+final class WarehouseSink(val catalog: TableCatalog) extends Warehouse {
 
   private val PartitionCol = "event_date"
+
+  override def createDatabase(db: String): Unit = catalog.createDatabase(db)
 
   /** O-31: insert a batch into `db.t`, evolving the schema (append-only) and
     * quarantining coercion failures into the misfits table. Returns the
     * number of misfit rows written. */
-  def insertDf(
+  override def insertDf(
       spark: SparkSession,
       db: String,
       t: String,
@@ -76,7 +78,7 @@ final class WarehouseSink(val catalog: TableCatalog) {
     * user_id, atomically replace. The users table is small relative to
     * events (bounded by |distinct users|), so read-merge-overwrite per
     * batch is the right trade (SURVEY §7.3 hard part 2). */
-  def upsertUsers(spark: SparkSession, db: String, identities: DataFrame): Unit = {
+  override def upsertUsers(spark: SparkSession, db: String, identities: DataFrame): Unit = {
     val incoming = Dedup.usersFromIdentities(identities)
     if (incoming.isEmpty) return
     val authoritative = catalog.ensureTableStructure(db, UsersTable, incoming.schema)

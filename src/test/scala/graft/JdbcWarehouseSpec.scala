@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.{JobConf, SendToWarehouseJob}
+import graft.sink.JdbcWarehouse
+
+/** End-to-end JDBC warehouse validation against embedded Derby — the
+  * "Structured Streaming + JDBC sink" shape with a real database doing
+  * DDL, evolution, coercion misfits, and the users upsert. */
+class JdbcWarehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDb(): (JdbcWarehouse, String) = {
+    val dir = Files.createTempDirectory("graft_derby").resolve("db")
+    val url = s"jdbc:derby:$dir;create=true"
+    (new JdbcWarehouse(url, Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")), url)
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("create schema, insert, evolve, quarantine misfits") {
+    val (wh, _) = freshDb()
+    wh.createDatabase("ns")
+
+    val b1 = Seq(
+      ("m1", ts("2024-01-01 00:00:01"), "42"),
+      ("m2", ts("2024-01-01 00:00:02"), "nope")
+    ).toDF("message_id", "timestamp", "payload")
+    // DDL schema says payload BIGINT (first-non-null rule) -> "nope" misfit
+    val ddl = graft.etl.TypeInference.refineSchema(b1)
+    val misfits = wh.insertDf(spark, "ns", "tracks", b1, ddlSchema = Some(ddl))
+    assert(misfits == 1)
+
+    val got = wh.read(spark, "ns", "tracks").orderBy("message_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("payload") == 42L)
+    assert(got(1).isNullAt(got(1).fieldIndex("payload")))
+
+    val mf = wh.read(spark, "ns", "misfits").collect()
+    assert(mf.length == 1 && mf.head.getAs[String]("column_value") == "nope")
+
+    // evolution: second batch brings a new column
+    val b2 = Seq(("m3", ts("2024-01-02 00:00:00"), "7", 9.5))
+      .toDF("message_id", "timestamp", "payload", "score")
+    wh.insertDf(spark, "ns", "tracks", b2,
+      ddlSchema = Some(graft.etl.TypeInference.refineSchema(b2)))
+    val evolved = wh.read(spark, "ns", "tracks")
+    assert(evolved.columns.contains("score"))
+    assert(evolved.count() == 3)
+    assert(evolved.filter(evolved("score").isNull).count() == 2)
+  }
+
+  test("users last-write-wins upsert over JDBC") {
+    val (wh, _) = freshDb()
+    wh.createDatabase("ns")
+    val ident1 = Seq(
+      ("m1", "u1", ts("2024-01-01 00:00:01")),
+      ("m2", "u2", ts("2024-01-01 00:00:02"))
+    ).toDF("message_id", "user_id", "timestamp")
+    wh.upsertUsers(spark, "ns", ident1)
+    assert(wh.read(spark, "ns", "users").count() == 2)
+
+    // newer u1 wins; older u2 ignored
+    val ident2 = Seq(
+      ("m3", "u1", ts("2024-01-05 00:00:00")),
+      ("m4", "u2", ts("2023-12-01 00:00:00"))
+    ).toDF("message_id", "user_id", "timestamp")
+    wh.upsertUsers(spark, "ns", ident2)
+    val users = wh.read(spark, "ns", "users").orderBy("user_id").collect()
+    assert(users.length == 2)
+    assert(users(0).getAs[String]("message_id") == "m3")
+    assert(users(1).getAs[String]("message_id") == "m2")
+  }
+
+  test("full pipeline into a JDBC warehouse (multi-sink with parquet)") {
+    val (wh, url) = freshDb()
+    val src = Files.createTempDirectory("graft_jdbc_src")
+    val pq  = Files.createTempDirectory("graft_jdbc_pq")
+    def line(id: String, typ: String, user: String, event: String) =
+      s"""{"messageId":"$id","anonymousId":"a","userId":"$user","type":"$typ","event":"$event",""" +
+        s""""timestamp":"2024-01-01T00:00:01.000Z","receivedAt":"2024-01-01T00:00:02.000Z",""" +
+        s""""sentAt":"2024-01-01T00:00:01.500Z","ip":"1.1.1.1","channel":"web","writeKey":"wk"}"""
+    Files.write(src.resolve("b.json"), Seq(
+      line("j1", "track", "u1", "Add Item"),
+      line("j2", "track", "u2", "Add Item"),
+      line("j3", "identify", "u1", "")
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val job = new SendToWarehouseJob(spark,
+      JobConf(warehouseRoots = Seq(pq.toString),
+        jdbcSinks = Seq((url, Map.empty[String, String]))), "JdbcNs")
+    job.execute(src.toString)
+
+    assert(wh.read(spark, "jdbc_ns", "tracks").count() == 2)
+    assert(wh.read(spark, "jdbc_ns", "add_item").count() == 2)
+    assert(wh.read(spark, "jdbc_ns", "identities").count() == 1)
+    assert(wh.read(spark, "jdbc_ns", "users").count() == 1)
+    // parquet sink got the same rows (O-34 fan-out)
+    val cat = new graft.sink.TableCatalog(pq.toString)
+    assert(cat.read(spark, "jdbc_ns", "tracks").count() == 2)
+  }
+}

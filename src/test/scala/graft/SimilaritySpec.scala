@@ -65,6 +65,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.filter($"query_id" === $"base_id").isEmpty)
   }
 
+  test("IVF index: training converges, probes find planted neighbors") {
+    val q0 = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val jit = new scala.util.Random(17)
+    val planted = (2000L until 2010L).map { i =>
+      (i, q0.map(x => x + jit.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val all = base.union(planted)
+    val idx = Similarity.IvfIndex.train(all, "embedding", k = 8, sampleSize = 300)
+    assert(idx.centroids.length == 8)
+    val q = q0.map(_.toDouble).toSeq
+    val exact = Similarity.bruteForceTopK(all.filter($"vec_id" =!= 0), "embedding", "vec_id", q, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivf = Similarity.ivfTopK(all.filter($"vec_id" =!= 0), "embedding", "vec_id", q, 10, idx, nprobe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("cosineDupPairs finds planted near-duplicate") {
     val planted = base.union(
       base.filter($"vec_id" === 7)
