@@ -104,12 +104,12 @@ object NearDup {
   }
 
   /** MinHash signature: k independent permutations approximated by
-    * xxhash64(shingle, seed); sig[i] = min over shingles. Per-row compute,
+    * XXH64(shingleHash, seed=j); sig[j] = min over the set. Native codegen
+    * expression (graft.plans.MinHashSignature): one tight k×|set| primitive
+    * loop per row instead of k interpreted HOF aggregates. Per-row compute,
     * constant size, no shuffle. */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => aggregate(shingleSet, lit(Long.MaxValue), (acc, x) => least(acc, xxhash64(x, s))))
+  def minhashSignature(hashedShingleSet: Column, numHashes: Int): Column =
+    graft.plans.SketchFunctions.minhash(hashedShingleSet, numHashes)
 
   /** Tier 3 — MinHash-LSH candidate pairs, verified with exact Jaccard.
     *
@@ -183,25 +183,12 @@ object NearDup {
     * similarity of the token multiset. Bit b is the sign of
     * Σ_tokens (±1 by bit b of xxhash64(token)). Built entirely from
     * higher-order functions + bitwise ops (overflow-free). */
-  def simhash64(c: Column): Column = {
-    // hash each token ONCE, then fan its 64 bits out — keeping xxhash64
-    // inside the per-bit lambda would recompute it 64× per token
-    val hashes = transform(TextAnalysis.tokens(c), t => xxhash64(t))
-    val counts = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("getbit", h, i) === 1, lit(1L))
-            .otherwise(lit(-1L))),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (cnt, i) => when(cnt > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash64(c: Column): Column =
+    // hash each token once, then one native 64-bit-counting loop per row
+    // (graft.plans.SimHash64) — the HOF formulation (aggregate of zip_with
+    // over 64-wide arrays) is interpreted per token per bit
+    graft.plans.SketchFunctions.simhash(
+      transform(TextAnalysis.tokens(c), t => xxhash64(t)))
 
   private def popcount64(c: Column): Column = bit_count(c)
 

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Coerce, Dedup, Normalize}
+import graft.util.Names
+
+/** Property-style invariants (SURVEY §5.3). Inputs are ScalaCheck-generated
+  * with a fixed seed, evaluated in batched DataFrames (one Spark job per
+  * property, not per case). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  private val asciiWord: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  test("decamelize is idempotent and lowercase") {
+    val inputs = sample(Gen.listOfN(3, asciiWord).map(_.mkString("")), 200)
+    inputs.foreach { s =>
+      val once = Names.decamelize(s)
+      assert(Names.decamelize(once) == once, s"not idempotent for $s")
+      assert(once == once.toLowerCase)
+    }
+  }
+
+  test("event-name normalization: column impl == driver impl on random strings") {
+    val weird = Gen.oneOf(asciiWord, Gen.oneOf("&", " ", "A B", "xY", "S&P", "a1B2c"))
+    val inputs = sample(Gen.listOfN(4, weird).map(_.mkString(" ")), 100)
+    val viaCol = inputs.toDF("e")
+      .select(Normalize.normalizeEventNameCol(col("e")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaCol == inputs.map(Names.normalizeEventName))
+  }
+
+  test("coercion conservation: |misfits| == cells nulled, for any value mix") {
+    val cell: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(-1000000L, 1000000L).map(_.toString), // castable
+      asciiWord.suchThat(s => s.exists(_.isLetter)),       // misfit
+      Gen.const(null: String))                             // null: no misfit
+    val rows = sample(cell, 500).zipWithIndex.map { case (v, i) => (s"m$i", v) }
+    val df = rows.toDF("message_id", "payload")
+    val target = StructType(Seq(
+      StructField("message_id", StringType), StructField("payload", LongType)))
+    val r = Coerce.coerce(df, target, "t", persistIntermediate = false)
+    val expectedMisfits = rows.count { case (_, v) =>
+      v != null && scala.util.Try(v.toLong).isFailure
+    }
+    assert(r.misfits.count() == expectedMisfits)
+    assert(r.main.filter(col("payload").isNull).count() ==
+      rows.count { case (_, v) => v == null } + expectedMisfits)
+  }
+
+  test("deterministic dedup is a projection fixpoint (ingest twice == once)") {
+    val rows = sample(for {
+      k <- Gen.chooseNum(0, 20)
+      v <- Gen.chooseNum(0L, 1000L)
+      p <- asciiWord
+    } yield (k, v, p), 300)
+    val df = rows.toDF("k", "v", "p")
+    val once  = Dedup.dedupDeterministic(df, Seq("k"), Seq(col("v").desc, col("p").desc))
+    val twice = Dedup.dedupDeterministic(
+      once.unionByName(df), Seq("k"), Seq(col("v").desc, col("p").desc))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("last-write-wins matches reference reduction on the driver") {
+    val rows = sample(for {
+      u <- Gen.chooseNum(0, 15)
+      ver <- Gen.chooseNum(0L, 50L)
+      m <- asciiWord
+    } yield (u.toString, ver, m), 200)
+    val expected = rows.groupBy(_._1).map { case (u, g) =>
+      u -> g.maxBy(r => (r._2, r._3))._3
+    }
+    val got = Dedup.lastWriteWins(rows.toDF("user_id", "ver", "message_id"),
+        Seq("user_id"), "ver", Seq(col("message_id").desc))
+      .collect().map(r => r.getAs[String]("user_id") -> r.getAs[String]("message_id")).toMap
+    assert(got == expected)
+  }
+
+  test("flatten preserves row count and leaf values on generated nested JSON") {
+    val leaf = Gen.chooseNum(0, 999)
+    val objs = sample(for {
+      a <- leaf; b <- leaf; c <- leaf; n <- Gen.chooseNum(0, 3)
+    } yield (a, b, c, n), 100)
+    val lines = objs.zipWithIndex.map { case ((a, b, c, n), i) =>
+      val arr = (0 until n).map(j => s"""{"sku":"s$j"}""").mkString(",")
+      s"""{"id":$i,"outerKey":{"innerVal":$a,"deep":{"x":$b}},"countVal":$c,"items":[$arr]}"""
+    }
+    val flat = graft.ingest.JsonFlatten.flatten(spark.read.json(lines.toDS))
+    assert(flat.count() == objs.length)
+    assert(flat.columns.contains("outer_key_inner_val"))
+    assert(flat.columns.contains("outer_key_deep_x"))
+    val maxN = objs.map(_._4).max
+    (0 until maxN).foreach(j => assert(flat.columns.contains(s"items_${j}_sku")))
+    val sums = flat.agg(sum("outer_key_inner_val"), sum("outer_key_deep_x"), sum("count_val"))
+      .head()
+    assert(sums.getLong(0) == objs.map(_._1.toLong).sum)
+    assert(sums.getLong(1) == objs.map(_._2.toLong).sum)
+    assert(sums.getLong(2) == objs.map(_._3.toLong).sum)
+  }
+}
