@@ -26,7 +26,7 @@ import graft.model.EventSchema._
   * `typeSql` is the single dialect hook a ClickHouse/Postgres deployment
   * would override.
   */
-final class JdbcWarehouse(
+class JdbcWarehouse(
     url: String,
     extraProps: Map[String, String] = Map.empty
 ) extends Warehouse {
