@@ -374,6 +374,43 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
+    // Extension — corpus vocabulary statistics (explode + global agg).
+    "q37_vocab_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token").asc)
+    }),
+
+    // Extension — dedup rate per source (distinct canonical fingerprints).
+    "q38_dedup_rate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.canonicalFingerprint(col("text"))).as("n_distinct"))
+        .orderBy("source")
+    }),
+
+    // Sessionization in batch: lag + cumulative-sum window composition
+    // (the batch twin of streaming session_window; O-21-adjacent).
+    "q39_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > 30L * 60000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_millis(col("ts"))).as("session_start_ms"),
+          max(unix_millis(col("ts"))).as("session_end_ms"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // Streaming-shaped windowed aggregate (same logical plan batch/stream;
     // the streaming variant is EventAggregates.tumblingCounts + watermark).
     "q36_tumbling_windows" -> ((s, dir) => {
@@ -601,6 +638,37 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q37_vocab_stats" ->
+      """SELECT token, count(*) AS tf FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY tf DESC, token ASC""",
+
+    "q38_dedup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+         count(DISTINCT md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' '))) AS n_distinct
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "q39_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM marked)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(epoch_ms(ts)) AS session_start_ms,
+           max(epoch_ms(ts)) AS session_end_ms
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
   )
 }
