@@ -374,6 +374,25 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
+    // Rollup (grouping-sets family): subtotals + grand total.
+    "q40_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Semi join (EXISTS): orders having at least one high-value line.
+    "q41_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_extendedprice") > 90000)
+        .select(col("l_orderkey"))
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -639,6 +658,19 @@ object SparkEntry {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q40_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q41_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
+         ORDER BY o_orderkey""",
 
     "q37_vocab_stats" ->
       """SELECT token, count(*) AS tf FROM (

@@ -109,6 +109,12 @@ object Coerce {
       }
     }
 
+    // provenance key: message_id when the batch carries one, else null
+    // (misfits remain attributable via table/column/value)
+    val messageIdCol: Column =
+      if (actual.contains(EventSchema.MessageId)) col(EventSchema.MessageId).cast(StringType)
+      else lit(null).cast(StringType)
+
     val misfitStructs: Seq[Column] = target.fields.toIndexedSeq.flatMap { f =>
       actual.get(f.name) match {
         case Some(a) if a != f.dataType =>
@@ -117,7 +123,7 @@ object Coerce {
           Some(
             when(src.isNotNull && ok.isNull,
               struct(
-                col(EventSchema.MessageId).cast(StringType).as(EventSchema.MessageId),
+                messageIdCol.as(EventSchema.MessageId),
                 lit(tableName).as("table_name"),
                 lit(f.name).as("column_name"),
                 src.cast(StringType).as("column_value"),

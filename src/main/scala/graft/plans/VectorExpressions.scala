@@ -168,9 +168,12 @@ object VectorFunctions {
     ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot"    -> { es => DotProduct(es(0), es(1)) },
-    "graft_cosine" -> { es => CosineSimilarity(es(0), es(1)) },
-    "graft_norm"   -> { es => L2Norm(es.head) }
+    "graft_dot"     -> { es => DotProduct(es(0), es(1)) },
+    "graft_cosine"  -> { es => CosineSimilarity(es(0), es(1)) },
+    "graft_norm"    -> { es => L2Norm(es.head) },
+    "graft_minhash" -> { es =>
+      MinHashSignature(es(0), es(1).eval().asInstanceOf[Number].intValue) },
+    "graft_simhash" -> { es => SimHash64(es.head) }
   )
 
   /** Session-scoped SQL registration: `SELECT graft_cosine(a.embedding,

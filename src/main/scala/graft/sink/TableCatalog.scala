@@ -85,9 +85,12 @@ final class TableCatalog(val root: String) {
     * evolution (older files simply lack the newer columns -> NULL). */
   def read(spark: SparkSession, db: String, t: String): DataFrame = {
     val p = tablePath(db, t)
-    val hasData = Files.exists(Paths.get(p)) &&
-      Files.list(Paths.get(p)).anyMatch(f => f.getFileName.toString.endsWith(".parquet") ||
+    val hasData = Files.exists(Paths.get(p)) && {
+      val s = Files.list(Paths.get(p))
+      try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet") ||
         Files.isDirectory(f) && !f.getFileName.toString.startsWith("_") && !f.getFileName.toString.startsWith("."))
+      finally s.close()
+    }
     if (!hasData) {
       val schema = describe(db, t).getOrElse(new StructType())
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
