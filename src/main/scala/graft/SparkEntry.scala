@@ -374,6 +374,30 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
+    // Extension — dedup keeping the BEST representative per duplicate
+    // group (highest token count, deterministic tiebreak) — the policy a
+    // training pipeline actually wants, vs q20's min-id variant.
+    "q42_dedup_best" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.etl.Dedup.dedupDeterministic(scored, Seq("fp"),
+          Seq(col("n_tokens").desc, col("doc_id").asc))
+        .select(col("fp"), col("doc_id").as("keep_id"), col("n_tokens"))
+        .orderBy("fp")
+    }),
+
+    // Extension — the composed corpus filter a training-data pipeline
+    // runs: quality gate AND language filter in one pass.
+    "q43_corpus_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(TextAnalysis.qualityOk(col("text"))
+          && TextAnalysis.langId(col("text")) === lit("en"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Rollup (grouping-sets family): subtotals + grand total.
     "q40_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -658,6 +682,37 @@ object SparkEntry {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q42_dedup_best" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             md5(array_to_string(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fp,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens
+           FROM documents)
+         SELECT fp, doc_id AS keep_id, n_tokens FROM (
+           SELECT *, row_number() OVER (PARTITION BY fp
+             ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM scored)
+         WHERE rn = 1 ORDER BY fp""",
+
+    "q43_corpus_filter" ->
+      """WITH s AS (SELECT doc_id, source,
+           length(text) AS n_chars,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+         FROM documents),
+         g AS (SELECT doc_id, source,
+           (len(t) BETWEEN 5 AND 100000) AND len(list_distinct(t)) * 5 >= len(t)
+             AND n_punct * 10 <= n_chars * 3 AS ok,
+           len(list_filter(t, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS s_en,
+           len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
+           len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+           len(list_filter(t, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
+         FROM s)
+         SELECT doc_id, source FROM g
+         WHERE ok AND greatest(s_en, s_es, s_de, s_fr) > 0
+           AND s_en >= greatest(s_es, s_de, s_fr)
+         ORDER BY doc_id""",
 
     "q40_rollup" ->
       """SELECT l_returnflag, l_linestatus,
