@@ -73,6 +73,58 @@ final class WarehouseSink(val catalog: TableCatalog) extends Warehouse {
     } finally { deduped.unpersist(); () }
   }
 
+  /** O-22, deferred half: the explicit analog of ClickHouse's background
+    * merge for `ReplacingMergeTree() ORDER BY (timestamp, message_id)`
+    * tables. Appends are blind (same as CH inserts); duplicates from
+    * re-delivered batches are collapsed HERE, on demand — run it like
+    * `OPTIMIZE TABLE ... FINAL`. The rewrite restores the physical layout
+    * too (date partitioning + sort-key clustering), so it doubles as the
+    * small-files/ordering maintenance pass. Returns rows removed. */
+  def compact(spark: SparkSession, db: String, t: String): Long = {
+    val current = catalog.read(spark, db, t)
+    if (current.schema.fields.isEmpty) return 0L
+    // table-specific CH sort key: misfits dedup on their identity triple
+    // (clickhouse.py:222-233), everything else on (timestamp, message_id)
+    val wantedKeys =
+      if (t == MisfitsTable) Seq(MessageId, "table_name", "column_name")
+      else Seq(Timestamp, MessageId)
+    val dedupKeys = wantedKeys.filter(current.columns.contains)
+    if (dedupKeys.size != wantedKeys.size) return 0L
+    val deduped = current.dropDuplicates(dedupKeys)
+      .localCheckpoint(true) // materialize before replacing the source files
+    val before = current.count()
+    val after  = deduped.count()
+    val withPart =
+      if (deduped.columns.contains(PartitionCol)) deduped
+      else if (deduped.columns.contains(Timestamp))
+        deduped.withColumn(PartitionCol, to_date(col(Timestamp)))
+      else deduped
+    val writer =
+      if (withPart.columns.contains(PartitionCol) && dedupKeys.contains(Timestamp))
+        withPart.sortWithinPartitions(col(Timestamp), col(MessageId))
+          .write.partitionBy(PartitionCol)
+      else withPart.write
+    replaceTableContents(spark, db, t)(tmp => writer.mode("overwrite").parquet(tmp))
+    before - after
+  }
+
+  /** Stage-then-swap replacement of a table directory, preserving the
+    * catalog's authoritative schema marker. */
+  private def replaceTableContents(spark: SparkSession, db: String, t: String)(
+      write: String => Unit): Unit = {
+    val target = catalog.tablePath(db, t)
+    val tmp    = target + "__staged"
+    write(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tgtPath = new org.apache.hadoop.fs.Path(target)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val schemaJson = catalog.describe(db, t)
+    if (fs.exists(tgtPath)) fs.delete(tgtPath, true)
+    fs.rename(tmpPath, tgtPath)
+    schemaJson.foreach(s => catalog.ensureTableStructure(db, t, s))
+    ()
+  }
+
   /** O-21/O-28: last-write-wins users upsert — the ReplacingMergeTree(ver)
     * equivalent. Read current users ∪ incoming, keep the max-`ver` row per
     * user_id, atomically replace. The users table is small relative to
@@ -94,21 +146,10 @@ final class WarehouseSink(val catalog: TableCatalog) extends Warehouse {
           exCoerced.main.unionByName(result.main, allowMissingColumns = true)
         }
       val winners = Dedup.lastWriteWins(aligned, Seq(UserId), Ver, Seq(col(MessageId).desc))
-      // overwrite via temp dir: parquet has no transactional replace; stage
-      // then swap so a crash never leaves a truncated users table
-      val target = catalog.tablePath(db, UsersTable)
-      val tmp    = target + "__staged"
-      winners.write.mode("overwrite").parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val tgtPath = new org.apache.hadoop.fs.Path(target)
-      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-      // preserve the _schema.json catalog marker
-      val schemaJson = catalog.describe(db, UsersTable)
-      if (fs.exists(tgtPath)) fs.delete(tgtPath, true)
-      fs.rename(tmpPath, tgtPath)
-      schemaJson.foreach(s => catalog.ensureTableStructure(db, UsersTable, s))
-      ()
+      // stage-then-swap: parquet has no transactional replace; a crash
+      // never leaves a truncated users table
+      replaceTableContents(spark, db, UsersTable)(tmp =>
+        winners.write.mode("overwrite").parquet(tmp))
     } finally result.unpersist()
   }
 }

@@ -128,6 +128,24 @@ class PipelineSpec extends AnyFunSuite {
     job.execute(src.toString)
     val after = read("users").collect().map(_.toString).sorted.toSeq
     assert(before == after)
+
+    // event tables: appends are blind (CH insert semantics) — the
+    // re-ingest doubled tracks; compact() is the explicit merge (O-22)
+    val sink = new graft.sink.WarehouseSink(cat)
+    // 5 track rows from batch1 (m-001 twice) + 1 from batch2 + 5 re-ingest
+    val dupTracks = read("tracks").count()
+    assert(dupTracks == 11)
+    val removed = sink.compact(spark, "my_app", "tracks")
+    assert(removed == 6) // survivors: m-001, m-002, m-003, m-011, m-100
+    val compacted = read("tracks")
+    assert(compacted.count() == 5)
+    assert(compacted.select("message_id", "timestamp").distinct().count() == 5)
+    // partition layout survives the rewrite
+    assert(compacted.columns.contains("event_date") ||
+      java.nio.file.Files.list(java.nio.file.Paths.get(cat.tablePath("my_app", "tracks")))
+        .anyMatch(p => p.getFileName.toString.startsWith("event_date=")))
+    // compacting an already-clean table removes nothing
+    assert(sink.compact(spark, "my_app", "tracks") == 0L)
   }
 
   test("multi-warehouse fan-out writes identical tables to every sink") {
