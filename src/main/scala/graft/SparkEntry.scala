@@ -389,11 +389,17 @@ object SparkEntry {
     }),
 
     // Extension — the composed corpus filter a training-data pipeline
-    // runs: quality gate AND language filter in one pass.
+    // runs: quality gate AND language filter. Signals are materialized
+    // before the filter (localCheckpoint): Catalyst has no CSE across
+    // expression references, so filtering on the raw condition would
+    // re-evaluate the tokenization tree once per reference.
     "q43_corpus_filter" -> ((s, dir) => {
       t(s, dir, "documents")
-        .filter(TextAnalysis.qualityOk(col("text"))
-          && TextAnalysis.langId(col("text")) === lit("en"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityOk(col("text")).as("ok"),
+          TextAnalysis.langId(col("text")).as("lang"))
+        .localCheckpoint(true)
+        .filter(col("ok") && col("lang") === lit("en"))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),

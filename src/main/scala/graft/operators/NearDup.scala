@@ -40,13 +40,16 @@ object NearDup {
         array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** Same, but sets hashed to int64 (xxhash64 per shingle): ~8 bytes per
-    * element in every downstream shuffle/intersection instead of a string;
-    * 64-bit collisions are negligible for set-overlap counting. */
+  /** Same, but sets hashed to int64 in one native loop
+    * (graft.plans.ShingleHashes — token bytes hashed once, n-windows
+    * chained, sorted-unique): ~8 bytes per element in every downstream
+    * shuffle/intersection instead of a string, and none of the
+    * per-element interpreted HOF cost. 64-bit collisions are negligible
+    * for set-overlap counting. */
   private def docShingles64(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        array_distinct(transform(TextAnalysis.shingles(col(textCol), n),
-          s => xxhash64(s))).as("sh"))
+        graft.plans.SketchFunctions.shingleHashes(
+          TextAnalysis.tokens(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** Tier 2 — exact n-gram-Jaccard similar pairs (id_a < id_b, jaccard ≥

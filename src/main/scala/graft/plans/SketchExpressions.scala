@@ -127,9 +127,94 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word-n-gram shingle hashes straight from a token array: hash
+  * each token's UTF8 bytes once, chain n consecutive token hashes per
+  * shingle, sort + unique the result — one primitive loop, no
+  * intermediate shingle strings. Replaces
+  * `array_distinct(transform(shingles(text, n), xxhash64))`, whose
+  * per-element interpreted evaluation measured ~38 µs per shingle
+  * (11 s for a 5k-doc corpus vs <0.5 s for this expression). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def prettyName: String = "graft_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val t = a.numElements()
+    val m = t - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      val s = a.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = 42L
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    i = 1
+    while (i < m) { if (out(i) != out(i - 1)) { out(w) = out(i); w += 1 }; i += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val t = ctx.freshName("t"); val m = ctx.freshName("m"); val th = ctx.freshName("th")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val w = ctx.freshName("w"); val s = ctx.freshName("s")
+      s"""
+         |int $t = $a.numElements();
+         |int $m = $t - $n + 1;
+         |if ($m <= 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  long[] $th = new long[$t];
+         |  for (int $i = 0; $i < $t; $i++) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    $th[$i] = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |  long[] $out = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $acc = 42L;
+         |    for (int $j = 0; $j < $n; $j++) { $acc = $xxh.hashLong($th[$i + $j], $acc); }
+         |    $out[$i] = $acc;
+         |  }
+         |  java.util.Arrays.sort($out);
+         |  int $w = 1;
+         |  for (int $i = 1; $i < $m; $i++) {
+         |    if ($out[$i] != $out[$i - 1]) { $out[$w] = $out[$i]; $w++; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($out, $w));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
   def minhash(preHashed: Column, numHashes: Int): Column =
     EU.column(MinHashSignature(EU.expression(preHashed), numHashes))
   def simhash(preHashed: Column): Column =
     EU.column(SimHash64(EU.expression(preHashed)))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    EU.column(ShingleHashes(EU.expression(tokens), n))
 }
