@@ -49,6 +49,17 @@ for name in sorted(os.listdir(outdir)):
     if len(a) != len(b):
         fails.append((name, f"rows {len(a)} vs {len(b)}"))
         continue
+    # The driver hashes typed values, so an int64 column on one side vs
+    # float64 on the other (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float in
+    # pandas) is a hash mismatch even when values compare equal. Mirror that.
+    kind_mismatch = [
+        (c, a[c].dtype, b[c].dtype) for c in a.columns
+        if a[c].dtype.kind != b[c].dtype.kind
+        and {a[c].dtype.kind, b[c].dtype.kind} <= {"i", "u", "f"}
+    ]
+    if kind_mismatch:
+        fails.append((name, f"dtype kind mismatch: {kind_mismatch}"))
+        continue
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         passes.append((name, len(a)))

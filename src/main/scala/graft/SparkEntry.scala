@@ -573,7 +573,7 @@ object SparkEntry {
 
     "q15_json_props" ->
       """SELECT event_type,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
          FROM events GROUP BY event_type ORDER BY event_type""",
 
@@ -755,8 +755,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
          sess AS (
            SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM marked)
          SELECT user_id, session_id, count(*) AS n_events,
            min(epoch_ms(ts)) AS session_start_ms,
