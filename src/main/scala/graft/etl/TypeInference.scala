@@ -19,8 +19,17 @@ import org.apache.spark.sql.types._
   * from the number 12 after unification, so a numeric-looking first string
   * value also upgrades the column — the documented approximation.
   *
-  * Cost: ONE aggregate over the batch computing first(col, ignoreNulls) for
-  * all string columns (map-side combinable, no shuffle of the data itself).
+  * Determinism: the reference's "first non-null value" is well-defined
+  * because it reads rows in file order; Spark's first(ignoreNulls) is
+  * partition-layout-dependent. We pick deterministically instead:
+  * min(struct(message_id, value)) per column when the batch carries
+  * `message_id` (the Segment-spec stable row key), falling back to
+  * min(value) otherwise — same answer on every run and every cluster
+  * layout. Ledger note: "row with smallest message_id" rather than "first
+  * in file order", a documented deterministic stand-in.
+  *
+  * Cost: ONE aggregate over the batch (map-side combinable, no shuffle of
+  * the data itself).
   */
 object TypeInference {
 
@@ -45,10 +54,21 @@ object TypeInference {
       .filter(f => f.dataType == StringType && !excludeCols(f.name))
       .map(_.name)
     if (stringCols.isEmpty) return df.schema
-    val aggs = stringCols.map(c => first(col(c), ignoreNulls = true).as(c)).toIndexedSeq
-    val row  = df.agg(aggs.head, aggs.tail: _*).head()
+    // deterministic "first": min over (stable key, value) structs — min
+    // skips nulls, so only rows where the column is non-null participate
+    val stableKey: Option[org.apache.spark.sql.Column] =
+      if (df.columns.contains("message_id")) Some(col("message_id")) else None
+    val aggs = stringCols.map { c =>
+      val picked = stableKey match {
+        case Some(k) => min(when(col(c).isNotNull, struct(k.as("k"), col(c).as("v"))))
+        case None    => min(when(col(c).isNotNull, struct(col(c).as("v"))))
+      }
+      picked.as(c)
+    }.toIndexedSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
     val sniffed: Map[String, DataType] = stringCols.zipWithIndex.map { case (c, i) =>
-      c -> (if (row.isNullAt(i)) StringType else sniff(row.getString(i)))
+      c -> (if (row.isNullAt(i)) StringType
+            else sniff(row.getStruct(i).getAs[String]("v")))
     }.toMap
     StructType(df.schema.fields.map { f =>
       sniffed.get(f.name) match {

@@ -59,8 +59,11 @@ object JsonFlatten {
           (0 until n).flatMap { i =>
             // try_element_at: rows whose list is shorter than the observed
             // max yield NULL (ANSI-safe), matching the reference's
-            // "short lists simply produce fewer keys" behavior
-            walk(elem, path :+ i.toString, outName + "_" + i, try_element_at(c, lit(i + 1)))
+            // "short lists simply produce fewer keys" behavior.
+            // The lookup path marks the position as '*' (not the concrete
+            // index) so arrays nested inside arrays resolve the SAME keys
+            // observeArrayLengths emits (e.g. 'a.*.b').
+            walk(elem, path :+ "*", outName + "_" + i, try_element_at(c, lit(i + 1)))
           }
         case _ =>
           Seq(outName -> c)

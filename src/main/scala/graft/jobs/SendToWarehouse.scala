@@ -72,9 +72,13 @@ final class SendToWarehouseJob(
       storeTracks(byType("track"))
       store(ScreensTable, byType("screen"))
       store(PagesTable, byType("page"))
-      // O-35 quirk: groups/aliases land in identities
-      store(IdentitiesTable, byType("group"))
-      store(IdentitiesTable, byType("alias"))
+      // O-35 quirk: the reference ensures the groups/aliases TABLES' own
+      // structure (DDL side effect, send_to_warehouse.py:273-296) and then
+      // inserts the rows into identities — so the warehouse ends up with
+      // (possibly empty) groups/aliases tables evolved to the batch schema,
+      // AND the rows in identities.
+      store(IdentitiesTable, byType("group"), structureTable = Some(GroupsTable))
+      store(IdentitiesTable, byType("alias"), structureTable = Some(AliasesTable))
     } finally { flat.unpersist(); () }
   }
 
@@ -89,7 +93,8 @@ final class SendToWarehouseJob(
     Normalize.withUnixMillis(withExtra)
   }
 
-  private def store(table: String, df: DataFrame): Unit = {
+  private def store(table: String, df: DataFrame,
+      structureTable: Option[String] = None): Unit = {
     if (df.isEmpty) return
     val pruned = dropAllNullColumns(df)
     // reference first-non-null type inference (dataframe_util.py:43-51):
@@ -99,6 +104,8 @@ final class SendToWarehouseJob(
     val refined = graft.etl.TypeInference.refineSchema(pruned,
       excludeCols = Set(MessageId, "anonymous_id", UserId, "ip", "channel",
         "write_key", TypeCol, EventCol, OriginalEventCol))
+    // O-35: DDL side effect on the batch's own table (groups/aliases)
+    structureTable.foreach(st => sinks.foreach(_.ensureStructure(schema, st, refined)))
     sinks.foreach(_.insertDf(spark, schema, table, pruned, ddlSchema = Some(refined)))
   }
 

@@ -42,24 +42,33 @@ object ClickHouseDdl {
       s"no ClickHouse mapping for ${other.simpleString}")
   }
 
+  /** Backtick-quote an identifier, escaping embedded backslashes and
+    * backticks. JSON-derived keys are only cleaned of spaces/':'/'-'
+    * upstream (Names.cleanEventKey), so anything else a key carries would
+    * otherwise yield invalid or injectable DDL — the reference has the
+    * same f-string flaw (clickhouse.py:69-93); the JDBC sibling quotes,
+    * and this dialect now does too. */
+  def q(ident: String): String =
+    "`" + ident.replace("\\", "\\\\").replace("`", "\\`") + "`"
+
   private def columnSql(f: StructField, nonNull: Set[String]): String = {
     val t = chType(f.dataType)
     // every column Nullable except the non-null set (clickhouse.py:78-80,125-134)
-    if (nonNull(f.name)) s"${f.name} $t" else s"${f.name} Nullable($t)"
+    if (nonNull(f.name)) s"${q(f.name)} $t" else s"${q(f.name)} Nullable($t)"
   }
 
   def createDatabase(schema: String): String =
-    s"CREATE DATABASE IF NOT EXISTS $schema"
+    s"CREATE DATABASE IF NOT EXISTS ${q(schema)}"
 
   /** Event-table DDL: dedup + layout exactly as the reference delegates to
     * MergeTree (O-22/O-24/O-25). */
   def createTable(schema: String, table: String, cols: StructType,
       nonNullColumns: Seq[String]): String = {
     val body = cols.fields.map(columnSql(_, nonNullColumns.toSet)).mkString(", ")
-    s"CREATE TABLE IF NOT EXISTS $schema.$table ($body) " +
+    s"CREATE TABLE IF NOT EXISTS ${q(schema)}.${q(table)} ($body) " +
       "ENGINE = ReplacingMergeTree() " +
-      s"PARTITION BY toDate($Timestamp) " +
-      s"ORDER BY ($Timestamp, $MessageId)"
+      s"PARTITION BY toDate(${q(Timestamp)}) " +
+      s"ORDER BY (${q(Timestamp)}, ${q(MessageId)})"
   }
 
   /** Users-table DDL: last-write-wins by ver (O-21/O-28). */
@@ -67,26 +76,26 @@ object ClickHouseDdl {
       nonNullColumns: Seq[String]): String = {
     val nn = (nonNullColumns ++ UsersNonNull).toSet
     val body = cols.fields.map(columnSql(_, nn)).mkString(", ")
-    s"CREATE TABLE IF NOT EXISTS $schema.$UsersTable ($body) " +
-      s"ENGINE = ReplacingMergeTree($Ver) " +
-      s"ORDER BY ($UserId)"
+    s"CREATE TABLE IF NOT EXISTS ${q(schema)}.${q(UsersTable)} ($body) " +
+      s"ENGINE = ReplacingMergeTree(${q(Ver)}) " +
+      s"ORDER BY (${q(UserId)})"
   }
 
   /** Misfits-table DDL (O-23/O-32). */
   def createMisfitsTable(schema: String): String = {
     val body = MisfitSchema.fields
-      .map(f => s"${f.name} Nullable(${chType(f.dataType)})").mkString(", ")
-    s"CREATE TABLE IF NOT EXISTS $schema.$MisfitsTable ($body) " +
+      .map(f => s"${q(f.name)} Nullable(${chType(f.dataType)})").mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS ${q(schema)}.${q(MisfitsTable)} ($body) " +
       "ENGINE = ReplacingMergeTree() " +
-      s"ORDER BY ($MessageId, table_name, column_name)"
+      s"ORDER BY (${q(MessageId)}, ${q("table_name")}, ${q("column_name")})"
   }
 
   /** Append-only evolution (O-30). New columns are always Nullable. */
   def addColumn(schema: String, table: String, f: StructField): String =
-    s"ALTER TABLE $schema.$table ADD COLUMN IF NOT EXISTS ${f.name} Nullable(${chType(f.dataType)})"
+    s"ALTER TABLE ${q(schema)}.${q(table)} ADD COLUMN IF NOT EXISTS ${q(f.name)} Nullable(${chType(f.dataType)})"
 
   def describeTable(schema: String, table: String): String =
-    s"DESCRIBE TABLE $schema.$table"
+    s"DESCRIBE TABLE ${q(schema)}.${q(table)}"
 
   /** CH type string -> Spark type (read-back, clickhouse.py:146-183).
     * Mirrors the reference's substring matching, including the documented

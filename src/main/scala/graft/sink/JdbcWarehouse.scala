@@ -131,6 +131,10 @@ class JdbcWarehouse(
     }
   }
 
+  override def ensureStructure(db: String, t: String, ddlSchema: StructType): Unit = {
+    ensureTableStructure(db, t, ddlSchema); ()
+  }
+
   private def jdbcWrite(df: DataFrame, db: String, t: String): Unit =
     df.write.mode("append").jdbc(url, tableRef(db, t), props)
 
@@ -176,11 +180,38 @@ class JdbcWarehouse(
         case _ => result.main
       }
       val winners = Dedup.lastWriteWins(aligned, Seq(UserId), Ver, Seq(col(MessageId).desc))
-        .localCheckpoint(true) // materialize BEFORE truncating the source table
-      withConn { c =>
-        Using.resource(c.createStatement())(_.executeUpdate(s"DELETE FROM ${tableRef(db, UsersTable)}"))
+        .localCheckpoint(true) // materialize BEFORE touching the sink table
+      // Stage-then-swap: land winners in a staging table via the distributed
+      // writer, then replace the live table's rows in ONE transaction — a
+      // crash mid-upsert can no longer leave users empty (the parquet sink
+      // swaps directories for the same reason; the reference never truncates,
+      // ReplacingMergeTree does the replacement server-side).
+      val stage = UsersTable + "__stage"
+      if (describe(db, stage).isDefined) withConn { c =>
+        Using.resource(c.createStatement())(_.executeUpdate(s"DROP TABLE ${tableRef(db, stage)}"))
       }
-      jdbcWrite(winners, db, UsersTable)
+      val colsSql = winners.schema.fields
+        .map(f => s"${q(f.name)} ${typeSql(f.dataType)}").mkString(", ")
+      withConn { c =>
+        Using.resource(c.createStatement())(
+          _.executeUpdate(s"CREATE TABLE ${tableRef(db, stage)} ($colsSql)"))
+      }
+      jdbcWrite(winners, db, stage)
+      val colList = winners.schema.fieldNames.map(q).mkString(", ")
+      withConn { c =>
+        c.setAutoCommit(false)
+        try {
+          Using.resource(c.createStatement()) { st =>
+            st.executeUpdate(s"DELETE FROM ${tableRef(db, UsersTable)}")
+            st.executeUpdate(
+              s"INSERT INTO ${tableRef(db, UsersTable)} ($colList) " +
+                s"SELECT $colList FROM ${tableRef(db, stage)}")
+          }
+          c.commit()
+        } catch { case e: Throwable => c.rollback(); throw e }
+        finally c.setAutoCommit(true)
+        Using.resource(c.createStatement())(_.executeUpdate(s"DROP TABLE ${tableRef(db, stage)}"))
+      }
     } finally result.unpersist()
   }
 }

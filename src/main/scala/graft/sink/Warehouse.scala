@@ -24,6 +24,14 @@ trait Warehouse {
 
   /** ReplacingMergeTree(ver)-equivalent users upsert. */
   def upsertUsers(spark: SparkSession, db: String, identities: DataFrame): Unit
+
+  /** DDL-only: create `db.t` if absent and evolve it (append-only) to cover
+    * `ddlSchema`, WITHOUT inserting anything. Exists for the O-35 quirk,
+    * where the reference ensures the groups/aliases tables' structure and
+    * then inserts those rows into `identities`
+    * (send_to_warehouse.py:273-296). */
+  def ensureStructure(db: String, t: String,
+      ddlSchema: org.apache.spark.sql.types.StructType): Unit
 }
 
 /** Reference seghouse/warehouse/factory.py:4-13. */

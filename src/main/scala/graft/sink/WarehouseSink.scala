@@ -28,6 +28,10 @@ final class WarehouseSink(val catalog: TableCatalog) extends Warehouse {
 
   override def createDatabase(db: String): Unit = catalog.createDatabase(db)
 
+  override def ensureStructure(db: String, t: String, ddlSchema: StructType): Unit = {
+    catalog.ensureTableStructure(db, t, ddlSchema); ()
+  }
+
   /** O-31: insert a batch into `db.t`, evolving the schema (append-only) and
     * quarantining coercion failures into the misfits table. Returns the
     * number of misfit rows written. */

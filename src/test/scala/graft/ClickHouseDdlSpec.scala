@@ -16,11 +16,23 @@ class ClickHouseDdlSpec extends AnyFunSuite {
         StructField("n", LongType))),
       nonNullColumns = Seq("message_id", "timestamp"))
     assert(sql ==
-      "CREATE TABLE IF NOT EXISTS ns.tracks (" +
-        "message_id String, timestamp DateTime, n Nullable(Int64)) " +
+      "CREATE TABLE IF NOT EXISTS `ns`.`tracks` (" +
+        "`message_id` String, `timestamp` DateTime, `n` Nullable(Int64)) " +
         "ENGINE = ReplacingMergeTree() " +
-        "PARTITION BY toDate(timestamp) " +
-        "ORDER BY (timestamp, message_id)")
+        "PARTITION BY toDate(`timestamp`) " +
+        "ORDER BY (`timestamp`, `message_id`)")
+  }
+
+  test("identifiers are backtick-quoted with embedded specials escaped") {
+    val sql = ClickHouseDdl.createTable("ns", "t",
+      StructType(Seq(
+        StructField("message_id", StringType),
+        StructField("timestamp", TimestampType),
+        StructField("weird`col", StringType),
+        StructField("back\\slash", StringType))),
+      nonNullColumns = Seq("message_id", "timestamp"))
+    assert(sql.contains("`weird\\`col` Nullable(String)"))
+    assert(sql.contains("`back\\\\slash` Nullable(String)"))
   }
 
   test("users-table DDL uses ReplacingMergeTree(ver) ORDER BY user_id") {
@@ -30,23 +42,23 @@ class ClickHouseDdlSpec extends AnyFunSuite {
         StructField("ver", LongType),
         StructField("email", StringType))),
       nonNullColumns = Seq("timestamp", "message_id"))
-    assert(sql.contains("ENGINE = ReplacingMergeTree(ver)"))
-    assert(sql.contains("ORDER BY (user_id)"))
-    assert(sql.contains("user_id String"))   // non-null via UsersNonNull
-    assert(sql.contains("ver Int64"))
-    assert(sql.contains("email Nullable(String)"))
+    assert(sql.contains("ENGINE = ReplacingMergeTree(`ver`)"))
+    assert(sql.contains("ORDER BY (`user_id`)"))
+    assert(sql.contains("`user_id` String"))   // non-null via UsersNonNull
+    assert(sql.contains("`ver` Int64"))
+    assert(sql.contains("`email` Nullable(String)"))
     assert(!sql.contains("PARTITION BY"))
   }
 
   test("misfits-table DDL orders by the misfit identity") {
     val sql = ClickHouseDdl.createMisfitsTable("ns")
-    assert(sql.contains("ORDER BY (message_id, table_name, column_name)"))
+    assert(sql.contains("ORDER BY (`message_id`, `table_name`, `column_name`)"))
     assert(sql.contains("ENGINE = ReplacingMergeTree()"))
   }
 
   test("add-column is IF NOT EXISTS and Nullable") {
     assert(ClickHouseDdl.addColumn("ns", "t", StructField("x", DoubleType)) ==
-      "ALTER TABLE ns.t ADD COLUMN IF NOT EXISTS x Nullable(Float64)")
+      "ALTER TABLE `ns`.`t` ADD COLUMN IF NOT EXISTS `x` Nullable(Float64)")
   }
 
   test("type mapping round-trips with the documented quirks") {

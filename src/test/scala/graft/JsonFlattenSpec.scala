@@ -41,6 +41,24 @@ class JsonFlattenSpec extends AnyFunSuite {
     assert(flat.columns.toSet == Set("a_0", "a_1", "a_2"))
   }
 
+  test("arrays nested inside array-of-struct use observed lengths, not the default") {
+    val df = fromJson(
+      """{"id":1,"a":[{"b":[1,2,3]},{"b":[4]}]}""",
+      """{"id":2,"a":[{"b":[5,6]}]}""")
+    // observation keys use '*' for positional segments; the flatten lookup
+    // must resolve the same keys (ADVICE r1: it used concrete indices and
+    // always fell back to defaultLen=16)
+    val lens = JsonFlatten.observeArrayLengths(df)
+    assert(lens("a") == 2 && lens("a.*.b") == 3)
+    val flat = JsonFlatten.flatten(df)
+    val bCols = flat.columns.filter(_.matches("a_\\d+_b_\\d+")).toSet
+    assert(bCols == Set("a_0_b_0", "a_0_b_1", "a_0_b_2", "a_1_b_0", "a_1_b_1", "a_1_b_2"))
+    val r1 = flat.filter(flat("id") === 1).head()
+    assert(r1.getAs[Long]("a_0_b_2") == 3L)
+    assert(r1.getAs[Long]("a_1_b_0") == 4L)
+    assert(r1.isNullAt(r1.fieldIndex("a_1_b_1")))
+  }
+
   test("keys are cleaned: strip, spaces dropped, :/- to underscore") {
     val df = fromJson("""{"bad-key: name":1,"With Space":{"x-y":2}}""")
     val flat = JsonFlatten.flatten(df)

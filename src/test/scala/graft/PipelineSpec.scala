@@ -94,6 +94,13 @@ class PipelineSpec extends AnyFunSuite {
 
     // identities: 2 identify + 1 group + 1 alias (O-35)
     assert(read("identities").count() == 4)
+    // ...including the reference's DDL side effect: the groups/aliases
+    // tables exist, evolved to the batch schema, but hold no rows
+    // (send_to_warehouse.py:273-296)
+    assert(cat.describe("my_app", "groups").exists(_.fieldNames.contains("group_id")))
+    assert(cat.describe("my_app", "aliases").exists(_.fieldNames.contains("previous_id")))
+    assert(read("groups").count() == 0)
+    assert(read("aliases").count() == 0)
 
     // pages/screens
     assert(read("pages").count() == 1)
