@@ -1,10 +1,12 @@
 package graft.sink
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -24,37 +26,65 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * All catalog operations are driver-side metadata: no data job is launched
   * by ensure/describe/evolve, matching the "created_tables memo" round-trip
   * avoidance (clickhouse.py:39,71-72).
+  *
+  * All path I/O goes through the Hadoop `FileSystem`/`FileContext` API
+  * resolved from the ROOT's scheme, so the catalog works unchanged on
+  * `file://`, `hdfs://` and `s3a://` roots — never java.nio, which would
+  * pin the lakehouse to the driver's local disk.
   */
 final class TableCatalog(val root: String) {
 
   private val createdTables = mutable.Set[String]()
 
-  def databasePath(db: String): String     = s"$root/$db"
+  /** Hadoop conf of the active session when there is one (so fs.s3a.* etc.
+    * settings apply); a vanilla Configuration otherwise (local FS). */
+  private def conf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fs: FileSystem = new Path(root).getFileSystem(conf)
+
+  def databasePath(db: String): String         = s"$root/$db"
   def tablePath(db: String, t: String): String = s"$root/$db/$t"
-  private def schemaFile(db: String, t: String) = Paths.get(s"${tablePath(db, t)}/_schema.json")
+  private def schemaFile(db: String, t: String) = new Path(s"${tablePath(db, t)}/_schema.json")
 
   /** O-26: CREATE DATABASE IF NOT EXISTS. */
   def createDatabase(db: String): Unit = {
-    Files.createDirectories(Paths.get(databasePath(db)))
+    fs.mkdirs(new Path(databasePath(db)))
     ()
   }
 
-  def tableExists(db: String, t: String): Boolean = Files.exists(schemaFile(db, t))
+  def tableExists(db: String, t: String): Boolean = fs.exists(schemaFile(db, t))
 
   /** O-29: DESCRIBE TABLE — the authoritative schema, or None. */
   def describe(db: String, t: String): Option[StructType] =
     if (!tableExists(db, t)) None
-    else Some(DataType.fromJson(
-      new String(Files.readAllBytes(schemaFile(db, t)), StandardCharsets.UTF_8)
-    ).asInstanceOf[StructType])
+    else {
+      val in = fs.open(schemaFile(db, t))
+      try {
+        val r  = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+        val sb = new StringBuilder
+        var line = r.readLine()
+        while (line != null) { sb.append(line); line = r.readLine() }
+        Some(DataType.fromJson(sb.toString).asInstanceOf[StructType])
+      } finally in.close()
+    }
 
   private def writeSchema(db: String, t: String, s: StructType): Unit = {
-    Files.createDirectories(Paths.get(tablePath(db, t)))
-    // atomic replace so a concurrent reader never sees a torn schema file
-    val tmp = Paths.get(s"${tablePath(db, t)}/._schema.json.tmp")
-    Files.write(tmp, s.json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, schemaFile(db, t), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val dir = new Path(tablePath(db, t))
+    fs.mkdirs(dir)
+    // write-then-rename so a concurrent reader never sees a torn schema
+    // file; Options.Rename.OVERWRITE is atomic on HDFS/local (best-effort
+    // copy-replace on object stores, where the schema file is tiny anyway)
+    val tmp = new Path(s"${tablePath(db, t)}/._schema.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc =
+      try FileContext.getFileContext(new Path(root).toUri, conf)
+      catch { case _: Exception => FileContext.getFileContext(conf) }
+    fc.rename(tmp, schemaFile(db, t), Options.Rename.OVERWRITE)
     ()
   }
 
@@ -84,18 +114,17 @@ final class TableCatalog(val root: String) {
   /** Read a table back; `mergeSchema` covers parts written before the last
     * evolution (older files simply lack the newer columns -> NULL). */
   def read(spark: SparkSession, db: String, t: String): DataFrame = {
-    val p = tablePath(db, t)
-    val hasData = Files.exists(Paths.get(p)) && {
-      val s = Files.list(Paths.get(p))
-      try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet") ||
-        Files.isDirectory(f) && !f.getFileName.toString.startsWith("_") && !f.getFileName.toString.startsWith("."))
-      finally s.close()
+    val p       = new Path(tablePath(db, t))
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val name = st.getPath.getName
+      name.endsWith(".parquet") ||
+        (st.isDirectory && !name.startsWith("_") && !name.startsWith("."))
     }
     if (!hasData) {
       val schema = describe(db, t).getOrElse(new StructType())
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      spark.read.option("mergeSchema", "true").parquet(p)
+      spark.read.option("mergeSchema", "true").parquet(tablePath(db, t))
     }
   }
 }

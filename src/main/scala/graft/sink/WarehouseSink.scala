@@ -119,9 +119,11 @@ final class WarehouseSink(val catalog: TableCatalog) extends Warehouse {
     val target = catalog.tablePath(db, t)
     val tmp    = target + "__staged"
     write(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tgtPath = new org.apache.hadoop.fs.Path(target)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    // resolve the FS from the path's own scheme (s3a://, hdfs://, file://),
+    // not the cluster default FS
+    val fs = tgtPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schemaJson = catalog.describe(db, t)
     if (fs.exists(tgtPath)) fs.delete(tgtPath, true)
     fs.rename(tmpPath, tgtPath)

@@ -155,6 +155,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(sink.compact(spark, "my_app", "tracks") == 0L)
   }
 
+  test("catalog works against a scheme-qualified file:/// URI root (Hadoop FS path)") {
+    // exercises the FileSystem/FileContext code path a deployer hits with
+    // s3a:// or hdfs:// roots — no java.nio shortcuts survive this
+    val src = Files.createTempDirectory("graft_src_uri")
+    val wh  = Files.createTempDirectory("graft_wh_uri")
+    writeFixture(src, "b.json", fixtureLines.take(5))
+    val uriRoot = wh.toUri.toString.stripSuffix("/") // file:///tmp/...
+    assert(uriRoot.startsWith("file:///"))
+    val job = new SendToWarehouseJob(spark, JobConf(warehouseRoots = Seq(uriRoot)), "uri_ns")
+    job.execute(src.toString)
+    val cat = new TableCatalog(uriRoot)
+    assert(cat.read(spark, "uri_ns", "tracks").count() == 3)
+    // evolution + describe + users swap all work through the FS API
+    assert(cat.describe("uri_ns", "users").exists(_.fieldNames.contains("user_id")))
+    val sink = new graft.sink.WarehouseSink(cat)
+    assert(sink.compact(spark, "uri_ns", "tracks") == 0L)
+  }
+
   test("multi-warehouse fan-out writes identical tables to every sink") {
     val src = Files.createTempDirectory("graft_src_mw")
     val wh1 = Files.createTempDirectory("graft_wh1")
