@@ -389,17 +389,18 @@ object SparkEntry {
     }),
 
     // Extension — the composed corpus filter a training-data pipeline
-    // runs: quality gate AND language filter. Signals are materialized
-    // before the filter (localCheckpoint): Catalyst has no CSE across
-    // expression references, so filtering on the raw condition would
-    // re-evaluate the tokenization tree once per reference.
+    // runs: quality gate AND language filter. ALL signals come from ONE
+    // single-pass native expression (graft.plans.TextStats) — the
+    // composable qualityOk+langId tree tokenized every row 4–6× because
+    // Catalyst has no CSE across expression references. The tiny stats
+    // struct is materialized (localCheckpoint) so the filter's multiple
+    // field references don't collapse back into repeated evaluation.
     "q43_corpus_filter" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.qualityOk(col("text")).as("ok"),
-          TextAnalysis.langId(col("text")).as("lang"))
+        .select(col("doc_id"), col("source"), TextAnalysis.textStats(col("text")).as("st"))
         .localCheckpoint(true)
-        .filter(col("ok") && col("lang") === lit("en"))
+        .filter(TextAnalysis.qualityOkFromStats(col("st")) &&
+          TextAnalysis.langIdFromStats(col("st")) === lit("en"))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),

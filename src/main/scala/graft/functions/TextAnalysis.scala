@@ -90,6 +90,33 @@ object TextAnalysis {
       s.getField("n_punct") * 10 <= s.getField("n_chars") * 3
   }
 
+  /** All filter signals in ONE pass over the string (native expression,
+    * graft.plans.TextStats): the composable `qualityOk(c) && langId(c)`
+    * tree tokenizes each row once per signal reference; this tokenizes
+    * once, full stop. Use with [[qualityOkFromStats]]/[[langIdFromStats]]
+    * — same results, bit-exact. */
+  def textStats(c: Column): Column =
+    graft.plans.TextFunctions.textStats(c, LangProfiles.map(_._2))
+
+  /** [[qualityOk]] evaluated from a materialized [[textStats]] struct. */
+  def qualityOkFromStats(st: Column, minTokens: Int = 5, maxTokens: Int = 100000): Column = {
+    val nTok = st.getField("n_tokens")
+    nTok.between(minTokens, maxTokens) &&
+      st.getField("n_distinct_tokens") * 5 >= nTok &&
+      st.getField("n_punct") * 10 <= st.getField("n_chars") * 3
+  }
+
+  /** [[langId]] evaluated from a materialized [[textStats]] struct: same
+    * argmax-with-profile-order-tiebreak over the per-profile hit counts. */
+  def langIdFromStats(st: Column): Column = {
+    val hits = st.getField("n_stopwords")
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(hits, i + 1).as("score"), lit(-i).as("nrank"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
   /** Canonical content fingerprint: md5 of the whitespace-normalized,
     * lowercased text — engine-portable (md5 is standard everywhere), used
     * for exact near-canonical dedup. */

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All corpus-filter text signals in ONE pass over the string.
+  *
+  * The composable formulation (`qualityOk(text) && langId(text)`) builds
+  * an independent `filter(split(lower(trim(text)),"\\s+"), ...)` tree per
+  * signal — Catalyst performs no CSE across expression references, so each
+  * document is regex-tokenized 4–6 times per row, every pass interpreted
+  * (higher-order functions are CodegenFallback). At corpus-filter scale
+  * that multiple tokenization IS the query cost (observed: 8.1 s of a
+  * 37.7 s bench at sf0.1).
+  *
+  * This expression tokenizes once and folds every signal into a single
+  * struct: character/punct/digit counts, token count, distinct-token
+  * count, and per-language stopword hit counts. Parity with the
+  * composable tree is bit-exact because each step reuses the engine's own
+  * primitives: `UTF8String.trim()`/`.toLowerCase()` (exactly what
+  * `lower(trim(c))` evaluates), `Pattern.split(s, -1)` (exactly what
+  * `split(c, "\\s+")` evaluates, empties filtered the same way), and
+  * `\p{Punct}`/`[0-9]` as ASCII lookup tables (Java regex `\p{Punct}`
+  * is the ASCII POSIX class).
+  *
+  * Output: struct<n_chars:int, n_tokens:int, n_punct:int, n_digits:int,
+  * n_distinct_tokens:int, n_stopwords:array<int>> where `n_stopwords(i)`
+  * is the hit count of `profiles(i)` (occurrences, not distinct — same as
+  * `size(filter(tokens, array_contains(profile, t)))`).
+  */
+case class TextStats(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_text_stats"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_digits", IntegerType, nullable = false),
+    StructField("n_distinct_tokens", IntegerType, nullable = false),
+    StructField("n_stopwords", ArrayType(IntegerType, containsNull = false), nullable = false)
+  ))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_text_stats requires string input, got ${other.simpleString}")
+  }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  @transient private lazy val profileSets: Array[java.util.HashSet[String]] =
+    profiles.map { words =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }.toArray
+
+  def computeRow(v: UTF8String): InternalRow = {
+    // raw-text character-class counts (code points, matching numChars())
+    val raw = v.toString
+    var nChars = 0; var nPunct = 0; var nDigits = 0
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      nChars += 1
+      if (cp < 128) {
+        if (TextStats.Punct(cp)) nPunct += 1
+        else if (cp >= '0' && cp <= '9') nDigits += 1
+      }
+      i += Character.charCount(cp)
+    }
+    // tokens of lower(trim(text)), empties removed — engine's own primitives
+    val parts = ws.split(v.trim().toLowerCase().toString, -1)
+    var nTokens = 0
+    val distinct = new java.util.HashSet[String]()
+    val stop = new Array[Int](profileSets.length)
+    var j = 0
+    while (j < parts.length) {
+      val t = parts(j)
+      if (t.nonEmpty) {
+        nTokens += 1
+        distinct.add(t)
+        var p = 0
+        while (p < stop.length) {
+          if (profileSets(p).contains(t)) stop(p) += 1
+          p += 1
+        }
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](
+      nChars, nTokens, nPunct, nDigits, distinct.size(), new GenericArrayData(stop)))
+  }
+
+  override def nullSafeEval(v: Any): Any = computeRow(v.asInstanceOf[UTF8String])
+
+  /** Codegen: one virtual call per row into the shared single-pass helper —
+    * stays inside the WholeStageCodegen span (no fallback row buffering). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textStats", this, classOf[TextStats].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.computeRow($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextStats {
+  /** Java regex \p{Punct}: the 32 ASCII POSIX punctuation characters. */
+  private val Punct: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".foreach(c => a(c) = true)
+    a
+  }
+}
+
+object TextFunctions {
+  def textStats(c: Column, profiles: Seq[Seq[String]]): Column =
+    EU.column(TextStats(EU.expression(c), profiles))
+}

@@ -52,6 +52,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1 != r2)
   }
 
+  test("textStats single-pass struct matches the composable signals exactly") {
+    val docs = Seq(
+      "the cat is on the mat",
+      "el gato en la casa de los perros",
+      "Hello, World! 123 ... the the the a of to",
+      "  leading and trailing   whitespace\twith\ttabs the a ",
+      "",
+      "   ",
+      "punct!!! only??? #### $$$$",
+      Seq.fill(100)("spam").mkString(" "),
+      "a reasonable document with plenty of distinct words in it for the gate",
+      "MIXED Case ÜNICÖDE tökens the straße"
+    ).toDF("t")
+    val st = TextAnalysis.textStats(col("t"))
+    val mismatches = docs.select(
+        st.getField("n_chars").as("a1"), TextAnalysis.nChars(col("t")).as("b1"),
+        st.getField("n_tokens").as("a2"), TextAnalysis.tokenCount(col("t")).as("b2"),
+        st.getField("n_punct").as("a3"), TextAnalysis.nPunct(col("t")).as("b3"),
+        st.getField("n_digits").as("a4"), TextAnalysis.nDigits(col("t")).as("b4"),
+        st.getField("n_distinct_tokens").as("a5"),
+        size(array_distinct(TextAnalysis.tokens(col("t")))).as("b5"),
+        TextAnalysis.qualityOkFromStats(st).as("a6"), TextAnalysis.qualityOk(col("t")).as("b6"),
+        TextAnalysis.langIdFromStats(st).as("a7"), TextAnalysis.langId(col("t")).as("b7"))
+      .filter(col("a1") =!= col("b1") || col("a2") =!= col("b2") ||
+        col("a3") =!= col("b3") || col("a4") =!= col("b4") ||
+        col("a5") =!= col("b5") || col("a6") =!= col("b6") || col("a7") =!= col("b7"))
+    assert(mismatches.count() == 0)
+    // per-profile stopword counts match stopwordCount
+    TextAnalysis.LangProfiles.zipWithIndex.foreach { case ((_, words), i) =>
+      val bad = docs.select(
+          element_at(st.getField("n_stopwords"), i + 1).as("a"),
+          TextAnalysis.stopwordCount(col("t"), words).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(bad == 0)
+    }
+  }
+
   test("shingles: n-grams in order, short docs yield empty") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextAnalysis.shingles(col("t"), 3).as("s"))
