@@ -476,10 +476,70 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
+  /** DuckDB expression fragments for the hyperplane-LSH oracles: the
+    * seed-42 planes are deterministic literals, so the signature is pure
+    * arithmetic DuckDB can evaluate exactly. Element products/sums run
+    * left-to-right in double precision on both engines (list_reduce ≡ the
+    * codegen loop), so signs, scores and hashes are bit-identical. */
+  private def duckDot(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x + y)"
+
+  private def duckPlaneDot(emb: String, plane: IndexedSeq[Double]): String = {
+    val litArr = plane.map(_.toString).mkString("[", ", ", "]")
+    s"list_reduce(list_transform(range(1, ${plane.length + 1}), i -> CAST($emb[i] AS DOUBLE) * ($litArr)[i]), (x,y) -> x + y)"
+  }
+
+  /** sig = Σ_h (dot(emb, plane_h) >= 0 ? 2^h : 0) — same bit layout as
+    * HyperplaneLsh.signature. */
+  private def duckSig(emb: String, lsh: Similarity.HyperplaneLsh): String =
+    lsh.planes.zipWithIndex.map { case (p, h) =>
+      s"(CASE WHEN ${duckPlaneDot(emb, p)} >= 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** q29: multiprobe membership `sig ∈ {qsig} ∪ bitflips(qsig)` is exactly
+    * hamming(sig, qsig) <= 1 (signatures live in the low `bits` bits). */
+  private def q29Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 8)
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, ${duckSig("embedding", lsh)} AS sig FROM embeddings),
+       |q AS (SELECT embedding AS qe, sig AS qsig FROM sigs WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT s.vec_id, s.embedding, q.qe FROM sigs s, q
+       |  WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, q.qsig)) <= 1)
+       |SELECT vec_id,
+       |  ${duckDot("embedding", "qe")} /
+       |    (sqrt(${duckDot("embedding", "embedding")}) * sqrt(${duckDot("qe", "qe")})) AS score
+       |FROM cand ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** q30: candidates are unordered pairs with hamming(sig_a, sig_b) <= 1
+    * (left-side multiprobe ≡ symmetric hamming-1 reach); score is the dot
+    * of the per-element-normalized vectors, exactly as cosineDupPairs
+    * computes it (normalize once, then one dot per pair). */
+  private def q30Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    s"""WITH sigs AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS sig
+       |  FROM embeddings)
+       |SELECT id_a, id_b, score FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    list_reduce(list_transform(range(1, 65), i -> a.ne[i] * b.ne[i]), (x,y) -> x + y) AS score
+       |  FROM sigs a JOIN sigs b
+       |    ON a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 1)
+       |WHERE score >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
-    * q26, q27, q29, q30, q32, q33, q34. */
+    * q26, q27 (xxhash64 sketch chains), q32 (stub codec), q33 (xxhash64
+    * chain), q34 (RE2 has no lookarounds). */
   def oracleSql: Map[String, String] = Map(
+
+    "q29_ann_topk" -> q29Oracle,
+    "q30_cosine_dups" -> q30Oracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
