@@ -280,7 +280,11 @@ object SparkEntry {
     // bounded slice; the unbounded scale path is q26 (MinHash-LSH).
     "q25_jaccard_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)
-      NearDup.jaccardPairs(docs, "text", "doc_id", n = 3, thresholdPct = 5)
+      // exhaustive all-pairs semantics is safe here BECAUSE of the bounded
+      // slice (and required: the oracle is an exact all-pairs join); the
+      // operator's default applies the frequency cutoff
+      NearDup.jaccardPairs(docs, "text", "doc_id", n = 3, thresholdPct = 5,
+          maxShingleFreq = NearDup.Exhaustive)
         .orderBy("id_a", "id_b")
     }),
 
@@ -364,13 +368,21 @@ object SparkEntry {
     }),
 
     // Extension — IVF-indexed ANN: coarse k-means cells, nprobe-bounded
-    // scan (rows-only; recall unit-tested against brute force).
+    // scan. Not oracle-able (data-adaptive centroids), so the output is
+    // SELF-VERIFYING instead: each hit carries its rank in the exact
+    // brute-force top-k computed in the same query — recall is readable
+    // straight off the result (all exact_rank non-null = recall 1.0).
     "q35_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val base = e.filter(col("vec_id") =!= 0)
       val idx = Similarity.IvfIndex.train(e, "embedding", k = 16, sampleSize = 1000)
-      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10, idx, nprobe = 4)
+      val ivf = Similarity.ivfTopK(base, "embedding", "vec_id", q, 10, idx, nprobe = 4)
+      val exact = Similarity.bruteForceTopK(base, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)).as("exact_rank"))
+      ivf.join(exact, Seq("vec_id"), "left")
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 

@@ -27,6 +27,11 @@ import graft.functions.TextAnalysis
   */
 object NearDup {
 
+  /** Explicit escape hatch for [[jaccardPairs]]' frequency cutoff: exact
+    * all-pairs semantics, quadratic in the worst case — only for bounded
+    * slices. */
+  val Exhaustive: Int = Int.MaxValue
+
   /** Tier 1 — exact dedup: one representative (min id) per distinct
     * canonical fingerprint + the duplicate count. Single hash aggregate. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -59,8 +64,12 @@ object NearDup {
     *        docs from the INDEX (both docs' set sizes stay exact, so
     *        reported Jaccard is exact; only candidate generation is
     *        filtered — a pair sharing exclusively ultra-common shingles is
-    *        not reported, which is the standard scale trade-off; pass
-    *        Int.MaxValue for fully-exhaustive semantics).
+    *        not reported, which is the standard scale trade-off). The
+    *        default is FINITE on purpose: one shingle shared by f docs
+    *        yields f² candidate rows, so an uncapped index is quadratic on
+    *        any corpus with a ubiquitous shingle — safe-at-scale must be
+    *        opt-out, not opt-in. Pass `NearDup.Exhaustive` only for
+    *        bounded slices where all-pairs semantics is required.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -68,7 +77,7 @@ object NearDup {
       idCol: String,
       n: Int = 3,
       thresholdPct: Int = 80,
-      maxShingleFreq: Int = Int.MaxValue
+      maxShingleFreq: Int = 1000
   ): DataFrame = {
     // sets are hashed to int64 once (8-byte shuffle keys, cheap intersects);
     // checkpoint so the three consumers below don't recompute them
@@ -78,7 +87,7 @@ object NearDup {
     val ds = sets.select(col("id"), explode(col("sh")).as("shingle"))
 
     val indexed =
-      if (maxShingleFreq == Int.MaxValue) ds
+      if (maxShingleFreq == Exhaustive) ds
       else {
         val freq = ds.groupBy("shingle").agg(count(lit(1)).as("df_"))
           .filter(col("df_") <= maxShingleFreq)
@@ -199,12 +208,22 @@ object NearDup {
     * scale: split the 64-bit signature into `maxHamming+1` chunks — by
     * pigeonhole any pair within the distance budget agrees exactly on at
     * least one chunk, so an equi-join on (chunkIdx, chunkValue) finds all
-    * such pairs without a cross join. */
+    * such pairs without a cross join.
+    *
+    * @param maxBucketSize cap on one (chunk index, chunk value) bucket's
+    *        membership before the self-join — same guard as
+    *        [[minhashLshPairs]]. With maxHamming=3 a chunk is only 16 bits,
+    *        so a degenerate corpus (mass-identical documents, boilerplate
+    *        signatures) otherwise lands N docs in one bucket and the join
+    *        emits N² rows. Pairs inside an over-cap bucket are reported
+    *        only if they also collide on an under-cap chunk — the standard
+    *        recall trade for a bounded join. */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
@@ -219,8 +238,13 @@ object NearDup {
         call_function("shiftrightunsigned", col("sig"), col("k") * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)))
 
-    val l = banded.select(col("k"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("k"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k", "chunk")))
+      .filter(col("bucket_n") <= maxBucketSize)
+
+    val l = bucketed.select(col("k"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bucketed.select(col("k"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("k", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

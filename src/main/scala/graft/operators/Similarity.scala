@@ -178,7 +178,14 @@ object Similarity {
   }
 
   object IvfIndex {
-    /** Bounded-sample driver-side k-means (deterministic seed). */
+    /** Bounded-sample driver-side k-means (deterministic seed).
+      *
+      * The training set is a UNIFORM reservoir sample (`RDD.takeSample`,
+      * fixed seed) — never `limit(n)`, which takes the first partitions in
+      * scan order: on a corpus sorted or clustered by the embedding's
+      * structure (ingest date, source shard, ...) limit-training sees one
+      * region of the space and every centroid lands there, degenerating
+      * the cell assignment for the rest of the corpus. */
     def train(
         df: DataFrame,
         embCol: String,
@@ -188,7 +195,7 @@ object Similarity {
         seed: Long = 42L
     ): IvfIndex = {
       val sample: Array[Array[Double]] = df.select(col(embCol))
-        .limit(sampleSize).collect()
+        .rdd.takeSample(withReplacement = false, num = sampleSize, seed = seed)
         .map(_.getSeq[Any](0).map {
           case f: java.lang.Float  => f.toDouble
           case d: java.lang.Double => d.doubleValue
@@ -239,15 +246,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recommended signature width for bucketed pair generation over a
+    * corpus of `n` vectors: candidate volume across buckets is ~n²/2^bits,
+    * so keeping expected bucket occupancy near `targetBucketSize` means
+    * bits ≈ log2(n / targetBucketSize). Toy defaults (bits=6) are only
+    * right for toy corpora — derive from corpus size at scale:
+    *
+    *   n          targetBucketSize=200   → bits
+    *   10 000     6                       (64 buckets)
+    *   1 000 000  13                      (8 192 buckets)
+    *   10⁹        23                      (8.4 M buckets)
+    *
+    * Clamped to [4, 62] (the signature is one long). Pair recall per
+    * extra bit drops by the hyperplane collision factor — compensate with
+    * multiprobe (already built in) or multiple independent signature
+    * tables. */
+  def recommendedBits(corpusSize: Long, targetBucketSize: Int = 200): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val ideal = math.ceil(
+      math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(62, math.max(4, ideal))
+  }
+
   /** Embedding-cosine near-dup pairs: all (a<b) with cosine ≥ threshold,
     * generated through the LSH buckets (multiprobe on the left side) and
-    * verified exactly. */
+    * verified exactly. Size `lsh.bits` with [[recommendedBits]] — candidate
+    * volume is ~n²/2^bits. `maxBucketSize` additionally caps any single
+    * degenerate bucket (e.g. a mass-duplicated embedding) before the join,
+    * mirroring NearDup.minhashLshPairs. */
   def cosineDupPairs(
       df: DataFrame,
       embCol: String,
       idCol: String,
       threshold: Double,
-      lsh: HyperplaneLsh
+      lsh: HyperplaneLsh,
+      maxBucketSize: Int = 100000
   ): DataFrame = {
     // candidate generation shuffles only (bucket, id) pairs; unit-normalized
     // embeddings are re-attached afterwards (AQE broadcasts the embedding
@@ -257,7 +290,13 @@ object Similarity {
       .localCheckpoint(true) // materialize sig+normalized once; cut lineage
     val l = sigs.select(col("id").as("id_a"),
       explode(lsh.probeBuckets(col("sig"))).as("bucket"))
+    // cap the indexed (right) side per bucket: every probe row then joins
+    // at most maxBucketSize rows, so the join is ≤ (bits+1)·n·cap rows —
+    // linear in n even on a degenerate corpus
     val r = sigs.select(col("id").as("id_b"), col("sig").as("bucket"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val cand = l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

@@ -47,6 +47,39 @@ class NearDupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("simhash bucket cap bounds a degenerate corpus of identical docs") {
+    // 1k identical docs share every signature chunk: uncapped, the chunk
+    // self-join emits ~4·10⁶ rows before dedup; the cap excludes over-full
+    // buckets so the join completes with a bounded (here zero) candidate set
+    val dupes = (0L until 1000L)
+      .map(i => (i, "all these documents have exactly the same content"))
+      .toDF("doc_id", "text")
+    val capped = NearDup.simhashPairs(dupes, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 100)
+    assert(capped.count() == 0)
+    // the default cap leaves normal corpora untouched (same rows as before)
+    val normal = NearDup.simhashPairs(corpus, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(normal.contains((0L, 2L)))
+  }
+
+  test("jaccard frequency cutoff is finite by default; Exhaustive restores all-pairs") {
+    // a shingle shared by every doc: with the finite default the docs'
+    // OTHER (rare) shingles still generate the true near-dup candidates,
+    // so results here are identical — but a corpus pairing ONLY through
+    // ubiquitous shingles would stay bounded instead of exploding
+    val deflt = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3, thresholdPct = 60)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exh = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3, thresholdPct = 60,
+        maxShingleFreq = NearDup.Exhaustive)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(deflt == exh)
+    // cutoff=1 drops every shared shingle from the index -> no candidates
+    val starved = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3,
+      thresholdPct = 60, maxShingleFreq = 1)
+    assert(starved.count() == 0)
+  }
+
   test("simhash: identical docs distance 0, near dups close, distinct far") {
     val pairs = NearDup.simhashPairs(corpus, "text", "doc_id", maxHamming = 12)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->

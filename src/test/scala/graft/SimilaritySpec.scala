@@ -84,6 +84,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("IVF training is sample-based: sorted/clustered corpus still gets spread centroids") {
+    // two well-separated clusters, SORTED so the first partitions hold
+    // cluster A only — limit(n)-training would place every centroid in A
+    // and recall for a cluster-B query collapses; uniform takeSample must
+    // see both clusters
+    val rndS = new scala.util.Random(23)
+    val clusterA = (0L until 600L).map { i =>
+      (i, Array.fill(dim)(5f + rndS.nextGaussian().toFloat * 0.1f))
+    }
+    val clusterB = (600L until 1200L).map { i =>
+      (i, Array.fill(dim)(-5f + rndS.nextGaussian().toFloat * 0.1f))
+    }
+    // repartition(1) + sortWithinPartitions pins physical scan order: A first
+    val sorted = (clusterA ++ clusterB).toDF("vec_id", "embedding")
+      .repartition(1).sortWithinPartitions("vec_id")
+    val idx = Similarity.IvfIndex.train(sorted, "embedding", k = 4, sampleSize = 100)
+    // at least one centroid must live in each cluster's halfspace
+    assert(idx.centroids.exists(_.head > 1.0), "no centroid near cluster A")
+    assert(idx.centroids.exists(_.head < -1.0),
+      "no centroid near cluster B — training sample was not uniform")
+    // and a query in cluster B achieves exact recall through the index
+    val q = Seq.fill(dim)(-5.0)
+    val exact = Similarity.bruteForceTopK(sorted, "embedding", "vec_id", q, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivf = Similarity.ivfTopK(sorted, "embedding", "vec_id", q, 10, idx, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & ivf).size.toDouble / exact.size >= 0.8)
+  }
+
+  test("recommendedBits scales with corpus size and clamps") {
+    assert(Similarity.recommendedBits(10000, 200) == 6)
+    assert(Similarity.recommendedBits(1000000, 200) == 13)
+    assert(Similarity.recommendedBits(1000000000L, 200) == 23)
+    assert(Similarity.recommendedBits(10, 200) == 4)   // clamp low
+    assert(Similarity.recommendedBits(Long.MaxValue / 2, 1) == 62) // clamp high
+    // candidate volume sanity: n²/2^bits ≈ n·targetBucketSize
+    val n = 1000000L
+    val bits = Similarity.recommendedBits(n, 200)
+    val perBucket = n.toDouble / math.pow(2, bits)
+    assert(perBucket <= 200.0 && perBucket > 50.0)
+  }
+
+  test("cosineDupPairs bucket cap bounds a degenerate corpus") {
+    // 500 identical embeddings all hash to ONE bucket; cap 50 excludes the
+    // bucket from the index side so the join stays bounded (and empty)
+    val same = Array.fill(dim)(1.0f)
+    val dupes = (0L until 500L).map(i => (i, same)).toDF("vec_id", "embedding")
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 6)
+    val capped = Similarity.cosineDupPairs(dupes, "embedding", "vec_id", 0.9, lsh,
+      maxBucketSize = 50)
+    assert(capped.count() == 0)
+    // default cap leaves normal corpora untouched
+    val normalPairs = Similarity.cosineDupPairs(
+      base.union(base.filter($"vec_id" === 7).select(lit(9999L).as("vec_id"), col("embedding"))),
+      "embedding", "vec_id", 0.99, lsh)
+    assert(normalPairs.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .contains((7L, 9999L)))
+  }
+
   test("cosineDupPairs finds planted near-duplicate") {
     val planted = base.union(
       base.filter($"vec_id" === 7)
