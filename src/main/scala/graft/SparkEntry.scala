@@ -386,6 +386,20 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
+    // Extension — batch knn-JOIN: top-3 base neighbors for EVERY query row
+    // (every 10th vector), the heaviest operator a training pipeline runs.
+    // LSH-bucketed equi-join bounds candidates; per-query top-k is one
+    // window over the (query_id)-partitioned join result (rows-only:
+    // recall is LSH-probabilistic; plan audited shuffle-bounded).
+    "q44_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      Similarity.annJoin(
+          e.filter(pmod(col("vec_id"), lit(10)) === 0), e, "embedding", "vec_id",
+          k = 3, lsh)
+        .orderBy("query_id", "rank")
+    }),
+
     // Extension — dedup keeping the BEST representative per duplicate
     // group (highest token count, deterministic tiebreak) — the policy a
     // training pipeline actually wants, vs q20's min-id variant.
