@@ -123,13 +123,82 @@ object ClickHouseDdl {
   }
 }
 
-/** JDBC warehouse speaking ClickHouse DDL. Data path identical to the
-  * Derby-tested base; only the statements differ. Live validation requires
-  * a ClickHouse JDBC driver + server (not present in this environment —
-  * the DDL strings themselves are unit-tested against the reference's
-  * statement shapes). */
-final class ClickHouseWarehouse(url: String, extraProps: Map[String, String] = Map.empty)
+/** JDBC warehouse speaking the reference's ClickHouse protocol: every DDL
+  * statement comes from [[ClickHouseDdl]] (CREATE DATABASE IF NOT EXISTS,
+  * MergeTree CREATE TABLE with ENGINE/PARTITION BY/ORDER BY, DESCRIBE
+  * TABLE, ALTER TABLE ADD COLUMN IF NOT EXISTS — clickhouse.py:59-233);
+  * the data path is the distributed JDBC writer inherited from
+  * [[JdbcWarehouse]].
+  *
+  * No ClickHouse server or driver exists in this environment, so the
+  * statement SEQUENCE is validated by ClickHouseProtocolSpec against a
+  * recording fake connection (the `connect()` hook), and the statement
+  * SHAPES by ClickHouseDdlSpec against the reference's f-strings. */
+class ClickHouseWarehouse(url: String, extraProps: Map[String, String] = Map.empty)
     extends JdbcWarehouse(url, extraProps) {
-  override protected def typeSql(dt: DataType): String =
-    s"Nullable(${ClickHouseDdl.chType(dt)})"
+
+  import java.sql.SQLException
+  import scala.collection.mutable
+  import scala.util.Using
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.col
+  import graft.etl.{Coerce, Dedup}
+  import graft.model.EventSchema._
+
+  // ClickHouse identifiers are case-sensitive; the reference passes the
+  // schema name through untouched (clickhouse.py:61)
+  override protected def dbName(db: String): String = db
+  override protected def q(ident: String): String = ClickHouseDdl.q(ident)
+
+  private def exec(sql: String): Unit = withConn { c =>
+    Using.resource(c.createStatement())(_.executeUpdate(sql)); ()
+  }
+
+  /** CREATE DATABASE IF NOT EXISTS — idempotent, no metadata probe
+    * (create_schema, clickhouse.py:59-66). */
+  override def createDatabase(db: String): Unit = exec(ClickHouseDdl.createDatabase(db))
+
+  /** Table-kind dispatch to the reference's three DDL shapes
+    * (clickhouse.py:69-93, :95-123, :222-233). */
+  override protected def createTableSql(db: String, t: String, batchSchema: StructType): String =
+    t match {
+      case UsersTable   => ClickHouseDdl.createUsersTable(db, batchSchema, UsersNonNull)
+      case MisfitsTable => ClickHouseDdl.createMisfitsTable(db)
+      case _            => ClickHouseDdl.createTable(db, t, batchSchema, NonNullColumns)
+    }
+
+  override protected def addColumnSql(db: String, t: String, f: StructField): String =
+    ClickHouseDdl.addColumn(db, t, f)
+
+  /** DESCRIBE TABLE (describe_table, clickhouse.py:137-144) instead of
+    * JDBC metadata — a missing table raises UNKNOWN_TABLE, which maps to
+    * None (= create it). */
+  override def describe(db: String, t: String): Option[StructType] =
+    try withConn { c =>
+      val cols = mutable.ArrayBuffer[StructField]()
+      Using.resource(c.createStatement()) { st =>
+        Using.resource(st.executeQuery(ClickHouseDdl.describeTable(db, t))) { rs =>
+          while (rs.next())
+            cols += StructField(rs.getString(1), ClickHouseDdl.sparkType(rs.getString(2)))
+        }
+      }
+      if (cols.isEmpty) None else Some(StructType(cols.toSeq))
+    } catch { case _: SQLException => None }
+
+  /** Users upsert, ClickHouse-style: dedupe the batch to per-user winners
+    * and INSERT — ReplacingMergeTree(ver) resolves versions server-side
+    * (clickhouse.py:95-123), so there is no read-back, no truncate, and no
+    * staging swap (those are the ANSI base class's compensations for
+    * engines without versioned replacement). */
+  override def upsertUsers(spark: SparkSession, db: String, identities: DataFrame): Unit = {
+    val incoming = Dedup.usersFromIdentities(identities)
+    if (incoming.isEmpty) return
+    val authoritative = ensureTableStructure(db, UsersTable, incoming.schema)
+    val result = Coerce.coerce(incoming, authoritative, UsersTable)
+    try {
+      val winners = Dedup.lastWriteWins(
+        result.main, Seq(UserId), Ver, Seq(col(MessageId).desc))
+      jdbcWrite(winners, db, UsersTable)
+    } finally result.unpersist()
+  }
 }

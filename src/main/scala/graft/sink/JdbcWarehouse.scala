@@ -39,10 +39,20 @@ class JdbcWarehouse(
     p
   }
 
-  private def withConn[T](f: Connection => T): T =
-    Using.resource(DriverManager.getConnection(url, props))(f)
+  /** Connection factory (protocol-test hook: a spec can substitute a
+    * recording fake connection and assert the emitted statement sequence
+    * without a live server). */
+  protected def connect(): Connection = DriverManager.getConnection(url, props)
 
-  private def q(ident: String): String = "\"" + ident + "\""
+  protected def withConn[T](f: Connection => T): T =
+    Using.resource(connect())(f)
+
+  protected def q(ident: String): String = "\"" + ident + "\""
+
+  /** Database-name normalization (dialect hook). Derby/ANSI metadata is
+    * case-folding, so the base uppercases; case-sensitive dialects
+    * (ClickHouse) pass names through untouched. */
+  protected def dbName(db: String): String = db.toUpperCase
 
   /** Spark type -> SQL column type (dialect hook). */
   protected def typeSql(dt: DataType): String = dt match {
@@ -63,20 +73,20 @@ class JdbcWarehouse(
 
   override def createDatabase(db: String): Unit = withConn { c =>
     val exists = Using.resource(
-      c.getMetaData.getSchemas(null, db.toUpperCase)) { rs => rs.next() }
+      c.getMetaData.getSchemas(null, dbName(db))) { rs => rs.next() }
     if (!exists) {
-      Using.resource(c.createStatement())(_.executeUpdate(s"CREATE SCHEMA ${q(db.toUpperCase)}"))
+      Using.resource(c.createStatement())(_.executeUpdate(s"CREATE SCHEMA ${q(dbName(db))}"))
     }
     ()
   }
 
-  private def tableRef(db: String, t: String): String =
-    s"${q(db.toUpperCase)}.${q(t)}"
+  protected def tableRef(db: String, t: String): String =
+    s"${q(dbName(db))}.${q(t)}"
 
   /** DESCRIBE via JDBC metadata -> authoritative schema, or None. */
   def describe(db: String, t: String): Option[StructType] = withConn { c =>
     val cols = mutable.ArrayBuffer[StructField]()
-    Using.resource(c.getMetaData.getColumns(null, db.toUpperCase, t, null)) { rs =>
+    Using.resource(c.getMetaData.getColumns(null, dbName(db), t, null)) { rs =>
       while (rs.next()) {
         val name = rs.getString("COLUMN_NAME")
         val sqlType = rs.getInt("DATA_TYPE")
@@ -102,6 +112,18 @@ class JdbcWarehouse(
     case _ => StringType
   }
 
+  /** CREATE TABLE statement (dialect hook — ClickHouse substitutes full
+    * MergeTree DDL with ENGINE/PARTITION BY/ORDER BY clauses here). */
+  protected def createTableSql(db: String, t: String, batchSchema: StructType): String = {
+    val colsSql = batchSchema.fields
+      .map(f => s"${q(f.name)} ${typeSql(f.dataType)}").mkString(", ")
+    s"CREATE TABLE ${tableRef(db, t)} ($colsSql)"
+  }
+
+  /** ALTER TABLE ADD COLUMN statement (dialect hook). */
+  protected def addColumnSql(db: String, t: String, f: StructField): String =
+    s"ALTER TABLE ${tableRef(db, t)} ADD COLUMN ${q(f.name)} ${typeSql(f.dataType)}"
+
   /** CREATE TABLE if absent (memoized), then ALTER TABLE ADD COLUMN for
     * every new column — append-only evolution, O-27/O-30. Returns the
     * post-evolution schema. */
@@ -109,11 +131,9 @@ class JdbcWarehouse(
     val key = s"$db.$t"
     describe(db, t) match {
       case None =>
-        val colsSql = batchSchema.fields
-          .map(f => s"${q(f.name)} ${typeSql(f.dataType)}").mkString(", ")
         withConn { c =>
           Using.resource(c.createStatement())(
-            _.executeUpdate(s"CREATE TABLE ${tableRef(db, t)} ($colsSql)"))
+            _.executeUpdate(createTableSql(db, t, batchSchema)))
         }
         createdTables += key
         batchSchema
@@ -123,8 +143,7 @@ class JdbcWarehouse(
         val newCols = batchSchema.fields.filterNot(f => known(f.name))
         newCols.foreach { f =>
           withConn { c =>
-            Using.resource(c.createStatement())(_.executeUpdate(
-              s"ALTER TABLE ${tableRef(db, t)} ADD COLUMN ${q(f.name)} ${typeSql(f.dataType)}"))
+            Using.resource(c.createStatement())(_.executeUpdate(addColumnSql(db, t, f)))
           }
         }
         StructType(existing.fields ++ newCols)
@@ -135,7 +154,7 @@ class JdbcWarehouse(
     ensureTableStructure(db, t, ddlSchema); ()
   }
 
-  private def jdbcWrite(df: DataFrame, db: String, t: String): Unit =
+  protected def jdbcWrite(df: DataFrame, db: String, t: String): Unit =
     df.write.mode("append").jdbc(url, tableRef(db, t), props)
 
   def read(spark: SparkSession, db: String, t: String): DataFrame =

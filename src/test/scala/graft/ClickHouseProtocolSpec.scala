@@ -1,0 +1,222 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, ResultSet, SQLException, Statement}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.ClickHouseWarehouse
+
+/** End-to-end protocol test for [[ClickHouseWarehouse]] WITHOUT a server:
+  * a recording fake JDBC connection (reflective proxies) captures every
+  * statement the sink emits and serves DESCRIBE from the DDL it has seen,
+  * so the whole create/describe/evolve/insert conversation runs for real.
+  * Assertions pin the statement SEQUENCE to the reference's protocol
+  * (clickhouse.py:59-233): CREATE DATABASE IF NOT EXISTS -> DESCRIBE ->
+  * MergeTree CREATE TABLE -> INSERT; on re-insert with a wider batch:
+  * DESCRIBE -> ALTER TABLE ADD COLUMN IF NOT EXISTS -> INSERT; users via
+  * ReplacingMergeTree(ver) + plain INSERT (no truncate, no staging swap).
+  */
+class ClickHouseProtocolSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Records statements; registers tables from CREATE/ALTER DDL; answers
+    * DESCRIBE from the registry (UNKNOWN_TABLE otherwise) — the minimal
+    * server-side contract the reference relies on. */
+  final class FakeClickHouse {
+    val statements = mutable.ArrayBuffer[String]()
+    private val tables = mutable.Map[String, Vector[(String, String)]]()
+
+    def record(sql: String): Unit = synchronized { statements += sql }
+
+    /** Split a column-def body on top-level commas (Decimal(p,s) and
+      * Nullable(...) carry nested commas/parens). */
+    private def splitCols(body: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var depth = 0; val cur = new StringBuilder
+      body.foreach {
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case c =>
+          if (c == '(') depth += 1
+          if (c == ')') depth -= 1
+          cur += c
+      }
+      if (cur.nonEmpty) out += cur.toString.trim
+      out.result()
+    }
+
+    private def parseCol(colDef: String): (String, String) = {
+      // `name` Type — names in this spec carry no escaped backticks
+      val end = colDef.indexOf('`', 1)
+      (colDef.substring(1, end), colDef.substring(end + 1).trim)
+    }
+
+    private val CreateTable =
+      """(?s)CREATE TABLE IF NOT EXISTS `([^`]+)`\.`([^`]+)` \((.*)\) ENGINE = .*""".r
+    private val AddColumn =
+      """ALTER TABLE `([^`]+)`\.`([^`]+)` ADD COLUMN IF NOT EXISTS (`.*)""".r
+
+    def executeUpdate(sql: String): Int = synchronized {
+      record(sql)
+      sql match {
+        case CreateTable(db, t, body) =>
+          val key = s"$db.$t"
+          if (!tables.contains(key)) tables(key) = splitCols(body).map(parseCol)
+        case AddColumn(db, t, colDef) =>
+          tables(s"$db.$t") = tables(s"$db.$t") :+ parseCol(colDef)
+        case _ => // CREATE DATABASE etc.: record only
+      }
+      0
+    }
+
+    def executeQuery(sql: String): ResultSet = synchronized {
+      record(sql)
+      val Describe = """DESCRIBE TABLE `([^`]+)`\.`([^`]+)`""".r
+      sql match {
+        case Describe(db, t) =>
+          tables.get(s"$db.$t") match {
+            case Some(cols) => resultSet(cols)
+            case None => throw new SQLException(s"UNKNOWN_TABLE $db.$t")
+          }
+        case other => throw new SQLException(s"unexpected query: $other")
+      }
+    }
+
+    private def proxy[T](cls: Class[T])(h: (String, Array[AnyRef]) => AnyRef): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+        new InvocationHandler {
+          override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+            val a = if (args == null) Array.empty[AnyRef] else args
+            h(m.getName, a) match {
+              case null if m.getReturnType == java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+              case null if m.getReturnType == java.lang.Integer.TYPE => Integer.valueOf(0)
+              case r => r
+            }
+          }
+        }).asInstanceOf[T]
+
+    private def resultSet(rows: Vector[(String, String)]): ResultSet = {
+      var i = -1
+      proxy(classOf[ResultSet]) {
+        case ("next", _) => java.lang.Boolean.valueOf { i += 1; i < rows.length }
+        case ("getString", Array(idx: Integer)) =>
+          if (idx == 1) rows(i)._1 else rows(i)._2
+        case _ => null
+      }
+    }
+
+    def newConnection(): Connection = proxy(classOf[Connection]) {
+      case ("createStatement", _) =>
+        proxy(classOf[Statement]) {
+          case ("executeUpdate", Array(sql: String)) => Integer.valueOf(executeUpdate(sql))
+          case ("executeQuery", Array(sql: String))  => executeQuery(sql)
+          case _ => null
+        }
+      case _ => null
+    }
+  }
+
+  /** The warehouse under test: real ClickHouseWarehouse, fake connection;
+    * the distributed-writer call is recorded as the reference's
+    * INSERT INTO schema.table VALUES shape (clickhouse.py:205-213). */
+  private def harness(): (FakeClickHouse, ClickHouseWarehouse) = {
+    val fake = new FakeClickHouse
+    val wh = new ClickHouseWarehouse("jdbc:clickhouse://fake:8123/") {
+      override protected def connect(): Connection = fake.newConnection()
+      override protected def jdbcWrite(df: DataFrame, db: String, t: String): Unit =
+        fake.record(s"INSERT INTO `$db`.`$t` VALUES /* ${df.count()} rows */")
+    }
+    (fake, wh)
+  }
+
+  private def pagesBatch(extra: Boolean): DataFrame = {
+    val base = Seq(
+      ("m1", "u1", "2024-05-01 10:00:00", "2024-05-01 10:00:01", "Home"),
+      ("m2", "u2", "2024-05-01 11:00:00", "2024-05-01 11:00:02", "Pricing"))
+      .toDF("message_id", "user_id", "timestamp", "received_at", "name")
+      .withColumn("timestamp", to_timestamp(col("timestamp")))
+      .withColumn("received_at", to_timestamp(col("received_at")))
+    if (extra) base.withColumn("context_locale", lit("en-US")) else base
+  }
+
+  test("first insert: CREATE DATABASE, DESCRIBE (unknown), MergeTree CREATE TABLE, INSERT") {
+    val (fake, wh) = harness()
+    wh.createDatabase("seg_app")
+    wh.insertDf(spark, "seg_app", "pages", pagesBatch(extra = false))
+
+    val st = fake.statements.toVector
+    assert(st.head == "CREATE DATABASE IF NOT EXISTS `seg_app`")
+    assert(st(1) == "DESCRIBE TABLE `seg_app`.`pages`")
+    val create = st(2)
+    assert(create.startsWith("CREATE TABLE IF NOT EXISTS `seg_app`.`pages` ("))
+    assert(create.contains("ENGINE = ReplacingMergeTree()"))
+    assert(create.contains("PARTITION BY toDate(`timestamp`)"))
+    assert(create.contains("ORDER BY (`timestamp`, `message_id`)"))
+    // non-null key columns bare, the rest Nullable (clickhouse.py:125-134)
+    assert(create.contains("`timestamp` DateTime"))
+    assert(!create.contains("`timestamp` Nullable"))
+    assert(create.contains("`user_id` Nullable(String)"))
+    assert(st.last.startsWith("INSERT INTO `seg_app`.`pages` VALUES"))
+    // no ANSI-isms anywhere in the conversation; db name never case-folded
+    assert(st.forall(s => !s.contains("CREATE SCHEMA") && !s.contains("SEG_APP")))
+  }
+
+  test("second insert with a new column: DESCRIBE, ALTER ADD COLUMN IF NOT EXISTS, INSERT") {
+    val (fake, wh) = harness()
+    wh.insertDf(spark, "seg_app", "pages", pagesBatch(extra = false))
+    fake.statements.clear()
+    wh.insertDf(spark, "seg_app", "pages", pagesBatch(extra = true))
+
+    val st = fake.statements.toVector
+    assert(st.head == "DESCRIBE TABLE `seg_app`.`pages`")
+    assert(st(1) ==
+      "ALTER TABLE `seg_app`.`pages` ADD COLUMN IF NOT EXISTS `context_locale` Nullable(String)")
+    assert(st.count(_.startsWith("CREATE TABLE")) == 0) // evolution, not recreation
+    assert(st.last.startsWith("INSERT INTO `seg_app`.`pages` VALUES"))
+  }
+
+  test("users upsert: ReplacingMergeTree(ver) DDL + plain INSERT, no truncate/stage") {
+    val (fake, wh) = harness()
+    val identities = Seq(
+      ("m1", "u1", "2024-05-01 10:00:00", "ada"),
+      ("m2", "u1", "2024-05-01 11:00:00", "ada l."), // later version wins in-batch
+      ("m3", "u2", "2024-05-01 10:30:00", "grace"))
+      .toDF("message_id", "user_id", "timestamp", "traits_name")
+      .withColumn("timestamp", to_timestamp(col("timestamp")))
+    wh.upsertUsers(spark, "seg_app", identities)
+
+    val st = fake.statements.toVector
+    val create = st.find(_.startsWith("CREATE TABLE IF NOT EXISTS `seg_app`.`users`")).get
+    assert(create.contains("ENGINE = ReplacingMergeTree(`ver`)"))
+    assert(create.contains("ORDER BY (`user_id`)"))
+    assert(!create.contains("PARTITION BY")) // users table is unpartitioned (clickhouse.py:95-123)
+    assert(create.contains("`ver` Int64"))
+    assert(!create.contains("`ver` Nullable"))
+    assert(st.exists(_.startsWith("INSERT INTO `seg_app`.`users` VALUES /* 2 rows */")))
+    // the versioned engine replaces server-side: the client never deletes
+    assert(st.forall(s => !s.contains("DELETE") && !s.contains("__stage") && !s.contains("DROP")))
+  }
+
+  test("misfit rows route to the fixed-schema misfits table") {
+    val (fake, wh) = harness()
+    wh.insertDf(spark, "seg_app", "pages", pagesBatch(extra = false))
+    fake.statements.clear()
+    // same table, but received_at arrives as an unparseable string ->
+    // try_cast to the table's DateTime fails -> coercion misfit (O-19)
+    val bad = Seq(("m9", "u9", "2024-05-01 12:00:00", "definitely not a timestamp", "Docs"))
+      .toDF("message_id", "user_id", "timestamp", "received_at", "name")
+      .withColumn("timestamp", to_timestamp(col("timestamp")))
+    wh.insertDf(spark, "seg_app", "pages", bad)
+
+    val st = fake.statements.toVector
+    val create = st.find(_.startsWith("CREATE TABLE IF NOT EXISTS `seg_app`.`misfits`")).get
+    assert(create.contains("ENGINE = ReplacingMergeTree()"))
+    assert(create.contains("ORDER BY (`message_id`, `table_name`, `column_name`)"))
+    assert(st.exists(_.startsWith("INSERT INTO `seg_app`.`misfits` VALUES")))
+  }
+}
