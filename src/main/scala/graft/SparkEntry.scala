@@ -360,10 +360,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Extension — BPE-ish subword count (Java regex lookarounds; rows-only).
+    // Extension — BPE-ish subword count (RE2-safe run-count formulation,
+    // DuckDB-oracled exactly).
     "q34_subword_count" -> ((s, dir) => {
       t(s, dir, "documents").select(
-          col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+          col("doc_id"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")
     }),
 
@@ -561,11 +563,22 @@ object SparkEntry {
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
     * q26, q27 (xxhash64 sketch chains), q32 (stub codec), q33 (xxhash64
-    * chain), q34 (RE2 has no lookarounds). */
+    * chain), q44 (LSH-recall-dependent join). */
   def oracleSql: Map[String, String] = Map(
 
     "q29_ann_topk" -> q29Oracle,
     "q30_cosine_dups" -> q30Oracle,
+
+    // subword pieces as run/char counts — the same RE2-safe formulation
+    // TextAnalysis.subwordCount evaluates (class-boundary split pieces =
+    // letter runs + digit runs + other non-space chars)
+    "q34_subword_count" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+'))
+         + len(regexp_extract_all(lower(text), '[0-9]+'))
+         + (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 \t\n\r\f]', '', 'g')))
+           AS n_subwords
+         FROM documents ORDER BY doc_id""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

@@ -23,11 +23,19 @@ object TextAnalysis {
     * token budget without a vocab file. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  def subwordCount(c: Column): Column =
-    size(filter(
-      split(lower(trim(c)),
-        "(?=[^a-z0-9\\s])|(?<=[^a-z0-9\\s])|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|\\s+"),
-      t => t =!= lit("")))
+  /** Piece count = maximal letter runs + maximal digit runs + one piece
+    * per other non-space char (a zero-width class-boundary split yields
+    * exactly these pieces). Phrased as run/char COUNTS instead of a
+    * lookaround split so the semantics are RE2-expressible — DuckDB can
+    * oracle it exactly (RE2 has no lookarounds) — and no piece array is
+    * ever materialized. Whitespace is the explicit ASCII class
+    * [ \t\n\r\f] in both engines (Java \s adds \x0B, RE2 \s lacks it). */
+  def subwordCount(c: Column): Column = {
+    val s = lower(c)
+    regexp_count(s, lit("[a-z]+")) +
+      regexp_count(s, lit("[0-9]+")) +
+      (length(s) - length(regexp_replace(s, "[^a-z0-9 \\t\\n\\r\\f]", "")))
+  }
 
   /** Character-class counts for quality scoring (all integer-exact). */
   def nChars(c: Column): Column = length(c)

@@ -20,8 +20,38 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("subword count splits on class boundaries") {
+    // don | ' | t | stop | 2 | day
     assert(one[Int](TextAnalysis.subwordCount(col("t")), "don't stop2day") == 6)
-    // don | ' | t | stop | 2 | day  -> wait: digits+letters split
+    assert(one[Int](TextAnalysis.subwordCount(col("t")), "") == 0)
+    assert(one[Int](TextAnalysis.subwordCount(col("t")), "!!") == 2) // puncts split singly
+    assert(one[Int](TextAnalysis.subwordCount(col("t")), "ab1cd2") == 4)
+  }
+
+  test("subword run-count column == plain-Scala piece count") {
+    // ground truth computed driver-side: pieces of a class-boundary split
+    // are exactly the maximal letter runs, maximal digit runs, and one
+    // piece per other non-whitespace char. (The retired lookaround split
+    // was NOT a valid reference: its zero-width lookbehind could match
+    // before the \s+ alternative consumed following whitespace, so "!\t"
+    // counted the tab as a piece.)
+    def expected(s: String): Int = {
+      val t = s.toLowerCase
+      def runs(p: Char => Boolean): Int =
+        t.zipWithIndex.count { case (ch, i) => p(ch) && (i == 0 || !p(t(i - 1))) }
+      val ws = " \t\n\r\f"
+      runs(c => c >= 'a' && c <= 'z') + runs(c => c >= '0' && c <= '9') +
+        t.count(c => !(c >= 'a' && c <= 'z') && !(c >= '0' && c <= '9') && !ws.contains(c))
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abz 09!,.-_'\"\t\n(){}éA"
+    val samples = Seq.tabulate(300)(_ =>
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val got = samples.toDF("t")
+      .select(col("t"), TextAnalysis.subwordCount(col("t")).cast("int").as("a"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    samples.distinct.foreach { s =>
+      assert(got(s) == expected(s), s"for ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
   }
 
   test("char class counts") {
