@@ -6,14 +6,16 @@ import graft.jobs.{JobConf, SendToWarehouseJob}
 import graft.streaming.StreamingSend
 
 /** CLI entry point — the `seghouse send` equivalent (reference
-  * seghouse/app.py:16-44). The reference takes a YAML config + an S3 dir;
-  * here configuration is flags (no YAML dependency in a zero-egress
-  * build), the source dir is any Spark-readable path (local or s3a://),
-  * and `--stream` switches to the Structured Streaming runtime over the
-  * same pipeline core.
+  * seghouse/app.py:16-44). Like the reference it takes `--config-file`
+  * (YAML: apps/warehouses/skip_fields/extra_timestamps — parsed by
+  * [[ConfigFile]], no YAML library needed) and/or the same settings as
+  * flags; flag values are appended to the file's. The source dir is any
+  * Spark-readable path (local or s3a://), and `--stream` switches to the
+  * Structured Streaming runtime over the same pipeline core.
   *
   * Usage:
   *   runMain graft.app.SendCli --source-dir DIR --namespace NS
+  *     [--config-file FILE.yaml]
   *     [--warehouse-root PATH]... [--jdbc-url URL]...
   *     [--skip-field NAME]... [--extra-timestamp NAME=TZ]...
   *     [--stream --checkpoint DIR] [--cpus N]
@@ -23,6 +25,7 @@ object SendCli {
   final case class Args(
       sourceDir: String = "",
       namespace: String = "",
+      configFile: String = "",
       warehouseRoots: Seq[String] = Nil,
       jdbcUrls: Seq[String] = Nil,
       skipFields: Seq[String] = Nil,
@@ -36,6 +39,7 @@ object SendCli {
       case Nil => acc
       case "--source-dir" :: v :: t      => loop(t, acc.copy(sourceDir = v))
       case "--namespace" :: v :: t       => loop(t, acc.copy(namespace = v))
+      case "--config-file" :: v :: t     => loop(t, acc.copy(configFile = v))
       case "--warehouse-root" :: v :: t  => loop(t, acc.copy(warehouseRoots = acc.warehouseRoots :+ v))
       case "--jdbc-url" :: v :: t        => loop(t, acc.copy(jdbcUrls = acc.jdbcUrls :+ v))
       case "--skip-field" :: v :: t      => loop(t, acc.copy(skipFields = acc.skipFields :+ v))
@@ -52,17 +56,29 @@ object SendCli {
     val a = loop(argv.toList, Args())
     require(a.sourceDir.nonEmpty, "--source-dir is required")
     require(a.namespace.nonEmpty, "--namespace is required")
-    require(a.warehouseRoots.nonEmpty || a.jdbcUrls.nonEmpty,
-      "at least one --warehouse-root or --jdbc-url is required")
+    require(a.warehouseRoots.nonEmpty || a.jdbcUrls.nonEmpty || a.configFile.nonEmpty,
+      "at least one --warehouse-root, --jdbc-url, or --config-file is required")
     require(!a.stream || a.checkpoint.nonEmpty, "--stream requires --checkpoint")
     a
   }
 
-  def toConf(a: Args): JobConf = JobConf(
-    skipFields = a.skipFields,
-    extraTimestamps = a.extraTimestamps,
-    warehouseRoots = a.warehouseRoots,
-    jdbcSinks = a.jdbcUrls.map(u => (u, Map.empty[String, String])))
+  /** Flags merge with the config file: file values first, flag values
+    * appended (flag extra-timestamps override same-named file entries). */
+  def toConf(a: Args): JobConf = {
+    val file =
+      if (a.configFile.nonEmpty) ConfigFile.fromYaml(a.configFile)
+      else ConfigFile.AppConfig()
+    val conf = JobConf(
+      skipFields = (file.skipFields ++ a.skipFields).distinct,
+      extraTimestamps = file.extraTimestamps ++ a.extraTimestamps,
+      warehouseRoots = a.warehouseRoots,
+      jdbcSinks = a.jdbcUrls.map(u => (u, Map.empty[String, String])),
+      warehouseConfs = file.warehouses)
+    require(
+      conf.warehouseRoots.nonEmpty || conf.jdbcSinks.nonEmpty || conf.warehouseConfs.nonEmpty,
+      "no warehouses configured (config file has none and no flags given)")
+    conf
+  }
 
   /** Testable core: run against an existing session. */
   def run(spark: SparkSession, a: Args): Unit = {

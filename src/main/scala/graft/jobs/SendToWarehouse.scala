@@ -18,7 +18,10 @@ final case class JobConf(
     skipFields: Seq[String] = Nil,
     extraTimestamps: Map[String, String] = Map.empty,
     warehouseRoots: Seq[String] = Nil,
-    jdbcSinks: Seq[(String, Map[String, String])] = Nil
+    jdbcSinks: Seq[(String, Map[String, String])] = Nil,
+    /** Typed warehouse dicts from a config file (configuration.py:27),
+      * dispatched by [[graft.sink.WarehouseFactory.fromConf]]. */
+    warehouseConfs: Seq[Map[String, String]] = Nil
 )
 
 /** EP-1: the full ingestion dataflow, Spark-native.
@@ -46,7 +49,8 @@ final class SendToWarehouseJob(
 
   private val sinks: Seq[graft.sink.Warehouse] =
     conf.warehouseRoots.map(graft.sink.WarehouseFactory.parquet) ++
-      conf.jdbcSinks.map { case (url, props) => graft.sink.WarehouseFactory.jdbc(url, props) }
+      conf.jdbcSinks.map { case (url, props) => graft.sink.WarehouseFactory.jdbc(url, props) } ++
+      conf.warehouseConfs.map(graft.sink.WarehouseFactory.fromConf)
 
   def execute(sourceDir: String): Unit = {
     val raw = Readers.ndjson(spark, sourceDir)

@@ -57,8 +57,14 @@ object ClickHouseDdl {
     if (nonNull(f.name)) s"${q(f.name)} $t" else s"${q(f.name)} Nullable($t)"
   }
 
-  def createDatabase(schema: String): String =
-    s"CREATE DATABASE IF NOT EXISTS ${q(schema)}"
+  /** `cluster` (clickhouse.py:38,48) appends ON CLUSTER exactly as
+    * create_schema does (clickhouse.py:62-63); the reference's table DDL
+    * refuses a cluster ("not yet implemented", clickhouse.py:74-75) and
+    * [[ClickHouseWarehouse]] preserves that refusal. */
+  def createDatabase(schema: String, cluster: Option[String] = None): String = {
+    val base = s"CREATE DATABASE IF NOT EXISTS ${q(schema)}"
+    cluster.fold(base)(c => s"$base ON CLUSTER ${q(c)}")
+  }
 
   /** Event-table DDL: dedup + layout exactly as the reference delegates to
     * MergeTree (O-22/O-24/O-25). */
@@ -134,8 +140,11 @@ object ClickHouseDdl {
   * statement SEQUENCE is validated by ClickHouseProtocolSpec against a
   * recording fake connection (the `connect()` hook), and the statement
   * SHAPES by ClickHouseDdlSpec against the reference's f-strings. */
-class ClickHouseWarehouse(url: String, extraProps: Map[String, String] = Map.empty)
-    extends JdbcWarehouse(url, extraProps) {
+class ClickHouseWarehouse(
+    url: String,
+    extraProps: Map[String, String] = Map.empty,
+    cluster: Option[String] = None
+) extends JdbcWarehouse(url, extraProps) {
 
   import java.sql.SQLException
   import scala.collection.mutable
@@ -155,17 +164,23 @@ class ClickHouseWarehouse(url: String, extraProps: Map[String, String] = Map.emp
   }
 
   /** CREATE DATABASE IF NOT EXISTS — idempotent, no metadata probe
-    * (create_schema, clickhouse.py:59-66). */
-  override def createDatabase(db: String): Unit = exec(ClickHouseDdl.createDatabase(db))
+    * (create_schema, clickhouse.py:59-66; ON CLUSTER when configured,
+    * :62-63). */
+  override def createDatabase(db: String): Unit =
+    exec(ClickHouseDdl.createDatabase(db, cluster))
 
   /** Table-kind dispatch to the reference's three DDL shapes
     * (clickhouse.py:69-93, :95-123, :222-233). */
-  override protected def createTableSql(db: String, t: String, batchSchema: StructType): String =
+  override protected def createTableSql(db: String, t: String, batchSchema: StructType): String = {
+    // the reference refuses clustered table DDL (clickhouse.py:74-75,101-102)
+    if (cluster.isDefined)
+      throw new UnsupportedOperationException("ClickHouse cluster is not yet implemented")
     t match {
       case UsersTable   => ClickHouseDdl.createUsersTable(db, batchSchema, UsersNonNull)
       case MisfitsTable => ClickHouseDdl.createMisfitsTable(db)
       case _            => ClickHouseDdl.createTable(db, t, batchSchema, NonNullColumns)
     }
+  }
 
   override protected def addColumnSql(db: String, t: String, f: StructField): String =
     ClickHouseDdl.addColumn(db, t, f)

@@ -39,4 +39,24 @@ object WarehouseFactory {
   def parquet(root: String): Warehouse = new WarehouseSink(new TableCatalog(root))
   def jdbc(url: String, props: Map[String, String] = Map.empty): Warehouse =
     new JdbcWarehouse(url, props)
+
+  /** Typed-dict dispatch — the config-file path (factory.py:4-8 plus the
+    * connection keys ClickHouse reads, clickhouse.py:43-48). Two extra
+    * types beyond the reference ("parquet" lakehouse, generic "jdbc")
+    * cover this engine's native sinks. */
+  def fromConf(conf: Map[String, String]): Warehouse = {
+    def req(k: String): String = conf.getOrElse(k,
+      throw new IllegalArgumentException(s"warehouse conf needs '$k': $conf"))
+    conf.getOrElse("type", "") match {
+      case "clickhouse" =>
+        val port = conf.getOrElse("port", "9000") // clickhouse.py:44 default
+        val props = Map("user" -> req("user"), "password" -> req("password"))
+        new ClickHouseWarehouse(
+          s"jdbc:clickhouse://${req("host")}:$port", props, conf.get("cluster"))
+      case "parquet" => parquet(req("root"))
+      case "jdbc"    => jdbc(req("url"), conf - "type" - "url")
+      case other => throw new IllegalArgumentException(
+        s"Unable to get warehouse of type $other") // factory.py:8 message
+    }
+  }
 }
