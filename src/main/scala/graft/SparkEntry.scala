@@ -352,11 +352,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // Extension — order-sensitive rolling fingerprint (rows-only).
+    // Extension — order-sensitive rolling fingerprint. The xxhash64 chain
+    // has no DuckDB equivalent (rows-only), so the output SELF-VERIFIES
+    // the operator's defining property instead: `order_sensitive` proves
+    // the fingerprint of the reversed token stream differs (for any doc
+    // with ≥2 distinct-position tokens) — exactly what separates it from
+    // the order-insensitive canonical fingerprint (q24).
     "q33_rolling_fp" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val fpOf = (ts: Column) => aggregate(ts, lit(0L), (acc, tk) => xxhash64(acc, tk))
       t(s, dir, "documents").select(
           col("doc_id"),
-          TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"))
+          TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"),
+          // palindromic token streams legitimately hash equal; everything
+          // else must differ (up to a 64-bit hash collision)
+          (toks === reverse(toks) ||
+            fpOf(toks) =!= fpOf(reverse(toks))).as("order_sensitive"))
         .orderBy("doc_id")
     }),
 
@@ -393,12 +404,19 @@ object SparkEntry {
     // LSH-bucketed equi-join bounds candidates; per-query top-k is one
     // window over the (query_id)-partitioned join result (rows-only:
     // recall is LSH-probabilistic; plan audited shuffle-bounded).
+    // Recall is LSH-probabilistic (rows-only), so the output carries a
+    // known-ground-truth SELF-check: queries are base vectors with ids
+    // remapped +10^7, so every query's true nearest neighbor is its own
+    // base copy — identical vectors share a bucket by construction, and
+    // `self_hit` must be true on every rank-1 row.
     "q44_knn_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
-      Similarity.annJoin(
-          e.filter(pmod(col("vec_id"), lit(10)) === 0), e, "embedding", "vec_id",
-          k = 3, lsh)
+      val queries = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Similarity.annJoin(queries, e, "embedding", "vec_id", k = 3, lsh)
+        .withColumn("self_hit",
+          col("rank") =!= 1 || col("base_id") === col("query_id") - 10000000L)
         .orderBy("query_id", "rank")
     }),
 
