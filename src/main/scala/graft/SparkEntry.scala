@@ -420,6 +420,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Extension — transitive duplicate clustering: connected components
+    // over the exact-Jaccard pair graph (bounded slice), with planted
+    // variant CHAINS (doc -> doc+tail -> doc+longer-tail) so multi-member
+    // and genuinely transitive clusters exist. Oracle: same edge set +
+    // recursive-CTE reachability closure in DuckDB, hash-exact.
+    "q45_dup_clusters" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id", "text")
+      val seeds = base.filter(pmod(col("doc_id"), lit(35)) === 0)
+      val v1 = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+      val v2 = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"),
+          lit(" planted near duplicate tail with more appended words")).as("text"))
+      val pairs = NearDup.jaccardPairs(base.unionByName(v1).unionByName(v2),
+        "text", "doc_id", n = 3, thresholdPct = 50,
+        maxShingleFreq = NearDup.Exhaustive)
+      NearDup.dupClusters(pairs).orderBy("id")
+    }),
+
     // Extension — dedup keeping the BEST representative per duplicate
     // group (highest token count, deterministic tiebreak) — the policy a
     // training pipeline actually wants, vs q20's min-id variant.
@@ -837,6 +857,37 @@ object SparkEntry {
          WHERE ok AND greatest(s_en, s_es, s_de, s_fr) > 0
            AND s_en >= greatest(s_es, s_de, s_fr)
          ORDER BY doc_id""",
+
+    "q45_dup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' planted near duplicate tail'
+           FROM documents WHERE doc_id % 35 = 0
+           UNION ALL
+           SELECT doc_id + 4000000,
+             text || ' planted near duplicate tail with more appended words'
+           FROM documents WHERE doc_id % 35 = 0),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 1, 1)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             FROM corpus)
+           WHERE len(t) >= 3),
+         edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 100 >=
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 50),
+         sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         SELECT src AS id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src ORDER BY id""",
 
     "q40_rollup" ->
       """SELECT l_returnflag, l_linestatus,

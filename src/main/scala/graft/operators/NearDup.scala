@@ -252,4 +252,64 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Tier 4 — transitive duplicate CLUSTERS from any pair list (the
+    * output shape of [[jaccardPairs]]/[[minhashLshPairs]]/
+    * [[simhashPairs]]/`Similarity.cosineDupPairs`): connected components
+    * of the pair graph, every member labeled with its component's minimum
+    * id. This is the step a dedup retention policy actually keys on —
+    * near-duplication is NOT transitive, but "keep one representative"
+    * must be: a chain A~B~C collapses to one survivor even when A and C
+    * are not directly similar.
+    *
+    * Iterative min-label propagation: label(v) ← min(label(v),
+    * min_{u∈N(v)} label(u)) to fixpoint. Each round is one equi-join on
+    * id + one map-side-combined min aggregation — ids only, linear in
+    * |edges|, no payload movement. Rounds to converge = component
+    * diameter; duplicate graphs are near-cliques around shared sources,
+    * so a handful of rounds is typical. `maxIter` bounds adversarial
+    * chains and non-convergence THROWS rather than returning wrong
+    * labels. (For genuinely high-diameter graphs the O(log d) upgrade is
+    * large-star/small-star contraction — same per-round shuffle keys;
+    * the simple variant is the right default for dedup workloads.)
+    *
+    * Every round's labels are `localCheckpoint`'d: the plan would
+    * otherwise deepen by one join per round (planning blows up, lineage
+    * recomputes), and the convergence count + next round share one
+    * materialization. Duplicate input edges are harmless (min is
+    * idempotent), so no dedup shuffle is spent on them.
+    */
+  def dupClusters(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 25
+  ): DataFrame = {
+    val e = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true) // joined every round — materialize once
+    var labels = sym.select(col("src").as("id")).dropDuplicates("id")
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0) {
+      if (iter >= maxIter) throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds (component diameter exceeds the bound)")
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy("src").agg(min(col("nl")).as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      // least() skips nulls, so isolated rounds (no smaller neighbor) keep
+      // the current label
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), col("nmin")).as("label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.drop("prev")
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }

@@ -88,4 +88,35 @@ class NearDupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((3L, 4L)))
   }
+
+  private def clusters(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    NearDup.dupClusters(edges.toDF("id_a", "id_b"), maxIter = maxIter)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("dupClusters: transitive chain collapses to one min-labeled component") {
+    // A~B~C with NO direct A~C edge — the case plain pair-dedup gets wrong
+    assert(clusters(Seq((10L, 20L), (20L, 30L))) ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+  }
+
+  test("dupClusters: separate components, cliques, and edge-order invariance") {
+    val edges = Seq((5L, 6L), (6L, 7L), (5L, 7L), // clique {5,6,7}
+      (100L, 90L), (90L, 95L))                    // chain {90,95,100}
+    val expected = Map(5L -> 5L, 6L -> 5L, 7L -> 5L,
+      90L -> 90L, 95L -> 90L, 100L -> 90L)
+    assert(clusters(edges) == expected)
+    assert(clusters(edges.reverse.map { case (a, b) => (b, a) }) == expected)
+    assert(clusters(edges ++ edges) == expected) // duplicate edges harmless
+  }
+
+  test("dupClusters: long path converges (diameter rounds) and empty input is empty") {
+    val path = (0L until 9L).map(i => (i, i + 1)) // diameter 9
+    assert(clusters(path) == (0L to 9L).map(_ -> 0L).toMap)
+    assert(clusters(Nil) == Map.empty)
+  }
+
+  test("dupClusters: maxIter bound throws instead of mislabeling") {
+    val path = (0L until 12L).map(i => (i, i + 1))
+    intercept[IllegalStateException](clusters(path, maxIter = 2))
+  }
 }
