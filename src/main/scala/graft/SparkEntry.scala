@@ -427,8 +427,8 @@ object SparkEntry {
     // recursive-CTE reachability closure in DuckDB, hash-exact.
     "q45_dup_clusters" -> ((s, dir) => {
       val base = t(s, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id", "text")
-      val seeds = base.filter(pmod(col("doc_id"), lit(35)) === 0)
+        .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
+      val seeds = base.filter(pmod(col("doc_id"), lit(65)) === 0)
       val v1 = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
         concat(col("text"), lit(" planted near duplicate tail")).as("text"))
       val v2 = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
@@ -860,14 +860,14 @@ object SparkEntry {
 
     "q45_dup_clusters" ->
       """WITH RECURSIVE corpus AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+           SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
            UNION ALL
            SELECT doc_id + 2000000, text || ' planted near duplicate tail'
-           FROM documents WHERE doc_id % 35 = 0
+           FROM documents WHERE doc_id % 65 = 0
            UNION ALL
            SELECT doc_id + 4000000,
              text || ' planted near duplicate tail with more appended words'
-           FROM documents WHERE doc_id % 35 = 0),
+           FROM documents WHERE doc_id % 65 = 0),
          sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(t) - 1, 1)),

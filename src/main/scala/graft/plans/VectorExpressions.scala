@@ -167,13 +167,15 @@ object VectorFunctions {
   def norm(a: Column): Column =
     ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot"     -> { es => DotProduct(es(0), es(1)) },
     "graft_cosine"  -> { es => CosineSimilarity(es(0), es(1)) },
     "graft_norm"    -> { es => L2Norm(es.head) },
     "graft_minhash" -> { es =>
       MinHashSignature(es(0), es(1).eval().asInstanceOf[Number].intValue) },
-    "graft_simhash" -> { es => SimHash64(es.head) }
+    "graft_simhash" -> { es => SimHash64(es.head) },
+    "graft_shingle_hashes" -> { es =>
+      ShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue) }
   )
 
   /** Session-scoped SQL registration: `SELECT graft_cosine(a.embedding,
@@ -186,21 +188,15 @@ object VectorFunctions {
 }
 
 /** Extension entry point: spark.sql.extensions=graft.plans.GraftExtensions
-  * (or .withExtensions(new GraftExtensions)) injects the functions into
-  * every session derived from the builder. */
+  * (or .withExtensions(new GraftExtensions)) injects the full native
+  * function surface (same builder list as [[VectorFunctions.register]])
+  * into every session derived from the builder. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_norm"),
-      new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
-      (es: Seq[Expression]) => L2Norm(es.head)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    VectorFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans", name),
+        b))
+    }
 }

@@ -48,6 +48,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == math.sqrt(77.0))
   }
 
+  test("SQL surface: sketch functions registered and extensions cover every builder") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_shingle_hashes(array('a','b','c','d'), 3) AS sh,
+                graft_minhash(graft_shingle_hashes(array('a','b','c','d'), 3), 8) AS mh,
+                graft_simhash(array(1L, 2L, 3L)) AS sim""").head()
+    assert(r.getSeq[Long](0).length == 2) // 4 tokens, n=3 -> 2 shingles
+    assert(r.getSeq[Long](1).length == 8)
+    // every builder name resolves on the session after register()
+    Seq("graft_dot", "graft_cosine", "graft_norm", "graft_minhash",
+        "graft_simhash", "graft_shingle_hashes").foreach { f =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(f)), f)
+    }
+    // GraftExtensions injects the SAME builder list (single source of
+    // truth) — applying it to a fresh extensions object must accept every
+    // builder (a new SparkContext can't be built in the shared test JVM).
+    new graft.plans.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("whole-stage codegen handles the expression (no fallback errors at scale)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.limit(1).select($"embedding").head().getSeq[Float](0).map(_.toDouble)
