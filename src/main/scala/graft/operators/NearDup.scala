@@ -288,8 +288,12 @@ object NearDup {
     val e = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // joined every round — materialize once
-    var labels = sym.select(col("src").as("id")).dropDuplicates("id")
-      .withColumn("label", col("id"))
+    // seed with the closed-neighborhood minimum (one agg, no join): for
+    // clique-shaped duplicate groups this IS the fixpoint, so the loop
+    // runs exactly one confirmation round
+    var labels = sym.groupBy("src")
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L

@@ -38,4 +38,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(tracks.count() == 2) // s-1 deduped
     assert(new TableCatalog(wh.toString).read(spark, "stream_ns", "ping").count() == 2)
   }
+
+  test("corpus-filter expressions run unchanged under Structured Streaming") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextAnalysis
+
+    val src = Files.createTempDirectory("graft_stream_docs")
+    val out = Files.createTempDirectory("graft_stream_docs_out")
+    val ckp = Files.createTempDirectory("graft_stream_docs_ckp")
+    Files.write(src.resolve("d.json"), Seq(
+      """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog and runs to the river"}""",
+      """{"doc_id":2,"text":"!!! ??? ### $$$ %%%"}""",
+      """{"doc_id":3,"text":"el rapido zorro marron salta sobre el perro que duerme en la casa"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    // the same stateless TextStats projection + filter as batch q43 —
+    // codegen expressions need no streaming-specific handling
+    val q = spark.readStream.schema(schema).json(src.toString)
+      .select(col("doc_id"), TextAnalysis.textStats(col("text")).as("st"))
+      .filter(TextAnalysis.qualityOkFromStats(col("st")) &&
+        TextAnalysis.langIdFromStats(col("st")) === "en")
+      .select("doc_id")
+      .writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val ids = spark.read.parquet(out.toString).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L)) // junk fails quality, Spanish fails lang-id
+  }
 }
