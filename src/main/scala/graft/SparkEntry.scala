@@ -316,7 +316,8 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
-    // Extension — LSH-bucketed ANN top-k (rows-only; recall tested in suite).
+    // Extension — LSH-bucketed ANN top-k (hash-exact: the seed-42 plane
+    // literals are reproduced in the DuckDB oracle; recall also unit-tested).
     "q29_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -326,7 +327,8 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
-    // Extension — embedding-cosine near-dup pairs via LSH (rows-only).
+    // Extension — embedding-cosine near-dup pairs via LSH (hash-exact via
+    // the same literal-plane DuckDB oracle as q29).
     "q30_cosine_dups" -> ((s, dir) => {
       val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
       Similarity.cosineDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -359,15 +361,20 @@ object SparkEntry {
     // with ≥2 distinct-position tokens) — exactly what separates it from
     // the order-insensitive canonical fingerprint (q24).
     "q33_rolling_fp" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
+      // fpOf(tokens) IS TextAnalysis.rollingFingerprint's chain; tokens are
+      // materialized ONCE (no Catalyst CSE across references — the q43
+      // lesson) and both directions hash the checkpointed array
       val fpOf = (ts: Column) => aggregate(ts, lit(0L), (acc, tk) => xxhash64(acc, tk))
-      t(s, dir, "documents").select(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .localCheckpoint(true)
+        .select(
           col("doc_id"),
-          TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling"),
+          fpOf(col("t")).as("fp_rolling"),
           // palindromic token streams legitimately hash equal; everything
           // else must differ (up to a 64-bit hash collision)
-          (toks === reverse(toks) ||
-            fpOf(toks) =!= fpOf(reverse(toks))).as("order_sensitive"))
+          (col("t") === reverse(col("t")) ||
+            fpOf(col("t")) =!= fpOf(reverse(col("t")))).as("order_sensitive"))
         .orderBy("doc_id")
     }),
 
@@ -601,7 +608,10 @@ object SparkEntry {
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
     * q26, q27 (xxhash64 sketch chains), q32 (stub codec), q33 (xxhash64
-    * chain), q44 (LSH-recall-dependent join). */
+    * chain), q35 (data-adaptive k-means centroids), q44
+    * (LSH-recall-dependent join). Each of those emits self-verifying
+    * columns instead (exact jaccard/hamming, exact_rank, order_sensitive,
+    * self_hit). */
   def oracleSql: Map[String, String] = Map(
 
     "q29_ann_topk" -> q29Oracle,

@@ -19,7 +19,11 @@ import graft.util.Names
 object ConfigFile {
 
   /** configuration.py:8-18 — an app with a write key; `schema` is the
-    * decamelized name exactly as `App.schema()` computes it. */
+    * decamelized name exactly as `App.schema()` computes it. NOTE: the
+    * reference parses `apps` but its send job never consumes them (the
+    * database name comes from the --namespace flag alone); this port
+    * mirrors that — entries are parsed, validated, and exposed here, and
+    * deliberately have no effect on the job (semantics ledger, README). */
   final case class AppEntry(writeKey: String, name: String) {
     def schema: String = Names.decamelize(name)
   }
@@ -103,7 +107,8 @@ object MiniYaml {
 
   def parse(text: String): Node = {
     val lines = text.linesIterator.zipWithIndex.flatMap { case (raw, i) =>
-      if (raw.contains("\t"))
+      // YAML forbids tabs in INDENTATION only (quoted scalars may carry them)
+      if (raw.takeWhile(c => c == ' ' || c == '\t').contains('\t'))
         throw new IllegalArgumentException(s"line ${i + 1}: tabs are not allowed in YAML indentation")
       val noComment = stripComment(raw)
       val trimmed = noComment.trim
@@ -215,7 +220,19 @@ object MiniYaml {
         throw new IllegalArgumentException(s"expected 'key: value', got '${l.content}'"))
       var j = i + 1
       while (j < lines.length && lines(j).indent > base) j += 1
-      val children = lines.slice(i + 1, j)
+      var children = lines.slice(i + 1, j)
+      // YAML allows a block sequence at the SAME indent as its mapping key
+      // (`key:` followed by zero-indented `- item` lines — the default
+      // style of many emitters); claim those items for this key.
+      if (v.isEmpty && children.isEmpty) {
+        var e = i + 1
+        while (e < lines.length && lines(e).indent == base &&
+               (lines(e).content.startsWith("- ") || lines(e).content == "-")) {
+          e += 1
+          while (e < lines.length && lines(e).indent > base) e += 1 // item body
+        }
+        if (e > i + 1) { children = lines.slice(i + 1, e); j = e }
+      }
       val node =
         if (v.nonEmpty) {
           if (children.nonEmpty)

@@ -110,14 +110,24 @@ object Similarity {
   /** Distributed knn-join: top-k base neighbors for EVERY query row.
     * Both sides are signed; the equi-join on bucket id (with multiprobe on
     * the query side) replaces the quadratic cross join; per-query top-k is
-    * a window over the join result. */
+    * a window over the join result.
+    *
+    * @param maxBucketSize cap on one bucket's BASE membership before the
+    *        join — the same guard as the pair operators. A degenerate
+    *        corpus (mass-duplicated embeddings) otherwise lands N base
+    *        rows in one of the 2^bits buckets and the join emits
+    *        |queries|×N rows. Base rows in an over-cap bucket are
+    *        unreachable through that bucket (standard recall-for-bound
+    *        trade); size `bits` with [[recommendedBits]] so genuine
+    *        buckets stay under the cap. */
   def annJoin(
       queries: DataFrame,
       base: DataFrame,
       embCol: String,
       idCol: String,
       k: Int,
-      lsh: HyperplaneLsh
+      lsh: HyperplaneLsh,
+      maxBucketSize: Int = 100000
   ): DataFrame = {
     val q = queries.select(
         col(idCol).as("query_id"), normalized(col(embCol)).as("q_emb"),
@@ -125,8 +135,12 @@ object Similarity {
       .select(col("query_id"), col("q_emb"),
         explode(lsh.probeBuckets(col("__qsig"))).as("bucket"))
     val b = base.select(
-      col(idCol).as("base_id"), normalized(col(embCol)).as("b_emb"),
-      lsh.signature(col(embCol)).as("bucket"))
+        col(idCol).as("base_id"), normalized(col(embCol)).as("b_emb"),
+        lsh.signature(col(embCol)).as("bucket"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy("bucket")))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
 
     val scored = q.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("base_id"))

@@ -187,7 +187,9 @@ class ClickHouseWarehouse(
 
   /** DESCRIBE TABLE (describe_table, clickhouse.py:137-144) instead of
     * JDBC metadata — a missing table raises UNKNOWN_TABLE, which maps to
-    * None (= create it). */
+    * None (= create it). ONLY that error maps to None: a transient
+    * connection/auth failure must propagate, or evolution would silently
+    * run against the batch schema instead of the table's. */
   override def describe(db: String, t: String): Option[StructType] =
     try withConn { c =>
       val cols = mutable.ArrayBuffer[StructField]()
@@ -198,7 +200,17 @@ class ClickHouseWarehouse(
         }
       }
       if (cols.isEmpty) None else Some(StructType(cols.toSeq))
-    } catch { case _: SQLException => None }
+    } catch {
+      case e: SQLException if isUnknownTable(e) => None
+    }
+
+  /** ClickHouse UNKNOWN_TABLE is server error code 60; message shapes vary
+    * by driver version ("UNKNOWN_TABLE", "Table x.y does not exist"). */
+  private def isUnknownTable(e: SQLException): Boolean = {
+    val msg = Option(e.getMessage).getOrElse("")
+    e.getErrorCode == 60 || msg.contains("UNKNOWN_TABLE") ||
+      msg.contains("doesn't exist") || msg.contains("does not exist")
+  }
 
   /** Users upsert, ClickHouse-style: dedupe the batch to per-user winners
     * and INSERT — ReplacingMergeTree(ver) resolves versions server-side

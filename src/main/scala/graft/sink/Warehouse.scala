@@ -49,7 +49,11 @@ object WarehouseFactory {
       throw new IllegalArgumentException(s"warehouse conf needs '$k': $conf"))
     conf.getOrElse("type", "") match {
       case "clickhouse" =>
-        val port = conf.getOrElse("port", "9000") // clickhouse.py:44 default
+        // the reference defaults to 9000 (clickhouse.py:44) for its NATIVE
+        // protocol client; this sink speaks JDBC-over-HTTP, whose server
+        // port is 8123 — porting 9000 unchanged would break every config
+        // that omits the port
+        val port = conf.getOrElse("port", "8123")
         val props = Map("user" -> req("user"), "password" -> req("password"))
         new ClickHouseWarehouse(
           s"jdbc:clickhouse://${req("host")}:$port", props, conf.get("cluster"))

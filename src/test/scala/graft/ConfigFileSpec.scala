@@ -63,6 +63,29 @@ class ConfigFileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MiniYaml.parse("\ta: 1"))          // tab indent
     intercept[IllegalArgumentException](MiniYaml.parse("a: 1\na: 2"))      // dup key
     intercept[IllegalArgumentException](ConfigFile.fromYamlString("- just\n- a list"))
+    // tabs are only illegal in INDENTATION — quoted scalars may carry them
+    assert(MiniYaml.parse("a: \"x\ty\"").asInstanceOf[MiniYaml.YMap]
+      .entries("a") == MiniYaml.YStr("x\ty"))
+  }
+
+  test("block sequences at the same indent as their key (common emitter style)") {
+    val c = ConfigFile.fromYamlString(
+      """skip_fields:
+        |- context_ip
+        |- channel
+        |warehouses:
+        |- type: parquet
+        |  root: /x
+        |- type: jdbc
+        |  url: jdbc:derby:y
+        |extra_timestamps:
+        |  t_ny: America/New_York
+        |""".stripMargin)
+    assert(c.skipFields == Seq("context_ip", "channel"))
+    assert(c.warehouses == Seq(
+      Map("type" -> "parquet", "root" -> "/x"),
+      Map("type" -> "jdbc", "url" -> "jdbc:derby:y")))
+    assert(c.extraTimestamps == Map("t_ny" -> "America/New_York"))
   }
 
   test("quoting, comments, and empty values") {

@@ -65,6 +65,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.filter($"query_id" === $"base_id").isEmpty)
   }
 
+  test("annJoin bucket cap bounds a degenerate corpus of identical vectors") {
+    // 1000 identical base embeddings all land in ONE bucket; the cap must
+    // keep the join from emitting |queries| x 1000 rows
+    val vec = Array.fill(8)(1.0f)
+    val degenerate = (0L until 1000L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val lsh = Similarity.HyperplaneLsh(dim = 8, bits = 4)
+    val queries = degenerate.filter($"vec_id" < 3)
+    val capped = Similarity.annJoin(queries, degenerate, "embedding", "vec_id",
+      k = 2, lsh, maxBucketSize = 100)
+    // over-cap bucket is unreachable -> no results, but the job completes
+    // with a bounded join instead of a 3000-row blowup per bucket
+    assert(capped.count() == 0)
+    val uncapped = Similarity.annJoin(queries, degenerate, "embedding", "vec_id",
+      k = 2, lsh)
+    assert(uncapped.groupBy("query_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
   test("IVF index: training converges, probes find planted neighbors") {
     val q0 = base.filter($"vec_id" === 0).select("embedding")
       .head().getSeq[Float](0).toArray
