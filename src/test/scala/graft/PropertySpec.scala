@@ -107,4 +107,36 @@ class PropertySpec extends AnyFunSuite {
     assert(sums.getLong(1) == objs.map(_._2.toLong).sum)
     assert(sums.getLong(2) == objs.map(_._3.toLong).sum)
   }
+
+  test("dupClusters matches a driver-side union-find on random graphs") {
+    // one distributed run over the union of several generated graphs,
+    // disjoint id ranges so components can't bleed between cases
+    val graphs: Seq[Seq[(Long, Long)]] = (0 until 8).map { g =>
+      val base = g * 1000L
+      val nodes = 5 + g * 3
+      sample(for {
+        a <- Gen.chooseNum(0, nodes - 1)
+        d <- Gen.chooseNum(1, nodes - 1)
+      } yield {
+        val b = (a + d) % nodes
+        (base + math.min(a, b), base + math.max(a, b))
+      }, 2 + g * 4).distinct
+    }
+    val allEdges = graphs.flatten
+    val got = graft.operators.NearDup.dupClusters(allEdges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+
+    // oracle: plain union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    allEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    assert(got == expected)
+  }
 }
