@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.Coerce
 import graft.functions.TextAnalysis
-import graft.operators.{Multimodal, NearDup, Similarity}
+import graft.operators.{Multimodal, NearDup, Similarity, SkewJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -447,6 +447,21 @@ object SparkEntry {
       NearDup.dupClusters(pairs).orderBy("id")
     }),
 
+    // Extension — explicit skew-salted join: by construction the result
+    // equals the plain equi-join (each skewed row matches exactly the one
+    // replica carrying its salt), so the oracle is the plain SQL join.
+    // AQE's runtime skew split is this engine's default posture; the
+    // salted variant is the deterministic plan-time fallback.
+    "q46_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      SkewJoin.saltedJoin(o, c, Seq("c_custkey"), salts = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Extension — dedup keeping the BEST representative per duplicate
     // group (highest token count, deterministic tiebreak) — the policy a
     // training pipeline actually wants, vs q20's min-id variant.
@@ -616,6 +631,12 @@ object SparkEntry {
 
     "q29_ann_topk" -> q29Oracle,
     "q30_cosine_dups" -> q30Oracle,
+
+    "q46_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // subword pieces as run/char counts — the same RE2-safe formulation
     // TextAnalysis.subwordCount evaluates (class-boundary split pieces =
