@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.Coerce
 import graft.functions.TextAnalysis
-import graft.operators.{Multimodal, NearDup, Similarity, SkewJoin}
+import graft.operators.{Multimodal, NearDup, Sampling, Similarity, SkewJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -447,6 +447,20 @@ object SparkEntry {
       NearDup.dupClusters(pairs).orderBy("id")
     }),
 
+    // Extension — deterministic train/val/test split (80/10/10 by an
+    // md5 bucket of doc_id): per-split doc and token totals. Membership
+    // is engine-independent by construction — the oracle recomputes the
+    // identical md5 bucket in DuckDB, so the whole assignment is
+    // hash-checked, not just the counts.
+    "q47_hash_split" -> ((s, dir) => {
+      Sampling.withSplitId(t(s, dir, "documents"), "doc_id",
+          Seq(0.8, 0.1, 0.1), salt = "v1")
+        .groupBy("split_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("split_id")
+    }),
+
     // Extension — explicit skew-salted join: by construction the result
     // equals the plain equi-join (each skewed row matches exactly the one
     // replica carrying its salt), so the oracle is the plain SQL join.
@@ -631,6 +645,15 @@ object SparkEntry {
 
     "q29_ann_topk" -> q29Oracle,
     "q30_cosine_dups" -> q30Oracle,
+
+    "q47_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+           (('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT % 10000) AS bucket,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens
+         FROM documents)
+         SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM b GROUP BY 1 ORDER BY split_id""",
 
     "q46_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

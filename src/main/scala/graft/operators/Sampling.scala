@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting — the train/val/test assignment a
+  * training pipeline must be able to REPRODUCE forever. `randomSplit`'s
+  * assignment depends on partition layout and sampling order; here every
+  * row's split follows from its key content alone: bucket =
+  * int(md5(key ++ salt)[0,8)) mod 10000, and fractions own contiguous
+  * bucket ranges. Stable across runs, repartitionings, engines, and
+  * cluster layouts.
+  *
+  * md5 on purpose (not xxhash64): every engine speaks it, so membership
+  * can be recomputed outside Spark byte-for-byte (the q47 oracle does
+  * exactly that in DuckDB). Changing `salt` re-rolls the whole split;
+  * keeping it pins the split for the lifetime of the dataset.
+  */
+object Sampling {
+
+  /** Bucket granularity: fractions resolve to 1/10000ths. */
+  val Buckets: Int = 10000
+
+  /** The stable bucket in [0, Buckets) for a key. First 8 md5 hex chars →
+    * 32-bit int (fits a long far from overflow) → mod. */
+  def bucket(key: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long"), lit(Buckets.toLong))
+
+  /** Append `splitCol` (0-based split index) without materializing
+    * anything: a pure projection, usable in batch and streaming alike.
+    * `fractions` must sum to 1 (±1 bucket of rounding). */
+  def withSplitId(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[Double],
+      salt: String = "",
+      splitCol: String = "split_id"
+  ): DataFrame = {
+    val thresholds = cumulativeThresholds(fractions)
+    val b = bucket(col(keyCol), salt)
+    val expr = thresholds.init.zipWithIndex.reverse.foldLeft(
+      lit(fractions.size - 1)) { case (acc, (thr, i)) =>
+      when(b < thr, lit(i)).otherwise(acc)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Materialized variant: one DataFrame per fraction, disjoint and
+    * jointly exhaustive over the input. */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[Double],
+      salt: String = ""
+  ): Seq[DataFrame] = {
+    val tagged = withSplitId(df, keyCol, fractions, salt)
+    fractions.indices.map(i => tagged.filter(col("split_id") === i).drop("split_id"))
+  }
+
+  private def cumulativeThresholds(fractions: Seq[Double]): Seq[Int] = {
+    require(fractions.nonEmpty && fractions.forall(_ > 0), s"bad fractions $fractions")
+    val thr = fractions.scanLeft(0.0)(_ + _).tail.map(f => math.round(f * Buckets).toInt)
+    require(math.abs(thr.last - Buckets) <= 1,
+      s"fractions must sum to 1, got ${fractions.sum}")
+    thr.init :+ Buckets // absorb rounding into the last split
+  }
+}

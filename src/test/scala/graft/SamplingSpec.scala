@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("splits are disjoint, exhaustive, and roughly proportional") {
+    val parts = Sampling.hashSplit(ids, "id", Seq(0.8, 0.1, 0.1), salt = "v1")
+    val counts = parts.map(_.count())
+    assert(counts.sum == 2000L)
+    assert(counts(0) > 1450 && counts(0) < 1750, s"train ${counts(0)}")
+    assert(counts(1) > 100 && counts(1) < 320, s"val ${counts(1)}")
+    // disjoint: no id in two splits
+    assert(parts(0).join(parts(1), "id").isEmpty)
+    assert(parts(1).join(parts(2), "id").isEmpty)
+  }
+
+  test("assignment is content-stable: repartitioning changes nothing") {
+    val a = Sampling.withSplitId(ids, "id", Seq(0.5, 0.5), salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Sampling.withSplitId(ids.repartition(7), "id", Seq(0.5, 0.5), salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("salt re-rolls the split; same salt pins it") {
+    val s1 = Sampling.withSplitId(ids, "id", Seq(0.5, 0.5), "a")
+      .filter($"split_id" === 0).select("id").collect().map(_.getLong(0)).toSet
+    val s1again = Sampling.withSplitId(ids, "id", Seq(0.5, 0.5), "a")
+      .filter($"split_id" === 0).select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.withSplitId(ids, "id", Seq(0.5, 0.5), "b")
+      .filter($"split_id" === 0).select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s1again)
+    assert(s1 != s2)
+  }
+
+  test("bad fractions are rejected") {
+    intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Seq(0.5, 0.3)))
+    intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Nil))
+    intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Seq(1.2, -0.2)))
+  }
+}
