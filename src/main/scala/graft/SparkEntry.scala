@@ -461,6 +461,19 @@ object SparkEntry {
         .orderBy("split_id")
     }),
 
+    // Extension — sequence packing: documents fill fixed token-budget
+    // context windows per source (offset-quantized cumsum — one window
+    // partitioned by source, never a global order). Per-bin occupancy is
+    // the packing-efficiency readout a training pipeline monitors.
+    "q48_pack_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.packBins(docs, "n_tokens", "doc_id", Seq("source"), budget = 2048)
+        .groupBy("source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("source", "bin_id")
+    }),
+
     // Extension — explicit skew-salted join: by construction the result
     // equals the plain equi-join (each skewed row matches exactly the one
     // replica carrying its salt), so the oracle is the plain SQL join.
@@ -654,6 +667,18 @@ object SparkEntry {
          SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM b GROUP BY 1 ORDER BY split_id""",
+
+    "q48_pack_bins" ->
+      """WITH t AS (SELECT source, doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens
+         FROM documents),
+         p AS (SELECT source, doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM t)
+         SELECT source, CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         FROM p GROUP BY source, bin_id ORDER BY source, bin_id""",
 
     "q46_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

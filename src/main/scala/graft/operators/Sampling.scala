@@ -65,4 +65,36 @@ object Sampling {
       s"fractions must sum to 1, got ${fractions.sum}")
     thr.init :+ Buckets // absorb rounding into the last split
   }
+
+  /** Sequence PACKING: assign each row to a fixed-budget bin (a training
+    * context window) by offset quantization — a row starts in the bin
+    * where its cumulative-size start offset lands (`floor(cum_before /
+    * budget)`). Deterministic given (partition key, order key); a bin may
+    * overrun by at most one row's tail, the standard streaming-packing
+    * trade (cap long rows upstream if hard budgets are needed).
+    *
+    * Scale shape: ONE window partitioned by `partitionCols` — per-group
+    * cumulative sums, never a global total order. An unpartitioned call
+    * would funnel everything through one task, so partition columns are
+    * required; a training corpus always has a natural one (source, shard,
+    * date).
+    */
+  def packBins(
+      df: DataFrame,
+      sizeCol: String,
+      orderCol: String,
+      partitionCols: Seq[String],
+      budget: Long,
+      binCol: String = "bin_id"
+  ): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "packBins needs partition columns — a global pack is a single-task bottleneck")
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L))
+    df.withColumn(binCol, floor(cumBefore / budget))
+  }
 }

@@ -46,4 +46,22 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Nil))
     intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Seq(1.2, -0.2)))
   }
+
+  test("packBins: offset-quantized packing per partition group") {
+    val docs = Seq(
+      // group a: sizes 60,60,60 with budget 100 -> offsets 0,60,120 -> bins 0,0,1
+      ("a", 1L, 60L), ("a", 2L, 60L), ("a", 3L, 60L),
+      // group b: a 250-size row spans bins alone -> offsets 0,250 -> bins 0,2
+      ("b", 1L, 250L), ("b", 2L, 10L)
+    ).toDF("src", "ord", "n")
+    val got = Sampling.packBins(docs, "n", "ord", Seq("src"), budget = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("b", 1L) -> 0L, ("b", 2L) -> 2L))
+    // deterministic under repartitioning
+    val re = Sampling.packBins(docs.repartition(5), "n", "ord", Seq("src"), 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(re == got)
+    intercept[IllegalArgumentException](Sampling.packBins(docs, "n", "ord", Nil, 100))
+  }
 }
