@@ -461,6 +461,45 @@ object SparkEntry {
         .orderBy("split_id")
     }),
 
+    // Extension — TF-IDF keyword extraction: top-3 terms per document by
+    // tf × ln(N/df), deterministic token tiebreak. The score stays
+    // internal (cross-engine ln is not bit-pinned); the emitted columns
+    // are the integers that define it, and the RANKING is oracle-checked.
+    "q49_tfidf_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count().toDouble // bounded scalar, same as q28's head()
+      val terms = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token").asc)
+      tf.join(dfreq, "token")
+        .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Extension — benchmark DECONTAMINATION: corpus docs sharing any
+    // 5-gram with the (planted-leak) benchmark slice, benchmark shingles
+    // broadcast. Pre-training hygiene; evidence = distinct shared grams.
+    "q50_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select("doc_id", "text")
+      val clean = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select("doc_id", "text")
+      val planted = bench.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("prefix words before the leaked benchmark text "),
+          col("text")).as("text"))
+      NearDup.contaminatedDocs(clean.unionByName(planted), bench,
+          "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // Extension — sequence packing: documents fill fixed token-budget
     // context windows per source (offset-quantized cumsum — one window
     // partitioned by source, never a global order). Per-bin occupancy is
@@ -667,6 +706,47 @@ object SparkEntry {
          SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM b GROUP BY 1 ORDER BY split_id""",
+
+    "q49_tfidf_terms" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         total AS (SELECT count(*) AS n FROM documents),
+         ranked AS (
+           SELECT doc_id, token, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf * ln(n / df) DESC, token ASC) AS rank
+           FROM tf JOIN dfreq USING (token) CROSS JOIN total)
+         SELECT doc_id, rank, token, tf, df FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q50_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 3000000,
+             'prefix words before the leaked benchmark text ' || text FROM bench),
+         cg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 3, 1)),
+             i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))) AS gram
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             FROM corpus)
+           WHERE len(t) >= 5),
+         bg AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 3, 1)),
+             i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))) AS gram
+           FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             FROM bench)
+           WHERE len(t) >= 5)
+         SELECT cg.doc_id, count(*) AS n_shared
+         FROM cg JOIN bg USING (gram)
+         GROUP BY cg.doc_id ORDER BY doc_id""",
 
     "q48_pack_bins" ->
       """WITH t AS (SELECT source, doc_id,

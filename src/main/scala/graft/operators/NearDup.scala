@@ -253,6 +253,38 @@ object NearDup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Benchmark DECONTAMINATION: corpus documents sharing at least one
+    * word n-gram with any benchmark/eval document, with the count of
+    * distinct shared n-grams as evidence. The standard pre-training
+    * hygiene step — eval text leaked into training data inflates scores,
+    * so matches are dropped (or audited) before training.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval suites are
+    * thousands of docs, the corpus is billions) — its distinct shingle
+    * set is broadcast, so the corpus side is a scan + hash-probe with NO
+    * shuffle of corpus text; only matching (id, shingle) pairs reach the
+    * count aggregation. String shingles here keep counts exact and
+    * engine-reproducible; swap in [[jaccardPairs]]' int64 ShingleHashes
+    * when benchmark sets reach memory limits.
+    */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("gram"))
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc already
+      .select(col("id").as(idCol), col("n_shared"))
+  }
+
   /** Tier 4 — transitive duplicate CLUSTERS from any pair list (the
     * output shape of [[jaccardPairs]]/[[minhashLshPairs]]/
     * [[simhashPairs]]/`Similarity.cosineDupPairs`): connected components

@@ -89,6 +89,18 @@ class NearDupSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("contaminatedDocs flags only docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean document with totally unrelated words here"),
+      (2L, "prefix junk alpha beta gamma delta epsilon tail"), // embeds one bench 5-gram
+      (3L, "alpha beta gamma unrelated delta epsilon zeta")    // shares words, no 5-gram run
+    ).toDF("doc_id", "text")
+    val got = NearDup.contaminatedDocs(corpus, bench, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L))
+  }
+
   private def clusters(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
     NearDup.dupClusters(edges.toDF("id_a", "id_b"), maxIter = maxIter)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
