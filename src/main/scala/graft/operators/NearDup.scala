@@ -262,21 +262,28 @@ object NearDup {
     * Scale shape: the benchmark side is SMALL by nature (eval suites are
     * thousands of docs, the corpus is billions) — its distinct shingle
     * set is broadcast, so the corpus side is a scan + hash-probe with NO
-    * shuffle of corpus text; only matching (id, shingle) pairs reach the
-    * count aggregation. String shingles here keep counts exact and
-    * engine-reproducible; swap in [[jaccardPairs]]' int64 ShingleHashes
-    * when benchmark sets reach memory limits.
+    * shuffle of corpus text; only matching (id, gram) pairs reach the
+    * count aggregation. Grams travel as int64 ShingleHashes (one codegen
+    * loop per row, 8-byte probes) — the same negligible-collision
+    * equivalence [[jaccardPairs]] uses; `exactStrings = true` switches to
+    * raw string grams for a byte-exact audit pass.
     */
   def contaminatedDocs(
       corpus: DataFrame,
       benchmark: DataFrame,
       textCol: String,
       idCol: String,
-      n: Int = 5
+      n: Int = 5,
+      exactStrings: Boolean = false
   ): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("gram"))
+    def grams(df: DataFrame) =
+      if (exactStrings)
+        df.select(col(idCol).as("id"),
+          explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("gram"))
+      else
+        df.select(col(idCol).as("id"),
+          explode(graft.plans.SketchFunctions.shingleHashes(
+            TextAnalysis.tokens(col(textCol)), n)).as("gram"))
     val benchGrams = grams(benchmark).select("gram").distinct()
     grams(corpus)
       .join(broadcast(benchGrams), "gram")
