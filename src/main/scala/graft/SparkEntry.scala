@@ -500,6 +500,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — PII scrub: spot and mask emails/IPv4 literals (planted
+    // into every 11th doc), reporting span counts and post-redaction
+    // length. RE2-safe patterns run identically in the DuckDB oracle.
+    "q51_pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact agent.k7@example.com or 10.42.7.19 now")).as("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select("doc_id", "text").unionByName(planted)
+      corpus.select(col("doc_id"),
+          TextAnalysis.countPii(col("text")).as("n_pii"),
+          length(TextAnalysis.redactPii(col("text"))).as("n_chars_redacted"))
+        .filter(col("n_pii") > 0)
+        .orderBy("doc_id")
+    }),
+
     // Extension — sequence packing: documents fill fixed token-budget
     // context windows per source (offset-quantized cumsum — one window
     // partitioned by source, never a global order). Per-bin occupancy is
@@ -706,6 +723,22 @@ object SparkEntry {
          SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM b GROUP BY 1 ORDER BY split_id""",
+
+    "q51_pii_redact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+           UNION ALL
+           SELECT doc_id, text || ' contact agent.k7@example.com or 10.42.7.19 now'
+           FROM documents WHERE doc_id % 11 = 0),
+         r AS (SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+           len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_pii,
+           length(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS n_chars_redacted
+         FROM corpus)
+         SELECT doc_id, n_pii, n_chars_redacted FROM r
+         WHERE n_pii > 0 ORDER BY doc_id""",
 
     "q49_tfidf_terms" ->
       """WITH terms AS (

@@ -137,6 +137,25 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** PII patterns — deliberately RE2-safe (no lookarounds, plain classes
+    * and word boundaries) so the exact same regex runs in Java, RE2, and
+    * the DuckDB oracle. Conservative by design: emails and IPv4 literals
+    * only — the two formats with near-zero false-positive rates in prose;
+    * anything fuzzier (phone numbers, names) needs corpus-specific rules
+    * and belongs upstream of this generic pass. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** Count of PII spans (emails + IPv4) in the text. */
+  def countPii(c: Column): Column =
+    regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(Ipv4Re))
+
+  /** Mask PII spans with stable placeholders — the curation-pipeline
+    * scrub step (training on raw emails/IPs is both a privacy and a
+    * memorization problem). Codegen regexp_replace, single pass each. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
   /** Word n-gram shingles ("w1 w2 .. wn" strings); the unit of Jaccard /
     * MinHash near-dup. Documents shorter than n yield an empty array. */
   def shingles(c: Column, n: Int): Column = {

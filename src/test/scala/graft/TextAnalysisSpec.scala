@@ -129,4 +129,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(empty.isEmpty)
   }
+
+  test("PII: emails and IPv4 spotted and masked, prose untouched") {
+    val df = Seq(
+      (1L, "write to a.b+tag@sub.example.org or ping 192.168.0.1 today"),
+      (2L, "no pii here, just version 4.1 and a date 2024-01-01"),
+      (3L, "two mails x@y.io z@w.co and addr 10.0.0.255")
+    ).toDF("id", "text")
+    val r = df.select($"id", TextAnalysis.countPii($"text").as("n"),
+        TextAnalysis.redactPii($"text").as("t"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getString(2))).toMap
+    assert(r(1) == (2, "write to <EMAIL> or ping <IP> today"))
+    assert(r(2) == (0, "no pii here, just version 4.1 and a date 2024-01-01"))
+    assert(r(3) == (3, "two mails <EMAIL> <EMAIL> and addr <IP>"))
+  }
 }
