@@ -476,7 +476,10 @@ object SparkEntry {
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("token").asc)
       tf.join(dfreq, "token")
-        .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
+        // round to 1e-9 before ranking: mathematically-equal scores from
+        // different (tf, df) pairs may differ by an ulp between Java's
+        // Math.log and DuckDB's libm — quantizing makes the order identical
+        .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 9))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "token", "tf", "df")
@@ -750,7 +753,7 @@ object SparkEntry {
          ranked AS (
            SELECT doc_id, token, tf, df,
              row_number() OVER (PARTITION BY doc_id
-               ORDER BY tf * ln(n / df) DESC, token ASC) AS rank
+               ORDER BY round(tf * ln(n / df), 9) DESC, token ASC) AS rank
            FROM tf JOIN dfreq USING (token) CROSS JOIN total)
          SELECT doc_id, rank, token, tf, df FROM ranked
          WHERE rank <= 3 ORDER BY doc_id, rank""",

@@ -22,10 +22,16 @@ object Sampling {
   val Buckets: Int = 10000
 
   /** The stable bucket in [0, Buckets) for a key. First 8 md5 hex chars →
-    * 32-bit int (fits a long far from overflow) → mod. */
-  def bucket(key: Column, salt: String = ""): Column =
-    pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+    * 32-bit int (fits a long far from overflow) → mod. A NULL key fails
+    * LOUDLY: md5(null) is null and every range test would silently fall
+    * through to the last split — a train/test leak shaped exactly like
+    * the bug this utility exists to prevent. */
+  def bucket(key: Column, salt: String = ""): Column = {
+    val b = pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long"), lit(Buckets.toLong))
+    when(key.isNull,
+      raise_error(lit("Sampling: split key must be non-null"))).otherwise(b)
+  }
 
   /** Append `splitCol` (0-based split index) without materializing
     * anything: a pure projection, usable in batch and streaming alike.

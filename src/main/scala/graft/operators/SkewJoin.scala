@@ -39,6 +39,8 @@ object SkewJoin {
     require(salts > 0, "salts must be positive")
     require(Supported(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports skewed-side-preserving joins only, got $joinType")
+    require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the inputs")
     // deterministic within a run; any per-row spread works — the salt only
     // balances partitions, it never affects the join result
     val s = skewed.withColumn("__salt",

@@ -41,6 +41,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(s1 != s2)
   }
 
+  test("null split keys fail loudly instead of leaking into the last split") {
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val ex = intercept[Exception] {
+      Sampling.withSplitId(withNull, "id", Seq(0.5, 0.5)).collect()
+    }
+    assert(ex.getMessage.contains("non-null") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-null")))
+  }
+
   test("bad fractions are rejected") {
     intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Seq(0.5, 0.3)))
     intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Nil))
