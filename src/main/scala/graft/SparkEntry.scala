@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.Coerce
 import graft.functions.TextAnalysis
-import graft.operators.{Multimodal, NearDup, Sampling, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Multimodal, NearDup, Sampling, Similarity, SkewJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -503,6 +503,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — AS-OF join: each purchase gets the user's most recent
+    // view at-or-before it ("state at event time"). Times compare as
+    // integer MICROSECONDS on both sides — the parquet carries
+    // TIMESTAMP(NANOS) which Spark truncates to µs, so the oracle
+    // (DuckDB's native ASOF LEFT JOIN) must quantize identically. Views
+    // pre-deduped per (user, µs) with a deterministic winner.
+    "q52_asof_join" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "us")
+        .agg(max("event_id").as("view_id"),
+          max_by(col("value"), col("event_id")).as("view_value"))
+      AsofJoin.asofJoin(p, v, Seq("user_id"), "us", Seq("view_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          expr("us DIV 1000").as("ts_ms"),
+          col("asof_view_id"), col("asof_view_value"))
+        .orderBy("event_id")
+    }),
+
     // Extension — PII scrub: spot and mask emails/IPv4 literals (planted
     // into every 11th doc), reporting span counts and post-redaction
     // length. RE2-safe patterns run identically in the DuckDB oracle.
@@ -726,6 +747,17 @@ object SparkEntry {
          SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM b GROUP BY 1 ORDER BY split_id""",
+
+    "q52_asof_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value FROM events),
+         p AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, us, max(event_id) AS view_id,
+                 max_by(value, event_id) AS view_value
+               FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.us // 1000 AS ts_ms,
+           v.view_id AS asof_view_id, v.view_value AS asof_view_value
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us
+         ORDER BY event_id""",
 
     "q51_pii_redact" ->
       """WITH corpus AS (

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single most recent right row with
+  * right time ≤ left time on the same key — "state at event time", the
+  * lookup Spark has no native operator for (DuckDB: ASOF JOIN, which is
+  * exactly what the q52 oracle uses).
+  *
+  * Spark-first shape: NOT a range join (a BNLJ with an inequality is
+  * O(|L|·|R|) and un-broadcastable at scale). Both sides are tagged and
+  * UNIONed, shuffled ONCE on the key, sorted within partitions by
+  * (time, side) with right rows first at equal times (≤ semantics), and
+  * the right payload — packed into ONE struct so all columns come from
+  * the SAME right row — is carried forward with last(ignoreNulls) over
+  * the running frame. Cost: one hash shuffle + one in-partition sort,
+  * independent of how many right rows precede each left row.
+  *
+  * Right rows should be unique per (key, time) — pre-aggregate with a
+  * deterministic winner (e.g. max_by) if not; among equal-time right
+  * rows the carried one is otherwise order-dependent.
+  */
+object AsofJoin {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_"
+  ): DataFrame = {
+    val reserved = Seq("__side", "__p", "__carry")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"asofJoin reserves columns $reserved")
+    val leftExtra = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == timeCol)
+
+    val rNorm = right.select(
+      keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
+        struct(payloadCols.map(col): _*).as("__p")) ++
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lNorm = left.select(
+      keyCols.map(col) ++ Seq(col(timeCol), lit(1).as("__side"),
+        lit(null).cast(rNorm.schema("__p").dataType).as("__p")) ++
+        leftExtra.map(col): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc) // right (0) before left at ties -> ≤
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lNorm.unionByName(rNorm)
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(keyCols.map(col) ++ Seq(col(timeCol)) ++ leftExtra.map(col) ++
+        payloadCols.map(p => col(s"__carry.$p").as(prefix + p)): _*)
+  }
+}
