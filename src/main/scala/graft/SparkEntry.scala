@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.Coerce
 import graft.functions.TextAnalysis
-import graft.operators.{AsofJoin, Multimodal, NearDup, Sampling, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Multimodal, NearDup, RangeJoin, Sampling, Similarity, SkewJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -524,6 +524,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Extension — binned RANGE join: purchases landing inside any
+    // high-severity incident's one-hour window. Intervals explode to
+    // covered hour-bins, the join is an equi-join on the bin, and exact
+    // containment filters after — never a cartesian. Oracle: the plain
+    // BETWEEN join (safe at DuckDB's scale, quadratic at ours).
+    "q53_range_join" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val hour = 3600000000L
+      val incidents = e.filter(col("event_type") === "error" && col("value") > 300)
+        .select(col("event_id").as("incident_id"), col("us").as("start_us"),
+          (col("us") + lit(hour)).as("end_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("us"))
+      RangeJoin.rangeJoin(purchases, "us", incidents, "start_us", "end_us", hour)
+        .select("event_id", "incident_id")
+        .orderBy("event_id", "incident_id")
+    }),
+
     // Extension — PII scrub: spot and mask emails/IPv4 literals (planted
     // into every 11th doc), reporting span counts and post-redaction
     // length. RE2-safe patterns run identically in the DuckDB oracle.
@@ -747,6 +765,15 @@ object SparkEntry {
          SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM b GROUP BY 1 ORDER BY split_id""",
+
+    "q53_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, event_type, value FROM events),
+         i AS (SELECT event_id AS incident_id, us AS start_us, us + 3600000000 AS end_us
+               FROM e WHERE event_type = 'error' AND value > 300),
+         p AS (SELECT event_id, us FROM e WHERE event_type = 'purchase')
+         SELECT p.event_id, i.incident_id
+         FROM p JOIN i ON p.us BETWEEN i.start_us AND i.end_us
+         ORDER BY event_id, incident_id""",
 
     "q52_asof_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value FROM events),
