@@ -108,6 +108,29 @@ class PropertySpec extends AnyFunSuite {
     assert(sums.getLong(2) == objs.map(_._3.toLong).sum)
   }
 
+  test("asofJoin matches a driver-side reference on random series") {
+    val gen = for {
+      key <- Gen.chooseNum(0, 5)
+      t <- Gen.chooseNum(0L, 50L)
+      v <- Gen.chooseNum(0L, 999L)
+    } yield (key.toLong, t, v)
+    // dedup right rows per (key, t) — the operator's documented contract
+    val rightRows = sample(gen, 60).groupBy(r => (r._1, r._2))
+      .map(_._2.maxBy(_._3)).toSeq
+    val leftRows = sample(gen, 80).map(r => (r._1, r._2, r._3)).distinct
+    val out = graft.operators.AsofJoin.asofJoin(
+        leftRows.toDF("k", "t", "payload"), rightRows.toDF("k", "t", "rv"),
+        Seq("k"), "t", Seq("rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    leftRows.foreach { case (k, t, p) =>
+      val expect = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(out((k, t, p)) == expect, s"key=$k t=$t")
+    }
+    assert(out.size == leftRows.size)
+  }
+
   test("dupClusters matches a driver-side union-find on random graphs") {
     // one distributed run over the union of several generated graphs,
     // disjoint id ranges so components can't bleed between cases
