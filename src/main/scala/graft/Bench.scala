@@ -15,8 +15,10 @@ object Bench {
     // bootstrap) of ~2-3 s that would otherwise be attributed to whichever
     // query happens to run first. Query-specific codegen still compiles
     // inside each query's own timing, which is fair.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+    } catch { case _: Throwable => () } // warm-up failure must not kill the harness
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -35,9 +35,17 @@ object AsofJoin {
     val reserved = Seq("__side", "__p", "__carry")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"asofJoin reserves columns $reserved")
+    val collisions = left.columns.toSet.intersect(payloadCols.map(prefix + _).toSet)
+    require(collisions.isEmpty,
+      s"asofJoin: output columns $collisions collide with left columns — change prefix")
     val leftExtra = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == timeCol)
 
-    val rNorm = right.select(
+    // null keys never match (equi-join / DuckDB ASOF semantics); without
+    // this filter Window.partitionBy would group null-key rows together
+    // and carry null-key right payloads into null-key left rows
+    val rightNN = keyCols.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+
+    val rNorm = rightNN.select(
       keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
         struct(payloadCols.map(col): _*).as("__p")) ++
         leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

@@ -32,12 +32,17 @@ object RangeJoin {
     require(binSize > 0, "binSize must be positive")
     require(!(points.columns ++ intervals.columns).contains("__bin"),
       "rangeJoin reserves the __bin column name")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin: points and intervals share column names $shared — rename one side")
     val p = points.withColumn("__bin", floor(col(tCol) / binSize))
     val nBins = floor(col(endCol) / binSize) - floor(col(startCol) / binSize) + 1
+    // nBins < 1 catches reversed/sentinel intervals, which would otherwise
+    // hit sequence()'s implicit step -1 and explode DESCENDING
     val i = intervals
       .withColumn("__bin", explode(
-        when(nBins > maxBinsPerInterval, raise_error(concat(
-          lit(s"rangeJoin: interval covers more than $maxBinsPerInterval bins: "),
+        when(nBins > maxBinsPerInterval || nBins < 1, raise_error(concat(
+          lit(s"rangeJoin: interval outside 1..$maxBinsPerInterval bins: "),
           col(startCol).cast("string"), lit(".."), col(endCol).cast("string"))))
         .otherwise(sequence(floor(col(startCol) / binSize), floor(col(endCol) / binSize)))))
     p.join(i, "__bin")

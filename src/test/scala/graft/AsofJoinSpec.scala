@@ -44,5 +44,19 @@ class AsofJoinSpec extends AnyFunSuite {
   test("reserved column names are rejected") {
     intercept[IllegalArgumentException](AsofJoin.asofJoin(
       trades.withColumn("__side", $"qty"), quotes, Seq("sym"), "t", Seq("px")))
+    // a left column that would collide with a prefixed output
+    intercept[IllegalArgumentException](AsofJoin.asofJoin(
+      trades.withColumn("asof_px", $"qty"), quotes, Seq("sym"), "t", Seq("px")))
+  }
+
+  test("null keys never match, matching equi-join / DuckDB ASOF semantics") {
+    val l = Seq((Option.empty[String], 10L, 1L), (Some("A"), 25L, 2L))
+      .toDF("sym", "t", "qty")
+    val r = Seq((Option.empty[String], 5L, 7.7), (Some("A"), 20L, 2.0))
+      .toDF("sym", "t", "px")
+    val out = AsofJoin.asofJoin(l, r, Seq("sym"), "t", Seq("px"))
+      .collect().map(x => x.getLong(2) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(2.0))) // null-key left row carries nothing
   }
 }

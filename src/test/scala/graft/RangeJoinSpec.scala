@@ -41,4 +41,19 @@ class RangeJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       RangeJoin.rangeJoin(points, "t", intervals, "s", "e", 0))
   }
+
+  test("reversed interval raises instead of exploding a descending sequence") {
+    val reversed = Seq((1L, 50L, 10L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.rangeJoin(points, "t", reversed, "s", "e", binSize = 10).count()
+    }
+    assert(ex.getMessage.contains("bins") ||
+      Option(ex.getCause).exists(_.getMessage.contains("bins")))
+  }
+
+  test("shared column names across sides are rejected up front") {
+    val clash = intervals.withColumnRenamed("iid", "pid")
+    intercept[IllegalArgumentException](
+      RangeJoin.rangeJoin(points, "t", clash, "s", "e", 10))
+  }
 }
