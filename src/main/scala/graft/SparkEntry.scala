@@ -542,6 +542,23 @@ object SparkEntry {
         .orderBy("event_id", "incident_id")
     }),
 
+    // Extension — per-source token-length quantiles (p50/p90/p99), the
+    // length-distribution readout a curation pipeline tracks per shard.
+    // Exact `percentile` (not approx_percentile): both engines use the
+    // same linear interpolation on the sorted values, so the doubles are
+    // bit-identical and the oracle is hash-exact. The exact aggregate
+    // sorts per (source) group — bounded by the largest single group, the
+    // documented trade vs approx_percentile's mergeable sketch at scale.
+    "q54_length_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("double").as("x"))
+        .groupBy("source")
+        .agg(percentile(col("x"), lit(0.5)).as("p50"),
+          percentile(col("x"), lit(0.9)).as("p90"),
+          percentile(col("x"), lit(0.99)).as("p99"))
+        .orderBy("source")
+    }),
+
     // Extension — PII scrub: spot and mask emails/IPv4 literals (planted
     // into every 11th doc), reporting span counts and post-redaction
     // length. RE2-safe patterns run identically in the DuckDB oracle.
@@ -765,6 +782,15 @@ object SparkEntry {
          SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM b GROUP BY 1 ORDER BY split_id""",
+
+    "q54_length_quantiles" ->
+      """SELECT source,
+         quantile_cont(x, 0.5) AS p50, quantile_cont(x, 0.9) AS p90,
+         quantile_cont(x, 0.99) AS p99
+         FROM (SELECT source,
+           CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS DOUBLE) AS x
+           FROM documents)
+         GROUP BY source ORDER BY source""",
 
     "q53_range_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us, event_type, value FROM events),
