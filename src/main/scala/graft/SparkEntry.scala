@@ -422,8 +422,11 @@ object SparkEntry {
       val queries = e.filter(pmod(col("vec_id"), lit(10)) === 0)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       Similarity.annJoin(queries, e, "embedding", "vec_id", k = 3, lsh)
+        // the rank-1 neighbor must score ~1.0 (the query's own base copy —
+        // or an exact-duplicate vector, equally valid ground truth that a
+        // stricter id equality would wrongly fail on)
         .withColumn("self_hit",
-          col("rank") =!= 1 || col("base_id") === col("query_id") - 10000000L)
+          col("rank") =!= 1 || col("score") >= lit(1.0) - lit(1e-9))
         .orderBy("query_id", "rank")
     }),
 

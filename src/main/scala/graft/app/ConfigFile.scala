@@ -194,10 +194,12 @@ object MiniYaml {
         items += parseBlock(children)
       } else splitKey(inline) match {
         case Some((k, v)) =>
-          // `- key: value` — a mapping whose first entry sits on the dash line.
-          // Re-materialize it as a child line at the children's indentation.
-          val childIndent = if (children.nonEmpty) children.head.indent else base + 2
-          items += parseMap(Line(childIndent, inline) +: children, childIndent)
+          // `- key: value` — a mapping whose first entry sits on the dash
+          // line. Re-materialize it at its TRUE column (dash indent + 2):
+          // continuation keys at that column are siblings, deeper lines
+          // nest under the preceding key (so `- opts:` + indented block
+          // parses as a nested mapping, not flattened siblings).
+          items += parseMap(Line(base + 2, inline) +: children, base + 2)
         case None =>
           if (children.nonEmpty)
             throw new IllegalArgumentException(s"scalar list item '$inline' cannot have children")

@@ -43,13 +43,20 @@ object AsofJoin {
     // null keys never match (equi-join / DuckDB ASOF semantics); without
     // this filter Window.partitionBy would group null-key rows together
     // and carry null-key right payloads into null-key left rows
-    val rightNN = keyCols.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val rightNN = right.filter(!anyKeyNull)
+    // null-key LEFT rows are kept (left-join semantics: null payload) but
+    // routed AROUND the union/window — hashed together they would all
+    // land in one window partition, a straggler task at scale, to match
+    // nothing anyway
+    val leftNN = left.filter(!anyKeyNull)
+    val leftNullKeyed = left.filter(anyKeyNull)
 
     val rNorm = rightNN.select(
       keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
         struct(payloadCols.map(col): _*).as("__p")) ++
         leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val lNorm = left.select(
+    val lNorm = leftNN.select(
       keyCols.map(col) ++ Seq(col(timeCol), lit(1).as("__side"),
         lit(null).cast(rNorm.schema("__p").dataType).as("__p")) ++
         leftExtra.map(col): _*)
@@ -58,10 +65,15 @@ object AsofJoin {
       .orderBy(col(timeCol).asc, col("__side").asc) // right (0) before left at ties -> ≤
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lNorm.unionByName(rNorm)
+    val outCols = keyCols.map(col) ++ Seq(col(timeCol)) ++ leftExtra.map(col)
+    val joined = lNorm.unionByName(rNorm)
       .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(keyCols.map(col) ++ Seq(col(timeCol)) ++ leftExtra.map(col) ++
-        payloadCols.map(p => col(s"__carry.$p").as(prefix + p)): _*)
+      .select(outCols ++ payloadCols.map(p => col(s"__carry.$p").as(prefix + p)): _*)
+    val pStruct = rNorm.schema("__p").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val bypassed = leftNullKeyed.select(outCols ++ payloadCols.map(p =>
+      lit(null).cast(pStruct(p).dataType).as(prefix + p)): _*)
+    joined.unionByName(bypassed)
   }
 }

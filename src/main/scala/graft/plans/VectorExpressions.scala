@@ -167,21 +167,27 @@ object VectorFunctions {
   def norm(a: Column): Column =
     ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
 
-  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot"     -> { es => DotProduct(es(0), es(1)) },
-    "graft_cosine"  -> { es => CosineSimilarity(es(0), es(1)) },
-    "graft_norm"    -> { es => L2Norm(es.head) },
-    "graft_minhash" -> { es =>
-      MinHashSignature(es(0), es(1).eval().asInstanceOf[Number].intValue) },
-    "graft_simhash" -> { es => SimHash64(es.head) },
-    "graft_shingle_hashes" -> { es =>
-      ShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue) }
+  /** (name, implementing expression class, builder) — one source of truth
+    * for both registration surfaces. */
+  private[plans] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct].getName,
+      es => DotProduct(es(0), es(1))),
+    ("graft_cosine", classOf[CosineSimilarity].getName,
+      es => CosineSimilarity(es(0), es(1))),
+    ("graft_norm", classOf[L2Norm].getName,
+      es => L2Norm(es.head)),
+    ("graft_minhash", classOf[MinHashSignature].getName,
+      es => MinHashSignature(es(0), es(1).eval().asInstanceOf[Number].intValue)),
+    ("graft_simhash", classOf[SimHash64].getName,
+      es => SimHash64(es.head)),
+    ("graft_shingle_hashes", classOf[ShingleHashes].getName,
+      es => ShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue))
   )
 
   /** Session-scoped SQL registration: `SELECT graft_cosine(a.embedding,
     * b.embedding) FROM ...`. */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) =>
+    builders.foreach { case (name, _, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
@@ -193,10 +199,10 @@ object VectorFunctions {
   * into every session derived from the builder. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    VectorFunctions.builders.foreach { case (name, b) =>
+    VectorFunctions.builders.foreach { case (name, className, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.plans", name),
+        new ExpressionInfo(className, name),
         b))
     }
 }

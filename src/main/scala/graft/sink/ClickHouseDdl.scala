@@ -205,11 +205,13 @@ class ClickHouseWarehouse(
     }
 
   /** ClickHouse UNKNOWN_TABLE is server error code 60; message shapes vary
-    * by driver version ("UNKNOWN_TABLE", "Table x.y does not exist"). */
+    * by driver version ("UNKNOWN_TABLE", "Table x.y doesn't exist"). The
+    * message match requires the "Table" prefix so UNKNOWN_DATABASE (81) /
+    * auth errors — whose messages also say "doesn't exist" — propagate. */
   private def isUnknownTable(e: SQLException): Boolean = {
     val msg = Option(e.getMessage).getOrElse("")
     e.getErrorCode == 60 || msg.contains("UNKNOWN_TABLE") ||
-      msg.contains("doesn't exist") || msg.contains("does not exist")
+      "Table .{0,200}(doesn't|does not) exist".r.findFirstIn(msg).isDefined
   }
 
   /** Users upsert, ClickHouse-style: dedupe the batch to per-user winners

@@ -81,10 +81,20 @@ final class TableCatalog(val root: String) {
     val out = fs.create(tmp, true)
     try out.write(s.json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val fc =
-      try FileContext.getFileContext(new Path(root).toUri, conf)
-      catch { case _: Exception => FileContext.getFileContext(conf) }
-    fc.rename(tmp, schemaFile(db, t), Options.Rename.OVERWRITE)
+    // FileContext gives atomic rename-with-overwrite, but a scheme can
+    // have a FileSystem impl without an AbstractFileSystem binding
+    // (UnsupportedFileSystemException) — fall back to delete+rename on
+    // the ALREADY-RESOLVED fs, never to the default FileContext, which
+    // would target the wrong filesystem with a confusing error.
+    try {
+      val fc = FileContext.getFileContext(new Path(root).toUri, conf)
+      fc.rename(tmp, schemaFile(db, t), Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(schemaFile(db, t), false)
+        if (!fs.rename(tmp, schemaFile(db, t)))
+          throw new java.io.IOException(s"could not move $tmp into place")
+    }
     ()
   }
 

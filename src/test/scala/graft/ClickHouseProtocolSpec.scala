@@ -219,4 +219,20 @@ class ClickHouseProtocolSpec extends AnyFunSuite {
     assert(create.contains("ORDER BY (`message_id`, `table_name`, `column_name`)"))
     assert(st.exists(_.startsWith("INSERT INTO `seg_app`.`misfits` VALUES")))
   }
+
+  test("describe maps ONLY unknown-table errors to None; others propagate") {
+    def whThrowing(msg: String, code: Int) =
+      new graft.sink.ClickHouseWarehouse("jdbc:clickhouse://fake:8123/") {
+        override protected def connect(): Connection = throw new SQLException(msg, null, code)
+      }
+    // UNKNOWN_TABLE by code or by message shape -> None (create it)
+    assert(whThrowing("UNKNOWN_TABLE seg.t", 0).describe("seg", "t").isEmpty)
+    assert(whThrowing("Code: 60. Table seg.t doesn't exist", 60).describe("seg", "t").isEmpty)
+    // unknown DATABASE / auth failures must NOT be swallowed
+    intercept[SQLException](
+      whThrowing("Code: 81. Database seg doesn't exist", 81).describe("seg", "t"))
+    intercept[SQLException](
+      whThrowing("Authentication failed: user default does not exist thing", 516)
+        .describe("seg", "t"))
+  }
 }

@@ -88,6 +88,23 @@ class ConfigFileSpec extends AnyFunSuite {
     assert(c.extraTimestamps == Map("t_ny" -> "America/New_York"))
   }
 
+  test("nested mapping under a list item nests instead of flattening") {
+    val n = MiniYaml.parse(
+      """servers:
+        |  - name: a
+        |    opts:
+        |      retries: 3
+        |      mode: fast
+        |  - name: b
+        |""".stripMargin).asInstanceOf[MiniYaml.YMap]
+    val items = n.entries("servers").asInstanceOf[MiniYaml.YSeq].items
+    val first = items.head.asInstanceOf[MiniYaml.YMap].entries
+    assert(first("name") == MiniYaml.YStr("a"))
+    assert(first("opts") == MiniYaml.YMap(scala.collection.immutable.ListMap(
+      "retries" -> MiniYaml.YStr("3"), "mode" -> MiniYaml.YStr("fast"))))
+    assert(items(1).asInstanceOf[MiniYaml.YMap].entries("name") == MiniYaml.YStr("b"))
+  }
+
   test("quoting, comments, and empty values") {
     val n = MiniYaml.parse(
       "a: \"x # not a comment\"  # real comment\nb: 'it''s'\nc:\n").asInstanceOf[MiniYaml.YMap]
