@@ -131,6 +131,24 @@ class PropertySpec extends AnyFunSuite {
     assert(out.size == leftRows.size)
   }
 
+  test("rangeJoin matches a driver-side containment scan on random data") {
+    val pts = sample(for {
+      id <- Gen.chooseNum(0L, 10000L); t <- Gen.chooseNum(0L, 500L)
+    } yield (id, t), 60).distinct
+    val ivs = sample(for {
+      id <- Gen.chooseNum(0L, 10000L); s0 <- Gen.chooseNum(0L, 480L)
+      len <- Gen.chooseNum(0L, 120L)
+    } yield (id, s0, s0 + len), 40).distinct
+    val got = graft.operators.RangeJoin.rangeJoin(
+        pts.toDF("pid", "t"), "t", ivs.toDF("iid", "s", "e"), "s", "e", binSize = 37)
+      .select("pid", "t", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      (pid, t) <- pts; (iid, s, e) <- ivs if s <= t && t <= e
+    } yield (pid, t, iid)).toSet
+    assert(got == expected)
+  }
+
   test("dupClusters matches a driver-side union-find on random graphs") {
     // one distributed run over the union of several generated graphs,
     // disjoint id ranges so components can't bleed between cases
