@@ -71,4 +71,38 @@ class StreamingSpec extends AnyFunSuite {
     val ids = spark.read.parquet(out.toString).collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L)) // junk fails quality, Spanish fails lang-id
   }
+
+  test("streaming content-dedup: canonical fingerprint + watermark state") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.functions.TextAnalysis
+
+    val src = Files.createTempDirectory("graft_stream_dedup")
+    val out = Files.createTempDirectory("graft_stream_dedup_out")
+    val ckp = Files.createTempDirectory("graft_stream_dedup_ckp")
+    Files.write(src.resolve("d.json"), Seq(
+      """{"doc_id":1,"at":"2024-01-01T00:00:01Z","text":"alpha beta gamma"}""",
+      """{"doc_id":2,"at":"2024-01-01T00:00:02Z","text":"  Alpha   BETA gamma "}""", // canonical dup of 1
+      """{"doc_id":3,"at":"2024-01-01T00:00:03Z","text":"something else entirely"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    // the batch near-dup family's exact tier, streaming: per-content
+    // fingerprint dedup with bounded state (watermark), no code changes
+    // to the fingerprint expression
+    val q = spark.readStream.schema(schema).json(src.toString)
+      .select(col("doc_id"), to_timestamp(col("at")).as("at"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("fp"))
+      .withWatermark("at", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val ids = spark.read.parquet(out.toString).collect().map(_.getLong(0)).toSet
+    assert(ids.size == 2 && ids.contains(3L)) // one of the dup pair + the distinct doc
+  }
 }
