@@ -348,9 +348,16 @@ object SparkEntry {
     // deterministic, rows-only).
     "q32_media_features" -> ((s, dir) => {
       val items = Multimodal.fixtureFromDocuments(s, t(s, dir, "documents"))
+      // rows-only (stub codec values aren't SQL-reproducible), so the
+      // output SELF-VERIFIES the plumbing contract instead: every row
+      // must carry a full-dimension, bounded feature vector (shape_ok)
       Multimodal.extractFeatures(items).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          element_at(col("feature"), 1).as("f0"))
+          element_at(col("feature"), 1).as("f0"),
+          // the stub codec emits ((h % 2000003)/1000001.5) - 1 with Java's
+          // sign-preserving %, so values span (-3, 1)
+          (size(col("feature")) === Multimodal.FeatureDim &&
+            element_at(col("feature"), 1).between(-3.0, 1.0)).as("shape_ok"))
         .orderBy("media_id")
     }),
 
