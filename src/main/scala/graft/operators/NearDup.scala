@@ -334,20 +334,24 @@ object NearDup {
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
+    val labelType = labels.schema("label").dataType
     var iter = 0
     var changed = 1L
     while (changed > 0) {
       if (iter >= maxIter) throw new IllegalStateException(
         s"dupClusters did not converge in $maxIter rounds (component diameter exceeds the bound)")
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy("src").agg(min(col("nl")).as("nmin"))
-        .select(col("src").as("id"), col("nmin"))
-      // least() skips nulls, so isolated rounds (no smaller neighbor) keep
-      // the current label
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), col("nmin")).as("label"))
+      // message formulation — ONE join + ONE aggregation per round (no
+      // second join to re-attach old labels): each node receives its own
+      // label (self message, which also smuggles `prev` through for the
+      // convergence count — max ignores the neighbor messages' nulls) and
+      // every neighbor's label; the new label is the min.
+      val selfMsg = labels.select(col("id"), col("label"), col("label").as("prev"))
+      val nbrMsg = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+      val next = selfMsg.unionByName(nbrMsg)
+        .groupBy("id").agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.drop("prev")
