@@ -552,6 +552,32 @@ object SparkEntry {
         .orderBy("event_id", "incident_id")
     }),
 
+    // Extension — the COMPOSED curation pipeline a training run actually
+    // executes, end to end in one query: quality+language gate (q43's
+    // proven signals) → exact dedup by canonical fingerprint (q20/q38's)
+    // → deterministic 90/10 train split (q47's md5 buckets) → packing
+    // into 2048-token windows per source (q48's offset quantization).
+    // The oracle chains the same four proven SQL formulations.
+    "q55_curation_pipeline" -> ((s, dir) => {
+      val stats = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.textStats(col("text")).as("st"))
+        .localCheckpoint(true)
+      val kept = stats.filter(TextAnalysis.qualityOkFromStats(col("st")) &&
+          TextAnalysis.langIdFromStats(col("st")) === "en")
+        .select(col("doc_id"), col("source"),
+          col("st.n_tokens").cast("long").as("n_tokens"),
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp"))
+      val deduped = graft.etl.Dedup.dedupDeterministic(
+        kept, Seq("fp"), Seq(col("doc_id").asc))
+      val train = Sampling.withSplitId(deduped, "doc_id", Seq(0.9, 0.1), salt = "cur1")
+        .filter(col("split_id") === 0)
+      Sampling.packBins(train, "n_tokens", "doc_id", Seq("source"), budget = 2048)
+        .groupBy("source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("source", "bin_id")
+    }),
+
     // Extension — per-source token-length quantiles (p50/p90/p99), the
     // length-distribution readout a curation pipeline tracks per shard.
     // Exact `percentile` (not approx_percentile): both engines use the
@@ -792,6 +818,37 @@ object SparkEntry {
          SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM b GROUP BY 1 ORDER BY split_id""",
+
+    "q55_curation_pipeline" ->
+      """WITH s AS (SELECT doc_id, source,
+           length(text) AS n_chars,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+         FROM documents),
+         g AS (SELECT doc_id, source, t,
+           (len(t) BETWEEN 5 AND 100000) AND len(list_distinct(t)) * 5 >= len(t)
+             AND n_punct * 10 <= n_chars * 3 AS ok,
+           len(list_filter(t, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS s_en,
+           len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
+           len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+           len(list_filter(t, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
+         FROM s),
+         kept AS (SELECT doc_id, source, len(t) AS n_tokens,
+           md5(array_to_string(t, ' ')) AS fp
+         FROM g WHERE ok AND greatest(s_en, s_es, s_de, s_fr) > 0
+           AND s_en >= greatest(s_es, s_de, s_fr)),
+         dd AS (SELECT * FROM (SELECT *,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+           WHERE rn = 1),
+         train AS (SELECT source, doc_id, n_tokens FROM dd
+           WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'cur1'), 1, 8))::BIGINT % 10000) < 9000),
+         p AS (SELECT source, doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM train)
+         SELECT source, CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         FROM p GROUP BY source, bin_id ORDER BY source, bin_id""",
 
     "q54_length_quantiles" ->
       """SELECT source,
