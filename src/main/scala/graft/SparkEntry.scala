@@ -559,15 +559,17 @@ object SparkEntry {
     // into 2048-token windows per source (q48's offset quantization).
     // The oracle chains the same four proven SQL formulations.
     "q55_curation_pipeline" -> ((s, dir) => {
+      // fp is computed BEFORE the checkpoint so the materialized frame
+      // carries only (ids, stats, 16-byte fp) — never the document text
       val stats = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"),
-          TextAnalysis.textStats(col("text")).as("st"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.textStats(col("text")).as("st"),
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp"))
         .localCheckpoint(true)
       val kept = stats.filter(TextAnalysis.qualityOkFromStats(col("st")) &&
           TextAnalysis.langIdFromStats(col("st")) === "en")
         .select(col("doc_id"), col("source"),
-          col("st.n_tokens").cast("long").as("n_tokens"),
-          TextAnalysis.canonicalFingerprint(col("text")).as("fp"))
+          col("st.n_tokens").cast("long").as("n_tokens"), col("fp"))
       val deduped = graft.etl.Dedup.dedupDeterministic(
         kept, Seq("fp"), Seq(col("doc_id").asc))
       val train = Sampling.withSplitId(deduped, "doc_id", Seq(0.9, 0.1), salt = "cur1")
@@ -805,22 +807,12 @@ object SparkEntry {
     * (LSH-recall-dependent join). Each of those emits self-verifying
     * columns instead (exact jaccard/hamming, exact_rank, order_sensitive,
     * self_hit). */
-  def oracleSql: Map[String, String] = Map(
-
-    "q29_ann_topk" -> q29Oracle,
-    "q30_cosine_dups" -> q30Oracle,
-
-    "q47_hash_split" ->
-      """WITH b AS (SELECT doc_id,
-           (('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT % 10000) AS bucket,
-           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens
-         FROM documents)
-         SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
-           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-         FROM b GROUP BY 1 ORDER BY split_id""",
-
-    "q55_curation_pipeline" ->
-      """WITH s AS (SELECT doc_id, source,
+  /** Shared DuckDB CTE text — ONE source for the formulations that
+    * appear in multiple oracles, so a threshold/word-list edit cannot
+    * silently diverge one copy (q43/q55 gate; q47/q55 bucket; q48/q55
+    * packing). */
+  private val DuckGateCtes =
+    """s AS (SELECT doc_id, source,
            length(text) AS n_chars,
            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t,
            length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
@@ -832,23 +824,50 @@ object SparkEntry {
            len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
            len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
            len(list_filter(t, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
-         FROM s),
+         FROM s)"""
+
+  private val DuckEnglishKeep =
+    "ok AND greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en >= greatest(s_es, s_de, s_fr)"
+
+  private def duckBucket(salt: String): String =
+    s"(('0x' || substr(md5(doc_id::VARCHAR || '$salt'), 1, 8))::BIGINT % 10000)"
+
+  /** Packing cumsum + per-bin aggregation over a `(source, doc_id,
+    * n_tokens)` CTE named `from`. */
+  private def duckPackTail(from: String): String =
+    s"""p AS (SELECT source, doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM $from)
+         SELECT source, CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         FROM p GROUP BY source, bin_id ORDER BY source, bin_id"""
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q29_ann_topk" -> q29Oracle,
+    "q30_cosine_dups" -> q30Oracle,
+
+    "q47_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+           ${duckBucket("v1")} AS bucket,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS n_tokens
+         FROM documents)
+         SELECT CASE WHEN bucket < 8000 THEN 0 WHEN bucket < 9000 THEN 1 ELSE 2 END AS split_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM b GROUP BY 1 ORDER BY split_id""",
+
+    "q55_curation_pipeline" ->
+      s"""WITH $DuckGateCtes,
          kept AS (SELECT doc_id, source, len(t) AS n_tokens,
            md5(array_to_string(t, ' ')) AS fp
-         FROM g WHERE ok AND greatest(s_en, s_es, s_de, s_fr) > 0
-           AND s_en >= greatest(s_es, s_de, s_fr)),
+         FROM g WHERE $DuckEnglishKeep),
          dd AS (SELECT * FROM (SELECT *,
              row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
            WHERE rn = 1),
          train AS (SELECT source, doc_id, n_tokens FROM dd
-           WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'cur1'), 1, 8))::BIGINT % 10000) < 9000),
-         p AS (SELECT source, doc_id, n_tokens,
-           COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         FROM train)
-         SELECT source, CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
-           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-         FROM p GROUP BY source, bin_id ORDER BY source, bin_id""",
+           WHERE ${duckBucket("cur1")} < 9000),
+         ${duckPackTail("train")}""",
 
     "q54_length_quantiles" ->
       """SELECT source,
@@ -937,16 +956,10 @@ object SparkEntry {
          GROUP BY cg.doc_id ORDER BY doc_id""",
 
     "q48_pack_bins" ->
-      """WITH t AS (SELECT source, doc_id,
-           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens
+      s"""WITH t AS (SELECT source, doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS n_tokens
          FROM documents),
-         p AS (SELECT source, doc_id, n_tokens,
-           COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         FROM t)
-         SELECT source, CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
-           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-         FROM p GROUP BY source, bin_id ORDER BY source, bin_id""",
+         ${duckPackTail("t")}""",
 
     "q46_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
@@ -1187,22 +1200,9 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY fp""",
 
     "q43_corpus_filter" ->
-      """WITH s AS (SELECT doc_id, source,
-           length(text) AS n_chars,
-           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t,
-           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
-         FROM documents),
-         g AS (SELECT doc_id, source,
-           (len(t) BETWEEN 5 AND 100000) AND len(list_distinct(t)) * 5 >= len(t)
-             AND n_punct * 10 <= n_chars * 3 AS ok,
-           len(list_filter(t, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS s_en,
-           len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
-           len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
-           len(list_filter(t, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
-         FROM s)
+      s"""WITH $DuckGateCtes
          SELECT doc_id, source FROM g
-         WHERE ok AND greatest(s_en, s_es, s_de, s_fr) > 0
-           AND s_en >= greatest(s_es, s_de, s_fr)
+         WHERE $DuckEnglishKeep
          ORDER BY doc_id""",
 
     "q45_dup_clusters" ->

@@ -135,18 +135,24 @@ class PropertySpec extends AnyFunSuite {
     val pts = sample(for {
       id <- Gen.chooseNum(0L, 10000L); t <- Gen.chooseNum(0L, 500L)
     } yield (id, t), 60).distinct
+    // interval ids made unique by index: two intervals sharing an id but
+    // not a range would legitimately emit identical projected rows and
+    // fool the duplicate check below
     val ivs = sample(for {
-      id <- Gen.chooseNum(0L, 10000L); s0 <- Gen.chooseNum(0L, 480L)
-      len <- Gen.chooseNum(0L, 120L)
-    } yield (id, s0, s0 + len), 40).distinct
-    val got = graft.operators.RangeJoin.rangeJoin(
+      s0 <- Gen.chooseNum(0L, 480L); len <- Gen.chooseNum(0L, 120L)
+    } yield (s0, s0 + len), 40).zipWithIndex
+      .map { case ((s0, e0), i) => (i.toLong, s0, e0) }
+    val gotRows = graft.operators.RangeJoin.rangeJoin(
         pts.toDF("pid", "t"), "t", ivs.toDF("iid", "s", "e"), "s", "e", binSize = 37)
       .select("pid", "t", "iid").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // a pair meets in exactly ONE bin — duplicate emission is a bug the
+    // set comparison alone would mask
+    assert(gotRows.length == gotRows.distinct.length)
     val expected = (for {
       (pid, t) <- pts; (iid, s, e) <- ivs if s <= t && t <= e
     } yield (pid, t, iid)).toSet
-    assert(got == expected)
+    assert(gotRows.toSet == expected)
   }
 
   test("dupClusters matches a driver-side union-find on random graphs") {
