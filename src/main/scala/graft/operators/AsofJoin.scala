@@ -40,17 +40,21 @@ object AsofJoin {
       s"asofJoin: output columns $collisions collide with left columns — change prefix")
     val leftExtra = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == timeCol)
 
-    // null keys never match (equi-join / DuckDB ASOF semantics); without
-    // this filter Window.partitionBy would group null-key rows together
-    // and carry null-key right payloads into null-key left rows
+    // null keys and null times never match (equi-join / DuckDB ASOF
+    // semantics: a NULL right time is ≤ nothing). Without these filters
+    // the window's ascending sort puts null-time right rows FIRST, so
+    // their payload would be carried into every left row until a real
+    // right row overwrote it.
     val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
-    val rightNN = right.filter(!anyKeyNull)
-    // null-key LEFT rows are kept (left-join semantics: null payload) but
-    // routed AROUND the union/window — hashed together they would all
-    // land in one window partition, a straggler task at scale, to match
+    val rightNN = right.filter(!anyKeyNull && col(timeCol).isNotNull)
+    // null-key and null-time LEFT rows are kept (left-join semantics:
+    // null payload) but routed AROUND the union/window — a null left time
+    // matches no right row, and null keys hashed together would all land
+    // in one window partition, a straggler task at scale, to match
     // nothing anyway
-    val leftNN = left.filter(!anyKeyNull)
-    val leftNullKeyed = left.filter(anyKeyNull)
+    val bypassLeft = anyKeyNull || col(timeCol).isNull
+    val leftNN = left.filter(!bypassLeft)
+    val leftNullKeyed = left.filter(bypassLeft)
 
     val rNorm = rightNN.select(
       keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),

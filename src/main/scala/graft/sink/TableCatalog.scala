@@ -48,6 +48,9 @@ final class TableCatalog(val root: String) {
   def databasePath(db: String): String         = s"$root/$db"
   def tablePath(db: String, t: String): String = s"$root/$db/$t"
   private def schemaFile(db: String, t: String) = new Path(s"${tablePath(db, t)}/_schema.json")
+  // the non-atomic fallback swap (below) parks the old schema here so the
+  // authoritative schema is never absent-with-no-trace mid-swap
+  private def backupFile(db: String, t: String) = new Path(s"${tablePath(db, t)}/._schema.json.bak")
 
   /** O-26: CREATE DATABASE IF NOT EXISTS. */
   def createDatabase(db: String): Unit = {
@@ -55,21 +58,27 @@ final class TableCatalog(val root: String) {
     ()
   }
 
-  def tableExists(db: String, t: String): Boolean = fs.exists(schemaFile(db, t))
+  def tableExists(db: String, t: String): Boolean =
+    fs.exists(schemaFile(db, t)) || fs.exists(backupFile(db, t))
 
-  /** O-29: DESCRIBE TABLE — the authoritative schema, or None. */
-  def describe(db: String, t: String): Option[StructType] =
-    if (!tableExists(db, t)) None
-    else {
-      val in = fs.open(schemaFile(db, t))
+  /** O-29: DESCRIBE TABLE — the authoritative schema, or None. A reader
+    * that races the fallback swap (schema file momentarily absent between
+    * the two renames) falls back to the parked backup, so it never
+    * observes a created table as nonexistent. */
+  def describe(db: String, t: String): Option[StructType] = {
+    def readFile(p: Path): Option[StructType] =
       try {
-        val r  = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-        val sb = new StringBuilder
-        var line = r.readLine()
-        while (line != null) { sb.append(line); line = r.readLine() }
-        Some(DataType.fromJson(sb.toString).asInstanceOf[StructType])
-      } finally in.close()
-    }
+        val in = fs.open(p)
+        try {
+          val r  = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+          val sb = new StringBuilder
+          var line = r.readLine()
+          while (line != null) { sb.append(line); line = r.readLine() }
+          Some(DataType.fromJson(sb.toString).asInstanceOf[StructType])
+        } finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    readFile(schemaFile(db, t)).orElse(readFile(backupFile(db, t)))
+  }
 
   private def writeSchema(db: String, t: String, s: StructType): Unit = {
     val dir = new Path(tablePath(db, t))
@@ -83,17 +92,27 @@ final class TableCatalog(val root: String) {
     finally out.close()
     // FileContext gives atomic rename-with-overwrite, but a scheme can
     // have a FileSystem impl without an AbstractFileSystem binding
-    // (UnsupportedFileSystemException) — fall back to delete+rename on
+    // (UnsupportedFileSystemException) — fall back to a two-rename swap on
     // the ALREADY-RESOLVED fs, never to the default FileContext, which
-    // would target the wrong filesystem with a confusing error.
+    // would target the wrong filesystem with a confusing error. The swap
+    // parks the current schema as a backup first (not delete-then-rename):
+    // the old schema survives a writer crash mid-swap, and describe()
+    // reads the backup during the window where the main file is absent.
     try {
       val fc = FileContext.getFileContext(new Path(root).toUri, conf)
       fc.rename(tmp, schemaFile(db, t), Options.Rename.OVERWRITE)
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fs.delete(schemaFile(db, t), false)
-        if (!fs.rename(tmp, schemaFile(db, t)))
+        val dst = schemaFile(db, t)
+        val bak = backupFile(db, t)
+        if (fs.exists(dst)) {
+          fs.delete(bak, false)
+          if (!fs.rename(dst, bak))
+            throw new java.io.IOException(s"could not park $dst as $bak")
+        }
+        if (!fs.rename(tmp, dst))
           throw new java.io.IOException(s"could not move $tmp into place")
+        fs.delete(bak, false)
     }
     ()
   }

@@ -59,4 +59,20 @@ class AsofJoinSpec extends AnyFunSuite {
         (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
     assert(out == Map(1L -> None, 2L -> Some(2.0))) // null-key left row carries nothing
   }
+
+  test("null times never match: null-time right rows are not carried, null-time left rows get null payload") {
+    val l = Seq(
+      (Some("A"), Some(5L), 1L),   // before every real quote -> null (NOT the null-time quote)
+      (Some("A"), Some(25L), 2L),  // -> t=20 quote
+      (Some("A"), Option.empty[Long], 3L) // null left time matches nothing
+    ).toDF("sym", "t", "qty")
+    val r = Seq(
+      (Some("A"), Option.empty[Long], 66.6), // null right time: sorts first under asc, must be ignored
+      (Some("A"), Some(20L), 2.0)
+    ).toDF("sym", "t", "px")
+    val out = AsofJoin.asofJoin(l, r, Seq("sym"), "t", Seq("px"))
+      .collect().map(x => x.getLong(2) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(2.0), 3L -> None))
+  }
 }
