@@ -37,8 +37,16 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").count()
     } catch { case _: Throwable => () } // warm-up failure must not kill the harness
 
+    // dev-only subsetting for iterating on one query's timing; the driver
+    // never sets this, so official runs always cover every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         if (errors.contains(name)) None // don't re-run a query that already blew up
         else {

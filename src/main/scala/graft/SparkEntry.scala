@@ -327,6 +327,23 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
+    // Extension — MATERIALIZED ANN index, the repeated-query serving path
+    // q29 only simulates: signatures are written ONCE as bucket-partitioned
+    // parquet and the probe scan prunes to (bits+1) of 2^bits partition
+    // directories (PartitionFilters in the plan) instead of re-signing the
+    // corpus per query. Same corpus, planes and scoring as q29 -> same
+    // oracle, hash-exact.
+    "q56_ann_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 8)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann_index_${Integer.toHexString(dir.hashCode)}"
+      Similarity.buildAnnIndex(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", lsh, idx)
+      Similarity.annTopKIndexed(s, idx, "embedding", "vec_id", q, 10, lsh)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
     // Extension — embedding-cosine near-dup pairs via LSH (hash-exact via
     // the same literal-plane DuckDB oracle as q29).
     "q30_cosine_dups" -> ((s, dir) => {
@@ -477,12 +494,19 @@ object SparkEntry {
     // are the integers that define it, and the RANKING is oracle-checked.
     "q49_tfidf_terms" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val nDocs = docs.count().toDouble // bounded scalar, same as q28's head()
-      val terms = docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = terms.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
+      // ONE tokenize scan (r3 judged this double): explode_outer keeps
+      // token-less docs as a null-token row, the (doc_id, token, tf)
+      // aggregate — far smaller than the raw terms — is checkpointed, and
+      // tf, df AND the doc count all derive from it. Catalyst can't share
+      // a subtree across DataFrame references, so without the checkpoint
+      // tf and df each re-tokenized the corpus (same lesson as q43/q55).
+      val pairs = docs.select(col("doc_id"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val nDocs = pairs.select("doc_id").distinct().count().toDouble
+      val tf = pairs.filter(col("token").isNotNull)
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("token").asc)
       tf.join(dfreq, "token")
@@ -846,6 +870,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "q29_ann_topk" -> q29Oracle,
+    // the indexed form answers the same question over the same corpus with
+    // the same planes — one oracle serves both
+    "q56_ann_indexed" -> q29Oracle,
     "q30_cosine_dups" -> q30Oracle,
 
     "q47_hash_split" ->

@@ -80,6 +80,21 @@ object Similarity {
         array(sig),
         transform(sequence(lit(0), lit(bits - 1)),
           i => sig.bitwiseXOR(call_function("shiftleft", lit(1L), i))))
+
+    /** Driver-side signature of a literal vector — same math as
+      * [[signature]], so an index built with the column form is probed
+      * consistently by the literal form. */
+    def signatureOf(v: Seq[Double]): Long =
+      planes.zipWithIndex.foldLeft(0L) { case (acc, (p, h)) =>
+        val d = p.zip(v).map { case (x, y) => x * y }.sum
+        if (d >= 0) acc | (1L << h) else acc
+      }
+
+    /** Buckets a literal query probes: own signature + all 1-bit flips. */
+    def probeBucketsOf(v: Seq[Double]): Seq[Long] = {
+      val s = signatureOf(v)
+      s +: (0 until bits).map(i => s ^ (1L << i))
+    }
   }
 
   /** ANN top-k for a single query vector via LSH multiprobe: scan only rows
@@ -92,20 +107,59 @@ object Similarity {
       k: Int,
       lsh: HyperplaneLsh
   ): DataFrame = {
-    val qSig: Long = {
-      // driver-side signature of the literal query (same math as signature())
-      lsh.planes.zipWithIndex.foldLeft(0L) { case (acc, (p, h)) =>
-        val d = p.zip(query).map { case (x, y) => x * y }.sum
-        if (d >= 0) acc | (1L << h) else acc
-      }
-    }
-    val probes: Seq[Long] = qSig +: (0 until lsh.bits).map(i => qSig ^ (1L << i))
+    val probes: Seq[Long] = lsh.probeBucketsOf(query)
     df.withColumn("__sig", lsh.signature(col(embCol)))
       .filter(col("__sig").isin(probes: _*))
       .select(col(idCol), cosine(col(embCol), litVec(query)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Materialized ANN index: signatures computed and written ONCE as a
+    * bucket-partitioned parquet layout, so REPEATED queries prune at the
+    * scan instead of re-signing the whole corpus per query (what
+    * [[annTopK]] does — right for one-offs, wasteful as a serving path).
+    * One directory per bucket (`bucket=<sig>/`), whole buckets co-located
+    * by the single build shuffle.
+    *
+    * Directory-per-bucket is the right layout while 2^bits stays in the
+    * thousands (object stores and the Hive metastore both dislike
+    * millions of partitions); for wider signatures, partition the tree by
+    * a fixed signature PREFIX (`pmod(shiftright(sig, bits - p), 2^p)`)
+    * and sort each file by the full signature so parquet min/max pruning
+    * covers the suffix — the probe set stays (bits+1) values either way.
+    */
+  def buildAnnIndex(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      lsh: HyperplaneLsh,
+      path: String
+  ): Unit =
+    df.select(col(idCol), col(embCol), lsh.signature(col(embCol)).as("bucket"))
+      .repartition(col("bucket")) // co-locate whole buckets -> one file per bucket per task
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Top-k against a materialized [[buildAnnIndex]] layout: only the
+    * (bits+1) probe-bucket directories are scanned — the plan shows the
+    * probe set as PartitionFilters on the parquet scan, so cost is
+    * O(probed buckets), not O(corpus). Scores with the same cosine
+    * expression as [[annTopK]], so results are bit-identical to the
+    * per-query form over the same corpus. */
+  def annTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      embCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      lsh: HyperplaneLsh
+  ): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(lsh.probeBucketsOf(query): _*))
+      .select(col(idCol), cosine(col(embCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
 
   /** Distributed knn-join: top-k base neighbors for EVERY query row.
     * Both sides are signed; the equi-join on bucket id (with multiprobe on

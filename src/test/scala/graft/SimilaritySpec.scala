@@ -54,6 +54,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("materialized ANN index: bit-identical to annTopK, plan prunes to probe buckets") {
+    val q = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val corpus = base.filter($"vec_id" =!= 0)
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 6)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    Similarity.buildAnnIndex(corpus, "embedding", "vec_id", lsh, idx)
+
+    val indexed = Similarity.annTopKIndexed(spark, idx, "embedding", "vec_id", q, 5, lsh)
+    val perQuery = Similarity.annTopK(corpus, "embedding", "vec_id", q, 5, lsh)
+    assert(indexed.collect().map(_.toString).toSeq ==
+      perQuery.collect().map(_.toString).toSeq)
+
+    // partition pruning: the scan carries the probe set as a partition
+    // filter and selects at most bits+1 of the bucket directories
+    val scan = indexed.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("bucket"))
+    val bucketDirs = new java.io.File(idx).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected <= lsh.bits + 1,
+      s"scan selected $selected partitions; expected <= ${lsh.bits + 1} of $bucketDirs")
+    assert(selected < bucketDirs, "pruning did not reduce the scanned directories")
+  }
+
   test("annJoin returns k ranked neighbors per query") {
     val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 4)
     val queries = base.filter($"vec_id" < 5)
