@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   *     time, so the smallest observation is the least-contaminated one
   *     (the r3 official artifact read 86 s under builder load vs 42 s quiet
   *     for identical code).
+  *   - Reps are INTERLEAVED (round-robin over the whole query list, REPS
+  *     passes), not back-to-back per query: back-to-back reps share any
+  *     transient load window, so min-of-N couldn't rescue the contiguous
+  *     block of queries that overlapped a spike (exactly the r4 artifact's
+  *     false-regression cluster). Interleaving puts the reps of one query
+  *     a full pass apart — a spike now inflates one PASS, and the other
+  *     pass supplies each query's clean minimum.
   *   - A query that throws POISONS the run: its error is reported in an
   *     "errors" field and the process exits nonzero. Previously a broken
   *     query logged -1L and made the bench total *better* — a gate that
@@ -46,27 +53,30 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        if (errors.contains(name)) None // don't re-run a query that already blew up
-        else {
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-              None
-          }
-        }
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val order = selected.keys.toSeq
+    for (_ <- 1 to reps; name <- order if !errors.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        selected(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
     }
+    // a query that threw on ANY rep reports -1 and poisons the run below
+    val results = order.map(n => n -> (if (errors.contains(n)) -1.0 else best.getOrElse(n, -1.0)))
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+      "\"" + s.flatMap {
+        case '\\'           => "\\\\"
+        case '"'            => "\\\""
+        case c if c < ' '   => "\\u%04x".format(c.toInt)
+        case c              => c.toString
+      } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")

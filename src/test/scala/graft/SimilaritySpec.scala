@@ -81,6 +81,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(selected < bucketDirs, "pruning did not reduce the scanned directories")
   }
 
+  test("ensureAnnIndex builds once, reuses a complete index, replaces a stale one") {
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 6)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-ensure")
+    val idx = root.resolve("index").toString
+    Similarity.ensureAnnIndex(base, "embedding", "vec_id", lsh, idx)
+    assert(new java.io.File(idx, "_SUCCESS").exists())
+    def listing(): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx)).map(f => (f.getPath, f.length, f.lastModified)).toSet
+    }
+    val before = listing()
+    Similarity.ensureAnnIndex(base, "embedding", "vec_id", lsh, idx)
+    assert(listing() == before, "a complete index was rebuilt instead of reused")
+    // a stale half-written tree (no _SUCCESS) is replaced, not trusted
+    assert(new java.io.File(idx, "_SUCCESS").delete())
+    Similarity.ensureAnnIndex(base, "embedding", "vec_id", lsh, idx)
+    assert(new java.io.File(idx, "_SUCCESS").exists())
+    assert(listing() != before, "a stale incomplete index was not rebuilt")
+    // probing the ensured index matches the per-query form
+    val q = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val viaIndex = Similarity.annTopKIndexed(spark, idx, "embedding", "vec_id",
+      q, 5, lsh, keep = $"vec_id" =!= 0)
+    val direct = Similarity.annTopK(base.filter($"vec_id" =!= 0), "embedding", "vec_id", q, 5, lsh)
+    assert(viaIndex.collect().map(_.toString).toSeq == direct.collect().map(_.toString).toSeq)
+  }
+
+  test("annJoinIndexed matches annJoin over the same corpus and planes") {
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-join-idx").toString
+    Similarity.buildAnnIndex(base, "embedding", "vec_id", lsh, idx)
+    val queries = base.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val direct  = Similarity.annJoin(queries, base, "embedding", "vec_id", 3, lsh)
+    val indexed = Similarity.annJoinIndexed(spark, idx, queries, "embedding", "vec_id", 3, lsh)
+    assert(canon(indexed) == canon(direct))
+    assert(canon(indexed).nonEmpty)
+    // every query's rank-1 hit is its own base copy (identical vector)
+    val r1 = indexed.filter($"rank" === 1).collect()
+    assert(r1.forall(_.getAs[Double]("score") >= 1.0 - 1e-9))
+  }
+
   test("annJoin returns k ranked neighbors per query") {
     val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 4)
     val queries = base.filter($"vec_id" < 5)
