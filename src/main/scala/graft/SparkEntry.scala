@@ -305,20 +305,29 @@ object SparkEntry {
 
     // Extension — MinHash+LSH near-dup at its real operating point (high
     // similarity), over the corpus plus planted near-duplicates so the
-    // pipeline provably surfaces them (rows-only; recall also unit-tested).
+    // pipeline provably surfaces them. Runs the PORTABLE md5-slice sketch
+    // family, so the DuckDB oracle recomputes every signature, band bucket
+    // and verified pair literally — hash-exact, not rows-only (recall also
+    // unit-tested).
     "q26_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" planted near duplicate tail")).as("text"))
       NearDup.minhashLshPairs(docs.unionByName(planted), "text", "doc_id",
-          n = 3, bands = 16, rowsPerBand = 4, thresholdPct = 60)
+          n = 3, bands = 16, rowsPerBand = 4, thresholdPct = 60,
+          hash = NearDup.SketchHash.PortableMd5)
         .orderBy("id_a", "id_b")
     }),
 
-    // Extension — SimHash near-dup pairs (rows-only).
+    // Extension — SimHash near-dup pairs, portable md5-slice token hashes:
+    // the oracle rebuilds the 64-bit signatures bit-for-bit and checks the
+    // pair set against the exact all-pairs Hamming join (the banded
+    // pigeonhole join is provably complete when no bucket cap trips, and
+    // none can at the oracle scale) — hash-exact.
     "q27_simhash_pairs" -> ((s, dir) => {
-      NearDup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+      NearDup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
+          hash = NearDup.SketchHash.PortableMd5)
         .orderBy("id_a", "id_b")
     }),
 
@@ -866,13 +875,89 @@ object SparkEntry {
        |WHERE score >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The portable-sketch base hash (graft.plans.PortableSketch.md5Long)
+    * in DuckDB SQL: big-endian int64 of the first 8 md5 bytes of `x`,
+    * reconstructed signed so no step can overflow a checked BIGINT. */
+  private def duckMd5Long(x: String): String =
+    s"""(CASE WHEN ('0x'||substr(md5($x),1,8))::BIGINT >= 2147483648
+       |      THEN ('0x'||substr(md5($x),1,8))::BIGINT - 4294967296
+       |      ELSE ('0x'||substr(md5($x),1,8))::BIGINT END) * 4294967296
+       | + ('0x'||substr(md5($x),9,8))::BIGINT""".stripMargin
+
+  /** q26: the full portable MinHash-LSH pipeline in DuckDB — same distinct
+    * 3-gram shingle sets, same md5-slice base hashes, same affine rehash
+    * family (coefficients inlined from the SAME generator the Catalyst
+    * expression uses), same banded buckets (ordered string_agg ≡ the
+    * operator's string band key), same exact-Jaccard verification. */
+  private def q26Oracle: String = {
+    val (as, bs) = graft.plans.PortableSketch.affineCoeffs(64)
+    val coeffRows = as.indices.map(j => s"(${j}, ${as(j)}, ${bs(j)})").mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' planted near duplicate tail'
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |tok AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM tok WHERE len(t) >= 3),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${duckMd5Long("x")})) AS hs
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+       |sigr AS (SELECT doc_id, co.j, min((co.a * (h & 4294967295) + co.b) % 4294967296) AS s
+       |  FROM ex CROSS JOIN (VALUES $coeffRows) co(j, a, b)
+       |  GROUP BY doc_id, co.j),
+       |bands AS (SELECT doc_id, j // 4 AS band, string_agg(s::VARCHAR, ',' ORDER BY j) AS bucket
+       |  FROM sigr GROUP BY doc_id, j // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  len(list_intersect(x.hs, y.hs)) AS inter,
+       |  len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS uni
+       |FROM cand c JOIN hs x ON c.id_a = x.doc_id JOIN hs y ON c.id_b = y.doc_id
+       |WHERE len(list_intersect(x.hs, y.hs)) * 100 >=
+       |      (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 60
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q27: portable SimHash in DuckDB — md5-slice token hashes (multiset),
+    * per-bit ±1 vote via a 64-row bit-value table (no shift semantics to
+    * trust), signature reassembled from the winning bits, then the EXACT
+    * all-pairs Hamming-≤3 join. The operator's banded pigeonhole join is
+    * complete whenever no (chunk, value) bucket exceeds its cap — at
+    * oracle scale a bucket cannot reach the cap, so the sets coincide. */
+  private def q27Oracle: String = {
+    val bitRows = (0 until 64).map(b => s"(${1L << b})").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, t FROM (
+       |    SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |    FROM documents)
+       |  WHERE len(t) > 0),
+       |h AS (SELECT doc_id, unnest(list_transform(t, x -> ${duckMd5Long("x")})) AS h FROM toks),
+       |bits AS (SELECT doc_id, bv.bitval,
+       |    sum(CASE WHEN (h & bv.bitval) <> 0 THEN 1 ELSE -1 END) AS c
+       |  FROM h CROSS JOIN (VALUES $bitRows) bv(bitval)
+       |  GROUP BY doc_id, bv.bitval),
+       |sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 0 THEN bitval ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
-    * q26, q27 (xxhash64 sketch chains), q32 (stub codec), q33 (xxhash64
-    * chain), q35 (data-adaptive k-means centroids), q44
-    * (LSH-recall-dependent join). Each of those emits self-verifying
-    * columns instead (exact jaccard/hamming, exact_rank, order_sensitive,
-    * self_hit). */
+    * q32 (stub codec), q33 (xxhash64 chain), q35 (data-adaptive k-means
+    * centroids), q44/q58 (LSH-recall-dependent joins). Each of those
+    * emits self-verifying columns instead (shape_ok, order_sensitive,
+    * exact_rank, self_hit). */
   /** Shared DuckDB CTE text — ONE source for the formulations that
     * appear in multiple oracles, so a threshold/word-list edit cannot
     * silently diverge one copy (q43/q55 gate; q47/q55 bucket; q48/q55
@@ -916,6 +1001,8 @@ object SparkEntry {
     // the same planes — one oracle serves both
     "q56_ann_indexed" -> q29Oracle,
     "q30_cosine_dups" -> q30Oracle,
+    "q26_minhash_pairs" -> q26Oracle,
+    "q27_simhash_pairs" -> q27Oracle,
 
     "q47_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

@@ -32,6 +32,23 @@ object NearDup {
     * slices. */
   val Exhaustive: Int = Int.MaxValue
 
+  /** Which hash family the sketch operators build on.
+    *
+    *  - [[SketchHash.Xx64]] (default): xxhash64 chains — fastest,
+    *    engine-internal values.
+    *  - [[SketchHash.PortableMd5]]: md5-slice base hash + affine rehash
+    *    (graft.plans.PortableSketch) — every signature, band bucket and
+    *    set element is bit-reproducible from plain SQL in any engine with
+    *    `md5()`, so results are externally auditable (the DuckDB oracle
+    *    recomputes them literally). Same shuffle shape; the extra cost is
+    *    one md5 per distinct shingle/token instead of one xxhash64.
+    */
+  sealed trait SketchHash
+  object SketchHash {
+    case object Xx64 extends SketchHash
+    case object PortableMd5 extends SketchHash
+  }
+
   /** Tier 1 — exact dedup: one representative (min id) per distinct
     * canonical fingerprint + the duplicate count. Single hash aggregate. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -54,6 +71,17 @@ object NearDup {
   private def docShingles64(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         graft.plans.SketchFunctions.shingleHashes(
+          TextAnalysis.tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Portable-hash variant of [[docShingles64]]: md5-slice hashes of the
+    * word n-gram shingles, distinct as a HASH set (matching the oracle's
+    * `list_distinct` over the same values, so even a 64-bit collision
+    * cannot skew set sizes differently across engines), built in one
+    * native loop (graft.plans.PortableShingleHashes). */
+  private def docShinglesPortable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.plans.SketchFunctions.portableShingleHashes(
           TextAnalysis.tokens(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -140,7 +168,8 @@ object NearDup {
       bands: Int = 16,
       rowsPerBand: Int = 8,
       thresholdPct: Int = 80,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      hash: SketchHash = SketchHash.Xx64
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
     // localCheckpoint: materialize signatures ONCE and cut lineage — the
@@ -149,18 +178,36 @@ object NearDup {
     // extractions blows up optimizer time superlinearly (observed: minutes
     // of pure planning). The checkpoint also stops every downstream
     // consumer (banding, both verification joins) from recomputing it.
-    val sigs = docShingles64(df, textCol, idCol, n)
+    val shingleSets = hash match {
+      case SketchHash.Xx64        => docShingles64(df, textCol, idCol, n)
+      case SketchHash.PortableMd5 => docShinglesPortable(df, textCol, idCol, n)
+    }
+    val sigOf: Column => Column = hash match {
+      case SketchHash.Xx64        => minhashSignature(_, numHashes)
+      case SketchHash.PortableMd5 => graft.plans.SketchFunctions.affineMinhash(_, numHashes)
+    }
+    val sigs = shingleSets
       .withColumn("sz", size(col("sh")))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", sigOf(col("sh")))
       .localCheckpoint(true)
 
+    // band bucket key: the xx64 path hashes the band's sub-signature to a
+    // compact 8-byte key; the portable path joins on the sub-signature's
+    // decimal string rendition, identical to the oracle's ordered
+    // string_agg (no rehash, so nothing engine-specific leaks in)
+    val bucketOf: Column => Column = hash match {
+      case SketchHash.Xx64 =>
+        sub => xxhash64(concat_ws(",", sub))
+      case SketchHash.PortableMd5 =>
+        sub => concat_ws(",", sub)
+    }
     val banded = sigs.select(
         col("id"),
         explode(transform(
           sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-              .as("bucket")))).as("bb"))
+            bucketOf(transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              _.cast("string"))).as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
     // candidate pairs: distinct (a<b) sharing any (band,bucket); cap
@@ -223,12 +270,25 @@ object NearDup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      hash: SketchHash = SketchHash.Xx64
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // token-less docs are excluded: their signature is a degenerate 0 that
+    // would pair every empty doc with every other (and with any doc whose
+    // balanced bit counts also hash to 0) — noise, and the portable oracle
+    // has no row to compute for them either
+    val tk = TextAnalysis.tokens(col(textCol))
+    val tokenHashes = hash match {
+      case SketchHash.Xx64        => transform(tk, t => xxhash64(t))
+      case SketchHash.PortableMd5 => graft.plans.SketchFunctions.portableHash64(tk)
+    }
     // checkpoint for the same planning/recompute reasons as minhashLshPairs
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), size(tk).as("ntk"),
+        graft.plans.SketchFunctions.simhash(tokenHashes).as("sig"))
+      .filter(col("ntk") > 0)
+      .select("id", "sig")
       .localCheckpoint(true)
     // chunk k = bits [k*bitsPer, (k+1)*bitsPer) of the signature
     val banded = sigs.select(

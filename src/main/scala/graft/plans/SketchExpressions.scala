@@ -210,6 +210,211 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ENGINE-PORTABLE sketch hashing: every value is reproducible in any
+  * engine with an `md5()` — the DuckDB oracle recomputes the identical
+  * sketches from literal SQL, turning MinHash/SimHash outputs from
+  * rows-only checks into hash-exact ones.
+  *
+  * Base hash: the big-endian int64 of the first 8 md5 bytes of the UTF-8
+  * string. In SQL: `(CASE WHEN hi >= 2^31 THEN hi - 2^32 ELSE hi END) *
+  * 2^32 + lo`, with hi/lo the first/second 8 hex chars of `md5(x)` parsed
+  * as integers — the signed reconstruction avoids any unsigned-shift or
+  * overflow semantics an engine might check.
+  *
+  * MinHash rehash family: g_j(x) = (a_j·(x & 0xFFFFFFFF) + b_j) mod 2^32,
+  * the textbook universal-hash construction — ONE md5 per element plus k
+  * multiply-adds, instead of k md5 invocations. a_j odd in [1, 2^30) and
+  * x < 2^32 keep a_j·x + b_j < 2^63, so the arithmetic never overflows in
+  * engines that check (DuckDB raises on BIGINT overflow; Java wraps —
+  * staying under 2^63 makes both produce the same value). */
+object PortableSketch {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Long(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  def md5Long(s: org.apache.spark.unsafe.types.UTF8String): Long = md5Long(s.getBytes)
+
+  /** Distinct portable hashes of all word n-gram shingles of a token
+    * array, in ONE tight loop: each shingle's md5 runs incrementally over
+    * `token (0x20 token)*` bytes — md5("t1 t2 t3") exactly, with no
+    * intermediate shingle strings — then sort+unique. Shared verbatim by
+    * eval and codegen of [[PortableShingleHashes]]; the interpreted-HOF
+    * formulation (transform + concat_ws + md5 per element) measured ~5×
+    * slower at sf0.1. */
+  def md5ShingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val t = tokens.numElements()
+    val m = t - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val md = digests.get()
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    i = 1
+    while (i < m) { if (out(i) != out(i - 1)) { out(w) = out(i); w += 1 }; i += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Deterministic (a_j, b_j) rehash coefficients, shared verbatim by the
+    * Spark expression and the oracle SQL generator. */
+  def affineCoeffs(numHashes: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(rnd.nextInt(1 << 29).toLong * 2 + 1) // odd, < 2^30
+    val bs = Array.fill(numHashes)(rnd.nextInt().toLong & 0xFFFFFFFFL)  // < 2^32
+    (as, bs)
+  }
+}
+
+/** Elementwise portable base hash: `array<string>` -> `array<long>` of
+  * [[PortableSketch.md5Long]] values — one tight loop per row, no
+  * per-element interpreted HOF overhead. */
+case class PortableHash64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_md5_hash64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_hash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = PortableSketch.md5Long(a.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      val ps = "graft.plans.PortableSketch"
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $ps.md5Long($a.getUTF8String($i));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct portable shingle hashes straight from a token array — the
+  * md5-slice sibling of [[ShingleHashes]], delegating both eval and
+  * codegen to [[PortableSketch.md5ShingleHashes]] (the md5 work dwarfs
+  * the static-call overhead). */
+case class PortableShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def prettyName: String = "graft_md5_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_shingle_hashes requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PortableSketch.md5ShingleHashes(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.plans.PortableSketch.md5ShingleHashes($a, $n);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Portable MinHash signature over portable base hashes:
+  * sig[j] = min over x of (a_j·(x & 0xFFFFFFFF) + b_j) mod 2^32, with the
+  * [[PortableSketch.affineCoeffs]] family. Same tight-loop shape as
+  * [[MinHashSignature]]; an empty set yields all-2^32-1 (callers filter
+  * empty docs, mirroring their absence from the oracle). */
+case class AffineMinHash(child: Expression, numHashes: Int, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_affine_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val coeffs = PortableSketch.affineCoeffs(numHashes, seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_affine_minhash requires array<bigint> (portable base hashes), got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val (as, bs) = coeffs
+    val n = a.numElements()
+    val sig = Array.fill(numHashes)(0xFFFFFFFFL)
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i) & 0xFFFFFFFFL
+      var j = 0
+      while (j < numHashes) {
+        val g = (as(j) * x + bs(j)) & 0xFFFFFFFFL
+        if (g < sig(j)) sig(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val (asArr, bsArr) = coeffs
+      val aRef = ctx.addReferenceObj("affineA", asArr, "long[]")
+      val bRef = ctx.addReferenceObj("affineB", bsArr, "long[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig"); val x = ctx.freshName("x"); val g = ctx.freshName("g")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, 0xFFFFFFFFL);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $arr.getLong($i) & 0xFFFFFFFFL;
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $g = ($aRef[$j] * $x + $bRef[$j]) & 0xFFFFFFFFL;
+         |    if ($g < $sig[$j]) $sig[$j] = $g;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
   def minhash(preHashed: Column, numHashes: Int): Column =
     EU.column(MinHashSignature(EU.expression(preHashed), numHashes))
@@ -217,4 +422,10 @@ object SketchFunctions {
     EU.column(SimHash64(EU.expression(preHashed)))
   def shingleHashes(tokens: Column, n: Int): Column =
     EU.column(ShingleHashes(EU.expression(tokens), n))
+  def portableHash64(strings: Column): Column =
+    EU.column(PortableHash64(EU.expression(strings)))
+  def portableShingleHashes(tokens: Column, n: Int): Column =
+    EU.column(PortableShingleHashes(EU.expression(tokens), n))
+  def affineMinhash(portableHashes: Column, numHashes: Int, seed: Long = 42L): Column =
+    EU.column(AffineMinHash(EU.expression(portableHashes), numHashes, seed))
 }

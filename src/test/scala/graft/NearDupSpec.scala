@@ -89,6 +89,49 @@ class NearDupSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("portable md5 base hash matches the cross-engine definition") {
+    // md5('abc') = 900150983cd24fb0... -> big-endian int64 of the first 8
+    // bytes; the same value DuckDB reconstructs from the hex slices
+    assert(graft.plans.PortableSketch.md5Long(
+      "abc".getBytes(java.nio.charset.StandardCharsets.UTF_8)) ==
+      java.lang.Long.parseUnsignedLong("900150983cd24fb0", 16))
+    val viaSpark = corpus.limit(1)
+      .select(graft.plans.SketchFunctions.portableHash64(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("abc"))).as("h"))
+      .head().getSeq[Long](0)
+    assert(viaSpark == Seq(java.lang.Long.parseUnsignedLong("900150983cd24fb0", 16)))
+  }
+
+  test("portable sketch family: same pair semantics, reproducible values") {
+    // minhash-LSH portable path recovers the same verified pair set as the
+    // exhaustive exact join (recall on this tiny corpus must be total)
+    val exact = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3, thresholdPct = 60)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val portable = NearDup.minhashLshPairs(corpus, "text", "doc_id",
+        n = 3, bands = 16, rowsPerBand = 4, thresholdPct = 60,
+        hash = NearDup.SketchHash.PortableMd5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.subsetOf(portable) && portable.subsetOf(exact))
+    // simhash portable path: exact dup at distance 0, unrelated docs absent
+    val sim = NearDup.simhashPairs(corpus, "text", "doc_id", maxHamming = 12,
+        hash = NearDup.SketchHash.PortableMd5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Number]("hamming").longValue).toMap
+    assert(sim((0L, 2L)) == 0L)
+    assert(!sim.contains((3L, 4L)))
+  }
+
+  test("simhashPairs excludes token-less docs instead of pairing their zero signatures") {
+    val withEmpty = corpus.unionByName(
+      Seq((50L, "   "), (51L, "")).toDF("doc_id", "text"))
+    Seq(NearDup.SketchHash.Xx64, NearDup.SketchHash.PortableMd5).foreach { h =>
+      val ids = NearDup.simhashPairs(withEmpty, "text", "doc_id", maxHamming = 12, hash = h)
+        .collect().flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(!ids.contains(50L) && !ids.contains(51L))
+    }
+  }
+
   test("contaminatedDocs flags only docs sharing an n-gram with the benchmark") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
