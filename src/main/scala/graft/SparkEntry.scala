@@ -409,20 +409,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // Extension — per-partition batch feature extraction (stub codec;
-    // deterministic, rows-only).
+    // Extension — per-partition batch feature extraction. Image rows are
+    // REAL PNGs decoded with javax.imageio (true pixel dims + band means);
+    // audio/video rows run the documented stub codec. Rows-only (PNG byte
+    // streams aren't SQL-reproducible), so the output SELF-VERIFIES the
+    // decode: every image row's DECODED dimensions must equal the
+    // fixture's metadata dims (dims_ok), and every row must carry a
+    // full-dimension feature vector with the kind-appropriate head
+    // (shape_ok).
     "q32_media_features" -> ((s, dir) => {
-      val items = Multimodal.fixtureFromDocuments(s, t(s, dir, "documents"))
-      // rows-only (stub codec values aren't SQL-reproducible), so the
-      // output SELF-VERIFIES the plumbing contract instead: every row
-      // must carry a full-dimension, bounded feature vector (shape_ok)
+      val items = Multimodal.fixtureWithRealImages(s, t(s, dir, "documents"))
       Multimodal.extractFeatures(items).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("decoded_w"), col("decoded_h"),
           element_at(col("feature"), 1).as("f0"),
-          // the stub codec emits ((h % 2000003)/1000001.5) - 1 with Java's
-          // sign-preserving %, so values span (-3, 1)
           (size(col("feature")) === Multimodal.FeatureDim &&
-            element_at(col("feature"), 1).between(-3.0, 1.0)).as("shape_ok"))
+            when(col("kind") === "image",
+              // real decode: f0 is the true width, dims in fixture range
+              element_at(col("feature"), 1) === col("decoded_w").cast("float") &&
+                col("decoded_w").between(2, 7) && col("decoded_h").between(2, 5))
+              // stub codec emits ((h % 2000003)/1000001.5) - 1: span (-3, 1)
+              .otherwise(element_at(col("feature"), 1).between(-3.0, 1.0) &&
+                col("decoded_w") === 0 && col("decoded_h") === 0)).as("shape_ok"),
+          (col("kind") =!= "image" ||
+            (col("decoded_w") === pmod(col("media_id"), lit(6)) + 2 &&
+             col("decoded_h") === pmod(col("media_id"), lit(4)) + 2)).as("dims_ok"))
         .orderBy("media_id")
     }),
 

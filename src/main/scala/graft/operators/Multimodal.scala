@@ -33,8 +33,14 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Long,
+      decoded_w: Int,         // real decoded width  (0 when not decodable)
+      decoded_h: Int,         // real decoded height (0 when not decodable)
       feature: Array[Float]   // fixed-size feature vector
   )
+
+  /** Real decoded-image properties (width, height, raster bands, per-band
+    * pixel means). */
+  final case class ImageInfo(width: Int, height: Int, bands: Int, means: Array[Double])
 
   final case class Frame(
       media_id: Long,
@@ -45,12 +51,58 @@ object Multimodal {
 
   val FeatureDim = 64
 
-  /** ======================= STUBBED CODECS ==========================
-    * Deterministic fakes standing in for real decoders. Each function is
-    * where a real implementation would call the codec library; signatures
-    * and batch shapes are the real contract. */
+  /** ============================ CODECS =============================
+    * IMAGE decode is REAL (JDK `javax.imageio` — PNG/JPEG/BMP/GIF, no
+    * external dependency): [[Codecs.decodeImage]] returns true pixel
+    * dimensions, band count and per-band means, and
+    * [[Codecs.encodePng]] produces genuine PNG payloads for fixtures.
+    * AUDIO/VIDEO remain deterministic STUBS — no media library for them
+    * exists in this environment; their functions mark exactly where a
+    * JavaCV/ffmpeg call would go, with the batch shapes already real. */
   object Codecs {
-    /** STUB: decode + embed. Real impl: ImageIO/JavaCV decode -> model
+    /** REAL image decode via javax.imageio. None when the payload is not
+      * a decodable image (ImageIO sniffs the container from the bytes). */
+    def decodeImage(content: Array[Byte]): Option[ImageInfo] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) None
+        else {
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          val sums = new Array[Double](bands)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sums(b) += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageInfo(w, h, bands, sums.map(_ / (w.toLong * h))))
+        }
+      } catch { case _: java.io.IOException => None }
+
+    /** REAL PNG encode (fixture builder): deterministic pixels from
+      * `seed`, so decoded properties are reproducible everywhere. */
+    def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (mix(seed, x.toLong * 7919 + y) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** STUB: embed a non-image payload. Real impl: codec decode -> model
       * forward pass. Fake: hash-derived unit-ish vector, deterministic in
       * the payload bytes. */
     def decodeToFeature(content: Array[Byte]): Array[Float] = {
@@ -91,14 +143,32 @@ object Multimodal {
   /** Feature extraction: per-partition batch decode (mapPartitions = one
     * codec/model instantiation per partition, rows streamed through it).
     * Narrow, no shuffle; partition sizing is the caller's knob via
-    * `spark.sql.files.maxPartitionBytes` since media payloads dominate. */
+    * `spark.sql.files.maxPartitionBytes` since media payloads dominate.
+    *
+    * Image payloads decode FOR REAL: feature = [width, height, bands,
+    * per-band means...] padded to [[FeatureDim]] with the payload-hash
+    * tail, and `decoded_w`/`decoded_h` carry the true pixel dimensions so
+    * callers can assert them against the metadata columns. Non-image (or
+    * undecodable) payloads fall through to the stub embedding with
+    * decoded dims 0. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       // real impl: initialize decoder/model ONCE here, per partition
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
-          Codecs.decodeToFeature(m.content))
+        val decoded = if (m.kind == "image") Codecs.decodeImage(m.content) else None
+        decoded match {
+          case Some(info) =>
+            val tail = Codecs.decodeToFeature(m.content)
+            val head = Array(info.width.toFloat, info.height.toFloat, info.bands.toFloat) ++
+              info.means.map(_.toFloat)
+            val feature = (head ++ tail).take(FeatureDim)
+            MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+              info.width, info.height, feature)
+          case None =>
+            MediaFeatures(m.media_id, m.kind, m.content.length.toLong, 0, 0,
+              Codecs.decodeToFeature(m.content))
+        }
       }
     }
   }
@@ -137,5 +207,24 @@ object Multimodal {
         (pmod(col("doc_id"), lit(100)) * 1000 + 1000).as("duration_ms"),
         col("text").cast("binary").as("content"))
       .as[MediaItem]
+  }
+
+  /** [[fixtureFromDocuments]] with REAL payloads for the image rows: a
+    * genuine (tiny, deterministic) PNG per item, its metadata width/height
+    * set to the encoded pixel dimensions — so decode results are
+    * verifiable image properties, not fixture echoes. Generation happens
+    * per partition (the encoder is the per-partition "codec" here); audio
+    * and video rows keep the byte-payload stand-in. */
+  def fixtureWithRealImages(spark: SparkSession, documents: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    fixtureFromDocuments(spark, documents).mapPartitions(_.map { m =>
+      if (m.kind != "image") m
+      else {
+        val w = (m.media_id % 6 + 2).toInt
+        val h = (m.media_id % 4 + 2).toInt
+        m.copy(format = "png", width = w, height = h,
+          content = Codecs.encodePng(w, h, seed = m.media_id))
+      }
+    })
   }
 }

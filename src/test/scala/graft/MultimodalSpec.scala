@@ -26,6 +26,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
   }
 
+  test("real PNG codec: known 2x2 image round-trips through encode/decode") {
+    // hand-built 2x2 with known colors — decode must report true dims,
+    // 3 bands, and exact per-band means
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val info = Multimodal.Codecs.decodeImage(bos.toByteArray).get
+    assert(info.width == 2 && info.height == 2 && info.bands == 3)
+    // each channel: two 255s and two 0s -> mean 127.5
+    assert(info.means.toSeq == Seq(127.5, 127.5, 127.5))
+    // deterministic generator round-trips its own dims too
+    val gen = Multimodal.Codecs.encodePng(5, 3, seed = 99L)
+    val genInfo = Multimodal.Codecs.decodeImage(gen).get
+    assert(genInfo.width == 5 && genInfo.height == 3)
+    // non-image bytes decode to None, not an exception
+    assert(Multimodal.Codecs.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.Codecs.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractFeatures decodes real image fixtures: dims match metadata") {
+    val items = Multimodal.fixtureWithRealImages(spark, docs).repartition(4)
+    val feats = Multimodal.extractFeatures(items).collect()
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    val meta = items.collect().map(m => m.media_id -> m).toMap
+    images.foreach { f =>
+      assert(f.decoded_w == meta(f.media_id).width, s"media ${f.media_id} width")
+      assert(f.decoded_h == meta(f.media_id).height, s"media ${f.media_id} height")
+      assert(f.feature(0) == f.decoded_w.toFloat && f.feature(1) == f.decoded_h.toFloat)
+      assert(f.feature.length == Multimodal.FeatureDim)
+    }
+    // non-image rows keep the stub embedding and zero decoded dims
+    assert(feats.filter(_.kind != "image").forall(f => f.decoded_w == 0 && f.decoded_h == 0))
+  }
+
   test("resize rewrites payload and metadata") {
     val items = Multimodal.fixtureFromDocuments(spark, docs)
     val resized = Multimodal.resizeAll(items, 32, 32).head()
