@@ -378,11 +378,43 @@ object NearDup {
     * materialization. Duplicate input edges are harmless (min is
     * idempotent), so no dedup shuffle is spent on them.
     */
+  /** Connected-components algorithm behind [[dupClusters]].
+    *
+    *  - [[CcAlgorithm.MinLabel]] (default): min-label propagation —
+    *    rounds = component diameter, 1 join + 1 map-side-combined agg per
+    *    round. Right for dedup workloads, whose components are
+    *    near-cliques (diameter a handful).
+    *  - [[CcAlgorithm.StarContraction]]: alternating large-star /
+    *    small-star contraction (the MapReduce-CC construction of Kiveris
+    *    et al., "Connected Components in MapReduce and Beyond", SoCC'14
+    *    — re-derived here for DataFrames): every round halves component
+    *    HEIGHT, so convergence is O(log d) rounds — the safe choice for
+    *    high-diameter graphs (e.g. versioned-document chains longer than
+    *    any sane diameter bound). Two joins + two aggs per round, ids
+    *    only.
+    */
+  sealed trait CcAlgorithm
+  object CcAlgorithm {
+    case object MinLabel extends CcAlgorithm
+    case object StarContraction extends CcAlgorithm
+  }
+
   def dupClusters(
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      algorithm: CcAlgorithm = CcAlgorithm.MinLabel
+  ): DataFrame = algorithm match {
+    case CcAlgorithm.MinLabel        => dupClustersMinLabel(pairs, idACol, idBCol, maxIter)
+    case CcAlgorithm.StarContraction => dupClustersStar(pairs, idACol, idBCol, maxIter)
+  }
+
+  private def dupClustersMinLabel(
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      maxIter: Int
   ): DataFrame = {
     val e = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -418,5 +450,71 @@ object NearDup {
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Large-star/small-star contraction. Edges live canonically as
+    * (u, v) with u > v; each round:
+    *
+    *  - LARGE-STAR: every node x connects its strictly-LARGER neighbors
+    *    to m(x) = min(N(x) ∪ {x}) — long tails hook onto small labels
+    *    without ever re-orienting edges upward (keeps the invariant and
+    *    the proof of monotone progress);
+    *  - SMALL-STAR: every node u connects its smaller neighbors AND
+    *    itself to m(u) = min(N(u) ∪ {u}) — flattens two-hop chains into
+    *    stars.
+    *
+    * Both steps shuffle ids only (one groupBy-min + one equi-join each);
+    * the fixpoint is a forest of stars rooted at each component's
+    * minimum, reached in O(log d) rounds. Convergence = the canonical
+    * edge set stops changing (an exact, deduped set compare — cheap
+    * because edges only shrink toward |nodes| star edges). Nodes whose
+    * only incident pairs are self-loops keep their own label via the
+    * final re-attach, matching MinLabel's output exactly. */
+  private def dupClustersStar(
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      maxIter: Int
+  ): DataFrame = {
+    val a = col(idACol); val b = col(idBCol)
+    val nodes = pairs.select(a.as("id")).unionByName(pairs.select(b.as("id")))
+      .distinct().localCheckpoint(true)
+    var edges = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIter) throw new IllegalStateException(
+        s"dupClusters(StarContraction) did not converge in $maxIter rounds")
+      // large-star over the symmetrized neighborhoods
+      val sym = edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(min(col("y")).as("nmin"))
+        .select(col("x"), least(col("x"), col("nmin")).as("m"))
+      // y > x >= m, so emitted edges stay canonical and never self-loop
+      val large = sym.join(mins, "x").filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .dropDuplicates("u", "v")
+      // small-star: edges are (u, v<u); connect v-neighborhood + u to min
+      val nbrMin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(nbrMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(nbrMin.select(col("u"), col("m").as("v")))
+        .dropDuplicates("u", "v")
+        .localCheckpoint(true)
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edges = small
+      iter += 1
+    }
+    // fixpoint edges are (member, root); roots and self-loop-only nodes
+    // re-attach with their own label
+    val labeled = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    labeled.unionByName(
+        nodes.join(labeled.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster_id")))
   }
 }

@@ -174,4 +174,38 @@ class NearDupSpec extends AnyFunSuite {
     val path = (0L until 12L).map(i => (i, i + 1))
     intercept[IllegalStateException](clusters(path, maxIter = 2))
   }
+
+  private def starClusters(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    NearDup.dupClusters(edges.toDF("id_a", "id_b"), maxIter = maxIter,
+        algorithm = NearDup.CcAlgorithm.StarContraction)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("star contraction: O(log d) — a 60-deep chain converges where min-label's bound throws") {
+    // a versioned-document chain longer than min-label's default round
+    // bound: diameter 60 needs 60 min-label rounds (throws at 25), but
+    // star contraction halves heights per round and lands well inside it
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    intercept[IllegalStateException](clusters(chain, maxIter = 25))
+    assert(starClusters(chain, maxIter = 25) == (0L to 60L).map(_ -> 0L).toMap)
+  }
+
+  test("star contraction matches min-label on random graphs, chains, cliques, self-loops") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 4).foreach { trial =>
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(n * 2).toLong, rnd.nextInt(n * 2).toLong) // incl. self-loops
+      }
+      val viaStar = starClusters(edges)
+      val viaMin  = clusters(edges, maxIter = 1000)
+      assert(viaStar == viaMin, s"trial $trial diverged")
+    }
+    // shapes with known answers
+    assert(starClusters(Seq((10L, 20L), (20L, 30L))) ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+    assert(starClusters(Seq((5L, 6L), (6L, 7L), (5L, 7L), (100L, 90L), (90L, 95L))) ==
+      Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 90L -> 90L, 95L -> 90L, 100L -> 90L))
+    assert(starClusters(Seq((9L, 9L))) == Map(9L -> 9L))
+    assert(starClusters(Nil) == Map.empty)
+  }
 }
