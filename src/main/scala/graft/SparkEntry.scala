@@ -683,6 +683,53 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Extension — q54's documented at-scale swap, DEMONSTRATED: the same
+    // per-source quantiles from approx_percentile's mergeable GK sketch
+    // (fixed memory, map-side combine — no per-group sort, so no single
+    // task ever owns a whole group's values) side by side with the exact
+    // aggregate. Sketch outputs are implementation-specific (rows-only),
+    // so every estimate carries its CERTIFICATE: the estimate's true rank
+    // interval [count(<a)+1, count(<=a)] must intersect the target rank
+    // ±n/accuracy — the sketch's documented guarantee, checked against
+    // the data itself (within_bound).
+    "q57_approx_quantiles" -> ((s, dir) => {
+      val acc = 1000
+      val xs = t(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("double").as("x"))
+        .localCheckpoint(true) // two consumers: the sketch agg + the rank audit
+      val sk = xs.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          percentile_approx(col("x"), array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap"),
+          percentile(col("x"), lit(0.5)).as("p50"),
+          percentile(col("x"), lit(0.9)).as("p90"),
+          percentile(col("x"), lit(0.99)).as("p99"))
+        .select(col("source"), col("n"),
+          element_at(col("ap"), 1).as("a50"),
+          element_at(col("ap"), 2).as("a90"),
+          element_at(col("ap"), 3).as("a99"),
+          col("p50"), col("p90"), col("p99"))
+      val ranks = xs.join(broadcast(sk), "source")
+        .groupBy("source").agg(
+          sum(when(col("x") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("x") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("x") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("x") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("x") < col("a99"), 1L).otherwise(0L)).as("lt99"),
+          sum(when(col("x") <= col("a99"), 1L).otherwise(0L)).as("le99"))
+      def ok(q: Double, lt: Column, le: Column): Column = {
+        val target = col("n") * lit(q)
+        val eps = col("n").cast("double") / lit(acc)
+        (lt + 1).cast("double") <= target + eps + 1 && le.cast("double") >= target - eps - 1
+      }
+      sk.join(ranks, "source")
+        .withColumn("within_bound",
+          ok(0.5, col("lt50"), col("le50")) &&
+          ok(0.9, col("lt90"), col("le90")) &&
+          ok(0.99, col("lt99"), col("le99")))
+        .select("source", "n", "a50", "a90", "a99", "p50", "p90", "p99", "within_bound")
+        .orderBy("source")
+    }),
+
     // Extension — PII scrub: spot and mask emails/IPv4 literals (planted
     // into every 11th doc), reporting span counts and post-redaction
     // length. RE2-safe patterns run identically in the DuckDB oracle.
