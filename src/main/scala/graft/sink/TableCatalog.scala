@@ -63,8 +63,12 @@ final class TableCatalog(val root: String) {
 
   /** O-29: DESCRIBE TABLE — the authoritative schema, or None. A reader
     * that races the fallback swap (schema file momentarily absent between
-    * the two renames) falls back to the parked backup, so it never
-    * observes a created table as nonexistent. */
+    * the two renames) falls back to the parked backup; if BOTH lookups
+    * miss, the main file is re-read once more — a false "nonexistent" now
+    * requires two full swap windows to interleave one read apart, which a
+    * driver-side metadata pair cannot straddle in practice (the window is
+    * two renames wide). The residual race is inherent to a
+    * non-transactional store and is documented rather than denied. */
   def describe(db: String, t: String): Option[StructType] = {
     def readFile(p: Path): Option[StructType] =
       try {
@@ -77,7 +81,9 @@ final class TableCatalog(val root: String) {
           Some(DataType.fromJson(sb.toString).asInstanceOf[StructType])
         } finally in.close()
       } catch { case _: java.io.FileNotFoundException => None }
-    readFile(schemaFile(db, t)).orElse(readFile(backupFile(db, t)))
+    readFile(schemaFile(db, t))
+      .orElse(readFile(backupFile(db, t)))
+      .orElse(readFile(schemaFile(db, t)))
   }
 
   private def writeSchema(db: String, t: String, s: StructType): Unit = {
@@ -117,26 +123,39 @@ final class TableCatalog(val root: String) {
     ()
   }
 
+  // one lock per table: evolution is a read-modify-write of _schema.json,
+  // and two UNSERIALIZED writers that both read the base schema would each
+  // persist only their own new columns — last-writer-WINS must still be
+  // last-writer-carries-the-UNION. In-process writers (concurrent batches
+  // on one driver, the deployment shape here and in the reference)
+  // serialize on this; writers on DIFFERENT drivers need an external
+  // arbiter (a real metastore / a lock service) — documented limit of a
+  // file-backed catalog, same as Hive-less parquet tables generally.
+  private val evolutionLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** O-27/O-30: ensure the table exists and contains every column of
     * `batchSchema`; new columns are appended (never retyped/dropped).
     * Returns the post-evolution authoritative schema. Memoized per table
     * name for the no-new-columns fast path. */
   def ensureTableStructure(db: String, t: String, batchSchema: StructType): StructType = {
     val key = s"$db.$t"
-    describe(db, t) match {
-      case None =>
-        writeSchema(db, t, batchSchema)
-        createdTables += key
-        batchSchema
-      case Some(existing) =>
-        val known   = existing.fieldNames.toSet
-        val newCols = batchSchema.fields.filterNot(f => known(f.name))
-        if (newCols.isEmpty) existing
-        else {
-          val evolved = StructType(existing.fields ++ newCols)
-          writeSchema(db, t, evolved)
-          evolved
-        }
+    val lock = evolutionLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      describe(db, t) match {
+        case None =>
+          writeSchema(db, t, batchSchema)
+          createdTables += key
+          batchSchema
+        case Some(existing) =>
+          val known   = existing.fieldNames.toSet
+          val newCols = batchSchema.fields.filterNot(f => known(f.name))
+          if (newCols.isEmpty) existing
+          else {
+            val evolved = StructType(existing.fields ++ newCols)
+            writeSchema(db, t, evolved)
+            evolved
+          }
+      }
     }
   }
 

@@ -53,6 +53,42 @@ class TableCatalogSpec extends AnyFunSuite {
       cat.tablePath("db", "t") + "/._schema.json.tmp")))
   }
 
+  test("concurrent writers evolving one table never drop another writer's columns") {
+    // 8 batches race ensureTableStructure on the SAME (fresh) table, each
+    // bringing the base column plus one private column — including the
+    // create race (no pre-existing schema). Whatever the interleaving,
+    // the final schema must carry the UNION of all 8 evolutions; an
+    // unserialized read-modify-write loses whichever columns landed
+    // between a racer's read and its write.
+    val cat = new TableCatalog(
+      java.nio.file.Files.createTempDirectory("graft-cat-race").toString)
+    cat.createDatabase("db")
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until n).foreach { i =>
+      pool.execute { () =>
+        try {
+          start.await()
+          val mine = StructType(Seq(
+            StructField("base", StringType), StructField(s"col_$i", LongType)))
+          // each writer's return value must already include its column
+          assert(cat.ensureTableStructure("db", "race", mine)
+            .fieldNames.contains(s"col_$i"))
+        } catch { case e: Throwable => failures.add(e) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"writer threw: ${failures.peek()}")
+    val finalSchema = cat.describe("db", "race").get.fieldNames.toSet
+    val expected = Set("base") ++ (0 until n).map(i => s"col_$i")
+    assert(finalSchema == expected,
+      s"lost columns: ${expected -- finalSchema}")
+  }
+
   test("a reader racing the fallback swap still sees the table via the backup") {
     val cat = new TableCatalog(nofcRoot())
     cat.createDatabase("db")
