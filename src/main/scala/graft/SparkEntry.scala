@@ -45,7 +45,11 @@ object SparkEntry {
   private def annIndexPath(s: SparkSession, dir: String, lsh: Similarity.HyperplaneLsh): String = {
     val fp = Similarity.corpusFingerprint(s, s"$dir/embeddings.parquet")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(s"$fp|dim=${lsh.dim}|bits=${lsh.bits}|seed=${lsh.seed}|full"
+    // fmt= is the INDEX FORMAT VERSION — bump it whenever buildAnnIndex's
+    // layout or signature derivation changes, or a cached index from the
+    // previous code would be served as-is (the completion marker makes it
+    // look trustworthy) and probes would read stale bucket assignments
+    md.update(s"$fp|dim=${lsh.dim}|bits=${lsh.bits}|seed=${lsh.seed}|full|fmt=2"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val key = md.digest().map("%02x".format(_)).mkString.take(16)
     s"${sys.props("java.io.tmpdir")}/graft_ann_index_$key"
@@ -315,7 +319,8 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" planted near duplicate tail")).as("text"))
       NearDup.minhashLshPairs(docs.unionByName(planted), "text", "doc_id",
-          n = 3, bands = 16, rowsPerBand = 4, thresholdPct = 60,
+          n = Q26Shingle, bands = Q26Bands, rowsPerBand = Q26RowsPerBand,
+          thresholdPct = Q26ThresholdPct,
           hash = NearDup.SketchHash.PortableMd5)
         .orderBy("id_a", "id_b")
     }),
@@ -326,7 +331,8 @@ object SparkEntry {
     // pigeonhole join is provably complete when no bucket cap trips, and
     // none can at the oracle scale) — hash-exact.
     "q27_simhash_pairs" -> ((s, dir) => {
-      NearDup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
+      NearDup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = Q27MaxHamming,
           hash = NearDup.SketchHash.PortableMd5)
         .orderBy("id_a", "id_b")
     }),
@@ -933,6 +939,15 @@ object SparkEntry {
        |WHERE score >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q26/q27 sketch geometry — ONE definition feeding both the queries
+    * and their oracle SQL generators, so a parameter edit cannot silently
+    * diverge the two sides of the hash-exact gate. */
+  private val Q26Shingle      = 3
+  private val Q26Bands        = 16
+  private val Q26RowsPerBand  = 4
+  private val Q26ThresholdPct = 60
+  private val Q27MaxHamming   = 3
+
   /** The portable-sketch base hash (graft.plans.PortableSketch.md5Long)
     * in DuckDB SQL: big-endian int64 of the first 8 md5 bytes of `x`,
     * reconstructed signed so no step can overflow a checked BIGINT. */
@@ -948,8 +963,10 @@ object SparkEntry {
     * expression uses), same banded buckets (ordered string_agg ≡ the
     * operator's string band key), same exact-Jaccard verification. */
   private def q26Oracle: String = {
-    val (as, bs) = graft.plans.PortableSketch.affineCoeffs(64)
+    val n = Q26Shingle
+    val (as, bs) = graft.plans.PortableSketch.affineCoeffs(Q26Bands * Q26RowsPerBand)
     val coeffRows = as.indices.map(j => s"(${j}, ${as(j)}, ${bs(j)})").mkString(", ")
+    val shingleExpr = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -959,17 +976,18 @@ object SparkEntry {
        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
        |  FROM corpus),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
-       |    range(1, greatest(len(t) - 1, 1)),
-       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-       |  FROM tok WHERE len(t) >= 3),
+       |    range(1, greatest(len(t) - ${n - 2}, 1)),
+       |    i -> $shingleExpr)) AS s
+       |  FROM tok WHERE len(t) >= $n),
        |hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${duckMd5Long("x")})) AS hs
        |  FROM sh),
        |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
        |sigr AS (SELECT doc_id, co.j, min((co.a * (h & 4294967295) + co.b) % 4294967296) AS s
        |  FROM ex CROSS JOIN (VALUES $coeffRows) co(j, a, b)
        |  GROUP BY doc_id, co.j),
-       |bands AS (SELECT doc_id, j // 4 AS band, string_agg(s::VARCHAR, ',' ORDER BY j) AS bucket
-       |  FROM sigr GROUP BY doc_id, j // 4),
+       |bands AS (SELECT doc_id, j // $Q26RowsPerBand AS band,
+       |    string_agg(s::VARCHAR, ',' ORDER BY j) AS bucket
+       |  FROM sigr GROUP BY doc_id, j // $Q26RowsPerBand),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
@@ -978,7 +996,7 @@ object SparkEntry {
        |  len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS uni
        |FROM cand c JOIN hs x ON c.id_a = x.doc_id JOIN hs y ON c.id_b = y.doc_id
        |WHERE len(list_intersect(x.hs, y.hs)) * 100 >=
-       |      (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 60
+       |      (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * $Q26ThresholdPct
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1006,16 +1024,17 @@ object SparkEntry {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  bit_count(xor(a.sig, b.sig)) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $Q27MaxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
-    * q32 (stub codec), q33 (xxhash64 chain), q35 (data-adaptive k-means
-    * centroids), q44/q58 (LSH-recall-dependent joins). Each of those
-    * emits self-verifying columns instead (shape_ok, order_sensitive,
-    * exact_rank, self_hit). */
+    * q32 (PNG byte streams), q33 (xxhash64 chain), q35 (data-adaptive
+    * k-means centroids), q44/q58 (LSH-recall-dependent joins), q57
+    * (implementation-specific sketch estimates). Each of those emits
+    * self-verifying columns instead (shape_ok + dims_ok,
+    * order_sensitive, exact_rank, self_hit, within_bound). */
   /** Shared DuckDB CTE text — ONE source for the formulations that
     * appear in multiple oracles, so a threshold/word-list edit cannot
     * silently diverge one copy (q43/q55 gate; q47/q55 bucket; q48/q55

@@ -61,7 +61,12 @@ object Multimodal {
     * JavaCV/ffmpeg call would go, with the batch shapes already real. */
   object Codecs {
     /** REAL image decode via javax.imageio. None when the payload is not
-      * a decodable image (ImageIO sniffs the container from the bytes). */
+      * a decodable image (ImageIO sniffs the container from the bytes).
+      * Catches ALL non-fatal throwables, not just IOException: plugin
+      * readers throw unchecked exceptions (IndexOutOfBounds,
+      * NegativeArraySize, IllegalArgument) on valid-magic/corrupt-body
+      * payloads, and a poisoned row must fall through to the stub
+      * embedding, not fail the partition. */
     def decodeImage(content: Array[Byte]): Option[ImageInfo] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
@@ -82,7 +87,7 @@ object Multimodal {
           }
           Some(ImageInfo(w, h, bands, sums.map(_ / (w.toLong * h))))
         }
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** REAL PNG encode (fixture builder): deterministic pixels from
       * `seed`, so decoded properties are reproducible everywhere. */

@@ -238,16 +238,20 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** Per-token 64-bit hashes (multiset) in the chosen family — the single
+    * definition [[simhash64]] and [[simhashPairs]] both build on. */
+  private def tokenHashes64(tokens: Column, hash: SketchHash): Column = hash match {
+    case SketchHash.Xx64        => transform(tokens, t => xxhash64(t))
+    case SketchHash.PortableMd5 => graft.plans.SketchFunctions.portableHash64(tokens)
+  }
+
   /** SimHash: 64-bit signature whose Hamming distance tracks cosine
     * similarity of the token multiset. Bit b is the sign of
-    * Σ_tokens (±1 by bit b of xxhash64(token)). Built entirely from
-    * higher-order functions + bitwise ops (overflow-free). */
-  def simhash64(c: Column): Column =
-    // hash each token once, then one native 64-bit-counting loop per row
-    // (graft.plans.SimHash64) — the HOF formulation (aggregate of zip_with
-    // over 64-wide arrays) is interpreted per token per bit
-    graft.plans.SketchFunctions.simhash(
-      transform(TextAnalysis.tokens(c), t => xxhash64(t)))
+    * Σ_tokens (±1 by bit b of hash(token)); the bit-vote runs in one
+    * native counting loop per row (graft.plans.SimHash64 — the HOF
+    * formulation is interpreted per token per bit). */
+  def simhash64(c: Column, hash: SketchHash = SketchHash.Xx64): Column =
+    graft.plans.SketchFunctions.simhash(tokenHashes64(TextAnalysis.tokens(c), hash))
 
   private def popcount64(c: Column): Column = bit_count(c)
 
@@ -280,13 +284,9 @@ object NearDup {
     // balanced bit counts also hash to 0) — noise, and the portable oracle
     // has no row to compute for them either
     val tk = TextAnalysis.tokens(col(textCol))
-    val tokenHashes = hash match {
-      case SketchHash.Xx64        => transform(tk, t => xxhash64(t))
-      case SketchHash.PortableMd5 => graft.plans.SketchFunctions.portableHash64(tk)
-    }
     // checkpoint for the same planning/recompute reasons as minhashLshPairs
     val sigs = df.select(col(idCol).as("id"), size(tk).as("ntk"),
-        graft.plans.SketchFunctions.simhash(tokenHashes).as("sig"))
+        graft.plans.SketchFunctions.simhash(tokenHashes64(tk, hash)).as("sig"))
       .filter(col("ntk") > 0)
       .select("id", "sig")
       .localCheckpoint(true)

@@ -148,17 +148,30 @@ object Similarity {
       .repartition(col("bucket"), pmod(hash(col(idCol)), lit(filesPerBucket)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Name of the catalog-owned completion marker inside a promoted index:
+    * written by [[ensureAnnIndex]] itself AFTER the staging rename, so
+    * trust in an index never depends on the committer's `_SUCCESS`
+    * setting (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false` is
+    * common in production). */
+  private val IndexCompleteMarker = "_GRAFT_INDEX_COMPLETE"
+
   /** Build-once wrapper around [[buildAnnIndex]]: a complete index already
-    * at `path` (its `_SUCCESS` marker present) is reused as-is, so the
-    * serving path pays the build exactly once per (corpus, planes) — the
-    * caller derives `path` from a corpus fingerprint + the LSH parameters
-    * (see [[corpusFingerprint]]), making the location content-addressed.
+    * at `path` (its [[IndexCompleteMarker]] present) is reused as-is, so
+    * the serving path pays the build exactly once per (corpus, planes) —
+    * the caller derives `path` from a corpus fingerprint + the LSH
+    * parameters (see [[corpusFingerprint]]), making the location
+    * content-addressed.
     *
     * Concurrency: the index is built into a process-unique staging
-    * directory and promoted with one filesystem rename, so two racing
+    * directory and promoted with one filesystem rename, so racing
     * builders (e.g. a bench and a verify harness on the same corpus)
-    * never read each other's half-written files — the loser of the rename
-    * race discards its staging copy and serves the winner's. */
+    * never read each other's half-written FILES; a builder that finds a
+    * complete index at any point serves it and discards its own staging
+    * copy. A racer observed as INCOMPLETE is replaced — complete-check
+    * and delete are adjacent but not atomic, so on a plain filesystem a
+    * reader scanning an index that a second builder concurrently judged
+    * stale can still lose files mid-scan (closing that window needs a
+    * CAS-capable store; retry the read). */
   def ensureAnnIndex(
       df: DataFrame,
       embCol: String,
@@ -170,28 +183,32 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    def complete(): Boolean = fs.exists(new Path(dst, "_SUCCESS"))
+    def complete(): Boolean = fs.exists(new Path(dst, IndexCompleteMarker))
     if (!complete()) {
       val staging = new Path(dst.getParent,
         s".${dst.getName}.staging-${java.util.UUID.randomUUID()}")
       buildAnnIndex(df, embCol, idCol, lsh, staging.toString, filesPerBucket)
       // Promote by rename. Hadoop rename into an EXISTING directory nests
-      // the source under it rather than replacing it, so a stale dst is
-      // deleted first; only a top-level _SUCCESS counts as installed, and
-      // a nested staging copy (rename raced with a concurrent builder that
-      // re-created dst) is cleaned up and the check retried — the race
-      // loser ends up serving the winner's complete index.
+      // the source under it rather than replacing it, so a stale
+      // (incomplete) dst is deleted first; a nested staging copy (rename
+      // raced with a concurrent builder that re-created dst) is cleaned
+      // up and the loop re-checks — the race loser serves the winner's
+      // complete index. Our own marker, written after a successful
+      // promote, is the single source of completeness.
       var attempts = 0
-      while (!complete() && attempts < 3) {
+      var done = complete()
+      while (!done && attempts < 3) {
         attempts += 1
         if (fs.exists(dst)) fs.delete(dst, true)
         if (fs.rename(staging, dst)) {
           val nested = new Path(dst, staging.getName)
           if (fs.exists(nested)) fs.delete(nested, true)
+          else fs.create(new Path(dst, IndexCompleteMarker), true).close()
         }
+        done = complete()
       }
       if (fs.exists(staging)) fs.delete(staging, true)
-      require(complete(), s"ANN index build did not produce a complete index at $path")
+      require(done, s"ANN index build did not produce a complete index at $path")
     }
     path
   }

@@ -123,23 +123,13 @@ final class TableCatalog(val root: String) {
     ()
   }
 
-  // one lock per table: evolution is a read-modify-write of _schema.json,
-  // and two UNSERIALIZED writers that both read the base schema would each
-  // persist only their own new columns — last-writer-WINS must still be
-  // last-writer-carries-the-UNION. In-process writers (concurrent batches
-  // on one driver, the deployment shape here and in the reference)
-  // serialize on this; writers on DIFFERENT drivers need an external
-  // arbiter (a real metastore / a lock service) — documented limit of a
-  // file-backed catalog, same as Hive-less parquet tables generally.
-  private val evolutionLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** O-27/O-30: ensure the table exists and contains every column of
     * `batchSchema`; new columns are appended (never retyped/dropped).
     * Returns the post-evolution authoritative schema. Memoized per table
     * name for the no-new-columns fast path. */
   def ensureTableStructure(db: String, t: String, batchSchema: StructType): StructType = {
     val key = s"$db.$t"
-    val lock = evolutionLocks.computeIfAbsent(key, _ => new Object)
+    val lock = TableCatalog.evolutionLock(root, db, t)
     lock.synchronized {
       describe(db, t) match {
         case None =>
@@ -160,7 +150,8 @@ final class TableCatalog(val root: String) {
   }
 
   /** Read a table back; `mergeSchema` covers parts written before the last
-    * evolution (older files simply lack the newer columns -> NULL). */
+    * evolution (older files simply lack the newer columns -> NULL).
+    * (Companion-held evolution locks live in [[TableCatalog$]].) */
   def read(spark: SparkSession, db: String, t: String): DataFrame = {
     val p       = new Path(tablePath(db, t))
     val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
@@ -175,4 +166,22 @@ final class TableCatalog(val root: String) {
       spark.read.option("mergeSchema", "true").parquet(tablePath(db, t))
     }
   }
+}
+
+object TableCatalog {
+  // one lock per (root, db, table) held JVM-WIDE, not per catalog
+  // instance: evolution is a read-modify-write of _schema.json, and two
+  // unserialized writers that both read the base schema would each
+  // persist only their own new columns — last-writer-WINS must still be
+  // last-writer-carries-the-UNION. Catalog instances are constructed
+  // freely (Warehouse.parquet builds one per call), so the lock registry
+  // must outlive them. In-process writers (concurrent batches/streams on
+  // one driver — the deployment shape here and in the reference)
+  // serialize on this; writers on DIFFERENT drivers need an external
+  // arbiter (a real metastore / lock service) — the documented limit of
+  // a file-backed catalog, same as Hive-less parquet tables generally.
+  private val evolutionLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[sink] def evolutionLock(root: String, db: String, t: String): Object =
+    evolutionLocks.computeIfAbsent(s"$root|$db|$t", _ => new Object)
 }

@@ -86,7 +86,7 @@ class SimilaritySpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft-ann-ensure")
     val idx = root.resolve("index").toString
     Similarity.ensureAnnIndex(base, "embedding", "vec_id", lsh, idx)
-    assert(new java.io.File(idx, "_SUCCESS").exists())
+    assert(new java.io.File(idx, "_GRAFT_INDEX_COMPLETE").exists())
     def listing(): Set[(String, Long, Long)] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
@@ -95,10 +95,12 @@ class SimilaritySpec extends AnyFunSuite {
     val before = listing()
     Similarity.ensureAnnIndex(base, "embedding", "vec_id", lsh, idx)
     assert(listing() == before, "a complete index was rebuilt instead of reused")
-    // a stale half-written tree (no _SUCCESS) is replaced, not trusted
-    assert(new java.io.File(idx, "_SUCCESS").delete())
+    // a stale half-written tree (no completion marker) is replaced, not
+    // trusted — the marker is catalog-owned, so this holds even where the
+    // committer's _SUCCESS is disabled
+    assert(new java.io.File(idx, "_GRAFT_INDEX_COMPLETE").delete())
     Similarity.ensureAnnIndex(base, "embedding", "vec_id", lsh, idx)
-    assert(new java.io.File(idx, "_SUCCESS").exists())
+    assert(new java.io.File(idx, "_GRAFT_INDEX_COMPLETE").exists())
     assert(listing() != before, "a stale incomplete index was not rebuilt")
     // probing the ensured index matches the per-query form
     val q = base.filter($"vec_id" === 0).select("embedding")

@@ -56,12 +56,16 @@ class TableCatalogSpec extends AnyFunSuite {
   test("concurrent writers evolving one table never drop another writer's columns") {
     // 8 batches race ensureTableStructure on the SAME (fresh) table, each
     // bringing the base column plus one private column — including the
-    // create race (no pre-existing schema). Whatever the interleaving,
-    // the final schema must carry the UNION of all 8 evolutions; an
-    // unserialized read-modify-write loses whichever columns landed
-    // between a racer's read and its write.
-    val cat = new TableCatalog(
-      java.nio.file.Files.createTempDirectory("graft-cat-race").toString)
+    // create race (no pre-existing schema), and spread across TWO catalog
+    // instances on the same root (Warehouse.parquet constructs a fresh
+    // catalog per call, so serialization must be JVM-wide, not
+    // per-instance). Whatever the interleaving, the final schema must
+    // carry the UNION of all 8 evolutions; an unserialized
+    // read-modify-write loses whichever columns landed between a racer's
+    // read and its write.
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-race").toString
+    val cats = Array(new TableCatalog(root), new TableCatalog(root))
+    val cat = cats(0)
     cat.createDatabase("db")
     val n = 8
     val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
@@ -74,7 +78,7 @@ class TableCatalogSpec extends AnyFunSuite {
           val mine = StructType(Seq(
             StructField("base", StringType), StructField(s"col_$i", LongType)))
           // each writer's return value must already include its column
-          assert(cat.ensureTableStructure("db", "race", mine)
+          assert(cats(i % 2).ensureTableStructure("db", "race", mine)
             .fieldNames.contains(s"col_$i"))
         } catch { case e: Throwable => failures.add(e) }
       }
