@@ -736,6 +736,43 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Extension — intra-document REPETITION profile (the Gopher-family
+    // duplicated-n-gram quality filter): exact counts of 2-gram
+    // instances, distinct 2-grams, and instances inside duplicated
+    // 2-grams, computed per row with ZERO shuffle (one native hash+sort
+    // loop — graft.plans.RepetitionStats). Every 40th doc is planted as
+    // text||' '||text, a genuinely repetitive document the gate must
+    // flag. Oracle recomputes the counts from string grams — hash-exact.
+    "q59_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+        .select("doc_id", "text")
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(40)) === 0)
+          .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text")))
+      corpus.select(col("doc_id"),
+          graft.plans.TextFunctions.repetitionStats(
+            TextAnalysis.tokens(col("text")), 2).as("r"))
+        .select(col("doc_id"),
+          col("r.n_grams").as("n_grams"),
+          col("r.n_distinct_grams").as("n_distinct_grams"),
+          col("r.n_repeated").as("n_repeated"),
+          (col("r.n_grams") > 0 &&
+            col("r.n_repeated") * 10 >= col("r.n_grams") * 3).as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // Extension — deterministic STRATIFIED sampling: exactly
+    // ceil(0.2·|source|) docs per source, chosen by the md5 content
+    // order both engines reproduce as a plain string sort. Membership,
+    // per-stratum rank AND quota are all recomputed by the oracle —
+    // hash-exact, the exactness `sampleBy` can't give.
+    "q60_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
+          frac = 0.2, salt = "v1")
+        .select("source", "sample_rank", "doc_id")
+        .orderBy("source", "sample_rank")
+    }),
+
     // Extension — PII scrub: spot and mask emails/IPv4 literals (planted
     // into every 11th doc), reporting span counts and post-redaction
     // length. RE2-safe patterns run identically in the DuckDB oracle.
@@ -1080,6 +1117,42 @@ object SparkEntry {
     "q30_cosine_dups" -> q30Oracle,
     "q26_minhash_pairs" -> q26Oracle,
     "q27_simhash_pairs" -> q27Oracle,
+
+    "q59_repetition" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
+           UNION ALL
+           SELECT doc_id, text || ' ' || text FROM documents WHERE doc_id % 40 = 0),
+         tok AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+           FROM corpus),
+         g AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS gram
+           FROM tok WHERE len(t) >= 2),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           count(*) AS n_distinct_grams,
+           CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_repeated
+           FROM c GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_distinct_grams, 0) AS n_distinct_grams,
+           COALESCE(a.n_repeated, 0) AS n_repeated,
+           COALESCE(a.n_grams, 0) > 0 AND
+             COALESCE(a.n_repeated, 0) * 10 >= COALESCE(a.n_grams, 0) * 3 AS repetitive
+         FROM (SELECT doc_id FROM corpus) d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
+
+    "q60_stratified_sample" ->
+      """WITH r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(doc_id::VARCHAR || 'v1') ASC, doc_id ASC) AS sample_rank,
+           count(*) OVER (PARTITION BY source) AS n
+         FROM documents)
+         SELECT source, sample_rank, doc_id FROM r
+         WHERE sample_rank <= ceil(n * 0.2)
+         ORDER BY source, sample_rank""",
 
     "q47_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

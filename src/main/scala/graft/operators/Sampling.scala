@@ -72,6 +72,42 @@ object Sampling {
     thr.init :+ Buckets // absorb rounding into the last split
   }
 
+  /** STRATIFIED sampling: exactly ceil(frac · |stratum|) rows from every
+    * stratum, chosen deterministically — rows sort within their stratum
+    * by the md5 hex digest of (key ++ salt) (a content-derived shuffle
+    * order both Spark and any SQL engine reproduce byte-for-byte as a
+    * plain string sort) and the first k are kept. Exactness per stratum
+    * is what distinguishes this from `df.sampleBy` (probabilistic counts,
+    * partition-layout dependent) — a per-source eval slice or a balanced
+    * annotation batch needs the counts to be right, not approximately
+    * right.
+    *
+    * Scale shape: ONE window per stratum (rank + count over the same
+    * partitioning = one shuffle), parallelism = stratum count, bounded by
+    * the largest stratum. For strata too large to window, the
+    * APPROXIMATE no-shuffle form is `bucket(key, salt) < frac · Buckets`
+    * (a pure filter reusing [[bucket]]) — same determinism, binomial
+    * count jitter; this exact form is the default because sample QUOTAS
+    * are usually small and strata numerous. */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      frac: Double,
+      salt: String = "",
+      rankCol: String = "sample_rank"
+  ): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val order = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(order.asc, col(keyCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    df.withColumn(rankCol, row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col(rankCol) <= ceil(col("__n") * frac))
+      .drop("__n")
+  }
+
   /** Sequence PACKING: assign each row to a fixed-budget bin (a training
     * context window) by offset quantization — a row starts in the bin
     * where its cumulative-size start offset lands (`floor(cum_before /

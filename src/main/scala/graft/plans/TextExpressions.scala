@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -122,7 +122,78 @@ object TextStats {
   }
 }
 
+/** Intra-document repetition profile over word n-grams — the
+  * Gopher-style "fraction of n-grams inside duplicated n-grams" quality
+  * signal (Rae et al. 2021, §A1.1.3's repetition filters), computed
+  * per row with NO shuffle: gram hashes (token bytes hashed once, n
+  * windows chained — the ShingleHashes loop WITHOUT the dedup), one
+  * sort, one run-length scan. Emits exact integer counts so the check is
+  * engine-portable: n_grams (all instances), n_distinct_grams, and
+  * n_repeated (instances belonging to grams occurring ≥ 2 times).
+  * 64-bit gram-hash collisions are the same negligible-probability
+  * equivalence the Jaccard operators rely on. */
+case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def prettyName: String = "graft_repetition_stats"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct_grams", LongType, nullable = false),
+    StructField("n_repeated", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_repetition_stats requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  def computeRow(v: ArrayData): InternalRow = {
+    val t = v.numElements()
+    val m = t - n + 1
+    if (m <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      val s = v.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val g = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = 42L
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      g(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(g)
+    var distinct = 0L
+    var repeated = 0L
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && g(j) == g(i)) j += 1
+      distinct += 1
+      if (j - i >= 2) repeated += (j - i)
+      i = j
+    }
+    new GenericInternalRow(Array[Any](m.toLong, distinct, repeated))
+  }
+
+  override def nullSafeEval(v: Any): Any = computeRow(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStats", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeRow($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def textStats(c: Column, profiles: Seq[Seq[String]]): Column =
     EU.column(TextStats(EU.expression(c), profiles))
+  def repetitionStats(tokens: Column, n: Int): Column =
+    EU.column(RepetitionStats(EU.expression(tokens), n))
 }

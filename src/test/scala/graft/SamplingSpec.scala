@@ -56,6 +56,29 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Seq(1.2, -0.2)))
   }
 
+  test("stratifiedSample: exact per-stratum quotas, deterministic, layout-invariant") {
+    val rows = (0L until 100L).map(i => (s"s${i % 4}", i)).toDF("src", "id")
+    val got = Sampling.stratifiedSample(rows, "src", "id", frac = 0.2, salt = "t1")
+    // 4 strata x 25 rows, ceil(25 * 0.2) each (float-faithful, same value
+    // any IEEE engine computes)
+    val quota = math.ceil(25 * 0.2).toLong
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("s0" -> quota, "s1" -> quota, "s2" -> quota, "s3" -> quota))
+    // ranks are 1..quota within each stratum
+    assert(got.filter($"sample_rank" > quota).isEmpty)
+    // same membership regardless of partition layout; salt re-rolls it
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Sampling.stratifiedSample(rows.repartition(7), "src", "id", 0.2, "t1")) ==
+      ids(got))
+    assert(ids(Sampling.stratifiedSample(rows, "src", "id", 0.2, "t2")) != ids(got))
+    // frac = 1 keeps everything; bad fracs rejected
+    assert(Sampling.stratifiedSample(rows, "src", "id", 1.0).count() == 100)
+    intercept[IllegalArgumentException](Sampling.stratifiedSample(rows, "src", "id", 0.0))
+    intercept[IllegalArgumentException](Sampling.stratifiedSample(rows, "src", "id", 1.5))
+  }
+
   test("packBins: offset-quantized packing per partition group") {
     val docs = Seq(
       // group a: sizes 60,60,60 with budget 100 -> offsets 0,60,120 -> bins 0,0,1

@@ -12,6 +12,26 @@ class TextAnalysisSpec extends AnyFunSuite {
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
     Seq(text).toDF("t").select(c.as("v")).head().getAs[T]("v")
 
+  test("repetition stats: exact gram/distinct/repeated counts") {
+    def rep(text: String): (Long, Long, Long) = {
+      val r = Seq(text).toDF("t")
+        .select(graft.plans.TextFunctions.repetitionStats(
+          TextAnalysis.tokens(col("t")), 2).as("r"))
+        .select("r.n_grams", "r.n_distinct_grams", "r.n_repeated").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // "a b a b a": grams [a b, b a, a b, b a] -> 4 total, 2 distinct, all repeated
+    assert(rep("a b a b a") == ((4L, 2L, 4L)))
+    // no repetition: every gram unique
+    assert(rep("a b c d") == ((3L, 3L, 0L)))
+    // one duplicated gram among distinct ones: [x y, y x, x y] -> the two
+    // "x y" instances count as repeated, the lone "y x" does not
+    assert(rep("x y x y") == ((3L, 2L, 2L)))
+    // shorter than n -> all zeros (and no throw)
+    assert(rep("solo") == ((0L, 0L, 0L)))
+    assert(rep("") == ((0L, 0L, 0L)))
+  }
+
   test("token count: empties, whitespace runs, trim") {
     assert(one[Int](TextAnalysis.tokenCount(col("t")), "a b  c") == 3)
     assert(one[Int](TextAnalysis.tokenCount(col("t")), "   ") == 0)
