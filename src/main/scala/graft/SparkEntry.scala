@@ -398,6 +398,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Extension — INT8-QUANTIZED ANN: the corpus scan reads 4× fewer
+    // bytes per vector and ranks by an exact integer dot product, with
+    // `exact_rank` showing where each quantized hit lands in the float
+    // top-k (the quantization-quality readout). Every score is integer
+    // arithmetic and the tie-break is by id, so the whole ranking is
+    // engine-reproducible — hash-exact.
+    "q61_quantized_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qRow = e.filter(col("vec_id") === 0)
+        .select(Similarity.quantizeEmbedding(col("embedding")).as("q"),
+          col("embedding"))
+        .head()
+      val qq = qRow.getSeq[Int](0).map(_.toDouble)
+      val qf = qRow.getSeq[Float](1).map(_.toDouble)
+      val base = e.filter(col("vec_id") =!= 0)
+      val quantized = base.select(col("vec_id"),
+          Similarity.dot(
+            Similarity.quantizeEmbedding(col("embedding")).cast("array<double>"),
+            array(qq.map(lit): _*)).cast("long").as("qscore"))
+        .orderBy(col("qscore").desc, col("vec_id").asc)
+        .limit(10)
+      val exact = Similarity.bruteForceTopK(base, "embedding", "vec_id", qf, 10)
+        .select(col("vec_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)).as("exact_rank"))
+      quantized.join(exact, Seq("vec_id"), "left")
+        .orderBy(col("qscore").desc, col("vec_id").asc)
+    }),
+
     // Extension — embedding-cosine near-dup pairs via LSH (hash-exact via
     // the same literal-plane DuckDB oracle as q29).
     "q30_cosine_dups" -> ((s, dir) => {
@@ -1065,6 +1093,31 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q61: int8 quantization + integer dot scoring in DuckDB — the
+    * quantized ranking is exact integer arithmetic, the exact_rank join
+    * reuses q28's float-cosine formulation (bit-identical left-fold). */
+  private def q61Oracle: String =
+    s"""WITH qz AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> greatest(-127, least(127, CAST(round(CAST(x AS DOUBLE) * 64) AS INT)))) AS qe
+       |  FROM embeddings),
+       |q AS (SELECT qe AS qq FROM qz WHERE vec_id = 0),
+       |qf AS (SELECT embedding AS qe0 FROM embeddings WHERE vec_id = 0),
+       |topq AS (SELECT z.vec_id,
+       |    CAST(list_reduce(list_transform(range(1, 65),
+       |      i -> CAST(z.qe[i] AS BIGINT) * q.qq[i]), (x, y) -> x + y) AS BIGINT) AS qscore
+       |  FROM qz z, q WHERE z.vec_id <> 0
+       |  ORDER BY qscore DESC, vec_id ASC LIMIT 10),
+       |fl AS (SELECT vec_id,
+       |    ${duckDot("embedding", "qe0")} /
+       |      (sqrt(${duckDot("embedding", "embedding")}) * sqrt(${duckDot("qe0", "qe0")})) AS score
+       |  FROM embeddings, qf WHERE vec_id <> 0
+       |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+       |fr AS (SELECT vec_id,
+       |    row_number() OVER (ORDER BY score DESC, vec_id ASC) AS exact_rank FROM fl)
+       |SELECT t.vec_id, t.qscore, fr.exact_rank FROM topq t LEFT JOIN fr USING (vec_id)
+       |ORDER BY qscore DESC, vec_id ASC""".stripMargin
+
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
     * q32 (PNG byte streams), q33 (xxhash64 chain), q35 (data-adaptive
@@ -1117,6 +1170,7 @@ object SparkEntry {
     "q30_cosine_dups" -> q30Oracle,
     "q26_minhash_pairs" -> q26Oracle,
     "q27_simhash_pairs" -> q27Oracle,
+    "q61_quantized_ann" -> q61Oracle,
 
     "q59_repetition" ->
       """WITH corpus AS (

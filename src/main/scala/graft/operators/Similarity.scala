@@ -474,6 +474,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** INT8 embedding quantization: element -> clamp(round(x · scale),
+    * ±127) — the standard memory-bound-ANN lever (4× fewer scan bytes
+    * than float32, cache-resident serving sets; the layout a PQ/SQ index
+    * stores). Scoring quantized vectors is pure INTEGER arithmetic
+    * (|q|≤127, 64-dim dot ≤ ~10^6 — exact in any engine, in double or
+    * int alike), so quantized rankings are bit-reproducible everywhere:
+    * the q61 oracle recomputes scores literally. `round` is
+    * half-away-from-zero in both Spark and DuckDB, so even an exact-.5
+    * product quantizes identically. Quantize queries THROUGH this same
+    * expression (Java's `Math.round` rounds -0.5 the other way). */
+  def quantizeEmbedding(emb: Column, scale: Int = 64): Column =
+    transform(emb, x =>
+      greatest(lit(-127), least(lit(127), round(x.cast("double") * scale).cast("int"))))
+
   /** Recommended signature width for bucketed pair generation over a
     * corpus of `n` vectors: candidate volume across buckets is ~n²/2^bits,
     * so keeping expected bucket occupancy near `targetBucketSize` means

@@ -204,6 +204,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact & ivf).size.toDouble / exact.size >= 0.8)
   }
 
+  test("int8 quantization: clamped range, high top-k agreement with float scoring") {
+    val q = Similarity.quantizeEmbedding($"embedding")
+    val vals = base.select(q.as("q")).collect().flatMap(_.getSeq[Int](0))
+    assert(vals.forall(v => v >= -127 && v <= 127))
+    // clamp engages on out-of-range inputs
+    val big = Seq((1L, Array(10.0f, -10.0f))).toDF("vec_id", "embedding")
+    assert(big.select(q.as("q")).head().getSeq[Int](0) == Seq(127, -127))
+    // quantized integer ranking tracks the float ranking closely on
+    // planted near-neighbors (the q61 readout)
+    val q0 = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val jit = new scala.util.Random(31)
+    val planted = (3000L until 3010L).map { i =>
+      (i, q0.map(x => x + jit.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val all = base.union(planted).filter($"vec_id" =!= 0)
+    val qq = Seq((0L, q0)).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeEmbedding($"embedding").as("q"))
+      .head().getSeq[Int](0).map(_.toDouble)
+    val topQ = all.select($"vec_id",
+        Similarity.dot(Similarity.quantizeEmbedding($"embedding").cast("array<double>"),
+          array(qq.map(lit): _*)).as("s"))
+      .orderBy($"s".desc, $"vec_id".asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val topF = Similarity.bruteForceTopK(all, "embedding", "vec_id",
+        q0.map(_.toDouble), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((topQ & topF).size >= 8, s"quantized/float overlap too low: ${(topQ & topF).size}")
+  }
+
   test("recommendedBits scales with corpus size and clamps") {
     assert(Similarity.recommendedBits(10000, 200) == 6)
     assert(Similarity.recommendedBits(1000000, 200) == 13)
