@@ -789,6 +789,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — cross-source duplication MATRIX: distinct canonical
+    // fingerprints shared by every source pair (which sources mirror
+    // each other's content). Every 30th doc is planted into a shifted
+    // source so genuine cross-source duplicates exist; the oracle
+    // recomputes fingerprints, planting and counts — hash-exact.
+    "q62_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 0)
+        .select(concat(lit("src"), pmod(col("doc_id") + 7, lit(20))).as("source"),
+          col("text"))
+      NearDup.sourceOverlapMatrix(
+          docs.select("source", "text").unionByName(planted), "text", "source")
+        .orderBy("source_a", "source_b")
+    }),
+
     // Extension — deterministic STRATIFIED sampling: exactly
     // ceil(0.2·|source|) docs per source, chosen by the md5 content
     // order both engines reproduce as a plain string sort. Membership,
@@ -1197,6 +1212,20 @@ object SparkEntry {
              COALESCE(a.n_repeated, 0) * 10 >= COALESCE(a.n_grams, 0) * 3 AS repetitive
          FROM (SELECT doc_id FROM corpus) d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+
+    "q62_source_overlap" ->
+      """WITH corpus AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'src' || ((doc_id + 7) % 20), text
+           FROM documents WHERE doc_id % 30 = 0),
+         fps AS (SELECT DISTINCT source,
+           md5(array_to_string(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fp
+           FROM corpus)
+         SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
 
     "q60_stratified_sample" ->
       """WITH r AS (SELECT source, doc_id,

@@ -352,6 +352,29 @@ object NearDup {
       .select(col("id").as(idCol), col("n_shared"))
   }
 
+  /** Cross-source EXACT-duplicate contamination matrix: for every
+    * unordered source pair, the number of DISTINCT canonical fingerprints
+    * present in both — the readout that shows which sources mirror each
+    * other's content (and therefore which dedup precedence to apply)
+    * before sources are mixed into a training corpus.
+    *
+    * Scale shape: one distinct-aggregation on (fp, source) — 16-byte
+    * fingerprints, never text — then a self-equi-join on fp whose output
+    * is bounded by |sources|² per fingerprint; with sources a small
+    * bounded set (shards, crawls, feeds), the result is at most
+    * |sources|² rows regardless of corpus size. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val fps = df.select(col(sourceCol).as("source"),
+        TextAnalysis.canonicalFingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val l = fps.select(col("fp"), col("source").as("source_a"))
+    val r = fps.select(col("fp"), col("source").as("source_b"))
+    l.join(r, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Tier 4 — transitive duplicate CLUSTERS from any pair list (the
     * output shape of [[jaccardPairs]]/[[minhashLshPairs]]/
     * [[simhashPairs]]/`Similarity.cosineDupPairs`): connected components

@@ -181,7 +181,15 @@ object VectorFunctions {
     ("graft_simhash", classOf[SimHash64].getName,
       es => SimHash64(es.head)),
     ("graft_shingle_hashes", classOf[ShingleHashes].getName,
-      es => ShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue))
+      es => ShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue)),
+    ("graft_md5_hash64", classOf[PortableHash64].getName,
+      es => PortableHash64(es.head)),
+    ("graft_md5_shingle_hashes", classOf[PortableShingleHashes].getName,
+      es => PortableShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue)),
+    ("graft_affine_minhash", classOf[AffineMinHash].getName,
+      es => AffineMinHash(es(0), es(1).eval().asInstanceOf[Number].intValue)),
+    ("graft_repetition_stats", classOf[RepetitionStats].getName,
+      es => RepetitionStats(es(0), es(1).eval().asInstanceOf[Number].intValue))
   )
 
   /** Session-scoped SQL registration: `SELECT graft_cosine(a.embedding,

@@ -144,6 +144,17 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == Map(2L -> 1L))
   }
 
+  test("sourceOverlapMatrix counts distinct shared fingerprints per source pair") {
+    val docs = Seq(
+      ("A", "shared one"), ("A", "shared two"), ("A", "only in a"),
+      ("B", "shared one"), ("B", "shared two"), ("B", "shared one"), // dup row: still 1 fp
+      ("C", "shared one"), ("C", "only in c")
+    ).toDF("source", "text")
+    val got = NearDup.sourceOverlapMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+  }
+
   private def clusters(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
     NearDup.dupClusters(edges.toDF("id_a", "id_b"), maxIter = maxIter)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap

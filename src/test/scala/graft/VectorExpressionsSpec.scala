@@ -56,9 +56,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
                 graft_simhash(array(1L, 2L, 3L)) AS sim""").head()
     assert(r.getSeq[Long](0).length == 2) // 4 tokens, n=3 -> 2 shingles
     assert(r.getSeq[Long](1).length == 8)
+    // portable family + repetition stats through SQL
+    val p = spark.sql(
+      """SELECT graft_md5_hash64(array('abc')) AS h,
+                graft_md5_shingle_hashes(array('a','b','c'), 2) AS sh,
+                graft_affine_minhash(graft_md5_hash64(array('a','b')), 4) AS mh,
+                graft_repetition_stats(array('a','b','a','b','a'), 2) AS rep""").head()
+    assert(p.getSeq[Long](0) ==
+      Seq(java.lang.Long.parseUnsignedLong("900150983cd24fb0", 16)))
+    assert(p.getSeq[Long](1).length == 2)
+    assert(p.getSeq[Long](2).length == 4)
+    assert(p.getStruct(3).getLong(0) == 4L && p.getStruct(3).getLong(2) == 4L)
     // every builder name resolves on the session after register()
     Seq("graft_dot", "graft_cosine", "graft_norm", "graft_minhash",
-        "graft_simhash", "graft_shingle_hashes").foreach { f =>
+        "graft_simhash", "graft_shingle_hashes", "graft_md5_hash64",
+        "graft_md5_shingle_hashes", "graft_affine_minhash",
+        "graft_repetition_stats").foreach { f =>
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(f)), f)
     }
