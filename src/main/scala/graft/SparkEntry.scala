@@ -777,9 +777,11 @@ object SparkEntry {
         .select("doc_id", "text")
         .unionByName(docs.filter(pmod(col("doc_id"), lit(40)) === 0)
           .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text")))
+      // NULL text counts as zero grams (what the oracle's LEFT JOIN +
+      // COALESCE computes for a token-less doc), not a null-propagated row
       corpus.select(col("doc_id"),
           graft.plans.TextFunctions.repetitionStats(
-            TextAnalysis.tokens(col("text")), 2).as("r"))
+            TextAnalysis.tokens(coalesce(col("text"), lit(""))), 2).as("r"))
         .select(col("doc_id"),
           col("r.n_grams").as("n_grams"),
           col("r.n_distinct_grams").as("n_distinct_grams"),
@@ -1114,7 +1116,8 @@ object SparkEntry {
   private def q61Oracle: String =
     s"""WITH qz AS (SELECT vec_id,
        |    list_transform(embedding,
-       |      x -> greatest(-127, least(127, CAST(round(CAST(x AS DOUBLE) * 64) AS INT)))) AS qe
+       |      x -> CAST(least(127, greatest(-127, round(
+       |        (CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 0 ELSE CAST(x AS DOUBLE) END) * 64))) AS INT)) AS qe
        |  FROM embeddings),
        |q AS (SELECT qe AS qq FROM qz WHERE vec_id = 0),
        |qf AS (SELECT embedding AS qe0 FROM embeddings WHERE vec_id = 0),

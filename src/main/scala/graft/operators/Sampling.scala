@@ -21,13 +21,21 @@ object Sampling {
   /** Bucket granularity: fractions resolve to 1/10000ths. */
   val Buckets: Int = 10000
 
+  /** The md5 hex digest of (key ++ salt) — the ONE content-keying
+    * expression every deterministic selection here derives from
+    * ([[bucket]]'s ranges, [[stratifiedSample]]'s ordering), so the
+    * keying (delimiting, casting, null policy) can never drift between
+    * them or their oracles. */
+  private def keyDigest(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(salt)))
+
   /** The stable bucket in [0, Buckets) for a key. First 8 md5 hex chars →
     * 32-bit int (fits a long far from overflow) → mod. A NULL key fails
     * LOUDLY: md5(null) is null and every range test would silently fall
     * through to the last split — a train/test leak shaped exactly like
     * the bug this utility exists to prevent. */
   def bucket(key: Column, salt: String = ""): Column = {
-    val b = pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+    val b = pmod(conv(substring(keyDigest(key, salt), 1, 8), 16, 10)
       .cast("long"), lit(Buckets.toLong))
     when(key.isNull,
       raise_error(lit("Sampling: split key must be non-null"))).otherwise(b)
@@ -98,7 +106,14 @@ object Sampling {
       rankCol: String = "sample_rank"
   ): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
-    val order = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    // NULL keys fail loudly (same policy and reason as [[bucket]]): a
+    // null digest sorts FIRST in Spark but LAST in most SQL engines, so
+    // null-key rows would silently crowd the quota here while an external
+    // recomputation selects different members — the portability break
+    // this operator exists to prevent.
+    val order = when(col(keyCol).isNull,
+      raise_error(lit("Sampling: stratified sample key must be non-null")))
+      .otherwise(keyDigest(col(keyCol), salt))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(order.asc, col(keyCol).asc)
     val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))

@@ -483,10 +483,17 @@ object Similarity {
     * the q61 oracle recomputes scores literally. `round` is
     * half-away-from-zero in both Spark and DuckDB, so even an exact-.5
     * product quantizes identically. Quantize queries THROUGH this same
-    * expression (Java's `Math.round` rounds -0.5 the other way). */
+    * expression (Java's `Math.round` rounds -0.5 the other way).
+    *
+    * Degenerate elements are defined, not fatal: NaN pins to 0 and the
+    * clamp runs on the DOUBLE before the int cast, so ±Infinity and
+    * huge magnitudes clamp to ±127 — casting first would make any such
+    * element throw under ANSI (Spark 4's default) instead of clamping
+    * as this contract promises. */
   def quantizeEmbedding(emb: Column, scale: Int = 64): Column =
     transform(emb, x =>
-      greatest(lit(-127), least(lit(127), round(x.cast("double") * scale).cast("int"))))
+      least(lit(127.0), greatest(lit(-127.0),
+        round(nanvl(x.cast("double"), lit(0.0)) * scale))).cast("int"))
 
   /** Recommended signature width for bucketed pair generation over a
     * corpus of `n` vectors: candidate volume across buckets is ~n²/2^bits,

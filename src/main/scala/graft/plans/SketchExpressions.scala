@@ -240,23 +240,45 @@ object PortableSketch {
 
   def md5Long(s: org.apache.spark.unsafe.types.UTF8String): Long = md5Long(s.getBytes)
 
+  /** Elementwise [[md5Long]] over a string array, NULL elements dropped —
+    * the shared body of `PortableHash64`'s eval and codegen. */
+  def md5Hashes(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val s = a.getUTF8String(i)
+      if (s != null) { out(w) = md5Long(s); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+
   /** Distinct portable hashes of all word n-gram shingles of a token
     * array, in ONE tight loop: each shingle's md5 runs incrementally over
     * `token (0x20 token)*` bytes — md5("t1 t2 t3") exactly, with no
-    * intermediate shingle strings — then sort+unique. Shared verbatim by
-    * eval and codegen of [[PortableShingleHashes]]; the interpreted-HOF
-    * formulation (transform + concat_ws + md5 per element) measured ~5×
-    * slower at sf0.1. */
+    * intermediate shingle strings — then sort+unique. NULL tokens are
+    * dropped before windowing. Shared verbatim by eval and codegen of
+    * [[PortableShingleHashes]]; the interpreted-HOF formulation
+    * (transform + concat_ws + md5 per element) measured ~5× slower at
+    * sf0.1. */
   def md5ShingleHashes(tokens: ArrayData, n: Int): ArrayData = {
-    val t = tokens.numElements()
+    val total = tokens.numElements()
+    val toks0 = new Array[Array[Byte]](total)
+    var t = 0
+    var k = 0
+    while (k < total) {
+      val s = tokens.getUTF8String(k)
+      if (s != null) { toks0(t) = s.getBytes; t += 1 }
+      k += 1
+    }
     val m = t - n + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val toks = new Array[Array[Byte]](t)
-    var i = 0
-    while (i < t) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val toks = toks0
     val md = digests.get()
     val out = new Array[Long](m)
-    i = 0
+    var i = 0
     while (i < m) {
       md.reset()
       var j = 0
@@ -288,7 +310,9 @@ object PortableSketch {
 
 /** Elementwise portable base hash: `array<string>` -> `array<long>` of
   * [[PortableSketch.md5Long]] values — one tight loop per row, no
-  * per-element interpreted HOF overhead. */
+  * per-element interpreted HOF overhead. NULL elements are dropped
+  * (tokenizers never emit them; the SQL surface can) — consumers are
+  * set/multiset sketches, where a null token contributes nothing. */
 case class PortableHash64(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_md5_hash64"
@@ -300,28 +324,12 @@ case class PortableHash64(child: Expression) extends UnaryExpression {
       s"graft_md5_hash64 requires array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) { out(i) = PortableSketch.md5Long(a.getUTF8String(i)); i += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    PortableSketch.md5Hashes(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val out = ctx.freshName("out")
-      val ps = "graft.plans.PortableSketch"
-      s"""
-         |int $n = $a.numElements();
-         |long[] $out = new long[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $ps.md5Long($a.getUTF8String($i));
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.PortableSketch.md5Hashes($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

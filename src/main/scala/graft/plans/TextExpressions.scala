@@ -133,6 +133,7 @@ object TextStats {
   * 64-bit gram-hash collisions are the same negligible-probability
   * equivalence the Jaccard operators rely on. */
 case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_repetition_stats needs n >= 1, got $n")
 
   override def prettyName: String = "graft_repetition_stats"
 
@@ -148,18 +149,25 @@ case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
   }
 
   def computeRow(v: ArrayData): InternalRow = {
-    val t = v.numElements()
+    // null elements are dropped before windowing (tokenizers never emit
+    // them, but the SQL surface can) — same as filtering them upstream
+    val total = v.numElements()
+    val th0 = new Array[Long](total)
+    var t = 0
+    var k = 0
+    while (k < total) {
+      val s = v.getUTF8String(k)
+      if (s != null) {
+        th0(t) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        t += 1
+      }
+      k += 1
+    }
     val m = t - n + 1
     if (m <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
-    val th = new Array[Long](t)
-    var i = 0
-    while (i < t) {
-      val s = v.getUTF8String(i)
-      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      i += 1
-    }
+    val th = th0
     val g = new Array[Long](m)
-    i = 0
+    var i = 0
     while (i < m) {
       var acc = 42L
       var j = 0

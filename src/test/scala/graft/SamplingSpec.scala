@@ -77,6 +77,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.stratifiedSample(rows, "src", "id", 1.0).count() == 100)
     intercept[IllegalArgumentException](Sampling.stratifiedSample(rows, "src", "id", 0.0))
     intercept[IllegalArgumentException](Sampling.stratifiedSample(rows, "src", "id", 1.5))
+    // NULL sample keys fail loudly (null digests sort FIRST here but LAST
+    // in most SQL engines — a silent membership divergence otherwise)
+    val withNull = rows.unionByName(
+      Seq(("s0", Option.empty[Long])).toDF("src", "id"))
+    val ex = intercept[Exception] {
+      Sampling.stratifiedSample(withNull, "src", "id", 0.2, "t1").collect()
+    }
+    assert(ex.getMessage.contains("non-null") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-null")))
   }
 
   test("packBins: offset-quantized packing per partition group") {

@@ -208,9 +208,14 @@ class SimilaritySpec extends AnyFunSuite {
     val q = Similarity.quantizeEmbedding($"embedding")
     val vals = base.select(q.as("q")).collect().flatMap(_.getSeq[Int](0))
     assert(vals.forall(v => v >= -127 && v <= 127))
-    // clamp engages on out-of-range inputs
+    // clamp engages on out-of-range inputs; degenerate elements are
+    // defined under ANSI, not fatal: NaN -> 0, +/-Inf and huge -> +/-127
     val big = Seq((1L, Array(10.0f, -10.0f))).toDF("vec_id", "embedding")
     assert(big.select(q.as("q")).head().getSeq[Int](0) == Seq(127, -127))
+    val weird = Seq((1L, Array(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, 1e9f, 0.004f))).toDF("vec_id", "embedding")
+    assert(weird.select(q.as("q")).head().getSeq[Int](0) ==
+      Seq(0, 127, -127, 127, 0))
     // quantized integer ranking tracks the float ranking closely on
     // planted near-neighbors (the q61 readout)
     val q0 = base.filter($"vec_id" === 0).select("embedding")

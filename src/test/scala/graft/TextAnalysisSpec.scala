@@ -30,6 +30,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     // shorter than n -> all zeros (and no throw)
     assert(rep("solo") == ((0L, 0L, 0L)))
     assert(rep("") == ((0L, 0L, 0L)))
+    // SQL-surface hardening: null elements are dropped, not an NPE;
+    // n < 1 is rejected at construction
+    val viaNulls = Seq(1).toDF("x")
+      .select(graft.plans.TextFunctions.repetitionStats(
+        array(lit("a"), lit(null).cast("string"), lit("a"), lit("b"),
+          lit("a"), lit("b")), 2).as("r"))
+      .select("r.n_grams", "r.n_distinct_grams", "r.n_repeated").head()
+    // surviving tokens [a,a,b,a,b] -> grams [aa, ab, ba, ab]
+    assert((viaNulls.getLong(0), viaNulls.getLong(1), viaNulls.getLong(2)) == ((4L, 3L, 2L)))
+    intercept[IllegalArgumentException] {
+      graft.plans.TextFunctions.repetitionStats(col("t"), 0)
+    }
   }
 
   test("token count: empties, whitespace runs, trim") {
