@@ -72,6 +72,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Set(1L)) // junk fails quality, Spanish fails lang-id
   }
 
+  test("repetition gate runs unchanged under Structured Streaming") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextAnalysis
+
+    val src = Files.createTempDirectory("graft_stream_rep")
+    val out = Files.createTempDirectory("graft_stream_rep_out")
+    val ckp = Files.createTempDirectory("graft_stream_rep_ckp")
+    Files.write(src.resolve("d.json"), Seq(
+      """{"doc_id":1,"text":"every word here appears exactly once in this clean document"}""",
+      """{"doc_id":2,"text":"spam spam spam spam spam spam spam spam spam spam"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    // RepetitionStats is a stateless per-row projection — the q59 gate
+    // drops repetitive docs identically in batch and streaming
+    val q = spark.readStream.schema(schema).json(src.toString)
+      .select(col("doc_id"),
+        graft.plans.TextFunctions.repetitionStats(
+          TextAnalysis.tokens(col("text")), 2).as("r"))
+      .filter(col("r.n_grams") === 0 ||
+        col("r.n_repeated") * 10 < col("r.n_grams") * 3)
+      .select("doc_id")
+      .writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.read.parquet(out.toString).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L)) // the spam run is pure duplicated grams
+  }
+
   test("streaming content-dedup: canonical fingerprint + watermark state") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.functions.TextAnalysis
