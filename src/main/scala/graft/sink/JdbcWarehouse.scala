@@ -31,8 +31,6 @@ class JdbcWarehouse(
     extraProps: Map[String, String] = Map.empty
 ) extends Warehouse {
 
-  private val createdTables = mutable.Set[String]()
-
   private def props: Properties = {
     val p = new Properties()
     extraProps.foreach { case (k, v) => p.setProperty(k, v) }
@@ -128,14 +126,14 @@ class JdbcWarehouse(
     * every new column — append-only evolution, O-27/O-30. Returns the
     * post-evolution schema. */
   def ensureTableStructure(db: String, t: String, batchSchema: StructType): StructType = {
-    val key = s"$db.$t"
+    // not memoized, same reasoning as TableCatalog.ensureTableStructure:
+    // the describe must stay fresh under concurrent evolution
     describe(db, t) match {
       case None =>
         withConn { c =>
           Using.resource(c.createStatement())(
             _.executeUpdate(createTableSql(db, t, batchSchema)))
         }
-        createdTables += key
         batchSchema
       case Some(existing) =>
         // JDBC metadata uppercases unquoted... we quote, so names match

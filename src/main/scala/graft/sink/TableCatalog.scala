@@ -3,8 +3,6 @@ package graft.sink
 import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 
-import scala.collection.mutable
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -33,8 +31,6 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * pin the lakehouse to the driver's local disk.
   */
 final class TableCatalog(val root: String) {
-
-  private val createdTables = mutable.Set[String]()
 
   /** Hadoop conf of the active session when there is one (so fs.s3a.* etc.
     * settings apply); a vanilla Configuration otherwise (local FS). */
@@ -125,16 +121,21 @@ final class TableCatalog(val root: String) {
 
   /** O-27/O-30: ensure the table exists and contains every column of
     * `batchSchema`; new columns are appended (never retyped/dropped).
-    * Returns the post-evolution authoritative schema. Memoized per table
-    * name for the no-new-columns fast path. */
+    * Returns the post-evolution authoritative schema.
+    *
+    * Deliberately NOT memoized (the reference keeps a `created_tables`
+    * set to skip CREATE round-trips, clickhouse.py:39,71-72): here the
+    * existence check IS the authoritative-schema read — one tiny
+    * metadata file — and it must stay FRESH, because a concurrent batch
+    * may have evolved the table since this writer last saw it; a memo
+    * that skips the read would re-introduce the lost-column race the
+    * per-table lock exists to prevent. */
   def ensureTableStructure(db: String, t: String, batchSchema: StructType): StructType = {
-    val key = s"$db.$t"
     val lock = TableCatalog.evolutionLock(root, db, t)
     lock.synchronized {
       describe(db, t) match {
         case None =>
           writeSchema(db, t, batchSchema)
-          createdTables += key
           batchSchema
         case Some(existing) =>
           val known   = existing.fieldNames.toSet
