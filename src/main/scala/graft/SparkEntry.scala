@@ -791,6 +791,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — document CHUNKING into overlapping training windows
+    // (size 64, stride 48): every chunk's coordinates, token count and
+    // boundary tokens. The whole assignment is integer arithmetic over
+    // the token stream, so the oracle replays it exactly — hash-exact.
+    "q63_chunking" -> ((s, dir) => {
+      Sampling.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+          size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Extension — cross-source duplication MATRIX: distinct canonical
     // fingerprints shared by every source pair (which sources mirror
     // each other's content). Every 30th doc is planted into a shifted
@@ -1215,6 +1225,22 @@ object SparkEntry {
              COALESCE(a.n_repeated, 0) * 10 >= COALESCE(a.n_grams, 0) * 3 AS repetitive
          FROM (SELECT doc_id FROM corpus) d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+
+    "q63_chunking" ->
+      """WITH tok AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         d AS (SELECT doc_id, t, len(t) AS n_doc FROM tok WHERE len(t) > 0),
+         c AS (SELECT doc_id, t, n_doc,
+           CASE WHEN n_doc <= 64 THEN 1
+                ELSE 1 + CAST(ceil((n_doc - 64) / CAST(48 AS DOUBLE)) AS BIGINT) END AS n_chunks
+           FROM d),
+         e AS (SELECT doc_id, t, n_doc, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+         SELECT doc_id, chunk_id, n_doc,
+           least(64, n_doc - chunk_id * 48) AS n_tokens_chunk,
+           t[CAST(chunk_id * 48 + 1 AS INT)] AS first_token,
+           t[CAST(least(chunk_id * 48 + 64, n_doc) AS INT)] AS last_token
+         FROM e ORDER BY doc_id, chunk_id""",
 
     "q62_source_overlap" ->
       """WITH corpus AS (

@@ -123,6 +123,44 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Document CHUNKING: split each document's token stream into
+    * fixed-`size` windows advancing by `stride` tokens (overlap =
+    * size − stride), the shaping step that turns long documents into
+    * training-window rows. Chunk k covers tokens
+    * [k·stride, k·stride + size); the final chunk may be shorter; a doc
+    * with ≤ `size` tokens yields exactly one chunk; token-less docs are
+    * dropped. Pure per-row projection + explode — no shuffle, no state,
+    * trivially streamable; emitted columns are the chunk's token count
+    * and boundary tokens (integers/strings, so the assignment is
+    * engine-recomputable — the q63 oracle replays it in SQL).
+    *
+    * Row-size note at scale: emitting chunk TEXT would multiply payload
+    * by the overlap factor; this emits coordinates + boundaries so the
+    * (doc_id, chunk_id) → token-span mapping can be joined/applied
+    * lazily where the text is actually consumed. */
+  def chunkDocuments(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      size: Int,
+      stride: Int
+  ): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val tk = graft.functions.TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), tk.as("__t"), org.apache.spark.sql.functions.size(tk).as("n_doc"))
+      .filter(col("n_doc") > 0)
+      .withColumn("n_chunks",
+        when(col("n_doc") <= size, lit(1L)).otherwise(
+          lit(1L) + ceil((col("n_doc") - lit(size)).cast("double") / stride).cast("long")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col(idCol), col("chunk_id"), col("n_doc"),
+        least(lit(size.toLong), col("n_doc") - col("chunk_id") * stride).as("n_tokens_chunk"),
+        element_at(col("__t"), (col("chunk_id") * stride + 1).cast("int")).as("first_token"),
+        element_at(col("__t"),
+          least(col("chunk_id") * stride + size, col("n_doc")).cast("int")).as("last_token"))
+  }
+
   /** Sequence PACKING: assign each row to a fixed-budget bin (a training
     * context window) by offset quantization — a row starts in the bin
     * where its cumulative-size start offset lands (`floor(cum_before /

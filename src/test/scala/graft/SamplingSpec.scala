@@ -88,6 +88,32 @@ class SamplingSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("non-null")))
   }
 
+  test("chunkDocuments: window layout, boundaries, degenerate docs") {
+    def toks(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(4)),   // n == size -> one full chunk
+      (2L, toks(5)),   // n == size+1 -> chunks [1..4], [4..5]
+      (3L, toks(10)),  // 1 + ceil((10-4)/3) = 3 chunks
+      (4L, toks(2)),   // shorter than size -> one short chunk
+      (5L, "   ")      // token-less -> dropped
+    ).toDF("doc_id", "text")
+    val got = Sampling.chunkDocuments(docs, "text", "doc_id", size = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got == Map(
+      (1L, 0L) -> ((4L, "t1", "t4")),
+      (2L, 0L) -> ((4L, "t1", "t4")), (2L, 1L) -> ((2L, "t4", "t5")),
+      (3L, 0L) -> ((4L, "t1", "t4")), (3L, 1L) -> ((4L, "t4", "t7")),
+      (3L, 2L) -> ((4L, "t7", "t10")),
+      (4L, 0L) -> ((2L, "t1", "t2"))))
+    // every token index is covered by some chunk (stride <= size)
+    intercept[IllegalArgumentException](
+      Sampling.chunkDocuments(docs, "text", "doc_id", size = 4, stride = 5))
+    intercept[IllegalArgumentException](
+      Sampling.chunkDocuments(docs, "text", "doc_id", size = 0, stride = 1))
+  }
+
   test("packBins: offset-quantized packing per partition group") {
     val docs = Seq(
       // group a: sizes 60,60,60 with budget 100 -> offsets 0,60,120 -> bins 0,0,1
