@@ -700,6 +700,35 @@ object SparkEntry {
         .orderBy("source", "bin_id")
     }),
 
+    // Extension — the round-5 preprocessing chain COMPOSED: quality +
+    // language gate (q43's signals) AND the repetition gate (q59's) in
+    // ONE document scan, then per-source chunk accounting for the
+    // survivors. No chunk explosion happens at all: with overlap =
+    // size − stride, total chunk tokens ≡ n + (n_chunks − 1)·overlap
+    // (exact integer identity), so the whole readout derives from token
+    // counts. Oracle chains the proven q43/q59/q63 formulations —
+    // hash-exact.
+    "q64_curation_v2" -> ((s, dir) => {
+      val size = 64; val stride = 48
+      val st = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.textStats(col("text")).as("st"),
+          graft.plans.TextFunctions.repetitionStats(
+            TextAnalysis.tokens(col("text")), 2).as("r"))
+        .localCheckpoint(true)
+      val kept = st.filter(TextAnalysis.qualityOkFromStats(col("st")) &&
+          TextAnalysis.langIdFromStats(col("st")) === "en" &&
+          !(col("r.n_grams") > 0 && col("r.n_repeated") * 10 >= col("r.n_grams") * 3))
+        .select(col("source"), col("st.n_tokens").cast("long").as("n"))
+      kept.withColumn("c", when(col("n") <= size, lit(1L))
+          .otherwise(lit(1L) +
+            ceil((col("n") - lit(size)).cast("double") / stride).cast("long")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c")).as("n_chunks"),
+          sum(col("n") + (col("c") - 1) * (size - stride)).as("n_chunk_tokens"))
+        .orderBy("source")
+    }),
+
     // Extension — per-source token-length quantiles (p50/p90/p99), the
     // length-distribution readout a curation pipeline tracks per shard.
     // Exact `percentile` (not approx_percentile): both engines use the
@@ -1225,6 +1254,28 @@ object SparkEntry {
              COALESCE(a.n_repeated, 0) * 10 >= COALESCE(a.n_grams, 0) * 3 AS repetitive
          FROM (SELECT doc_id FROM corpus) d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+
+    "q64_curation_v2" ->
+      s"""WITH $DuckGateCtes,
+         grams AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS gram
+           FROM g WHERE len(t) >= 2),
+         gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+         ragg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_rep
+           FROM gc GROUP BY doc_id),
+         kept AS (SELECT g.source, len(g.t) AS n
+           FROM g LEFT JOIN ragg r USING (doc_id)
+           WHERE $DuckEnglishKeep
+             AND NOT (COALESCE(r.n_grams, 0) > 0
+                      AND COALESCE(r.n_rep, 0) * 10 >= COALESCE(r.n_grams, 0) * 3)),
+         ch AS (SELECT source, n,
+           CASE WHEN n <= 64 THEN 1
+                ELSE 1 + CAST(ceil((n - 64) / CAST(48 AS DOUBLE)) AS BIGINT) END AS c
+           FROM kept)
+         SELECT source, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_chunks,
+           CAST(sum(n + (c - 1) * 16) AS BIGINT) AS n_chunk_tokens
+         FROM ch GROUP BY source ORDER BY source""",
 
     "q63_chunking" ->
       """WITH tok AS (SELECT doc_id,
