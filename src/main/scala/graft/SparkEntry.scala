@@ -709,23 +709,20 @@ object SparkEntry {
     // counts. Oracle chains the proven q43/q59/q63 formulations —
     // hash-exact.
     "q64_curation_v2" -> ((s, dir) => {
-      val size = 64; val stride = 48
       val st = t(s, dir, "documents").select(col("doc_id"), col("source"),
           TextAnalysis.textStats(col("text")).as("st"),
           graft.plans.TextFunctions.repetitionStats(
-            TextAnalysis.tokens(col("text")), 2).as("r"))
+            TextAnalysis.tokens(col("text")), RepGramN).as("r"))
         .localCheckpoint(true)
       val kept = st.filter(TextAnalysis.qualityOkFromStats(col("st")) &&
           TextAnalysis.langIdFromStats(col("st")) === "en" &&
-          !(col("r.n_grams") > 0 && col("r.n_repeated") * 10 >= col("r.n_grams") * 3))
+          !repetitiveFromStats(col("r")))
         .select(col("source"), col("st.n_tokens").cast("long").as("n"))
-      kept.withColumn("c", when(col("n") <= size, lit(1L))
-          .otherwise(lit(1L) +
-            ceil((col("n") - lit(size)).cast("double") / stride).cast("long")))
+      kept.withColumn("c", Sampling.chunkCount(col("n"), ChunkSize, ChunkStride))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("c")).as("n_chunks"),
-          sum(col("n") + (col("c") - 1) * (size - stride)).as("n_chunk_tokens"))
+          sum(col("n") + (col("c") - 1) * (ChunkSize - ChunkStride)).as("n_chunk_tokens"))
         .orderBy("source")
     }),
 
@@ -810,13 +807,12 @@ object SparkEntry {
       // COALESCE computes for a token-less doc), not a null-propagated row
       corpus.select(col("doc_id"),
           graft.plans.TextFunctions.repetitionStats(
-            TextAnalysis.tokens(coalesce(col("text"), lit(""))), 2).as("r"))
+            TextAnalysis.tokens(coalesce(col("text"), lit(""))), RepGramN).as("r"))
         .select(col("doc_id"),
           col("r.n_grams").as("n_grams"),
           col("r.n_distinct_grams").as("n_distinct_grams"),
           col("r.n_repeated").as("n_repeated"),
-          (col("r.n_grams") > 0 &&
-            col("r.n_repeated") * 10 >= col("r.n_grams") * 3).as("repetitive"))
+          repetitiveFromStats(col("r")).as("repetitive"))
         .orderBy("doc_id")
     }),
 
@@ -826,7 +822,7 @@ object SparkEntry {
     // the token stream, so the oracle replays it exactly — hash-exact.
     "q63_chunking" -> ((s, dir) => {
       Sampling.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
-          size = 64, stride = 48)
+          size = ChunkSize, stride = ChunkStride)
         .orderBy("doc_id", "chunk_id")
     }),
 
@@ -1069,6 +1065,48 @@ object SparkEntry {
   private val Q26ThresholdPct = 60
   private val Q27MaxHamming   = 3
 
+  /** Repetition-gate geometry (q59/q64) and chunk-window geometry
+    * (q63/q64) — shared between every query and oracle that uses them,
+    * so the gram width, the Gopher 30% threshold, and the window policy
+    * each live in exactly one place. */
+  private val RepGramN    = 2
+  private val ChunkSize   = 64
+  private val ChunkStride = 48
+
+  /** The repetition gate over a RepetitionStats struct: >30% of gram
+    * instances belong to duplicated grams (and the doc has grams at
+    * all). */
+  private def repetitiveFromStats(r: Column): Column =
+    r.getField("n_grams") > 0 &&
+      r.getField("n_repeated") * 10 >= r.getField("n_grams") * 3
+
+  /** Repetition-aggregate CTEs over a `(doc_id, t)` token CTE — ONE
+    * DuckDB formulation of the [[RepGramN]]-gram counts, shared by
+    * q59/q64 so the gram construction cannot diverge between them.
+    * Emits `ragg(doc_id, n_grams, n_distinct_grams, n_repeated)`. */
+  private def duckRepCtes(tokCte: String): String = {
+    val gramExpr = (0 until RepGramN).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""grams AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(t) - ${RepGramN - 2}, 1)),
+       |    i -> $gramExpr)) AS gram
+       |  FROM $tokCte WHERE len(t) >= $RepGramN),
+       |gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+       |ragg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |  count(*) AS n_distinct_grams,
+       |  CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_repeated
+       |  FROM gc GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The repetition gate in SQL — same threshold as
+    * [[repetitiveFromStats]]. */
+  private def duckRepetitive(nGrams: String, nRepeated: String): String =
+    s"($nGrams > 0 AND $nRepeated * 10 >= $nGrams * 3)"
+
+  /** [[Sampling.chunkCount]] in SQL over a token-count expression. */
+  private def duckChunkCount(n: String): String =
+    s"""CASE WHEN $n <= $ChunkSize THEN 1
+       | ELSE 1 + CAST(ceil(($n - $ChunkSize) / CAST($ChunkStride AS DOUBLE)) AS BIGINT) END""".stripMargin
+
   /** The portable-sketch base hash (graft.plans.PortableSketch.md5Long)
     * in DuckDB SQL: big-endian int64 of the first 8 md5 bytes of `x`,
     * reconstructed signed so no step can overflow a checked BIGINT. */
@@ -1230,67 +1268,45 @@ object SparkEntry {
     "q61_quantized_ann" -> q61Oracle,
 
     "q59_repetition" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
-           UNION ALL
-           SELECT doc_id, text || ' ' || text FROM documents WHERE doc_id % 40 = 0),
+      s"""WITH corpus AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
+         UNION ALL
+         SELECT doc_id, text || ' ' || text FROM documents WHERE doc_id % 40 = 0),
          tok AS (SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
            FROM corpus),
-         g AS (SELECT doc_id,
-           unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS gram
-           FROM tok WHERE len(t) >= 2),
-         c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
-         agg AS (SELECT doc_id,
-           CAST(sum(cnt) AS BIGINT) AS n_grams,
-           count(*) AS n_distinct_grams,
-           CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_repeated
-           FROM c GROUP BY doc_id)
+         ${duckRepCtes("tok")}
          SELECT d.doc_id,
            COALESCE(a.n_grams, 0) AS n_grams,
            COALESCE(a.n_distinct_grams, 0) AS n_distinct_grams,
            COALESCE(a.n_repeated, 0) AS n_repeated,
-           COALESCE(a.n_grams, 0) > 0 AND
-             COALESCE(a.n_repeated, 0) * 10 >= COALESCE(a.n_grams, 0) * 3 AS repetitive
-         FROM (SELECT doc_id FROM corpus) d LEFT JOIN agg a USING (doc_id)
+           ${duckRepetitive("COALESCE(a.n_grams, 0)", "COALESCE(a.n_repeated, 0)")} AS repetitive
+         FROM (SELECT doc_id FROM corpus) d LEFT JOIN ragg a USING (doc_id)
          ORDER BY doc_id""",
 
     "q64_curation_v2" ->
       s"""WITH $DuckGateCtes,
-         grams AS (SELECT doc_id,
-           unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS gram
-           FROM g WHERE len(t) >= 2),
-         gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
-         ragg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_rep
-           FROM gc GROUP BY doc_id),
+         ${duckRepCtes("g")},
          kept AS (SELECT g.source, len(g.t) AS n
            FROM g LEFT JOIN ragg r USING (doc_id)
            WHERE $DuckEnglishKeep
-             AND NOT (COALESCE(r.n_grams, 0) > 0
-                      AND COALESCE(r.n_rep, 0) * 10 >= COALESCE(r.n_grams, 0) * 3)),
-         ch AS (SELECT source, n,
-           CASE WHEN n <= 64 THEN 1
-                ELSE 1 + CAST(ceil((n - 64) / CAST(48 AS DOUBLE)) AS BIGINT) END AS c
-           FROM kept)
+             AND NOT ${duckRepetitive("COALESCE(r.n_grams, 0)", "COALESCE(r.n_repeated, 0)")}),
+         ch AS (SELECT source, n, ${duckChunkCount("n")} AS c FROM kept)
          SELECT source, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_chunks,
-           CAST(sum(n + (c - 1) * 16) AS BIGINT) AS n_chunk_tokens
+           CAST(sum(n + (c - 1) * ${ChunkSize - ChunkStride}) AS BIGINT) AS n_chunk_tokens
          FROM ch GROUP BY source ORDER BY source""",
 
     "q63_chunking" ->
-      """WITH tok AS (SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+      s"""WITH tok AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
            FROM documents),
          d AS (SELECT doc_id, t, len(t) AS n_doc FROM tok WHERE len(t) > 0),
-         c AS (SELECT doc_id, t, n_doc,
-           CASE WHEN n_doc <= 64 THEN 1
-                ELSE 1 + CAST(ceil((n_doc - 64) / CAST(48 AS DOUBLE)) AS BIGINT) END AS n_chunks
-           FROM d),
+         c AS (SELECT doc_id, t, n_doc, ${duckChunkCount("n_doc")} AS n_chunks FROM d),
          e AS (SELECT doc_id, t, n_doc, unnest(range(0, n_chunks)) AS chunk_id FROM c)
          SELECT doc_id, chunk_id, n_doc,
-           least(64, n_doc - chunk_id * 48) AS n_tokens_chunk,
-           t[CAST(chunk_id * 48 + 1 AS INT)] AS first_token,
-           t[CAST(least(chunk_id * 48 + 64, n_doc) AS INT)] AS last_token
+           least($ChunkSize, n_doc - chunk_id * $ChunkStride) AS n_tokens_chunk,
+           t[CAST(chunk_id * $ChunkStride + 1 AS INT)] AS first_token,
+           t[CAST(least(chunk_id * $ChunkStride + $ChunkSize, n_doc) AS INT)] AS last_token
          FROM e ORDER BY doc_id, chunk_id""",
 
     "q62_source_overlap" ->

@@ -138,6 +138,17 @@ object Sampling {
     * by the overlap factor; this emits coordinates + boundaries so the
     * (doc_id, chunk_id) → token-span mapping can be joined/applied
     * lazily where the text is actually consumed. */
+  /** Chunk count for a document of `n` tokens under (`size`, `stride`):
+    * the ONE formula [[chunkDocuments]] explodes — exposed so aggregate
+    * chunk ACCOUNTING (total chunks/tokens without materializing chunks,
+    * q64-style) can never drift from the operator's window policy. */
+  def chunkCount(n: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    when(n <= size, lit(1L)).otherwise(
+      lit(1L) + ceil((n - lit(size)).cast("double") / stride).cast("long"))
+  }
+
   def chunkDocuments(
       df: DataFrame,
       textCol: String,
@@ -147,13 +158,20 @@ object Sampling {
   ): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val tk = graft.functions.TextAnalysis.tokens(col(textCol))
-    df.select(col(idCol), tk.as("__t"), org.apache.spark.sql.functions.size(tk).as("n_doc"))
-      .filter(col("n_doc") > 0)
-      .withColumn("n_chunks",
-        when(col("n_doc") <= size, lit(1L)).otherwise(
-          lit(1L) + ceil((col("n_doc") - lit(size)).cast("double") / stride).cast("long")))
-      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+    // tokenize ONCE: the token array is projected alone first and every
+    // later step references the alias. Token-less docs are dropped by
+    // EXPLODING an empty chunk list rather than a filter — a
+    // `filter(n_doc > 0)` gets pushed below this projection and
+    // substituted back to `size(tokens(text)) > 0`, re-running the
+    // interpreted tokenizer per document (the repeated-scan cost this
+    // codebase keeps eliminating); explode-of-empty cannot be pushed.
+    df.select(col(idCol), graft.functions.TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        org.apache.spark.sql.functions.size(col("__t")).as("n_doc"))
+      .withColumn("n_chunks", chunkCount(col("n_doc"), size, stride))
+      .withColumn("chunk_id", explode(
+        when(col("n_doc") > 0, sequence(lit(0L), col("n_chunks") - 1))
+          .otherwise(array().cast("array<bigint>"))))
       .select(col(idCol), col("chunk_id"), col("n_doc"),
         least(lit(size.toLong), col("n_doc") - col("chunk_id") * stride).as("n_tokens_chunk"),
         element_at(col("__t"), (col("chunk_id") * stride + 1).cast("int")).as("first_token"),
