@@ -826,6 +826,36 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Extension — bigram-LM quality scoring (perplexity-style filter):
+    // the corpus trains its own Laplace-smoothed bigram model and every
+    // document is scored by average NLL. Rows-only (ln sums are not
+    // bit-pinned cross-engine), so the output carries the ground truth:
+    // every 25th doc gets an OOV twin — same length, every bigram novel
+    // — and `oov_worse` certifies the twin scores strictly worse than
+    // its natural original, the separation a perplexity filter exists
+    // to make.
+    "q65_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          graft.operators.NgramLm.oovTwin("text", "doc_id").as("text"))
+      val scored = graft.operators.NgramLm.scoreDocs(
+        docs.unionByName(planted), "text", "doc_id")
+      val orig = scored.filter(col("doc_id") < 20000000L)
+        .select(col("doc_id"), col("n_grams").as("n_grams_orig"),
+          col("avg_nll").as("nll_orig"))
+      val twin = scored.filter(col("doc_id") >= 20000000L)
+        .select((col("doc_id") - 20000000L).as("doc_id"),
+          col("n_grams").as("n_grams_twin"), col("avg_nll").as("nll_twin"))
+      twin.join(orig, "doc_id")
+        .withColumn("oov_worse", col("nll_twin") > col("nll_orig"))
+        .select(col("doc_id"), col("n_grams_orig"), col("n_grams_twin"),
+          round(col("nll_orig"), 6).as("nll_orig_r"),
+          round(col("nll_twin"), 6).as("nll_twin_r"),
+          col("oov_worse"))
+        .orderBy("doc_id")
+    }),
+
     // Extension — cross-source duplication MATRIX: distinct canonical
     // fingerprints shared by every source pair (which sources mirror
     // each other's content). Every 30th doc is planted into a shifted

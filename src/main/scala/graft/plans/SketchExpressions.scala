@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -206,6 +207,63 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
          |}
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-position (bigram hash, first-word hash) pairs straight from a
+  * token array — the exploded count stream an n-gram LM aggregates and
+  * joins on: 8-byte keys instead of gram strings, one tight loop per row
+  * (the HOF string-shingle formulation measured ~4× slower at sf0.1 in
+  * q65). Hashes use the [[ShingleHashes]] chain (token bytes once, then
+  * XXH64-chained), multiplicity and pairing preserved, NULL tokens
+  * dropped. Output: `array<struct<g:bigint, w:bigint>>` of length
+  * max(0, tokens-1). */
+case class BigramHashes(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_bigram_hashes"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("g", LongType, nullable = false),
+      StructField("w", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bigram_hashes requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  def computeRow(v: ArrayData): ArrayData = {
+    val total = v.numElements()
+    val th0 = new Array[Long](total)
+    var t = 0
+    var k = 0
+    while (k < total) {
+      val s = v.getUTF8String(k)
+      if (s != null) {
+        th0(t) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        t += 1
+      }
+      k += 1
+    }
+    val m = t - 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val g = XXH64.hashLong(th0(i + 1), XXH64.hashLong(th0(i), 42L))
+      out(i) = InternalRow(g, th0(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = computeRow(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramHashes", this, classOf[BigramHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeRow($a);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -434,6 +492,8 @@ object SketchFunctions {
     EU.column(PortableHash64(EU.expression(strings)))
   def portableShingleHashes(tokens: Column, n: Int): Column =
     EU.column(PortableShingleHashes(EU.expression(tokens), n))
+  def bigramHashes(tokens: Column): Column =
+    EU.column(BigramHashes(EU.expression(tokens)))
   def affineMinhash(portableHashes: Column, numHashes: Int, seed: Long = 42L): Column =
     EU.column(AffineMinHash(EU.expression(portableHashes), numHashes, seed))
 }

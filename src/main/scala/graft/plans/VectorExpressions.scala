@@ -189,7 +189,9 @@ object VectorFunctions {
     ("graft_affine_minhash", classOf[AffineMinHash].getName,
       es => AffineMinHash(es(0), es(1).eval().asInstanceOf[Number].intValue)),
     ("graft_repetition_stats", classOf[RepetitionStats].getName,
-      es => RepetitionStats(es(0), es(1).eval().asInstanceOf[Number].intValue))
+      es => RepetitionStats(es(0), es(1).eval().asInstanceOf[Number].intValue)),
+    ("graft_bigram_hashes", classOf[BigramHashes].getName,
+      es => BigramHashes(es.head))
   )
 
   /** Session-scoped SQL registration: `SELECT graft_cosine(a.embedding,
