@@ -826,6 +826,55 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Extension — DATA-MIXTURE selection: per-source token quotas in a
+    // target weight ratio (weight = 1 + N%3 for srcN — derived from the
+    // source name so the oracle recomputes it), documents kept greedily
+    // in the portable md5 order. Quota, membership-driven counts and
+    // token sums are all integers — hash-exact.
+    "q66_data_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val weight = lit(1L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(3L))
+      Sampling.mixtureSelect(docs, "n_tokens", "doc_id", "source", weight, salt = "mix1")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("tokens_kept"),
+          max(col("mix_quota")).as("quota"))
+        .orderBy("source")
+    }),
+
+    // Extension — the near-dup RETENTION POLICY end-to-end: transitive
+    // clusters (q45's pair graph incl. planted chains) collapsed to one
+    // BEST representative each (max token count, min-id tiebreak) — the
+    // decision a dedup pipeline actually ships. Oracle: recursive-CTE
+    // closure + the same window. Hash-exact.
+    "q67_cluster_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
+      val seeds = base.filter(pmod(col("doc_id"), lit(65)) === 0)
+      val v1 = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+      val v2 = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"),
+          lit(" planted near duplicate tail with more appended words")).as("text"))
+      val corpus = base.unionByName(v1).unionByName(v2)
+      val pairs = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3,
+        thresholdPct = 50, maxShingleFreq = NearDup.Exhaustive)
+      val clusters = NearDup.dupClusters(pairs)
+      val scored = corpus.select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_tokens").desc, col("id").asc)
+      clusters.join(scored, "id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(max(when(col("rn") === 1, col("id"))).as("keep_id"),
+          max(when(col("rn") === 1, col("n_tokens"))).as("keep_tokens"),
+          count(lit(1)).as("n_members"))
+        .withColumn("n_dropped", col("n_members") - 1)
+        .orderBy("cluster_id")
+    }),
+
     // Extension — bigram-LM quality scoring (perplexity-style filter):
     // the corpus trains its own Laplace-smoothed bigram model and every
     // document is scored by average NLL. Rows-only (ln sums are not
@@ -1325,6 +1374,71 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_chunks,
            CAST(sum(n + (c - 1) * ${ChunkSize - ChunkStride}) AS BIGINT) AS n_chunk_tokens
          FROM ch GROUP BY source ORDER BY source""",
+
+    "q66_data_mixture" ->
+      """WITH d AS (SELECT source, doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens
+           FROM documents),
+         t AS (SELECT source, 1 + CAST(substr(source, 4) AS BIGINT) % 3 AS w,
+             CAST(sum(n_tokens) AS BIGINT) AS total
+           FROM d GROUP BY source),
+         b AS (SELECT min(total // w) AS b FROM t),
+         r AS (SELECT d.source, d.doc_id, d.n_tokens,
+             sum(d.n_tokens) OVER (PARTITION BY d.source
+               ORDER BY md5(d.doc_id::VARCHAR || 'mix1') ASC, d.doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM d),
+         kept AS (SELECT r.source, r.n_tokens, t.w * b.b AS quota
+           FROM r JOIN t USING (source) CROSS JOIN b
+           WHERE r.cum <= t.w * b.b)
+         SELECT source, count(*) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(max(quota) AS BIGINT) AS quota
+         FROM kept GROUP BY source ORDER BY source""",
+
+    "q67_cluster_dedup" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' planted near duplicate tail'
+           FROM documents WHERE doc_id % 65 = 0
+           UNION ALL
+           SELECT doc_id + 4000000,
+             text || ' planted near duplicate tail with more appended words'
+           FROM documents WHERE doc_id % 65 = 0),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 1, 1)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             FROM corpus)
+           WHERE len(t) >= 3),
+         edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 100 >=
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 50),
+         sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+         toks AS (SELECT doc_id AS id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens
+           FROM corpus),
+         m AS (SELECT l.id, l.cluster_id, t.n_tokens,
+             row_number() OVER (PARTITION BY l.cluster_id
+               ORDER BY t.n_tokens DESC, l.id ASC) AS rn
+           FROM labels l JOIN toks t USING (id))
+         SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN id END) AS keep_id,
+           CAST(max(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT) AS keep_tokens,
+           count(*) AS n_members,
+           count(*) - 1 AS n_dropped
+         FROM m GROUP BY cluster_id ORDER BY cluster_id""",
 
     "q63_chunking" ->
       s"""WITH tok AS (SELECT doc_id,

@@ -123,6 +123,49 @@ object Sampling {
       .drop("__n")
   }
 
+  /** DATA-MIXTURE selection: pick documents so each stratum contributes
+    * tokens in a TARGET RATIO (the pretraining "data mixing" step —
+    * upweight curated sources, downweight bulk crawl — here by exact
+    * greedy selection rather than sampling probabilities). The common
+    * budget `B = min_s floor(total_s / w_s)` is the largest scale every
+    * stratum can serve; stratum `s` then keeps its documents in the
+    * deterministic md5 content order (same portable ordering as
+    * [[stratifiedSample]]) while cumulative size stays ≤ `w_s · B`.
+    *
+    * Everything is integer arithmetic over one scan: per-stratum totals
+    * (map-side combined), ONE driver-side scalar (the stratum-count-sized
+    * budget row — bounded, not data-sized), and one window per stratum
+    * for the cumulative sum. Returns the kept rows with `mix_quota` (the
+    * stratum's token budget) and `cum_size` attached. */
+  def mixtureSelect(
+      df: DataFrame,
+      sizeCol: String,
+      idCol: String,
+      strataCol: String,
+      weightOf: Column,
+      salt: String = ""
+  ): DataFrame = {
+    val rows = df.select(col(strataCol), col(idCol), col(sizeCol).cast("long").as("__sz"),
+        weightOf.cast("long").as("__w"))
+      .localCheckpoint(true) // two consumers: totals and the windowed cumsum
+    val budget = rows.groupBy(col(strataCol), col("__w"))
+      .agg(sum(col("__sz")).as("__total"))
+      .agg(min(floor(col("__total") / col("__w")).cast("long")).as("b"))
+      .head().getLong(0)
+    val order = when(col(idCol).isNull,
+      raise_error(lit("Sampling: mixture key must be non-null")))
+      .otherwise(keyDigest(col(idCol), salt))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(order.asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    rows
+      .withColumn("cum_size", sum(col("__sz")).over(w))
+      .withColumn("mix_quota", col("__w") * budget)
+      .filter(col("cum_size") <= col("mix_quota"))
+      .select(col(strataCol), col(idCol), col("__sz").as(sizeCol),
+        col("cum_size"), col("mix_quota"))
+  }
+
   /** Document CHUNKING: split each document's token stream into
     * fixed-`size` windows advancing by `stride` tokens (overlap =
     * size − stride), the shaping step that turns long documents into

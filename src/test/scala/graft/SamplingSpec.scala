@@ -88,6 +88,28 @@ class SamplingSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("non-null")))
   }
 
+  test("mixtureSelect: weighted quotas, greedy deterministic membership") {
+    // stratum A: 5 docs x 2 tokens (total 10, w=1); B: 5 x 2 (total 10, w=2)
+    // -> B = min(10/1, 10/2) = 5 -> quota A = 5 tokens, quota B = 10
+    val rows = ((1L to 5L).map(i => ("A", i, 2L)) ++
+      (11L to 15L).map(i => ("B", i, 2L))).toDF("src", "id", "sz")
+    val weight = when($"src" === "A", 1L).otherwise(2L)
+    val kept = Sampling.mixtureSelect(rows, "sz", "id", "src", weight, salt = "m1")
+    val bySrc = kept.groupBy("src")
+      .agg(count(lit(1)).as("n"), sum("sz").as("tok"), max("mix_quota").as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // A fits 2 whole docs under 5 tokens; B fits all 5 under 10
+    assert(bySrc("A") == ((2L, 4L, 5L)))
+    assert(bySrc("B") == ((5L, 10L, 10L)))
+    // deterministic: same membership across runs and layouts
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Sampling.mixtureSelect(rows.repartition(5), "sz", "id", "src", weight, "m1")) ==
+      ids(kept))
+    // cum_size never exceeds the quota on any kept row
+    assert(kept.filter($"cum_size" > $"mix_quota").isEmpty)
+  }
+
   test("chunkDocuments: window layout, boundaries, degenerate docs") {
     def toks(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
     val docs = Seq(
