@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.Coerce
 import graft.functions.TextAnalysis
-import graft.operators.{AsofJoin, Multimodal, NearDup, RangeJoin, Sampling, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Drift, Multimodal, NearDup, RangeJoin, Sampling, Similarity, SkewJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -875,6 +875,81 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // Extension — INCREMENTAL ingest dedup: a new batch lands against the
+    // accumulated corpus and only genuinely-new content survives.
+    // Planted: every 12th-ish corpus doc re-delivered under a fresh id
+    // (cross-batch dup → dropped) and every 9th batch doc delivered twice
+    // (within-batch dup → min id wins). Fingerprints, planting, the
+    // anti-join and the window are all recomputed by the oracle —
+    // hash-exact.
+    "q68_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select("doc_id", "text")
+      val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val redelivered = docs
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(12)) === 1)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val batchDups = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+      val batch = fresh.unionByName(redelivered).unionByName(batchDups)
+      NearDup.incrementalDedup(batch, corpus, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Extension — text CANONICALIZATION: URLs + control chars dropped,
+    // whitespace collapsed, lowercased. Every 6th doc gets a planted URL
+    // (one uppercase-scheme), a tab and a control byte so every branch of
+    // the pass has work. Counts, lengths and the normalized-content
+    // fingerprint are replayed byte-exactly by the oracle's RE2 regexps —
+    // hash-exact.
+    "q69_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(col("text"),
+            lit(" see https://graft.example/q?id=1 or HTTP://x.y/z\tnext\u0001line")))
+          .otherwise(col("text")).as("text"))
+      val norm = TextAnalysis.normalizeText(col("text"))
+      corpus.select(col("doc_id"),
+          TextAnalysis.countUrls(col("text")).as("n_urls"),
+          length(col("text")).as("n_chars_raw"),
+          length(norm).as("n_chars_norm"),
+          md5(norm.cast("binary")).as("norm_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Extension — per-source distribution DRIFT: KL(source ‖ corpus) over
+    // unigram frequencies in integer micro-nats (quantize-then-sum makes
+    // the float statistic order-independent and engine-exact — see
+    // operators/Drift.scala). The oracle recomputes counts, the ln terms
+    // and the quantization literally — hash-exact.
+    "q70_source_drift" -> ((s, dir) => {
+      Drift.tokenDrift(t(s, dir, "documents"), "text", "source")
+        .orderBy("source")
+    }),
+
+    // Extension — verbatim-CONTAINMENT dedup: quotes/excerpts whose
+    // canonical text appears inside a longer document — the duplicate
+    // class Jaccard misses (a short quote has near-zero set overlap with
+    // its source). Planted: a 30-token aligned excerpt of every 34th
+    // slice doc. Token-anchored semantics (first n-gram anchors an
+    // equi-join; exact substring verify) — the oracle replays anchor +
+    // containment literally over the bounded slice — hash-exact.
+    "q71_containment" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(17)) === 0).select("doc_id", "text")
+      val quotes = base
+        .filter(pmod(col("doc_id"), lit(34)) === 0 &&
+          size(TextAnalysis.tokens(col("text"))) >= 40)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 4, 30)).as("text"))
+      NearDup.containmentPairs(base.unionByName(quotes), "text", "doc_id",
+          n = 3, maxAnchorFreq = NearDup.Exhaustive)
+        .orderBy("contained_id", "container_id")
+    }),
+
     // Extension — bigram-LM quality scoring (perplexity-style filter):
     // the corpus trains its own Laplace-smoothed bigram model and every
     // document is scored by average NLL. Rows-only (ln sums are not
@@ -1439,6 +1514,89 @@ object SparkEntry {
            count(*) AS n_members,
            count(*) - 1 AS n_dropped
          FROM m GROUP BY cluster_id ORDER BY cluster_id""",
+
+    "q68_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, md5(array_to_string(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS f
+           FROM documents),
+         corpus AS (SELECT f FROM fp WHERE doc_id % 3 <> 0),
+         batch AS (
+           SELECT doc_id + 10000000 AS doc_id, f FROM fp WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 20000000, f FROM fp WHERE doc_id % 3 <> 0 AND doc_id % 12 = 1
+           UNION ALL
+           SELECT doc_id + 30000000, f FROM fp WHERE doc_id % 9 = 0),
+         first_in_batch AS (
+           SELECT doc_id, f, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+           FROM batch)
+         SELECT doc_id, f AS fp FROM first_in_batch
+         WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus)
+         ORDER BY doc_id""",
+
+    "q69_normalize" ->
+      """WITH corpus AS (SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0
+             THEN text || ' see https://graft.example/q?id=1 or HTTP://x.y/z' || chr(9) || 'next' || chr(1) || 'line'
+             ELSE text END AS text
+           FROM documents),
+         n AS (SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             'https?://[^ \t\n\r\f]+', ' ', 'g'),
+             '[\x00-\x1f]', ' ', 'g'),
+             ' {2,}', ' ', 'g')) AS norm
+           FROM corpus)
+         SELECT doc_id,
+           len(regexp_extract_all(lower(text), 'https?://[^ \t\n\r\f]+')) AS n_urls,
+           length(text) AS n_chars_raw,
+           length(norm) AS n_chars_norm,
+           md5(norm) AS norm_fp
+         FROM n ORDER BY doc_id""",
+
+    "q70_source_drift" ->
+      """WITH tok AS (SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+         s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s, count(*) AS n_distinct
+           FROM c GROUP BY 1),
+         q AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM c GROUP BY 1),
+         n AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_total FROM c),
+         terms AS (SELECT c.source,
+             CAST(floor((c.c_st::DOUBLE / s.n_s) *
+               ln((c.c_st * n.n_total)::DOUBLE / (s.n_s * q.c_t)::DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) AS m
+           FROM c JOIN q USING (token) JOIN s USING (source) CROSS JOIN n),
+         k AS (SELECT source, CAST(sum(m) AS BIGINT) AS kl_micros FROM terms GROUP BY 1)
+         SELECT s.source, s.n_s AS n_tokens, s.n_distinct AS n_distinct_tokens, k.kl_micros
+         FROM s JOIN k USING (source) ORDER BY source""",
+
+    "q71_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+           UNION ALL
+           SELECT doc_id + 50000000, array_to_string(t[4:33], ' ')
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             FROM documents WHERE doc_id % 34 = 0)
+           WHERE len(t) >= 40),
+         d AS (SELECT doc_id,
+             array_to_string(t, ' ') AS nrm,
+             length(array_to_string(t, ' ')) AS n_chars,
+             list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh,
+             t[1] || ' ' || t[2] || ' ' || t[3] AS anchor
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             FROM corpus)
+           WHERE len(t) >= 3)
+         SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           a.n_chars AS chars_a, b.n_chars AS chars_b
+         FROM d a JOIN d b
+           ON a.doc_id <> b.doc_id
+          AND a.n_chars < b.n_chars
+          AND list_contains(b.sh, a.anchor)
+          AND strpos(b.nrm, a.nrm) > 0
+         ORDER BY contained_id, container_id""",
 
     "q63_chunking" ->
       s"""WITH tok AS (SELECT doc_id,

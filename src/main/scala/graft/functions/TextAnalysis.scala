@@ -125,6 +125,32 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** URL literal (http/https up to the next whitespace) — RE2-safe like
+    * the PII patterns, so the exact same regex runs in Java and the
+    * DuckDB oracle. Whitespace is the explicit ASCII class (see
+    * [[subwordCount]] for why \s is not portable). */
+  val UrlRe: String = "https?://[^ \\t\\n\\r\\f]+"
+
+  /** URL count as [[normalizeText]] sees them (case-folded first, so
+    * HTTP:// and https:// count alike). */
+  def countUrls(c: Column): Column = regexp_count(lower(c), lit(UrlRe))
+
+  /** Text CANONICALIZATION — the cleanup pass a crawl corpus goes through
+    * before dedup/scoring: lowercase, URL literals dropped, control chars
+    * dropped, whitespace runs collapsed to single spaces, ends trimmed.
+    * Deterministic, per-row, order-sensitive (unlike [[tokens]]-based
+    * fingerprints it preserves inner punctuation), and every step is an
+    * RE2-safe regexp so the oracle replays it byte-for-byte.
+    *
+    * Pure narrow projection: three regexp passes per row, no shuffle —
+    * streams at scan speed and composes with [[canonicalFingerprint]]
+    * for normalized-content dedup. */
+  def normalizeText(c: Column): Column = {
+    val noUrl = regexp_replace(lower(c), UrlRe, " ")
+    val noCtrl = regexp_replace(noUrl, "[\\x00-\\x1f]", " ")
+    trim(regexp_replace(noCtrl, " {2,}", " "))
+  }
+
   /** Canonical content fingerprint: md5 of the whitespace-normalized,
     * lowercased text — engine-portable (md5 is standard everywhere), used
     * for exact near-canonical dedup. */

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Distribution-DRIFT monitoring: how far each source's token
+  * distribution sits from the blended corpus distribution — the readout
+  * a data-mixture pipeline watches to catch a source going off-profile
+  * (template spam, language shift, scraper breakage) between crawls.
+  *
+  * The statistic is KL(source ‖ corpus) over unigram token frequencies:
+  *   KL_s = Σ_t p_st · ln(p_st / q_t),  p_st = c_st/N_s,  q_t = c_t/N.
+  * Every token of a source appears in the corpus by construction, so
+  * q_t > 0 and the sum is finite; KL ≥ 0 with equality iff the source
+  * matches the blend exactly.
+  *
+  * FIXED-POINT portability: per-term contributions are quantized to
+  * integer micro-nats with an explicit floor(x·1e6 + 0.5) — identical in
+  * every engine, unlike `round()` whose half-way rule differs — and the
+  * per-source SUM is then an integer sum, exact and order-independent.
+  * A float sum of thousands of terms is order-dependent at the ulp level
+  * and two engines never add in the same order; quantize-then-sum is the
+  * standard trick for cross-engine-reproducible statistics (same family
+  * as q49's quantize-before-rank).
+  *
+  * Scale shape: ONE tokenize scan; the (source, token) count table —
+  * far smaller than the token stream — is checkpointed and feeds the
+  * per-source totals, the corpus totals and the scoring join; joins key
+  * on (token) resp. (source), both map-side-combined aggregations first,
+  * so the only large shuffle is the initial (source, token) count. The
+  * corpus grand total is a single driver scalar (same bounded-collect
+  * pattern as Sampling.mixtureSelect's budget).
+  */
+object Drift {
+
+  /** Per-source drift: n_tokens, n_distinct_tokens, kl_micros (micro-nats
+    * of KL(source ‖ corpus), integer-exact cross-engine). */
+  def tokenDrift(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val counts = df.select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true) // three consumers: src totals, corpus totals, scoring
+    val src = counts.groupBy("source")
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("n_distinct"))
+    val corpus = counts.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+    val nTotal = src.agg(sum(col("n_s"))).head().getLong(0)
+
+    // p_st·ln(p_st/q_t) = (c_st/n_s)·ln((c_st·N)/(n_s·c_t)) — integer
+    // products stay < 2^53 for any corpus this ratio form is sane on
+    // (beyond that, pre-divide); double division and multiplication are
+    // correctly rounded IEEE so both engines see bit-identical inputs to
+    // ln, and ln's ≤1-ulp engine spread vanishes in the quantization.
+    val term = (col("c_st").cast("double") / col("n_s")) *
+      log((col("c_st") * lit(nTotal)).cast("double") / (col("n_s") * col("c_t")).cast("double"))
+    counts
+      .join(corpus, "token")
+      .join(src, "source")
+      .withColumn("term_micros", floor(term * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct_tokens"),
+        sum(col("term_micros")).as("kl_micros"))
+  }
+}

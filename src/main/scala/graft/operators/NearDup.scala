@@ -313,6 +313,101 @@ object NearDup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** INCREMENTAL (cross-batch) dedup — the operator an ongoing ingest
+    * pipeline runs on every new batch: keep only batch documents whose
+    * canonical content fingerprint (a) is first within the batch itself
+    * (min id wins, deterministic) and (b) does not already exist in the
+    * accumulated corpus. Batch-mode twin of the streaming content-dedup
+    * in `graft.streaming` (there the corpus side is watermarked state).
+    *
+    * Scale shape: both sides reduce to 16-byte fingerprints before any
+    * shuffle — the corpus text is scanned once and never moves; the
+    * anti-join shuffles (fp) pairs only, and the within-batch dedup rides
+    * the same fp partitioning. With corpus ≫ batch the standard upgrade
+    * is a Bloom filter over corpus fingerprints probed map-side before
+    * the anti-join (false positives re-checked by the join, so semantics
+    * are unchanged); the exact anti-join IS the correctness definition
+    * and the fallback path.
+    */
+  def incrementalDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    val bfp = batch.select(col(idCol).as("id"),
+      TextAnalysis.canonicalFingerprint(col(textCol)).as("fp"))
+    val seen = corpus
+      .select(TextAnalysis.canonicalFingerprint(col(textCol)).as("fp"))
+      .distinct()
+    graft.etl.Dedup.dedupDeterministic(bfp, Seq("fp"), Seq(col("id").asc))
+      .join(seen, Seq("fp"), "left_anti")
+      .select(col("id").as(idCol), col("fp"))
+  }
+
+  /** Verbatim-CONTAINMENT pairs: documents whose whitespace-canonical
+    * text appears verbatim inside a strictly longer document — quotes,
+    * excerpts and subset re-posts that Jaccard misses (a short quote of a
+    * long doc has near-zero set overlap) but a training pipeline still
+    * wants collapsed.
+    *
+    * Semantics (token-anchored): a pair (contained, container) is
+    * reported iff the contained doc's FIRST word n-gram occurs in the
+    * container's shingle set AND the contained doc's canonical text is a
+    * substring of the container's. Token-aligned containment always
+    * satisfies the anchor condition, so for aligned quotes this is exact;
+    * a non-aligned char-level coincidence (substring starting mid-token)
+    * is out of scope by definition — which is what makes candidate
+    * generation an EQUI-join instead of a cross join.
+    *
+    * Scale shape: the inverted shingle index is the same one
+    * [[jaccardPairs]] builds; each contained doc probes it with ONE
+    * anchor gram, so candidate volume is Σ_gram freq(gram) over anchors,
+    * bounded by `maxAnchorFreq` (grams anchoring more docs than the cap
+    * are dropped from the index — the [[jaccardPairs]] trade). Canonical
+    * text is attached to candidates only AFTER the id-level join, so full
+    * text never rides the index shuffle.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      maxAnchorFreq: Int = 1000
+  ): DataFrame = {
+    val norm = df.select(col(idCol).as("id"),
+        concat_ws(" ", TextAnalysis.tokens(col(textCol))).as("norm"))
+      .withColumn("n_chars", length(col("norm")))
+      .withColumn("grams", array_distinct(TextAnalysis.shingles(col("norm"), n)))
+      .filter(size(col("grams")) > 0)
+      .localCheckpoint(true) // three consumers: anchors, index, re-attach
+
+    val inv = norm.select(explode(col("grams")).as("gram"), col("id").as("id_b"))
+    val indexed =
+      if (maxAnchorFreq == Exhaustive) inv
+      else {
+        val freq = inv.groupBy("gram").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= maxAnchorFreq)
+          .select("gram")
+        inv.join(freq, "gram")
+      }
+
+    val anchors = norm.select(col("id").as("id_a"),
+      element_at(col("grams"), 1).as("gram"))
+    val cand = anchors.join(indexed, "gram")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+
+    cand
+      .join(norm.select(col("id").as("id_a"), col("norm").as("norm_a"),
+        col("n_chars").as("chars_a")), "id_a")
+      .join(norm.select(col("id").as("id_b"), col("norm").as("norm_b"),
+        col("n_chars").as("chars_b")), "id_b")
+      .filter(col("chars_a") < col("chars_b") && col("norm_b").contains(col("norm_a")))
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("chars_a"), col("chars_b"))
+  }
+
   /** Benchmark DECONTAMINATION: corpus documents sharing at least one
     * word n-gram with any benchmark/eval document, with the count of
     * distinct shared n-grams as evidence. The standard pre-training

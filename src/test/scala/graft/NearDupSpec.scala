@@ -219,4 +219,60 @@ class NearDupSpec extends AnyFunSuite {
     assert(starClusters(Seq((9L, 9L))) == Map(9L -> 9L))
     assert(starClusters(Nil) == Map.empty)
   }
+
+  test("incremental dedup: keeps only new content, first-in-batch wins") {
+    val corpusDf = Seq(
+      (1L, "existing document about rivers and banks"),
+      (2L, "another existing document about optimizers")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Existing   DOCUMENT about rivers and banks"), // canonical dup of corpus 1
+      (11L, "a genuinely new document about parquet"),
+      (12L, "a genuinely new document about parquet"),     // within-batch dup of 11
+      (13L, "a second new document about arrow")
+    ).toDF("doc_id", "text")
+    val kept = NearDup.incrementalDedup(batch, corpusDf, "text", "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("incremental dedup against an empty corpus is plain within-batch dedup") {
+    val batch = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val kept = NearDup.incrementalDedup(batch, empty, "text", "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("containment pairs: aligned excerpts found, equal text and short anchors excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // token-aligned excerpt of 1 (tokens 3..6)
+      (2L, "gamma delta epsilon zeta"),
+      // exact same canonical text as 1 -> equal length, NOT reported
+      (3L, "Alpha  Beta gamma delta epsilon zeta eta theta iota kappa"),
+      // shares no trigram with anyone
+      (4L, "one two three four five six"),
+      // fewer than n tokens: no anchor, never a contained candidate
+      (5L, "zeta eta")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.containmentPairs(docs, "text", "doc_id",
+        n = 3, maxAnchorFreq = NearDup.Exhaustive)
+      .collect()
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"))).toSet
+    assert(pairs == Set((2L, 1L), (2L, 3L)))
+  }
+
+  test("containment pairs: chars are canonical lengths and contained is strictly shorter") {
+    val docs = Seq(
+      (1L, "  a  b c d e  "),
+      (2L, "b c d")
+    ).toDF("doc_id", "text")
+    val r = NearDup.containmentPairs(docs, "text", "doc_id", n = 3,
+      maxAnchorFreq = NearDup.Exhaustive).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("contained_id") == 2L)
+    assert(r.head.getAs[Int]("chars_a") == 5) // "b c d"
+    assert(r.head.getAs[Int]("chars_b") == 9) // "a b c d e"
+  }
 }

@@ -175,4 +175,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2) == (0, "no pii here, just version 4.1 and a date 2024-01-01"))
     assert(r(3) == (3, "two mails <EMAIL> <EMAIL> and addr <IP>"))
   }
+
+  test("normalizeText: urls + control chars dropped, whitespace collapsed, case folded") {
+    def norm(s: String): String = one[String](TextAnalysis.normalizeText(col("t")), s)
+    assert(norm("Hello   WORLD") == "hello world")
+    assert(norm("see https://ex.com/a?b=1 now") == "see now")
+    // uppercase scheme folds before the strip, so it is dropped too
+    assert(norm("go HTTP://X.Y/Z end") == "go end")
+    assert(norm("tab\there\u0001and\r\nnewline") == "tab here and newline")
+    assert(norm("  padded  ") == "padded")
+    // URL at end of text (no trailing separator)
+    assert(norm("link http://a.b/c") == "link")
+    assert(norm("") == "")
+  }
+
+  test("countUrls counts case-folded scheme matches") {
+    assert(one[Int](TextAnalysis.countUrls(col("t")),
+      "a https://x.y/1 b HTTP://z.w/2 c http://q.r/3") == 3)
+    assert(one[Int](TextAnalysis.countUrls(col("t")), "no urls here") == 0)
+  }
 }
