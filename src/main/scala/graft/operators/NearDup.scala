@@ -215,10 +215,7 @@ object NearDup {
     // Only ids travel through the candidate shuffle — shingle sets are
     // re-attached afterwards, so the wide arrays are never shuffled N× per
     // band.
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bucket_n") <= maxBucketSize)
+    val bucketed = BucketCap.dropOverCap(banded, Seq("band", "bucket"), maxBucketSize)
 
     val l = bucketed.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = bucketed.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -298,10 +295,7 @@ object NearDup {
         call_function("shiftrightunsigned", col("sig"), col("k") * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)))
 
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("k", "chunk")))
-      .filter(col("bucket_n") <= maxBucketSize)
+    val bucketed = BucketCap.dropOverCap(banded, Seq("k", "chunk"), maxBucketSize)
 
     val l = bucketed.select(col("k"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = bucketed.select(col("k"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
