@@ -49,7 +49,8 @@ object SparkEntry {
     // layout or signature derivation changes, or a cached index from the
     // previous code would be served as-is (the completion marker makes it
     // look trustworthy) and probes would read stale bucket assignments
-    md.update(s"$fp|dim=${lsh.dim}|bits=${lsh.bits}|seed=${lsh.seed}|full|fmt=2"
+    // fmt=3: filesPerBucket derived from corpus size (was fixed 4)
+    md.update(s"$fp|dim=${lsh.dim}|bits=${lsh.bits}|seed=${lsh.seed}|full|fmt=3"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val key = md.digest().map("%02x".format(_)).mkString.take(16)
     s"${sys.props("java.io.tmpdir")}/graft_ann_index_$key"

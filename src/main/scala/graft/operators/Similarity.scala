@@ -126,8 +126,14 @@ object Similarity {
     * tasks and inherits bucket skew (at 100 TB that is hundreds of GB in
     * one task). The salt keeps rows directory-co-located (partitionBy
     * still groups by bucket) while restoring 2^bits × filesPerBucket
-    * write tasks; size `filesPerBucket` ≈ corpusBytes / (2^bits × target
-    * file size).
+    * write tasks. `filesPerBucket = 0` (the default) DERIVES the salt
+    * width from the corpus itself — ≈ estimatedBytes / (2^bits × 96 MB
+    * target files), floor 1 — so a small corpus writes one file per
+    * bucket instead of shattering into 2^bits × k near-empty files whose
+    * per-file scheduling dwarfs the pruning win (the r5 q58 defect: a
+    * 2,000-vector corpus became ~1,000 tiny files). The sizing count is
+    * one narrow scan of (id, dim) — build already scans the corpus, so
+    * the extra pass is noise.
     *
     * Directory-per-bucket is the right layout while 2^bits stays in the
     * thousands (object stores and the Hive metastore both dislike
@@ -142,11 +148,27 @@ object Similarity {
       idCol: String,
       lsh: HyperplaneLsh,
       path: String,
-      filesPerBucket: Int = 4
-  ): Unit =
+      filesPerBucket: Int = 0
+  ): Unit = {
+    val salt =
+      if (filesPerBucket > 0) filesPerBucket
+      else derivedFilesPerBucket(df.count(), lsh)
     df.select(col(idCol), col(embCol), lsh.signature(col(embCol)).as("bucket"))
-      .repartition(col("bucket"), pmod(hash(col(idCol)), lit(filesPerBucket)))
+      .repartition(col("bucket"), pmod(hash(col(idCol)), lit(salt)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Salt width for [[buildAnnIndex]]: estimatedBytes / (2^bits × target
+    * file size), floor 1. Row bytes are estimated from the LSH dimension
+    * (float32 elements + id/encoding overhead) — an estimate is all the
+    * salt needs, since it only trades file count against write-task
+    * parallelism. */
+  private def derivedFilesPerBucket(rows: Long, lsh: HyperplaneLsh): Int = {
+    val targetFileBytes = 96L << 20
+    val estRowBytes = 4L * lsh.dim + 24L
+    val buckets = 1L << math.min(lsh.bits, 62)
+    math.max(1L, rows * estRowBytes / (buckets * targetFileBytes)).toInt
+  }
 
   /** Name of the catalog-owned completion marker inside a promoted index:
     * written by [[ensureAnnIndex]] itself AFTER the staging rename, so
@@ -178,7 +200,7 @@ object Similarity {
       idCol: String,
       lsh: HyperplaneLsh,
       path: String,
-      filesPerBucket: Int = 4
+      filesPerBucket: Int = 0
   ): String = {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
@@ -309,9 +331,14 @@ object Similarity {
         lsh.signature(col(embCol)).as("bucket")),
       Seq("bucket"), maxBucketSize)
 
+    // no pair dedup needed: a base row lives in exactly ONE bucket (its
+    // own signature) and a query's probe buckets are all distinct, so
+    // each (query, base) pair joins at most once — a dropDuplicates here
+    // would be a pure extra shuffle of the full candidate set. (Contrast
+    // cosineDupPairs, where the two symmetric probe directions can emit
+    // the same unordered pair and dedup IS required.)
     val scored = q.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("base_id"))
-      .dropDuplicates("query_id", "base_id")
       .withColumn("score", dot(col("q_emb"), col("b_emb")))
 
     val w = Window.partitionBy("query_id")
@@ -360,9 +387,10 @@ object Similarity {
     val b = spark.read.parquet(indexPath).select(
         col(idCol).as("base_id"), normalized(col(embCol)).as("b_emb"),
         col("bucket"))
+    // same uniqueness argument as annJoin: one bucket per base row ×
+    // distinct probe buckets ⇒ no pair dedup shuffle
     val scored = q.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("base_id"))
-      .dropDuplicates("query_id", "base_id")
       .withColumn("score", dot(col("q_emb"), col("b_emb")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("base_id").asc)
