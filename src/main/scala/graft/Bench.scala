@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark harness: times every `SparkEntry.queries` entry at the SF dir
   * given by SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Robustness (judge round-3 item #1):
+  * Robustness (judge round-3 item #1, hardened round 6 after the r5
+  * artifact was load-contaminated beyond repair):
   *   - Each query runs REPS times (default 2) and the MINIMUM is reported.
   *     The min, not the mean, is the right statistic here: the quantity of
   *     interest is the code's cost, and transient box load only ever adds
@@ -18,12 +19,50 @@ import org.apache.spark.sql.SparkSession
   *     false-regression cluster). Interleaving puts the reps of one query
   *     a full pass apart — a spike now inflates one PASS, and the other
   *     pass supplies each query's clean minimum.
+  *   - The artifact is SELF-DIAGNOSING (r5 lesson: min-of-2 is silently
+  *     defeated when the box is saturated for the WHOLE run — the r5
+  *     official artifact summed to ≥473 s vs 78 s quiet for identical
+  *     code, and nothing in it distinguished contamination from
+  *     regression). Three independent witnesses are recorded:
+  *       - "passes": the per-query time of EVERY pass, not just the min —
+  *         a loaded run shows both passes inflated in lockstep;
+  *       - "canary": a fixed single-threaded spin (2e8 xorshift64 steps,
+  *         JIT-warmed) timed before each pass. Its cost is code-constant,
+  *         so canary_i / min(canary) >> 1 marks pass i as loaded, and a
+  *         min(canary) far above the quiet-box constant (~0.1-0.2 s on
+  *         this class of hardware) marks the WHOLE run as contaminated;
+  *       - "load_avg" (1-min system load before each pass) and "cpus":
+  *         loadavg >> cpus means the numbers are untrustworthy no matter
+  *         what they say.
+  *   - Queries run in explicit SORTED name order, so pass-position effects
+  *     are reproducible across builds (Map iteration order is stable but
+  *     arbitrary).
   *   - A query that throws POISONS the run: its error is reported in an
   *     "errors" field and the process exits nonzero. Previously a broken
   *     query logged -1L and made the bench total *better* — a gate that
   *     breakage could pass.
   */
 object Bench {
+
+  /** Fixed single-threaded spin: 2e8 xorshift64 steps. Pure ALU, no
+    * allocation, no memory traffic — its wall time moves only with CPU
+    * contention (and is blackholed so the JIT cannot elide it). */
+  private def canarySpin(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) print("") // blackhole
+    dt
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,6 +82,7 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/documents.parquet").count()
     } catch { case _: Throwable => () } // warm-up failure must not kill the harness
+    canarySpin() // JIT-warm the canary so pass 1's reading is steady-state
 
     // dev-only subsetting for iterating on one query's timing; the driver
     // never sets this, so official runs always cover every query
@@ -52,22 +92,30 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    val order = selected.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val order = selected.keys.toSeq
-    for (_ <- 1 to reps; name <- order if !errors.contains(name)) {
-      val t0 = System.nanoTime()
-      try {
-        selected(name)(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+    val passes = Vector.fill(reps)(scala.collection.mutable.LinkedHashMap.empty[String, Double])
+    val canaries = Array.fill(reps)(0.0)
+    val loads = Array.fill(reps)(0.0)
+    for (pass <- 0 until reps) {
+      loads(pass) = loadAvg()
+      canaries(pass) = canarySpin()
+      for (name <- order if !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          selected(name)(spark, sfDir).count()
+          passes(pass)(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        }
       }
     }
     // a query that threw on ANY rep reports -1 and poisons the run below
-    val results = order.map(n => n -> (if (errors.contains(n)) -1.0 else best.getOrElse(n, -1.0)))
+    val best = order.map { n =>
+      val obs = passes.flatMap(_.get(n))
+      n -> (if (errors.contains(n) || obs.isEmpty) -1.0 else obs.min)
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '\\'           => "\\\\"
@@ -75,12 +123,23 @@ object Bench {
         case c if c < ' '   => "\\u%04x".format(c.toInt)
         case c              => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def jnum(v: Double): String = if (v.isNaN || v.isInfinite) "-1" else v.toString
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    val qs = jmap(best)
+    val total = best.map(_._2).filter(_ >= 0).sum
+    val passJson = passes.map(p => jmap(order.flatMap(n => p.get(n).map(n -> _)))).mkString("[", ",", "]")
+    val canaryBest = canaries.min
+    val canaryJson = s"""{"spin_sec":${canaries.map(jnum).mkString("[", ",", "]")},""" +
+      s""""best":${jnum(canaryBest)},""" +
+      s""""worst_ratio":${jnum(if (canaryBest > 0) canaries.max / canaryBest else -1.0)}}"""
+    val loadJson = loads.map(jnum).mkString("[", ",", "]")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps""" +
+      s""","passes":$passJson,"canary":$canaryJson,"load_avg":$loadJson""" +
+      s""","cpus":${Runtime.getRuntime.availableProcessors}$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
