@@ -384,9 +384,9 @@ object SparkEntry {
     // (q56's, shared): the corpus-side signature scan that dominates q44
     // is paid once at build time; the join re-signs only the query side
     // and dynamic partition pruning restricts the index scan to buckets
-    // the query workload actually probes. Same self_hit ground-truth
-    // contract as q44 (every query's rank-1 neighbor is its own base
-    // copy, score ~1.0).
+    // the query workload actually probes. HASH-EXACT via the same
+    // knnJoinOracle as q44 (bits=8 — the index's planes); the planted
+    // self_hit ground truth is kept as a belt-and-braces column.
     "q58_knn_join_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 8)
@@ -527,13 +527,13 @@ object SparkEntry {
     // Extension — batch knn-JOIN: top-3 base neighbors for EVERY query row
     // (every 10th vector), the heaviest operator a training pipeline runs.
     // LSH-bucketed equi-join bounds candidates; per-query top-k is one
-    // window over the (query_id)-partitioned join result (rows-only:
-    // recall is LSH-probabilistic; plan audited shuffle-bounded).
-    // Recall is LSH-probabilistic (rows-only), so the output carries a
-    // known-ground-truth SELF-check: queries are base vectors with ids
-    // remapped +10^7, so every query's true nearest neighbor is its own
-    // base copy — identical vectors share a bucket by construction, and
-    // `self_hit` must be true on every rank-1 row.
+    // window over the (query_id)-partitioned join result. HASH-EXACT: the
+    // candidate set is deterministic given the seed-42 plane literals
+    // (probe membership ≡ hamming(qsig,bsig) ≤ 1), and the oracle replays
+    // signatures, candidates, scores, ranks literally (knnJoinOracle).
+    // The output also keeps the planted ground-truth `self_hit` column:
+    // queries are base vectors with ids remapped +10^7, so every query's
+    // true nearest neighbor is its own base copy and rank-1 must score ~1.
     "q44_knn_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
@@ -1211,6 +1211,39 @@ object SparkEntry {
        |WHERE score >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q44/q58: the knn-JOIN in DuckDB. The candidate set is fully
+    * deterministic given the seed-42 plane literals: a base row lives in
+    * its signature's bucket and a query probes its own signature plus all
+    * single-bit flips, so (query, base) is a candidate iff
+    * hamming(qsig, bsig) ≤ 1 — the same membership identity q29's oracle
+    * uses. Scoring replays normalize-once + sequential-fold dot (the q30
+    * construction, bit-identical cross-engine); rank and self_hit are
+    * pure functions of (score, base_id). The operator's bucket cap cannot
+    * trip at oracle scale, so the sets coincide exactly. q44 signs the
+    * corpus inline (bits=6); q58 serves the same join from the
+    * materialized index (bits=8) — same semantics, different plane count. */
+  private def knnJoinOracle(bits: Int): String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = bits)
+    s"""WITH sigs AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT vec_id + 10000000 AS query_id, ne AS qne, sig AS qsig
+       |  FROM sigs WHERE vec_id % 10 = 0),
+       |cand AS (
+       |  SELECT q.query_id, s.vec_id AS base_id,
+       |    list_reduce(list_transform(range(1, 65), i -> q.qne[i] * s.ne[i]), (x,y) -> x + y) AS score
+       |  FROM q JOIN sigs s ON bit_count(xor(q.qsig, s.sig)) <= 1),
+       |ranked AS (SELECT query_id, base_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, base_id ASC) AS "rank"
+       |  FROM cand)
+       |SELECT query_id, base_id, score, "rank",
+       |  ("rank" <> 1 OR score >= CAST(1.0 AS DOUBLE) - 1e-9) AS self_hit
+       |FROM ranked WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin
+  }
+
   /** q26/q27 sketch geometry — ONE definition feeding both the queries
     * and their oracle SQL generators, so a parameter edit cannot silently
     * diverge the two sides of the hash-exact gate. */
@@ -1371,10 +1404,9 @@ object SparkEntry {
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
     * q32 (PNG byte streams), q33 (xxhash64 chain), q35 (data-adaptive
-    * k-means centroids), q44/q58 (LSH-recall-dependent joins), q57
-    * (implementation-specific sketch estimates). Each of those emits
-    * self-verifying columns instead (shape_ok + dims_ok,
-    * order_sensitive, exact_rank, self_hit, within_bound). */
+    * k-means centroids), q57 (implementation-specific sketch estimates).
+    * Each of those emits self-verifying columns instead (shape_ok +
+    * dims_ok, order_sensitive, exact_rank, within_bound). */
   /** Shared DuckDB CTE text — ONE source for the formulations that
     * appear in multiple oracles, so a threshold/word-list edit cannot
     * silently diverge one copy (q43/q55 gate; q47/q55 bucket; q48/q55
@@ -1421,6 +1453,8 @@ object SparkEntry {
     "q26_minhash_pairs" -> q26Oracle,
     "q27_simhash_pairs" -> q27Oracle,
     "q61_quantized_ann" -> q61Oracle,
+    "q44_knn_join" -> knnJoinOracle(bits = 6),
+    "q58_knn_join_indexed" -> knnJoinOracle(bits = 8),
 
     "q59_repetition" ->
       s"""WITH corpus AS (
