@@ -953,12 +953,14 @@ object SparkEntry {
 
     // Extension — bigram-LM quality scoring (perplexity-style filter):
     // the corpus trains its own Laplace-smoothed bigram model and every
-    // document is scored by average NLL. Rows-only (ln sums are not
-    // bit-pinned cross-engine), so the output carries the ground truth:
-    // every 25th doc gets an OOV twin — same length, every bigram novel
-    // — and `oov_worse` certifies the twin scores strictly worse than
-    // its natural original, the separation a perplexity filter exists
-    // to make.
+    // document is scored by NLL. HASH-EXACT via quantize-then-sum (the
+    // q70 construction): each gram's NLL is quantized to integer
+    // micro-nats and summed exactly, so the DuckDB oracle replays counts,
+    // smoothing and quantization literally. The planted ground truth is
+    // kept: every 25th doc gets an OOV twin — same length, every bigram
+    // novel — and `oov_worse` (an exact integer cross-multiply of the
+    // mean comparison) certifies the twin scores strictly worse than its
+    // natural original, the separation a perplexity filter exists to make.
     "q65_lm_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
@@ -968,16 +970,18 @@ object SparkEntry {
         docs.unionByName(planted), "text", "doc_id")
       val orig = scored.filter(col("doc_id") < 20000000L)
         .select(col("doc_id"), col("n_grams").as("n_grams_orig"),
-          col("avg_nll").as("nll_orig"))
+          col("nll_micros").as("nll_micros_orig"))
       val twin = scored.filter(col("doc_id") >= 20000000L)
         .select((col("doc_id") - 20000000L).as("doc_id"),
-          col("n_grams").as("n_grams_twin"), col("avg_nll").as("nll_twin"))
+          col("n_grams").as("n_grams_twin"), col("nll_micros").as("nll_micros_twin"))
       twin.join(orig, "doc_id")
-        .withColumn("oov_worse", col("nll_twin") > col("nll_orig"))
+        // mean_twin > mean_orig, cross-multiplied so it stays exact
+        // integer arithmetic (micros ~1e10 × grams ~1e3 ≪ 2^63)
+        .withColumn("oov_worse",
+          col("nll_micros_twin") * col("n_grams_orig") >
+            col("nll_micros_orig") * col("n_grams_twin"))
         .select(col("doc_id"), col("n_grams_orig"), col("n_grams_twin"),
-          round(col("nll_orig"), 6).as("nll_orig_r"),
-          round(col("nll_twin"), 6).as("nll_twin_r"),
-          col("oov_worse"))
+          col("nll_micros_orig"), col("nll_micros_twin"), col("oov_worse"))
         .orderBy("doc_id")
     }),
 
@@ -1244,6 +1248,43 @@ object SparkEntry {
        |FROM ranked WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** q65: the Laplace-smoothed bigram LM replayed in DuckDB. Counts are
+    * exact integers grouped by gram STRINGS (the operator groups by
+    * 64-bit gram hashes — identical counts up to a ~2^-64 collision,
+    * which would fail this gate loudly); the smoothed probability is a
+    * correctly-rounded double division of exact integers on both
+    * engines; ln's ≤1-ulp spread is absorbed by micro-nat quantization
+    * (floor(x·1e6+0.5), the q70 construction) and the per-doc sum is
+    * exact integer arithmetic. DuckDB's sum(BIGINT) is HUGEINT — cast
+    * back so pandas keeps an integer dtype. */
+  private def q65Oracle: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |twin AS (SELECT doc_id + 20000000 AS doc_id,
+       |    list_transform(range(1, len(t) + 1),
+       |      i -> 'oov' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i - 1 AS VARCHAR)) AS t
+       |  FROM tok WHERE doc_id % 25 = 0),
+       |alldocs AS (SELECT doc_id, t FROM tok UNION ALL SELECT doc_id, t FROM twin),
+       |grams AS (SELECT doc_id, g['gram'] AS gram, g['w1'] AS w1 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |      i -> {'gram': t[i] || ' ' || t[i+1], 'w1': t[i]})) AS g
+       |    FROM alldocs WHERE len(t) >= 2)),
+       |c2 AS (SELECT gram, count(*) AS c2 FROM grams GROUP BY gram),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1),
+       |v AS (SELECT count(*) AS v FROM c1),
+       |scored AS (SELECT g.doc_id,
+       |    CAST(floor(-ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS m
+       |  FROM grams g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v),
+       |per_doc AS (SELECT doc_id, count(*) AS n_grams,
+       |    CAST(sum(m) AS BIGINT) AS nll_micros
+       |  FROM scored GROUP BY doc_id)
+       |SELECT o.doc_id, o.n_grams AS n_grams_orig, tw.n_grams AS n_grams_twin,
+       |  o.nll_micros AS nll_micros_orig, tw.nll_micros AS nll_micros_twin,
+       |  (tw.nll_micros * o.n_grams > o.nll_micros * tw.n_grams) AS oov_worse
+       |FROM per_doc tw JOIN per_doc o ON tw.doc_id = o.doc_id + 20000000
+       |ORDER BY o.doc_id""".stripMargin
+
   /** q26/q27 sketch geometry — ONE definition feeding both the queries
     * and their oracle SQL generators, so a parameter edit cannot silently
     * diverge the two sides of the hash-exact gate. */
@@ -1455,6 +1496,7 @@ object SparkEntry {
     "q61_quantized_ann" -> q61Oracle,
     "q44_knn_join" -> knnJoinOracle(bits = 6),
     "q58_knn_join_indexed" -> knnJoinOracle(bits = 8),
+    "q65_lm_score" -> q65Oracle,
 
     "q59_repetition" ->
       s"""WITH corpus AS (

@@ -24,18 +24,25 @@ import graft.functions.TextAnalysis
   * the vocabulary (count cutoff) so the count tables stay broadcastable,
   * with unseen grams already handled by the smoothing floor.
   *
-  * NOT oracle-hash-exact BY DESIGN: the score sums `ln` terms, and libm
-  * `ln` differs from Java's in the last ulp for some inputs while
-  * float addition is order-sensitive across partitions — so q65 instead
-  * carries a planted ground-truth certificate: an [[oovTwin]] (same
-  * length, every bigram novel) must score strictly worse than its
-  * natural original.
+  * Cross-engine exactness: a raw float sum of `ln` terms is
+  * order-sensitive and libm/Java `ln` differ in the last ulp, so the
+  * score is ALSO emitted as integer micro-nats — each gram's NLL
+  * quantized with an explicit floor(x·1e6 + 0.5) and summed as exact
+  * integers (the same quantize-then-sum construction as
+  * [[Drift.tokenDrift]]; its boundary-flip caveat applies equally: a
+  * term within an ulp of a quantum boundary is data-dependent, not
+  * guaranteed). The double `avg_nll` remains for ranking use; the
+  * micro-nat column is the auditable one the q65 oracle replays, with
+  * the planted [[oovTwin]] certificate kept as ground truth.
   */
 object NgramLm {
 
-  /** Per-document bigram count and average NLL under the corpus LM:
-    * `(idCol, n_grams, avg_nll)`. Documents with fewer than 2 tokens
-    * carry no bigrams and are absent from the output. */
+  /** Per-document bigram count and NLL under the corpus LM:
+    * `(idCol, n_grams, avg_nll, nll_micros)` — `avg_nll` the double mean,
+    * `nll_micros` the cross-engine-exact integer micro-nat SUM (divide by
+    * `n_grams` for the mean; kept un-divided so it stays an integer).
+    * Documents with fewer than 2 tokens carry no bigrams and are absent
+    * from the output. */
   def scoreDocs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // one tokenize pass through the native BigramHashes loop: the
     // exploded (doc, bigram-hash, first-word-hash) stream feeds the count
@@ -57,7 +64,8 @@ object NgramLm {
       .join(unigramCounts, "w1")
       .withColumn("nll", -log((col("c2") + 1).cast("double") / (col("c1") + lit(v))))
       .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_grams"), avg(col("nll")).as("avg_nll"))
+      .agg(count(lit(1)).as("n_grams"), avg(col("nll")).as("avg_nll"),
+        sum(floor(col("nll") * lit(1e6) + lit(0.5)).cast("long")).as("nll_micros"))
   }
 
   /** Deterministic OUT-OF-VOCABULARY twin of a text column: every token
