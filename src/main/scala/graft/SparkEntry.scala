@@ -899,6 +899,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — BLOOM-accelerated incremental dedup: same planted
+    // construction and same oracle as q68, run through the Bloom fast
+    // path (map-side probe, anti-join only for probe-positive rows).
+    // False positives are re-checked exactly and false negatives cannot
+    // exist, so the driver gate itself proves output ≡ the exact path —
+    // hash-exact. The filter self-sizes from the corpus count (one
+    // bounded fp-only aggregate; at scale the caller passes the known
+    // corpus cardinality instead).
+    "q72_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select("doc_id", "text")
+      val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val redelivered = docs
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0 && pmod(col("doc_id"), lit(12)) === 1)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val batchDups = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+      val batch = fresh.unionByName(redelivered).unionByName(batchDups)
+      NearDup.incrementalDedupBloom(batch, corpus, "text", "doc_id",
+          expectedFps = math.max(corpus.count(), 1L))
+        .orderBy("doc_id")
+    }),
+
     // Extension — text CANONICALIZATION: URLs + control chars dropped,
     // whitespace collapsed, lowercased. Every 6th doc gets a planted URL
     // (one uppercase-scheme), a tab and a control byte so every branch of
@@ -1484,6 +1509,26 @@ object SparkEntry {
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          FROM p GROUP BY source, bin_id ORDER BY source, bin_id"""
 
+  /** q68/q72: the incremental-dedup contract — ONE oracle serves both the
+    * exact path and the Bloom fast path, which must be output-identical. */
+  private val IncrementalDedupOracle =
+    """WITH fp AS (SELECT doc_id, md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS f
+         FROM documents),
+       corpus AS (SELECT f FROM fp WHERE doc_id % 3 <> 0),
+       batch AS (
+         SELECT doc_id + 10000000 AS doc_id, f FROM fp WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 20000000, f FROM fp WHERE doc_id % 3 <> 0 AND doc_id % 12 = 1
+         UNION ALL
+         SELECT doc_id + 30000000, f FROM fp WHERE doc_id % 9 = 0),
+       first_in_batch AS (
+         SELECT doc_id, f, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+         FROM batch)
+       SELECT doc_id, f AS fp FROM first_in_batch
+       WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus)
+       ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
 
     "q29_ann_topk" -> q29Oracle,
@@ -1592,23 +1637,9 @@ object SparkEntry {
            count(*) - 1 AS n_dropped
          FROM m GROUP BY cluster_id ORDER BY cluster_id""",
 
-    "q68_incremental_dedup" ->
-      """WITH fp AS (SELECT doc_id, md5(array_to_string(list_filter(
-             regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS f
-           FROM documents),
-         corpus AS (SELECT f FROM fp WHERE doc_id % 3 <> 0),
-         batch AS (
-           SELECT doc_id + 10000000 AS doc_id, f FROM fp WHERE doc_id % 3 = 0
-           UNION ALL
-           SELECT doc_id + 20000000, f FROM fp WHERE doc_id % 3 <> 0 AND doc_id % 12 = 1
-           UNION ALL
-           SELECT doc_id + 30000000, f FROM fp WHERE doc_id % 9 = 0),
-         first_in_batch AS (
-           SELECT doc_id, f, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-           FROM batch)
-         SELECT doc_id, f AS fp FROM first_in_batch
-         WHERE rn = 1 AND f NOT IN (SELECT f FROM corpus)
-         ORDER BY doc_id""",
+    "q68_incremental_dedup" -> IncrementalDedupOracle,
+    // the Bloom path's output contract IS the exact path's: same oracle
+    "q72_bloom_dedup" -> IncrementalDedupOracle,
 
     "q69_normalize" ->
       """WITH corpus AS (SELECT doc_id,

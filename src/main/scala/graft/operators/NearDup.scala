@@ -317,11 +317,10 @@ object NearDup {
     * Scale shape: both sides reduce to 16-byte fingerprints before any
     * shuffle — the corpus text is scanned once and never moves; the
     * anti-join shuffles (fp) pairs only, and the within-batch dedup rides
-    * the same fp partitioning. With corpus ≫ batch the standard upgrade
-    * is a Bloom filter over corpus fingerprints probed map-side before
-    * the anti-join (false positives re-checked by the join, so semantics
-    * are unchanged); the exact anti-join IS the correctness definition
-    * and the fallback path.
+    * the same fp partitioning. With corpus ≫ batch use
+    * [[incrementalDedupBloom]]: a Bloom filter over corpus fingerprints
+    * probed map-side before the anti-join. The exact anti-join here IS
+    * the correctness definition and the fallback path.
     */
   def incrementalDedup(
       batch: DataFrame,
@@ -336,6 +335,74 @@ object NearDup {
       .distinct()
     graft.etl.Dedup.dedupDeterministic(bfp, Seq("fp"), Seq(col("id").asc))
       .join(seen, Seq("fp"), "left_anti")
+      .select(col("id").as(idCol), col("fp"))
+  }
+
+  /** Bloom fast path for [[incrementalDedup]] — the corpus ≫ batch shape
+    * an ongoing ingest actually runs: the exact anti-join would shuffle
+    * the FULL accumulated corpus fingerprint set against every (small)
+    * batch, so instead
+    *
+    *  1. corpus fingerprints aggregate into ONE Bloom filter
+    *     (`treeAggregate` of per-partition `util.sketch.BloomFilter`s,
+    *     OR-merged up a tree — bytes ~ `expectedFps`, never
+    *     row-proportional; the one genuinely imperative per-partition
+    *     step, which is exactly what RDD aggregation is for),
+    *  2. the batch probes it MAP-SIDE (the native
+    *     graft.plans.BloomMightContain expression over the serialized
+    *     filter — no shuffle, no corpus movement),
+    *  3. only probe-positive batch rows (true duplicates + the Bloom's
+    *     false positives, ~`fpp` of the batch) re-check through the
+    *     exact anti-join against the corpus, restricted to THEIR
+    *     fingerprints via a broadcast semi-join of the (tiny) suspect
+    *     fp set — so the corpus-side shuffle carries only suspected
+    *     fingerprints instead of all of them.
+    *
+    * False positives are re-checked exactly and false negatives don't
+    * exist, so output ≡ [[incrementalDedup]] (property-tested, including
+    * a deliberately undersized filter). Sizing: `expectedFps` should be
+    * ≥ the corpus's distinct-fingerprint count; the default
+    * false-positive rate trades ~3% needless re-checks for ~7.3 bits per
+    * corpus fingerprint. */
+  def incrementalDedupBloom(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      expectedFps: Long,
+      fpp: Double = 0.03
+  ): DataFrame = {
+    require(expectedFps > 0 && fpp > 0 && fpp < 1)
+    import org.apache.spark.util.sketch.BloomFilter
+    val cfp = corpus.select(TextAnalysis.canonicalFingerprint(col(textCol)).as("fp"))
+    val filter = cfp.filter(col("fp").isNotNull)
+      .select(col("fp"))
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .rdd
+      .treeAggregate(BloomFilter.create(expectedFps, fpp))(
+        (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    val bloom = out.toByteArray
+    val dedupedBatch = graft.etl.Dedup.dedupDeterministic(
+      batch.select(col(idCol).as("id"),
+        TextAnalysis.canonicalFingerprint(col(textCol)).as("fp")),
+      Seq("fp"), Seq(col("id").asc))
+      .localCheckpoint(true) // two consumers: suspect split + final anti-join
+    // null fingerprints probe null -> coalesce(false): they stay in the
+    // cleared half, matching the exact path (a null fp never equi-matches
+    // the anti-join, so it is always kept)
+    val probe = coalesce(
+      graft.plans.SketchFunctions.bloomMightContain(col("fp"), bloom), lit(false))
+    val suspects = dedupedBatch.filter(probe)       // true dups + ~fpp false alarms
+    val cleared = dedupedBatch.filter(!probe)       // Bloom-negative: definitely new
+    // corpus fps restricted to the suspect set BEFORE the anti-join:
+    // broadcast semi-join keeps the corpus scan shuffle-free and the
+    // anti-join's right side at most |suspects| fingerprints
+    val suspectFps = suspects.select("fp").distinct()
+    val seenSuspect = cfp.join(broadcast(suspectFps), Seq("fp"), "left_semi").distinct()
+    cleared.unionByName(suspects.join(seenSuspect, Seq("fp"), "left_anti"))
       .select(col("id").as(idCol), col("fp"))
   }
 

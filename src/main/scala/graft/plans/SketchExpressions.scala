@@ -481,6 +481,44 @@ case class AffineMinHash(child: Expression, numHashes: Int, seed: Long = 42L)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Map-side probe of a serialized `org.apache.spark.util.sketch
+  * .BloomFilter` (the public sketch API): true iff the filter might
+  * contain the UTF-8 bytes of the string child — matching a build that
+  * inserted with `putBinary(s.getBytes(UTF_8))` (see
+  * `NearDup.incrementalDedupBloom`). The filter deserializes ONCE lazily
+  * (per deserialized expression instance, i.e. once per executor task
+  * set, not per row) and rides the codegen references array, so the hot
+  * path is one Murmur3 pass per row with zero shuffle — the standard
+  * pre-filter in front of an exact anti-join. */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_bloom_might_contain"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain requires string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainBinary(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.mightContainBinary($s.getBytes());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
   def minhash(preHashed: Column, numHashes: Int): Column =
     EU.column(MinHashSignature(EU.expression(preHashed), numHashes))
@@ -496,4 +534,6 @@ object SketchFunctions {
     EU.column(BigramHashes(EU.expression(tokens)))
   def affineMinhash(portableHashes: Column, numHashes: Int, seed: Long = 42L): Column =
     EU.column(AffineMinHash(EU.expression(portableHashes), numHashes, seed))
+  def bloomMightContain(s: Column, bloomBytes: Array[Byte]): Column =
+    EU.column(BloomMightContain(EU.expression(s), bloomBytes))
 }

@@ -244,6 +244,48 @@ class NearDupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("incremental dedup Bloom path matches the exact path (property)") {
+    // randomized-but-seeded corpus/batch with engineered overlap: corpus
+    // dups, within-batch dups, and fresh docs — the Bloom path must agree
+    // with the exact path on every row (false positives re-checked, false
+    // negatives impossible)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    def doc(): String = Seq.fill(3 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusDocs = (1L to 200L).map(i => (i, doc()))
+    val batchDocs = (1000L to 1120L).map { i =>
+      val r = rnd.nextInt(10)
+      val text =
+        if (r < 3) corpusDocs(rnd.nextInt(corpusDocs.size))._2 // corpus dup
+        else if (r < 5 && i > 1000L) s"batch dup marker ${i % 7}" // within-batch dup family
+        else doc()
+      (i, text)
+    }
+    val corpusDf = corpusDocs.toDF("doc_id", "text")
+    val batchDf = batchDocs.toDF("doc_id", "text")
+    val exact = NearDup.incrementalDedup(batchDf, corpusDf, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloom = NearDup.incrementalDedupBloom(batchDf, corpusDf, "text", "doc_id",
+        expectedFps = 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("incremental dedup Bloom path: tiny filter (forced false positives) still exact") {
+    // undersized expectedFps drives the false-positive rate way up — the
+    // exact re-check must still reject every false alarm
+    val corpusDf = (1L to 50L).map(i => (i, s"corpus doc number $i")).toDF("doc_id", "text")
+    val batchDf = (100L to 140L).map(i => (i, s"batch doc number $i")).toDF("doc_id", "text")
+    val exact = NearDup.incrementalDedup(batchDf, corpusDf, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = NearDup.incrementalDedupBloom(batchDf, corpusDf, "text", "doc_id",
+        expectedFps = 2L, fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    assert(bloom == (100L to 140L).toSet)
+  }
+
   test("containment pairs: aligned excerpts found, equal text and short anchors excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
