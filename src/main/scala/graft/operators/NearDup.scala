@@ -559,42 +559,62 @@ object NearDup {
     */
   /** Connected-components algorithm behind [[dupClusters]].
     *
-    *  - [[CcAlgorithm.MinLabel]] (default): min-label propagation —
-    *    rounds = component diameter, 1 join + 1 map-side-combined agg per
-    *    round. Right for dedup workloads, whose components are
-    *    near-cliques (diameter a handful).
+    *  - [[CcAlgorithm.Auto]] (default): min-label propagation for up to
+    *    [[AutoSwitchRounds]] rounds — the cheapest shape for dedup
+    *    workloads, whose components are near-cliques (diameter a
+    *    handful) — then, if not yet converged (a high-diameter
+    *    component: versioned-document chains, adversarial inputs),
+    *    restart as star contraction instead of raising. Both algorithms
+    *    produce identical labels (property-tested), so the switch is
+    *    invisible in the output.
+    *  - [[CcAlgorithm.MinLabel]]: min-label propagation only — rounds =
+    *    component diameter, 1 join + 1 map-side-combined agg per round;
+    *    THROWS at the round bound rather than returning wrong labels.
     *  - [[CcAlgorithm.StarContraction]]: alternating large-star /
     *    small-star contraction (the MapReduce-CC construction of Kiveris
     *    et al., "Connected Components in MapReduce and Beyond", SoCC'14
     *    — re-derived here for DataFrames): every round halves component
     *    HEIGHT, so convergence is O(log d) rounds — the safe choice for
-    *    high-diameter graphs (e.g. versioned-document chains longer than
-    *    any sane diameter bound). Two joins + two aggs per round, ids
-    *    only.
+    *    high-diameter graphs. Two joins + two aggs per round, ids only.
     */
   sealed trait CcAlgorithm
   object CcAlgorithm {
+    case object Auto extends CcAlgorithm
     case object MinLabel extends CcAlgorithm
     case object StarContraction extends CcAlgorithm
   }
+
+  /** Min-label rounds [[CcAlgorithm.Auto]] spends before switching to
+    * star contraction: diameter ≤ 8 covers every real duplicate-cluster
+    * shape we have seen (near-cliques around shared sources), and past
+    * it the O(log d) algorithm is the better spend anyway. */
+  val AutoSwitchRounds: Int = 8
 
   def dupClusters(
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIter: Int = 25,
-      algorithm: CcAlgorithm = CcAlgorithm.MinLabel
+      algorithm: CcAlgorithm = CcAlgorithm.Auto
   ): DataFrame = algorithm match {
-    case CcAlgorithm.MinLabel        => dupClustersMinLabel(pairs, idACol, idBCol, maxIter)
+    case CcAlgorithm.Auto =>
+      dupClustersMinLabel(pairs, idACol, idBCol,
+          math.min(maxIter, AutoSwitchRounds), throwAtBound = false)
+        .getOrElse(dupClustersStar(pairs, idACol, idBCol, maxIter))
+    case CcAlgorithm.MinLabel =>
+      dupClustersMinLabel(pairs, idACol, idBCol, maxIter, throwAtBound = true).get
     case CcAlgorithm.StarContraction => dupClustersStar(pairs, idACol, idBCol, maxIter)
   }
 
+  /** @return None when the round budget is exhausted and `throwAtBound`
+    *         is false (the [[CcAlgorithm.Auto]] switch signal). */
   private def dupClustersMinLabel(
       pairs: DataFrame,
       idACol: String,
       idBCol: String,
-      maxIter: Int
-  ): DataFrame = {
+      maxIter: Int,
+      throwAtBound: Boolean
+  ): Option[DataFrame] = {
     val e = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true) // joined every round — materialize once
@@ -609,8 +629,11 @@ object NearDup {
     var iter = 0
     var changed = 1L
     while (changed > 0) {
-      if (iter >= maxIter) throw new IllegalStateException(
-        s"dupClusters did not converge in $maxIter rounds (component diameter exceeds the bound)")
+      if (iter >= maxIter) {
+        if (throwAtBound) throw new IllegalStateException(
+          s"dupClusters did not converge in $maxIter rounds (component diameter exceeds the bound)")
+        else return None
+      }
       // message formulation — ONE join + ONE aggregation per round (no
       // second join to re-attach old labels): each node receives its own
       // label (self message, which also smuggles `prev` through for the
@@ -628,7 +651,7 @@ object NearDup {
       labels = next.drop("prev")
       iter += 1
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
+    Some(labels.select(col("id"), col("label").as("cluster_id")))
   }
 
   /** Large-star/small-star contraction. Edges live canonically as

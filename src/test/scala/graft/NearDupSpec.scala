@@ -181,9 +181,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(clusters(Nil) == Map.empty)
   }
 
-  test("dupClusters: maxIter bound throws instead of mislabeling") {
+  private def minLabelClusters(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    NearDup.dupClusters(edges.toDF("id_a", "id_b"), maxIter = maxIter,
+        algorithm = NearDup.CcAlgorithm.MinLabel)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("dupClusters: explicit MinLabel maxIter bound throws instead of mislabeling") {
     val path = (0L until 12L).map(i => (i, i + 1))
-    intercept[IllegalStateException](clusters(path, maxIter = 2))
+    intercept[IllegalStateException](minLabelClusters(path, maxIter = 2))
+  }
+
+  test("dupClusters: Auto switches to star contraction past the min-label budget") {
+    // diameter 60 exceeds AutoSwitchRounds (and the explicit-MinLabel
+    // bound), but the default algorithm must label it correctly without
+    // raising — the auto-switch contract
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    assert(clusters(chain, maxIter = 25) == (0L to 60L).map(_ -> 0L).toMap)
   }
 
   private def starClusters(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
@@ -196,7 +209,7 @@ class NearDupSpec extends AnyFunSuite {
     // bound: diameter 60 needs 60 min-label rounds (throws at 25), but
     // star contraction halves heights per round and lands well inside it
     val chain = (0L until 60L).map(i => (i, i + 1))
-    intercept[IllegalStateException](clusters(chain, maxIter = 25))
+    intercept[IllegalStateException](minLabelClusters(chain, maxIter = 25))
     assert(starClusters(chain, maxIter = 25) == (0L to 60L).map(_ -> 0L).toMap)
   }
 
