@@ -14,7 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercased whitespace tokens, empties removed. */
+  /** Lowercased whitespace tokens, empties removed.
+    *
+    * Whitespace is Java `\s+`, which includes vertical tab `\x0B`; RE2
+    * (the DuckDB oracles' regex engine) excludes it, so a corpus
+    * containing `\x0B` would tokenize differently across engines and
+    * break the hash-exact gates built on this split (the driver corpora
+    * contain none). This is the FINGERPRINT-DEFINING split — migrating
+    * it to the explicit class `[ \t\n\r\f]+` (as [[subwordCount]] and
+    * [[normalizeText]] already use) would change every stored canonical
+    * fingerprint, so it stays documented rather than changed. */
   def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => t =!= lit(""))
 

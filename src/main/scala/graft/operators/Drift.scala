@@ -23,7 +23,11 @@ import graft.functions.TextAnalysis
   * A float sum of thousands of terms is order-dependent at the ulp level
   * and two engines never add in the same order; quantize-then-sum is the
   * standard trick for cross-engine-reproducible statistics (same family
-  * as q49's quantize-before-rank).
+  * as q49's quantize-before-rank). Caveat shared by every micro-nat
+  * consumer (q65/q70): a term landing within an ulp of a quantum
+  * boundary can still flip the floor between engines — the ≤1-ulp ln
+  * spread makes exactness overwhelmingly likely, not guaranteed; it is
+  * data-dependent in the same way q49's quantize-before-rank is.
   *
   * Scale shape: ONE tokenize scan; the (source, token) count table —
   * far smaller than the token stream — is checkpointed and feeds the
@@ -46,13 +50,28 @@ object Drift {
     val src = counts.groupBy("source")
       .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("n_distinct"))
     val corpus = counts.groupBy("token").agg(sum(col("c_st")).as("c_t"))
-    val nTotal = src.agg(sum(col("n_s"))).head().getLong(0)
+    // coalesce: an empty input sums to NULL — nTotal 0 flows through to
+    // an (correct) empty result instead of an NPE on getLong
+    val bounds = src.agg(coalesce(sum(col("n_s")), lit(0L)),
+      coalesce(max(col("n_s")), lit(0L))).head()
+    val nTotal = bounds.getLong(0)
+    val maxNs = bounds.getLong(1)
+    // every product below is bounded by maxNs·N (c_st ≤ n_s ≤ maxNs,
+    // c_t ≤ N): keeping that bound under 2^53 guarantees the long
+    // multiplies are overflow-free in BOTH engines (Spark ANSI throws,
+    // DuckDB errors — but only past 2^63) AND that the products convert
+    // to double exactly, which the hash-exact claim rests on. Past the
+    // bound, fail loudly with the remedy instead of drifting silently.
+    require(maxNs.toDouble * nTotal.toDouble < 9007199254740992.0, // 2^53
+      s"tokenDrift ratio form needs max(n_s)*N < 2^53 for exact double conversion " +
+        s"(got max(n_s)=$maxNs, N=$nTotal); pre-divide the ratio (two rounded doubles, " +
+        "a different fingerprint) or shard sources before calling")
 
     // p_st·ln(p_st/q_t) = (c_st/n_s)·ln((c_st·N)/(n_s·c_t)) — integer
-    // products stay < 2^53 for any corpus this ratio form is sane on
-    // (beyond that, pre-divide); double division and multiplication are
-    // correctly rounded IEEE so both engines see bit-identical inputs to
-    // ln, and ln's ≤1-ulp engine spread vanishes in the quantization.
+    // products stay < 2^53 (guarded above); double division and
+    // multiplication are correctly rounded IEEE so both engines see
+    // bit-identical inputs to ln, and ln's ≤1-ulp engine spread vanishes
+    // in the quantization (up to the boundary-flip caveat above).
     val term = (col("c_st").cast("double") / col("n_s")) *
       log((col("c_st") * lit(nTotal)).cast("double") / (col("n_s") * col("c_t")).cast("double"))
     counts

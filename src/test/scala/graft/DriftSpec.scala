@@ -43,6 +43,12 @@ class DriftSpec extends AnyFunSuite {
     assert(r("spam")._3 > r("news")._3 && r("spam")._3 > r("docs")._3)
   }
 
+  test("empty input yields an empty result, not an NPE") {
+    assert(drift(Nil).isEmpty)
+    // all-token-less input likewise reduces to zero counts
+    assert(drift(Seq(("a", "   "), ("b", ""))).isEmpty)
+  }
+
   test("token-less docs contribute nothing; single-source corpus is exactly zero") {
     val r = drift(Seq(("only", "a b a"), ("only", "   ")))
     assert(r("only") == ((3L, 2L, 0L)))
