@@ -924,6 +924,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — BOILERPLATE line removal (the C4/CCNet hygiene pass):
+    // lines recurring in ≥30% of one source's documents are template,
+    // not content, and are stripped per source. Planted: every doc gets
+    // a per-source promo header (100% — removed) and 6/7 get a copyright
+    // footer (~86% — removed), while every 7th doc carries a rarer
+    // 'subscribe now' line (~14% — kept) plus a unique tail. Line
+    // splitting, normalized doc-frequencies, the threshold and the
+    // order-preserving reassembly are all replayed by the oracle —
+    // hash-exact.
+    "q73_boilerplate" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(lit("promo header for "), col("source"), lit("\n"), col("text"), lit("\n"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("subscribe now\nunique tail "), col("doc_id")))
+            .otherwise(lit("copyright footer"))).as("text"))
+      graft.operators.Boilerplate.stripBoilerplate(
+          corpus, "text", "doc_id", "source", minFracPct = 30)
+        .orderBy("doc_id")
+    }),
+
     // Extension — text CANONICALIZATION: URLs + control chars dropped,
     // whitespace collapsed, lowercased. Every 6th doc gets a planted URL
     // (one uppercase-scheme), a tab and a control byte so every branch of
@@ -1130,6 +1150,17 @@ object SparkEntry {
       o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+
+    // Extension — per-source LEXICAL profile: token volume, type count,
+    // hapax tail and Zipf head coverage (top-10 types' share of token
+    // instances, integer per-myriad). All exact integers — counts,
+    // deterministic (tf desc, token asc) head ranking and the integer
+    // div are replayed by the oracle — hash-exact.
+    "q74_lexical_stats" -> ((s, dir) => {
+      graft.operators.Lexical.sourceLexicalStats(
+          t(s, dir, "documents"), "text", "source")
+        .orderBy("source")
     }),
 
     // Extension — corpus vocabulary statistics (explode + global agg).
@@ -1543,6 +1574,23 @@ object SparkEntry {
     "q58_knn_join_indexed" -> knnJoinOracle(bits = 8),
     "q65_lm_score" -> q65Oracle,
 
+    "q74_lexical_stats" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         counts AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         agg AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+           FROM counts GROUP BY source),
+         top AS (SELECT source, CAST(sum(tf) AS BIGINT) AS top_tf FROM (
+             SELECT source, tf, row_number() OVER (
+               PARTITION BY source ORDER BY tf DESC, token ASC) AS rk
+             FROM counts) WHERE rk <= 10 GROUP BY source)
+         SELECT a.source, a.n_tokens, a.n_types, a.n_hapax,
+           (COALESCE(t.top_tf, 0) * 10000) // a.n_tokens AS topk_pmyriad
+         FROM agg a LEFT JOIN top t USING (source) ORDER BY a.source""",
+
     "q59_repetition" ->
       s"""WITH corpus AS (
          SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
@@ -1640,6 +1688,37 @@ object SparkEntry {
     "q68_incremental_dedup" -> IncrementalDedupOracle,
     // the Bloom path's output contract IS the exact path's: same oracle
     "q72_bloom_dedup" -> IncrementalDedupOracle,
+
+    "q73_boilerplate" ->
+      """WITH corpus AS (SELECT doc_id, source,
+           'promo header for ' || source || chr(10) || text || chr(10) ||
+             CASE WHEN doc_id % 7 = 0
+               THEN 'subscribe now' || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+               ELSE 'copyright footer' END AS text
+           FROM documents),
+         ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM corpus),
+         docline AS (SELECT DISTINCT doc_id, source, norm FROM (
+           SELECT doc_id, source, unnest(list_transform(ls, l -> lower(trim(l)))) AS norm
+           FROM ls)),
+         srcdocs AS (SELECT source, count(*) AS nd FROM corpus GROUP BY source),
+         boiler AS (SELECT f.source, f.norm FROM (
+             SELECT source, norm, count(*) AS dfreq FROM docline GROUP BY 1, 2) f
+           JOIN srcdocs USING (source) WHERE f.dfreq * 100 >= nd * 30),
+         pl AS (SELECT doc_id, source, p['pos'] AS pos, p['line'] AS line FROM (
+           SELECT doc_id, source, unnest(list_transform(range(1, len(ls) + 1),
+             i -> {'pos': i, 'line': ls[i]})) AS p
+           FROM ls)),
+         kept AS (SELECT pl.* FROM pl LEFT JOIN boiler b
+           ON pl.source = b.source AND lower(trim(pl.line)) = b.norm
+           WHERE b.norm IS NULL),
+         ka AS (SELECT doc_id, count(*) AS nk,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT c.doc_id, c.source, len(l.ls) AS n_lines,
+           len(l.ls) - COALESCE(ka.nk, 0) AS n_removed,
+           COALESCE(ka.clean_text, '') AS clean_text
+         FROM corpus c JOIN ls l USING (doc_id) LEFT JOIN ka USING (doc_id)
+         ORDER BY c.doc_id""",
 
     "q69_normalize" ->
       """WITH corpus AS (SELECT doc_id,
