@@ -1163,6 +1163,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Extension — SemDeDup semantic dedup decision table (arXiv:2303.09540):
+    // LSH cells (seed-42 plane literals), centrality = cosine to the
+    // min-id cell anchor, remove any member with a ≥-threshold partner
+    // preceding it in (centrality, id) order. Cells, normalization, dots
+    // and the domination predicate all replay literally in DuckDB —
+    // hash-exact. The data-adaptive IvfIndex variant is spec-covered
+    // (centroids are data-dependent, so no static oracle is possible).
+    "q75_semantic_dedup" -> ((s, dir) => {
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      graft.operators.SemDedup.lshSemanticDedup(
+          t(s, dir, "embeddings"), "embedding", "vec_id", lsh, threshold = 0.3)
+        .orderBy("id")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1269,6 +1283,36 @@ object SparkEntry {
        |  FROM sigs a JOIN sigs b
        |    ON a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= 1)
        |WHERE score >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q75: SemDeDup replayed in DuckDB. Cells are the q30-style literal
+    * plane signatures; the anchor is the min-id member per cell;
+    * centrality and pair scores are the same normalize-once sequential
+    * dots (bit-identical cross-engine); the domination predicate is pure
+    * double/long comparison. The operator's cellCap cannot trip at
+    * oracle scale (max cell ≈ n/2^bits ≪ 10000), so the decision tables
+    * coincide exactly. */
+  private def q75Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    s"""WITH sigs AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS cell
+       |  FROM embeddings),
+       |anch AS (SELECT cell, min(id) AS aid FROM sigs GROUP BY cell),
+       |cent AS (
+       |  SELECT s.id, s.cell, s.ne,
+       |    list_reduce(list_transform(range(1, 65), i -> s.ne[i] * a.ne[i]), (u,v) -> u + v) AS centrality
+       |  FROM sigs s JOIN anch ON s.cell = anch.cell JOIN sigs a ON a.id = anch.aid),
+       |removed AS (
+       |  SELECT DISTINCT p.id FROM cent p JOIN cent q
+       |    ON p.cell = q.cell AND p.id <> q.id
+       |   AND (q.centrality < p.centrality OR (q.centrality = p.centrality AND q.id < p.id))
+       |   AND list_reduce(list_transform(range(1, 65), i -> p.ne[i] * q.ne[i]), (u,v) -> u + v) >= 0.3)
+       |SELECT c.id, c.cell, c.centrality, (r.id IS NULL) AS kept
+       |FROM cent c LEFT JOIN removed r ON c.id = r.id
+       |ORDER BY c.id""".stripMargin
   }
 
   /** q44/q58: the knn-JOIN in DuckDB. The candidate set is fully
@@ -1573,6 +1617,7 @@ object SparkEntry {
     "q44_knn_join" -> knnJoinOracle(bits = 6),
     "q58_knn_join_indexed" -> knnJoinOracle(bits = 8),
     "q65_lm_score" -> q65Oracle,
+    "q75_semantic_dedup" -> q75Oracle,
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(
