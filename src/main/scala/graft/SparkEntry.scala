@@ -1177,6 +1177,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Extension — JL random-projection two-stage retrieval: 16 seed-literal
+    // Gaussian planes reduce the 64-dim embeddings; stage 1 ranks the
+    // corpus by reduced-space cosine (short-vector scan, top-50), stage 2
+    // re-ranks only those survivors by exact full-dimension cosine. Both
+    // scores in the output make the projection distortion auditable per
+    // row. Planes are literals and every fold is sequential, so the
+    // DuckDB oracle replays the whole two-stage pipeline — hash-exact.
+    "q76_projected_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qf = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+        .getSeq[Float](0).map(_.toDouble)
+      val proj = Similarity.RandomProjection(dimIn = 64, dimOut = 16)
+      Similarity.projectedRerankTopK(e.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", qf, k = 10, proj, prefilter = 50)
+        .orderBy("rank")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1237,8 +1254,18 @@ object SparkEntry {
   private def duckDot(a: String, b: String, dim: Int = 64): String =
     s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x + y)"
 
+  /** A double literal DuckDB will TYPE as DOUBLE. Bare decimals parse as
+    * DECIMAL, and a list of them unifies to one common DECIMAL scale —
+    * rounding elements whose magnitude needs a different scale (observed:
+    * several-ulp plane-dot drift in q76). An exponent suffix forces the
+    * DOUBLE parse, which round-trips Scala's shortest repr exactly. */
+  private def duckDouble(d: Double): String = {
+    val s = d.toString
+    if (s.exists(c => c == 'e' || c == 'E')) s else s + "e0"
+  }
+
   private def duckPlaneDot(emb: String, plane: IndexedSeq[Double]): String = {
-    val litArr = plane.map(_.toString).mkString("[", ", ", "]")
+    val litArr = plane.map(duckDouble).mkString("[", ", ", "]")
     s"list_reduce(list_transform(range(1, ${plane.length + 1}), i -> CAST($emb[i] AS DOUBLE) * ($litArr)[i]), (x,y) -> x + y)"
   }
 
@@ -1313,6 +1340,34 @@ object SparkEntry {
        |SELECT c.id, c.cell, c.centrality, (r.id IS NULL) AS kept
        |FROM cent c LEFT JOIN removed r ON c.id = r.id
        |ORDER BY c.id""".stripMargin
+  }
+
+  /** q76: the two-stage projected retrieval in DuckDB. The reduced
+    * vector is a 16-element list of literal-plane dots; stage-1 ranking,
+    * the survivor join and the exact re-rank replay the operator's
+    * deterministic (score desc, id asc) order literally. */
+  private def q76Oracle: String = {
+    val proj = Similarity.RandomProjection(dimIn = 64, dimOut = 16)
+    val redList = proj.planes.map(p => duckPlaneDot("embedding", p)).mkString("[", ", ", "]")
+    s"""WITH red AS (
+       |  SELECT vec_id, embedding, $redList AS r FROM embeddings),
+       |q AS (SELECT embedding AS qe, r AS qr FROM red WHERE vec_id = 0),
+       |s1 AS (
+       |  SELECT red.vec_id AS id, red.embedding,
+       |    ${duckDot("red.r", "q.qr", 16)} /
+       |      (sqrt(${duckDot("red.r", "red.r", 16)}) * sqrt(${duckDot("q.qr", "q.qr", 16)})) AS reduced_score
+       |  FROM red, q WHERE red.vec_id <> 0
+       |  ORDER BY reduced_score DESC, id ASC LIMIT 50),
+       |s2 AS (
+       |  SELECT s1.id, s1.reduced_score,
+       |    ${duckDot("s1.embedding", "q.qe")} /
+       |      (sqrt(${duckDot("s1.embedding", "s1.embedding")}) * sqrt(${duckDot("q.qe", "q.qe")})) AS score
+       |  FROM s1, q)
+       |SELECT id, reduced_score, score, "rank" FROM (
+       |  SELECT id, reduced_score, score,
+       |    row_number() OVER (ORDER BY score DESC, id ASC) AS "rank"
+       |  FROM s2)
+       |WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin
   }
 
   /** q44/q58: the knn-JOIN in DuckDB. The candidate set is fully
@@ -1618,6 +1673,7 @@ object SparkEntry {
     "q58_knn_join_indexed" -> knnJoinOracle(bits = 8),
     "q65_lm_score" -> q65Oracle,
     "q75_semantic_dedup" -> q75Oracle,
+    "q76_projected_rerank" -> q76Oracle,
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(

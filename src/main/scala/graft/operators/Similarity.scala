@@ -588,4 +588,64 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
+
+  /** Johnson–Lindenstrauss random projection: `dimOut` Gaussian planes
+    * (deterministic seed, inlined as literals) map each embedding to a
+    * short dense vector whose pairwise angles approximate the originals
+    * (distortion ~ sqrt(ln n / dimOut)). Planes are unscaled — cosine is
+    * scale-invariant, so the 1/sqrt(dimOut) JL factor is irrelevant for
+    * angle-based retrieval.
+    *
+    * The at-scale use is a MATERIALIZED reduced column: a 16-dim double
+    * projection of a 64-dim float embedding scans 2× fewer bytes (16×8
+    * vs 64×4) and, stored as its own narrow table/column, turns the
+    * candidate pass of [[projectedRerankTopK]] into a scan that never
+    * touches full vectors. */
+  final case class RandomProjection(dimIn: Int, dimOut: Int, seed: Long = 4242L) {
+    val planes: IndexedSeq[IndexedSeq[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      IndexedSeq.fill(dimOut, dimIn)(rnd.nextGaussian())
+    }
+
+    def project(emb: Column): Column =
+      array(planes.map(p => dot(emb, litVec(p))): _*)
+
+    /** Driver-side projection of a literal vector — same left-to-right
+      * fold as the column form, so scores agree bit-for-bit. */
+    def projectOf(v: Seq[Double]): IndexedSeq[Double] =
+      planes.map(p => p.zip(v).map { case (a, b) => a * b }.sum)
+  }
+
+  /** Two-stage retrieval: rank the corpus by cosine in the REDUCED space
+    * (cheap scan), keep the top `prefilter`, then re-rank only those
+    * `prefilter` survivors by exact full-dimension cosine. The classic
+    * recall/cost trade: stage 1 is a top-k scan over short vectors (no
+    * shuffle — TakeOrdered collects k rows per partition), stage 2
+    * broadcasts the tiny survivor set against the corpus so full vectors
+    * are fetched for `prefilter` rows only, never shuffled or re-scored
+    * corpus-wide. Output carries BOTH scores, so the reduced-vs-exact
+    * distortion is visible per row. Deterministic ties on id throughout. */
+  def projectedRerankTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      proj: RandomProjection,
+      prefilter: Int = 50
+  ): DataFrame = {
+    val qRed = proj.projectOf(query)
+    val stage1 = df
+      .select(col(idCol).as("id"),
+        cosine(proj.project(col(embCol)), litVec(qRed)).as("reduced_score"))
+      .orderBy(col("reduced_score").desc, col("id").asc)
+      .limit(prefilter)
+    val w = Window.orderBy(col("score").desc, col("id").asc) // prefilter rows: tiny
+    df.select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .join(broadcast(stage1), Seq("id"))
+      .withColumn("score", cosine(col("__emb"), litVec(query)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "reduced_score", "score", "rank")
+  }
 }

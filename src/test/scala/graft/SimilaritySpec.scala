@@ -278,4 +278,44 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((7L, 9999L)))
   }
+
+  test("projected re-rank recovers the exact top-k with a generous prefilter") {
+    val q = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val rest = base.filter($"vec_id" =!= 0)
+    val proj = Similarity.RandomProjection(dimIn = dim, dimOut = 8)
+    val two = Similarity.projectedRerankTopK(rest, "embedding", "vec_id", q, k = 5, proj,
+        prefilter = 199) // prefilter = whole corpus: stage 2 must equal brute force
+      .collect()
+    val brute = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 5).collect()
+    assert(two.map(_.getAs[Long]("id")).toSeq == brute.map(_.getAs[Long]("vec_id")).toSeq)
+    assert(two.map(_.getAs[Double]("score")).toSeq == brute.map(_.getAs[Double]("score")).toSeq)
+  }
+
+  test("projected re-rank with tight prefilter keeps good recall on planted neighbors") {
+    val q0 = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val jit = new scala.util.Random(29)
+    val planted = (2000L until 2005L).map { i =>
+      (i, q0.map(x => x + jit.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val all = base.filter($"vec_id" =!= 0).union(planted)
+    val proj = Similarity.RandomProjection(dimIn = dim, dimOut = 8)
+    val got = Similarity.projectedRerankTopK(all, "embedding", "vec_id",
+        q0.map(_.toDouble).toSeq, k = 5, proj, prefilter = 20)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // near-copies of the query survive an 8-dim angular prefilter
+    assert((got & (2000L until 2005L).toSet).size >= 4,
+      s"planted neighbors should dominate the top-5, got $got")
+  }
+
+  test("projection column and driver-side projection agree") {
+    val v = base.filter($"vec_id" === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val proj = Similarity.RandomProjection(dimIn = dim, dimOut = 8)
+    val fromCol = base.filter($"vec_id" === 3)
+      .select(proj.project(col("embedding")).as("r"))
+      .head().getSeq[Double](0).toIndexedSeq
+    assert(fromCol == proj.projectOf(v))
+  }
 }
