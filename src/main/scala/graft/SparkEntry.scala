@@ -1194,6 +1194,29 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Extension — Okapi BM25 retrieval over a literal term set: per-term
+    // tf and dl are size(filter(tokens)) projections in ONE tokenize scan
+    // (no explode/shuffle — the term set is tiny, unlike q49's corpus-wide
+    // TF-IDF); N/avgdl/df come off the checkpointed narrow table in one
+    // aggregate. idf's ln is the only transcendental, absorbed by the
+    // micro-unit quantize-before-rank construction — hash-exact.
+    "q77_bm25" -> ((s, dir) => {
+      graft.operators.Bm25.scoreTopK(t(s, dir, "documents"), "text", "doc_id",
+          Seq("join", "vector", "scan"), k = 20)
+        .orderBy("rank")
+    }),
+
+    // Extension — embedding-space stratified downsample: per LSH cell keep
+    // the `perCell` members least similar to the cell's min-id anchor —
+    // diversity-preserving budget cut (redundant near-anchor copies go
+    // first). Same literal-replay determinism as q75 — hash-exact.
+    "q78_cell_coverage" -> ((s, dir) => {
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      graft.operators.SemDedup.cellCoverageSample(
+          t(s, dir, "embeddings"), "embedding", "vec_id", lsh, perCell = 4)
+        .orderBy("cell", "cell_rank")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1368,6 +1391,71 @@ object SparkEntry {
        |    row_number() OVER (ORDER BY score DESC, id ASC) AS "rank"
        |  FROM s2)
        |WHERE "rank" <= 10 ORDER BY "rank"""".stripMargin
+  }
+
+  /** q77: BM25 replayed in DuckDB. Every constant the operator derives in
+    * Scala double arithmetic (k1+1, k1·(1−b), k1·b) is embedded via
+    * [[duckDouble]] — re-deriving them from decimal literals in SQL can
+    * land on a DIFFERENT double (e.g. 1.2·0.75 ≠ literal 0.9). All
+    * data-dependent quantities are integers or correctly-rounded double
+    * ops replayed in the operator's exact order; ln's ulp spread is
+    * absorbed by the micro-unit quantization, and ranking orders by the
+    * quantized score. */
+  private def q77Oracle: String = {
+    val k1 = 1.2; val b = 0.75
+    val terms = Seq("join", "vector", "scan")
+    val c1 = duckDouble(k1 + 1.0)
+    val c2 = duckDouble(k1 * (1 - b))
+    val c3 = duckDouble(k1 * b)
+    val tfDefs = terms.map(t =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n    ")
+    val dfDefs = terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    val scoreSum = terms.map { t =>
+      val idf = s"ln((CAST(s.n - s.df_$t AS DOUBLE) + 0.5e0) / (CAST(s.df_$t AS DOUBLE) + 0.5e0) + 1.0e0)"
+      s"""(($idf * (CAST(b.tf_$t AS DOUBLE) * $c1)) /
+         |      (CAST(b.tf_$t AS DOUBLE) + $c2 + ($c3 * (CAST(b.dl AS DOUBLE) / s.avgdl))))""".stripMargin
+    }.mkString("(", "\n    + ", ")")
+    val tfCols = terms.map(t => s"b.tf_$t").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |    $tfDefs
+       |  FROM (SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |    FROM documents)),
+       |stats AS (SELECT count(*) AS n,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfDefs
+       |  FROM base),
+       |scored AS (
+       |  SELECT b.doc_id, b.dl, $tfCols,
+       |    CAST(floor($scoreSum * 1.0e6 + 0.5e0) AS BIGINT) AS score_micros
+       |  FROM base b, stats s
+       |  WHERE ${terms.map(t => s"b.tf_$t").mkString(" + ")} > 0)
+       |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")}, score_micros, "rank" FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS "rank"
+       |  FROM scored)
+       |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin
+  }
+
+  /** q78: the coverage sample is q75's cent CTE + a per-cell rank. */
+  private def q78Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    s"""WITH sigs AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS cell
+       |  FROM embeddings),
+       |anch AS (SELECT cell, min(id) AS aid FROM sigs GROUP BY cell),
+       |cent AS (
+       |  SELECT s.id, s.cell,
+       |    list_reduce(list_transform(range(1, 65), i -> s.ne[i] * a.ne[i]), (u,v) -> u + v) AS centrality
+       |  FROM sigs s JOIN anch ON s.cell = anch.cell JOIN sigs a ON a.id = anch.aid)
+       |SELECT id, cell, centrality, cell_rank FROM (
+       |  SELECT id, cell, centrality,
+       |    row_number() OVER (PARTITION BY cell ORDER BY centrality ASC, id ASC) AS cell_rank
+       |  FROM cent)
+       |WHERE cell_rank <= 4 ORDER BY cell, cell_rank""".stripMargin
   }
 
   /** q44/q58: the knn-JOIN in DuckDB. The candidate set is fully
@@ -1674,6 +1762,8 @@ object SparkEntry {
     "q65_lm_score" -> q65Oracle,
     "q75_semantic_dedup" -> q75Oracle,
     "q76_projected_rerank" -> q76Oracle,
+    "q77_bm25" -> q77Oracle,
+    "q78_cell_coverage" -> q78Oracle,
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Okapi BM25 ranking for a literal term set — the lexical-retrieval
+  * scorer (Robertson & Zaragoza 2009) a curation pipeline uses to pull
+  * topic-relevant documents out of a web-scale corpus.
+  *
+  *   score(d) = Σ_t idf_t · tf · (k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+  *   idf_t    = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)       (Lucene form)
+  *
+  * Shape, chosen for the scan-not-shuffle profile:
+  *  - per-term tf and dl are `size(filter(tokens, …))` projections — ONE
+  *    tokenize scan, no explode, no (doc, token) shuffle at all (the term
+  *    set is tiny and literal, unlike q49's full TF-IDF);
+  *  - the narrow (doc_id, dl, tf…) table is checkpointed; N, avgdl and
+  *    per-term df come off it in one aggregate row (driver-side scalars,
+  *    bounded: 2 + |terms| numbers);
+  *  - only matching docs (Σtf > 0) are ranked — top-k never touches the
+  *    non-matching corpus.
+  *
+  * Determinism: every data-dependent quantity is integer or a correctly-
+  * rounded double of integers; the one transcendental (idf's ln) can
+  * differ by an ulp across engines, so the EXPOSED score is quantized to
+  * integer micro-units (floor(x·1e6 + 0.5)) and ranking orders by the
+  * quantized score — the q49/q70 quantize-before-rank construction,
+  * boundary-flip caveat included.
+  */
+object Bm25 {
+
+  /** Top-k docs by BM25 over literal `terms`. Output: doc_id, dl, one
+    * `tf_<term>` column per term, score_micros, rank. */
+  def scoreTopK(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "terms must be a small literal set")
+    val tfCols = terms.map(t =>
+      size(filter(col("__t"), x => x === lit(t))).cast("long").as(s"tf_$t"))
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(Seq(col("doc_id"), size(col("__t")).cast("long").as("dl")) ++ tfCols: _*)
+      .localCheckpoint(true) // narrow ints; tokenize runs once, stats + scoring share it
+    val statCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")) ++
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val statRow = base.agg(statCols.head, statCols.tail: _*).head()
+    val n = statRow.getAs[Long]("n")
+    val avgdl = statRow.getAs[Long]("sum_dl").toDouble / n
+    val score: Column = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = statRow.getAs[Long](s"df_$t")
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val tf = col(s"tf_$t").cast("double")
+      (lit(idf) * (tf * lit(k1 + 1.0))) /
+        (tf + lit(k1 * (1 - b)) + lit(k1 * b) * (col("dl").cast("double") / lit(avgdl)))
+    }.reduceLeft(_ + _)
+    // top-k via orderBy+limit (TakeOrdered: k rows per partition to the
+    // driver, no global-window shuffle of the whole matched set), THEN
+    // rank the k survivors — the window sees k rows only
+    val w = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
+    base
+      .filter(terms.map(t => col(s"tf_$t")).reduceLeft(_ + _) > 0)
+      .withColumn("score_micros", floor(score * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+}

@@ -102,6 +102,45 @@ object SemDedup {
     decide(prepared, threshold, cellCap)
   }
 
+  /** Embedding-space stratified downsample: keep the `perCell` members of
+    * each LSH cell LEAST similar to the cell's min-id anchor — a
+    * diversity-preserving budget cut (redundant near-anchor copies go
+    * first, outliers survive), the complement of [[lshSemanticDedup]]'s
+    * threshold rule when the budget, not a similarity bar, is the
+    * constraint. Column-value strata (source, lang) are
+    * `Sampling.stratifiedSample`'s job; this stratifies the semantic
+    * space itself.
+    *
+    * Same determinism story as the dedup: cells, anchors and centrality
+    * replay externally, ranking is (centrality ASC, id ASC) — q78's
+    * hash-exact oracle. One shuffle on cell for the rank window (the
+    * anchor attach is a broadcast); cell count scales with
+    * [[Similarity.recommendedBits]] so windows stay small. */
+  def cellCoverageSample(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      lsh: HyperplaneLsh,
+      perCell: Int
+  ): DataFrame = {
+    require(perCell > 0)
+    val sigs = df.select(col(idCol).as("id"),
+        lsh.signature(col(embCol)).as("cell"),
+        Similarity.normalized(col(embCol)).as("__ne"))
+      .localCheckpoint(true) // sig + normalize once; lineage cut before the triple fan-out
+    val anchorIds = sigs.groupBy("cell").agg(min(col("id")).as("__aid"))
+    val anchors = anchorIds
+      .join(sigs.select(col("id").as("__aid"), col("__ne").as("__ane")), Seq("__aid"))
+      .select(col("cell"), col("__ane"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("centrality").asc, col("id").asc)
+    sigs.join(broadcast(anchors), Seq("cell"))
+      .withColumn("centrality", Similarity.dot(col("__ne"), col("__ane")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= perCell)
+      .select(col("id"), col("cell"), col("centrality"), col("cell_rank"))
+  }
+
   /** Paper-faithful variant: cells are trained IVF k-means cells and
     * centrality is cosine to the cell's actual centroid (a literal from
     * training, attached by broadcast join). Data-adaptive — the cells

@@ -52,6 +52,20 @@ class SemDedupSpec extends AnyFunSuite {
     assert(r.forall(identity), "capped cells must keep every member, never drop silently")
   }
 
+  test("cell coverage sample keeps the least-central members, rank dense per cell") {
+    val r = SemDedup.cellCoverageSample(corpus, "embedding", "vec_id", lsh, perCell = 2)
+      .collect()
+    assert(r.map(_.getAs[Int]("cell_rank")).forall(k => k >= 1 && k <= 2))
+    // per cell: ranks are dense from 1 and ordered by (centrality, id)
+    r.groupBy(_.getAs[Long]("cell")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(x => (x.getAs[Double]("centrality"), x.getAs[Long]("id")))
+      assert(sorted.map(_.getAs[Int]("cell_rank")).toSeq == (1 to sorted.length))
+    }
+    // budget respected: the 3-member near-identical cell loses one member
+    val full = SemDedup.cellCoverageSample(corpus, "embedding", "vec_id", lsh, perCell = 5)
+    assert(full.count() == 5 && r.length < 5)
+  }
+
   test("ivf variant agrees with lsh variant on the toy group") {
     val idx = Similarity.IvfIndex.train(corpus, "embedding", k = 2, sampleSize = 5, iters = 4)
     val r = SemDedup.ivfSemanticDedup(corpus, "embedding", "vec_id", idx, threshold = 0.95)
