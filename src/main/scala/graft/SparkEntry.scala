@@ -472,17 +472,17 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // Extension — order-sensitive rolling fingerprint. The xxhash64 chain
-    // has no DuckDB equivalent (rows-only), so the output SELF-VERIFIES
-    // the operator's defining property instead: `order_sensitive` proves
-    // the fingerprint of the reversed token stream differs (for any doc
-    // with ≥2 distinct-position tokens) — exactly what separates it from
-    // the order-insensitive canonical fingerprint (q24).
+    // Extension — order-sensitive rolling fingerprint, PORTABLE md5-slice
+    // chain (r6: the previous xxhash64 chain had no DuckDB equivalent and
+    // was rows-only; the md5 chain replays as a list_reduce, so the query
+    // is now hash-exact — same portable-family trade as q26/q27, with
+    // TextAnalysis.rollingFingerprint's xxhash64 staying the production
+    // default). `order_sensitive` keeps the defining property visible:
+    // the reversed stream hashes differently unless palindromic.
     "q33_rolling_fp" -> ((s, dir) => {
-      // fpOf(tokens) IS TextAnalysis.rollingFingerprint's chain; tokens are
-      // materialized ONCE (no Catalyst CSE across references — the q43
-      // lesson) and both directions hash the checkpointed array
-      val fpOf = (ts: Column) => aggregate(ts, lit(0L), (acc, tk) => xxhash64(acc, tk))
+      // tokens are materialized ONCE (no Catalyst CSE across references —
+      // the q43 lesson) and both directions hash the checkpointed array
+      val fpOf = (ts: Column) => graft.plans.SketchFunctions.portableRollingFp(ts)
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
         .localCheckpoint(true)
@@ -1588,6 +1588,21 @@ object SparkEntry {
        |      ELSE ('0x'||substr(md5($x),1,8))::BIGINT END) * 4294967296
        | + ('0x'||substr(md5($x),9,8))::BIGINT""".stripMargin
 
+  /** q33: the portable rolling chain in DuckDB — seed '0' prepended so
+    * list_reduce has an initial accumulator, each step re-stringifies the
+    * BIGINT (CAST ≡ Java's Long.toString, sign included) and hashes
+    * `acc ‖ '|' ‖ token` through the same md5 slice. */
+  private def q33Oracle: String = {
+    def chain(listExpr: String) =
+      s"CAST(list_reduce(list_prepend('0', $listExpr), (a, tk) -> CAST(${duckMd5Long("(a || '|' || tk)")} AS VARCHAR)) AS BIGINT)"
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM documents)
+       |SELECT doc_id, ${chain("t")} AS fp_rolling,
+       |  (t = list_reverse(t) OR ${chain("t")} <> ${chain("list_reverse(t)")}) AS order_sensitive
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
   /** q26: the full portable MinHash-LSH pipeline in DuckDB — same distinct
     * 3-gram shingle sets, same md5-slice base hashes, same affine rehash
     * family (coefficients inlined from the SAME generator the Catalyst
@@ -1760,6 +1775,7 @@ object SparkEntry {
     "q44_knn_join" -> knnJoinOracle(bits = 6),
     "q58_knn_join_indexed" -> knnJoinOracle(bits = 8),
     "q65_lm_score" -> q65Oracle,
+    "q33_rolling_fp" -> q33Oracle,
     "q75_semantic_dedup" -> q75Oracle,
     "q76_projected_rerank" -> q76Oracle,
     "q77_bm25" -> q77Oracle,

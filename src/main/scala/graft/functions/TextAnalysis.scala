@@ -172,6 +172,14 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Portable sibling of [[rollingFingerprint]]: the md5-slice chain
+    * (graft.plans.PortableSketch.rollingFp) — same order-sensitivity,
+    * replayable as a DuckDB list_reduce, so it can be oracled hash-exact
+    * (q33). xxhash64 stays the production default; this is the auditable
+    * form, the same trade as the q26/q27 portable sketch family. */
+  def portableRollingFingerprint(c: Column): Column =
+    graft.plans.SketchFunctions.portableRollingFp(tokens(c))
+
   /** PII patterns — deliberately RE2-safe (no lookarounds, plain classes
     * and word boundaries) so the exact same regex runs in Java, RE2, and
     * the DuckDB oracle. Conservative by design: emails and IPv4 literals

@@ -313,6 +313,29 @@ object PortableSketch {
     new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
   }
 
+  /** Portable order-sensitive rolling fingerprint: left fold
+    * acc ← md5Long(decimal(acc) ‖ '|' ‖ token) from seed 0 (decimal "0"),
+    * final acc as the 64-bit fingerprint (0 for an empty stream). The
+    * decimal re-stringification per step is what makes the chain replay
+    * as a DuckDB `list_reduce` — BIGINT→VARCHAR there matches Java's
+    * `Long.toString` exactly, sign included. NULL tokens dropped (as
+    * [[md5Hashes]]); one native loop per row vs the per-element
+    * interpreted HOF `aggregate` it replaces. */
+  def rollingFp(a: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = a.getUTF8String(i)
+      if (t != null) {
+        val s = java.lang.Long.toString(acc) + "|" + t.toString
+        acc = md5Long(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      i += 1
+    }
+    acc
+  }
+
   /** Distinct portable hashes of all word n-gram shingles of a token
     * array, in ONE tight loop: each shingle's md5 runs incrementally over
     * `token (0x20 token)*` bytes — md5("t1 t2 t3") exactly, with no
@@ -388,6 +411,29 @@ case class PortableHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.PortableSketch.md5Hashes($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Whole-chain portable rolling fingerprint (see
+  * [[PortableSketch.rollingFp]]): `array<string>` → one long per row. */
+case class PortableRollingFp(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_md5_rolling_fp"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_rolling_fp requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PortableSketch.rollingFp(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.PortableSketch.rollingFp($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -530,6 +576,8 @@ object SketchFunctions {
     EU.column(PortableHash64(EU.expression(strings)))
   def portableShingleHashes(tokens: Column, n: Int): Column =
     EU.column(PortableShingleHashes(EU.expression(tokens), n))
+  def portableRollingFp(tokens: Column): Column =
+    EU.column(PortableRollingFp(EU.expression(tokens)))
   def bigramHashes(tokens: Column): Column =
     EU.column(BigramHashes(EU.expression(tokens)))
   def affineMinhash(portableHashes: Column, numHashes: Int, seed: Long = 42L): Column =

@@ -184,6 +184,8 @@ object VectorFunctions {
       es => ShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue)),
     ("graft_md5_hash64", classOf[PortableHash64].getName,
       es => PortableHash64(es.head)),
+    ("graft_md5_rolling_fp", classOf[PortableRollingFp].getName,
+      es => PortableRollingFp(es.head)),
     ("graft_md5_shingle_hashes", classOf[PortableShingleHashes].getName,
       es => PortableShingleHashes(es(0), es(1).eval().asInstanceOf[Number].intValue)),
     ("graft_affine_minhash", classOf[AffineMinHash].getName,

@@ -114,6 +114,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1 != r2)
   }
 
+  test("portable rolling fingerprint: order-sensitive, seed-exact, chain-checkable") {
+    val p1 = one[Long](TextAnalysis.portableRollingFingerprint(col("t")), "a b c")
+    val p2 = one[Long](TextAnalysis.portableRollingFingerprint(col("t")), "c b a")
+    assert(p1 != p2)
+    assert(one[Long](TextAnalysis.portableRollingFingerprint(col("t")), "") == 0L)
+    // replay the chain with the public md5Long primitive: the expression
+    // must equal the reference left fold over decimal-restringed steps
+    def ref(toks: Seq[String]): Long = toks.foldLeft(0L) { (acc, t) =>
+      graft.plans.PortableSketch.md5Long(
+        (java.lang.Long.toString(acc) + "|" + t)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    assert(p1 == ref(Seq("a", "b", "c")))
+    assert(p2 == ref(Seq("c", "b", "a")))
+  }
+
   test("textStats single-pass struct matches the composable signals exactly") {
     val docs = Seq(
       "the cat is on the mat",
