@@ -1217,6 +1217,20 @@ object SparkEntry {
         .orderBy("cell", "cell_rank")
     }),
 
+    // Extension — contrastive triplet mining: every 10th vector anchors a
+    // triplet; positive = most-similar, negative = least-similar candidate
+    // of the anchor's Hamming-≤1 LSH neighborhood (an in-neighborhood
+    // negative — shares coarse locality, so it's informative, not random).
+    // Same deterministic membership identity as the knn-join oracles —
+    // hash-exact.
+    "q79_triplet_mining" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      Similarity.mineTriplets(
+          e.filter(pmod(col("vec_id"), lit(10)) === 0), e, "embedding", "vec_id", lsh)
+        .orderBy("anchor_id")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1456,6 +1470,36 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY cell ORDER BY centrality ASC, id ASC) AS cell_rank
        |  FROM cent)
        |WHERE cell_rank <= 4 ORDER BY cell, cell_rank""".stripMargin
+  }
+
+  /** q79: triplet mining in DuckDB — the knn-join candidate identity
+    * (hamming ≤ 1), two opposite rank windows, and the same
+    * single-candidate / same-row-tie drop rule (pos_id <> neg_id is
+    * exactly the operator's roles-count-2 filter). */
+  private def q79Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    s"""WITH sigs AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS sig
+       |  FROM embeddings),
+       |anch AS (SELECT vec_id AS anchor_id, ne AS qne, sig AS qsig FROM sigs WHERE vec_id % 10 = 0),
+       |cand AS (
+       |  SELECT a.anchor_id, s.vec_id AS cand_id,
+       |    list_reduce(list_transform(range(1, 65), i -> a.qne[i] * s.ne[i]), (u,v) -> u + v) AS score
+       |  FROM anch a JOIN sigs s
+       |    ON bit_count(xor(a.qsig, s.sig)) <= 1 AND s.vec_id <> a.anchor_id),
+       |ranked AS (SELECT anchor_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, cand_id ASC) AS rp,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY score ASC, cand_id ASC) AS rn
+       |  FROM cand),
+       |pos AS (SELECT anchor_id, cand_id AS pos_id, score AS pos_score FROM ranked WHERE rp = 1),
+       |neg AS (SELECT anchor_id, cand_id AS neg_id, score AS neg_score FROM ranked WHERE rn = 1)
+       |SELECT p.anchor_id, p.pos_id, p.pos_score, n.neg_id, n.neg_score,
+       |  p.pos_score - n.neg_score AS margin
+       |FROM pos p JOIN neg n USING (anchor_id) WHERE p.pos_id <> n.neg_id
+       |ORDER BY p.anchor_id""".stripMargin
   }
 
   /** q44/q58: the knn-JOIN in DuckDB. The candidate set is fully
@@ -1780,6 +1824,7 @@ object SparkEntry {
     "q76_projected_rerank" -> q76Oracle,
     "q77_bm25" -> q77Oracle,
     "q78_cell_coverage" -> q78Oracle,
+    "q79_triplet_mining" -> q79Oracle,
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(

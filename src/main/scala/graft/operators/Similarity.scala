@@ -589,6 +589,67 @@ object Similarity {
       .select("id_a", "id_b", "score")
   }
 
+  /** Contrastive triplet mining (anchor, positive, negative) for
+    * embedding-model training data. An anchor's candidate set is its
+    * Hamming-≤1 LSH neighborhood (the same membership as [[annJoin]]);
+    * the POSITIVE is the most-similar non-self candidate, the NEGATIVE
+    * the least-similar candidate of that same neighborhood — an
+    * in-neighborhood negative: it shares coarse hash locality with the
+    * anchor (not a trivially random far point), which is what makes the
+    * pair informative to a contrastive loss.
+    *
+    * One row per anchor with ≥2 distinct-role candidates; an anchor whose
+    * top and bottom collapse to one row (single candidate, or an exact
+    * score tie resolved to the same id) yields no triplet. Ties break on
+    * candidate id; `margin = pos_score − neg_score`.
+    *
+    * Scale: candidate generation is [[annJoin]]'s capped bucket
+    * equi-join; both rank windows AND the final per-anchor aggregation
+    * hash on anchor_id, so the candidate set shuffles once and the
+    * groupBy reuses that partitioning (Exchange reuse — verified in the
+    * q79 plan). */
+  def mineTriplets(
+      anchors: DataFrame,
+      base: DataFrame,
+      embCol: String,
+      idCol: String,
+      lsh: HyperplaneLsh,
+      maxBucketSize: Int = 100000
+  ): DataFrame = {
+    val q = anchors.select(
+        col(idCol).as("anchor_id"), normalized(col(embCol)).as("q_emb"),
+        lsh.signature(col(embCol)).as("__qsig"))
+      .select(col("anchor_id"), col("q_emb"),
+        explode(lsh.probeBuckets(col("__qsig"))).as("bucket"))
+    val b = BucketCap.dropOverCap(
+      base.select(
+        col(idCol).as("cand_id"), normalized(col(embCol)).as("b_emb"),
+        lsh.signature(col(embCol)).as("bucket")),
+      Seq("bucket"), maxBucketSize)
+    val wPos = Window.partitionBy("anchor_id").orderBy(col("score").desc, col("cand_id").asc)
+    val wNeg = Window.partitionBy("anchor_id").orderBy(col("score").asc, col("cand_id").asc)
+    q.join(b, Seq("bucket"))
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .withColumn("score", dot(col("q_emb"), col("b_emb")))
+      .select(col("anchor_id"), col("cand_id"), col("score"))
+      .withColumn("__rp", row_number().over(wPos))
+      .withColumn("__rn", row_number().over(wNeg))
+      .filter(col("__rp") === 1 || col("__rn") === 1)
+      // one aggregation folds the two role rows into one triplet row;
+      // a single-row anchor (both roles on the same candidate) has
+      // count 1 and is dropped — no self-margin triplets
+      .groupBy("anchor_id")
+      .agg(
+        max(when(col("__rp") === 1, struct(col("cand_id"), col("score")))).as("__p"),
+        max(when(col("__rn") === 1, struct(col("cand_id"), col("score")))).as("__n"),
+        count(lit(1)).as("__roles"))
+      .filter(col("__roles") === 2)
+      .select(col("anchor_id"),
+        col("__p.cand_id").as("pos_id"), col("__p.score").as("pos_score"),
+        col("__n.cand_id").as("neg_id"), col("__n.score").as("neg_score"))
+      .withColumn("margin", col("pos_score") - col("neg_score"))
+  }
+
   /** Johnson–Lindenstrauss random projection: `dimOut` Gaussian planes
     * (deterministic seed, inlined as literals) map each embedding to a
     * short dense vector whose pairwise angles approximate the originals

@@ -309,6 +309,39 @@ class SimilaritySpec extends AnyFunSuite {
       s"planted neighbors should dominate the top-5, got $got")
   }
 
+  test("triplet mining: positive is nearest, negative is farthest in-neighborhood") {
+    val q0 = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val jit = new scala.util.Random(31)
+    // plant a tight positive next to anchor 0; the negative must come from
+    // whatever else its probed buckets contain
+    val planted = Seq((3000L, q0.map(x => x + jit.nextGaussian().toFloat * 0.02f)))
+      .toDF("vec_id", "embedding")
+    val all = base.union(planted)
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 4)
+    val rows = Similarity.mineTriplets(
+        all.filter($"vec_id" === 0), all, "embedding", "vec_id", lsh)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("pos_id") == 3000L, "planted near-copy must be the positive")
+    assert(r.getAs[Double]("pos_score") > r.getAs[Double]("neg_score"))
+    assert(r.getAs[Double]("margin") ==
+      r.getAs[Double]("pos_score") - r.getAs[Double]("neg_score"))
+    assert(r.getAs[Long]("neg_id") != 0L && r.getAs[Long]("neg_id") != 3000L)
+  }
+
+  test("triplet mining: single-candidate anchors yield no triplet") {
+    // two orthogonal-ish vectors alone: each anchor sees at most one candidate
+    val tiny = Seq(
+      (0L, Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)),
+      (1L, Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.001f))
+    ).toDF("vec_id", "embedding")
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 4)
+    val rows = Similarity.mineTriplets(tiny, tiny, "embedding", "vec_id", lsh).collect()
+    assert(rows.isEmpty, s"no pair of distinct roles exists, got ${rows.mkString}")
+  }
+
   test("projection column and driver-side projection agree") {
     val v = base.filter($"vec_id" === 3).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble)
