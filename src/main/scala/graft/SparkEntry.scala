@@ -1231,6 +1231,23 @@ object SparkEntry {
         .orderBy("anchor_id")
     }),
 
+    // Extension — DSIR-style data selection (hashed-bigram importance
+    // resampling): every document scored by how much more likely its
+    // hashed bigrams are under the English-language target slice than
+    // under the whole pool, top 20% per source kept. HASH-EXACT: the
+    // gram→bucket map is the portable md5-slice hash (so the oracle
+    // replays the collisions), the log-ratio terms are integer micro-nats
+    // (the q70 quantize-then-sum construction), and the quota test is
+    // the integer cross-multiply.
+    "q80_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dsir.dsirSelect(
+          docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id", "source",
+          buckets = DsirBuckets, keepNum = 1, keepDen = 5)
+        .orderBy("doc_id")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1502,6 +1519,41 @@ object SparkEntry {
        |ORDER BY p.anchor_id""".stripMargin
   }
 
+  /** q80: DSIR importance resampling in DuckDB — same tokenization, same
+    * multiset bigrams, same portable md5 bucket (DuckDB's `%` keeps the
+    * dividend's sign, hence the explicit `((h % B) + B) % B` ≡ Spark's
+    * `pmod`), same Laplace ratio over exact-integer products, same
+    * micro-nat quantize-then-sum, same integer quota cross-multiply. */
+  private def q80Oracle: String = {
+    val b = DsirBuckets
+    s"""WITH tok AS (SELECT doc_id, source, lang,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |grams AS (SELECT doc_id, source, lang,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+       |  FROM tok WHERE len(t) >= 2),
+       |gb AS (SELECT doc_id, source, lang,
+       |    (((${duckMd5Long("gram")}) % $b) + $b) % $b AS b
+       |  FROM grams),
+       |cr AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+       |ct AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr,
+       |               (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM ct) AS nt),
+       |scored AS (SELECT g.doc_id, g.source,
+       |    CAST(floor(ln(CAST((coalesce(ct.ct, 0) + 1) * (tot.nr + $b) AS DOUBLE) /
+       |                  CAST((cr.cr + 1) * (tot.nt + $b) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS m
+       |  FROM gb g JOIN cr USING (b) LEFT JOIN ct USING (b) CROSS JOIN tot),
+       |per_doc AS (SELECT doc_id, source, count(*) AS n_grams,
+       |    CAST(sum(m) AS BIGINT) AS lw_micros
+       |  FROM scored GROUP BY doc_id, source),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (PARTITION BY source ORDER BY lw_micros DESC, doc_id ASC) AS r,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM per_doc)
+       |SELECT doc_id, source, n_grams, lw_micros, (n * 1 > (r - 1) * 5) AS selected
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
   /** q44/q58: the knn-JOIN in DuckDB. The candidate set is fully
     * deterministic given the seed-42 plane literals: a base row lives in
     * its signature's bucket and a query probes its own signature plus all
@@ -1575,6 +1627,9 @@ object SparkEntry {
   /** q26/q27 sketch geometry — ONE definition feeding both the queries
     * and their oracle SQL generators, so a parameter edit cannot silently
     * diverge the two sides of the hash-exact gate. */
+  /** q80 DSIR hashed-feature width — shared by query and oracle. */
+  private val DsirBuckets = 4096
+
   private val Q26Shingle      = 3
   private val Q26Bands        = 16
   private val Q26RowsPerBand  = 4
@@ -1825,6 +1880,7 @@ object SparkEntry {
     "q77_bm25" -> q77Oracle,
     "q78_cell_coverage" -> q78Oracle,
     "q79_triplet_mining" -> q79Oracle,
+    "q80_dsir_select" -> q80Oracle,
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(
