@@ -1231,6 +1231,30 @@ object SparkEntry {
         .orderBy("anchor_id")
     }),
 
+    // Extension — SEMANTIC decontamination: every 23rd embedding plays the
+    // benchmark; the corpus is the rest plus a PLANTED deterministic
+    // near-copy of each benchmark vector (elementwise arithmetic jitter —
+    // replayable in SQL, like q26's planted tails). Flags corpus rows with
+    // cosine ≥ 0.8 to any benchmark row in the Hamming-≤1 LSH
+    // neighborhood; the planted copies are exactly the rows that must
+    // surface. Hash-exact: membership, scores and the planted jitter all
+    // replay literally in DuckDB.
+    "q81_semantic_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter(pmod(col("vec_id"), lit(23)) === 0)
+      val natural = e.filter(pmod(col("vec_id"), lit(23)) =!= 0)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      val planted = bench.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            (pmod(col("vec_id") + i, lit(5)) - 2).cast("double") * lit(0.02)).as("embedding"))
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      Similarity.semanticDecontaminate(
+          natural.unionByName(planted), bench, "embedding", "vec_id", lsh,
+          minCosine = 0.8)
+        .orderBy("vec_id")
+    }),
+
     // Extension — DSIR-style data selection (hashed-bigram importance
     // resampling): every document scored by how much more likely its
     // hashed bigrams are under the English-language target slice than
@@ -1517,6 +1541,43 @@ object SparkEntry {
        |  p.pos_score - n.neg_score AS margin
        |FROM pos p JOIN neg n USING (anchor_id) WHERE p.pos_id <> n.neg_id
        |ORDER BY p.anchor_id""".stripMargin
+  }
+
+  /** q81: semantic decontamination in DuckDB — same planted jitter (the
+    * `0.02e0` exponent literal forces the DOUBLE parse so the arithmetic
+    * is the identical IEEE op sequence), same Hamming-≤1 membership, same
+    * normalized-dot scores, same (sim desc, bench_id desc) best-hit rule
+    * as the operator's max(struct). The planted subquery renames the base
+    * id to `v` so the jitter can't accidentally bind to the shifted
+    * output alias. */
+  private def q81Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    s"""WITH nat AS (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id % 23 <> 0),
+       |pl AS (SELECT v + 1000000 AS vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) + ((v + (i - 1)) % 5 - 2) * 0.02e0) AS emb
+       |  FROM (SELECT vec_id AS v, embedding FROM embeddings WHERE vec_id % 23 = 0)),
+       |corpus AS (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> emb[i] / sqrt(${duckDot("emb", "emb")})) AS ne,
+       |    ${duckSig("emb", lsh)} AS sig
+       |  FROM (SELECT * FROM nat UNION ALL SELECT * FROM pl)),
+       |bench AS (SELECT vec_id AS bench_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS qne,
+       |    ${duckSig("embedding", lsh)} AS qsig
+       |  FROM embeddings WHERE vec_id % 23 = 0),
+       |cand AS (SELECT c.vec_id, b.bench_id,
+       |    list_reduce(list_transform(range(1, 65), i -> c.ne[i] * b.qne[i]), (u,v) -> u + v) AS sim
+       |  FROM corpus c JOIN bench b ON bit_count(xor(c.sig, b.qsig)) <= 1),
+       |hits AS (SELECT * FROM cand WHERE sim >= 0.8e0),
+       |ranked AS (SELECT vec_id, bench_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id DESC) AS r,
+       |    count(*) OVER (PARTITION BY vec_id) AS n_hits
+       |  FROM hits)
+       |SELECT vec_id, bench_id, sim, n_hits FROM ranked WHERE r = 1
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** q80: DSIR importance resampling in DuckDB — same tokenization, same
@@ -1881,6 +1942,7 @@ object SparkEntry {
     "q78_cell_coverage" -> q78Oracle,
     "q79_triplet_mining" -> q79Oracle,
     "q80_dsir_select" -> q80Oracle,
+    "q81_semantic_decon" -> q81Oracle,
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(

@@ -650,6 +650,57 @@ object Similarity {
       .withColumn("margin", col("pos_score") - col("neg_score"))
   }
 
+  /** SEMANTIC decontamination: flag corpus rows whose embedding sits
+    * within `minCosine` of ANY benchmark embedding — the embedding-space
+    * complement of the n-gram [[NearDup.decontaminate]] (paraphrased or
+    * reformatted eval leakage that shares no 8-gram with the benchmark
+    * still lands next to it in embedding space).
+    *
+    * Candidate membership is the deterministic Hamming-≤1 LSH
+    * neighborhood (the [[annJoin]] rule, probing from the benchmark
+    * side), so the flag set is exactly reproducible: a corpus row is
+    * flagged iff some benchmark row within the neighborhood scores
+    * `≥ minCosine`. Returns one row per flagged corpus id with the
+    * closest benchmark hit (`bench_id`, `sim`; ties → higher bench_id)
+    * and `n_hits`, the number of benchmark rows over the threshold.
+    *
+    * Scale shape: the benchmark is tiny by definition (eval suites), so
+    * its exploded probe set BROADCASTS and the corpus side pays one
+    * narrow scan + a broadcast hash join — ZERO corpus shuffle; only the
+    * threshold survivors (≈ the contamination rate times the corpus)
+    * reach the per-id aggregation. The corpus-side bucket cap guards the
+    * degenerate mass-duplicate case like every other bucketed path. */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      embCol: String,
+      idCol: String,
+      lsh: HyperplaneLsh,
+      minCosine: Double,
+      maxBucketSize: Int = 100000
+  ): DataFrame = {
+    val bench = benchmark.select(
+        col(idCol).as("bench_id"), normalized(col(embCol)).as("q_emb"),
+        lsh.signature(col(embCol)).as("__qsig"))
+      .select(col("bench_id"), col("q_emb"),
+        explode(lsh.probeBuckets(col("__qsig"))).as("bucket"))
+    val corp = BucketCap.dropOverCap(
+      corpus.select(
+        col(idCol).as("__cid"), normalized(col(embCol)).as("c_emb"),
+        lsh.signature(col(embCol)).as("bucket")),
+      Seq("bucket"), maxBucketSize)
+    // (bench, corpus) pairs are unique: a corpus row has ONE bucket and a
+    // bench row's probe buckets are distinct — no pair dedup needed
+    corp.join(broadcast(bench), Seq("bucket"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")))
+      .filter(col("sim") >= minCosine)
+      .groupBy(col("__cid").as(idCol))
+      .agg(max(struct(col("sim"), col("bench_id"))).as("__best"),
+        count(lit(1)).as("n_hits"))
+      .select(col(idCol), col("__best.bench_id").as("bench_id"),
+        col("__best.sim").as("sim"), col("n_hits"))
+  }
+
   /** Johnson–Lindenstrauss random projection: `dimOut` Gaussian planes
     * (deterministic seed, inlined as literals) map each embedding to a
     * short dense vector whose pairwise angles approximate the originals

@@ -342,6 +342,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.isEmpty, s"no pair of distinct roles exists, got ${rows.mkString}")
   }
 
+  test("semantic decontamination flags planted benchmark near-copies only") {
+    val bench = base.filter($"vec_id" < 3)
+    val jit = new scala.util.Random(17)
+    val planted = bench.collect().map { r =>
+      (r.getLong(0) + 5000L,
+        r.getSeq[Float](1).toArray.map(x => x + jit.nextGaussian().toFloat * 0.01f))
+    }.toSeq.toDF("vec_id", "embedding")
+    val corpus = base.filter($"vec_id" >= 3).union(planted)
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 4)
+    val flagged = Similarity.semanticDecontaminate(
+        corpus, bench, "embedding", "vec_id", lsh, minCosine = 0.9)
+      .collect()
+    assert(flagged.map(_.getAs[Long]("vec_id")).sorted.toSeq == Seq(5000L, 5001L, 5002L),
+      s"exactly the planted copies must be flagged, got ${flagged.mkString}")
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("bench_id") == r.getAs[Long]("vec_id") - 5000L,
+        "closest hit must be the planted source")
+      assert(r.getAs[Double]("sim") > 0.99)
+    }
+  }
+
   test("projection column and driver-side projection agree") {
     val v = base.filter($"vec_id" === 3).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble)
