@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.etl.Coerce
 import graft.functions.TextAnalysis
-import graft.operators.{AsofJoin, Drift, Multimodal, NearDup, RangeJoin, Sampling, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Drift, FuzzyJoin, Multimodal, NearDup, RangeJoin, Sampling, Similarity, SkewJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1272,6 +1272,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — FUZZY STRING JOIN (entity resolution / dirty-key join):
+    // every document carries a 16-hex-char serial (md5 of its id — the
+    // UUID/SKU record-linkage shape); every 7th serial gets one
+    // deterministic typo ('x' — outside the hex alphabet, so true edit
+    // distance is exactly 1 — overwritten at position doc_id % 16 + 1)
+    // and every 13th document contributes an unrelated decoy serial that
+    // must match nothing. Matched back within edit distance 2 via the
+    // q-gram filter stack (block on shared 4-grams, count + length
+    // filters, Levenshtein verify on survivors only — never a cross join;
+    // operators/FuzzyJoin.scala). High-entropy keys keep every gram far
+    // under the stop-gram cap at any scale (the cap is for natural-text
+    // flood grams — FuzzyJoinSpec exercises it); every stage — gram sets,
+    // integer count bound, edit distance — replays literally in DuckDB:
+    // hash-exact.
+    "q82_fuzzy_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val serial = substring(md5(col("doc_id").cast("string")), 1, 16)
+      val clean = docs.select(col("doc_id"), serial.as("key"))
+      val pos = (pmod(col("doc_id"), lit(16)) + 1).cast("int")
+      val typos = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(serial.substr(lit(1), pos - 1), lit("x"),
+            serial.substr(pos + 1, lit(16))).as("key"))
+      val decoys = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          substring(md5(concat(lit("decoy-"), col("doc_id").cast("string"))), 1, 16).as("key"))
+      FuzzyJoin.fuzzyJoin(typos.unionByName(decoys), clean,
+          keyCol = "key", idCol = "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1943,6 +1974,47 @@ object SparkEntry {
     "q79_triplet_mining" -> q79Oracle,
     "q80_dsir_select" -> q80Oracle,
     "q81_semantic_decon" -> q81Oracle,
+
+    // Replays the full q-gram filter stack (distinct 4-gram inverted
+    // index, stop-gram cap, count + length filters) and the Levenshtein
+    // verify — the filters are part of the operator's contract (the
+    // distinct-gram count bound can over-filter; the oracle must match
+    // the operator, not an idealized all-pairs join).
+    "q82_fuzzy_join" ->
+      """WITH r AS (SELECT doc_id AS id_b,
+             substr(md5(doc_id::VARCHAR), 1, 16) AS key_b
+             FROM documents),
+         typo AS (SELECT doc_id + 10000000 AS id_a,
+             substr(substr(md5(doc_id::VARCHAR), 1, 16),
+               1, CAST(doc_id % 16 AS INT)) || 'x' ||
+               substr(substr(md5(doc_id::VARCHAR), 1, 16),
+                 CAST(doc_id % 16 AS INT) + 2) AS key_a
+           FROM documents WHERE doc_id % 7 = 0),
+         decoy AS (SELECT doc_id + 20000000 AS id_a,
+             substr(md5('decoy-' || doc_id::VARCHAR), 1, 16) AS key_a
+           FROM documents WHERE doc_id % 13 = 0),
+         l AS (SELECT * FROM typo UNION ALL SELECT * FROM decoy),
+         lg AS (SELECT id_a, length(key_a) AS len_a,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(length(key_a) - 3, 1) + 1),
+               i -> substr(key_a, CAST(i AS INT), 4)))) AS gram
+           FROM l WHERE length(key_a) > 0),
+         rg AS (SELECT id_b, length(key_b) AS len_b,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(length(key_b) - 3, 1) + 1),
+               i -> substr(key_b, CAST(i AS INT), 4)))) AS gram
+           FROM r WHERE length(key_b) > 0),
+         rg2 AS (SELECT * FROM rg WHERE gram IN (
+             SELECT gram FROM rg GROUP BY gram HAVING count(*) <= 1000)),
+         cand AS (SELECT id_a, id_b
+           FROM lg JOIN rg2 USING (gram)
+           GROUP BY id_a, id_b, len_a, len_b
+           HAVING count(*) >= greatest(greatest(len_a, len_b) - 3 - 8, 1)
+              AND abs(len_a - len_b) <= 2)
+         SELECT c.id_a, c.id_b, levenshtein(l.key_a, r.key_b) AS dist
+         FROM cand c JOIN l ON c.id_a = l.id_a JOIN r ON c.id_b = r.id_b
+         WHERE levenshtein(l.key_a, r.key_b) <= 2
+         ORDER BY c.id_a, c.id_b""",
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(
