@@ -1303,6 +1303,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Extension — COUNT-MIN heavy hitters: a 4×1024 portable-hash sketch
+    // of the corpus token stream, then every token whose sketch ESTIMATE
+    // clears 1/30 of the stream, exact count attached for audit
+    // (operators/CountMin.scala). The one-sided CM guarantee in query
+    // form: no true heavy hitter can be absent; any row with
+    // exact_count·30 < total is a collision-driven false positive the
+    // sketch admits by design. Counters, the md5-slice bucket map, and
+    // the integer cross-multiply threshold all replay literally in
+    // DuckDB — hash-exact.
+    "q83_heavy_hitters" -> ((s, dir) => {
+      graft.operators.CountMin.heavyHitters(
+          t(s, dir, "documents").select(TextAnalysis.tokens(col("text")).as("toks")),
+          "toks", num = 1, den = 30, depth = CmDepth, width = CmWidth)
+        .orderBy(col("est_count").desc, col("token").asc)
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1721,6 +1737,36 @@ object SparkEntry {
     * diverge the two sides of the hash-exact gate. */
   /** q80 DSIR hashed-feature width — shared by query and oracle. */
   private val DsirBuckets = 4096
+  private val CmDepth = 4
+  private val CmWidth = 1024
+
+  /** q83: the count-min build, probe and threshold replayed in DuckDB —
+    * same salted md5-slice bucket map, same min-over-rows probe, same
+    * integer cross-multiply (CASTs keep pandas integer dtypes; DuckDB
+    * sum/count widen to HUGEINT). */
+  private def q83Oracle: String = {
+    val (d, w) = (CmDepth, CmWidth)
+    s"""WITH tok AS (SELECT unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+       |js AS (SELECT unnest(range(0, $d)) AS j),
+       |occ AS (SELECT j,
+       |    (((${duckMd5Long("(j::VARCHAR || '|' || tok)")}) % $w) + $w) % $w AS bucket
+       |  FROM tok, js),
+       |sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
+       |vocab AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_count
+       |  FROM tok GROUP BY 1),
+       |cb AS (SELECT v.token, js.j,
+       |    (((${duckMd5Long("(j::VARCHAR || '|' || v.token)")}) % $w) + $w) % $w AS bucket
+       |  FROM vocab v, js),
+       |est AS (SELECT token, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est_count
+       |  FROM cb LEFT JOIN sk USING (j, bucket) GROUP BY token)
+       |SELECT e.token, e.est_count, v.exact_count
+       |FROM est e JOIN vocab v USING (token) CROSS JOIN n
+       |WHERE e.est_count * 30 >= n.total * 1
+       |ORDER BY e.est_count DESC, e.token ASC""".stripMargin
+  }
 
   private val Q26Shingle      = 3
   private val Q26Bands        = 16
@@ -2015,6 +2061,8 @@ object SparkEntry {
          FROM cand c JOIN l ON c.id_a = l.id_a JOIN r ON c.id_b = r.id_b
          WHERE levenshtein(l.key_a, r.key_b) <= 2
          ORDER BY c.id_a, c.id_b""",
+
+    "q83_heavy_hitters" -> q83Oracle,
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(

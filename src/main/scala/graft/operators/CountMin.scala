@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.SketchFunctions
+
+/** COUNT-MIN SKETCH frequency estimation + heavy hitters (Cormode &
+  * Muthukrishnan, "An Improved Data Stream Summary: The Count-Min Sketch
+  * and its Applications", J. Algorithms 2005): a `depth × width` table of
+  * counters summarizing a token stream in fixed memory. Row j counts
+  * occurrences by `bucket_j(t) = md5("j|t") mod width`; a token's
+  * estimate is the MINIMUM of its `depth` counters — never below the
+  * true count (every occurrence increments all of the token's counters;
+  * collisions only ADD), above it with probability ≤ (1/e)^depth per the
+  * standard e/width error bound. Spark's built-in `count_min_sketch`
+  * aggregate has an opaque binary layout; this one is a plain DataFrame
+  * of `(j, bucket, c)` rows on the portable md5-slice hash
+  * ([[graft.plans.PortableSketch.md5Long]]) — mergeable by summing `c`
+  * on (j, bucket), auditable row by row, and replayable by an external
+  * engine (the q83 oracle rebuilds it literally in SQL).
+  *
+  * Why a sketch when groupBy-count is exact: at 100 TB the VOCABULARY
+  * table (one row per distinct token — billions for web text) is itself
+  * data-sized, while the sketch is `depth × width` rows no matter the
+  * corpus — it broadcasts, ships between clusters, and merges across
+  * days. The heavy-hitter guarantee is one-sided: every token with true
+  * count ≥ threshold is reported (no false negatives — estimates never
+  * undershoot); some below-threshold tokens surface when collisions
+  * inflate their minimum (false positives, bounded by the error bound).
+  *
+  * Scale shape: the build is one tokenize scan exploded `depth`-fold
+  * into 8-byte (j, bucket) keys — map-side combine collapses every
+  * partition's contribution to ≤ depth×width rows before the one
+  * fixed-size shuffle; token strings never shuffle. Estimation
+  * broadcasts the sketch (≤ depth×width rows) to the candidate side, so
+  * probing is shuffle-free per candidate partition.
+  */
+object CountMin {
+
+  /** `bucket_j(token)` for j = 0..depth-1, as one `(j, h)` pos-exploded
+    * stream: the salted strings `"j|token"` run through the portable
+    * md5 hash in a single native-loop call per row. */
+  private def bucketed(tok: Column, depth: Int, width: Int): Column =
+    posexplode(SketchFunctions.portableHash64(
+      transform(sequence(lit(0), lit(depth - 1)),
+        j => concat(j.cast("string"), lit("|"), tok))))
+
+  /** Build the sketch over every element of `tokensCol` (an
+    * `array<string>` column): `(j, bucket, c)`, at most depth×width rows.
+    * Merge sketches from disjoint corpora by unioning and re-summing `c`
+    * on (j, bucket). */
+  def buildSketch(
+      df: DataFrame,
+      tokensCol: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    df.select(explode(col(tokensCol)).as("tok"))
+      .select(bucketed(col("tok"), depth, width).as(Seq("j", "h")))
+      .select(col("j"), pmod(col("h"), lit(width.toLong)).as("bucket"))
+      .groupBy("j", "bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch for each distinct value of
+    * `candidates(tokenCol)`: `(token, est)` where `est = min_j c(j,
+    * bucket_j(token))` — 0 for a token hitting an empty counter (never
+    * seen), otherwise ≥ its true count. The sketch side is broadcast:
+    * `depth` and `width` must match the build call. */
+  def estimate(
+      candidates: DataFrame,
+      sketch: DataFrame,
+      tokenCol: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame =
+    candidates
+      .select(col(tokenCol).as("token")).distinct()
+      .select(col("token"), bucketed(col("token"), depth, width).as(Seq("j", "h")))
+      .select(col("token"), col("j"), pmod(col("h"), lit(width.toLong)).as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  /** Sketch-driven heavy hitters over a token-array column: tokens whose
+    * ESTIMATE clears `num/den` of the total stream length, with the
+    * exact count attached for audit — `(token, est_count, exact_count)`.
+    * The threshold test is the integer cross-multiply `est·den ≥
+    * total·num` (no division, no rounding; `require`s est·den < 2^63,
+    * which holds for any real den since est ≤ total ≤ stream length).
+    * One-sided: `exact_count·den ≥ total·num` ⟹ reported; rows with
+    * `exact_count·den < total·num` are the collision-driven false
+    * positives the sketch admits by design.
+    *
+    * The exact counts exist here for the audit column (and the oracle);
+    * the at-scale deployment estimates only a small candidate set (e.g.
+    * per-partition local top-k) against the broadcast sketch and skips
+    * the vocabulary aggregation entirely. */
+  def heavyHitters(
+      df: DataFrame,
+      tokensCol: String,
+      num: Long,
+      den: Long,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "need 0 < num/den <= 1")
+    val toks = df.select(explode(col(tokensCol)).as("tok"))
+    val sketch = buildSketch(df, tokensCol, depth, width)
+    // grand total: single-row bounded aggregate (the Drift/NgramLm shape)
+    val total = toks.agg(count(lit(1))).head().getLong(0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      .withColumnRenamed("tok", "token")
+    estimate(vocab.select("token"), sketch, "token", depth, width)
+      .withColumnRenamed("est", "est_count")
+      .filter(col("est_count") * den >= lit(total) * num)
+      .join(vocab, Seq("token"))
+      .select(col("token"), col("est_count"), col("exact_count"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CountMin
+
+class CountMinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toksDf(rows: Seq[Seq[String]]) = rows.toDF("toks")
+
+  private val corpus = toksDf(Seq(
+    Seq("a", "a", "a", "b", "b", "c"),
+    Seq("a", "b", "d", "d"),
+    Seq("a", "c", "e")))
+  // stream of 13: a=5, b=3, d=2, c=2, e=1
+
+  test("sketch is bounded by depth*width and counts the whole stream in every row") {
+    val sk = CountMin.buildSketch(corpus, "toks", depth = 3, width = 8).collect()
+    assert(sk.length <= 3 * 8)
+    // each of the 3 rows partitions the 13 occurrences
+    val perRow = sk.groupBy(_.getAs[Int]("j")).view.mapValues(_.map(_.getAs[Long]("c")).sum)
+    assert(perRow.toMap == Map(0 -> 13L, 1 -> 13L, 2 -> 13L))
+  }
+
+  test("estimates never undershoot the true count (one-sided guarantee)") {
+    val truth = Map("a" -> 5L, "b" -> 3L, "c" -> 2L, "d" -> 2L, "e" -> 1L)
+    // tiny width forces collisions; the bound must hold regardless
+    for (width <- Seq(2, 8, 1024)) {
+      val sk = CountMin.buildSketch(corpus, "toks", depth = 4, width = width)
+      val est = CountMin.estimate(truth.keys.toSeq.toDF("token"), sk, "token",
+          depth = 4, width = width)
+        .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("est")).toMap
+      truth.foreach { case (t, c) => assert(est(t) >= c, s"width=$width token=$t") }
+    }
+  }
+
+  test("wide sketch with few tokens is exact; unseen tokens estimate 0") {
+    val sk = CountMin.buildSketch(corpus, "toks", depth = 4, width = 1024)
+    val est = CountMin.estimate(Seq("a", "b", "c", "d", "e", "zzz").toDF("token"),
+        sk, "token", depth = 4, width = 1024)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("est")).toMap
+    assert(est == Map("a" -> 5L, "b" -> 3L, "c" -> 2L, "d" -> 2L, "e" -> 1L, "zzz" -> 0L))
+  }
+
+  test("heavy hitters: every true heavy hitter reported, audit column exact") {
+    // threshold 3/13: true HH are a (5) and b (3)
+    val got = CountMin.heavyHitters(corpus, "toks", num = 3, den = 13,
+        depth = 4, width = 1024)
+      .collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("est_count"), r.getAs[Long]("exact_count"))))
+      .toMap
+    assert(got.keySet.intersect(Set("a", "b")) == Set("a", "b")) // no false negatives
+    assert(got("a") == ((5L, 5L)) && got("b") == ((3L, 3L)))     // exact at this width
+    // any extra row is a collision false positive: est cleared the bar
+    got.values.foreach { case (est, _) => assert(est * 13 >= 13L * 3) }
+  }
+
+  test("sketches merge by summing counters on (j, bucket)") {
+    val half1 = toksDf(Seq(Seq("a", "a", "a", "b", "b", "c")))
+    val half2 = toksDf(Seq(Seq("a", "b", "d", "d"), Seq("a", "c", "e")))
+    val merged = CountMin.buildSketch(half1, "toks", 3, 16)
+      .unionByName(CountMin.buildSketch(half2, "toks", 3, 16))
+      .groupBy("j", "bucket").agg(org.apache.spark.sql.functions.sum("c").as("c"))
+    val whole = CountMin.buildSketch(corpus, "toks", 3, 16)
+    val a = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+}
