@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cardinality
+import graft.plans.KmvSketch
+
+class CardinalitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("kmv aggregate keeps the k smallest distinct longs, ascending") {
+    val got = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L).toDF("u")
+      .agg(KmvSketch.kmv(col("u"), 3).as("kmv"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(1L, 3L, 5L))
+  }
+
+  test("below k the sketch is the whole distinct set and the estimate is exact") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 7L)).toDF("seg", "v")
+    val got = Cardinality.distinctEstimate(df, "v", "seg", k = 64)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 2L)), "b" -> ((1L, 1L)), "__all__" -> ((3L, 3L))))
+  }
+
+  test("at and above k the estimate lands within ~3/sqrt(k) of the truth") {
+    val n = 5000
+    val df = (0 until n).map(i => ("s", i.toLong)).toDF("seg", "v")
+    val Array(seg, all) = Cardinality.distinctEstimate(df, "v", "seg", k = 256)
+      .orderBy("segment").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      match { case a => a.sortBy(_._1).reverse } // ("s", ...), ("__all__", ...)
+    assert(seg._3 == n && all._3 == n)
+    // k=256 → σ ≈ n/16; allow 3σ
+    assert(math.abs(seg._2 - n) < 3 * n / 16, s"estimate ${seg._2} too far from $n")
+    assert(seg._2 == all._2) // single segment: merged sketch is the same sketch
+  }
+
+  test("sketch merge across partitions equals the sketch of the union") {
+    val whole = (0 until 1000).map(_.toLong).toDF("v").select(Cardinality.kmvHash(col("v")).as("u"))
+      .agg(KmvSketch.kmv(col("u"), 32)).head().getSeq[Long](0)
+    // force many partitions so partial merge paths run
+    val sharded = (0 until 1000).map(_.toLong).toDF("v").repartition(17)
+      .select(Cardinality.kmvHash(col("v")).as("u"))
+      .agg(KmvSketch.kmv(col("u"), 32)).head().getSeq[Long](0)
+    assert(whole == sharded)
+  }
+
+  test("nulls contribute nothing") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a", java.lang.Long.valueOf(1L)),
+        org.apache.spark.sql.Row("a", null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seg", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+    val got = Cardinality.distinctEstimate(df, "v", "seg", k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "__all__" -> 1L))
+  }
+}
