@@ -1319,6 +1319,39 @@ object SparkEntry {
         .orderBy(col("est_count").desc, col("token").asc)
     }),
 
+    // Extension — KMV distinct-count sketch: per event_type, the k=64
+    // smallest distinct md5-slice hashes of user_id estimate the distinct
+    // users ("DAU per segment" in bounded memory), exact countDistinct
+    // attached for audit; the '__all__' row is estimated from the MERGED
+    // per-segment sketches (k smallest of their union), demonstrating
+    // sketch mergeability without a rescan. The first custom
+    // TypedImperativeAggregate in the repo (plans/KmvAggregate.scala):
+    // ≤ k longs of state per group, map-side partial merge. The estimate
+    // is a double floor of exactly-representable operands — IEEE-identical
+    // cross-engine, so sketch AND estimate replay literally: hash-exact.
+    "q84_kmv_distinct" -> ((s, dir) => {
+      graft.operators.Cardinality.distinctEstimate(
+          events(s, dir), "user_id", "event_type", k = KmvK)
+        .orderBy("segment")
+    }),
+
+    // Extension — Z-ORDER layout audit: lineitem z-ordered on
+    // (l_partkey, l_suppkey) into 64 equal-count files, per-file min/max
+    // footer stats, and the file-skipping verdict for the rectangle
+    // predicate partkey∈[100,200] ∧ suppkey∈[10,40] — the multi-column
+    // clustering + pruning contract of OPTIMIZE ZORDER BY
+    // (operators/ZOrder.scala; the write path is repartitionByRange on
+    // the z-value — this query is the auditable stats twin). Morton
+    // interleave is five shift-or-mask steps of 64-bit integer ops,
+    // replayed verbatim in SQL — hash-exact.
+    "q85_zorder_layout" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      ZOrder.clusterStats(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          nFiles = 64, tieCols = Seq("l_orderkey", "l_linenumber"))
+        .withColumn("would_scan", ZOrder.wouldScan(100, 200, 10, 40))
+        .orderBy("file_id")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1739,6 +1772,69 @@ object SparkEntry {
   private val DsirBuckets = 4096
   private val CmDepth = 4
   private val CmWidth = 1024
+  private val KmvK = 64
+
+  /** q84: KMV sketch + estimate replayed in DuckDB. The logical shift
+    * `h >>> 2` is arithmetic-shift + mask (identical low 62 bits); the
+    * estimate divides the exactly-representable double (k−1)·2^62 by the
+    * double of u_k — correctly-rounded IEEE ops on identical inputs, so
+    * no quantization is needed. The '__all__' sketch merges the
+    * per-segment top-k lists (their union's k smallest ≡ the global k
+    * smallest distinct hashes). */
+  private def q84Oracle: String = {
+    val k = KmvK
+    def est(uk: String, m: String) =
+      s"""CASE WHEN $m < $k THEN CAST($m AS BIGINT)
+         |  ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * 4611686018427387904.0 /
+         |    CAST(greatest($uk, 1) AS DOUBLE)) AS BIGINT) END""".stripMargin
+    s"""WITH h AS (SELECT DISTINCT event_type AS segment,
+       |    ((${duckMd5Long("user_id::VARCHAR")}) >> 2) & 4611686018427387903 AS u
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT segment, u,
+       |    row_number() OVER (PARTITION BY segment ORDER BY u ASC) AS rk
+       |  FROM h),
+       |topk AS (SELECT segment, u, rk FROM r WHERE rk <= $k),
+       |seg AS (SELECT segment,
+       |    max(CASE WHEN rk = $k THEN u END) AS uk, count(*) AS m
+       |  FROM topk GROUP BY segment),
+       |ex AS (SELECT event_type AS segment,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |g AS (SELECT u, row_number() OVER (ORDER BY u ASC) AS rk
+       |  FROM (SELECT DISTINCT u FROM topk)),
+       |gagg AS (SELECT max(CASE WHEN rk = $k THEN u END) AS uk, count(*) AS m
+       |  FROM g WHERE rk <= $k),
+       |gex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events WHERE user_id IS NOT NULL)
+       |SELECT s.segment, ${est("s.uk", "s.m")} AS kmv_est, ex.exact_distinct
+       |FROM seg s JOIN ex USING (segment)
+       |UNION ALL
+       |SELECT '__all__', ${est("gagg.uk", "gagg.m")}, gex.exact_distinct
+       |FROM gagg CROSS JOIN gex
+       |ORDER BY segment""".stripMargin
+  }
+
+  /** q85: the Morton interleave, rank-bucket file assignment and min/max
+    * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
+    * emits the identical shift-or-mask chain; `//` on non-negatives
+    * matches Spark's DIV). */
+  private def q85Oracle: String =
+    s"""WITH z AS (SELECT l_partkey AS x, l_suppkey AS y,
+       |    l_orderkey, l_linenumber,
+       |    ${graft.operators.ZOrder.zValueSql("l_partkey", "l_suppkey")} AS zv
+       |  FROM lineitem),
+       |r AS (SELECT x, y,
+       |    row_number() OVER (ORDER BY zv ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM z),
+       |st AS (SELECT ((rn - 1) * 64) // n AS file_id,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    min(x) AS min_x, max(x) AS max_x,
+       |    min(y) AS min_y, max(y) AS max_y
+       |  FROM r GROUP BY 1)
+       |SELECT file_id, n_rows, min_x, max_x, min_y, max_y,
+       |  NOT (max_x < 100 OR min_x > 200 OR max_y < 10 OR min_y > 40) AS would_scan
+       |FROM st ORDER BY file_id""".stripMargin
 
   /** q83: the count-min build, probe and threshold replayed in DuckDB —
     * same salted md5-slice bucket map, same min-over-rows probe, same
@@ -2063,6 +2159,8 @@ object SparkEntry {
          ORDER BY c.id_a, c.id_b""",
 
     "q83_heavy_hitters" -> q83Oracle,
+    "q84_kmv_distinct" -> q84Oracle,
+    "q85_zorder_layout" -> q85Oracle,
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(
