@@ -1352,6 +1352,28 @@ object SparkEntry {
         .orderBy("file_id")
     }),
 
+    // Extension — windowed FUNNEL (ClickHouse windowFunnel, the
+    // earliest-start contract documented on operators/Funnel.scala):
+    // per user, how far view → click → purchase progresses within 24 h
+    // of the first view, step times in integer milliseconds. Pure
+    // integer comparisons — hash-exact.
+    "q86_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.windowFunnel(events(s, dir),
+          "user_id", "event_type", "ts",
+          steps = Seq("view", "click", "purchase"), windowMs = 86400000L)
+        .orderBy("user_id")
+    }),
+
+    // Extension — RETENTION COHORTS (the second canonical event-
+    // warehouse rollup): weekly integer periods since epoch (ms DIV
+    // 7·86400000 — no calendar/timezone functions), cohort = first
+    // active period, distinct users per (cohort, offset). Hash-exact.
+    "q87_retention" -> ((s, dir) => {
+      graft.operators.Funnel.retentionCohorts(events(s, dir),
+          "user_id", "ts", periodMs = 604800000L)
+        .orderBy("cohort_period", "period_offset")
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2161,6 +2183,41 @@ object SparkEntry {
     "q83_heavy_hitters" -> q83Oracle,
     "q84_kmv_distinct" -> q84Oracle,
     "q85_zorder_layout" -> q85Oracle,
+
+    // Same earliest-start funnel: first view anchors the 24 h window,
+    // each later step is the min in-window timestamp at-or-after the
+    // previous step. epoch_ms ≡ unix_millis (both floor micros).
+    "q86_funnel" ->
+      """WITH e AS (SELECT user_id, event_type AS etype, epoch_ms(ts) AS ms
+             FROM events),
+         u AS (SELECT DISTINCT user_id FROM e),
+         s1 AS (SELECT user_id, min(ms) AS step1_ms FROM e
+           WHERE etype = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ms) AS step2_ms
+           FROM e JOIN s1 USING (user_id)
+           WHERE e.etype = 'click' AND e.ms >= s1.step1_ms
+             AND e.ms <= s1.step1_ms + 86400000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ms) AS step3_ms
+           FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.etype = 'purchase' AND e.ms >= s2.step2_ms
+             AND e.ms <= s1.step1_ms + 86400000 GROUP BY 1)
+         SELECT u.user_id,
+           CASE WHEN s3.step3_ms IS NOT NULL THEN 3
+                WHEN s2.step2_ms IS NOT NULL THEN 2
+                WHEN s1.step1_ms IS NOT NULL THEN 1 ELSE 0 END AS level,
+           s1.step1_ms, s2.step2_ms, s3.step3_ms
+         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+         ORDER BY u.user_id""",
+
+    "q87_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+             epoch_ms(ts) // 604800000 AS period FROM events),
+         c AS (SELECT user_id, min(period) AS cohort_period FROM act GROUP BY 1)
+         SELECT c.cohort_period, act.period - c.cohort_period AS period_offset,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+         FROM act JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_period, period_offset""",
 
     "q74_lexical_stats" ->
       """WITH tok AS (SELECT source, unnest(list_filter(

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eventsDf(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+
+  private val W = 100L // ms funnel window
+
+  test("windowFunnel levels: complete, window-expired, orderless, no-anchor") {
+    val df = eventsDf(Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L), // level 3
+      (2L, "view", 0L), (2L, "click", 10L), (2L, "purchase", 200L), // purchase outside W
+      (3L, "click", 5L),                                           // no view: level 0
+      (4L, "view", 0L), (4L, "purchase", 5L), (4L, "click", 10L),  // purchase precedes click
+      (5L, "click", 10L), (5L, "view", 50L)))                      // click before first view
+    val got = Funnel.windowFunnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), W)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("level")).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 2, 5L -> 1))
+  }
+
+  test("windowFunnel reports the earliest in-window step times") {
+    val df = eventsDf(Seq(
+      (1L, "view", 30L), (1L, "view", 0L),       // anchor = earliest view
+      (1L, "click", 40L), (1L, "click", 60L),    // first in-window click
+      (1L, "purchase", 50L), (1L, "purchase", 90L))) // first purchase >= click(40)
+    val r = Funnel.windowFunnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), W).head()
+    assert((r.getAs[Long]("step1_ms"), r.getAs[Long]("step2_ms"),
+      r.getAs[Long]("step3_ms")) == ((0L, 40L, 50L)))
+  }
+
+  test("windowFunnel anchor is greedy: only the FIRST step-1 event opens the window") {
+    // the second view at 1000 would complete within ITS window, but the
+    // documented contract anchors at ms=0, whose window misses the click
+    val df = eventsDf(Seq(
+      (1L, "view", 0L), (1L, "view", 1000L), (1L, "click", 1010L)))
+    val r = Funnel.windowFunnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click"), W).head()
+    assert(r.getAs[Int]("level") == 1)
+  }
+
+  test("step boundary: equal timestamps and exact window edge count") {
+    val df = eventsDf(Seq(
+      (1L, "view", 0L), (1L, "click", 0L),        // same ms: >= admits it
+      (2L, "view", 0L), (2L, "click", 100L)))     // exactly at window edge
+    val got = Funnel.windowFunnel(df, "user_id", "event_type", "ts",
+        Seq("view", "click"), W)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("level")).toMap
+    assert(got == Map(1L -> 2, 2L -> 2))
+  }
+
+  test("retentionCohorts builds the offset matrix from first-activity periods") {
+    val df = eventsDf(Seq(
+      (1L, "view", 100L), (1L, "view", 1500L), (1L, "view", 3200L), // periods 0,1,3
+      (2L, "view", 1100L), (2L, "view", 2900L)))                    // periods 1,2
+    val got = Funnel.retentionCohorts(df, "user_id", "ts", periodMs = 1000L)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_period"), r.getAs[Long]("period_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+}
