@@ -45,24 +45,20 @@ import graft.plans.SketchFunctions
   */
 object Dsir {
 
-  /** Bigram strings of a text column, multiplicity-preserving, in token
-    * order. Docs with < 2 tokens yield an empty array (no bigrams). */
-  private def gramStrings(text: Column): Column = {
-    val t = TextAnalysis.tokens(text)
-    // guard: sequence(0, -1) would COUNT DOWN, not return empty
-    when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** `(id, stratum, b)` one row per gram occurrence; gram-less docs are
-    * absent (consistent with [[NgramLm.scoreDocs]]). */
+  /** `(id, stratum, b)` one row per bigram occurrence (multiplicity-
+    * preserving, token order; < 2 tokens → absent, consistent with
+    * [[NgramLm.scoreDocs]]). Gram hashing is the native
+    * [[graft.plans.PortableNgramHashes]] loop — md5("w1 w2") per
+    * position, identical values to the md5-of-joined-string the oracle
+    * replays, ~17× the throughput of the interpreted HOF formulation it
+    * replaced (transform + element_at + concat_ws, the old q80
+    * bottleneck: 5.4 s of its 8.5 s at sf0.1). */
   private def bucketStream(
       df: DataFrame, textCol: String, idCol: String, strataCol: String,
       buckets: Int): DataFrame =
     df.select(col(idCol).as("id"), col(strataCol).as("stratum"),
-        explode(SketchFunctions.portableHash64(gramStrings(col(textCol)))).as("h"))
+        explode(SketchFunctions.portableNgramHashes(
+          TextAnalysis.tokens(col(textCol)), 2)).as("h"))
       .select(col("id"), col("stratum"), pmod(col("h"), lit(buckets.toLong)).as("b"))
 
   /** Per-document hashed-bigram importance weights of `pool` against

@@ -379,6 +379,40 @@ object PortableSketch {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Positional n-gram md5 hashes: like [[md5ShingleHashes]] but
+    * MULTIPLICITY-PRESERVING and in token order — the count-vector
+    * feature stream (DSIR hashed grams), not the shingle SET. NULL
+    * tokens dropped before pairing, < n tokens → empty. */
+  def md5NgramStream(tokens: ArrayData, n: Int): ArrayData = {
+    val total = tokens.numElements()
+    val toks = new Array[Array[Byte]](total)
+    var t = 0
+    var k = 0
+    while (k < total) {
+      val s = tokens.getUTF8String(k)
+      if (s != null) { toks(t) = s.getBytes; t += 1 }
+      k += 1
+    }
+    val m = t - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val md = digests.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deterministic (a_j, b_j) rehash coefficients, shared verbatim by the
     * Spark expression and the oracle SQL generator. */
   def affineCoeffs(numHashes: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
@@ -459,6 +493,33 @@ case class PortableShingleHashes(child: Expression, n: Int) extends UnaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       s"${ev.value} = graft.plans.PortableSketch.md5ShingleHashes($a, $n);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Positional multiplicity-preserving n-gram md5 hashes — the feature
+  * STREAM sibling of [[PortableShingleHashes]] (which dedupes + sorts
+  * for shingle sets). One tight loop per row; the interpreted-HOF
+  * formulation it replaces (transform + element_at + concat_ws, then
+  * md5) measured ~17× slower at sf0.1 in q80. */
+case class PortableNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def prettyName: String = "graft_md5_ngram_stream"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_ngram_stream requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PortableSketch.md5NgramStream(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.plans.PortableSketch.md5NgramStream($a, $n);"
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -576,6 +637,8 @@ object SketchFunctions {
     EU.column(PortableHash64(EU.expression(strings)))
   def portableShingleHashes(tokens: Column, n: Int): Column =
     EU.column(PortableShingleHashes(EU.expression(tokens), n))
+  def portableNgramHashes(tokens: Column, n: Int): Column =
+    EU.column(PortableNgramHashes(EU.expression(tokens), n))
   def portableRollingFp(tokens: Column): Column =
     EU.column(PortableRollingFp(EU.expression(tokens)))
   def bigramHashes(tokens: Column): Column =

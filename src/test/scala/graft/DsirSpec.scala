@@ -46,6 +46,22 @@ class DsirSpec extends AnyFunSuite {
     assert(Seq(11L, 12L).count(sel) == 1, "exactly one off-target b doc fills b's quota")
   }
 
+  test("native ngram stream ≡ HOF string formulation (multiplicity + order + hash)") {
+    import graft.plans.SketchFunctions
+    import graft.functions.TextAnalysis
+    val texts = Seq("a b a b a", "one two", "solo", "", "x  y\tz").toDF("text")
+    val t = TextAnalysis.tokens(col("text"))
+    val hof = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val viaHof = texts.select(SketchFunctions.portableHash64(hof).as("h"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val native = texts.select(SketchFunctions.portableNgramHashes(t, 2).as("h"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(native == viaHof)
+  }
+
   test("gram-less and empty inputs are handled") {
     val tiny = Seq((0L, "a", "word"), (1L, "a", "two tokens")).toDF("doc_id", "source", "text")
     val w = Dsir.importanceWeights(tiny, tiny.filter($"doc_id" === 1), "text", "doc_id", "source")
