@@ -1374,6 +1374,29 @@ object SparkEntry {
         .orderBy("cohort_period", "period_offset")
     }),
 
+    // Extension — KMV SET ALGEBRA: the segment-overlap matrix ("how many
+    // purchase users also error?") computed from per-segment sketches
+    // alone — union sketch = k smallest of the two sketch arrays (KMV
+    // closure), intersection by inclusion-exclusion. The pair join
+    // touches ≤ k-long arrays, never user sets. Array sort/dedupe/slice
+    // + the q84 estimator replay literally in SQL — hash-exact.
+    "q88_kmv_overlap" -> ((s, dir) => {
+      graft.operators.Cardinality.pairwiseOverlap(
+          events(s, dir), "user_id", "event_type", k = KmvK)
+        .orderBy("seg_a", "seg_b")
+    }),
+
+    // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
+    // estimators side by side: the CM inner-product upper bound (never
+    // undershoots — planner-safe) and the unbiased AMS signed-counter
+    // median, with exact Σ f(key)² attached for audit. The skew/blow-up
+    // statistic a planner reads BEFORE running a skew-prone equi-join.
+    // Integer arithmetic end to end — hash-exact.
+    "q89_selfjoin_estimate" -> ((s, dir) => {
+      graft.operators.CountMin.selfJoinSize(
+          t(s, dir, "lineitem"), "l_partkey", depth = CmDepth, width = CmWidth)
+    }),
+
     // Extension — corpus vocabulary statistics (explode + global agg).
     "q37_vocab_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1836,6 +1859,61 @@ object SparkEntry {
        |ORDER BY segment""".stripMargin
   }
 
+  /** q88: KMV set algebra in DuckDB — per-segment top-k hash lists, the
+    * pair join over lists, union sketch by concat+distinct+sort+slice,
+    * the q84 estimator per list, inclusion-exclusion intersect. */
+  private def q88Oracle: String = {
+    val k = KmvK
+    def est(l: String) =
+      s"""CASE WHEN len($l) < $k THEN CAST(len($l) AS BIGINT)
+         |  ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * 4611686018427387904.0 /
+         |    CAST(greatest($l[$k], 1) AS DOUBLE)) AS BIGINT) END""".stripMargin
+    s"""WITH h AS (SELECT DISTINCT event_type AS segment,
+       |    ((${duckMd5Long("user_id::VARCHAR")}) >> 2) & 4611686018427387903 AS u
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT segment, u,
+       |    row_number() OVER (PARTITION BY segment ORDER BY u ASC) AS rk
+       |  FROM h),
+       |sk AS (SELECT segment, list(u ORDER BY u ASC) AS kmv
+       |  FROM r WHERE rk <= $k GROUP BY segment),
+       |pairs AS (SELECT a.segment AS seg_a, b.segment AS seg_b,
+       |    ${est("a.kmv")} AS est_a, ${est("b.kmv")} AS est_b,
+       |    ${est(s"list_slice(list_sort(list_distinct(list_concat(a.kmv, b.kmv))), 1, $k)")} AS est_union
+       |  FROM sk a JOIN sk b ON a.segment < b.segment)
+       |SELECT seg_a, seg_b, est_a, est_b, est_union,
+       |  greatest(est_a + est_b - est_union, 0) AS est_intersect
+       |FROM pairs ORDER BY seg_a, seg_b""".stripMargin
+  }
+
+  /** q89: the salted CM buckets of l_partkey (q83's map) with the ±1
+    * sign from bit 50 of the same hash (`(H >> 50) & 1` — arithmetic
+    * shift + mask ≡ logical shift on that bit), per-row Σc² / Σcs², the
+    * min / lower-median estimators, exact Σf² for audit. */
+  private def q89Oracle: String = {
+    val (d, w) = (CmDepth, CmWidth)
+    val medianIdx = (d + 1) / 2
+    s"""WITH k AS (SELECT l_partkey AS key FROM lineitem
+       |  WHERE l_partkey IS NOT NULL),
+       |js AS (SELECT unnest(range(0, $d)) AS j),
+       |occ AS (SELECT j,
+       |    (((${duckMd5Long("(j::VARCHAR || '|' || key::VARCHAR)")}) % $w) + $w) % $w AS bucket,
+       |    (((${duckMd5Long("(j::VARCHAR || '|' || key::VARCHAR)")}) >> 50) & 1) * 2 - 1 AS s
+       |  FROM k, js),
+       |sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(s) AS BIGINT) AS cs FROM occ GROUP BY 1, 2),
+       |rows_ AS (SELECT j, sum(c * c) AS row_f2, sum(cs * cs) AS row_ams
+       |  FROM sk GROUP BY j),
+       |est AS (SELECT CAST(min(row_f2) AS BIGINT) AS f2_upper,
+       |    CAST(list_sort(list(row_ams))[$medianIdx] AS BIGINT) AS f2_ams
+       |  FROM rows_),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(f * f) AS BIGINT) AS f2_exact,
+       |    CAST(sum(f) AS BIGINT) AS n_rows
+       |  FROM (SELECT key, count(*) AS f FROM k GROUP BY 1))
+       |SELECT ex.n_rows, ex.n_keys, est.f2_upper, est.f2_ams, ex.f2_exact
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
     * emits the identical shift-or-mask chain; `//` on non-negatives
@@ -2209,6 +2287,9 @@ object SparkEntry {
          FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
            LEFT JOIN s3 USING (user_id)
          ORDER BY u.user_id""",
+
+    "q88_kmv_overlap" -> q88Oracle,
+    "q89_selfjoin_estimate" -> q89Oracle,
 
     "q87_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,

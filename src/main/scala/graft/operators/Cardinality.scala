@@ -89,4 +89,31 @@ object Cardinality {
     perSeg.unionByName(merged)
       .select(col("segment"), col("kmv_est"), col("exact_distinct"))
   }
+
+  /** SKETCH SET ALGEBRA: estimated overlap of every segment pair from
+    * their KMV sketches alone — `(seg_a, seg_b, est_a, est_b, est_union,
+    * est_intersect)` for seg_a < seg_b. The union sketch is the k
+    * smallest of the two sketches' union (exactly the sketch the merged
+    * stream would produce — KMV's closure property), and
+    * |A∩B| = |A| + |B| − |A∪B| by inclusion-exclusion, floored at 0.
+    * This is how segment-overlap matrices ("how many purchase users also
+    * error?") stay k·segments² work at ANY cardinality: the pair join
+    * touches sketches, never user sets. Estimates inherit the ~1/√k
+    * error (differences of estimates — audit against exact before
+    * trusting tight overlaps). Array ops only (sort/dedupe/slice of ≤ 2k
+    * element arrays), so the whole algebra replays in SQL. */
+  def pairwiseOverlap(df: DataFrame, valueCol: String, segmentCol: String, k: Int): DataFrame = {
+    val sk = kmvSketches(df, valueCol, segmentCol, k)
+      .localCheckpoint(true) // self-joined
+    val a = sk.select(col("segment").as("seg_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col("segment").as("seg_b"), col("kmv").as("kmv_b"))
+    val unionSketch = slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k)
+    a.join(b, col("seg_a") < col("seg_b"))
+      .withColumn("est_a", kmvEstimate(col("kmv_a"), k))
+      .withColumn("est_b", kmvEstimate(col("kmv_b"), k))
+      .withColumn("est_union", kmvEstimate(unionSketch, k))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .select("seg_a", "seg_b", "est_a", "est_b", "est_union", "est_intersect")
+  }
 }

@@ -119,4 +119,59 @@ object CountMin {
       .join(vocab, Seq("token"))
       .select(col("token"), col("est_count"), col("exact_count"))
   }
+
+  /** SELF-JOIN SIZE (second frequency moment F2 = Σ_key f(key)²) from
+    * one sketch pass over a key column, BOTH classic estimators side by
+    * side plus the exact value for audit:
+    *
+    *   - `f2_upper`: CM inner product with itself, `min_j Σ_b c(j,b)²`
+    *     (Cormode & Muthukrishnan §4.2). NEVER undershoots — collisions
+    *     only add cross terms — which is the planner-safe direction for
+    *     a blow-up guard, at the cost of ~n²/width additive bias (visible
+    *     at 1024 buckets over 2,000 keys: ~3× over).
+    *   - `f2_ams`: the AMS/count-sketch estimator — the same buckets
+    *     with ±1 signs (one extra md5 bit), `median_j Σ_b s(j,b)²` where
+    *     s is the SIGNED counter. Cross terms cancel in expectation:
+    *     unbiased, relative error ~1/√width, can err either way (lower
+    *     median of the depth rows — deterministic, no interpolation).
+    *
+    * F2 ≫ n²/n_keys means heavy keys: the statistic a planner reads
+    * BEFORE running a skew-prone equi-join. Integer arithmetic end to
+    * end (exactness needs Σc² < 2^63 — shard streams past ~3·10⁹ rows
+    * per sketch).
+    *
+    * Scale shape: the sketch path never aggregates by key — the audit
+    * column does (one groupBy on the key), and the at-scale deployment
+    * drops it, reading F2 off the fixed-size sketch alone. */
+  def selfJoinSize(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame = {
+    val nn = df.filter(col(keyCol).isNotNull)
+    // sign bit 50 of the same salted hash that buckets (md5 bits are
+    // independent; bit 50 is untouched by `mod width` for any sane width)
+    val counters = nn
+      .select(bucketed(col(keyCol).cast("string"), depth, width).as(Seq("j", "h")))
+      .select(col("j"), pmod(col("h"), lit(width.toLong)).as("bucket"),
+        (shiftrightunsigned(col("h"), 50).bitwiseAND(lit(1L)) * 2L - 1L).as("s"))
+      .groupBy("j", "bucket")
+      .agg(count(lit(1)).as("c"), sum(col("s")).as("cs"))
+    val medianIdx = (depth + 1) / 2 // lower median, 1-based
+    val est = counters.groupBy("j")
+      .agg(sum(col("c") * col("c")).as("row_f2"),
+        sum(col("cs") * col("cs")).as("row_ams"))
+      .agg(coalesce(min(col("row_f2")), lit(0L)).as("f2_upper"),
+        coalesce(when(count(lit(1)) >= medianIdx,
+            element_at(array_sort(collect_list(col("row_ams"))), medianIdx)),
+          lit(0L)).as("f2_ams"))
+    val exact = nn.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("f") * col("f")), lit(0L)).as("f2_exact"),
+        coalesce(sum(col("f")), lit(0L)).as("n_rows"))
+    est.crossJoin(exact)
+      .select(col("n_rows"), col("n_keys"), col("f2_upper"), col("f2_ams"),
+        col("f2_exact"))
+  }
 }

@@ -48,6 +48,35 @@ class CardinalitySpec extends AnyFunSuite {
     assert(whole == sharded)
   }
 
+  test("pairwiseOverlap: small segments give exact set algebra, closure holds") {
+    // below k the sketches ARE the sets, so every estimate is exact
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L),
+      ("c", 9L)).toDF("seg", "v")
+    val got = Cardinality.pairwiseOverlap(df, "v", "seg", k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((3L, 3L, 4L, 2L)),  // |A∪B|=4, |A∩B|=2
+      ("a", "c") -> ((3L, 1L, 4L, 0L)),
+      ("b", "c") -> ((3L, 1L, 4L, 0L))))
+  }
+
+  test("pairwiseOverlap union sketch equals the sketch of the unioned stream") {
+    val segA = (0 until 500).map(i => ("a", i.toLong))
+    val segB = (250 until 750).map(i => ("b", i.toLong))
+    val pair = Cardinality.pairwiseOverlap((segA ++ segB).toDF("seg", "v"), "v", "seg", k = 32)
+      .head()
+    val mergedDirect = Cardinality.kmvSketches(
+        (segA ++ segB).map { case (_, v) => ("all", v) }.toDF("seg", "v"), "v", "seg", 32)
+      .head().getSeq[Long](1)
+    val estDirect = Seq(Tuple1(mergedDirect)).toDF("kmv")
+      .select(Cardinality.kmvEstimate(col("kmv"), 32)).head().getLong(0)
+    assert(pair.getAs[Long]("est_union") == estDirect)
+  }
+
   test("nulls contribute nothing") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(

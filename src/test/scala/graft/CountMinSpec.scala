@@ -58,6 +58,23 @@ class CountMinSpec extends AnyFunSuite {
     got.values.foreach { case (est, _) => assert(est * 13 >= 13L * 3) }
   }
 
+  test("selfJoinSize: both F2 estimators exact without collisions; bounds with them") {
+    // keys: a×3, b×2, c×1 → F2 = 9+4+1 = 14, n_rows 6, n_keys 3
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val wide = CountMin.selfJoinSize(df, "k", depth = 4, width = 1024).head()
+    assert((wide.getAs[Long]("n_rows"), wide.getAs[Long]("n_keys"),
+      wide.getAs[Long]("f2_upper"), wide.getAs[Long]("f2_exact")) == ((6L, 3L, 14L, 14L)))
+    // no collisions → signed counters are ±f(key): AMS is exact too
+    assert(wide.getAs[Long]("f2_ams") == 14L)
+    for (width <- Seq(1, 2, 4)) {
+      val r = CountMin.selfJoinSize(df, "k", depth = 3, width = width).head()
+      assert(r.getAs[Long]("f2_upper") >= 14L, s"width=$width") // never undershoots
+      assert(r.getAs[Long]("f2_upper") <= 36L)                  // Σc² ≤ (Σc)² = n²
+      assert(r.getAs[Long]("f2_ams") >= 0L)                     // unbiased, either side
+      assert(r.getAs[Long]("f2_ams") <= 36L)
+    }
+  }
+
   test("sketches merge by summing counters on (j, bucket)") {
     val half1 = toksDf(Seq(Seq("a", "a", "a", "b", "b", "c")))
     val half2 = toksDf(Seq(Seq("a", "b", "d", "d"), Seq("a", "c", "e")))
