@@ -138,4 +138,72 @@ class StreamingSpec extends AnyFunSuite {
     val ids = spark.read.parquet(out.toString).collect().map(_.getLong(0)).toSet
     assert(ids.size == 2 && ids.contains(3L)) // one of the dup pair + the distinct doc
   }
+
+  test("streaming count-min sketch converges to the batch sketch across micro-batches") {
+    import org.apache.spark.sql.functions.{col, split}
+
+    val src = Files.createTempDirectory("graft_stream_cm")
+    val ckp = Files.createTempDirectory("graft_stream_cm_ckp")
+    // two files + maxFilesPerTrigger=1 → two micro-batches, so the
+    // sketch's (j, bucket) counters MERGE through the state store
+    Files.write(src.resolve("a.json"),
+      """{"text":"a a b c"}""".getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      """{"text":"a b d"}""".getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val toks = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(split(col("text"), " ").as("toks"))
+    val q = graft.operators.CountMin.buildSketch(
+        toks(spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString)), "toks", depth = 3, width = 16)
+      .writeStream
+      .format("memory").queryName("cm_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("cm_stream").collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    val batch = graft.operators.CountMin.buildSketch(
+        toks(spark.read.json(src.toString)), "toks", depth = 3, width = 16)
+      .collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming KMV sketch (custom imperative aggregate) equals its batch twin") {
+    import org.apache.spark.sql.functions.col
+
+    val src = Files.createTempDirectory("graft_stream_kmv")
+    val ckp = Files.createTempDirectory("graft_stream_kmv_ckp")
+    Files.write(src.resolve("a.json"),
+      (0 until 40).map(i => s"""{"seg":"s${i % 2}","v":$i}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      (20 until 60).map(i => s"""{"seg":"s${i % 2}","v":$i}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.operators.Cardinality.kmvSketches(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "v", "seg", k = 8)
+      .writeStream
+      .format("memory").queryName("kmv_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("kmv_stream").collect()
+      .map(r => r.getAs[String]("segment") -> r.getSeq[Long](1)).toMap
+    val batch = graft.operators.Cardinality.kmvSketches(
+        spark.read.json(src.toString), "v", "seg", k = 8)
+      .collect()
+      .map(r => r.getAs[String]("segment") -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch && batch.keySet == Set("s0", "s1"))
+  }
 }
