@@ -1386,6 +1386,43 @@ object SparkEntry {
         .orderBy("seg_a", "seg_b")
     }),
 
+    // Extension — WEIGHTED sampling without replacement (Efraimidis-
+    // Spirakis): 5 docs per source, selection probability proportional
+    // to token count, priorities from a deterministic exact-double
+    // uniform draw with ln micro-quantized (operators/Sampling.scala).
+    // Hash-exact (the q70 quantization caveat applies to ln).
+    "q90_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      Sampling.weightedSample(d, "source", "doc_id", "n_tokens", perStratum = 5)
+        .orderBy("source", "sample_rank")
+    }),
+
+    // Extension — event-rate ANOMALY detection: hourly buckets per
+    // event type, trailing-24h mean/σ, 3σ flag via the integer
+    // cross-multiply (x·n − S)² > 9·(n·Q − S²) — NO floating point
+    // anywhere, so hash-exact with no quantization caveat at all
+    // (operators/Anomaly.scala).
+    "q91_rate_anomaly" -> ((s, dir) => {
+      graft.operators.Anomaly.rateAnomalies(events(s, dir),
+          "event_type", "ts", bucketMs = 3600000L,
+          history = 24, sigmas = 3, minHistory = 8)
+        .orderBy("segment", "bucket")
+    }),
+
+    // Extension — SCD TYPE-2 HISTORY: the users table the reference
+    // collapses to last-write-wins (O-21), kept as versioned validity
+    // intervals instead — per user, runs of the event_type attribute
+    // become (valid_from, valid_to, version, is_current) rows tiling
+    // the timeline (operators/Scd2.scala). Window arithmetic on integer
+    // ms — hash-exact.
+    "q92_scd2_history" -> ((s, dir) => {
+      graft.operators.Scd2.history(events(s, dir),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("user_id", "version")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -1914,6 +1951,24 @@ object SparkEntry {
        |FROM est CROSS JOIN ex""".stripMargin
   }
 
+  /** q90: the Efraimidis-Spirakis priorities replayed in DuckDB — the
+    * logical shift is arithmetic-shift + 53-bit mask, the uniform draw
+    * is exact double arithmetic, ln is micro-quantized. */
+  private def q90Oracle: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '')) AS n_tokens
+       |  FROM documents),
+       |w AS (SELECT *, CAST(floor(
+       |    ln(CAST(((${duckMd5Long("(doc_id::VARCHAR || 'ws1')")} >> 11)
+       |        & 9007199254740991) + 1 AS DOUBLE) * 1.1102230246251565e-16)
+       |      / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS priority_micros
+       |  FROM d WHERE n_tokens >= 1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY priority_micros DESC, doc_id ASC) AS sample_rank FROM w)
+       |SELECT doc_id, source, n_tokens, priority_micros, sample_rank
+       |FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin
+
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
     * emits the identical shift-or-mask chain; `//` on non-negatives
@@ -2290,6 +2345,37 @@ object SparkEntry {
 
     "q88_kmv_overlap" -> q88Oracle,
     "q89_selfjoin_estimate" -> q89Oracle,
+    "q90_weighted_sample" -> q90Oracle,
+
+    "q91_rate_anomaly" ->
+      """WITH c AS (SELECT event_type AS segment, epoch_ms(ts) // 3600000 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT *,
+             CAST(count(n_events) OVER w AS BIGINT) AS trail_n,
+             CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS trail_sum,
+             CAST(coalesce(sum(n_events * n_events) OVER w, 0) AS BIGINT) AS trail_sumsq
+           FROM c WINDOW w AS (PARTITION BY segment ORDER BY bucket ASC
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT segment, bucket, n_events, trail_n, trail_sum, trail_sumsq,
+           (trail_n >= 8 AND
+            (n_events * trail_n - trail_sum) * (n_events * trail_n - trail_sum)
+              > 9 * (trail_n * trail_sumsq - trail_sum * trail_sum)) AS is_anomaly
+         FROM t ORDER BY segment, bucket""",
+
+    "q92_scd2_history" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS attr,
+             event_id AS tie FROM events),
+         m AS (SELECT *, lag(attr) OVER w AS prev, row_number() OVER w AS rn
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, tie ASC)),
+         ch AS (SELECT user_id, ms, attr, tie FROM m
+           WHERE rn = 1 OR attr IS DISTINCT FROM prev),
+         v AS (SELECT user_id, attr, ms AS valid_from_ms,
+             lead(ms) OVER w2 AS valid_to_ms, row_number() OVER w2 AS version
+           FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ms ASC, tie ASC))
+         SELECT user_id, attr, valid_from_ms, valid_to_ms, version,
+           valid_to_ms IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
 
     "q87_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EVENT-RATE ANOMALY DETECTION: per segment, flag time buckets whose
+  * event count deviates from the trailing-window mean by more than
+  * `sigmas` standard deviations — the ops-dashboard "error spike" /
+  * "traffic cliff" monitor, as a deterministic batch operator (the
+  * streaming twin is the same projection over a windowed aggregation).
+  *
+  * The σ test is INTEGER-EXACT — no doubles anywhere, so no rounding or
+  * quantization caveats: with trailing sums S = Σx, Q = Σx², n > 1
+  * (current bucket excluded),
+  *   |x − S/n| > k·σ  ⇔  (x·n − S)² > k² · (n·Q − S²)
+  * (both sides ×n²; σ² = (nQ − S²)/n²). Sums of hourly counts keep
+  * every term far below 2^63 for any realistic rate (overflow needs
+  * bucket counts ~3·10⁹).
+  *
+  * Scale shape: one aggregation to (segment, bucket) counts — the only
+  * data-sized shuffle — then a per-segment window over the tiny bucket
+  * series. Buckets are integer `ms DIV bucketMs` (no calendar
+  * functions); segments with fewer than `minHistory` trailing buckets
+  * report `is_anomaly = false` (insufficient evidence, not a verdict).
+  */
+object Anomaly {
+
+  /** `(segment, bucket, n_events, trail_n, trail_sum, trail_sumsq,
+    * is_anomaly)` — one row per observed (segment, bucket), trailing
+    * stats over the `history` buckets strictly before the current one
+    * (observed buckets only: an all-quiet gap contributes no zero rows;
+    * feed a densified series if silence should count). */
+  def rateAnomalies(
+      df: DataFrame,
+      segmentCol: String,
+      tsCol: String,
+      bucketMs: Long,
+      history: Int = 24,
+      sigmas: Int = 3,
+      minHistory: Int = 8
+  ): DataFrame = {
+    require(bucketMs > 0 && history > 1 && sigmas > 0 && minHistory > 1,
+      "need positive bucket size, history > 1, positive sigmas")
+    val counts = df
+      .select(col(segmentCol).as("segment"),
+        expr(s"unix_millis($tsCol) DIV ${bucketMs}L").as("bucket"))
+      .groupBy("segment", "bucket")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("segment").orderBy(col("bucket").asc)
+      .rowsBetween(-history, -1)
+    val x = col("n_events")
+    val n = col("trail_n")
+    val s = col("trail_sum")
+    val q = col("trail_sumsq")
+    counts
+      .withColumn("trail_n", coalesce(count(x).over(w), lit(0L)))
+      .withColumn("trail_sum", coalesce(sum(x).over(w), lit(0L)))
+      .withColumn("trail_sumsq", coalesce(sum(x * x).over(w), lit(0L)))
+      .withColumn("is_anomaly",
+        n >= minHistory &&
+          (x * n - s) * (x * n - s) > lit(sigmas.toLong * sigmas) * (n * q - s * s))
+  }
+}

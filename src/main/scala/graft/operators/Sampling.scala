@@ -185,6 +185,52 @@ object Sampling {
     * the ONE formula [[chunkDocuments]] explodes — exposed so aggregate
     * chunk ACCOUNTING (total chunks/tokens without materializing chunks,
     * q64-style) can never drift from the operator's window policy. */
+  /** WEIGHTED sampling without replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): keep the
+    * `perStratum` rows of each stratum with the largest priority
+    * `ln(u)/w` (monotone in the paper's `u^(1/w)`), where u is a
+    * DETERMINISTIC uniform draw from the key — heavier rows win more
+    * often, every row has positive probability, and membership is
+    * replayable. The draw is exact cross-engine by construction:
+    * `u = ((md5_64(key·salt) >>> 11) + 1) · 2⁻⁵³ ∈ (0, 1]` — a 53-bit
+    * integer scaled by a power of two, both lossless in IEEE double.
+    * `ln`'s ≤1-ulp engine spread is absorbed by micro-quantization
+    * (`floor(ln(u)/w·1e6 + 0.5)`, the q70 construction and caveat);
+    * id tiebreak makes the rank total.
+    *
+    * Scale shape: priority is a pure projection; selection is the same
+    * per-stratum window as [[stratifiedSample]] (no global sort). The
+    * at-scale swap for global top-k is a per-partition heap + merge —
+    * same priorities, no window. Weights must be ≥ 1 (filter or clamp
+    * upstream; w ≤ 0 would invert the order). */
+  def weightedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      weightCol: String,
+      perStratum: Int,
+      salt: String = "ws1"
+  ): DataFrame = {
+    require(perStratum > 0, "perStratum must be positive")
+    val h = graft.plans.SketchFunctions.portableHash64(
+      array(concat(col(keyCol).cast("string"), lit(salt))))
+    val u = (shiftrightunsigned(element_at(h, 1), 11) + 1L).cast("double") *
+      lit(1.1102230246251565e-16) // 2^-53
+    val guarded = when(col(keyCol).isNull,
+      raise_error(lit("Sampling: weighted sample key must be non-null")))
+      .otherwise(u)
+    val prio = floor(log(guarded) / col(weightCol).cast("double") * 1e6 + 0.5)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__prio").desc, col(keyCol).asc)
+    df.filter(col(weightCol) >= 1)
+      .withColumn("__prio", prio)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perStratum)
+      .withColumnRenamed("__prio", "priority_micros")
+  }
+
   def chunkCount(n: Column, size: Int, stride: Int): Column = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Anomaly
+
+class AnomalySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** One event per (segment, bucket, i) — rates controlled per bucket. */
+  private def events(rates: Seq[(String, Long, Int)]) = {
+    val rows = rates.flatMap { case (seg, bucket, n) =>
+      (0 until n).map(i => (seg, bucket * 1000L + i))
+    }
+    rows.toDF("seg", "ms").select($"seg",
+      timestamp_millis($"ms").as("ts"))
+  }
+
+  test("flat series never alarms; a spike does; recovery clears it") {
+    // 20 quiet buckets at rate 10, then one bucket at 100, then back to 10
+    val rates = (0L until 20L).map(b => ("api", b, 10)) :+
+      (("api", 20L, 100)) :+ (("api", 21L, 10))
+    val got = Anomaly.rateAnomalies(events(rates), "seg", "ts",
+        bucketMs = 1000L, history = 24, sigmas = 3, minHistory = 4)
+      .orderBy("bucket")
+      .select("bucket", "n_events", "is_anomaly")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val anomalies = got.filter(_._3).map(_._1).toSet
+    assert(anomalies == Set(20L), s"got $anomalies")
+    // σ=0 history would make ANY deviation an alarm — verify the strict
+    // inequality keeps the identical-rate bucket quiet
+    assert(!got.find(_._1 == 19L).get._3)
+  }
+
+  test("minHistory gates early buckets; per-segment isolation") {
+    val rates = Seq(("a", 0L, 5), ("a", 1L, 500), // only 1 trailing bucket
+      ("b", 0L, 5), ("b", 1L, 5), ("b", 2L, 5), ("b", 3L, 5), ("b", 4L, 500))
+    val got = Anomaly.rateAnomalies(events(rates), "seg", "ts",
+        bucketMs = 1000L, history = 24, sigmas = 3, minHistory = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(6)).toMap
+    assert(!got(("a", 1L)), "insufficient history must not alarm")
+    assert(got(("b", 4L)), "b's spike has 4 trailing buckets and must alarm")
+    intercept[IllegalArgumentException](
+      Anomaly.rateAnomalies(events(rates), "seg", "ts", bucketMs = 0L))
+  }
+
+  test("integer identity matches the double formula on a varied series") {
+    // trailing window with genuine variance: rates 8..12 cycling, spike at 30
+    val rates = (0L until 12L).map(b => ("s", b, 8 + (b % 5).toInt)) :+ (("s", 12L, 30))
+    val got = Anomaly.rateAnomalies(events(rates), "seg", "ts",
+        bucketMs = 1000L, history = 24, sigmas = 3, minHistory = 4)
+      .orderBy("bucket").collect()
+    got.filter(_.getLong(3) >= 4).foreach { r =>
+      val (x, n, s, q) = (r.getLong(2).toDouble, r.getLong(3).toDouble,
+        r.getLong(4).toDouble, r.getLong(5).toDouble)
+      val mean = s / n
+      val sigma = math.sqrt(q / n - mean * mean)
+      val expect = math.abs(x - mean) > 3 * sigma
+      assert(r.getBoolean(6) == expect, s"bucket ${r.getLong(1)}")
+    }
+  }
+}

@@ -56,6 +56,31 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Seq(1.2, -0.2)))
   }
 
+  test("weightedSample: per-stratum size, determinism, weight bias") {
+    val rows = (0L until 400L).map { i =>
+      val w = if (i % 5 == 0) 1000L else 1L // every 5th row is heavy (both strata)
+      (s"s${i % 2}", i, w)
+    }.toDF("src", "id", "w")
+    val got = Sampling.weightedSample(rows, "src", "id", "w", perStratum = 10)
+    val byStratum = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum == Map("s0" -> 10L, "s1" -> 10L))
+    // determinism + layout invariance
+    val a = got.select("src", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.weightedSample(rows.repartition(7), "src", "id", "w", 10)
+      .select("src", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    // bias: heavy rows (10% of population, 99%+ of mass) should dominate the
+    // sample far beyond their population share
+    val heavy = got.filter($"w" === 1000L).count()
+    assert(heavy >= 14, s"expected heavy rows to dominate, got $heavy/20")
+    // sub-1 weights are filtered, not inverted
+    val withZero = Seq(("a", 1L, 0L), ("a", 2L, 5L)).toDF("src", "id", "w")
+    val z = Sampling.weightedSample(withZero, "src", "id", "w", 5)
+    assert(z.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[IllegalArgumentException](Sampling.weightedSample(rows, "src", "id", "w", 0))
+  }
+
   test("stratifiedSample: exact per-stratum quotas, deterministic, layout-invariant") {
     val rows = (0L until 100L).map(i => (s"s${i % 4}", i)).toDF("src", "id")
     val got = Sampling.stratifiedSample(rows, "src", "id", frac = 0.2, salt = "t1")
