@@ -1423,6 +1423,18 @@ object SparkEntry {
         .orderBy("user_id", "version")
     }),
 
+    // Extension — HYPERLOGLOG distinct users per event type + merged
+    // total from element-wise-max register union (operators/Hll.scala).
+    // Registers are integer-exact (bin() bit-length, no log2); the
+    // harmonic sum stays integer (decimal38 / HUGEINT) until one
+    // correctly-rounded double division — hash-exact, with the q70 ln
+    // caveat only on the linear-counting branch.
+    "q93_hll_distinct" -> ((s, dir) => {
+      graft.operators.Hll.distinctEstimate(
+          events(s, dir), "user_id", "event_type", p = HllP)
+        .orderBy("segment")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -1855,6 +1867,7 @@ object SparkEntry {
   private val CmDepth = 4
   private val CmWidth = 1024
   private val KmvK = 64
+  private val HllP = 8
 
   /** q84: KMV sketch + estimate replayed in DuckDB. The logical shift
     * `h >>> 2` is arithmetic-shift + mask (identical low 62 bits); the
@@ -1968,6 +1981,54 @@ object SparkEntry {
        |    ORDER BY priority_micros DESC, doc_id ASC) AS sample_rank FROM w)
        |SELECT doc_id, source, n_tokens, priority_micros, sample_rank
        |FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin
+
+  /** q93: the HLL register pipeline and estimator replayed in DuckDB —
+    * idx from the low p bits, rank from `length(bin(w))` (integer bit
+    * length, both engines render minimal binary strings), scaled harmonic
+    * sum in HUGEINT (≡ Spark's decimal(38,0) — both exact integers), one
+    * double division against the identical numerator literal. */
+  private def q93Oracle: String = {
+    val p = HllP
+    val m = 1L << p
+    val maxRank = 65 - p
+    val cLit = java.lang.Double.toString(graft.operators.Hll.scaleConst(p))
+    def est(regsRel: String, segExpr: String) =
+      s"""SELECT $segExpr AS segment,
+         |    CAST(sum(CAST(1::BIGINT << ($maxRank - reg) AS HUGEINT)) +
+         |      CAST($m - count(*) AS HUGEINT) * CAST(1::BIGINT << $maxRank AS HUGEINT)
+         |      AS DOUBLE) AS s_scaled,
+         |    $m - count(*) AS v
+         |  FROM $regsRel GROUP BY 1""".stripMargin
+    def pick(rel: String) =
+      s"""SELECT segment,
+         |  CASE WHEN v > 0 AND $cLit / s_scaled <= ${2.5 * m}
+         |    THEN CAST(floor($m.0 * ln($m.0 / CAST(v AS DOUBLE)) + 0.5) AS BIGINT)
+         |    ELSE CAST(floor($cLit / s_scaled + 0.5) AS BIGINT) END AS hll_est
+         |  FROM $rel""".stripMargin
+    s"""WITH h AS (SELECT event_type AS seg,
+       |    ${duckMd5Long("user_id::VARCHAR")} AS h FROM events
+       |  WHERE user_id IS NOT NULL),
+       |b AS (SELECT seg, h & ${m - 1} AS idx, (h >> $p) & ${(1L << (64 - p)) - 1} AS w FROM h),
+       |r AS (SELECT seg, idx,
+       |    CASE WHEN w = 0 THEN $maxRank ELSE $maxRank - length(bin(w)) END AS rank
+       |  FROM b),
+       |regs AS (SELECT seg, idx, max(rank) AS reg FROM r GROUP BY 1, 2),
+       |segagg AS (${est("regs", "seg")}),
+       |segest AS (${pick("segagg")}),
+       |ex AS (SELECT event_type AS segment,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |gregs AS (SELECT idx, max(reg) AS reg FROM regs GROUP BY 1),
+       |gagg AS (${est("gregs", "'__all__'")}),
+       |gest AS (${pick("gagg")}),
+       |gex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events WHERE user_id IS NOT NULL)
+       |SELECT s.segment, s.hll_est, ex.exact_distinct
+       |FROM segest s JOIN ex USING (segment)
+       |UNION ALL
+       |SELECT g.segment, g.hll_est, gex.exact_distinct FROM gest g CROSS JOIN gex
+       |ORDER BY segment""".stripMargin
+  }
 
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
@@ -2346,6 +2407,7 @@ object SparkEntry {
     "q88_kmv_overlap" -> q88Oracle,
     "q89_selfjoin_estimate" -> q89Oracle,
     "q90_weighted_sample" -> q90Oracle,
+    "q93_hll_distinct" -> q93Oracle,
 
     "q91_rate_anomaly" ->
       """WITH c AS (SELECT event_type AS segment, epoch_ms(ts) // 3600000 AS bucket,
