@@ -1435,6 +1435,34 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
+    // Extension — CHAR-BIGRAM ENTROPY quality signal: one native pass
+    // per document (plans/TextExpressions.BigramEntropyStats), integer
+    // pieces + quantize-then-sum micro-nats, entropy finished in pure
+    // integer arithmetic. Zero shuffle, zero explode — the scan IS the
+    // query. Hash-exact (q70 ln caveat per term).
+    "q94_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.TextFunctions.bigramEntropyStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_bigrams").as("n_bigrams"),
+          col("st.n_distinct").as("n_distinct_bigrams"),
+          col("st.s_micros").as("s_micros"))
+        .filter(col("n_bigrams") >= 1)
+        .withColumn("entropy_micros",
+          floor(log(col("n_bigrams").cast("double")) * 1e6 + 0.5).cast("long") -
+            expr("s_micros DIV n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
+    // Extension — BPE MERGE-CANDIDATE counting (first tokenizer-training
+    // iteration): vocab-first aggregation, pairs exploded over the
+    // vocab-sized table weighted by word freq (operators/Lexical.scala).
+    // Pure integer counts — hash-exact.
+    "q95_bpe_pairs" -> ((s, dir) => {
+      graft.operators.Lexical.bpePairCounts(t(s, dir, "documents"), "text", topK = 30)
+        .orderBy("merge_rank")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2030,6 +2058,39 @@ object SparkEntry {
        |ORDER BY segment""".stripMargin
   }
 
+  /** q94: the bigram-entropy pieces replayed relationally — DuckDB
+    * explodes substr bigrams and groups where Spark's native expression
+    * sorts an in-row key array; identical counts, identical per-term
+    * quantization order (c · ln(c) · 1e6 + 0.5), integer finish. */
+  private def q94Oracle: String =
+    """WITH b AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+      |  FROM documents WHERE length(text) >= 2),
+      |c AS (SELECT doc_id, bg, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2),
+      |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    count(*) AS n_distinct_bigrams,
+      |    CAST(sum(CAST(floor(c * ln(c) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s_micros
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_distinct_bigrams, s_micros,
+      |  CAST(floor(ln(CAST(n_bigrams AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |    - s_micros // n_bigrams AS entropy_micros
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q95: the two-stage BPE pair count replayed — vocab first, pairs
+    * over distinct words weighted by freq, integer counts throughout. */
+  private def q95Oracle: String =
+    """WITH t AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |f AS (SELECT w, count(*) AS freq FROM t GROUP BY 1),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair,
+      |    freq FROM f WHERE length(w) >= 2),
+      |c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM p GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS merge_rank
+      |  FROM c)
+      |SELECT pair, n_occurrences, merge_rank FROM r
+      |WHERE merge_rank <= 30 ORDER BY merge_rank""".stripMargin
+
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
     * emits the identical shift-or-mask chain; `//` on non-negatives
@@ -2408,6 +2469,8 @@ object SparkEntry {
     "q89_selfjoin_estimate" -> q89Oracle,
     "q90_weighted_sample" -> q90Oracle,
     "q93_hll_distinct" -> q93Oracle,
+    "q94_char_entropy" -> q94Oracle,
+    "q95_bpe_pairs" -> q95Oracle,
 
     "q91_rate_anomaly" ->
       """WITH c AS (SELECT event_type AS segment, epoch_ms(ts) // 3600000 AS bucket,

@@ -51,4 +51,37 @@ object Lexical {
       .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
         expr("(coalesce(top_tf, 0L) * 10000) div n_tokens").as("topk_pmyriad"))
   }
+
+  /** BPE MERGE-CANDIDATE counting — the first iteration of byte-pair-
+    * encoding tokenizer training: count every adjacent character pair
+    * across all token OCCURRENCES and rank the top merge candidates
+    * (`(pair, n_occurrences, merge_rank)`). This is the statistic a BPE
+    * trainer maximizes at each merge step; running it over a corpus
+    * slice answers "what would this corpus's tokenizer merge first" and
+    * flags vocabulary drift between corpora long before downstream
+    * token-count shifts do.
+    *
+    * Scale shape — the trainer's own trick: aggregate the token stream
+    * to (distinct word, freq) FIRST (the one corpus-sized shuffle, the
+    * q37 vocab shape), then explode pairs over the vocab-sized table
+    * weighted by freq — pair counting never touches the token stream
+    * again, so each merge iteration after the first is vocab-sized work.
+    * Pure integer counts; the rank window orders (n desc, pair asc)
+    * over ≤ alphabet² rows. */
+  def bpePairCounts(
+      df: DataFrame,
+      textCol: String,
+      topK: Int = 30
+  ): DataFrame = {
+    require(topK > 0)
+    val words = df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n_occurrences"))
+    val byN = Window.orderBy(col("n_occurrences").desc, col("pair").asc)
+    pairs.withColumn("merge_rank", row_number().over(byN))
+      .filter(col("merge_rank") <= topK)
+  }
 }

@@ -199,9 +199,94 @@ case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** CHARACTER-BIGRAM ENTROPY pieces in ONE pass over the string — the
+  * "does this look like language or like noise/template spam" quality
+  * signal: natural text has char-bigram entropy in a narrow band; random
+  * bytes sit far above it, boilerplate/repeated templates far below.
+  *
+  * Emits the integer pieces, not the entropy: `n_bigrams` N,
+  * `n_distinct`, and `s_micros = Σ_bigram floor(c·ln(c)·1e6 + 0.5)` —
+  * each count's term quantized to micro-nats BEFORE the sum (the q70
+  * quantize-then-sum construction), so the total is an integer sum with
+  * no float-summation order hazard and the caller finishes with
+  * `H_micros = floor(ln(N)·1e6 + 0.5) − s_micros DIV N` in pure integer
+  * arithmetic. `ln` carries the usual ≤1-ulp cross-engine caveat per
+  * term (boundary flips are data-dependent; see q70).
+  *
+  * Bigrams are CODEPOINT pairs (`String.codePointAt` walk), matching SQL
+  * `substring(text, i, 2)` character semantics in both engines for all
+  * BMP + supplementary text; counts come from one sort of an m-long key
+  * array (cp1 << 32 | cp2) — zero allocation beyond the two arrays, no
+  * shuffle, no explode. Strings shorter than 2 codepoints return
+  * (0, 0, 0); callers filter `n_bigrams >= 1` (≡ the oracle's
+  * `length(text) >= 2`). */
+case class BigramEntropyStats(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_bigram_entropy_stats"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("s_micros", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bigram_entropy_stats requires string, got ${other.simpleString}")
+  }
+
+  def computeRow(v: UTF8String): InternalRow = {
+    val s = v.toString
+    val len = s.length
+    // codepoint walk: cps holds the document's codepoints in order
+    val cps = new Array[Int](s.codePointCount(0, len))
+    var i = 0
+    var n = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val m = n - 1
+    if (m <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val keys = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      keys(i) = (cps(i).toLong << 32) | (cps(i + 1).toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    var distinct = 0L
+    var sMicros = 0L
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && keys(j) == keys(i)) j += 1
+      distinct += 1
+      val c = (j - i).toDouble
+      // identical operation order to the oracle: c * ln(c) * 1e6 + 0.5
+      sMicros += math.floor(c * math.log(c) * 1e6 + 0.5).toLong
+      i = j
+    }
+    new GenericInternalRow(Array[Any](m.toLong, distinct, sMicros))
+  }
+
+  override def nullSafeEval(v: Any): Any = computeRow(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bgStats", this, classOf[BigramEntropyStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeRow($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def textStats(c: Column, profiles: Seq[Seq[String]]): Column =
     EU.column(TextStats(EU.expression(c), profiles))
   def repetitionStats(tokens: Column, n: Int): Column =
     EU.column(RepetitionStats(EU.expression(tokens), n))
+  def bigramEntropyStats(text: Column): Column =
+    EU.column(BigramEntropyStats(EU.expression(text)))
 }

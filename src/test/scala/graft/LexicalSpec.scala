@@ -33,4 +33,19 @@ class LexicalSpec extends AnyFunSuite {
     assert(got("a") == ((3L, 3L, 3L, 10000L)))
     assert(!got.contains("empty"))
   }
+
+  test("bpePairCounts: freq-weighted pair counts, rank order, short words skipped") {
+    import spark.implicits._
+    // "abab" x2 occurrences -> pairs ab,ba,ab each x2: ab=4, ba=2
+    // "ab" x1 -> ab+1 = 5; "x" contributes nothing (length 1)
+    val docs = Seq("abab ab x", "abab").toDF("text")
+    val got = Lexical.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("ab", 5L, 1), ("ba", 2L, 2)))
+    // determinism under repartitioning
+    val re = Lexical.bpePairCounts(docs.repartition(4), "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(re.toSeq == got.toSeq)
+    intercept[IllegalArgumentException](Lexical.bpePairCounts(docs, "text", 0))
+  }
 }

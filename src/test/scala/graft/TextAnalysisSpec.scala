@@ -44,6 +44,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram entropy stats: exact pieces, codepoints, degenerate strings") {
+    def bg(text: String): (Long, Long, Long) = {
+      val r = Seq(text).toDF("t")
+        .select(graft.plans.TextFunctions.bigramEntropyStats(col("t")).as("r"))
+        .select("r.n_bigrams", "r.n_distinct", "r.s_micros").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // "aaaa": bigrams [aa, aa, aa] -> 3 total, 1 distinct,
+    // s = floor(3 * ln(3) * 1e6 + 0.5)
+    assert(bg("aaaa") == ((3L, 1L, math.floor(3.0 * math.log(3.0) * 1e6 + 0.5).toLong)))
+    // all-distinct bigrams: every count 1, ln(1) = 0 -> s = 0
+    assert(bg("abcd") == ((3L, 3L, 0L)))
+    // "abab": [ab, ba, ab] -> ab x2, ba x1
+    assert(bg("abab") == ((3L, 2L, math.floor(2.0 * math.log(2.0) * 1e6 + 0.5).toLong)))
+    // shorter than 2 codepoints -> zeros; supplementary-plane codepoints
+    // count as ONE character each (SQL substring semantics)
+    assert(bg("x") == ((0L, 0L, 0L)))
+    assert(bg("") == ((0L, 0L, 0L)))
+    val gclef = new String(Character.toChars(0x1D11E)) // U+1D11E, surrogate pair
+    assert(bg(gclef + "a" + gclef) == ((2L, 2L, 0L)))
+    // high entropy separates from low at equal length
+    def h(text: String): Long = {
+      val (n, _, s) = bg(text)
+      math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong - s / n
+    }
+    assert(h("abcdefgh") > h("aaaaaaaa"))
+    assert(h("aaaaaaaa") == 0L) // single repeated bigram: zero entropy
+  }
+
   test("token count: empties, whitespace runs, trim") {
     assert(one[Int](TextAnalysis.tokenCount(col("t")), "a b  c") == 3)
     assert(one[Int](TextAnalysis.tokenCount(col("t")), "   ") == 0)
