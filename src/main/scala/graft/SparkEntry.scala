@@ -1463,6 +1463,18 @@ object SparkEntry {
         .orderBy("merge_rank")
     }),
 
+    // Extension — FIRST/LAST-TOUCH ATTRIBUTION: purchases credited to
+    // the user's clicks in a trailing 7-day window via one per-user
+    // range-frame pass — no inequality join (operators/Attribution
+    // .scala). Integer ms + lexicographic max_by tiebreak — hash-exact.
+    "q96_attribution" -> ((s, dir) => {
+      graft.operators.Attribution.touchAttribution(events(s, dir),
+          "user_id", "ts", "event_type", "event_id",
+          touchType = "click", conversionType = "purchase",
+          lookbackMs = 7L * 24 * 3600 * 1000)
+        .orderBy("user_id", "conv_ms", "event_id")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2471,6 +2483,24 @@ object SparkEntry {
     "q93_hll_distinct" -> q93Oracle,
     "q94_char_entropy" -> q94Oracle,
     "q95_bpe_pairs" -> q95Oracle,
+
+    "q96_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+             event_id, event_type = 'click' AS is_touch
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')),
+         w AS (SELECT *,
+             count(CASE WHEN is_touch THEN ms END) OVER win AS n_touches,
+             min(CASE WHEN is_touch THEN ms END) OVER win AS first_touch_ms,
+             max(CASE WHEN is_touch THEN ms END) OVER win AS last_touch_ms
+           FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ms ASC
+             RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)),
+         conv AS (SELECT * FROM w WHERE NOT is_touch)
+         SELECT c.event_id, c.user_id, c.ms AS conv_ms, c.n_touches,
+           c.first_touch_ms, c.last_touch_ms, max(t.event_id) AS last_touch_id
+         FROM conv c LEFT JOIN e t
+           ON t.is_touch AND t.user_id = c.user_id AND t.ms = c.last_touch_ms
+         GROUP BY ALL ORDER BY c.user_id, conv_ms, c.event_id""",
 
     "q91_rate_anomaly" ->
       """WITH c AS (SELECT event_type AS segment, epoch_ms(ts) // 3600000 AS bucket,
