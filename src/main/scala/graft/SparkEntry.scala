@@ -1475,6 +1475,28 @@ object SparkEntry {
         .orderBy("user_id", "conv_ms", "event_id")
     }),
 
+    // Extension — SLIDING (hop) windows in batch, the SAME logical plan
+    // streaming/EventAggregates.slidingRates runs under a watermark
+    // (withWatermark is a no-op in batch; StreamingSpec asserts the
+    // batch/stream parity). Each event lands in size/slide = 2 windows.
+    "q97_sliding_windows" -> ((s, dir) => {
+      graft.streaming.EventAggregates.slidingRates(events(s, dir))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Extension — TEMPERATURE-SCALED mixture design: per-source token
+    // mass, n^0.7 micro-quantized weights, integer per-myriad training
+    // share (operators/Sampling.scala). Hash-exact (q70 exp/ln caveat).
+    "q98_temperature_mixture" -> ((s, dir) => {
+      Sampling.temperatureMixture(
+          t(s, dir, "documents")
+            .select(col("source"), size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+          "n_tokens", "source", alpha = 0.7)
+        .orderBy("stratum")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2483,6 +2505,27 @@ object SparkEntry {
     "q93_hll_distinct" -> q93Oracle,
     "q94_char_entropy" -> q94Oracle,
     "q95_bpe_pairs" -> q95Oracle,
+
+    "q97_sliding_windows" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts)
+             - i * INTERVAL '5 minutes' AS ws, event_type
+           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i))
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q98_temperature_mixture" ->
+      """WITH n AS (SELECT source AS stratum,
+             CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> ''))) AS BIGINT) AS n_units
+           FROM documents GROUP BY 1),
+         w AS (SELECT *, CAST(floor(exp(0.7 * ln(CAST(n_units AS DOUBLE))) * 1e6 + 0.5)
+             AS BIGINT) AS weight_micros
+           FROM n WHERE n_units >= 1),
+         t AS (SELECT CAST(sum(weight_micros) AS BIGINT) AS tw FROM w)
+         SELECT stratum, n_units, weight_micros,
+           weight_micros * 10000 // tw AS share_pmyriad
+         FROM w CROSS JOIN t ORDER BY stratum""",
 
     "q96_attribution" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,

@@ -185,6 +185,41 @@ object Sampling {
     * the ONE formula [[chunkDocuments]] explodes — exposed so aggregate
     * chunk ACCOUNTING (total chunks/tokens without materializing chunks,
     * q64-style) can never drift from the operator's window policy. */
+  /** TEMPERATURE-SCALED MIXTURE design (the multilingual/multi-source
+    * LLM practice of sampling source s proportional to n_s^alpha,
+    * alpha < 1 flattening the head so low-resource sources are not
+    * drowned — alpha = 1 is natural proportion, alpha → 0 uniform):
+    * per stratum, the unit total, the micro-quantized weight
+    * `floor(exp(alpha·ln(n))·1e6 + 0.5)` (the exp∘ln form written
+    * identically in the oracle; quantization absorbs the couple-ulp
+    * cross-engine spread, q70 boundary caveat applies), and the integer
+    * per-myriad share each source gets of the training mix — the table a
+    * mixture-weighted sampler ([[mixtureSelect]]) is then driven by.
+    *
+    * Scale shape: one aggregation to per-stratum totals (map-side
+    * combined), then arithmetic over the strata-sized table with one
+    * broadcast total — no second pass over the data. Strata with zero
+    * units are excluded (ln(0) guards differ across engines; a zero-unit
+    * source has no sampleable mass anyway). */
+  def temperatureMixture(
+      df: DataFrame,
+      sizeCol: String,
+      strataCol: String,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val sizes = df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(col(sizeCol)).as("n_units"))
+      .filter(col("n_units") >= 1L)
+    val weighted = sizes.withColumn("weight_micros",
+      floor(exp(lit(alpha) * log(col("n_units").cast("double"))) * 1e6 + 0.5)
+        .cast("long"))
+    val total = weighted.agg(sum(col("weight_micros")).cast("long").as("__tw"))
+    weighted.crossJoin(total)
+      .withColumn("share_pmyriad", expr("weight_micros * 10000 DIV __tw"))
+      .select("stratum", "n_units", "weight_micros", "share_pmyriad")
+  }
+
   /** WEIGHTED sampling without replacement (Efraimidis & Spirakis,
     * "Weighted random sampling with a reservoir", IPL 2006): keep the
     * `perStratum` rows of each stratum with the largest priority

@@ -32,6 +32,25 @@ class EventAggregatesSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n") == 2 && out(0).getAs[Double]("sum_value") == 3.0)
   }
 
+  test("sliding windows: each event lands in size/slide overlapping windows") {
+    val out = EventAggregates.slidingRates(batchDf) // 10 min windows, 5 min slide
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    // clicks at 00:01/00:02 -> windows starting 23:55 and 00:00;
+    // click 00:08:30 + buy 00:07 -> 00:00 and 00:05; buy 01:00 -> 00:55, 01:00
+    assert(out.toSeq == Seq(
+      ("2023-12-31 23:55:00.0", "click", 2L),
+      ("2024-01-01 00:00:00.0", "click", 3L),
+      ("2024-01-01 00:00:00.0", "buy", 1L),
+      ("2024-01-01 00:05:00.0", "buy", 1L),
+      ("2024-01-01 00:05:00.0", "click", 1L),
+      ("2024-01-01 00:55:00.0", "buy", 1L),
+      ("2024-01-01 01:00:00.0", "buy", 1L)).sortBy(r => (r._1, r._2)))
+    // total window-memberships = events x (size/slide)
+    assert(out.map(_._3).sum == rows.length * 2)
+  }
+
   test("session windows close after gap") {
     val out = EventAggregates.userSessions(batchDf, gap = "10 minutes")
       .orderBy("user_id", "session_start").collect()

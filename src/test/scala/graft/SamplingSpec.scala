@@ -56,6 +56,24 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.hashSplit(ids, "id", Seq(1.2, -0.2)))
   }
 
+  test("temperatureMixture: alpha flattens shares, integers exact, zero strata dropped") {
+    val docs = Seq(("big", 8100L), ("big", 0L), ("small", 100L), ("empty", 0L))
+      .toDF("src", "n")
+    val flat = Sampling.temperatureMixture(docs, "n", "src", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // sqrt weights: 90 vs 10 -> shares 9000 / 1000 per-myriad
+    assert(flat("big") == ((8100L, 90000000L, 9000L)))
+    assert(flat("small") == ((100L, 10000000L, 1000L)))
+    assert(!flat.contains("empty"))
+    // alpha = 1 keeps natural proportions: 8100/8200 vs 100/8200
+    val nat = Sampling.temperatureMixture(docs, "n", "src", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(nat("big") == 8100L * 10000 / 8200 && nat("small") == 100L * 10000 / 8200)
+    // flattening: alpha 0.5 gives the small source a larger share
+    assert(flat("small")._3 > nat("small"))
+    intercept[IllegalArgumentException](Sampling.temperatureMixture(docs, "n", "src", 0.0))
+  }
+
   test("weightedSample: per-stratum size, determinism, weight bias") {
     val rows = (0L until 400L).map { i =>
       val w = if (i % 5 == 0) 1000L else 1L // every 5th row is heavy (both strata)
