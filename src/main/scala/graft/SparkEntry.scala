@@ -1497,6 +1497,28 @@ object SparkEntry {
         .orderBy("stratum")
     }),
 
+    // Extension — POINT-IN-TIME (PIT) join: purchases looked up against
+    // the SCD2 history of the user's `k` property (built from signup
+    // events by operators/Scd2.scala), via the as-of union-window join —
+    // "what was this user's k when they purchased", the feature-store
+    // correctness primitive that prevents training-time leakage. Because
+    // SCD2 intervals tile the timeline, as-of on valid_from IS the
+    // interval lookup — no range join needed. Equal-ms versions collapse
+    // to the latest (max_by version) so the lookup is deterministic.
+    "q99_pit_join" -> ((s, dir) => {
+      val signups = events(s, dir).filter(col("event_type") === "signup")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val hist = graft.operators.Scd2.history(signups, "user_id", "ts", "k", "event_id")
+      val dim = hist.groupBy(col("user_id"), col("valid_from_ms").as("ms"))
+        .agg(max_by(col("attr"), col("version")).as("k_attr"),
+          max(col("version")).as("k_version"))
+      val facts = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+      graft.operators.AsofJoin.asofJoin(facts, dim,
+          Seq("user_id"), "ms", Seq("k_attr", "k_version"))
+        .orderBy("event_id")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2526,6 +2548,27 @@ object SparkEntry {
          SELECT stratum, n_units, weight_micros,
            weight_micros * 10000 // tw AS share_pmyriad
          FROM w CROSS JOIN t ORDER BY stratum""",
+
+    "q99_pit_join" ->
+      """WITH sg AS (SELECT user_id, epoch_ms(ts) AS ms,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS attr,
+             event_id AS tie
+           FROM events WHERE event_type = 'signup'),
+         m AS (SELECT *, lag(attr) OVER w AS prev, row_number() OVER w AS rn
+           FROM sg WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, tie ASC)),
+         ch AS (SELECT user_id, ms, attr, tie FROM m
+           WHERE rn = 1 OR attr IS DISTINCT FROM prev),
+         v AS (SELECT user_id, attr, ms AS vf, row_number() OVER w2 AS version
+           FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ms ASC, tie ASC)),
+         d AS (SELECT user_id, vf, max_by(attr, version) AS k_attr,
+             max(version) AS k_version
+           FROM v GROUP BY 1, 2),
+         f AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+           WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.ms,
+           d.k_attr AS asof_k_attr, d.k_version AS asof_k_version
+         FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND d.vf <= f.ms
+         ORDER BY f.event_id""",
 
     "q96_attribution" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,

@@ -47,6 +47,25 @@ class Scd2Spec extends AnyFunSuite {
     assert(got.toSeq == Seq((None, 1), (Some("x"), 2), (None, 3)))
   }
 
+  test("point-in-time lookup: as-of on valid_from is the interval join") {
+    // versions: free@100, pro@300 -> fact at 250 sees free(v1), at 300 pro(v2)
+    val dimRows = Seq(("u", 100L, "free", "e1"), ("u", 300L, "pro", "e2"),
+      ("u", 300L, "max", "e3")) // same-ms re-change: later tie wins (v3)
+    val hist = Scd2.history(ev(dimRows), "user", "ts", "plan", "eid")
+    val dim = hist.groupBy($"user_id", $"valid_from_ms".as("ms"))
+      .agg(max_by($"attr", $"version").as("plan"), max($"version").as("ver"))
+    val facts = Seq(("u", 250L, 1L), ("u", 300L, 2L), ("u", 50L, 3L))
+      .toDF("user_id", "ms", "fact_id")
+    val got = graft.operators.AsofJoin.asofJoin(facts, dim,
+        Seq("user_id"), "ms", Seq("plan", "ver"))
+      .collect().map(r => r.getAs[Long]("fact_id") ->
+        ((Option(r.getAs[String]("asof_plan")), Option(r.get(4)))))
+      .toMap
+    assert(got(1L) == ((Some("free"), Some(1))))
+    assert(got(2L) == ((Some("max"), Some(3)))) // same-ms collapse: v3 wins
+    assert(got(3L) == ((None, None))) // before first version: no leakage
+  }
+
   test("tie column breaks same-millisecond ordering deterministically") {
     val rows = Seq(("u", 5L, "b", "e2"), ("u", 5L, "a", "e1"))
     val got = Scd2.history(ev(rows), "user", "ts", "plan", "eid")
