@@ -1519,6 +1519,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Extension — ROBUST (median/MAD) outlier scores per source over doc
+    // token counts — the modified z-score screen whose cutoffs don't
+    // move when the outliers do (operators/Anomaly.scala). Exact
+    // percentiles match cross-engine (q54 precedent); the score is
+    // micro-quantized with identical operation order — hash-exact.
+    "q100_robust_outliers" -> ((s, dir) => {
+      graft.operators.Anomaly.robustOutliers(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "n_tokens", "source")
+        .select("doc_id", "segment", "n_tokens", "med", "mad",
+          "mz_micros", "is_outlier")
+        .orderBy("doc_id")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2548,6 +2564,26 @@ object SparkEntry {
          SELECT stratum, n_units, weight_micros,
            weight_micros * 10000 // tw AS share_pmyriad
          FROM w CROSS JOIN t ORDER BY stratum""",
+
+    "q100_robust_outliers" ->
+      """WITH d AS (SELECT doc_id, source AS segment,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         m AS (SELECT segment, quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS med
+           FROM d GROUP BY 1),
+         a AS (SELECT d.segment,
+             quantile_cont(abs(CAST(d.n_tokens AS DOUBLE) - m.med), 0.5) AS mad
+           FROM d JOIN m USING (segment) GROUP BY 1)
+         SELECT d.doc_id, d.segment, d.n_tokens, m.med, a.mad,
+           CASE WHEN a.mad > 0 THEN CAST(floor(
+             0.6745 * (CAST(d.n_tokens AS DOUBLE) - m.med) / a.mad * 1e6 + 0.5)
+             AS BIGINT) END AS mz_micros,
+           CASE WHEN a.mad > 0 THEN abs(CAST(floor(
+             0.6745 * (CAST(d.n_tokens AS DOUBLE) - m.med) / a.mad * 1e6 + 0.5)
+             AS BIGINT)) > 3500000 END AS is_outlier
+         FROM d JOIN m USING (segment) JOIN a USING (segment)
+         ORDER BY d.doc_id""",
 
     "q99_pit_join" ->
       """WITH sg AS (SELECT user_id, epoch_ms(ts) AS ms,

@@ -31,6 +31,42 @@ object Anomaly {
     * stats over the `history` buckets strictly before the current one
     * (observed buckets only: an all-quiet gap contributes no zero rows;
     * feed a densified series if silence should count). */
+  /** VALUE outliers by the Iglewicz–Hoaglin modified z-score: per
+    * segment, median and MAD (median absolute deviation), then
+    * `mz = 0.6745·(x − med)/MAD` per row, quantized to integer micros
+    * (identical operation order in the oracle; ±0.5 rounding absorbs the
+    * interpolation ulps) and flagged at |mz| > threshold. The robust
+    * complement to [[rateAnomalies]]: medians don't move when the
+    * outliers themselves do, which is exactly when mean/σ screens fail.
+    *
+    * Segments where MAD = 0 (over half the values identical) emit null
+    * score/flag — "scale-free segment", not a verdict, same contract as
+    * minHistory. Scale shape: two grouped EXACT percentile passes (each
+    * a per-group sort) + two small joins on the segment key; the
+    * at-scale swap is approx_percentile for both passes (mergeable GK
+    * sketch, no per-group sort — the q57-documented trade). */
+  def robustOutliers(
+      df: DataFrame,
+      valueCol: String,
+      segmentCol: String,
+      thresholdMicros: Long = 3500000L
+  ): DataFrame = {
+    require(thresholdMicros > 0, "threshold must be positive")
+    val x = col(valueCol).cast("double")
+    val meds = df.groupBy(col(segmentCol).as("segment"))
+      .agg(percentile(x, lit(0.5)).as("med"))
+    val withMed = df.select(col("*"), col(segmentCol).as("segment"))
+      .drop(segmentCol).join(meds, "segment")
+    val mads = withMed.groupBy("segment")
+      .agg(percentile(abs(x - col("med")), lit(0.5)).as("mad"))
+    val mz = floor(lit(0.6745) * (x - col("med")) / col("mad") * 1e6 + 0.5)
+      .cast("long")
+    withMed.join(mads, "segment")
+      .withColumn("mz_micros", when(col("mad") > 0.0, mz))
+      .withColumn("is_outlier",
+        when(col("mad") > 0.0, abs(col("mz_micros")) > thresholdMicros))
+  }
+
   def rateAnomalies(
       df: DataFrame,
       segmentCol: String,

@@ -46,6 +46,24 @@ class AnomalySpec extends AnyFunSuite {
       Anomaly.rateAnomalies(events(rates), "seg", "ts", bucketMs = 0L))
   }
 
+  test("robustOutliers: MAD screen flags the spike, zero-MAD segments abstain") {
+    import spark.implicits._
+    // segment a: values 10..19 + one 1000 -> med ~14.5, outlier flagged
+    // segment b: constant -> mad = 0 -> null verdicts
+    val rows = ((10L to 19L).map(v => ("a", v)) :+ (("a", 1000L))) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L))
+    val got = graft.operators.Anomaly.robustOutliers(
+        rows.toDF("seg", "x"), "x", "seg")
+      .collect().map(r => (r.getAs[String]("segment"), r.getAs[Long]("x")) ->
+        ((Option(r.get(r.fieldIndex("mz_micros"))),
+          Option(r.get(r.fieldIndex("is_outlier")))))).toMap
+    assert(got(("a", 1000L))._2 == Some(true))
+    assert(got(("a", 15L))._2 == Some(false))
+    // robustness: the outlier barely moves the median-based score of inliers
+    assert(math.abs(got(("a", 15L))._1.get.asInstanceOf[Long]) < 3500000L)
+    assert(got(("b", 5L)) == ((None, None)))
+  }
+
   test("integer identity matches the double formula on a varied series") {
     // trailing window with genuine variance: rates 8..12 cycling, spike at 30
     val rates = (0L until 12L).map(b => ("s", b, 8 + (b % 5).toInt)) :+ (("s", 12L, 30))
