@@ -174,6 +174,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming HLL registers merge to the batch registers across micro-batches") {
+    import org.apache.spark.sql.functions.col
+
+    val src = Files.createTempDirectory("graft_stream_hll")
+    val ckp = Files.createTempDirectory("graft_stream_hll_ckp")
+    // overlapping values across micro-batches: register MAX must merge
+    // through the state store exactly like the batch groupBy
+    Files.write(src.resolve("a.json"),
+      (0 until 300).map(i => s"""{"seg":"s${i % 2}","v":$i}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      (150 until 450).map(i => s"""{"seg":"s${i % 2}","v":$i}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.operators.Hll.registers(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "v", "seg", p = 8)
+      .writeStream
+      .format("memory").queryName("hll_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("idx")) -> r.getAs[Int]("reg"))
+      .toMap
+    val streamed = toMap(spark.table("hll_stream"))
+    val batch = toMap(graft.operators.Hll.registers(
+      spark.read.json(src.toString), "v", "seg", p = 8))
+    assert(streamed == batch && batch.nonEmpty)
+    // and the estimates built FROM the streamed registers agree too
+    val se = graft.operators.Hll.estimate(spark.table("hll_stream"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val be = graft.operators.Hll.estimate(graft.operators.Hll.registers(
+        spark.read.json(src.toString), "v", "seg", 8), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(se == be)
+  }
+
+  test("streaming rate-anomaly twin: streamed bucket counts + batch sigma finish") {
+    import org.apache.spark.sql.functions.{col, expr}
+
+    val src = Files.createTempDirectory("graft_stream_anom")
+    val ckp = Files.createTempDirectory("graft_stream_anom_ckp")
+    def line(seg: String, bucket: Long, i: Int) =
+      s"""{"seg":"$seg","ms":${bucket * 1000 + i}}"""
+    // 10 quiet buckets then a spike, split across two micro-batches
+    Files.write(src.resolve("a.json"),
+      (0L until 6L).flatMap(b => (0 until 10).map(i => line("api", b, i)))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      ((6L until 10L).flatMap(b => (0 until 10).map(i => line("api", b, i))) ++
+        (0 until 100).map(i => line("api", 10L, i)))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    def evts(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("seg"), expr("timestamp_millis(ms)").as("ts"))
+    // the data-sized stage — (segment, bucket) counts — runs under
+    // streaming state; the trailing-sigma finish is a bucket-series-sized
+    // window applied at emit time (window functions don't stream)
+    val q = evts(spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src.toString))
+      .groupBy(col("seg").as("segment"),
+        expr("unix_millis(ts) DIV 1000").as("bucket"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .writeStream
+      .format("memory").queryName("anom_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // the streamed counts must equal the batch operator's count stage,
+    // and the sigma finish over them flags the spike
+    val batchOut = graft.operators.Anomaly.rateAnomalies(
+        evts(spark.read.json(src.toString)), "seg", "ts",
+        bucketMs = 1000L, history = 24, sigmas = 3, minHistory = 4)
+    val batchCounts = batchOut.select("segment", "bucket", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sc = spark.table("anom_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sc == batchCounts)
+    // and the spike bucket is flagged by the batch finish
+    val flagged = batchOut.filter(col("is_anomaly")).select("bucket")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L))
+  }
+
   test("streaming KMV sketch (custom imperative aggregate) equals its batch twin") {
     import org.apache.spark.sql.functions.col
 
