@@ -1535,6 +1535,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — SKETCH-ACCURACY AUDIT: MinHash estimate vs exact
+    // Jaccard per pair on the bounded q25 slice, integer per-myriad with
+    // absolute error (operators/NearDup.minhashAccuracyAudit) — the
+    // meter that justifies a near-dup threshold. Hash-exact: the oracle
+    // replays signatures and agreement counts literally.
+    "q101_sketch_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)
+      NearDup.minhashAccuracyAudit(docs, "text", "doc_id",
+          n = 3, numHashes = AuditHashes, minJaccardPct = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -1968,6 +1980,7 @@ object SparkEntry {
   private val CmWidth = 1024
   private val KmvK = 64
   private val HllP = 8
+  private val AuditHashes = 64
 
   /** q84: KMV sketch + estimate replayed in DuckDB. The logical shift
     * `h >>> 2` is arithmetic-shift + mask (identical low 62 bits); the
@@ -2162,6 +2175,45 @@ object SparkEntry {
       |  FROM c)
       |SELECT pair, n_occurrences, merge_rank FROM r
       |WHERE merge_rank <= 30 ORDER BY merge_rank""".stripMargin
+
+  /** q101: the accuracy audit replayed — md5 shingle sets, affine
+    * signatures (q26 family), agreement counted by positional compare,
+    * exact Jaccard from list_intersect, integer per-myriad error. */
+  private def q101Oracle: String = {
+    val n = 3
+    val k = AuditHashes
+    val (as, bs) = graft.plans.PortableSketch.affineCoeffs(k)
+    val coeffRows = as.indices.map(j => s"(${j}, ${as(j)}, ${bs(j)})").mkString(", ")
+    val shingleExpr = (0 until n).map(kk => s"t[i+$kk]").mkString(" || ' ' || ")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |tok AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - ${n - 2}, 1)), i -> $shingleExpr)) AS s
+       |  FROM tok WHERE len(t) >= $n),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${duckMd5Long("x")})) AS hs
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+       |sigr AS (SELECT doc_id, co.j, min((co.a * (h & 4294967295) + co.b) % 4294967296) AS s
+       |  FROM ex CROSS JOIN (VALUES $coeffRows) co(j, a, b)
+       |  GROUP BY doc_id, co.j),
+       |sig AS (SELECT doc_id, list(s ORDER BY j) AS sg FROM sigr GROUP BY doc_id),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |p AS (SELECT c.id_a, c.id_b,
+       |    len(list_intersect(x.hs, y.hs)) AS inter,
+       |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS uni,
+       |    len(list_filter(range(1, ${k + 1}), i -> sx.sg[i] = sy.sg[i])) AS est_matches
+       |  FROM cand c JOIN hs x ON c.id_a = x.doc_id JOIN hs y ON c.id_b = y.doc_id
+       |  JOIN sig sx ON c.id_a = sx.doc_id JOIN sig sy ON c.id_b = sy.doc_id)
+       |SELECT id_a, id_b, inter, uni, est_matches,
+       |  inter * 10000 // uni AS exact_pmyriad,
+       |  est_matches * 10000 // $k AS est_pmyriad,
+       |  abs(est_matches * 10000 // $k - inter * 10000 // uni) AS err_pmyriad
+       |FROM p WHERE inter * 100 >= uni * 1
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
@@ -2543,6 +2595,7 @@ object SparkEntry {
     "q93_hll_distinct" -> q93Oracle,
     "q94_char_entropy" -> q94Oracle,
     "q95_bpe_pairs" -> q95Oracle,
+    "q101_sketch_audit" -> q101Oracle,
 
     "q97_sliding_windows" ->
       """WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts)

@@ -143,6 +143,61 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** SKETCH-ACCURACY AUDIT: MinHash-estimated vs exact Jaccard, per pair,
+    * on a bounded slice — the measurement that justifies (or indicts) a
+    * near-dup threshold before anyone trusts it at corpus scale: per
+    * candidate pair, the exact Jaccard (integer inter/union), the
+    * signature agreement count (the MinHash estimator), both as integer
+    * per-myriad, and their absolute error. The textbook bound
+    * σ ≈ √(j(1−j)/k) becomes checkable against THIS corpus's data
+    * instead of being cited on faith.
+    *
+    * Bounded-slice semantics on purpose (same contract as the q25
+    * exhaustive path): the audit wants ALL pairs above `minJaccardPct`,
+    * so candidates come from the shared-shingle index uncapped — run it
+    * on a sampled slice, never the full corpus (the production pair
+    * generators stay banded/capped; this operator is their meter, not
+    * their replacement). Portable md5/affine family throughout, so an
+    * oracle replays signatures and agreements literally. */
+  def minhashAccuracyAudit(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      minJaccardPct: Int = 1
+  ): DataFrame = {
+    require(numHashes > 0 && minJaccardPct >= 0)
+    val sets = docShinglesPortable(df, textCol, idCol, n)
+      .withColumn("sz", size(col("sh")))
+      .withColumn("sig", graft.plans.SketchFunctions.affineMinhash(col("sh"), numHashes))
+      .localCheckpoint(true) // consumed by the index and both pair joins
+    val ds = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val cand = ds.select(col("shingle"), col("id").as("id_a"))
+      .join(ds.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
+      .withColumn("est_matches",
+        size(expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z)")))
+      // long before the multiply: a 215k-element shingle set would
+      // overflow int * 10000 under ANSI
+      .withColumn("exact_pmyriad", expr("CAST(inter AS BIGINT) * 10000 DIV uni"))
+      .withColumn("est_pmyriad",
+        expr(s"CAST(est_matches AS BIGINT) * 10000 DIV $numHashes"))
+      .withColumn("err_pmyriad", abs(col("est_pmyriad") - col("exact_pmyriad")))
+      .select("id_a", "id_b", "inter", "uni", "est_matches",
+        "exact_pmyriad", "est_pmyriad", "err_pmyriad")
+  }
+
   /** MinHash signature: k independent permutations approximated by
     * XXH64(shingleHash, seed=j); sig[j] = min over the set. Native codegen
     * expression (graft.plans.MinHashSignature): one tight k×|set| primitive

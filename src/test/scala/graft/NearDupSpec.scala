@@ -318,6 +318,30 @@ class NearDupSpec extends AnyFunSuite {
     assert(pairs == Set((2L, 1L), (2L, 3L)))
   }
 
+  test("minhash accuracy audit: identical docs are error-free, estimates stay in bounds") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // identical -> jaccard 1, agreement k/k, err 0
+      (3L, base + " lambda mu nu xi"), // high-overlap neighbor
+      (4L, "one two three four five six seven") // disjoint: no pair
+    ).toDF("doc_id", "text")
+    val got = NearDup.minhashAccuracyAudit(docs, "text", "doc_id",
+        n = 3, numHashes = 64, minJaccardPct = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("exact_pmyriad"), r.getAs[Long]("est_pmyriad"),
+          r.getAs[Long]("err_pmyriad")))).toMap
+    assert(got((1L, 2L)) == ((10000L, 10000L, 0L)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // the (1,3)/(2,3) estimates must be within a loose 4-sigma of exact:
+    // sigma = sqrt(j(1-j)/64) ~ 0.055 at j ~ 0.57 -> 2200 per-myriad
+    val (ex13, _, err13) = got((1L, 3L))
+    assert(ex13 > 4000L && ex13 < 9000L)
+    assert(err13 <= 2200L, s"estimator err $err13 at exact $ex13")
+    // audit is symmetric-complete on the slice: both neighbor pairs present
+    assert(got.contains((2L, 3L)))
+  }
+
   test("containment pairs: chars are canonical lengths and contained is strictly shorter") {
     val docs = Seq(
       (1L, "  a  b c d e  "),
