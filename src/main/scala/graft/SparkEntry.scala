@@ -1547,6 +1547,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Extension — IMAGE NEAR-DUP via REAL DCT pHash over real PNG decode
+    // (operators/Multimodal.scala): luminance box-resample + 2D DCT +
+    // 8x8 low-band threshold per image, then the SimHash-style pigeonhole
+    // Hamming join on the 64-bit perceptual hashes. Planted one-pixel
+    // near-duplicates (id + 1e6) make recall SELF-VERIFYING via self_hit
+    // — rows-only because PNG byte streams and the DCT aren't
+    // SQL-reproducible (same class as q32).
+    "q102_image_phash_dups" -> ((s, dir) => {
+      val corpus = Multimodal.fixtureImageCorpus(s, t(s, dir, "documents"))
+      val hashes = Multimodal.imagePhashes(corpus, "media_id", "content")
+      Multimodal.imagePhashPairs(hashes, maxHamming = 6)
+        .withColumn("self_hit", col("id_b") === col("id_a") + 1000000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2436,10 +2451,10 @@ object SparkEntry {
 
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
-    * q32 (PNG byte streams), q33 (xxhash64 chain), q35 (data-adaptive
-    * k-means centroids), q57 (implementation-specific sketch estimates).
-    * Each of those emits self-verifying columns instead (shape_ok +
-    * dims_ok, order_sensitive, exact_rank, within_bound). */
+    * q32 (PNG byte streams), q35 (data-adaptive k-means centroids),
+    * q57 (implementation-specific sketch estimates), q102 (PNG bytes +
+    * DCT perceptual hashes). Each of those emits self-verifying columns
+    * instead (shape_ok + dims_ok, exact_rank, within_bound, self_hit). */
   /** Shared DuckDB CTE text — ONE source for the formulations that
     * appear in multiple oracles, so a threshold/word-list edit cannot
     * silently diverge one copy (q43/q55 gate; q47/q55 bucket; q48/q55

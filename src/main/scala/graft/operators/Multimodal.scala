@@ -136,6 +136,116 @@ object Multimodal {
       }
     }
 
+    /** REAL 64-bit perceptual hash (DCT pHash): decode (javax.imageio),
+      * luminance box-average resample to 32×32 (explicit integer-box
+      * loop — not Graphics2D, whose interpolation is platform-dependent),
+      * 2D DCT-II, 8×8 low-frequency block, bit = coefficient > mean of
+      * the 63 AC coefficients (DC excluded from both mean and bits — it
+      * only encodes global brightness). Smooth near-duplicates (crops,
+      * re-encodes, small edits) land within a few bits; unrelated images
+      * disagree on ~half. None when the payload doesn't decode. */
+    def phash64(content: Array[Byte]): Option[Long] =
+      decodeImage2d(content).map { case (px, w, h) =>
+        val N = 32
+        val gray = Array.ofDim[Double](N, N)
+        var ty = 0
+        while (ty < N) {
+          val y0 = ty * h / N
+          val y1 = math.max(y0 + 1, (ty + 1) * h / N)
+          var tx = 0
+          while (tx < N) {
+            val x0 = tx * w / N
+            val x1 = math.max(x0 + 1, (tx + 1) * w / N)
+            var s = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = px(y * w + x)
+                s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                  0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            gray(ty)(tx) = s / ((y1 - y0) * (x1 - x0))
+            tx += 1
+          }
+          ty += 1
+        }
+        // 2D DCT-II, only the 8x8 low-frequency corner is needed
+        val cosT = Array.tabulate(8, N)((u, x) => math.cos((2 * x + 1) * u * math.Pi / (2 * N)))
+        val d = Array.ofDim[Double](8, 8)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var y = 0
+            while (y < N) {
+              var x = 0
+              while (x < N) {
+                s += gray(y)(x) * cosT(u)(y) * cosT(v)(x)
+                x += 1
+              }
+              y += 1
+            }
+            d(u)(v) = s
+            v += 1
+          }
+          u += 1
+        }
+        var mean = 0.0
+        var i = 1
+        while (i < 64) { mean += d(i / 8)(i % 8); i += 1 }
+        mean /= 63.0
+        var bits = 0L
+        i = 1
+        while (i < 64) {
+          if (d(i / 8)(i % 8) > mean) bits |= (1L << i)
+          i += 1
+        }
+        bits
+      }
+
+    /** Decoded ARGB pixel array (row-major) + dims, shared by [[phash64]]. */
+    private def decodeImage2d(content: Array[Byte]): Option[(Array[Int], Int, Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) None
+        else Some((img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth),
+          img.getWidth, img.getHeight))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Smooth deterministic fixture image: two seed-derived sinusoidal
+      * plaids (low-frequency but spectrally DIVERSE across seeds, so
+      * unrelated fixtures land far apart in pHash space while remaining
+      * the smooth regime pHash is built for), optionally with a single
+      * tweaked pixel (`tweak`) to fabricate a near-duplicate. */
+    def encodeGradientPng(w: Int, h: Int, seed: Long, tweak: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      def f(i: Long, m: Int): Double = ((mix(seed, i) >>> 8) % m).toDouble
+      val (fx, fy, gx, gy) = (1 + f(1, 5), f(2, 6), f(3, 6), 1 + f(4, 4))
+      val (p1, p2) = (f(5, 628) / 100.0, f(6, 628) / 100.0)
+      val tau = 2 * math.Pi
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum = 128.0 + 60.0 * math.sin(tau * (fx * x / w + fy * y / h) + p1) +
+            40.0 * math.cos(tau * (gx * x / w + gy * y / h) + p2)
+          val c = math.max(0, math.min(255, lum.toInt))
+          img.setRGB(x, y, (c << 16) | (c << 8) | c)
+          x += 1
+        }
+        y += 1
+      }
+      if (tweak) img.setRGB(w / 2, h / 2, (img.getRGB(w / 2, h / 2) ^ 0x010101) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     private def mix(a: Long, b: Long): Long = {
       var x = a ^ (b * 0x9E3779B97F4A7C15L)
       x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
@@ -194,6 +304,69 @@ object Multimodal {
         case (i, ts, bytes) => Frame(m.media_id, i, ts, bytes)
       }
     })
+  }
+
+  /** `(media_id, phash)` for decodable payloads in a binary-column
+    * DataFrame — the per-partition codec boundary (one decoder per
+    * partition, undecodable rows dropped, never failing the partition). */
+  def imagePhashes(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Codecs.phash64(bytes).map(p => (id, p))
+      })
+      .toDF("media_id", "phash")
+  }
+
+  /** NEAR-DUPLICATE IMAGE PAIRS by pHash Hamming distance ≤ `maxHamming`:
+    * the SimHash pigeonhole shape on perceptual hashes — split the 64-bit
+    * hash into maxHamming+1 chunks (≤ maxHamming differing bits leave at
+    * least one chunk equal), equi-join per chunk with capped buckets,
+    * verify candidates with one `bit_count(xor)`. Ids and 8-byte hashes
+    * through the shuffle, payload bytes never — the image-dedup plan that
+    * survives a billion-image corpus. */
+  def imagePhashPairs(
+      phashes: DataFrame,
+      maxHamming: Int = 6,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming in [0,32), got $maxHamming")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val banded = phashes.select(col("media_id").as("id"), col("phash"),
+        explode(expr(
+          s"""transform(sequence(0, ${chunks - 1}), k -> struct(k AS k,
+             |CASE WHEN k = ${chunks - 1} THEN shiftrightunsigned(phash, k * $width)
+             |ELSE shiftrightunsigned(phash, k * $width) & ${(1L << width) - 1}L
+             |END AS chunk))""".stripMargin)).as("c"))
+      .select(col("id"), col("phash"), col("c.k"), col("c.chunk"))
+    val capped = BucketCap.dropOverCap(banded, Seq("k", "chunk"), maxBucketSize)
+    val l = capped.select(col("k"), col("chunk"), col("id").as("id_a"), col("phash").as("ph_a"))
+    val r = capped.select(col("k"), col("chunk"), col("id").as("id_b"), col("phash").as("ph_b"))
+    l.join(r, Seq("k", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ph_a", "ph_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Deterministic REAL-image corpus off the documents table: one smooth
+    * gradient PNG per doc (seeded by doc_id), plus a PLANTED one-pixel
+    * near-duplicate (id + 1_000_000) for every 50th doc — pairs the
+    * pHash join must surface, making recall self-verifying without an
+    * image-capable oracle. */
+  def fixtureImageCorpus(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = documents.select(col("doc_id").cast("long")).as[Long]
+    val base = ids.mapPartitions(_.map(id =>
+      (id, Codecs.encodeGradientPng(48, 32, seed = id))))
+    val planted = ids.filter(_ % 50 == 0).mapPartitions(_.map(id =>
+      (id + 1000000L, Codecs.encodeGradientPng(48, 32, seed = id, tweak = true))))
+    base.union(planted).toDF("media_id", "content")
   }
 
   /** Deterministic synthetic media fixture derived from the documents

@@ -76,4 +76,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.count() > nVideos) // multiple frames per video
     assert(frames.select("media_id").distinct().count() == nVideos)
   }
+
+  test("pHash: tweak-invariant, seed-discriminative, undecodable dropped") {
+    import Multimodal.Codecs
+    val a = Codecs.phash64(Codecs.encodeGradientPng(48, 32, seed = 7)).get
+    val a2 = Codecs.phash64(Codecs.encodeGradientPng(48, 32, seed = 7, tweak = true)).get
+    assert(java.lang.Long.bitCount(a ^ a2) <= 2, "one-pixel tweak must barely move the hash")
+    // different spectral content -> far apart (allow rare coincidence margin)
+    val others = (1L to 20L).filterNot(_ == 7L)
+      .map(s => Codecs.phash64(Codecs.encodeGradientPng(48, 32, s)).get)
+    val dists = others.map(o => java.lang.Long.bitCount(a ^ o))
+    assert(dists.count(_ > 6) >= 17, s"expected most seeds far from seed 7, got $dists")
+    assert(Codecs.phash64("not an image".getBytes).isEmpty)
+  }
+
+  test("pHash pair join surfaces planted near-duplicates, ids only") {
+    import spark.implicits._
+    val corpus = Multimodal.fixtureImageCorpus(spark, docs)
+    val hashes = Multimodal.imagePhashes(corpus, "media_id", "content")
+    assert(hashes.count() == corpus.count()) // every fixture decodes
+    val pairs = Multimodal.imagePhashPairs(hashes, maxHamming = 6)
+    val planted = docs.select("doc_id").as[Long].collect().filter(_ % 50 == 0).toSet
+    val found = pairs.filter($"id_b" === $"id_a" + 1000000L)
+      .select("id_a").as[Long].collect().toSet
+    assert(planted.subsetOf(found), s"missing planted pairs: ${planted -- found}")
+    // verification really bounds the distance
+    assert(pairs.agg(org.apache.spark.sql.functions.max("hamming")).head().getInt(0) <= 6)
+  }
 }
