@@ -1562,6 +1562,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Extension — MARKOV TRANSITIONS between event types, session-bounded
+    // (the q39 gap rule), row-normalized to integer per-myriad — the
+    // next-event readout (operators/Paths.scala). Hash-exact.
+    "q103_transitions" -> ((s, dir) => {
+      graft.operators.Paths.transitions(events(s, dir),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Extension — TOP 3-STEP PATHS within sessions: the dominant flows a
+    // funnel designer starts from (operators/Paths.scala). Hash-exact.
+    "q104_top_paths" -> ((s, dir) => {
+      graft.operators.Paths.topPaths(events(s, dir),
+          "user_id", "ts", "event_type", "event_id", steps = 3, topK = 20)
+        .orderBy("path_rank")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2652,6 +2669,51 @@ object SparkEntry {
              AS BIGINT)) > 3500000 END AS is_outlier
          FROM d JOIN m USING (segment) JOIN a USING (segment)
          ORDER BY d.doc_id""",
+
+    "q103_transitions" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+             event_id AS eid,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+         sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ms ASC, eid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+           FROM s),
+         p AS (SELECT etype AS from_type,
+             lead(etype) OVER (PARTITION BY user_id, session_id
+               ORDER BY ms ASC, eid ASC) AS to_type
+           FROM sess),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+           FROM c)
+         SELECT from_type, to_type, n, n * 10000 // row_total AS p_pmyriad
+         FROM t ORDER BY from_type, to_type""",
+
+    "q104_top_paths" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+             event_id AS eid,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+         sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ms ASC, eid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+           FROM s),
+         g AS (SELECT etype,
+             lead(etype, 1) OVER w2 AS s1, lead(etype, 2) OVER w2 AS s2
+           FROM sess
+           WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ms ASC, eid ASC)),
+         c AS (SELECT etype || ' > ' || s1 || ' > ' || s2 AS path,
+             CAST(count(*) AS BIGINT) AS n
+           FROM g WHERE s1 IS NOT NULL AND s2 IS NOT NULL GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (ORDER BY n DESC, path ASC) AS path_rank FROM c)
+         SELECT path, n, path_rank FROM r WHERE path_rank <= 20 ORDER BY path_rank""",
 
     "q99_pit_join" ->
       """WITH sg AS (SELECT user_id, epoch_ms(ts) AS ms,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CLICKSTREAM PATH MINING over sessionized events: the first-order
+  * MARKOV TRANSITION matrix ("after a view, what happens next — and with
+  * what probability") and the TOP N-STEP PATHS ("which three-step flows
+  * dominate") — the two readouts a funnel designer and a next-event
+  * model both start from. Transitions never cross a session boundary:
+  * a purchase ending one visit does not "lead to" the click opening the
+  * next one three days later.
+  *
+  * Sessionization is the q39 construction (gap > `gapMs` opens a new
+  * session) so paths and session stats can never disagree on where a
+  * session starts. All outputs are exact integers: probabilities are
+  * per-myriad via integer div.
+  *
+  * Scale shape: one shuffle on the user key drives the session window,
+  * the lag/lead chain, and the n-gram assembly (all same partitioning —
+  * Spark reuses the exchange); the count tables after it are
+  * event-type^n sized. The path window (rank over counts) orders a
+  * bounded table, same class as the q95 merge-rank window. */
+object Paths {
+
+  private def sessionized(
+      events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ms").asc, col("eid").asc)
+    events
+      .select(col(userCol).as("user_id"), unix_millis(col(tsCol)).as("ms"),
+        col(typeCol).as("etype"), col(idCol).as("eid"))
+      .withColumn("new_session",
+        when(lag(col("ms"), 1).over(byUser).isNull ||
+          (col("ms") - lag(col("ms"), 1).over(byUser)) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** `(from_type, to_type, n, p_pmyriad)` — within-session consecutive
+    * event-type pairs; p is row-normalized (out of all transitions
+    * LEAVING from_type), integer per-myriad. */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      gapMs: Long = 30L * 60000L
+  ): DataFrame = {
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ms").asc, col("eid").asc)
+    val pairs = sessionized(events, userCol, tsCol, typeCol, idCol, gapMs)
+      .withColumn("to_type", lead(col("etype"), 1).over(bySession))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("etype").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    // row-normalizing total: a window over the event-type^2-sized table
+    pairs
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p_pmyriad", expr("n * 10000 DIV row_total"))
+      .select("from_type", "to_type", "n", "p_pmyriad")
+  }
+
+  /** `(path, n, path_rank)` — the `steps`-long within-session event-type
+    * n-grams, top `topK` by count (ties broken by path string). */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      steps: Int = 3,
+      topK: Int = 20,
+      gapMs: Long = 30L * 60000L
+  ): DataFrame = {
+    require(steps >= 2 && topK > 0, s"need steps >= 2 and positive topK")
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ms").asc, col("eid").asc)
+    val withSteps = (1 until steps).foldLeft(
+      sessionized(events, userCol, tsCol, typeCol, idCol, gapMs)) {
+      case (df, i) => df.withColumn(s"__s$i", lead(col("etype"), i).over(bySession))
+    }
+    val pathCol = concat_ws(" > ",
+      col("etype") +: (1 until steps).map(i => col(s"__s$i")): _*)
+    val counts = withSteps
+      .filter((1 until steps).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .groupBy(pathCol.as("path"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("path_rank",
+        row_number().over(Window.orderBy(col("n").desc, col("path").asc)))
+      .filter(col("path_rank") <= topK)
+  }
+}

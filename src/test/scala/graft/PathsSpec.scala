@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Paths
+
+class PathsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, String, Long)]) =
+    rows.toDF("user", "ms", "etype", "eid")
+      .select($"user", timestamp_millis($"ms").as("ts"), $"etype", $"eid")
+
+  // user 1: [a b a b] then (after a 1-hour gap) [c a]; user 2: [b c]
+  private val rows = Seq(
+    (1L, 1000L, "a", 1L), (1L, 2000L, "b", 2L), (1L, 3000L, "a", 3L),
+    (1L, 4000L, "b", 4L),
+    (1L, 4000000L, "c", 5L), (1L, 4001000L, "a", 6L),
+    (2L, 1000L, "b", 7L), (2L, 2000L, "c", 8L))
+
+  test("transitions: session-bounded counts and integer row-normalization") {
+    val got = Paths.transitions(ev(rows), "user", "ts", "etype", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // a->b x2 (both in session 1 of user 1); b->a x1; b->c x1; c->a x1.
+    // NO b->c from 4000 -> 4000000 (session boundary blocks it)... but
+    // user2 has b->c inside one session.
+    assert(got == Map(
+      ("a", "b") -> ((2L, 10000L)),
+      ("b", "a") -> ((1L, 5000L)),
+      ("b", "c") -> ((1L, 5000L)),
+      ("c", "a") -> ((1L, 10000L))))
+  }
+
+  test("topPaths: n-grams never cross sessions, ranked deterministically") {
+    val got = Paths.topPaths(ev(rows), "user", "ts", "etype", "eid",
+        steps = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // session [a b a b] -> trigrams "a > b > a", "b > a > b"; the
+    // 2-event sessions yield none
+    assert(got.toSeq == Seq(("a > b > a", 1L, 1), ("b > a > b", 1L, 2)))
+    intercept[IllegalArgumentException](
+      Paths.topPaths(ev(rows), "user", "ts", "etype", "eid", steps = 1))
+  }
+}
