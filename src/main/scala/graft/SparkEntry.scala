@@ -1142,6 +1142,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // Extension — CUBE over (source, lang): every subtotal combination
+    // in one pass (rollup's q40 sibling; Spark expands grouping sets
+    // into one exchange, not 4 scans). grouping_id disambiguates real
+    // NULL dimension values from subtotal rows — the correctness detail
+    // naive NULL-marker reports get wrong.
+    "q105_cube" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first,
+          col("gid").asc)
+    }),
+
     // Semi join (EXISTS): orders having at least one high-value line.
     "q41_semi_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1396,6 +1411,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
       Sampling.weightedSample(d, "source", "doc_id", "n_tokens", perStratum = 5)
+        .orderBy("source", "sample_rank")
+    }),
+
+    // Extension — the SAME weighted sample through the bounded-state
+    // top-k aggregate (plans/TopKByPriority) instead of the q90 window:
+    // two physical strategies, one sampling contract — and the aggregate
+    // is the streaming weighted reservoir (StreamingSpec). Hash-exact
+    // against the q90 oracle's membership/rank columns.
+    "q106_weighted_sample_agg" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      Sampling.weightedSampleAgg(d, "source", "doc_id", "n_tokens", perStratum = 5)
         .orderBy("source", "sample_rank")
     }),
 
@@ -2127,6 +2155,23 @@ object SparkEntry {
        |SELECT doc_id, source, n_tokens, priority_micros, sample_rank
        |FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin
 
+  /** q106: q90's oracle minus the payload column — the aggregate path
+    * carries (priority, id) only; membership and ranks must coincide. */
+  private def q106Oracle: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '')) AS n_tokens
+       |  FROM documents),
+       |w AS (SELECT *, CAST(floor(
+       |    ln(CAST(((${duckMd5Long("(doc_id::VARCHAR || 'ws1')")} >> 11)
+       |        & 9007199254740991) + 1 AS DOUBLE) * 1.1102230246251565e-16)
+       |      / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS priority_micros
+       |  FROM d WHERE n_tokens >= 1),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY priority_micros DESC, doc_id ASC) AS INTEGER) AS sample_rank FROM w)
+       |SELECT source, doc_id, priority_micros, sample_rank
+       |FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin
+
   /** q93: the HLL register pipeline and estimator replayed in DuckDB —
     * idx from the low p bits, rank from `length(bin(w))` (integer bit
     * length, both engines render minimal binary strings), scaled harmonic
@@ -2624,6 +2669,7 @@ object SparkEntry {
     "q88_kmv_overlap" -> q88Oracle,
     "q89_selfjoin_estimate" -> q89Oracle,
     "q90_weighted_sample" -> q90Oracle,
+    "q106_weighted_sample_agg" -> q106Oracle,
     "q93_hll_distinct" -> q93Oracle,
     "q94_char_entropy" -> q94Oracle,
     "q95_bpe_pairs" -> q95Oracle,
@@ -3435,6 +3481,13 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q105_cube" ->
+      """SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(grouping(source) * 2 + grouping(lang) AS INTEGER) AS gid
+         FROM documents GROUP BY CUBE (source, lang)
+         ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST, gid ASC""",
 
     "q41_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

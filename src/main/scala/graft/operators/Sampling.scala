@@ -238,6 +238,20 @@ object Sampling {
     * at-scale swap for global top-k is a per-partition heap + merge —
     * same priorities, no window. Weights must be ≥ 1 (filter or clamp
     * upstream; w ≤ 0 would invert the order). */
+  /** The Efraimidis-Spirakis priority of (key, weight) — ONE definition
+    * shared by the window path and the aggregate path, so the two
+    * physical strategies can never disagree on membership. */
+  private def esPriority(keyCol: String, weightCol: String, salt: String) = {
+    val h = graft.plans.SketchFunctions.portableHash64(
+      array(concat(col(keyCol).cast("string"), lit(salt))))
+    val u = (shiftrightunsigned(element_at(h, 1), 11) + 1L).cast("double") *
+      lit(1.1102230246251565e-16) // 2^-53
+    val guarded = when(col(keyCol).isNull,
+      raise_error(lit("Sampling: weighted sample key must be non-null")))
+      .otherwise(u)
+    floor(log(guarded) / col(weightCol).cast("double") * 1e6 + 0.5).cast("long")
+  }
+
   def weightedSample(
       df: DataFrame,
       strataCol: String,
@@ -247,23 +261,46 @@ object Sampling {
       salt: String = "ws1"
   ): DataFrame = {
     require(perStratum > 0, "perStratum must be positive")
-    val h = graft.plans.SketchFunctions.portableHash64(
-      array(concat(col(keyCol).cast("string"), lit(salt))))
-    val u = (shiftrightunsigned(element_at(h, 1), 11) + 1L).cast("double") *
-      lit(1.1102230246251565e-16) // 2^-53
-    val guarded = when(col(keyCol).isNull,
-      raise_error(lit("Sampling: weighted sample key must be non-null")))
-      .otherwise(u)
-    val prio = floor(log(guarded) / col(weightCol).cast("double") * 1e6 + 0.5)
-      .cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(col("__prio").desc, col(keyCol).asc)
     df.filter(col(weightCol) >= 1)
-      .withColumn("__prio", prio)
+      .withColumn("__prio", esPriority(keyCol, weightCol, salt))
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= perStratum)
       .withColumnRenamed("__prio", "priority_micros")
+  }
+
+  /** [[weightedSample]]'s documented at-scale swap, IMPLEMENTED: the
+    * same priorities selected by a bounded-state top-k aggregate
+    * ([[graft.plans.TopKByPriority]]) instead of a per-stratum window —
+    * map-side partial aggregation reduces every partition to ≤
+    * perStratum pairs before the shuffle, no per-stratum sort exists
+    * anywhere, and the identical aggregation runs under Structured
+    * Streaming complete mode (the streaming weighted reservoir —
+    * StreamingSpec). Output contract is [[weightedSample]]'s minus the
+    * carried payload columns: `(strataCol, keyCol, priority_micros,
+    * sample_rank)` — membership and ranks provably identical
+    * (SamplingSpec asserts equality; keys must be integral here, the
+    * price of 16-byte aggregate state). */
+  def weightedSampleAgg(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      weightCol: String,
+      perStratum: Int,
+      salt: String = "ws1"
+  ): DataFrame = {
+    require(perStratum > 0, "perStratum must be positive")
+    df.filter(col(weightCol) >= 1)
+      .withColumn("__prio", esPriority(keyCol, weightCol, salt))
+      .groupBy(col(strataCol))
+      .agg(graft.plans.TopKByPriority.topK(
+        col("__prio"), col(keyCol).cast("long"), perStratum).as("__top"))
+      .select(col(strataCol), posexplode(col("__top")))
+      .select(col(strataCol), col("col.id").as(keyCol),
+        col("col.priority").as("priority_micros"),
+        (col("pos") + 1).cast("int").as("sample_rank"))
   }
 
   def chunkCount(n: Column, size: Int, stride: Int): Column = {

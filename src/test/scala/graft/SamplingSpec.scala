@@ -74,6 +74,21 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.temperatureMixture(docs, "n", "src", 0.0))
   }
 
+  test("weightedSampleAgg: identical membership and ranks to the window path") {
+    val rows = (0L until 300L).map(i => (s"s${i % 3}", i, 1L + i % 7))
+      .toDF("src", "id", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "id", "priority_micros", "sample_rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+    val win = canon(Sampling.weightedSample(rows, "src", "id", "w", perStratum = 7))
+    val agg = canon(Sampling.weightedSampleAgg(rows, "src", "id", "w", perStratum = 7))
+    assert(win == agg && win.size == 21)
+    // and under adversarial partitioning
+    val aggRe = canon(Sampling.weightedSampleAgg(rows.repartition(13), "src", "id", "w", 7))
+    assert(aggRe == win)
+  }
+
   test("weightedSample: per-stratum size, determinism, weight bias") {
     val rows = (0L until 400L).map { i =>
       val w = if (i % 5 == 0) 1000L else 1L // every 5th row is heavy (both strata)

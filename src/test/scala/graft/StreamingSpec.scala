@@ -268,6 +268,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged == Set(10L))
   }
 
+  test("streaming weighted reservoir (top-k aggregate) equals the batch sample") {
+    import org.apache.spark.sql.functions.col
+
+    val src = Files.createTempDirectory("graft_stream_wr")
+    val ckp = Files.createTempDirectory("graft_stream_wr_ckp")
+    // overlapping strata across micro-batches: the k-best state must
+    // merge through the state store to the batch answer
+    Files.write(src.resolve("a.json"),
+      (0 until 120).map(i => s"""{"src":"s${i % 2}","id":$i,"w":${1 + i % 5}}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      (120 until 240).map(i => s"""{"src":"s${i % 2}","id":$i,"w":${1 + i % 5}}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.operators.Sampling.weightedSampleAgg(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "src", "id", "w", perStratum = 6)
+      .writeStream
+      .format("memory").queryName("wr_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val streamed = canon(spark.table("wr_stream"))
+    val batch = canon(graft.operators.Sampling.weightedSampleAgg(
+      spark.read.json(src.toString), "src", "id", "w", perStratum = 6))
+    assert(streamed == batch && batch.size == 12)
+  }
+
   test("streaming KMV sketch (custom imperative aggregate) equals its batch twin") {
     import org.apache.spark.sql.functions.col
 
