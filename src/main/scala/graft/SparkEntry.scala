@@ -1621,6 +1621,43 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Extension — DATA-CONTRACT CHECKER: declarative constraints compiled
+    // to one aggregate pass per table (plus the group-count shuffle
+    // uniqueness demands and anti-join FK probes), reported as
+    // (tbl, contract, violations, total, pass). Mixes failing contracts
+    // (status set, quantity range, acctbal bound) with holding ones
+    // (keys, FKs) so both report polarities are exercised. Hash-exact.
+    "q108_data_contracts" -> ((s, dir) => {
+      import graft.operators.Contracts
+      import graft.operators.Contracts._
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val reports = Seq(
+        "customer" -> Contracts.report(customer, Seq(
+          notNull("c_custkey"),
+          matches("c_name", "^Customer#[0-9]+$"),
+          inRange("c_acctbal", "-999.99", "9000.0"),
+          Unique("unique(c_custkey)", Seq("c_custkey")))),
+        "lineitem" -> Contracts.report(lineitem, Seq(
+          inRange("l_quantity", "1.0", "49.0"),
+          Unique("unique(l_orderkey,l_linenumber)",
+            Seq("l_orderkey", "l_linenumber")),
+          ForeignKey("fk(l_orderkey->orders)", "l_orderkey",
+            orders, "o_orderkey"))),
+        "orders" -> Contracts.report(orders, Seq(
+          notNull("o_custkey"),
+          inSet("o_orderstatus", Seq("O", "F")),
+          inRange("o_totalprice", "0.0", "400000.0"),
+          Unique("unique(o_orderkey)", Seq("o_orderkey")),
+          ForeignKey("fk(o_custkey->customer)", "o_custkey",
+            customer, "c_custkey"))))
+      reports.map { case (tbl, rep) => rep.select(lit(tbl).as("tbl"),
+          col("contract"), col("violations"), col("total"), col("pass")) }
+        .reduce(_ unionByName _)
+        .orderBy("tbl", "contract")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2366,6 +2403,58 @@ object SparkEntry {
        |ORDER BY nn.node""".stripMargin
   }
 
+  /** q108: every contract replayed as its defining aggregate — one scalar
+    * subquery per report row, glued with UNION ALL. The operator computes
+    * the row-level checks in ONE pass where the oracle rescans per
+    * contract; both reduce to identical integer counts, which is the
+    * point of the report being count-valued. */
+  private def q108Oracle: String = {
+    def row(tbl: String, contract: String, violations: String): String =
+      s"""SELECT '$tbl' AS tbl, '$contract' AS contract,
+         |  CAST(($violations) AS BIGINT) AS violations,
+         |  (SELECT count(*) FROM $tbl) AS total""".stripMargin
+    val rows = Seq(
+      row("customer", "not_null(c_custkey)",
+        "SELECT count(*) FROM customer WHERE c_custkey IS NULL"),
+      row("customer", "matches(c_name)",
+        """SELECT count(*) FROM customer WHERE c_name IS NOT NULL
+          |  AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')""".stripMargin),
+      row("customer", "in_range(c_acctbal)",
+        """SELECT count(*) FROM customer WHERE c_acctbal IS NOT NULL
+          |  AND NOT (c_acctbal >= -999.99 AND c_acctbal <= 9000.0)""".stripMargin),
+      row("customer", "unique(c_custkey)",
+        """SELECT coalesce(sum(cnt - 1), 0) FROM
+          |  (SELECT count(*) AS cnt FROM customer GROUP BY c_custkey)""".stripMargin),
+      row("lineitem", "in_range(l_quantity)",
+        """SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL
+          |  AND NOT (l_quantity >= 1.0 AND l_quantity <= 49.0)""".stripMargin),
+      row("lineitem", "unique(l_orderkey,l_linenumber)",
+        """SELECT coalesce(sum(cnt - 1), 0) FROM (SELECT count(*) AS cnt
+          |  FROM lineitem GROUP BY l_orderkey, l_linenumber)""".stripMargin),
+      row("lineitem", "fk(l_orderkey->orders)",
+        """SELECT count(*) FROM lineitem c WHERE c.l_orderkey IS NOT NULL
+          |  AND NOT EXISTS (SELECT 1 FROM orders p
+          |    WHERE p.o_orderkey = c.l_orderkey)""".stripMargin),
+      row("orders", "not_null(o_custkey)",
+        "SELECT count(*) FROM orders WHERE o_custkey IS NULL"),
+      row("orders", "in_set(o_orderstatus)",
+        """SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+          |  AND o_orderstatus NOT IN ('O', 'F')""".stripMargin),
+      row("orders", "in_range(o_totalprice)",
+        """SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+          |  AND NOT (o_totalprice >= 0.0 AND o_totalprice <= 400000.0)""".stripMargin),
+      row("orders", "unique(o_orderkey)",
+        """SELECT coalesce(sum(cnt - 1), 0) FROM
+          |  (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)""".stripMargin),
+      row("orders", "fk(o_custkey->customer)",
+        """SELECT count(*) FROM orders c WHERE c.o_custkey IS NOT NULL
+          |  AND NOT EXISTS (SELECT 1 FROM customer p
+          |    WHERE p.c_custkey = c.o_custkey)""".stripMargin))
+    s"""SELECT tbl, contract, violations, total, violations = 0 AS pass
+       |FROM (${rows.mkString("\n", "\nUNION ALL\n", "\n")})
+       |ORDER BY tbl, contract""".stripMargin
+  }
+
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
     * emits the identical shift-or-mask chain; `//` on non-negatives
@@ -2749,6 +2838,7 @@ object SparkEntry {
     "q95_bpe_pairs" -> q95Oracle,
     "q101_sketch_audit" -> q101Oracle,
     "q107_pagerank" -> q107Oracle,
+    "q108_data_contracts" -> q108Oracle,
 
     "q97_sliding_windows" ->
       """WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts)
