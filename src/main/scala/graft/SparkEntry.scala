@@ -1658,6 +1658,19 @@ object SparkEntry {
         .orderBy("tbl", "contract")
     }),
 
+    // Extension — A/B EXPERIMENT READOUT: md5-deterministic variant
+    // assignment (the q47 split machinery — membership never re-rolls)
+    // + an integer-exact two-proportion z-test per metric: the pooled
+    // z² > 3.8416 test cross-multiplied to one DECIMAL(38,0) integer
+    // comparison, so the significance verdict replays bit-identically
+    // in SQL. Conversion = user logged ≥15 events of the type.
+    // Hash-exact.
+    "q109_ab_experiment" -> ((s, dir) => {
+      graft.operators.Experiment.abReadout(
+        events(s, dir), "user_id", "event_type",
+        converted = col("metric_value") >= 15, salt = "exp1")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2455,6 +2468,38 @@ object SparkEntry {
        |ORDER BY tbl, contract""".stripMargin
   }
 
+  /** q109: variant assignment replays the q47 md5 bucket on user_id; the
+    * significance verdict is the integer cross-multiplied z² test in
+    * HUGEINT (DuckDB's int128 ⊇ the operator's DECIMAL(38,0) envelope). */
+  private def q109Oracle: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id,
+      |  CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'exp1'), 1, 8))::BIGINT
+      |             % 10000) < 5000
+      |       THEN 0 ELSE 1 END AS variant FROM u),
+      |arms AS (SELECT
+      |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM v),
+      |pm AS (SELECT event_type, user_id FROM events
+      |  GROUP BY 1, 2 HAVING count(*) >= 15),
+      |cc AS (SELECT p.event_type,
+      |  CAST(sum(CASE WHEN v.variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |  CAST(sum(CASE WHEN v.variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM pm p JOIN v ON v.user_id = p.user_id GROUP BY 1)
+      |SELECT event_type, n_a, c_a, n_b, c_b,
+      |  CASE WHEN n_a > 0 THEN c_a * 10000 // n_a ELSE 0 END AS conv_a_pm,
+      |  CASE WHEN n_b > 0 THEN c_b * 10000 // n_b ELSE 0 END AS conv_b_pm,
+      |  10000::HUGEINT
+      |    * (c_a * n_b - c_b * n_a)::HUGEINT
+      |    * (c_a * n_b - c_b * n_a)::HUGEINT
+      |    * (n_a + n_b)::HUGEINT
+      |  > 38416::HUGEINT * n_a::HUGEINT * n_b::HUGEINT
+      |    * (c_a + c_b)::HUGEINT
+      |    * ((n_a + n_b) - (c_a + c_b))::HUGEINT AS significant
+      |FROM cc CROSS JOIN arms
+      |ORDER BY event_type""".stripMargin
+
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
     * emits the identical shift-or-mask chain; `//` on non-negatives
@@ -2839,6 +2884,7 @@ object SparkEntry {
     "q101_sketch_audit" -> q101Oracle,
     "q107_pagerank" -> q107Oracle,
     "q108_data_contracts" -> q108Oracle,
+    "q109_ab_experiment" -> q109Oracle,
 
     "q97_sliding_windows" ->
       """WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts)
