@@ -1671,6 +1671,17 @@ object SparkEntry {
         converted = col("metric_value") >= 15, salt = "exp1")
     }),
 
+    // Extension — ASSOCIATION RULES over session baskets: ordered
+    // event-type pairs scored with support / confidence / lift, all
+    // integer per-myriad (lift's three-count numerator in DECIMAL(38,0)).
+    // Transactions are the q39 sessions via Paths.sessionized, so basket
+    // boundaries can never drift from the session queries. Hash-exact.
+    "q110_assoc_rules" -> ((s, dir) => {
+      val sess = graft.operators.Paths.sessionized(
+        events(s, dir), "user_id", "ts", "event_type", "event_id")
+      graft.operators.Assoc.rules(sess, Seq("user_id", "session_id"), "etype")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2500,6 +2511,45 @@ object SparkEntry {
       |FROM cc CROSS JOIN arms
       |ORDER BY event_type""".stripMargin
 
+  /** q110: the q39/q103 session CTEs build baskets; every rule metric is
+    * an integer count ratio, lift's numerator in HUGEINT (⊇ the
+    * operator's DECIMAL(38,0)). The max-items cap is replayed even
+    * though it cannot bind on a 5-type vocabulary. */
+  private def q110Oracle: String =
+    """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+      |    event_id AS eid,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+      |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ms ASC, eid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS session_id
+      |  FROM s),
+      |items AS (SELECT DISTINCT user_id, session_id, etype AS item FROM sess),
+      |kept AS (SELECT user_id, session_id FROM items
+      |  GROUP BY 1, 2 HAVING count(*) <= 1000),
+      |ki AS (SELECT i.* FROM items i JOIN kept k
+      |  ON k.user_id = i.user_id AND k.session_id = i.session_id),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_txn FROM kept),
+      |marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM ki GROUP BY 1),
+      |pairs AS (SELECT a.item AS antecedent, b.item AS consequent,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM ki a JOIN ki b ON a.user_id = b.user_id
+      |    AND a.session_id = b.session_id AND a.item <> b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 1)
+      |SELECT antecedent, consequent, n_ab, ma.n_i AS n_a, mb.n_i AS n_b, n_txn,
+      |  n_ab * 10000 // n_txn AS support_pm,
+      |  n_ab * 10000 // ma.n_i AS confidence_pm,
+      |  CAST((n_ab::HUGEINT * n_txn * 10000)
+      |    // (ma.n_i::HUGEINT * mb.n_i) AS BIGINT) AS lift_pm
+      |FROM pairs
+      |JOIN marg ma ON ma.item = antecedent
+      |JOIN marg mb ON mb.item = consequent
+      |CROSS JOIN tot
+      |ORDER BY antecedent, consequent""".stripMargin
+
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
     * emits the identical shift-or-mask chain; `//` on non-negatives
@@ -2885,6 +2935,7 @@ object SparkEntry {
     "q107_pagerank" -> q107Oracle,
     "q108_data_contracts" -> q108Oracle,
     "q109_ab_experiment" -> q109Oracle,
+    "q110_assoc_rules" -> q110Oracle,
 
     "q97_sliding_windows" ->
       """WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts)

@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   * bounded table, same class as the q95 merge-rank window. */
 object Paths {
 
-  private def sessionized(
+  /** `(user_id, ms, etype, eid, new_session, session_id)` — the q39
+    * session construction (gap > `gapMs` opens a session), public so
+    * downstream consumers ([[Assoc]] transactions, the path queries)
+    * share EXACTLY one definition of where a session starts. */
+  def sessionized(
       events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, idCol: String, gapMs: Long): DataFrame = {
+      typeCol: String, idCol: String, gapMs: Long = 30L * 60000L): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ms").asc, col("eid").asc)
     events
       .select(col(userCol).as("user_id"), unix_millis(col(tsCol)).as("ms"),
