@@ -1682,6 +1682,26 @@ object SparkEntry {
       graft.operators.Assoc.rules(sess, Seq("user_id", "session_id"), "etype")
     }),
 
+    // Extension — EQUI-WIDTH HISTOGRAM per group: one aggregation pass,
+    // bin = floor((v-lo)/width) with an exactly-representable width so
+    // IEEE division+floor replays identically in SQL; out-of-range
+    // clamps into the edge bins. Hash-exact.
+    "q111_histogram" -> ((s, dir) => {
+      graft.operators.Profile.equiWidthHistogram(
+        events(s, dir), Seq("event_type"), "value",
+        lo = 0.0, hi = 500.0, bins = 50)
+    }),
+
+    // Extension — PER-GROUP COLUMN PROFILER: n / nulls / exact distincts
+    // / raw min-max for three lineitem measures per return flag, one
+    // scan, unpivoted to a long report (the read-side companion to the
+    // q108 contract checker). Hash-exact.
+    "q112_profile" -> ((s, dir) => {
+      graft.operators.Profile.summary(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2936,6 +2956,37 @@ object SparkEntry {
     "q108_data_contracts" -> q108Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
+
+    "q111_histogram" ->
+      """WITH b AS (SELECT event_type,
+        |    least(greatest(CAST(floor((value - 0.0) / 10.0) AS BIGINT), 0), 49)
+        |      AS bin
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, bin,
+        |  0.0 + bin * 10.0 AS bin_lo, 0.0 + (bin + 1) * 10.0 AS bin_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+
+    "q112_profile" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null0,
+        |  count(DISTINCT l_quantity) AS nd0,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min0, CAST(max(l_quantity) AS DOUBLE) AS max0,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null1,
+        |  count(DISTINCT l_extendedprice) AS nd1,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min1, CAST(max(l_extendedprice) AS DOUBLE) AS max1,
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null2,
+        |  count(DISTINCT l_discount) AS nd2,
+        |  CAST(min(l_discount) AS DOUBLE) AS min2, CAST(max(l_discount) AS DOUBLE) AS max2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'l_quantity' AS col_name, n, null0 AS n_null,
+        |  nd0 AS n_distinct, min0 AS vmin, max0 AS vmax FROM g
+        |UNION ALL
+        |SELECT l_returnflag, 'l_extendedprice', n, null1, nd1, min1, max1 FROM g
+        |UNION ALL
+        |SELECT l_returnflag, 'l_discount', n, null2, nd2, min2, max2 FROM g
+        |ORDER BY l_returnflag, col_name""".stripMargin,
 
     "q97_sliding_windows" ->
       """WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts)

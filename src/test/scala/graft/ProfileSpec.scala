@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profile
+
+class ProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("histogram: binning, edge clamp, null exclusion, empty bins absent") {
+    val df = Seq(("g", Some(-5.0)), ("g", Some(0.0)), ("g", Some(9.99)),
+      ("g", Some(10.0)), ("g", Some(25.0)), ("g", Some(999.0)),
+      ("g", None), ("h", Some(15.0)))
+      .toDF("grp", "v")
+    val got = Profile.equiWidthHistogram(df, Seq("grp"), "v", 0.0, 30.0, 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // g: -5 clamps into bin 0; {0, 9.99} bin 0; 10 bin 1; 25 bin 2;
+    // 999 clamps into bin 2; null excluded. h: 15 -> bin 1. Bin (g,1)
+    // has exactly one member (10.0); empty (h,0)/(h,2) absent.
+    assert(got == Map(
+      ("g", 0L) -> ((0.0, 10.0, 3L)),
+      ("g", 1L) -> ((10.0, 20.0, 1L)),
+      ("g", 2L) -> ((20.0, 30.0, 2L)),
+      ("h", 1L) -> ((10.0, 20.0, 1L))))
+  }
+
+  test("histogram guards: bins >= 1, lo < hi") {
+    val df = Seq(("g", 1.0)).toDF("grp", "v")
+    intercept[IllegalArgumentException](
+      Profile.equiWidthHistogram(df, Seq("grp"), "v", 0.0, 10.0, 0))
+    intercept[IllegalArgumentException](
+      Profile.equiWidthHistogram(df, Seq("grp"), "v", 10.0, 10.0, 5))
+  }
+
+  test("summary: counts, nulls, exact distincts, raw min/max per column") {
+    val df = Seq(
+      ("a", Some(1.0), Some(10L)), ("a", Some(1.0), Some(20L)),
+      ("a", Some(3.0), None), ("b", None, Some(5L)))
+      .toDF("grp", "x", "y")
+    val got = Profile.summary(df, Seq("grp"), Seq("x", "y"))
+      .filter($"grp" === "a").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got(("a", "x")) == ((3L, 0L, 2L, 1.0, 3.0)))
+    assert(got(("a", "y")) == ((3L, 1L, 2L, 10.0, 20.0)))
+    // all-null group: n_distinct 0; min/max are null -> read as 0.0 is
+    // wrong, so assert via isNullAt instead
+    val bx = Profile.summary(df, Seq("grp"), Seq("x"))
+      .filter($"grp" === "b").collect()(0)
+    assert(bx.getLong(2) == 1L && bx.getLong(3) == 1L && bx.getLong(4) == 0L)
+    assert(bx.isNullAt(5) && bx.isNullAt(6))
+  }
+
+  test("summary guard: at least one column") {
+    intercept[IllegalArgumentException](
+      Profile.summary(Seq(("a", 1.0)).toDF("g", "v"), Seq("g"), Nil))
+  }
+}
