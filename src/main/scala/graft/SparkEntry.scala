@@ -1702,6 +1702,33 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
 
+    // Extension — K-ANONYMITY AUDIT: one QI group-count shuffle, then a
+    // classes-sized aggregate — how re-identifiable is the customer
+    // table through (nation, segment)? Companion to the q51 PII
+    // redaction: redaction strips direct identifiers, this measures the
+    // joinability of what's left. Hash-exact.
+    "q113_k_anonymity" -> ((s, dir) => {
+      graft.operators.Privacy.kAnonymityReport(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 5L)
+    }),
+
+    // Extension — TABLE DIFF: reconcile two versions of a keyed table
+    // into added/removed/changed with per-column null-safe attribution.
+    // The new version is derived deterministically (every 7th key
+    // dropped, every 5th price bumped, every 11th re-keyed negative as
+    // an insert), so the full diff replays in SQL. Hash-exact.
+    "q114_table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val changed = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val added = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      graft.operators.Diff.tableDiff(o, changed.unionByName(added),
+        Seq("o_orderkey"))
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2956,6 +2983,57 @@ object SparkEntry {
     "q108_data_contracts" -> q108Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
+
+    "q113_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(coalesce(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0) AS BIGINT)
+        |    AS n_risky_rows,
+        |  CAST(coalesce(min(sz), 0) AS BIGINT) AS min_class_size,
+        |  coalesce(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0) = 0
+        |    AS k_anonymous
+        |FROM g""".stripMargin,
+
+    "q114_table_diff" ->
+      """WITH newv AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_old,
+        |    n.o_orderkey IS NOT NULL AS in_new,
+        |    array_to_string(list_filter([
+        |      CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |        THEN 'o_custkey' END,
+        |      CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |        THEN 'o_orderdate' END,
+        |      CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |        THEN 'o_orderpriority' END,
+        |      CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |        THEN 'o_orderstatus' END,
+        |      CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |        THEN 'o_totalprice' END
+        |    ], x -> x IS NOT NULL), ',') AS cc
+        |  FROM orders o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_old THEN 'added'
+        |       WHEN NOT in_new THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  CASE WHEN NOT in_old OR NOT in_new THEN '' ELSE cc END AS changed_cols
+        |FROM j
+        |WHERE NOT in_old OR NOT in_new OR cc <> ''
+        |ORDER BY o_orderkey, change""".stripMargin,
 
     "q111_histogram" ->
       """WITH b AS (SELECT event_type,

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K-ANONYMITY AUDIT — how re-identifiable is a table through a set of
+  * quasi-identifier columns? A row is at risk when its QI combination is
+  * shared by fewer than k rows; the release rule "every equivalence
+  * class has ≥ k members" is the classic k-anonymity criterion
+  * (Sweeney 2002). Companion to the PII redaction pass (q51): redaction
+  * removes direct identifiers, this measures the joinability of what's
+  * left.
+  *
+  * Scale shape: ONE group-count shuffle on the QI columns (map-side
+  * combined), then the report aggregates the class-size table —
+  * classes, not rows. [[riskyClasses]] returns QI combos only (no row
+  * payloads), so nothing data-sized ever leaves the aggregation. */
+object Privacy {
+
+  /** One-row report: `(n_rows, n_classes, n_risky_classes, n_risky_rows,
+    * min_class_size, k_anonymous)` — `k_anonymous` means NO class is
+    * smaller than k (vacuously true on an empty table; min_class_size
+    * is 0 there). Null QI values group like values (a null ZIP is
+    * itself a quasi-identifier value). */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2L, "k must be >= 2 (k=1 is vacuous)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_sz"))
+      .agg(
+        coalesce(sum(col("_sz")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("_sz") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_risky_classes"),
+        coalesce(sum(when(col("_sz") < k, col("_sz")).otherwise(0L)), lit(0L))
+          .as("n_risky_rows"),
+        coalesce(min(col("_sz")), lit(0L)).as("min_class_size"))
+      .withColumn("k_anonymous", col("n_risky_rows") === lit(0L))
+  }
+
+  /** The offending QI combinations and their sizes, smallest (most
+    * identifying) first — the worklist for generalization/suppression. */
+  def riskyClasses(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2L, "k must be >= 2 (k=1 is vacuous)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+      .orderBy(col("class_size").asc +: quasiCols.map(col(_).asc): _*)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Privacy
+
+class PrivacySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // classes: (Z1,M) x3, (Z1,F) x1, (Z2,M) x2, (null,F) x2
+  private val rows = Seq(
+    (Some("Z1"), "M"), (Some("Z1"), "M"), (Some("Z1"), "M"),
+    (Some("Z1"), "F"),
+    (Some("Z2"), "M"), (Some("Z2"), "M"),
+    (None, "F"), (None, "F")).toDF("zip", "sex")
+
+  test("report: risky classes/rows under k=3; null QI groups like a value") {
+    val r = Privacy.kAnonymityReport(rows, Seq("zip", "sex"), k = 3L).collect()(0)
+    // risky (< 3): (Z1,F)=1, (Z2,M)=2, (null,F)=2 -> 3 classes, 5 rows
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getBoolean(5)) == ((8L, 4L, 3L, 5L, 1L, false)))
+  }
+
+  test("report: k small enough that every class passes") {
+    val r = Privacy.kAnonymityReport(rows, Seq("sex"), k = 2L).collect()(0)
+    // classes M=5, F=3 — both >= 2
+    assert((r.getLong(2), r.getLong(3), r.getBoolean(5)) == ((0L, 0L, true)))
+  }
+
+  test("riskyClasses: smallest class first, sizes attached") {
+    val got = Privacy.riskyClasses(rows, Seq("zip", "sex"), k = 3L).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (Some("Z1"), "F", 1L),
+      (None, "F", 2L),
+      (Some("Z2"), "M", 2L)))
+  }
+
+  test("empty table: zero everything, vacuously anonymous") {
+    val empty = Seq.empty[(String, String)].toDF("zip", "sex")
+    val r = Privacy.kAnonymityReport(empty, Seq("zip"), k = 5L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(4), r.getBoolean(5)) ==
+      ((0L, 0L, 0L, true)))
+  }
+
+  test("guards: empty QI list, k < 2") {
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymityReport(rows, Nil, 5L))
+    intercept[IllegalArgumentException](
+      Privacy.kAnonymityReport(rows, Seq("zip"), 1L))
+    intercept[IllegalArgumentException](Privacy.riskyClasses(rows, Nil, 5L))
+  }
+}
