@@ -49,11 +49,16 @@ object Assoc {
     require(minPairCount >= 1L, "minPairCount must be >= 1")
     require(maxItemsPerTxn >= 2, "maxItemsPerTxn must be >= 2 (pairs need 2)")
     val keys = txnCols.map(col)
+    // (txn, item) is consumed four times (cap filter, total, marginals,
+    // and BOTH sides of the pair join); localCheckpoint materializes the
+    // distinct basket rows once so the upstream transaction scan (which
+    // may carry a session-window chain) never re-executes per consumer.
     val items = txns.select((keys :+ col(itemCol).as("item")): _*).distinct()
+      .localCheckpoint(true)
     val kept = items.groupBy(keys: _*).agg(count(lit(1)).as("_k"))
       .filter(col("_k") <= maxItemsPerTxn)
       .select(keys: _*)
-    val retained = items.join(kept, txnCols)
+    val retained = items.join(kept, txnCols).localCheckpoint(true)
 
     val total = retained.select(keys: _*).distinct()
       .agg(count(lit(1)).as("n_txn"))

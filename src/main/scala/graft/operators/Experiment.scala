@@ -49,10 +49,14 @@ object Experiment {
       perUserAgg: Column = count(lit(1)),
       salt: String = ""
   ): DataFrame = {
+    // the user→arm ledger is read twice (arm totals + the conversion
+    // join); checkpoint it so the distinct-shuffle over the event log
+    // runs once, not per consumer
     val variants = Sampling.withSplitId(
       events.select(col(userCol)).distinct(), userCol,
       fractions = Seq(0.5, 0.5), salt = salt, splitCol = "variant")
       .select(col(userCol), col("variant"))
+      .localCheckpoint(true)
 
     val arms = variants.agg(
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
