@@ -1729,6 +1729,31 @@ object SparkEntry {
         Seq("o_orderkey"))
     }),
 
+    // Extension — AGGREGATE RECONCILIATION: order headers against
+    // summed line revenue in integer MICRO-DOLLARS (cents and percent
+    // points quantized with round() at the source — the q70 pattern;
+    // DECIMAL revenue products silently fall to DOUBLE in DuckDB's
+    // width-38 multiply, so integer units are the only engine-exact
+    // money representation here). Discrepancy classes mismatch /
+    // missing_detail / missing_master; top-20 worst via orderBy+limit
+    // (TakeOrdered — no global window), rank attached on the 20
+    // survivors. Hash-exact.
+    "q115_reconcile" -> ((s, dir) => {
+      val rec = graft.operators.Diff.reconcile(
+        t(s, dir, "orders"),
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 10000"),
+        sum(expr("""CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+          * (100 + CAST(round(l_tax * 100) AS BIGINT))""")))
+      rec.orderBy(abs(col("diff")).desc, col("o_orderkey"))
+        .limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(abs(col("diff")).desc, col("o_orderkey"))))
+        .orderBy("rnk")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2983,6 +3008,30 @@ object SparkEntry {
     "q108_data_contracts" -> q108Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
+
+    "q115_reconcile" ->
+      """WITH d AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS d_amt
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT coalesce(o.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 AS m_amt,
+        |    d.d_amt,
+        |    o.o_orderkey IS NOT NULL AS in_m, d.o_orderkey IS NOT NULL AS in_d
+        |  FROM orders o FULL OUTER JOIN d ON d.o_orderkey = o.o_orderkey),
+        |r AS (SELECT o_orderkey,
+        |    m_amt AS master_amount, d_amt AS detail_amount,
+        |    coalesce(m_amt, 0) - coalesce(d_amt, 0) AS diff,
+        |    CASE WHEN NOT in_d THEN 'missing_detail'
+        |         WHEN NOT in_m THEN 'missing_master'
+        |         ELSE 'mismatch' END AS status
+        |  FROM j),
+        |f AS (SELECT * FROM r WHERE status <> 'mismatch' OR abs(diff) > 0),
+        |top AS (SELECT *, row_number() OVER
+        |    (ORDER BY abs(diff) DESC, o_orderkey) AS rnk FROM f)
+        |SELECT o_orderkey, master_amount, detail_amount, diff, status, rnk
+        |FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "q113_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,

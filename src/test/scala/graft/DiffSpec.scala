@@ -50,6 +50,41 @@ class DiffSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Diff.tableDiff(oldDf, newDf, Nil))
   }
 
+  private val master = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "amt")
+  private val detail = Seq((1L, 60L), (1L, 40L), (2L, 150L), (4L, 70L))
+    .toDF("k", "amt")
+
+  private def rec(tol: Long) = Diff.reconcile(master, detail, Seq("k"),
+      org.apache.spark.sql.functions.col("amt"),
+      org.apache.spark.sql.functions.sum($"amt"), tol)
+    .collect()
+    .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+      Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3), r.getString(4))))
+    .toMap
+
+  test("reconcile: mismatch, missing sides, reconciled keys omitted") {
+    val got = rec(0L)
+    // key 1 reconciles (60+40 = 100) and is omitted
+    assert(got == Map(
+      2L -> ((Some(200L), Some(150L), 50L, "mismatch")),
+      3L -> ((Some(300L), None, 300L, "missing_detail")),
+      4L -> ((None, Some(70L), -70L, "missing_master"))))
+  }
+
+  test("reconcile: tolerance silences small mismatches, never missing sides") {
+    val got = rec(50L)
+    assert(!got.contains(2L)) // |50| <= 50 tolerated
+    assert(got.contains(3L) && got.contains(4L)) // missing always reported
+    assert(rec(49L).contains(2L))
+  }
+
+  test("reconcile guards: keys and tolerance") {
+    intercept[IllegalArgumentException](Diff.reconcile(master, detail, Nil,
+      $"amt", org.apache.spark.sql.functions.sum($"amt")))
+    intercept[IllegalArgumentException](Diff.reconcile(master, detail,
+      Seq("k"), $"amt", org.apache.spark.sql.functions.sum($"amt"), -1L))
+  }
+
   test("key-only tables: membership changes still reported") {
     val a = Seq(1L, 2L).toDF("id")
     val b = Seq(2L, 3L).toDF("id")
