@@ -1754,6 +1754,16 @@ object SparkEntry {
         .orderBy("rnk")
     }),
 
+    // Extension — EMBEDDING-SPACE GROUP DRIFT: pairwise cosine of label
+    // centroids, integer end to end (milli-quantized elements, integer
+    // centroid sums, DECIMAL(38,0) dot/norms) with the cosine divided
+    // out in IEEE doubles from exact integers — bit-identical in SQL.
+    // Hash-exact.
+    "q116_centroid_cosines" -> ((s, dir) => {
+      graft.operators.Drift.centroidCosines(
+        t(s, dir, "embeddings"), "label", "embedding")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3008,6 +3018,32 @@ object SparkEntry {
     "q108_data_contracts" -> q108Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
+
+    // q116: dims are fixed (64) so the element walk is a plain cross
+    // join against range(64) — no lateral needed; HUGEINT ⊇ the
+    // operator's DECIMAL(38,0) for dot/norm products.
+    "q116_centroid_cosines" ->
+      """WITH q AS (SELECT e.label AS grp, t.i AS pos,
+        |    CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings e JOIN range(64) t(i) ON true),
+        |cent AS (SELECT grp, pos, CAST(sum(qv) AS BIGINT) AS s
+        |  FROM q GROUP BY 1, 2),
+        |norms AS (SELECT grp, CAST(sum(s::HUGEINT * s) AS BIGINT) AS nrm
+        |  FROM cent GROUP BY 1),
+        |pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |    CAST(sum(a.s::HUGEINT * b.s) AS BIGINT) AS dot
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b,
+        |  CASE WHEN na.nrm > 0 AND nb.nrm > 0
+        |       THEN CAST(dot AS DOUBLE)
+        |            / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))
+        |       END AS cosine
+        |FROM pairs
+        |JOIN norms na ON na.grp = grp_a
+        |JOIN norms nb ON nb.grp = grp_b
+        |ORDER BY grp_a, grp_b""".stripMargin,
 
     "q115_reconcile" ->
       """WITH d AS (SELECT l_orderkey AS o_orderkey,

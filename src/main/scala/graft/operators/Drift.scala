@@ -83,4 +83,61 @@ object Drift {
         max(col("n_distinct")).as("n_distinct_tokens"),
         sum(col("term_micros")).as("kl_micros"))
   }
+
+  /** EMBEDDING-SPACE drift between groups: the pairwise cosine of group
+    * CENTROIDS — "did src7's semantic center move away from the rest?" —
+    * computed entirely from integers so the report is engine-exact.
+    *
+    * Quantize-then-sum (the [[tokenDrift]] discipline applied to
+    * vectors): each element is quantized to `quant` units FIRST with the
+    * explicit `floor(v·quant + 0.5)` rule (same everywhere, including
+    * negatives — unlike `round()`, whose half-way convention this repo
+    * does not trust cross-engine), so the per-(group, dim) centroid
+    * sums are integer and order-free; dot
+    * products and squared norms multiply those integer sums in
+    * DECIMAL(38,0); the reported cosine divides the exact integers in
+    * IEEE doubles (exact conversion while |dot| < 2^53, correctly
+    * rounded mul/sqrt/div) — bit-identical across engines, no float
+    * accumulation anywhere. Count normalization cancels in cosine, so
+    * centroids stay as raw sums.
+    *
+    * Scale shape: one posexplode scan shuffles (group, dim, qv) with
+    * map-side combine down to groups×dims rows; everything after —
+    * norms, the dim-keyed pair join, the cosine — operates on the
+    * groups×dims table, independent of corpus size. The centroid frame
+    * is checkpointed once for its three consumers. */
+  def centroidCosines(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      quant: Long = 1000L
+  ): DataFrame = {
+    require(quant >= 1L, "quant must be >= 1")
+    val q = df
+      .select(col(groupCol).as("grp"),
+        // explicit float->DOUBLE cast BEFORE the arithmetic: the two
+        // engines must not be left to promote FLOAT*INT differently
+        posexplode(expr(
+          s"transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * $quant + 0.5) AS BIGINT))")))
+      .toDF("grp", "pos", "qv")
+    val cent = q.groupBy("grp", "pos").agg(sum(col("qv")).as("s"))
+      .localCheckpoint(true) // consumers: norms + both sides of the pair join
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val norms = cent.groupBy(col("grp"))
+      .agg(sum(big(col("s")) * col("s")).cast("long").as("nrm"))
+    val a = cent.select(col("grp").as("grp_a"), col("pos"), col("s").as("sa"))
+    val b = cent.select(col("grp").as("grp_b"), col("pos"), col("s").as("sb"))
+    a.join(b, Seq("pos"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(sum(big(col("sa")) * col("sb")).cast("long").as("dot"))
+      .join(norms.select(col("grp").as("grp_a"), col("nrm").as("norm_a")), "grp_a")
+      .join(norms.select(col("grp").as("grp_b"), col("nrm").as("norm_b")), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("dot"), col("norm_a"), col("norm_b"),
+        when(col("norm_a") > 0 && col("norm_b") > 0,
+          col("dot").cast("double") /
+            sqrt(col("norm_a").cast("double") * col("norm_b").cast("double")))
+          .as("cosine"))
+      .orderBy("grp_a", "grp_b")
+  }
 }

@@ -53,4 +53,49 @@ class DriftSpec extends AnyFunSuite {
     val r = drift(Seq(("only", "a b a"), ("only", "   ")))
     assert(r("only") == ((3L, 2L, 0L)))
   }
+
+  private def cosines(rows: Seq[(String, Seq[Float])]) = {
+    import spark.implicits._
+    graft.operators.Drift.centroidCosines(
+      rows.toDF("grp", "vec"), "grp", "vec")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+  }
+
+  test("centroid cosines: orthogonal, parallel, and summed centroids") {
+    val got = cosines(Seq(
+      ("g1", Seq(1.0f, 0.0f)),
+      ("g2", Seq(0.0f, 1.0f)),
+      ("g3", Seq(2.0f, 0.0f)),
+      ("g4", Seq(1.0f, 1.0f)), ("g4", Seq(1.0f, -1.0f)))) // centroid (2000, 0)
+    assert(got(("g1", "g2")) == ((0L, 1000000L, 1000000L, 0.0)))
+    // parallel centroids: exact 1.0 (integer dot over exact norms)
+    assert(got(("g1", "g3")) == ((2000000L, 1000000L, 4000000L, 1.0)))
+    assert(got(("g1", "g4"))._4 == 1.0)
+    assert(got(("g3", "g4")) == ((4000000L, 4000000L, 4000000L, 1.0)))
+    assert(got.size == 6) // 4 choose 2, each pair once, grp_a < grp_b
+  }
+
+  test("quantization follows the explicit floor(v*q + 0.5) rule on halves") {
+    // 0.0625 is float-exact and 0.0625*1000 = 62.5 is double-exact, so
+    // the halves genuinely land on the boundary: +62.5 -> floor(63.0)
+    // = 63, but -62.5 -> floor(-62.0) = -62 (floor+0.5 is half-toward-
+    // +inf, NOT half-away-from-zero — the rule both engines replay)
+    val got = cosines(Seq(
+      ("n", Seq(-0.0625f, 1.0f)),
+      ("p", Seq(0.0625f, 1.0f)),
+      ("z", Seq(0.0f, 1.0f))))
+    assert(got(("p", "z"))._2 == 63L * 63L + 1000000L)  // p quantized to 63
+    assert(got(("n", "p"))._2 == 62L * 62L + 1000000L)  // n quantized to -62
+    assert(got(("n", "z"))._2 == 62L * 62L + 1000000L)
+    assert(got(("n", "p"))._1 == -62L * 63L + 1000000L) // signed dot
+  }
+
+  test("centroidCosines guard: quant >= 1") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      graft.operators.Drift.centroidCosines(
+        Seq(("g", Seq(1.0f))).toDF("grp", "vec"), "grp", "vec", quant = 0L))
+  }
 }
