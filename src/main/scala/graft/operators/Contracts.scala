@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * offenders, so a null column never double-fails; `unique` counts excess
   * rows beyond the first per duplicated key (null keys group like values);
   * `foreignKey` counts non-null child keys with no parent.
+  *
+  * Streaming: a report of ONLY row-level [[Check]]s is a single
+  * aggregation and runs unchanged as a complete-mode Structured
+  * Streaming query — live contract monitoring over a stream
+  * (StreamingSpec's twin test). `Unique`/`ForeignKey` need their own
+  * aggregation/join passes and stay batch-side.
   */
 object Contracts {
 

@@ -334,4 +334,51 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("segment") -> r.getSeq[Long](1)).toMap
     assert(streamed == batch && batch.keySet == Set("s0", "s1"))
   }
+
+  test("streaming contract report (row-level checks) equals its batch twin") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Contracts
+    import graft.operators.Contracts._
+
+    val src = Files.createTempDirectory("graft_stream_contracts")
+    val ckp = Files.createTempDirectory("graft_stream_contracts_ckp")
+    // violations split across micro-batches: the single-aggregation
+    // row-check pass must merge counts through the state store
+    Files.write(src.resolve("a.json"), Seq(
+      """{"id":1,"status":"ok","v":5.0}""",
+      """{"id":2,"status":"bad","v":50.0}""",
+      """{"id":3,"v":7.0}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"id":4,"status":"ok","v":-3.0}""",
+      """{"id":5,"status":"ok","v":9.0}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val checks = Seq(
+      notNull("status"),
+      inSet("status", Seq("ok")),
+      inRange("v", "0.0", "10.0"))
+    val schema = spark.read.json(src.toString).schema
+    val q = Contracts.report(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), checks)
+      .writeStream
+      .format("memory").queryName("contracts_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val streamed = canon(spark.table("contracts_stream").collect())
+    val batch = canon(Contracts.report(spark.read.json(src.toString), checks)
+      .collect())
+    assert(streamed == batch)
+    assert(batch("not_null(status)") == ((1L, 5L, false)))
+    assert(batch("in_set(status)") == ((1L, 5L, false)))
+    assert(batch("in_range(v)") == ((2L, 5L, false)))
+  }
 }
