@@ -1764,6 +1764,20 @@ object SparkEntry {
         t(s, dir, "embeddings"), "label", "embedding")
     }),
 
+    // Extension — GOLDEN-RECORD SURVIVORSHIP over template-opening
+    // clusters (md5 of the first five canonical tokens — the boilerplate
+    // family key; this corpus has no EXACT dups, so the q20 fingerprint
+    // would cluster nothing): per cluster with >= 2 members, the modal
+    // non-null (source, lang) with smallest-value tie-break —
+    // deterministic master-data merge. Hash-exact.
+    "q117_golden_record" -> ((s, dir) => {
+      val clustered = t(s, dir, "documents")
+        .withColumn("fp", md5(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 5)).cast("binary")))
+      graft.operators.Survivorship.goldenRecords(
+        clustered, "fp", Seq("source", "lang"), minMembers = 2L)
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3018,6 +3032,29 @@ object SparkEntry {
     "q108_data_contracts" -> q108Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
+
+    "q117_golden_record" ->
+      """WITH f AS (SELECT md5(array_to_string(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '')[1:5], ' ')) AS cluster, source, lang
+        |  FROM documents),
+        |m AS (SELECT cluster, count(*) AS n_members FROM f
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |sw AS (SELECT cluster, source FROM (SELECT cluster, source,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY count(*) DESC, source ASC) AS rn
+        |  FROM f WHERE source IS NOT NULL GROUP BY cluster, source)
+        |  WHERE rn = 1),
+        |lw AS (SELECT cluster, lang FROM (SELECT cluster, lang,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY count(*) DESC, lang ASC) AS rn
+        |  FROM f WHERE lang IS NOT NULL GROUP BY cluster, lang)
+        |  WHERE rn = 1)
+        |SELECT m.cluster, m.n_members, sw.source, lw.lang
+        |FROM m
+        |LEFT JOIN sw ON sw.cluster = m.cluster
+        |LEFT JOIN lw ON lw.cluster = m.cluster
+        |ORDER BY m.cluster""".stripMargin,
 
     // q116: dims are fixed (64) so the element walk is a plain cross
     // join against range(64) — no lateral needed; HUGEINT ⊇ the
