@@ -1778,6 +1778,20 @@ object SparkEntry {
         clustered, "fp", Seq("source", "lang"), minMembers = 2L)
     }),
 
+    // Extension — PREFIX-FILTERED JACCARD JOIN (AllPairs/PPJoin rule):
+    // exact threshold semantics with candidates from the rarest
+    // (1−t)·|s|+1 elements of each set under a global df ordering — the
+    // lossless scale path the q25 frequency cutoff approximates. The
+    // oracle is the EXHAUSTIVE all-pairs join: a single missed pair is
+    // a row mismatch, so the filter's sufficiency is itself under test.
+    // Same slice as q25, so the two algorithms' outputs must coincide.
+    // Hash-exact.
+    "q118_jaccard_prefix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)
+      NearDup.jaccardPairsPrefix(docs, "text", "doc_id", n = 3, thresholdPct = 5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3032,6 +3046,27 @@ object SparkEntry {
     "q108_data_contracts" -> q108Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
+
+    // q118: the oracle deliberately ignores the prefix mechanics and
+    // computes exhaustive all-pairs — prefix filtering is candidate
+    // pruning, not semantics, so the outputs must coincide exactly.
+    "q118_jaccard_prefix" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS t
+        |    FROM documents WHERE doc_id % 3 = 0)
+        |  WHERE len(t) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) AS inter,
+        |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 100 >=
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q117_golden_record" ->
       """WITH f AS (SELECT md5(array_to_string(list_filter(

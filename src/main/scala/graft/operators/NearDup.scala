@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -134,6 +135,65 @@ object NearDup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 100 >= col("uni") * thresholdPct)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  /** PREFIX-FILTERED Jaccard join (the AllPairs/PPJoin candidate rule,
+    * Bayardo et al. WWW'07; Xiao et al. ICDE'08) — EXACT semantics (the
+    * same output as [[jaccardPairs]] with `Exhaustive`), but candidates
+    * come from a provably sufficient slice of each set: order every
+    * set's elements by GLOBAL document frequency (rarest first, element
+    * value as the tie-break — any consistent total order works) and keep
+    * only the first `|s| − ceil(t·|s|) + 1` elements; two sets with
+    * Jaccard ≥ t MUST collide on at least one prefix element, so joining
+    * prefixes loses nothing while flood elements (which sit at the END
+    * of the ordering) rarely enter a prefix. The pairwise length bound
+    * `t·|a| ≤ |b| ≤ |a|/t` prunes inside the join. This replaces
+    * [[jaccardPairs]]' frequency-cutoff heuristic (which silently drops
+    * pairs whose overlap is all-common shingles) with a lossless filter
+    * — the right default when exact threshold semantics matter at scale.
+    *
+    * Scale shape: one df-count aggregate over the exploded sets, a
+    * PER-DOCUMENT rank window (partitioned by id — never global), and a
+    * candidate equi-join on prefix elements whose fan-out is bounded by
+    * prefix sizes (≈ (1−t)·|s| + 1 per set) instead of set sizes;
+    * verification re-attaches the int64 sets for surviving candidates
+    * only, exactly like [[jaccardPairs]]. */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      thresholdPct: Int = 80
+  ): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100, "thresholdPct in [1,100]")
+    val sets = docShingles64(df, textCol, idCol, n)
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint(true)
+    val ds = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    val freq = ds.groupBy("shingle").agg(count(lit(1)).as("df_"))
+    val byDoc = Window.partitionBy("id")
+      .orderBy(col("df_").asc, col("shingle").asc)
+    // prefix_len = sz − ceil(sz·t) + 1, all integer
+    val prefixLen = col("sz") -
+      floor((col("sz") * thresholdPct + lit(99)) / lit(100)).cast("long") + lit(1)
+    val prefixes = ds.join(freq, "shingle")
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= prefixLen)
+    val a = prefixes.select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefixes.select(col("shingle"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cand = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * thresholdPct <= col("sz_b") * 100 &&
+        col("sz_b") * thresholdPct <= col("sz_a") * 100)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
     cand
       .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh").as("sh_b")), "id_b")

@@ -80,6 +80,45 @@ class NearDupSpec extends AnyFunSuite {
     assert(starved.count() == 0)
   }
 
+  test("prefix-filtered jaccard equals the exhaustive join on the shared corpus") {
+    val exh = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3,
+        thresholdPct = 60, maxShingleFreq = NearDup.Exhaustive)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    val pfx = NearDup.jaccardPairsPrefix(corpus, "text", "doc_id", n = 3,
+        thresholdPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    assert(pfx == exh && exh.nonEmpty)
+  }
+
+  test("prefix filter is lossless where the frequency cutoff loses pairs") {
+    // high-jaccard pairs whose overlap is entirely SHARED shingles: a
+    // cutoff of 1 keeps only df=1 shingles, dropping every shared one
+    // from the index — the cutoff path finds nothing. The prefix path's
+    // index keeps ALL shingles (ordering only decides which end up in
+    // prefixes), so every true pair must still surface.
+    val template = "please read the terms and conditions before you continue today"
+    val docs = Seq(
+      (0L, template),
+      (1L, template + " ok"),
+      (2L, "totally unrelated text about catalyst planner internals here"),
+      (3L, "totally unrelated text about catalyst planner internals here"),
+      (4L, "totally unrelated text about catalyst planner internals here"))
+      .toDF("doc_id", "text")
+    val cut = NearDup.jaccardPairs(docs, "text", "doc_id", n = 3,
+        thresholdPct = 60, maxShingleFreq = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut.isEmpty) // the cutoff heuristic lost every pair
+    val pfx = NearDup.jaccardPairsPrefix(docs, "text", "doc_id", n = 3,
+        thresholdPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pfx.contains((0L, 1L)))
+    assert(pfx.contains((2L, 3L)) && pfx.contains((2L, 4L)) && pfx.contains((3L, 4L)))
+    intercept[IllegalArgumentException](
+      NearDup.jaccardPairsPrefix(docs, "text", "doc_id", thresholdPct = 0))
+  }
+
   test("simhash: identical docs distance 0, near dups close, distinct far") {
     val pairs = NearDup.simhashPairs(corpus, "text", "doc_id", maxHamming = 12)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
