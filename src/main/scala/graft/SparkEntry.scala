@@ -1792,6 +1792,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Extension — INTER-ARRIVAL REGULARITY (bot screen): per user, the
+    // squared coefficient of variation of consecutive event gaps as
+    // integer per-myriad — scripted metronome traffic sits near 0,
+    // organic bursty traffic near or above 10⁴. One user-key exchange
+    // drives the gap window and the aggregate. Hash-exact.
+    "q119_regularity" -> ((s, dir) => {
+      graft.operators.Anomaly.interArrivalRegularity(
+        events(s, dir), "user_id", "ts", "event_id",
+        minGaps = 10L, thresholdPm = 1000L)
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3046,6 +3057,27 @@ object SparkEntry {
     "q108_data_contracts" -> q108Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
+
+    "q119_regularity" ->
+      """WITH g AS (SELECT user_id AS entity,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts) ASC, event_id ASC) AS gap
+        |  FROM events),
+        |a AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS s1,
+        |    sum(gap::HUGEINT * gap) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 10)
+        |SELECT entity, n_gaps, s1 // n_gaps AS mean_gap_ms,
+        |  CASE WHEN s1 > 0 THEN CAST(
+        |      ((n_gaps::HUGEINT * s2 - s1::HUGEINT * s1) * 10000)
+        |      // (s1::HUGEINT * s1) AS BIGINT)
+        |    ELSE 0 END AS cv2_pm,
+        |  CASE WHEN s1 > 0 THEN CAST(
+        |      ((n_gaps::HUGEINT * s2 - s1::HUGEINT * s1) * 10000)
+        |      // (s1::HUGEINT * s1) AS BIGINT)
+        |    ELSE 0 END <= 1000 AS regular
+        |FROM a ORDER BY entity""".stripMargin,
 
     // q118: the oracle deliberately ignores the prefix mechanics and
     // computes exhaustive all-pairs — prefix filtering is candidate

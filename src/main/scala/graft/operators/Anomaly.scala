@@ -97,4 +97,57 @@ object Anomaly {
         n >= minHistory &&
           (x * n - s) * (x * n - s) > lit(sigmas.toLong * sigmas) * (n * q - s * s))
   }
+
+  /** INTER-ARRIVAL REGULARITY — the bot/metronome screen: per entity,
+    * the squared coefficient of variation of consecutive event gaps,
+    * integer-exact. Organic human traffic has bursty gaps (cv² near 1
+    * for Poisson-like arrivals, higher for sessions); scripted traffic
+    * fires on a timer (cv² near 0). With per-entity gap sums S = Σg,
+    * Q = Σg², n gaps:
+    *   cv² = var/mean² = (n·Q − S²)/S²,  reported as integer per-myriad
+    *   cv2_pm = (n·Q − S²)·10⁴ DIV S²
+    * and the flag `regular = cv2_pm <= thresholdPm` (all-zero gaps — a
+    * zero-delay replay — report cv2_pm = 0, maximally regular). Products
+    * run in DECIMAL(38,0): S ≤ n·maxGap keeps S²·10⁴ within 38 digits
+    * through ~10¹⁶ total milliseconds per entity — any realistic log.
+    *
+    * Scale shape: one user-key shuffle drives both the gap window and
+    * the per-entity aggregate (same partitioning, one exchange); output
+    * is entity-sized. Entities with fewer than `minGaps` gaps are
+    * excluded (no evidence, no verdict — the q91 minHistory posture). */
+  def interArrivalRegularity(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      minGaps: Long = 10L,
+      thresholdPm: Long = 1000L
+  ): DataFrame = {
+    require(minGaps >= 2L, "minGaps must be >= 2 (variance needs 2 gaps)")
+    require(thresholdPm >= 0L, "thresholdPm must be >= 0")
+    val byEntity = Window.partitionBy("entity")
+      .orderBy(col("ms").asc, col("eid").asc)
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val gaps = df
+      .select(col(entityCol).as("entity"), unix_millis(col(tsCol)).as("ms"),
+        col(idCol).as("eid"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(byEntity))
+      .filter(col("gap").isNotNull)
+    gaps
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("s1"),
+        sum(big(col("gap")) * col("gap")).cast("decimal(38,0)").as("s2"))
+      .filter(col("n_gaps") >= minGaps)
+      .select(col("entity"), col("n_gaps"),
+        expr("s1 DIV n_gaps").as("mean_gap_ms"),
+        when(col("s1") > 0,
+          // integral DIV (not decimal `/`, which rounds at result scale)
+          expr("""(CAST(n_gaps AS DECIMAL(38,0)) * s2
+                   - CAST(s1 AS DECIMAL(38,0)) * s1) * 10000
+                  DIV (CAST(s1 AS DECIMAL(38,0)) * s1)""").cast("long"))
+          .otherwise(0L).as("cv2_pm"))
+      .withColumn("regular", col("cv2_pm") <= thresholdPm)
+      .orderBy("entity")
+  }
 }

@@ -79,4 +79,40 @@ class AnomalySpec extends AnyFunSuite {
       assert(r.getBoolean(6) == expect, s"bucket ${r.getLong(1)}")
     }
   }
+
+  private def regularity(rows: Seq[(Long, Long)], minGaps: Long = 2L,
+      thresholdPm: Long = 1000L) =
+    Anomaly.interArrivalRegularity(
+      rows.zipWithIndex.map { case ((u, ms), i) => (u, ms, i.toLong) }
+        .toDF("u", "ms", "eid")
+        .select($"u", timestamp_millis($"ms").as("ts"), $"eid"),
+      "u", "ts", "eid", minGaps, thresholdPm)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+  test("regularity: metronome flags, bursty organic does not, hand-check cv2") {
+    val bot = (0L until 11L).map(ms => (1L, ms * 1000L))      // exact 1s gaps
+    val organic = Seq(0L, 500L, 4500L, 5000L, 20000L, 21000L, 22500L,
+      40000L, 41000L, 47000L, 60000L).map((2L, _))            // bursty
+    val got = regularity(bot ++ organic, minGaps = 10L)
+    assert(got(1L) == ((10L, 1000L, 0L, true)))               // cv2 exactly 0
+    assert(got(2L)._3 > 1000L && !got(2L)._4)
+  }
+
+  test("regularity: hand-computed cv2_pm on two gaps") {
+    // gaps 1000, 3000: n=2, s1=4000, s2=1e7 ->
+    // (2e7-1.6e7)*1e4 DIV 1.6e7 = 2500
+    val got = regularity(Seq((7L, 0L), (7L, 1000L), (7L, 4000L)))
+    assert(got(7L) == ((2L, 2000L, 2500L, false)))
+  }
+
+  test("regularity: zero-delay replay reports cv2 0; minGaps excludes thin users") {
+    val got = regularity(Seq((1L, 5L), (1L, 5L), (1L, 5L), (2L, 0L), (2L, 9L)),
+      minGaps = 2L)
+    assert(got(1L) == ((2L, 0L, 0L, true))) // all-zero gaps: maximally regular
+    assert(!got.contains(2L)) // 1 gap < minGaps: no evidence, no verdict
+    intercept[IllegalArgumentException](
+      regularity(Seq((1L, 0L), (1L, 1L)), minGaps = 1L))
+  }
 }
