@@ -1803,6 +1803,20 @@ object SparkEntry {
         minGaps = 10L, thresholdPm = 1000L)
     }),
 
+    // Extension — PERSONALIZED PAGERANK seeded at 'signup': the q107
+    // integer loop with teleport + dangling mass concentrated on the
+    // seed — "centrality as seen from signup", the downstream-flow
+    // readout. Same order-free integer arithmetic, same unrolled
+    // oracle with a seed-conditional base. Hash-exact.
+    "q120_ppr_signup" -> ((s, dir) => {
+      val edges = graft.operators.Paths.transitions(events(s, dir),
+          "user_id", "ts", "event_type", "event_id")
+        .select(col("from_type"), col("to_type"), col("n"))
+      graft.operators.Graph.pageRank(edges, "from_type", "to_type", "n",
+          iterations = 10, seeds = Seq("signup"))
+        .orderBy("node")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2671,6 +2685,62 @@ object SparkEntry {
       |CROSS JOIN tot
       |ORDER BY antecedent, consequent""".stripMargin
 
+  /** q120: q107's unrolled skeleton with the seed-conditional base —
+    * teleport + dangling mass lands only on 'signup', replicating the
+    * operator's integer divisions term by term (k = 1 seed). */
+  private def q120Oracle: String = {
+    val iters = 10
+    val step = (i: Int) =>
+      s"""dang$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0) AS d FROM p$i
+         |  WHERE node NOT IN (SELECT src FROM ot)),
+         |p${i + 1} AS MATERIALIZED (SELECT nn.node, CAST(
+         |    CASE WHEN nn.node = 'signup'
+         |      THEN (15 * 1000000 * (SELECT c FROM ncnt)) // 100
+         |           + (85 * (SELECT d FROM dang$i)) // 100
+         |      ELSE 0 END
+         |    + coalesce(cb.in_sum, 0) AS BIGINT) AS pr
+         |  FROM nodes nn
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      sum(pp.pr * 85 * e.w // (100 * ot2.out_total)) AS in_sum
+         |    FROM edges e JOIN p$i pp ON e.src = pp.node
+         |    JOIN ot ot2 ON ot2.src = e.src
+         |    GROUP BY e.dst) cb ON cb.node = nn.node)""".stripMargin
+    s"""WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+       |    event_id AS eid,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+       |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ms ASC, eid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS session_id
+       |  FROM s),
+       |tp AS (SELECT etype AS from_type,
+       |    lead(etype) OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ms ASC, eid ASC) AS to_type
+       |  FROM sess),
+       |edges AS MATERIALIZED (SELECT from_type AS src, to_type AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM tp WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |ncnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+       |ot AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS out_total
+       |  FROM edges GROUP BY 1),
+       |p0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |${(0 until iters).map(step).mkString(",\n")}
+       |SELECT nn.node, p$iters.pr AS pr_micros,
+       |  coalesce(od.out_degree, 0) AS out_degree,
+       |  coalesce(idg.in_degree, 0) AS in_degree
+       |FROM nodes nn
+       |JOIN p$iters ON p$iters.node = nn.node
+       |LEFT JOIN (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_degree
+       |  FROM edges GROUP BY 1) od ON od.node = nn.node
+       |LEFT JOIN (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree
+       |  FROM edges GROUP BY 1) idg ON idg.node = nn.node
+       |ORDER BY nn.node""".stripMargin
+  }
+
   /** q85: the Morton interleave, rank-bucket file assignment and min/max
     * pruning rule replayed in DuckDB ([[graft.operators.ZOrder.zValueSql]]
     * emits the identical shift-or-mask chain; `//` on non-negatives
@@ -3055,6 +3125,7 @@ object SparkEntry {
     "q101_sketch_audit" -> q101Oracle,
     "q107_pagerank" -> q107Oracle,
     "q108_data_contracts" -> q108Oracle,
+    "q120_ppr_signup" -> q120Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** GRAPH CENTRALITY over a weighted edge table — INTEGER-EXACT
@@ -30,6 +30,15 @@ object Graph {
     * synchronous rounds from a uniform 1.0 (= 1e6 micro) start.
     * `edges` columns: (src, dst, weight) — any equatable node type,
     * positive long weights; parallel edges are allowed (weights add).
+    *
+    * `seeds` empty = classic PageRank (teleport mass spreads uniformly).
+    * Non-empty = PERSONALIZED PageRank: the same teleport + dangling
+    * mass concentrates uniformly on the seed nodes — "centrality as
+    * seen from these nodes" (downstream-of-signup analysis, related-
+    * item scoring). The seed share `((100−d)·10⁶·n + d·dangling) DIV
+    * (100·|seeds|)`-style divisions are integer; with all nodes as
+    * seeds the arithmetic reduces to the uniform case exactly.
+    *
     * Exactness envelope: `pr · dampingPct · w` must stay below 2^63
     * (holds whenever max pr ≈ 1e6·hubshare and weights are bounded;
     * ANSI mode throws loudly, never wraps, if a graph exceeds it —
@@ -40,7 +49,8 @@ object Graph {
       dstCol: String,
       weightCol: String,
       iterations: Int = 10,
-      dampingPct: Int = 85
+      dampingPct: Int = 85,
+      seeds: Seq[Any] = Nil
   ): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations in [1,100]")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct in (1,99)")
@@ -54,6 +64,12 @@ object Graph {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    if (seeds.nonEmpty) {
+      val present = nodes.filter(col("node").isin(seeds: _*)).count()
+      require(present == seeds.distinct.size,
+        s"every seed must be a graph node (${seeds.distinct.size} seeds, $present found)")
+    }
+    val k = seeds.distinct.size.toLong
     val outTotals = e.groupBy("src").agg(sum(col("w")).as("out_total"))
       .localCheckpoint(true)
 
@@ -64,8 +80,15 @@ object Graph {
       // dangling mass: a single scalar aggregate per round
       val dangling = withOut.filter(col("out_total").isNull)
         .agg(coalesce(sum(col("pr_micros")), lit(0L))).head().getLong(0)
-      val base = (100L - dampingPct) * 1000000L / 100L +
-        dampingPct * dangling / (100L * n)
+      val base: Column =
+        if (seeds.isEmpty)
+          lit((100L - dampingPct) * 1000000L / 100L +
+            dampingPct * dangling / (100L * n))
+        else
+          when(col("node").isin(seeds: _*),
+            lit((100L - dampingPct) * 1000000L * n / (100L * k) +
+              dampingPct * dangling / (100L * k)))
+            .otherwise(lit(0L))
       val contribs = e
         .join(pr, e("src") === pr("node"))
         .join(outTotals, "src")
@@ -74,7 +97,7 @@ object Graph {
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
       pr = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("in_sum"), lit(0L))).as("pr_micros"))
+          (base + coalesce(col("in_sum"), lit(0L))).as("pr_micros"))
         .localCheckpoint(true)
       i += 1
     }

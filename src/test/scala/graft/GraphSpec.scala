@@ -63,6 +63,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got("b")._2 == 0L && got("b")._3 == 2L)
   }
 
+  test("personalized: all-nodes seed set reduces exactly to uniform PageRank") {
+    val edges = Seq(("s1", "h", 1L), ("s2", "h", 1L), ("s3", "h", 1L),
+      ("h", "s1", 1L))
+    val uniform = pr(edges, 5)
+    val allSeeds = Graph.pageRank(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 5,
+        seeds = Seq("h", "s1", "s2", "s3"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(allSeeds == uniform)
+  }
+
+  test("personalized: teleport + dangling mass lands only on the seed") {
+    // a -> b, seed a. iter1: dangling = pr_b = 1e6;
+    // base_a = 15e6*2/(100*1) + 85e6/100 = 300000 + 850000 = 1150000;
+    // a->b carries 850000; b gets NO base.
+    val got = Graph.pageRank(Seq(("a", "b", 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 1, seeds = Seq("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1150000L, "b" -> 850000L))
+    assert(got.values.sum == 2000000L) // conservation holds here too
+  }
+
+  test("personalized: a seed absent from the graph raises") {
+    intercept[IllegalArgumentException](
+      Graph.pageRank(Seq(("a", "b", 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds = Seq("zz")))
+  }
+
   test("guards: iteration range, damping range, empty graph, w<=0 dropped") {
     val e = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException](
