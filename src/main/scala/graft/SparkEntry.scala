@@ -1817,6 +1817,39 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Extension — CO-VISITATION RECOMMENDER readout: the q110 rule
+    // table cut to each antecedent's top-3 consequents by (lift desc,
+    // confidence desc, name) — "users who did X in a session also did
+    // Y". Pure composition: Assoc.rules + a per-antecedent window over
+    // the vocabulary-sized rule table. Hash-exact.
+    "q121_covisit_recs" -> ((s, dir) => {
+      val sess = graft.operators.Paths.sessionized(
+        events(s, dir), "user_id", "ts", "event_type", "event_id")
+      val rules = graft.operators.Assoc.rules(
+        sess, Seq("user_id", "session_id"), "etype")
+      rules
+        .withColumn("rec_rank", row_number().over(
+          Window.partitionBy("antecedent").orderBy(
+            col("lift_pm").desc, col("confidence_pm").desc,
+            col("consequent").asc)))
+        .filter(col("rec_rank") <= 3)
+        .select("antecedent", "consequent", "lift_pm", "confidence_pm",
+          "rec_rank")
+        .orderBy("antecedent", "rec_rank")
+    }),
+
+    // Extension — JOIN-SIZE ESTIMATE for a join that never runs: CM
+    // inner-product upper bound (min over depth rows — never
+    // undershoots) + unbiased AMS signed inner product, off two
+    // portable sketches of lineitem.l_partkey and part.p_partkey;
+    // exact audit column alongside. Hash-exact.
+    "q122_joinsize_estimate" -> ((s, dir) => {
+      graft.operators.CountMin.joinSize(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part"), "p_partkey",
+        depth = CmDepth, width = CmWidth)
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -2344,6 +2377,84 @@ object SparkEntry {
        |    CAST(sum(f) AS BIGINT) AS n_rows
        |  FROM (SELECT key, count(*) AS f FROM k GROUP BY 1))
        |SELECT ex.n_rows, ex.n_keys, est.f2_upper, est.f2_ams, ex.f2_exact
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
+  /** q121: q110's basket CTEs, rule metrics inline, then the
+    * per-antecedent rank window. */
+  private def q121Oracle: String =
+    """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+      |    event_id AS eid,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+      |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ms ASC, eid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS session_id
+      |  FROM s),
+      |items AS (SELECT DISTINCT user_id, session_id, etype AS item FROM sess),
+      |kept AS (SELECT user_id, session_id FROM items
+      |  GROUP BY 1, 2 HAVING count(*) <= 1000),
+      |ki AS (SELECT i.* FROM items i JOIN kept k
+      |  ON k.user_id = i.user_id AND k.session_id = i.session_id),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_txn FROM kept),
+      |marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM ki GROUP BY 1),
+      |pairs AS (SELECT a.item AS antecedent, b.item AS consequent,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM ki a JOIN ki b ON a.user_id = b.user_id
+      |    AND a.session_id = b.session_id AND a.item <> b.item
+      |  GROUP BY 1, 2),
+      |rules AS (SELECT antecedent, consequent,
+      |    n_ab * 10000 // ma.n_i AS confidence_pm,
+      |    CAST((n_ab::HUGEINT * n_txn * 10000)
+      |      // (ma.n_i::HUGEINT * mb.n_i) AS BIGINT) AS lift_pm
+      |  FROM pairs
+      |  JOIN marg ma ON ma.item = antecedent
+      |  JOIN marg mb ON mb.item = consequent
+      |  CROSS JOIN tot),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY antecedent
+      |    ORDER BY lift_pm DESC, confidence_pm DESC, consequent ASC)
+      |    AS rec_rank FROM rules)
+      |SELECT antecedent, consequent, lift_pm, confidence_pm, rec_rank
+      |FROM rk WHERE rec_rank <= 3
+      |ORDER BY antecedent, rec_rank""".stripMargin
+
+  /** q122: both sketches replayed with the shared portable hash; the
+    * per-j inner products are densified over range(depth) so an empty
+    * overlap row still enters the min/median as 0. */
+  private def q122Oracle: String = {
+    val (d, w) = (CmDepth, CmWidth)
+    val medianIdx = (d + 1) / 2
+    def side(tbl: String, key: String): String =
+      s"""SELECT j,
+         |    (((${duckMd5Long(s"(j::VARCHAR || '|' || $key::VARCHAR)")}) % $w) + $w) % $w AS bucket,
+         |    (((${duckMd5Long(s"(j::VARCHAR || '|' || $key::VARCHAR)")}) >> 50) & 1) * 2 - 1 AS s
+         |  FROM (SELECT $key FROM $tbl WHERE $key IS NOT NULL), js""".stripMargin
+    s"""WITH js AS (SELECT unnest(range(0, $d)) AS j),
+       |ska AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(s) AS BIGINT) AS cs FROM (${side("lineitem", "l_partkey")})
+       |  GROUP BY 1, 2),
+       |skb AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(s) AS BIGINT) AS cs FROM (${side("part", "p_partkey")})
+       |  GROUP BY 1, 2),
+       |perj AS (SELECT a.j, sum(a.c * b.c) AS row_ip,
+       |    sum(a.cs * b.cs) AS row_ams
+       |  FROM ska a JOIN skb b ON a.j = b.j AND a.bucket = b.bucket
+       |  GROUP BY 1),
+       |dense AS (SELECT js.j, coalesce(perj.row_ip, 0) AS row_ip,
+       |    coalesce(perj.row_ams, 0) AS row_ams
+       |  FROM js LEFT JOIN perj ON perj.j = js.j),
+       |est AS (SELECT CAST(min(row_ip) AS BIGINT) AS join_upper,
+       |    CAST(list_sort(list(row_ams))[$medianIdx] AS BIGINT) AS join_ams
+       |  FROM dense),
+       |ex AS (SELECT CAST(coalesce(sum(fa.f * fb.f), 0) AS BIGINT) AS join_exact
+       |  FROM (SELECT l_partkey::VARCHAR AS key, count(*) AS f FROM lineitem
+       |      WHERE l_partkey IS NOT NULL GROUP BY 1) fa
+       |  JOIN (SELECT p_partkey::VARCHAR AS key, count(*) AS f FROM part
+       |      WHERE p_partkey IS NOT NULL GROUP BY 1) fb ON fa.key = fb.key)
+       |SELECT est.join_upper, est.join_ams, ex.join_exact
        |FROM est CROSS JOIN ex""".stripMargin
   }
 
@@ -3128,6 +3239,8 @@ object SparkEntry {
     "q120_ppr_signup" -> q120Oracle,
     "q109_ab_experiment" -> q109Oracle,
     "q110_assoc_rules" -> q110Oracle,
+    "q121_covisit_recs" -> q121Oracle,
+    "q122_joinsize_estimate" -> q122Oracle,
 
     "q119_regularity" ->
       """WITH g AS (SELECT user_id AS entity,

@@ -174,4 +174,68 @@ object CountMin {
       .select(col("n_rows"), col("n_keys"), col("f2_upper"), col("f2_ams"),
         col("f2_exact"))
   }
+
+  /** TWO-TABLE JOIN-SIZE ESTIMATE without running the join:
+    * |A ⋈ B| = Σ_k fA(k)·fB(k), read off two count-min/AMS sketches —
+    * the planner's blow-up guard for a join it hasn't executed.
+    *
+    *  - `join_upper` = min_j Σ_b cA(j,b)·cB(j,b): the CM inner-product
+    *    bound — NEVER undershoots (hash collisions only add), so a
+    *    planner trusting it is safe from surprise explosions.
+    *  - `join_ams` = lower-median_j Σ_b csA(j,b)·csB(j,b): the unbiased
+    *    AMS signed inner product, the better point estimate.
+    *  - `join_exact` audit column: the true Σ fA·fB via key aggregation
+    *    (one groupBy per side + a key join of the two FREQUENCY tables,
+    *    never the row tables) — the at-scale deployment drops it and
+    *    reads the figure off the sketches alone.
+    *
+    * Both sides use the SAME portable salted hash, so sketches built by
+    * different jobs (or engines) compose. Exactness envelope: counter
+    * products summed per row need Σ cA·cB < 2^63 — shard past ~3·10⁹
+    * rows per side, as [[selfJoinSize]]. */
+  def joinSize(
+      dfA: DataFrame,
+      keyColA: String,
+      dfB: DataFrame,
+      keyColB: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    def counters(df: DataFrame, keyCol: String): DataFrame = df
+      .filter(col(keyCol).isNotNull)
+      .select(bucketed(col(keyCol).cast("string"), depth, width).as(Seq("j", "h")))
+      .select(col("j"), pmod(col("h"), lit(width.toLong)).as("bucket"),
+        (shiftrightunsigned(col("h"), 50).bitwiseAND(lit(1L)) * 2L - 1L).as("s"))
+      .groupBy("j", "bucket")
+      .agg(count(lit(1)).as("c"), sum(col("s")).as("cs"))
+    val a = counters(dfA, keyColA)
+      .select(col("j"), col("bucket"), col("c").as("ca"), col("cs").as("csa"))
+    val b = counters(dfB, keyColB)
+      .select(col("j"), col("bucket"), col("c").as("cb"), col("cs").as("csb"))
+    val medianIdx = (depth + 1) / 2
+    // densify over all j rows: a depth-row with NO shared buckets is a
+    // zero estimate and must enter the min/median (an inner-join-only
+    // aggregate would silently drop it and overestimate on
+    // low-overlap key sets)
+    val js = dfA.sparkSession.range(depth).select(col("id").cast("int").as("j"))
+    val perJ = a.join(b, Seq("j", "bucket"))
+      .groupBy("j")
+      .agg(sum(col("ca") * col("cb")).as("row_ip"),
+        sum(col("csa") * col("csb")).as("row_ams"))
+    val est = js.join(perJ, Seq("j"), "left")
+      .select(coalesce(col("row_ip"), lit(0L)).as("row_ip"),
+        coalesce(col("row_ams"), lit(0L)).as("row_ams"))
+      .agg(min(col("row_ip")).as("join_upper"),
+        element_at(array_sort(collect_list(col("row_ams"))), medianIdx)
+          .as("join_ams"))
+    val fa = dfA.filter(col(keyColA).isNotNull)
+      .groupBy(col(keyColA).cast("string").as("key")).agg(count(lit(1)).as("fa"))
+    val fb = dfB.filter(col(keyColB).isNotNull)
+      .groupBy(col(keyColB).cast("string").as("key")).agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, "key")
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("join_exact"))
+    est.crossJoin(exact)
+      .select(col("join_upper"), col("join_ams"), col("join_exact"))
+  }
 }

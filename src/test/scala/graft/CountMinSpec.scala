@@ -86,4 +86,27 @@ class CountMinSpec extends AnyFunSuite {
     val b = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(a == b)
   }
+
+  test("joinSize: exact inner product, CM never undershoots, AMS exact when wide") {
+    import spark.implicits._
+    val a = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None).toDF("k")
+    val b = Seq(Some(1L), Some(2L), Some(2L), Some(4L), None).toDF("k")
+    // true join size = fA(1)*fB(1) + fA(2)*fB(2) = 2*1 + 1*2 = 4
+    val r = CountMin.joinSize(a, "k", b, "k", depth = 4, width = 1024).collect()(0)
+    val (upper, ams, exact) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(exact == 4L)
+    assert(upper >= exact) // the CM bound's contract
+    // 1024 buckets for 4 keys: no collisions, both estimators are exact
+    assert(upper == 4L && ams == 4L)
+  }
+
+  test("joinSize: disjoint key sets estimate zero (densified depth rows)") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(7L, 8L, 9L).toDF("k")
+    val r = CountMin.joinSize(a, "k", b, "k", depth = 4, width = 1024).collect()(0)
+    // with 1024 buckets the sides share no buckets: every per-j row is
+    // absent from the overlap join and must still enter min/median as 0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 0L, 0L)))
+  }
 }
