@@ -1850,6 +1850,15 @@ object SparkEntry {
         depth = CmDepth, width = CmWidth)
     }),
 
+    // Extension — DWELL TIME per event type: the within-session gap to
+    // the next event, attributed to the event the user was on; session
+    // tails and cross-session gaps contribute nothing. Same user-key
+    // exchange as the path queries; integer ms. Hash-exact.
+    "q123_dwell_times" -> ((s, dir) => {
+      graft.operators.Paths.dwellTimes(events(s, dir),
+        "user_id", "ts", "event_type", "event_id")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3241,6 +3250,29 @@ object SparkEntry {
     "q110_assoc_rules" -> q110Oracle,
     "q121_covisit_recs" -> q121Oracle,
     "q122_joinsize_estimate" -> q122Oracle,
+
+    "q123_dwell_times" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+        |    event_id AS eid,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+        |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ms ASC, eid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_id
+        |  FROM s),
+        |d AS (SELECT etype,
+        |    lead(ms) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ms ASC, eid ASC) - ms AS dwell
+        |  FROM sess)
+        |SELECT etype, CAST(count(*) AS BIGINT) AS n_dwells,
+        |  CAST(sum(dwell) AS BIGINT) AS total_ms,
+        |  CAST(sum(dwell) AS BIGINT) // count(*) AS mean_ms,
+        |  CAST(max(dwell) AS BIGINT) AS max_ms
+        |FROM d WHERE dwell IS NOT NULL
+        |GROUP BY etype ORDER BY etype""".stripMargin,
 
     "q119_regularity" ->
       """WITH g AS (SELECT user_id AS entity,

@@ -67,6 +67,37 @@ object Paths {
       .select("from_type", "to_type", "n", "p_pmyriad")
   }
 
+  /** `(etype, n_dwells, total_ms, mean_ms, max_ms)` — DWELL TIME per
+    * event type: the gap to the NEXT event within the same session,
+    * attributed to the event the user was "on" (the product-analytics
+    * "time on step"). A session's last event has no next and contributes
+    * no dwell; cross-session gaps never count (the user left). All
+    * integer milliseconds, mean via integer DIV.
+    *
+    * Scale shape: the same single user-key exchange as [[transitions]]
+    * drives the session window and the lead; the aggregate output is
+    * event-type-sized. */
+  def dwellTimes(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      gapMs: Long = 30L * 60000L
+  ): DataFrame = {
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ms").asc, col("eid").asc)
+    sessionized(events, userCol, tsCol, typeCol, idCol, gapMs)
+      .withColumn("dwell", lead(col("ms"), 1).over(bySession) - col("ms"))
+      .filter(col("dwell").isNotNull)
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_dwells"),
+        sum(col("dwell")).as("total_ms"),
+        expr("sum(dwell) DIV count(1)").as("mean_ms"),
+        max(col("dwell")).as("max_ms"))
+      .orderBy("etype")
+  }
+
   /** `(path, n, path_rank)` — the `steps`-long within-session event-type
     * n-grams, top `topK` by count (ties broken by path string). */
   def topPaths(

@@ -22,7 +22,9 @@ object Profile {
     * visible at the edge rather than silently dropped); NULLs are
     * excluded (their count belongs to [[summary]]). Empty bins are
     * absent — the output is group×occupied-bins sized. One aggregation
-    * pass; the bin projection is codegen arithmetic. */
+    * pass; the bin projection is codegen arithmetic. Being a single
+    * aggregation, it runs unchanged as a complete-mode streaming query
+    * (StreamingSpec twin) — a live distribution monitor. */
   def equiWidthHistogram(
       df: DataFrame,
       groupCols: Seq[String],

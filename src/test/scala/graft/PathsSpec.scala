@@ -34,6 +34,20 @@ class PathsSpec extends AnyFunSuite {
       ("c", "a") -> ((1L, 10000L))))
   }
 
+  test("dwellTimes: gap attributed to the preceding type, session tails excluded") {
+    val got = Paths.dwellTimes(ev(rows), "user", "ts", "etype", "eid")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // user1 session1 [a b a b]: a dwells 1000 (x2), b dwells 1000 (x1,
+    // the final b is a tail); session2 [c a]: c dwells 1000, a is tail.
+    // user2 [b c]: b dwells 1000, c is tail. The 1-hour gap between
+    // user1's sessions must NOT appear as a 3,996,000 ms b-dwell.
+    assert(got == Map(
+      "a" -> ((2L, 2000L, 1000L, 1000L)),
+      "b" -> ((2L, 2000L, 1000L, 1000L)),
+      "c" -> ((1L, 1000L, 1000L, 1000L))))
+  }
+
   test("topPaths: n-grams never cross sessions, ranked deterministically") {
     val got = Paths.topPaths(ev(rows), "user", "ts", "etype", "eid",
         steps = 3, topK = 10)

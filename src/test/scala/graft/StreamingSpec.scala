@@ -381,4 +381,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch("in_set(status)") == ((1L, 5L, false)))
     assert(batch("in_range(v)") == ((2L, 5L, false)))
   }
+
+  test("streaming equi-width histogram equals its batch twin") {
+    val src = Files.createTempDirectory("graft_stream_hist")
+    val ckp = Files.createTempDirectory("graft_stream_hist_ckp")
+    Files.write(src.resolve("a.json"), Seq(
+      """{"g":"x","v":-5.0}""", """{"g":"x","v":3.0}""",
+      """{"g":"x","v":15.0}""", """{"g":"y","v":25.0}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"g":"x","v":3.5}""", """{"g":"y","v":999.0}""", """{"g":"y"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.operators.Profile.equiWidthHistogram(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), Seq("g"), "v", 0.0, 30.0, 3)
+      .writeStream
+      .format("memory").queryName("hist_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val streamed = canon(spark.table("hist_stream").collect())
+    val batch = canon(graft.operators.Profile.equiWidthHistogram(
+      spark.read.json(src.toString), Seq("g"), "v", 0.0, 30.0, 3).collect())
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
