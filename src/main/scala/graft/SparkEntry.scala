@@ -1859,6 +1859,24 @@ object SparkEntry {
         "user_id", "ts", "event_type", "event_id")
     }),
 
+    // Extension — RIGHT-TO-BE-FORGOTTEN propagation: purge every row
+    // keyed to a deletion list (customers with c_custkey % 97 == 0)
+    // across customer/orders/events, and emit the self-checking audit
+    // ledger (n_before = n_purged + n_after). Anti/semi joins against
+    // the broadcast-sized distinct deletion keys. Hash-exact.
+    "q124_forget_keys" -> ((s, dir) => {
+      val deletions = t(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"))
+      val (_, ledger) = graft.operators.Privacy.forgetKeys(
+        Seq(
+          ("customer", t(s, dir, "customer"), "c_custkey"),
+          ("events", events(s, dir), "user_id"),
+          ("orders", t(s, dir, "orders"), "o_custkey")),
+        deletions, "c_custkey")
+      ledger
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3250,6 +3268,30 @@ object SparkEntry {
     "q110_assoc_rules" -> q110Oracle,
     "q121_covisit_recs" -> q121Oracle,
     "q122_joinsize_estimate" -> q122Oracle,
+
+    "q124_forget_keys" ->
+      """WITH del AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_custkey % 97 = 0 AND c_custkey IS NOT NULL)
+        |SELECT 'customer' AS tbl,
+        |  (SELECT count(*) FROM customer) AS n_before,
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT k FROM del))
+        |    AS n_purged,
+        |  (SELECT count(*) FROM customer)
+        |  - (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT k FROM del))
+        |    AS n_after
+        |UNION ALL
+        |SELECT 'events',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM events WHERE user_id IN (SELECT k FROM del)),
+        |  (SELECT count(*) FROM events)
+        |  - (SELECT count(*) FROM events WHERE user_id IN (SELECT k FROM del))
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM del)),
+        |  (SELECT count(*) FROM orders)
+        |  - (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM del))
+        |ORDER BY tbl""".stripMargin,
 
     "q123_dwell_times" ->
       """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,

@@ -48,4 +48,39 @@ object Privacy {
       .filter(col("class_size") < k)
       .orderBy(col("class_size").asc +: quasiCols.map(col(_).asc): _*)
   }
+
+  /** RIGHT-TO-BE-FORGOTTEN propagation: purge every row keyed to a
+    * deletion list across a set of tables, returning both the purged
+    * frames and the AUDIT LEDGER `(tbl, n_before, n_purged, n_after)` a
+    * deletion request needs for its compliance record (n_before =
+    * n_purged + n_after by construction — the ledger self-checks).
+    *
+    * Scale shape: per table, ONE left-anti join against the DISTINCT
+    * deletion keys (dimension-sized → broadcast under AQE) for the
+    * purged frame, plus a semi-join count for the ledger; the deletion
+    * list is read once and checkpointed. Rows never shuffle on anything
+    * but the key; the ledger is tables-sized. */
+  def forgetKeys(
+      tables: Seq[(String, DataFrame, String)],
+      deletions: DataFrame,
+      deletionKeyCol: String
+  ): (Seq[(String, DataFrame)], DataFrame) = {
+    require(tables.nonEmpty, "need at least one table")
+    require(tables.map(_._1).distinct.size == tables.size, "duplicate table names")
+    val keys = deletions.select(col(deletionKeyCol).as("_k"))
+      .filter(col("_k").isNotNull).distinct()
+      .localCheckpoint(true)
+    val purged = tables.map { case (name, df, keyCol) =>
+      name -> df.join(keys, df(keyCol) === keys("_k"), "left_anti")
+    }
+    val ledger = tables.map { case (name, df, keyCol) =>
+      val hit = df.join(keys, df(keyCol) === keys("_k"), "left_semi")
+        .agg(count(lit(1)).as("n_purged"))
+      val total = df.agg(count(lit(1)).as("n_before"))
+      total.crossJoin(hit)
+        .select(lit(name).as("tbl"), col("n_before"), col("n_purged"),
+          (col("n_before") - col("n_purged")).as("n_after"))
+    }.reduce(_ unionByName _).orderBy("tbl")
+    (purged, ledger)
+  }
 }

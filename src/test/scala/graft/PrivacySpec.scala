@@ -44,6 +44,29 @@ class PrivacySpec extends AnyFunSuite {
       ((0L, 0L, 0L, true)))
   }
 
+  test("forgetKeys: purged frames, self-checking ledger, null keys ignored") {
+    val users = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("uid", "name")
+    val logs = Seq((1L, 10L), (1L, 11L), (3L, 12L), (9L, 13L))
+      .toDF("uid", "eid")
+    val deletions = Seq(Some(1L), Some(1L), None, Some(42L)).toDF("k")
+    val (purged, ledger) = Privacy.forgetKeys(
+      Seq(("users", users, "uid"), ("logs", logs, "uid")), deletions, "k")
+    val led = ledger.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(led == Map(
+      "users" -> ((3L, 1L, 2L)),
+      "logs" -> ((4L, 2L, 2L))))
+    led.values.foreach { case (before, p, after) => assert(before == p + after) }
+    val purgedUsers = purged.toMap.apply("users").collect().map(_.getLong(0)).toSet
+    assert(purgedUsers == Set(2L, 3L))
+    val purgedLogs = purged.toMap.apply("logs").collect().map(_.getLong(0)).toSet
+    assert(purgedLogs == Set(3L, 9L)) // unknown key 42 purges nothing
+    intercept[IllegalArgumentException](Privacy.forgetKeys(Nil, deletions, "k"))
+    intercept[IllegalArgumentException](Privacy.forgetKeys(
+      Seq(("t", users, "uid"), ("t", logs, "uid")), deletions, "k"))
+  }
+
   test("guards: empty QI list, k < 2") {
     intercept[IllegalArgumentException](
       Privacy.kAnonymityReport(rows, Nil, 5L))
