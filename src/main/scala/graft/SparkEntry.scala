@@ -1877,6 +1877,23 @@ object SparkEntry {
       ledger
     }),
 
+    // Extension — FUNCTIONAL-DEPENDENCY AUDIT over lineitem: which
+    // candidate determinants actually pin their dependents in THIS
+    // data? (o_orderkey-style keys hold; (l_orderkey,l_linenumber) is
+    // famously NOT a key here — q108 found the duplicates, this names
+    // the consequence.) One group-count shuffle per candidate.
+    // Hash-exact.
+    "q125_fd_audit" -> ((s, dir) => {
+      graft.operators.Profile.functionalDependencies(
+          t(s, dir, "lineitem"), Seq(
+            (Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+            (Seq("l_orderkey"), "l_shipdate"),
+            (Seq("l_partkey"), "l_suppkey")))
+        .unionByName(graft.operators.Profile.functionalDependencies(
+          t(s, dir, "orders"), Seq((Seq("o_orderkey"), "o_custkey"))))
+        .orderBy("determinant", "dependent")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3292,6 +3309,37 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders)
         |  - (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM del))
         |ORDER BY tbl""".stripMargin,
+
+    "q125_fd_audit" ->
+      """SELECT determinant, dependent, n_groups, n_violating_groups,
+        |  n_violating_groups = 0 AS holds FROM (
+        |  SELECT 'l_orderkey,l_linenumber' AS determinant,
+        |    'l_partkey' AS dependent,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating_groups
+        |  FROM (SELECT count(*) AS v FROM (SELECT DISTINCT l_orderkey,
+        |      l_linenumber, l_partkey FROM lineitem)
+        |    GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'l_orderkey', 'l_shipdate',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT count(*) AS v FROM (SELECT DISTINCT l_orderkey,
+        |      l_shipdate FROM lineitem) GROUP BY l_orderkey)
+        |  UNION ALL
+        |  SELECT 'l_partkey', 'l_suppkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT count(*) AS v FROM (SELECT DISTINCT l_partkey,
+        |      l_suppkey FROM lineitem) GROUP BY l_partkey)
+        |  UNION ALL
+        |  SELECT 'o_orderkey', 'o_custkey',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT count(*) AS v FROM (SELECT DISTINCT o_orderkey,
+        |      o_custkey FROM orders) GROUP BY o_orderkey))
+        |ORDER BY determinant, dependent""".stripMargin,
 
     "q123_dwell_times" ->
       """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,

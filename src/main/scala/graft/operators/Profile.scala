@@ -49,6 +49,41 @@ object Profile {
       .orderBy(groupCols.map(col) :+ col("bin"): _*)
   }
 
+  /** FUNCTIONAL-DEPENDENCY AUDIT — for each candidate `determinant →
+    * dependent`, does every determinant group map to exactly one
+    * dependent value? `(determinant, dependent, n_groups,
+    * n_violating_groups, holds)` — the profiling complement to
+    * [[Contracts.Unique]] (a key is the FD `key → everything`). NULLs
+    * group as values on both sides (a det-group of nulls is a group; a
+    * null dependent is a value), matching the contract checker's null
+    * discipline.
+    *
+    * Scale shape: one (determinant ∪ dependent) group-count shuffle per
+    * candidate, then a determinant-keyed aggregate over the group table
+    * — groups, not rows; the report is candidates-sized. */
+  def functionalDependencies(
+      df: DataFrame,
+      deps: Seq[(Seq[String], String)]
+  ): DataFrame = {
+    require(deps.nonEmpty, "need at least one candidate dependency")
+    deps.map { case (det, dep) =>
+      require(det.nonEmpty, "empty determinant")
+      require(!det.contains(dep), s"dependent $dep inside its own determinant")
+      val groups = df
+        .groupBy((det :+ dep).map(col): _*).agg(count(lit(1)).as("_n"))
+        .groupBy(det.map(col): _*).agg(count(lit(1)).as("_vals"))
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("_vals") > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating_groups"))
+        .select(lit(det.mkString(",")).as("determinant"),
+          lit(dep).as("dependent"), col("n_groups"),
+          col("n_violating_groups"),
+          (col("n_violating_groups") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+      .orderBy("determinant", "dependent")
+  }
+
   /** `(groupCols…, col_name, n, n_null, n_distinct, vmin, vmax)` — one row
     * per profiled numeric column per group, all columns profiled in ONE
     * scan and unpivoted from the single result row per group.

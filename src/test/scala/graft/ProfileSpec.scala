@@ -55,6 +55,33 @@ class ProfileSpec extends AnyFunSuite {
     assert(bx.isNullAt(5) && bx.isNullAt(6))
   }
 
+  test("functional dependencies: holds, violated, null-as-value grouping") {
+    val df = Seq(
+      (1L, Some("a"), 10L), (1L, Some("a"), 11L),   // k=1 -> s pinned to a
+      (2L, Some("b"), 12L), (2L, Some("c"), 13L),   // k=2 -> two s values
+      (3L, None, 14L), (3L, None, 15L))             // k=3 -> null, pinned
+      .toDF("k", "s", "v")
+    val got = Profile.functionalDependencies(df,
+        Seq((Seq("k"), "s"), (Seq("k", "s"), "v")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // k -> s: 3 groups, only k=2 violates (null counts as ONE value)
+    assert(got(("k", "s")) == ((3L, 1L, false)))
+    // (k,s) -> v: groups (1,a) and (3,null) hold 2 distinct v each and
+    // violate; (2,b) and (2,c) each pin a single v and hold
+    assert(got(("k,s", "v")) == ((4L, 2L, false)))
+    // a genuinely held FD
+    val held = Profile.functionalDependencies(
+      Seq((1L, "x"), (2L, "y")).toDF("k", "s"), Seq((Seq("k"), "s")))
+      .collect()(0)
+    assert(held.getLong(3) == 0L && held.getBoolean(4))
+    intercept[IllegalArgumentException](
+      Profile.functionalDependencies(df, Nil))
+    intercept[IllegalArgumentException](
+      Profile.functionalDependencies(df, Seq((Seq("k", "s"), "s"))))
+  }
+
   test("summary guard: at least one column") {
     intercept[IllegalArgumentException](
       Profile.summary(Seq(("a", 1.0)).toDF("g", "v"), Seq("g"), Nil))
