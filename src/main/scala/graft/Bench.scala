@@ -73,6 +73,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    FixtureProbe.probe(spark, sfDir)
     // Warm-up: the session's first job pays one-time costs (task scheduler
     // spin-up, Hadoop FS + parquet footer init, whole-stage-codegen
     // bootstrap) of ~2-3 s that would otherwise be attributed to whichever

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    FixtureProbe.probe(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // dev-only subsetting for iterating on one query's parity; the driver
     // never sets this, so official runs always dump every query
