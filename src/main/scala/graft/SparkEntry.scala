@@ -1920,6 +1920,28 @@ object SparkEntry {
         .orderBy("determinant", "dependent")
     }),
 
+    // Extension — cross-document duplicated-SPAN coverage (the
+    // distributed ExactSubstr analog — operators/SpanDedup.scala): every
+    // word 8-gram shared by ≥2 distinct docs marks its window, windows
+    // merge into maximal islands, coverage = island tokens per doc.
+    // Planted: every 30th doc gets a twin that copies ONLY the doc's
+    // first 12 tokens between unique head/tail markers, so both sides of
+    // each plant must show exactly the copied run (plus any natural
+    // cross-doc duplication the corpus carries). Integer output,
+    // hash-exact: the oracle replays tokenization, the md5 gram hash,
+    // the ≥2-distinct-docs rule and the island merge literally.
+    "q126_dup_spans" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val twins = base.filter(pmod(col("doc_id"), lit(30)) === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(lit("planted unique head "), col("doc_id").cast("string"), lit(" "),
+            array_join(slice(TextAnalysis.tokens(col("text")), 1, 12), " "),
+            lit(" planted unique tail "), col("doc_id").cast("string")).as("text"))
+      graft.operators.SpanDedup.dupSpanCoverage(
+          base.unionByName(twins), "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3029,6 +3051,51 @@ object SparkEntry {
        |      ELSE ('0x'||substr(md5($x),1,8))::BIGINT END) * 4294967296
        | + ('0x'||substr(md5($x),9,8))::BIGINT""".stripMargin
 
+  /** q126: duplicated-span coverage replay — same tokenization, same
+    * space-joined 8-gram through the portable md5 hash, same
+    * ≥2-distinct-docs rule, same running-max island merge, same integer
+    * per-mille. The twin plant is rebuilt as a token LIST (head marker ++
+    * first 12 tokens ++ tail marker), which re-tokenizes to exactly the
+    * Spark side's concat-then-split since no token carries whitespace. */
+  private def q126Oracle: String = {
+    val gram = (0 until 8).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tokb AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, t FROM tokb
+       |  UNION ALL
+       |  SELECT doc_id + 30000000,
+       |    ['planted','unique','head', CAST(doc_id AS VARCHAR)] || t[1:12]
+       |      || ['planted','unique','tail', CAST(doc_id AS VARCHAR)]
+       |  FROM tokb WHERE doc_id % 30 = 0),
+       |grams AS (SELECT doc_id, i - 1 AS pos, ${duckMd5Long(s"($gram)")} AS gh
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+       |        FROM corpus WHERE len(t) >= 8)),
+       |dup AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM grams)
+       |  GROUP BY gh HAVING count(*) >= 2),
+       |occ AS (SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM dup)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN pos >= coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+       |  FROM occ),
+       |isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+       |cov AS (SELECT doc_id, island, max(pos) + 8 - min(pos) AS c, count(*) AS nocc
+       |  FROM isl2 GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered_tokens,
+       |    CAST(sum(nocc) AS BIGINT) AS n_dup_grams FROM cov GROUP BY 1),
+       |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM corpus)
+       |SELECT nt.doc_id, nt.n_tokens,
+       |  CAST(coalesce(per.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       |  CAST(coalesce(per.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  CASE WHEN nt.n_tokens > 0
+       |    THEN CAST(coalesce(per.covered_tokens, 0) * 1000 // nt.n_tokens AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS covered_pml
+       |FROM nt LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q33: the portable rolling chain in DuckDB — seed '0' prepended so
     * list_reduce has an initial accumulator, each step re-stringifies the
     * BIGINT (CAST ≡ Java's Long.toString, sign included) and hashes
@@ -3335,6 +3402,8 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders)
         |  - (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM del))
         |ORDER BY tbl""".stripMargin,
+
+    "q126_dup_spans" -> q126Oracle,
 
     "q125_fd_audit" ->
       """SELECT determinant, dependent, n_groups, n_violating_groups,

@@ -335,7 +335,13 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming in [0,32), got $maxHamming")
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val banded = phashes.select(col("media_id").as("id"), col("phash"),
+    // The self-join fans the upstream lineage out twice (and the banding
+    // explode re-reads it per chunk) — but upstream here is the DECODE
+    // stage, the most expensive pipeline step. Materialize the tiny
+    // (id, 8-byte phash) frame once so no decoder runs twice (the
+    // signature-frame checkpoint rule; measured 2× on q102 at sf0.1).
+    val pinned = phashes.localCheckpoint(true)
+    val banded = pinned.select(col("media_id").as("id"), col("phash"),
         explode(expr(
           s"""transform(sequence(0, ${chunks - 1}), k -> struct(k AS k,
              |CASE WHEN k = ${chunks - 1} THEN shiftrightunsigned(phash, k * $width)
@@ -358,10 +364,19 @@ object Multimodal {
     * gradient PNG per doc (seeded by doc_id), plus a PLANTED one-pixel
     * near-duplicate (id + 1_000_000) for every 50th doc — pairs the
     * pHash join must surface, making recall self-verifying without an
-    * image-capable oracle. */
+    * image-capable oracle.
+    *
+    * The id stream is REPARTITIONED before the encode stage: the ids come
+    * from a small parquet scan (one input split), but the codec work they
+    * seed is per-ROW expensive — without the spread, the whole
+    * encode+decode pipeline runs on a single core (measured 15 s at
+    * sf0.1 vs ~1 s spread). The general rule for binary-media stages:
+    * partition by expected DECODE COST (row count × per-row work), never
+    * by the byte size of whatever narrow column happens to feed them. */
   def fixtureImageCorpus(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = documents.select(col("doc_id").cast("long")).as[Long]
+    val np = spark.sessionState.conf.numShufflePartitions
+    val ids = documents.select(col("doc_id").cast("long")).as[Long].repartition(np)
     val base = ids.mapPartitions(_.map(id =>
       (id, Codecs.encodeGradientPng(48, 32, seed = id))))
     val planted = ids.filter(_ % 50 == 0).mapPartitions(_.map(id =>

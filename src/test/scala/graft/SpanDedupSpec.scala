@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SpanDedup
+
+class SpanDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], n: Int) =
+    SpanDedup.dupSpanCoverage(docs.toDF("doc_id", "text"), "text", "doc_id", n)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("shared run marks both docs; islands merge overlapping grams") {
+    // A and B share the 4-token run c1..c4 -> two overlapping 3-grams
+    // merging into ONE island of 4 covered tokens (A: [2,6), B: [1,5))
+    val got = run(Seq(
+      1L -> "x1 x2 c1 c2 c3 c4 y1",
+      2L -> "z1 c1 c2 c3 c4 z2",
+      3L -> "u1 u2 u3 u4 u5"), n = 3)
+    assert(got(0) == ((1L, 7L, 2L, 4L, 571L))) // 4*1000 DIV 7
+    assert(got(1) == ((2L, 6L, 2L, 4L, 666L)))
+    assert(got(2) == ((3L, 5L, 0L, 0L, 0L)))
+  }
+
+  test("disjoint shared spans stay separate islands; within-doc-only repeats don't count") {
+    val got = run(Seq(
+      1L -> "x1 x2 c1 c2 c3 c4 y1",
+      // doc 4: the shared gram (c1 c2 c3) at pos 0 AND pos 7 — two
+      // disjoint islands of 3 tokens each
+      4L -> "c1 c2 c3 m1 m2 m3 m4 c1 c2 c3",
+      // doc 5: an internal repeat no OTHER doc has — cross-doc rule
+      // must NOT flag it (intra-doc repetition is q59's job)
+      5L -> "r1 r2 r3 r1 r2 r3"), n = 3)
+    val d4 = got.find(_._1 == 4L).get
+    assert(d4 == ((4L, 10L, 2L, 6L, 600L)))
+    val d5 = got.find(_._1 == 5L).get
+    assert(d5 == ((5L, 6L, 0L, 0L, 0L)))
+  }
+
+  test("exact duplicate docs are fully covered; short docs yield no grams") {
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val got = run(Seq(1L -> text, 2L -> text, 3L -> "a b"), n = 8)
+    assert(got(0) == ((1L, 9L, 2L, 9L, 1000L)))
+    assert(got(1) == ((2L, 9L, 2L, 9L, 1000L)))
+    assert(got(2) == ((3L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("coverage never exceeds n_tokens and adjacency chains into one island") {
+    // shared 6-token run with n=3: grams at pos 1,2,3,4 chain into one
+    // island [1, 7) -> 6 covered
+    val got = run(Seq(
+      1L -> "p0 s1 s2 s3 s4 s5 s6 q0",
+      2L -> "s1 s2 s3 s4 s5 s6"), n = 3)
+    assert(got(0)._4 == 6L && got(0)._4 <= got(0)._2)
+    assert(got(1) == ((2L, 6L, 4L, 6L, 1000L)))
+  }
+}
