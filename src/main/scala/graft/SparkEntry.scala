@@ -1942,6 +1942,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — LEAKAGE-SAFE train/eval split: q47's md5-of-doc_id
+    // split puts near-duplicate documents on BOTH sides of the split —
+    // the train/test contamination q50/q81 scrub after the fact. This
+    // query prevents it AT SPLIT TIME: split membership is keyed on the
+    // doc's DUP-CLUSTER representative (q45's connected components;
+    // singletons key on themselves), so whole clusters co-travel by
+    // construction. Output carries the audit pair: clusters crossing the
+    // cluster-keyed split (provably 0) next to clusters the naive
+    // doc-keyed split WOULD have torn across train/eval. Hash-exact —
+    // the oracle replays the pair graph, the recursive closure, both md5
+    // bucketings and the audit.
+    "q128_leakage_safe_split" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
+      val seeds = base.filter(pmod(col("doc_id"), lit(65)) === 0)
+      val v1 = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+      val v2 = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"),
+          lit(" planted near duplicate tail with more appended words")).as("text"))
+      val corpus = base.unionByName(v1).unionByName(v2)
+      val pairs = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3,
+        thresholdPct = 50, maxShingleFreq = NearDup.Exhaustive)
+      val clusters = NearDup.dupClusters(pairs).withColumnRenamed("id", "doc_id")
+      val keyed = corpus.select("doc_id").join(clusters, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      val split = Sampling.withSplitId(
+        Sampling.withSplitId(keyed, "rep", Seq(0.9, 0.1), salt = "v1"),
+        "doc_id", Seq(0.9, 0.1), salt = "v1", splitCol = "naive_split")
+      val crossing = split.filter(col("cluster_id").isNotNull)
+        .groupBy("cluster_id")
+        .agg(countDistinct("split_id").as("ns"), countDistinct("naive_split").as("nn"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_crossing_safe"),
+          sum(when(col("nn") > 1, 1L).otherwise(0L)).as("n_crossing_naive"))
+      split.groupBy("split_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+        .crossJoin(crossing) // 1-row audit frame (the q84 scalar pattern)
+        .orderBy("split_id")
+    }),
+
+    // Extension — embedding-space LABEL AUDIT (mislabel mining): cosine
+    // margin of every vector against its own label's centroid vs the
+    // nearest other centroid (operators/EmbedAudit.scala). Centroids are
+    // exact integer sums of 2^20-quantized vectors, so all sums are
+    // order-free and the oracle replays every double bit-for-bit —
+    // hash-exact. Scoring is a zero-shuffle scan against broadcast
+    // centroid literals.
+    "q127_label_audit" -> ((s, dir) => {
+      graft.operators.EmbedAudit.centroidMarginAudit(
+        t(s, dir, "embeddings"), "embedding", "vec_id", "label")
+    }),
+
     // Extension — SELF-JOIN SIZE / F2 off one sketch pass, both classic
     // estimators side by side: the CM inner-product upper bound (never
     // undershoots — planner-safe) and the unbiased AMS signed-counter
@@ -3404,6 +3458,94 @@ object SparkEntry {
         |ORDER BY tbl""".stripMargin,
 
     "q126_dup_spans" -> q126Oracle,
+
+    // q45's pair graph + recursive closure, then both md5 bucketings
+    // (cluster-rep-keyed and doc-keyed) and the crossing audit.
+    "q128_leakage_safe_split" ->
+      """WITH RECURSIVE corpus AS (
+        |    SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+        |    UNION ALL
+        |    SELECT doc_id + 2000000, text || ' planted near duplicate tail'
+        |    FROM documents WHERE doc_id % 65 = 0
+        |    UNION ALL
+        |    SELECT doc_id + 4000000,
+        |      text || ' planted near duplicate tail with more appended words'
+        |    FROM documents WHERE doc_id % 65 = 0),
+        |  sh AS (
+        |    SELECT doc_id, list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |      FROM corpus)
+        |    WHERE len(t) >= 3),
+        |  edges AS (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |    WHERE len(list_intersect(a.s, b.s)) * 100 >=
+        |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 50),
+        |  sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |  reach(src, dst) AS (
+        |    SELECT src, dst FROM sym
+        |    UNION
+        |    SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |  cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |    FROM reach GROUP BY src),
+        |  keyed AS (SELECT c.doc_id, cl.cluster_id,
+        |      coalesce(cl.cluster_id, c.doc_id) AS rep
+        |    FROM corpus c LEFT JOIN cl ON c.doc_id = cl.id),
+        |  s AS (SELECT doc_id, cluster_id, rep,
+        |      CASE WHEN (('0x' || substr(md5(rep::VARCHAR || 'v1'), 1, 8))::BIGINT % 10000) < 9000
+        |        THEN 0 ELSE 1 END AS split_id,
+        |      CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT % 10000) < 9000
+        |        THEN 0 ELSE 1 END AS naive_split
+        |    FROM keyed),
+        |  x AS (SELECT
+        |      CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossing_safe,
+        |      CAST(coalesce(sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossing_naive
+        |    FROM (SELECT cluster_id, count(DISTINCT split_id) AS ns,
+        |        count(DISTINCT naive_split) AS nn
+        |      FROM s WHERE cluster_id IS NOT NULL GROUP BY cluster_id))
+        |SELECT split_id, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+        |  CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+        |  x.n_crossing_safe, x.n_crossing_naive
+        |FROM s CROSS JOIN x
+        |GROUP BY split_id, x.n_crossing_safe, x.n_crossing_naive
+        |ORDER BY split_id""".stripMargin,
+
+    // Integer-quantized centroids (order-free exact sums), then the same
+    // deterministic cast/sqrt/divide chain as the Spark side — doubles
+    // hash-match bit-for-bit. Ties on the best-other cosine go to the
+    // lower label (the argmax struct discipline).
+    "q127_label_audit" ->
+      """WITH qv AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |cent AS (SELECT label, j, CAST(sum(xq[j]) AS BIGINT) AS s
+        |  FROM qv CROSS JOIN (SELECT unnest(range(1, 65)) AS j) GROUP BY label, j),
+        |cvec AS (SELECT label, list(s ORDER BY j) AS sv FROM cent GROUP BY label),
+        |cnorm AS (SELECT label, sv,
+        |    sqrt(list_reduce(list_transform(sv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+        |      (a, b) -> a + b)) AS cn
+        |  FROM cvec),
+        |xn AS (SELECT vec_id, label AS own_label, xq,
+        |    list_reduce(list_transform(xq, v -> v * v), (a, b) -> a + b) AS xn2
+        |  FROM qv),
+        |dots AS (SELECT x.vec_id, x.own_label, c.label AS clabel,
+        |    CAST(list_reduce(list_transform(range(1, 65), j -> x.xq[j] * c.sv[j]),
+        |        (a, b) -> a + b) AS DOUBLE)
+        |      / (sqrt(CAST(x.xn2 AS DOUBLE)) * c.cn) AS cc
+        |  FROM xn x CROSS JOIN cnorm c WHERE x.xn2 > 0),
+        |own AS (SELECT vec_id, own_label, cc AS own_cos FROM dots WHERE clabel = own_label),
+        |oth AS (SELECT vec_id, clabel, cc,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, clabel ASC) AS rn
+        |  FROM dots WHERE clabel <> own_label)
+        |SELECT o.vec_id, o.own_label AS label, o.own_cos,
+        |  t.clabel AS best_other_label, t.cc AS best_other_cos,
+        |  t.cc > o.own_cos AS is_flagged
+        |FROM own o JOIN oth t ON o.vec_id = t.vec_id AND t.rn = 1
+        |ORDER BY o.vec_id""".stripMargin,
 
     "q125_fd_audit" ->
       """SELECT determinant, dependent, n_groups, n_violating_groups,
