@@ -1942,6 +1942,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — COUNTING-SORT EXACT MEDIAN: the third path of the
+    // quantile trilogy (SCALING.md). q54's exact percentile sorts whole
+    // groups (dies on a big group); q57's sketch is mergeable but only
+    // bounded-error. For DISCRETE domains this is exact AND mergeable:
+    // aggregate (group, value)→count map-side, read target ranks off the
+    // cumulative window over the value-count table — shuffle state is
+    // O(distinct values), not O(rows). domain_card IS the memory story.
+    // Hash-exact: integer-domain interpolation is bit-identical to
+    // quantile_cont in both engines.
+    "q129_counting_median" -> ((s, dir) => {
+      graft.operators.CountingQuantile.countingMedian(
+        t(s, dir, "documents").select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("x")),
+        "source", "x")
+    }),
+
+    // Extension — L-DIVERSITY AUDIT (Machanavajjhala 2007), k-anonymity's
+    // necessary complement: a ≥k class whose members all share one
+    // sensitive value still exposes everyone in it (the homogeneity
+    // attack). Sensitive attribute: the account-balance band. Same
+    // one-QI-shuffle budget as q113. Hash-exact.
+    "q130_l_diversity" -> ((s, dir) => {
+      graft.operators.Privacy.lDiversityReport(
+        t(s, dir, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3L)
+    }),
+
     // Extension — LEAKAGE-SAFE train/eval split: q47's md5-of-doc_id
     // split puts near-duplicate documents on BOTH sides of the split —
     // the train/test contamination q50/q81 scrub after the fact. This
@@ -3458,6 +3486,34 @@ object SparkEntry {
         |ORDER BY tbl""".stripMargin,
 
     "q126_dup_spans" -> q126Oracle,
+
+    // quantile_cont's integer-domain interpolation is exactly the
+    // two-middle-values mean the counting median computes — bit-equal.
+    "q129_counting_median" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT x) AS BIGINT) AS domain_card,
+        |  CAST(min(x) AS DOUBLE) AS min_x, CAST(max(x) AS DOUBLE) AS max_x,
+        |  quantile_cont(x, 0.5) AS median
+        |FROM (SELECT source,
+        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS x
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q130_l_diversity" ->
+      """WITH s AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT bal_band) AS BIGINT) AS nv
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(coalesce(sum(CASE WHEN nv < 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_homogeneous_classes,
+        |  CAST(coalesce(sum(CASE WHEN nv < 3 THEN sz ELSE 0 END), 0) AS BIGINT)
+        |    AS n_exposed_rows,
+        |  CAST(coalesce(min(nv), 0) AS BIGINT) AS min_diversity,
+        |  coalesce(sum(CASE WHEN nv < 3 THEN sz ELSE 0 END), 0) = 0 AS l_diverse
+        |FROM g""".stripMargin,
 
     // q45's pair graph + recursive closure, then both md5 bucketings
     // (cluster-rep-keyed and doc-keyed) and the crossing audit.

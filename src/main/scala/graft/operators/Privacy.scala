@@ -38,6 +38,45 @@ object Privacy {
       .withColumn("k_anonymous", col("n_risky_rows") === lit(0L))
   }
 
+  /** L-DIVERSITY AUDIT — k-anonymity's necessary complement: a class can
+    * hold ≥ k members yet expose everyone in it when they all share ONE
+    * sensitive value (the homogeneity attack of Machanavajjhala et al.
+    * 2007). A class is l-diverse when its members carry ≥ l DISTINCT
+    * sensitive values; the report counts the classes (and rows) that
+    * fail.
+    *
+    * Scale shape: distinct(QI, sensitive) then two class-sized
+    * aggregates — the same one-logical-shuffle-on-QI budget as
+    * [[kAnonymityReport]] (the distinct pre-pass combines map-side on
+    * (QI, sensitive), and both counts ride the SAME QI exchange). Null
+    * sensitive values count as a value (a null diagnosis is itself
+    * disclosive). */
+  def lDiversityReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2L, "l must be >= 2 (l=1 is vacuous)")
+    val qi = quasiCols.map(col)
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("_sz"),
+        // count_distinct treats null as absent; count null sensitive
+        // values as one extra value when present
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1L).otherwise(0L))).as("_nv"))
+      .agg(
+        coalesce(sum(col("_sz")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("_nv") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_homogeneous_classes"),
+        coalesce(sum(when(col("_nv") < l, col("_sz")).otherwise(0L)), lit(0L))
+          .as("n_exposed_rows"),
+        coalesce(min(col("_nv")), lit(0L)).as("min_diversity"))
+      .withColumn("l_diverse", col("n_exposed_rows") === lit(0L))
+  }
+
   /** The offending QI combinations and their sizes, smallest (most
     * identifying) first — the worklist for generalization/suppression. */
   def riskyClasses(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {

@@ -74,4 +74,23 @@ class PrivacySpec extends AnyFunSuite {
       Privacy.kAnonymityReport(rows, Seq("zip"), 1L))
     intercept[IllegalArgumentException](Privacy.riskyClasses(rows, Nil, 5L))
   }
+
+  test("l-diversity: a big-but-homogeneous class fails; null sensitive counts as a value") {
+    // (Z1): 4 members but all sensitive 'flu' -> homogeneous under l=2
+    // (Z2): 3 members, {flu, cold} -> diverse
+    // (Z3): 2 members, {flu, null} -> null counts as a value -> diverse
+    val t = Seq(
+      ("Z1", Some("flu")), ("Z1", Some("flu")), ("Z1", Some("flu")), ("Z1", Some("flu")),
+      ("Z2", Some("flu")), ("Z2", Some("cold")), ("Z2", Some("flu")),
+      ("Z3", Some("flu")), ("Z3", None)).toDF("zip", "dx")
+    val r = Privacy.lDiversityReport(t, Seq("zip"), "dx", l = 2L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getBoolean(5)) == ((9L, 3L, 1L, 4L, 1L, false)))
+    // k-anonymity alone would have passed Z1 (size 4 >= 2) — the exact
+    // gap l-diversity exists to close
+    val k = Privacy.kAnonymityReport(t, Seq("zip"), k = 2L).collect()(0)
+    assert(k.getBoolean(5))
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityReport(t, Seq("zip"), "dx", 1L))
+  }
 }
