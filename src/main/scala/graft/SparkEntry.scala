@@ -1942,6 +1942,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — PRODUCT-QUANTIZATION ADC top-k, completing the ANN
+    // family (brute q28 → LSH q29/q56 → IVF q35 → scalar-quant q61 →
+    // PQ): 64 floats become 8 nibble codes, queries score candidates
+    // via an integer-micro LUT with no float math in the scan loop.
+    // Codebooks pinned to vec_id 1..16's subvectors (q35 discipline) and
+    // the LUT quantized to micro-units, so assignment, lookup and the
+    // order-free integer ADC sum replay literally in DuckDB — hash-exact.
+    // exact_rank carries the brute-force cosine rank for recall.
+    "q131_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val pinned = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toIndexedSeq).toIndexedSeq
+      val base = e.filter(col("vec_id") =!= 0)
+      val pq = Similarity.pqAdcTopK(base, "embedding", "vec_id", q, 10, pinned, m = 8)
+      val exact = Similarity.bruteForceTopK(base, "embedding", "vec_id", q, 10)
+        .select(col("vec_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)).as("exact_rank"))
+      pq.join(exact, Seq("vec_id"), "left")
+        .orderBy(col("adc_micros").desc, col("vec_id").asc)
+    }),
+
     // Extension — COUNTING-SORT EXACT MEDIAN: the third path of the
     // quantile trilogy (SCALING.md). q54's exact percentile sorts whole
     // groups (dies on a big group); q57's sketch is mergeable but only
@@ -3486,6 +3511,49 @@ object SparkEntry {
         |ORDER BY tbl""".stripMargin,
 
     "q126_dup_spans" -> q126Oracle,
+
+    // Literal replay of the pinned-codebook PQ-ADC path: codebook (s, c)
+    // = dims [s*8+1, s*8+8] of pinned vector c; assignment argmax of
+    // dot - |c|^2/2 with ties to the lower codeword; LUT floor(v*1e6+0.5)
+    // micro-units; ADC = exact integer sum over subspaces.
+    "q131_pq_adc" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         pin AS (SELECT vec_id - 1 AS c, embedding AS ce
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+         sub AS (SELECT unnest(range(0, 8)) AS s),
+         cw AS (SELECT sub.s, pin.c, pin.ce,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(pin.ce[sub.s*8+i] AS DOUBLE) * CAST(pin.ce[sub.s*8+i] AS DOUBLE)),
+               (a,b) -> a + b) / 2 AS hn,
+             CAST(floor(list_reduce(list_transform(range(1, 9),
+               i -> CAST(q.qe[sub.s*8+i] AS DOUBLE) * CAST(pin.ce[sub.s*8+i] AS DOUBLE)),
+               (a,b) -> a + b) * 1000000 + 0.5) AS BIGINT) AS lut_micros
+           FROM sub CROSS JOIN pin CROSS JOIN q),
+         assign AS (SELECT e.vec_id, w.s, w.lut_micros,
+             row_number() OVER (PARTITION BY e.vec_id, w.s ORDER BY
+               list_reduce(list_transform(range(1, 9),
+                 i -> CAST(e.embedding[w.s*8+i] AS DOUBLE) * CAST(w.ce[w.s*8+i] AS DOUBLE)),
+                 (a,b) -> a + b) - w.hn DESC,
+               w.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cw w WHERE e.vec_id <> 0),
+         adc AS (SELECT vec_id, CAST(sum(lut_micros) AS BIGINT) AS adc_micros
+           FROM assign WHERE rn = 1 GROUP BY vec_id),
+         topk AS (SELECT vec_id, adc_micros FROM adc
+           ORDER BY adc_micros DESC, vec_id ASC LIMIT 10),
+         brute AS (SELECT vec_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x,y) -> x + y))) AS score
+           FROM embeddings, q WHERE vec_id <> 0),
+         exact AS (SELECT vec_id, exact_rank FROM (SELECT vec_id,
+             row_number() OVER (ORDER BY score DESC, vec_id ASC) AS exact_rank
+           FROM brute) WHERE exact_rank <= 10)
+         SELECT t.vec_id, t.adc_micros, e.exact_rank
+         FROM topk t LEFT JOIN exact e USING (vec_id)
+         ORDER BY t.adc_micros DESC, t.vec_id ASC""",
 
     // quantile_cont's integer-domain interpolation is exactly the
     // two-middle-values mean the counting median computes — bit-equal.

@@ -526,6 +526,72 @@ object Similarity {
       least(lit(127.0), greatest(lit(-127.0),
         round(nanvl(x.cast("double"), lit(0.0)) * scale))).cast("int"))
 
+  /** PRODUCT-QUANTIZATION ADC top-k — the serving layout for corpora too
+    * big even for scalar quantization (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", 2011): the vector space
+    * splits into `m` subspaces; each subvector is replaced by the id of
+    * its nearest codeword (dim/m·32 bits → log2(ncode) bits per
+    * subspace — here 64 floats → 8 nibbles), and a query scores a coded
+    * vector WITHOUT decoding via the Asymmetric Distance Computation
+    * lookup table: LUT[s][c] = ⟨query_s, codebook[s][c]⟩, so
+    * score(x) ≈ Σ_s LUT[s][code_s(x)] — m table lookups per candidate,
+    * no float math in the scan loop.
+    *
+    * Engine-exactness (the q35 pinning discipline): codebooks are the
+    * caller's PINNED vectors (deterministic init — production k-means
+    * per subspace is the documented upgrade), assignment is
+    * argmax(⟨x_s,c⟩ − ‖c‖²/2) with ties to the lower codeword id, and
+    * the LUT is quantized to integer MICRO-units (floor(v·10⁶ + 0.5))
+    * so the ADC sum is an order-free exact BIGINT — fully replayable in
+    * SQL. Output carries each hit's rank in the exact brute-force
+    * cosine top-k (null = ADC surfaced something brute-force ranks
+    * lower), making recall readable off the result.
+    *
+    * Scale shape: codebooks and LUT are driver-side literals (m × ncode
+    * × dim/m doubles — KBs); encode+score is a ZERO-SHUFFLE scan (m
+    * small argmaxes + m lookups per row, all codegen); only the global
+    * top-k TakeOrdered leaves the executors. */
+  def pqAdcTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      pinned: Seq[IndexedSeq[Double]],
+      m: Int = 8
+  ): DataFrame = {
+    val dim = query.length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(pinned.nonEmpty && pinned.forall(_.length == dim),
+      "pinned codeword sources must match the query dimension")
+    val dsub = dim / m
+    val ncode = pinned.length
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ncode)((s, c) => pinned(c).slice(s * dsub, (s + 1) * dsub).toArray)
+    // integer micro-unit LUT: order-free exact ADC sums on both engines
+    val lutMicros: Array[Array[Long]] = Array.tabulate(m, ncode) { (s, c) =>
+      val v = (0 until dsub).foldLeft(0.0)((acc, i) =>
+        acc + query(s * dsub + i) * codebooks(s)(c)(i))
+      math.floor(v * 1e6 + 0.5).toLong
+    }
+    def subvec(s: Int): Column = slice(col(embCol), s * dsub + 1, dsub)
+    def codeOf(s: Int): Column = {
+      val scored = (0 until ncode).map { c =>
+        val cb = codebooks(s)(c)
+        val hn = cb.foldLeft(0.0)((a, x) => a + x * x) / 2.0
+        struct((dot(subvec(s), litVec(cb.toIndexedSeq)) - lit(hn)).as("score"),
+          lit(-c).as("nc"))
+      }
+      -array_max(array(scored: _*)).getField("nc")
+    }
+    val adcMicros = (0 until m).map { s =>
+      element_at(array(lutMicros(s).map(lit).toIndexedSeq: _*), codeOf(s) + 1)
+    }.reduce(_ + _)
+    df.select(col(idCol), adcMicros.as("adc_micros"))
+      .orderBy(col("adc_micros").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Recommended signature width for bucketed pair generation over a
     * corpus of `n` vectors: candidate volume across buckets is ~n²/2^bits,
     * so keeping expected bucket occupancy near `targetBucketSize` means
