@@ -1942,6 +1942,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — 2D PARETO FRONTIER over curation signals: the docs no
+    // other doc beats on BOTH token count and lexical richness (distinct
+    // tokens) — multi-criteria selection without an arbitrary weighted
+    // score (operators/Skyline.scala). Scalable shape: groupBy(x)→max(y)
+    // collapses to one row per distinct x BEFORE the frontier window
+    // (domain-sized, not row-sized), winners rejoin as a left-semi.
+    // Hash-exact: the oracle is the literal NOT-EXISTS dominance test.
+    "q132_pareto_frontier" -> ((s, dir) => {
+      val sig = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("n_types"))
+      graft.operators.Skyline.skyline2d(sig, "n_tokens", "n_types")
+        .orderBy("doc_id")
+    }),
+
     // Extension — PRODUCT-QUANTIZATION ADC top-k, completing the ANN
     // family (brute q28 → LSH q29/q56 → IVF q35 → scalar-quant q61 →
     // PQ): 64 floats become 8 nibble codes, queries score candidates
@@ -3511,6 +3526,22 @@ object SparkEntry {
         |ORDER BY tbl""".stripMargin,
 
     "q126_dup_spans" -> q126Oracle,
+
+    // The dominance definition itself, quadratic but exact at oracle
+    // scale — the Spark side must produce the identical frontier via its
+    // domain-reduced window formulation.
+    "q132_pareto_frontier" ->
+      """WITH sig AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_types
+        |  FROM (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |    FROM documents))
+        |SELECT doc_id, n_tokens, n_types FROM sig b
+        |WHERE NOT EXISTS (SELECT 1 FROM sig a
+        |  WHERE a.n_tokens >= b.n_tokens AND a.n_types >= b.n_types
+        |    AND (a.n_tokens > b.n_tokens OR a.n_types > b.n_types))
+        |ORDER BY doc_id""".stripMargin,
 
     // Literal replay of the pinned-codebook PQ-ADC path: codebook (s, c)
     // = dims [s*8+1, s*8+8] of pinned vector c; assignment argmax of
