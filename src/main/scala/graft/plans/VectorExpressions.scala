@@ -82,34 +82,54 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = l, right = r)
 }
 
-/** cosine(a, b) — dot and both norms in ONE pass over the arrays. */
+/** cosine(a, b) — dot and both norms in ONE traversal of each array.
+  *
+  * BIT-EQUAL to the unfused `dot(a,b) / (norm(a) * norm(b))` on EVERY
+  * input, ragged arrays included: the dot runs over the common prefix
+  * (as DotProduct does) while each norm accumulates its array's tail
+  * too (as L2Norm does), in the same index order — which is what makes
+  * [[CosineFusion]] a semantics-preserving rewrite rather than a
+  * "close enough" one. */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val af = elemIsFloat(left); val bf = elemIsFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.min(la, lb)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = getElem(a, af, i); val y = getElem(b, bf, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
+    var j = n
+    while (j < la) { val x = getElem(a, af, j); na += x * x; j += 1 }
+    j = n
+    while (j < lb) { val y = getElem(b, bf, j); nb += y * y; j += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $la = $a.numElements(); int $lb = $b.numElements();
+         |int $n = java.lang.Math.min($la, $lb);
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = ${genGet(a, elemIsFloat(left), i)};
          |  double $y = ${genGet(b, elemIsFloat(right), i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |for (int $j = $n; $j < $la; $j++) {
+         |  double $x = ${genGet(a, elemIsFloat(left), j)}; $na += $x * $x;
+         |}
+         |for (int $j = $n; $j < $lb; $j++) {
+         |  double $y = ${genGet(b, elemIsFloat(right), j)}; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
@@ -208,13 +228,16 @@ object VectorFunctions {
 /** Extension entry point: spark.sql.extensions=graft.plans.GraftExtensions
   * (or .withExtensions(new GraftExtensions)) injects the full native
   * function surface (same builder list as [[VectorFunctions.register]])
-  * into every session derived from the builder. */
+  * plus the [[CosineFusion]] optimizer rule into every session derived
+  * from the builder. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     VectorFunctions.builders.foreach { case (name, className, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(className, name),
         b))
     }
+    e.injectOptimizerRule(_ => CosineFusion)
+  }
 }
