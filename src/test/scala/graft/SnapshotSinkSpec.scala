@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.SnapshotSink
+
+class SnapshotSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpRoot() =
+    java.nio.file.Files.createTempDirectory("snapshot_sink").toString
+
+  test("commit/read round-trip; versions advance; old snapshots stay readable") {
+    val root = tmpRoot()
+    val s1 = SnapshotSink.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    assert(s1.version == 1 && s1.rows == 2)
+    val s2 = SnapshotSink.commit(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(s2.version == 2 && s2.rows == 1)
+    assert(SnapshotSink.versions(spark, root) == Seq(1, 2))
+    // latest = v2; v1 still readable (reader/writer isolation)
+    assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(SnapshotSink.read(spark, root, Some(1))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("orphan data files and un-renamed manifests are invisible to readers") {
+    val root = tmpRoot()
+    SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // a dead executor's leftover: a VALID parquet file the manifest
+    // never saw — a directory-listing reader would include it
+    Seq((99L, "orphan")).toDF("k", "v")
+      .write.parquet(s"$root/data/orphan-job")
+    // a crashed commit: manifest written but never renamed
+    val crashed = new java.io.File(s"$root/_manifests/v2.json.tmp")
+    val w = new java.io.FileWriter(crashed)
+    w.write("""{"version":2,"rows":99,"files":["/nowhere"]}"""); w.close()
+
+    assert(SnapshotSink.versions(spark, root) == Seq(1))
+    val got = SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L)) // the orphan row 99 never appears
+    // and the next commit skips the crashed version cleanly
+    val s2 = SnapshotSink.commit(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(s2.version == 2)
+    assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("guards: reading an empty root or an uncommitted version raises") {
+    val root = tmpRoot()
+    intercept[IllegalArgumentException](SnapshotSink.read(spark, root))
+    SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    intercept[IllegalArgumentException](SnapshotSink.read(spark, root, Some(7)))
+  }
+}
