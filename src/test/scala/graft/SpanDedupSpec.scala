@@ -49,6 +49,41 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 2L, 0L, 0L, 0L)))
   }
 
+  test("agrees with a brute-force reference on a pseudo-random corpus") {
+    // 40 docs over a 12-word vocab, lengths 5..16 — dense natural
+    // cross-doc 3-gram collisions, no RNG APIs (index-derived values)
+    val docs: Seq[(Long, String)] = (0L until 40L).map { d =>
+      val len = (d * 2654435761L % 12L + 5L).toInt
+      val words = (0 until len).map(i => s"w${(d * 40503L + i * 8191L + i * i) % 12L}")
+      d -> words.mkString(" ")
+    }
+    val n = 3
+    val tok: Map[Long, Vector[String]] =
+      docs.map { case (id, t) => id -> t.split("\\s+").toVector }.toMap
+    val grams: Map[Long, Vector[(Int, Vector[String])]] = tok.map { case (id, ws) =>
+      id -> (0 to ws.length - n).toVector.map(p => p -> ws.slice(p, p + n))
+    }
+    val dupSet = grams.toSeq.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
+      .distinct.groupBy(_._1).filter(_._2.size >= 2).keySet
+    val expected = tok.map { case (id, ws) =>
+      val hits = grams(id).filter(g => dupSet(g._2)).map(_._1)
+      val covered = hits.foldLeft(Vector.empty[(Int, Int)]) { case (acc, p) =>
+        acc.lastOption match {
+          case Some((s, e)) if p < e => acc.init :+ (s, math.max(e, p + n))
+          case _                     => acc :+ (p, p + n)
+        }
+      }.map { case (s, e) => e - s }.sum
+      id -> (ws.length.toLong, hits.size.toLong, covered.toLong)
+    }
+    val got = run(docs, n)
+    assert(got.length == 40)
+    got.foreach { case (id, nt, ndg, cov, pml) =>
+      val (en, eh, ec) = expected(id)
+      assert((nt, ndg, cov) == ((en, eh, ec)), s"doc $id")
+      assert(pml == (if (en > 0) cov * 1000 / en else 0L))
+    }
+  }
+
   test("coverage never exceeds n_tokens and adjacency chains into one island") {
     // shared 6-token run with n=3: grams at pos 1,2,3,4 chain into one
     // island [1, 7) -> 6 covered
