@@ -1942,6 +1942,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — INCREMENTAL span dedup, the batch-arrival shape of
+    // q126 (and the span-granular sibling of q68/q72's fingerprint
+    // incremental dedup): each new-batch doc's coverage by spans ALREADY
+    // IN the accumulated corpus — batch-internal duplication deliberately
+    // excluded. The standing state between batches is one distinct
+    // gram-hash set. Planted: corpus docs with doc_id % 10 = 1 get a
+    // batch twin copying their first 12 tokens between unique markers,
+    // so known partial coverage exists; exact corpus/batch duplicate
+    // pairs surface as fully-covered naturals. Hash-exact.
+    "q133_incremental_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val twins = corpus.filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(lit("incremental head "), col("doc_id").cast("string"), lit(" "),
+            array_join(slice(TextAnalysis.tokens(col("text")), 1, 12), " "),
+            lit(" incremental tail "), col("doc_id").cast("string")).as("text"))
+      graft.operators.SpanDedup.incrementalSpanCoverage(
+          fresh.unionByName(twins), corpus, "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Extension — 2D PARETO FRONTIER over curation signals: the docs no
     // other doc beats on BOTH token count and lexical richness (distinct
     // tokens) — multi-criteria selection without an arbitrary weighted
@@ -3218,6 +3241,49 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q133: incremental span coverage — batch grams flagged only when the
+    * CORPUS gram set has them, then the q126 island merge verbatim. */
+  private def q133Oracle: String = {
+    val gram = (0 until 8).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tokb AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |corpus AS (SELECT doc_id, t FROM tokb WHERE doc_id % 3 <> 0),
+       |batch AS (
+       |  SELECT doc_id, t FROM tokb WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 40000000,
+       |    ['incremental','head', CAST(doc_id AS VARCHAR)] || t[1:12]
+       |      || ['incremental','tail', CAST(doc_id AS VARCHAR)]
+       |  FROM tokb WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1),
+       |cg AS (SELECT DISTINCT ${duckMd5Long(s"($gram)")} AS gh
+       |  FROM (SELECT t, unnest(range(1, len(t) - 6)) AS i
+       |        FROM corpus WHERE len(t) >= 8)),
+       |bg AS (SELECT doc_id, i - 1 AS pos, ${duckMd5Long(s"($gram)")} AS gh
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+       |        FROM batch WHERE len(t) >= 8)),
+       |occ AS (SELECT doc_id, pos FROM bg WHERE gh IN (SELECT gh FROM cg)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN pos >= coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+       |  FROM occ),
+       |isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+       |cov AS (SELECT doc_id, island, max(pos) + 8 - min(pos) AS c, count(*) AS nocc
+       |  FROM isl2 GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered_tokens,
+       |    CAST(sum(nocc) AS BIGINT) AS n_dup_grams FROM cov GROUP BY 1),
+       |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM batch)
+       |SELECT nt.doc_id, nt.n_tokens,
+       |  CAST(coalesce(per.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       |  CAST(coalesce(per.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  CASE WHEN nt.n_tokens > 0
+       |    THEN CAST(coalesce(per.covered_tokens, 0) * 1000 // nt.n_tokens AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS covered_pml
+       |FROM nt LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q33: the portable rolling chain in DuckDB — seed '0' prepended so
     * list_reduce has an initial accumulator, each step re-stringifies the
     * BIGINT (CAST ≡ Java's Long.toString, sign included) and hashes
@@ -3526,6 +3592,7 @@ object SparkEntry {
         |ORDER BY tbl""".stripMargin,
 
     "q126_dup_spans" -> q126Oracle,
+    "q133_incremental_spans" -> q133Oracle,
 
     // The dominance definition itself, quadratic but exact at oracle
     // scale — the Spark side must produce the identical frontier via its

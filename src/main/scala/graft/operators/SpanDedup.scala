@@ -52,21 +52,61 @@ object SpanDedup {
       n: Int = 8
   ): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("t"))
-    val base = toks.select(
-      col("doc_id"),
-      size(col("t")).cast("long").as("n_tokens"),
-      SketchFunctions.portableNgramHashes(col("t"), n).as("ghs"))
-    val grams = base.select(col("doc_id"),
-      posexplode(col("ghs")).as(Seq("pos", "gh")))
+    val grams = gramStream(docs, textCol, idCol, n)
     // grams present in >= 2 distinct docs; both stages combine map-side
     val dup = grams.select("gh", "doc_id").distinct()
       .groupBy("gh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select("gh")
-    val occ = grams.join(dup, Seq("gh"), "left_semi")
+    coverageAgainst(docs, textCol, idCol, n, grams.join(dup, Seq("gh"), "left_semi"))
+  }
+
+  /** INCREMENTAL variant — the batch-arrival shape (the span-granular
+    * sibling of the fingerprint incremental dedup): score each BATCH
+    * document's coverage by spans already present in the ACCUMULATED
+    * CORPUS. The corpus contributes only its distinct gram-hash set
+    * (positions and text never leave its tokenize stage), so the
+    * standing state a pipeline carries between batches is exactly one
+    * hash set — the same state a Bloom/anti-join fingerprint pass keeps,
+    * one level finer. Batch-internal duplication deliberately does NOT
+    * count (dupSpanCoverage on the batch answers that); a gram marks a
+    * batch window only if the CORPUS has it. */
+  def incrementalSpanCoverage(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val corpusGrams = gramStream(corpus, textCol, idCol, n)
+      .select("gh").distinct() // map-side combined; the only standing state
+    val batchGrams = gramStream(batch, textCol, idCol, n)
+    coverageAgainst(batch, textCol, idCol, n,
+      batchGrams.join(corpusGrams, Seq("gh"), "left_semi"))
+  }
+
+  /** (doc_id, pos, gh) stream — fixed-width rows, text stays in the
+    * tokenize stage. */
+  private def gramStream(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(
+        col(idCol).as("doc_id"),
+        SketchFunctions.portableNgramHashes(
+          TextAnalysis.tokens(col(textCol)), n).as("ghs"))
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
+
+  /** Island-merge + per-doc report over a flagged-occurrence frame. */
+  private def coverageAgainst(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      occ: DataFrame
+  ): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
     // merge [pos, pos+n) windows into maximal islands per doc
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val runMaxPrev: Column = max(col("pos") + lit(n))

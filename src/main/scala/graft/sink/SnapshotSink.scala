@@ -112,4 +112,36 @@ object SnapshotSink {
     require(s.files.nonEmpty, s"snapshot v${s.version} has no files")
     spark.read.parquet(s.files: _*)
   }
+
+  /** Retire everything but the last `keepLast` snapshots: drops their
+    * manifests, then deletes every `data/` subdirectory no kept manifest
+    * references — which also sweeps crashed-commit orphans and
+    * `.tmp` manifests. Readers of kept snapshots are untouched (their
+    * files are never deleted); readers of dropped snapshots race with
+    * the delete exactly as they would with any retention policy, which
+    * is why `keepLast` exists. Returns the dropped version numbers. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val vs = versions(spark, root)
+    val dropped = vs.dropRight(keepLast)
+    val kept = vs.takeRight(keepLast)
+    val keptDirs: Set[String] = kept
+      .flatMap(v => snapshot(spark, root, Some(v)).files)
+      .map(f => new Path(f).getParent.toString).toSet
+    val dataDir = new Path(root, "data")
+    val f = fs(spark, dataDir)
+    if (f.exists(dataDir)) {
+      f.listStatus(dataDir).toSeq.map(_.getPath)
+        .filterNot(p => keptDirs.contains(p.toString))
+        .foreach(p => f.delete(p, true))
+    }
+    val mdir = manifestDir(root)
+    dropped.foreach(v => f.delete(new Path(mdir, s"v$v.json"), false))
+    if (f.exists(mdir)) {
+      f.listStatus(mdir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".json.tmp"))
+        .foreach(p => f.delete(p, false))
+    }
+    dropped
+  }
 }

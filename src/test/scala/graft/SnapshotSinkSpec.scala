@@ -45,6 +45,26 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("vacuum retires old snapshots, sweeps orphans and crashed commits, keeps the latest readable") {
+    val root = tmpRoot()
+    SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    SnapshotSink.commit(Seq((2L, "b")).toDF("k", "v"), root)
+    Seq((99L, "orphan")).toDF("k", "v").write.parquet(s"$root/data/orphan-job")
+    val w = new java.io.FileWriter(s"$root/_manifests/v9.json.tmp")
+    w.write("{}"); w.close()
+
+    val dropped = SnapshotSink.vacuum(spark, root, keepLast = 1)
+    assert(dropped == Seq(1))
+    assert(SnapshotSink.versions(spark, root) == Seq(2))
+    assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet == Set(2L))
+    // exactly one data subdir (v2's) survives; orphan + v1 dirs are gone
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSeq
+    assert(dataDirs.size == 1)
+    assert(!new java.io.File(s"$root/_manifests/v9.json.tmp").exists())
+    intercept[IllegalArgumentException](SnapshotSink.read(spark, root, Some(1)))
+    intercept[IllegalArgumentException](SnapshotSink.vacuum(spark, root, keepLast = 0))
+  }
+
   test("guards: reading an empty root or an uncommitted version raises") {
     val root = tmpRoot()
     intercept[IllegalArgumentException](SnapshotSink.read(spark, root))

@@ -84,6 +84,24 @@ class SpanDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental: batch scored against corpus grams only; batch-internal dups don't count") {
+    val corpus = Seq(1L -> "c1 c2 c3 c4 x1 x2").toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "a1 c1 c2 c3 c4 a2", // corpus run [1,5) -> 4 covered
+      11L -> "b1 b2 b3 b4 b5",    // nothing from corpus
+      12L -> "b1 b2 b3 b4 b5"     // exact dup of 11 — but only WITHIN the batch -> 0
+    ).toDF("doc_id", "text")
+    val got = graft.operators.SpanDedup
+      .incrementalSpanCoverage(batch, corpus, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (10L, 6L, 2L, 4L, 666L),
+      (11L, 5L, 0L, 0L, 0L),
+      (12L, 5L, 0L, 0L, 0L)))
+  }
+
   test("coverage never exceeds n_tokens and adjacency chains into one island") {
     // shared 6-token run with n=3: grams at pos 1,2,3,4 chain into one
     // island [1, 7) -> 6 covered
