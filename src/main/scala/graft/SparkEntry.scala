@@ -1942,6 +1942,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — TRAILING-WINDOW DISTINCT ROLLUP: trailing-7-day
+    // distinct users per day from MERGED per-day KMV sketch states —
+    // the AggregatingMergeTree pattern of the reference's own warehouse
+    // (store a sketch state per day, answer any window by merging
+    // states, never rescan events). KMV's closure property makes the
+    // merge exact sketch algebra; exact trailing distinct attached for
+    // audit. Hash-exact: sketches, merge and estimate replay literally.
+    "q134_trailing_distinct" -> ((s, dir) => {
+      graft.operators.Cardinality.trailingDistinct(
+        events(s, dir).select(
+          expr("unix_millis(ts) DIV 86400000").as("day"), col("user_id")),
+        "user_id", "day", k = KmvK, windowDays = 7)
+    }),
+
     // Extension — INCREMENTAL span dedup, the batch-arrival shape of
     // q126 (and the span-granular sibling of q68/q72's fingerprint
     // incremental dedup): each new-batch doc's coverage by spans ALREADY
@@ -3241,6 +3255,41 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q134: trailing KMV rollup — per-day k-smallest sketches, window
+    * merge via sort+distinct+slice (the KMV closure), q84's estimate
+    * formula, and the exploded-contribution exact audit. */
+  private def q134Oracle: String = {
+    val k = KmvK
+    s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT DISTINCT day,
+       |    ((${duckMd5Long("user_id::VARCHAR")}) >> 2) & 4611686018427387903 AS u
+       |  FROM e),
+       |r AS (SELECT day, u,
+       |    row_number() OVER (PARTITION BY day ORDER BY u ASC) AS rk FROM h),
+       |daily AS (SELECT day, list(u ORDER BY u ASC) AS kmv
+       |  FROM r WHERE rk <= $k GROUP BY day),
+       |win AS (SELECT day,
+       |    CAST(count(*) OVER w AS BIGINT) AS n_days,
+       |    list_sort(list_distinct(flatten(list(kmv) OVER w)))[1:$k] AS merged
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       |est AS (SELECT day, n_days,
+       |    CASE WHEN len(merged) < $k THEN CAST(len(merged) AS BIGINT)
+       |      ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * 4611686018427387904.0 /
+       |        CAST(greatest(merged[$k], 1) AS DOUBLE)) AS BIGINT) END AS kmv_trailing_est
+       |  FROM win),
+       |du AS (SELECT DISTINCT day AS d, user_id AS v FROM e),
+       |contrib AS (SELECT unnest(range(d, d + 7)) AS day, v FROM du),
+       |exact AS (SELECT c.day,
+       |    CAST(count(DISTINCT c.v) AS BIGINT) AS exact_trailing_distinct
+       |  FROM contrib c JOIN (SELECT day FROM daily) dd USING (day)
+       |  GROUP BY c.day)
+       |SELECT e2.day, e2.n_days, e2.kmv_trailing_est, x.exact_trailing_distinct
+       |FROM est e2 JOIN exact x USING (day)
+       |ORDER BY e2.day""".stripMargin
+  }
+
   /** q133: incremental span coverage — batch grams flagged only when the
     * CORPUS gram set has them, then the q126 island merge verbatim. */
   private def q133Oracle: String = {
@@ -3593,6 +3642,7 @@ object SparkEntry {
 
     "q126_dup_spans" -> q126Oracle,
     "q133_incremental_spans" -> q133Oracle,
+    "q134_trailing_distinct" -> q134Oracle,
 
     // The dominance definition itself, quadratic but exact at oracle
     // scale — the Spark side must produce the identical frontier via its

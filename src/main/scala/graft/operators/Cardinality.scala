@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.{KmvSketch, SketchFunctions}
@@ -115,5 +116,49 @@ object Cardinality {
       .withColumn("est_intersect",
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
       .select("seg_a", "seg_b", "est_a", "est_b", "est_union", "est_intersect")
+  }
+
+  /** TRAILING-WINDOW DISTINCT ROLLUP — the pre-aggregated sketch pattern
+    * the reference's own warehouse is built on (ClickHouse
+    * AggregatingMergeTree: store one sketch STATE per day, answer any
+    * window by merging states — never rescan events): per integer-day
+    * KMV sketches, merged over a trailing `windowDays` value-range
+    * window via KMV's closure property (k smallest of the union IS the
+    * union's sketch), with the exact trailing distinct attached for
+    * audit.
+    *
+    * Scale shape: the events scan collapses to ≤ k longs per day
+    * (map-side combined); everything after — the trailing merge window,
+    * the estimate — runs over the DAYS-sized sketch table (a single
+    * ordered window over days-count rows, the q85 audit-rank class).
+    * The exact audit column explodes each distinct (day, value) pair
+    * into the ≤ `windowDays` windows it serves — an equi-join shape, no
+    * inequality join — and is the demo anchor; the at-scale deployment
+    * keeps only the sketch path. */
+  def trailingDistinct(
+      df: DataFrame,
+      valueCol: String,
+      dayCol: String,
+      k: Int,
+      windowDays: Int = 7
+  ): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val nn = df.filter(col(valueCol).isNotNull)
+    val daily = kmvSketches(nn, valueCol, dayCol, k)
+      .withColumnRenamed("segment", "day")
+      .localCheckpoint(true) // consumed by the window AND the audit join
+    val w = Window.orderBy("day").rangeBetween(-(windowDays - 1), 0)
+    val est = daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("merged",
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv")).over(w)))), 1, k))
+      .select(col("day"), col("n_days"),
+        kmvEstimate(col("merged"), k).as("kmv_trailing_est"))
+    val du = nn.select(col(dayCol).as("d"), col(valueCol).as("v")).distinct()
+    val contrib = du.withColumn("day",
+      explode(sequence(col("d"), col("d") + lit(windowDays - 1))))
+    val exact = contrib.join(daily.select("day"), Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct(col("v")).as("exact_trailing_distinct"))
+    est.join(exact, Seq("day")).orderBy("day")
   }
 }

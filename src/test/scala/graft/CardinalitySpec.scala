@@ -89,4 +89,28 @@ class CardinalitySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 1L, "__all__" -> 1L))
   }
+
+  test("trailing rollup: window merge of daily sketches; gaps shrink n_days; audit matches") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "b"), (2L, "c"),
+      (3L, "d"),
+      (10L, "a")).toDF("day", "v")
+    // k large -> sketches hold whole sets, estimates are exact
+    val got = Cardinality.trailingDistinct(df, "v", "day", k = 64, windowDays = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 2L),   // {a,b}
+      (2L, 2L, 3L, 3L),   // {a,b,c}
+      (3L, 2L, 3L, 3L),   // {b,c,d}
+      (10L, 1L, 1L, 1L))) // gap: window sees only day 10
+    // small k exercises the estimator branch on the merged sketch
+    val est = Cardinality.trailingDistinct(df, "v", "day", k = 2, windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(est.keySet == Set(1L, 2L, 3L, 10L))
+    assert(est(10L) == 1L) // below k stays exact
+    intercept[IllegalArgumentException](
+      Cardinality.trailingDistinct(df, "v", "day", k = 2, windowDays = 0))
+  }
 }
