@@ -1956,6 +1956,19 @@ object SparkEntry {
         "user_id", "day", k = KmvK, windowDays = 7)
     }),
 
+    // Extension — TRAILING HEAVY HITTERS from summed per-day count-min
+    // states: q134's rollup pattern on the LINEAR sketch (CM is a linear
+    // projection of the frequency vector, so window merge = adding the
+    // day-state rows). "Top users this trailing week" at φ = 1/100, the
+    // abuse/quota readout; exact audit attached. Hash-exact.
+    "q135_trailing_hitters" -> ((s, dir) => {
+      graft.operators.CountMin.trailingHeavyHitters(
+        events(s, dir).select(
+          expr("unix_millis(ts) DIV 86400000").as("day"), col("user_id")),
+        "user_id", "day", num = 1L, den = 100L,
+        depth = CmDepth, width = CmWidth, windowDays = 7)
+    }),
+
     // Extension — INCREMENTAL span dedup, the batch-arrival shape of
     // q126 (and the span-granular sibling of q68/q72's fingerprint
     // incremental dedup): each new-batch doc's coverage by spans ALREADY
@@ -3290,6 +3303,47 @@ object SparkEntry {
        |ORDER BY e2.day""".stripMargin
   }
 
+  /** q135: trailing heavy hitters — per-day CM states (q83's bucket
+    * hash), window merge by SUMMING state rows, min-over-j estimate,
+    * integer cross-multiply threshold, exact audit. */
+  private def q135Oracle: String = {
+    val (d, w) = (CmDepth, CmWidth)
+    s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS d, user_id::VARCHAR AS v
+       |  FROM events WHERE user_id IS NOT NULL),
+       |days AS (SELECT DISTINCT d AS day FROM e),
+       |js AS (SELECT unnest(range(0, $d)) AS j),
+       |daily AS (SELECT d, j,
+       |    (((${duckMd5Long("(j::VARCHAR || '|' || v)")}) % $w) + $w) % $w AS bucket,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM e, js GROUP BY 1, 2, 3),
+       |tr7 AS (SELECT t.day, x.j, x.bucket, CAST(sum(x.c) AS BIGINT) AS c
+       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day FROM daily) x
+       |  JOIN days t USING (day) GROUP BY 1, 2, 3),
+       |totals AS (SELECT t.day, CAST(sum(x.n) AS BIGINT) AS total
+       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day
+       |        FROM (SELECT d, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)) x
+       |  JOIN days t USING (day) GROUP BY 1),
+       |cand AS (SELECT DISTINCT t.day, x.v
+       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day
+       |        FROM (SELECT DISTINCT d, v FROM e)) x
+       |  JOIN days t USING (day)),
+       |cb AS (SELECT c.day, c.v, js.j,
+       |    (((${duckMd5Long("(j::VARCHAR || '|' || c.v)")}) % $w) + $w) % $w AS bucket
+       |  FROM cand c, js),
+       |est AS (SELECT cb.day, cb.v,
+       |    CAST(min(coalesce(tr.c, 0)) AS BIGINT) AS est_count
+       |  FROM cb LEFT JOIN tr7 tr USING (day, j, bucket)
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT t.day, x.v, CAST(sum(x.cnt) AS BIGINT) AS exact_count
+       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day
+       |        FROM (SELECT d, v, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2)) x
+       |  JOIN days t USING (day) GROUP BY 1, 2)
+       |SELECT est.day, est.v AS value, est.est_count, exact.exact_count
+       |FROM est JOIN totals USING (day) JOIN exact USING (day, v)
+       |WHERE est.est_count * 100 >= totals.total * 1
+       |ORDER BY est.day, est.est_count DESC, value ASC""".stripMargin
+  }
+
   /** q133: incremental span coverage — batch grams flagged only when the
     * CORPUS gram set has them, then the q126 island merge verbatim. */
   private def q133Oracle: String = {
@@ -3643,6 +3697,7 @@ object SparkEntry {
     "q126_dup_spans" -> q126Oracle,
     "q133_incremental_spans" -> q133Oracle,
     "q134_trailing_distinct" -> q134Oracle,
+    "q135_trailing_hitters" -> q135Oracle,
 
     // The dominance definition itself, quadratic but exact at oracle
     // scale — the Spark side must produce the identical frontier via its

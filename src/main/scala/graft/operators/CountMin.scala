@@ -120,6 +120,69 @@ object CountMin {
       .select(col("token"), col("est_count"), col("exact_count"))
   }
 
+  /** TRAILING-WINDOW HEAVY HITTERS from per-day count-min STATES — the
+    * LINEAR-sketch rollup twin of `Cardinality.trailingDistinct`'s
+    * order-statistic one: count-min is a linear projection of the
+    * frequency vector, so the trailing-window sketch is literally the
+    * SUM of the daily `(day, j, bucket, c)` state rows — the
+    * AggregatingMergeTree layout again, merged by addition instead of
+    * k-smallest. Events are scanned once; every window query runs over
+    * day-state rows bounded by days × depth × width.
+    *
+    * Per output day: candidates = values seen in the window, estimate =
+    * min_j of the summed trailing counters, reported when `est·den ≥
+    * total·num` (integer cross-multiply, q83's one-sided contract:
+    * everything truly heavy is reported; collision-driven false
+    * positives are visible against the exact audit column).
+    *
+    * Output: (day, value, est_count, exact_count), ordered by
+    * (day, est desc, value). */
+  def trailingHeavyHitters(
+      df: DataFrame,
+      valueCol: String,
+      dayCol: String,
+      num: Long,
+      den: Long,
+      depth: Int = 4,
+      width: Int = 1024,
+      windowDays: Int = 7
+  ): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "need 0 < num/den <= 1")
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val nn = df.filter(col(valueCol).isNotNull)
+      .select(col(dayCol).as("d"), col(valueCol).cast("string").as("v"))
+      .localCheckpoint(true) // feeds states, totals, candidates, audit
+    // the stored per-day state rows
+    val daily = nn
+      .select(col("d"), bucketed(col("v"), depth, width).as(Seq("j", "h")))
+      .select(col("d"), col("j"), pmod(col("h"), lit(width.toLong)).as("bucket"))
+      .groupBy("d", "j", "bucket").agg(count(lit(1)).as("c"))
+    val days = daily.select(col("d").as("day")).distinct().localCheckpoint(true)
+    def windowed(src: DataFrame): DataFrame = src
+      .withColumn("day", explode(sequence(col("d"), col("d") + lit(windowDays - 1))))
+      .join(days, Seq("day"), "left_semi")
+    // linear merge: trailing state = sum of daily states
+    val trailing = windowed(daily)
+      .groupBy("day", "j", "bucket").agg(sum("c").as("c"))
+    val totals = windowed(nn.groupBy("d").agg(count(lit(1)).as("n")))
+      .groupBy("day").agg(sum("n").as("total"))
+    val cand = windowed(nn.select("d", "v").distinct())
+      .select("day", "v").distinct()
+    val est = cand
+      .select(col("day"), col("v"), bucketed(col("v"), depth, width).as(Seq("j", "h")))
+      .select(col("day"), col("v"), col("j"),
+        pmod(col("h"), lit(width.toLong)).as("bucket"))
+      .join(trailing, Seq("day", "j", "bucket"), "left")
+      .groupBy("day", "v").agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+    val exact = windowed(nn.groupBy("d", "v").agg(count(lit(1)).as("cnt")))
+      .groupBy("day", "v").agg(sum("cnt").as("exact_count"))
+    est.join(totals, Seq("day"))
+      .filter(col("est_count") * den >= col("total") * num)
+      .join(exact, Seq("day", "v"))
+      .select(col("day"), col("v").as("value"), col("est_count"), col("exact_count"))
+      .orderBy(col("day"), col("est_count").desc, col("value"))
+  }
+
   /** SELF-JOIN SIZE (second frequency moment F2 = Σ_key f(key)²) from
     * one sketch pass over a key column, BOTH classic estimators side by
     * side plus the exact value for audit:

@@ -109,4 +109,22 @@ class CountMinSpec extends AnyFunSuite {
     // absent from the overlap join and must still enter min/median as 0
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 0L, 0L)))
   }
+
+  test("trailing hitters: window merge of daily CM states, threshold, candidate scoping") {
+    import spark.implicits._
+    // day1: u1 x5, u2 x1; day2: u1 x3, u3 x2; day3: u3 x1 — window 2, phi 1/2
+    val rows = Seq.fill(5)((1L, "u1")) ++ Seq((1L, "u2")) ++
+      Seq.fill(3)((2L, "u1")) ++ Seq.fill(2)((2L, "u3")) ++ Seq((3L, "u3"))
+    val got = CountMin.trailingHeavyHitters(rows.toDF("day", "v"), "v", "day",
+        num = 1L, den = 2L, depth = 4, width = 1024, windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // day1 total 6 -> u1(5); day2 total 11 -> u1(8); day3 total 6 ->
+    // u1(3) and u3(3) both exactly at threshold (est*2 >= 6); u2 is not
+    // even a candidate at day3 (outside its window)
+    assert(got == Seq(
+      (1L, "u1", 5L, 5L),
+      (2L, "u1", 8L, 8L),
+      (3L, "u1", 3L, 3L),
+      (3L, "u3", 3L, 3L)))
+  }
 }
