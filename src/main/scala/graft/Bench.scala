@@ -70,7 +70,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session TZ as Verify/SendCli/TestSpark: events()'s
+      // TIMESTAMP_NTZ→timestamp cast assumes UTC instants, so on a
+      // non-UTC host an unpinned bench would time DIFFERENT day buckets
+      // than the verified results (r7 advisor finding)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     FixtureProbe.probe(spark, sfDir)

@@ -3774,7 +3774,8 @@ object SparkEntry {
       """WITH s AS (SELECT c_nationkey, c_mktsegment,
         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
         |g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz,
-        |    CAST(count(DISTINCT bal_band) AS BIGINT) AS nv
+        |    CAST(count(DISTINCT bal_band)
+        |      + max(CASE WHEN bal_band IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv
         |  FROM s GROUP BY 1, 2)
         |SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rows,
         |  CAST(count(*) AS BIGINT) AS n_classes,

@@ -28,6 +28,15 @@ object Skyline {
     * Integer-domain columns (the strictly-greater frame is value-based).
     * Returns the input columns unchanged; callers order the result. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // the strictly-greater frame below steps back ONE VALUE UNIT in x:
+    // sound only on integral domains (doubles differing by <1 would be
+    // silently treated as ties) — fail fast rather than return a wrong
+    // frontier (r7 advisor finding)
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val xType = df.schema(xCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(xType),
+      s"skyline2d needs an integral x column; $xCol is $xType " +
+        "(bucket/scale continuous signals to integers first)")
     val agg = df.groupBy(xCol).agg(max(col(yCol)).as("_ymax"))
     // rows whose x is STRICTLY greater: value-range frame ending one
     // unit earlier in the descending order (integer domain)

@@ -97,12 +97,42 @@ object SnapshotSink {
       finally in.close()
     // manifest fields are machine-written (see commit) — parse positionally
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
-    val files = """"files":\[(.*)\]""".r.findFirstMatchIn(json).get.group(1) match {
-      case "" => Seq.empty[String]
-      case s  => s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    Snapshot(v, parseFilesArray(json), rows)
+  }
+
+  /** The `"files":[...]` array, parsed by an escape-aware character walk.
+    * A naive split-on-comma corrupts any path CONTAINING a comma (legal
+    * in URIs), and unescaping `\"` before `\\` mangles trailing
+    * backslash-quote runs (r7 advisor finding) — a string scanner that
+    * honors JSON escapes in one pass has neither failure mode. */
+  private[graft] def parseFilesArray(json: String): Seq[String] = {
+    val tag = "\"files\":["
+    val start = json.indexOf(tag)
+    require(start >= 0, s"malformed manifest (no files array): ${json.take(200)}")
+    var i = start + tag.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var done = false
+    while (!done) {
+      require(i < json.length, "malformed manifest: unterminated files array")
+      val c = json.charAt(i)
+      if (inStr) c match {
+        case '\\' =>
+          require(i + 1 < json.length, "malformed manifest: dangling escape")
+          sb.append(json.charAt(i + 1)) // commit only emits \" and \\
+          i += 2
+        case '"' => out += sb.result(); sb.clear(); inStr = false; i += 1
+        case ch  => sb.append(ch); i += 1
+      } else c match {
+        case '"'       => inStr = true; i += 1
+        case ']'       => done = true
+        case ',' | ' ' => i += 1
+        case ch => throw new IllegalStateException(
+          s"malformed manifest: unexpected '$ch' in files array")
+      }
     }
-    Snapshot(v, files, rows)
+    out.toSeq
   }
 
   /** Read a committed snapshot BY ITS MANIFEST — orphan files in the
@@ -119,21 +149,51 @@ object SnapshotSink {
     * `.tmp` manifests. Readers of kept snapshots are untouched (their
     * files are never deleted); readers of dropped snapshots race with
     * the delete exactly as they would with any retention policy, which
-    * is why `keepLast` exists. Returns the dropped version numbers. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Seq[Int] = {
+    * is why `keepLast` exists. Returns the dropped version numbers.
+    *
+    * In-flight-commit safety (r7 advisor finding): a commit between
+    * "data written" and "manifest renamed" looks exactly like a crashed
+    * orphan, so a concurrent vacuum could delete its data and the later
+    * manifest rename would still succeed — a committed snapshot pointing
+    * at nothing. Two guards close the race without coordination:
+    * unreferenced dirs YOUNGER than `orphanGraceMs` are skipped (no real
+    * commit takes that long between write and rename), and the manifest
+    * set is RE-READ after listing so a dir claimed by a manifest
+    * committed mid-vacuum is spared regardless of age. Dirs referenced
+    * only by DROPPED manifests are retired deliberately and deleted at
+    * any age. */
+  def vacuum(
+      spark: SparkSession,
+      root: String,
+      keepLast: Int = 1,
+      orphanGraceMs: Long = 3600000L
+  ): Seq[Int] = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
+    require(orphanGraceMs >= 0L, "orphanGraceMs must be >= 0")
     val vs = versions(spark, root)
     val dropped = vs.dropRight(keepLast)
     val kept = vs.takeRight(keepLast)
-    val keptDirs: Set[String] = kept
+    def dirsOf(versions: Seq[Int]): Set[String] = versions
       .flatMap(v => snapshot(spark, root, Some(v)).files)
       .map(f => new Path(f).getParent.toString).toSet
+    val keptDirs = dirsOf(kept)
+    val droppedDirs = dirsOf(dropped) -- keptDirs
     val dataDir = new Path(root, "data")
     val f = fs(spark, dataDir)
     if (f.exists(dataDir)) {
-      f.listStatus(dataDir).toSeq.map(_.getPath)
-        .filterNot(p => keptDirs.contains(p.toString))
-        .foreach(p => f.delete(p, true))
+      val candidates = f.listStatus(dataDir).toSeq
+        .filterNot(st => keptDirs.contains(st.getPath.toString))
+      // re-read AFTER the listing: a manifest committed while we listed
+      // may reference a dir that looked orphaned a moment ago (the
+      // to-be-dropped manifests don't count — their dirs ARE retired)
+      val droppedSet = dropped.toSet
+      val nowReferenced = dirsOf(versions(spark, root).filterNot(droppedSet))
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      candidates
+        .filterNot(st => nowReferenced.contains(st.getPath.toString))
+        .filter(st => droppedDirs.contains(st.getPath.toString) ||
+          st.getModificationTime <= cutoff)
+        .foreach(st => f.delete(st.getPath, true))
     }
     val mdir = manifestDir(root)
     dropped.foreach(v => f.delete(new Path(mdir, s"v$v.json"), false))

@@ -53,7 +53,8 @@ class SnapshotSinkSpec extends AnyFunSuite {
     val w = new java.io.FileWriter(s"$root/_manifests/v9.json.tmp")
     w.write("{}"); w.close()
 
-    val dropped = SnapshotSink.vacuum(spark, root, keepLast = 1)
+    // grace 0: this test's orphans are known-dead, sweep them now
+    val dropped = SnapshotSink.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
     assert(dropped == Seq(1))
     assert(SnapshotSink.versions(spark, root) == Seq(2))
     assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet == Set(2L))
@@ -63,6 +64,27 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/_manifests/v9.json.tmp").exists())
     intercept[IllegalArgumentException](SnapshotSink.read(spark, root, Some(1)))
     intercept[IllegalArgumentException](SnapshotSink.vacuum(spark, root, keepLast = 0))
+  }
+
+  test("vacuum spares young unreferenced dirs (in-flight commit protection)") {
+    val root = tmpRoot()
+    SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    SnapshotSink.commit(Seq((2L, "b")).toDF("k", "v"), root)
+    // a commit in flight: data written seconds ago, manifest not yet
+    // renamed — indistinguishable from a crash except by age
+    Seq((77L, "inflight")).toDF("k", "v").write.parquet(s"$root/data/inflight-job")
+    SnapshotSink.vacuum(spark, root, keepLast = 1) // default 1 h grace
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSeq
+    assert(dataDirs.contains("inflight-job")) // spared: younger than grace
+    assert(dataDirs.size == 2) // v1's dir retired (dropped manifests delete at any age)
+    assert(SnapshotSink.versions(spark, root) == Seq(2))
+  }
+
+  test("manifest file lists round-trip paths containing commas and quotes") {
+    val json = """{"version":1,"rows":3,"files":["/a/p,1.parquet","/b \"q\" c.parquet","/plain.parquet"]}"""
+    assert(SnapshotSink.parseFilesArray(json) ==
+      Seq("/a/p,1.parquet", "/b \"q\" c.parquet", "/plain.parquet"))
+    assert(SnapshotSink.parseFilesArray("""{"version":1,"rows":0,"files":[]}""").isEmpty)
   }
 
   test("guards: reading an empty root or an uncommitted version raises") {
