@@ -1969,6 +1969,38 @@ object SparkEntry {
         depth = CmDepth, width = CmWidth, windowDays = 7)
     }),
 
+    // Extension — the q134 pattern DEPLOYED: per-day KMV states are
+    // PERSISTED as manifest-committed snapshots (sink/SnapshotSink) in
+    // two batch commits — even days first, then odd days MERGED into the
+    // stored states by KMV closure (the AggregatingMergeTree compaction
+    // step, SURVEY §1.1) — and the trailing windows are answered FROM
+    // THE STORED TABLE: the serving plan reads the snapshot parquet and
+    // never scans events. This is "events scanned once EVER", not once
+    // per query; the oracle recomputes from raw events and matches
+    // because state merge is associative sketch algebra. Hash-exact.
+    "q136_stored_state_rollup" -> ((s, dir) => {
+      import graft.operators.Cardinality
+      import graft.sink.SnapshotSink
+      val root = java.nio.file.Files.createTempDirectory("graft_q136_states").toString
+      val ev = events(s, dir).select(
+        expr("unix_millis(ts) DIV 86400000").as("day"), col("user_id"))
+        .filter(col("user_id").isNotNull)
+      def dailyStates(batch: org.apache.spark.sql.DataFrame) =
+        Cardinality.kmvSketches(batch, "user_id", "day", KmvK)
+          .withColumnRenamed("segment", "day")
+      // batch 1 (even days): first commit
+      SnapshotSink.commit(dailyStates(ev.filter(pmod(col("day"), lit(2)) === 0)), root)
+      // batch 2 (odd days): merge into the STORED states, commit v2
+      SnapshotSink.commit(
+        Cardinality.mergeKmvStates(
+          SnapshotSink.read(s, root),
+          dailyStates(ev.filter(pmod(col("day"), lit(2)) === 1)), KmvK), root)
+      // serve from the store — this plan contains NO events scan
+      Cardinality.trailingDistinctFromStates(
+          SnapshotSink.read(s, root), KmvK, windowDays = 7)
+        .orderBy("day")
+    }),
+
     // Extension — INCREMENTAL span dedup, the batch-arrival shape of
     // q126 (and the span-granular sibling of q68/q72's fingerprint
     // incremental dedup): each new-batch doc's coverage by spans ALREADY
@@ -3303,6 +3335,34 @@ object SparkEntry {
        |ORDER BY e2.day""".stripMargin
   }
 
+  /** q136: the stored-state rollup served from SnapshotSink — the oracle
+    * recomputes the SAME answer from raw events (q134's sketch math minus
+    * the exact-audit column): the Spark side's two-batch commit + merge
+    * lineage is invisible to the result by KMV closure/associativity,
+    * which is precisely the property the query demonstrates. */
+  private def q136Oracle: String = {
+    val k = KmvK
+    s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT DISTINCT day,
+       |    ((${duckMd5Long("user_id::VARCHAR")}) >> 2) & 4611686018427387903 AS u
+       |  FROM e),
+       |r AS (SELECT day, u,
+       |    row_number() OVER (PARTITION BY day ORDER BY u ASC) AS rk FROM h),
+       |daily AS (SELECT day, list(u ORDER BY u ASC) AS kmv
+       |  FROM r WHERE rk <= $k GROUP BY day),
+       |win AS (SELECT day,
+       |    CAST(count(*) OVER w AS BIGINT) AS n_days,
+       |    list_sort(list_distinct(flatten(list(kmv) OVER w)))[1:$k] AS merged
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+       |SELECT day, n_days,
+       |  CASE WHEN len(merged) < $k THEN CAST(len(merged) AS BIGINT)
+       |    ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * 4611686018427387904.0 /
+       |      CAST(greatest(merged[$k], 1) AS DOUBLE)) AS BIGINT) END AS kmv_trailing_est
+       |FROM win ORDER BY day""".stripMargin
+  }
+
   /** q135: trailing heavy hitters — per-day CM states (q83's bucket
     * hash), window merge by SUMMING state rows, min-over-j estimate,
     * integer cross-multiply threshold, exact audit. */
@@ -3698,6 +3758,7 @@ object SparkEntry {
     "q133_incremental_spans" -> q133Oracle,
     "q134_trailing_distinct" -> q134Oracle,
     "q135_trailing_hitters" -> q135Oracle,
+    "q136_stored_state_rollup" -> q136Oracle,
 
     // The dominance definition itself, quadratic but exact at oracle
     // scale — the Spark side must produce the identical frontier via its

@@ -147,18 +147,52 @@ object Cardinality {
     val daily = kmvSketches(nn, valueCol, dayCol, k)
       .withColumnRenamed("segment", "day")
       .localCheckpoint(true) // consumed by the window AND the audit join
-    val w = Window.orderBy("day").rangeBetween(-(windowDays - 1), 0)
-    val est = daily
-      .withColumn("n_days", count(lit(1)).over(w))
-      .withColumn("merged",
-        slice(array_sort(array_distinct(flatten(collect_list(col("kmv")).over(w)))), 1, k))
-      .select(col("day"), col("n_days"),
-        kmvEstimate(col("merged"), k).as("kmv_trailing_est"))
+    val est = trailingDistinctFromStates(daily, k, windowDays)
     val du = nn.select(col(dayCol).as("d"), col(valueCol).as("v")).distinct()
     val contrib = du.withColumn("day",
       explode(sequence(col("d"), col("d") + lit(windowDays - 1))))
     val exact = contrib.join(daily.select("day"), Seq("day"), "left_semi")
       .groupBy("day").agg(countDistinct(col("v")).as("exact_trailing_distinct"))
     est.join(exact, Seq("day")).orderBy("day")
+  }
+
+  /** MERGE two per-day KMV state tables `(day, kmv)` into one — the
+    * AggregatingMergeTree compaction step: days present in both sides
+    * combine by KMV closure (k smallest distinct of the union IS the
+    * union's sketch), days in one side pass through. Associative and
+    * commutative, so batches can land in any order and the accumulated
+    * state equals the state one all-at-once build would produce —
+    * which is what makes the stored table SERVABLE without rescanning
+    * events (exercised end-to-end by q136 via
+    * [[graft.sink.SnapshotSink]]).
+    *
+    * Scale shape: the explode is bounded by k per input state row, so
+    * the merge shuffles ≤ k longs per (day, side) — state-sized,
+    * never data-sized. */
+  def mergeKmvStates(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.select(col("day"), col("kmv"))
+      .unionByName(b.select(col("day"), col("kmv")))
+      .select(col("day"), explode(col("kmv")).as("u"))
+      .groupBy("day")
+      .agg(KmvSketch.kmv(col("u"), k).as("kmv"))
+
+  /** SERVE the trailing-distinct rollup from a STORED per-day KMV state
+    * table `(day, kmv)` — the read side of the pattern: no events scan
+    * anywhere in this plan; every window is answered by merging ≤
+    * `windowDays` state rows over a days-sized ordered window. Output
+    * `(day, n_days, kmv_trailing_est)` — no exact audit column, because
+    * the store deliberately does NOT retain the distinct values (that's
+    * the point); the oracle recomputes from raw events and matches by
+    * KMV's closure property. */
+  def trailingDistinctFromStates(
+      states: DataFrame, k: Int, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val w = Window.orderBy("day").rangeBetween(-(windowDays - 1), 0)
+    states
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("merged",
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv")).over(w)))), 1, k))
+      .select(col("day"), col("n_days"),
+        kmvEstimate(col("merged"), k).as("kmv_trailing_est"))
   }
 }

@@ -113,4 +113,37 @@ class CardinalitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Cardinality.trailingDistinct(df, "v", "day", k = 2, windowDays = 0))
   }
+
+  test("stored-state lineage: batch commits merge into one snapshot; serving from the store matches the all-at-once build") {
+    import graft.sink.SnapshotSink
+    val root = java.nio.file.Files.createTempDirectory("kmv_states").toString
+    val all = Seq(
+      (1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"), (3L, "d"), (4L, "a"))
+      .toDF("day", "v")
+    val b1 = all.filter(col("day") <= 2) // first batch: days 1-2
+    val b2 = all.filter(col("day") >= 2) // second batch OVERLAPS day 2
+    def states(df: org.apache.spark.sql.DataFrame) =
+      Cardinality.kmvSketches(df, "v", "day", k = 64).withColumnRenamed("segment", "day")
+    SnapshotSink.commit(states(b1), root)
+    SnapshotSink.commit(
+      Cardinality.mergeKmvStates(SnapshotSink.read(spark, root), states(b2), 64), root)
+    // same lineage: two committed versions, one logical table
+    assert(SnapshotSink.versions(spark, root) == Seq(1, 2))
+    // merged states ≡ the states an all-at-once build produces (closure),
+    // including the overlapping day 2 whose two partial sketches combined
+    val stored = SnapshotSink.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val oneShot = states(all)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(stored == oneShot)
+    // serving the rollup from the STORE matches serving from fresh states
+    val served = Cardinality.trailingDistinctFromStates(
+        SnapshotSink.read(spark, root), k = 64, windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val fresh = Cardinality.trailingDistinctFromStates(states(all), k = 64, windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(served == fresh)
+    assert(served.map(t => (t._1, t._3)) ==
+      Seq((1L, 2L), (2L, 3L), (3L, 3L), (4L, 2L))) // {a,b} {a,b,c} {b,c,d} {d,a}
+  }
 }
