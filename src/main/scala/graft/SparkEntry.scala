@@ -3365,7 +3365,9 @@ object SparkEntry {
 
   /** q135: trailing heavy hitters — per-day CM states (q83's bucket
     * hash), window merge by SUMMING state rows, min-over-j estimate,
-    * integer cross-multiply threshold, exact audit. */
+    * integer cross-multiply threshold, exact audit. Candidates are
+    * pigeonhole-bounded exactly as the operator's: only values
+    * (num/(den·w))-heavy on some window day are probed. */
   private def q135Oracle: String = {
     val (d, w) = (CmDepth, CmWidth)
     s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS d, user_id::VARCHAR AS v
@@ -3379,13 +3381,15 @@ object SparkEntry {
        |tr7 AS (SELECT t.day, x.j, x.bucket, CAST(sum(x.c) AS BIGINT) AS c
        |  FROM (SELECT *, unnest(range(d, d + 7)) AS day FROM daily) x
        |  JOIN days t USING (day) GROUP BY 1, 2, 3),
+       |dc AS (SELECT d, v, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+       |dt AS (SELECT d, CAST(sum(cnt) AS BIGINT) AS n FROM dc GROUP BY 1),
        |totals AS (SELECT t.day, CAST(sum(x.n) AS BIGINT) AS total
-       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day
-       |        FROM (SELECT d, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)) x
+       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day FROM dt) x
        |  JOIN days t USING (day) GROUP BY 1),
        |cand AS (SELECT DISTINCT t.day, x.v
-       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day
-       |        FROM (SELECT DISTINCT d, v FROM e)) x
+       |  FROM (SELECT dc.v, unnest(range(dc.d, dc.d + 7)) AS day
+       |        FROM dc JOIN dt USING (d)
+       |        WHERE dc.cnt * 100 * 7 >= dt.n * 1) x
        |  JOIN days t USING (day)),
        |cb AS (SELECT c.day, c.v, js.j,
        |    (((${duckMd5Long("(j::VARCHAR || '|' || c.v)")}) % $w) + $w) % $w AS bucket
@@ -3395,8 +3399,7 @@ object SparkEntry {
        |  FROM cb LEFT JOIN tr7 tr USING (day, j, bucket)
        |  GROUP BY 1, 2),
        |exact AS (SELECT t.day, x.v, CAST(sum(x.cnt) AS BIGINT) AS exact_count
-       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day
-       |        FROM (SELECT d, v, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2)) x
+       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day FROM dc) x
        |  JOIN days t USING (day) GROUP BY 1, 2)
        |SELECT est.day, est.v AS value, est.est_count, exact.exact_count
        |FROM est JOIN totals USING (day) JOIN exact USING (day, v)
