@@ -482,6 +482,23 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Extension — the STUB-CODEC rows of q32, promoted to hash-exact
+    // (r7 judge item #3): audio/video features are deterministic integer
+    // arithmetic — the portable md5-slice hash of payload ++ "|i" mod
+    // 2000003 — so they carry a DuckDB oracle, leaving q102's real PNG
+    // decode as the one irreducible rows-only entry. Runs through the
+    // SAME mapPartitions codec path as q32 (Multimodal.stubUnits), not a
+    // Catalyst re-derivation.
+    "q137_stub_codec_units" -> ((s, dir) => {
+      val av = Multimodal.fixtureFromDocuments(s, t(s, dir, "documents"))
+        .filter(col("kind") =!= "image")
+      Multimodal.stubUnits(av, Seq(0, 7))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          element_at(col("units"), 1).as("u0"),
+          element_at(col("units"), 2).as("u7"))
+        .orderBy("media_id")
+    }),
+
     // Extension — order-sensitive rolling fingerprint, PORTABLE md5-slice
     // chain (r6: the previous xxhash64 chain had no DuckDB equivalent and
     // was rows-only; the md5 chain replays as a list_reduce, so the query
@@ -3762,6 +3779,18 @@ object SparkEntry {
     "q134_trailing_distinct" -> q134Oracle,
     "q135_trailing_hitters" -> q135Oracle,
     "q136_stored_state_rollup" -> q136Oracle,
+
+    // The stub codec replayed literally: payload = the document text's
+    // UTF-8 bytes, feature-head i = portable md5 slice of text || '|i'
+    // mod 2000003 (both engines use truncated signed remainder).
+    "q137_stub_codec_units" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  (${duckMd5Long("(text || '|0')")}) % 2000003 AS u0,
+         |  (${duckMd5Long("(text || '|7')")}) % 2000003 AS u7
+         |FROM documents WHERE doc_id % 3 <> 0
+         |ORDER BY media_id""".stripMargin,
 
     // The dominance definition itself, quadratic but exact at oracle
     // scale — the Spark side must produce the identical frontier via its

@@ -107,16 +107,27 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** STUB: embed a non-image payload. Real impl: codec decode -> model
-      * forward pass. Fake: hash-derived unit-ish vector, deterministic in
-      * the payload bytes. */
-    def decodeToFeature(content: Array[Byte]): Array[Float] = {
-      val h0 = java.util.Arrays.hashCode(content).toLong
-      Array.tabulate(FeatureDim) { i =>
-        val h = mix(h0, i)
-        ((h % 2000003).toFloat / 1000001.5f) - 1.0f
-      }
+    /** Integer head of the stub embedding: the PORTABLE md5-slice hash
+      * ([[graft.plans.PortableSketch.md5Long]]) of `content ++ "|i"`,
+      * reduced mod 2000003 with Java's signed remainder — deterministic
+      * integer arithmetic an external engine replays literally
+      * (`duckMd5Long(payload || '|i') % 2000003`), which is what lets
+      * the stub-codec rows carry a hash-exact oracle (q137) instead of
+      * hiding behind the rows-only gate. */
+    def stubFeatureUnit(content: Array[Byte], i: Int): Long = {
+      val suffix = ("|" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val buf = java.util.Arrays.copyOf(content, content.length + suffix.length)
+      System.arraycopy(suffix, 0, buf, content.length, suffix.length)
+      graft.plans.PortableSketch.md5Long(buf) % 2000003L
     }
+
+    /** STUB: embed a non-image payload. Real impl: codec decode -> model
+      * forward pass. Fake: the [[stubFeatureUnit]] integer heads scaled
+      * into (-3, 1) — deterministic in the payload bytes. */
+    def decodeToFeature(content: Array[Byte]): Array[Float] =
+      Array.tabulate(FeatureDim) { i =>
+        (stubFeatureUnit(content, i).toFloat / 1000001.5f) - 1.0f
+      }
 
     /** STUB: re-encode at new dimensions. Real impl: scale + encode.
       * Fake: size-proportional deterministic truncation/padding. */
@@ -286,6 +297,22 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Stub-codec AUDIT SURFACE: the integer feature heads
+    * ([[Codecs.stubFeatureUnit]]) for the requested dims, through the
+    * same per-partition batch plumbing as [[extractFeatures]] — so the
+    * oracle-gated query (q137) exercises the genuine codec path (JVM
+    * byte-array arithmetic inside mapPartitions), not a Catalyst
+    * re-derivation of it. One `units` array per row, `dims`-ordered. */
+  def stubUnits(items: Dataset[MediaItem], dims: Seq[Int]): DataFrame = {
+    import items.sparkSession.implicits._
+    require(dims.nonEmpty && dims.forall(i => i >= 0 && i < FeatureDim),
+      s"dims must be within [0, $FeatureDim)")
+    items.mapPartitions { it =>
+      it.map(m => (m.media_id, m.kind, m.content.length.toLong,
+        dims.map(i => Codecs.stubFeatureUnit(m.content, i))))
+    }.toDF("media_id", "kind", "n_bytes", "units")
   }
 
   /** Resize: payload-to-payload map, preserving metadata columns. */

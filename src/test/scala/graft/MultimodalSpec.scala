@@ -26,6 +26,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
   }
 
+  test("stub embedding wraps the portable integer heads; stubUnits replays them through mapPartitions") {
+    val content = "some payload text".getBytes("UTF-8")
+    // the float stub IS the scaled integer head — one arithmetic, two views
+    val f = Multimodal.Codecs.decodeToFeature(content)
+    (0 until Multimodal.FeatureDim).foreach { i =>
+      val u = Multimodal.Codecs.stubFeatureUnit(content, i)
+      assert(f(i) == (u.toFloat / 1000001.5f) - 1.0f)
+      assert(u > -2000003L && u < 2000003L)
+    }
+    // and the unit is the portable hash mod 2000003, replayable in SQL
+    assert(Multimodal.Codecs.stubFeatureUnit(content, 3) ==
+      graft.plans.PortableSketch.md5Long("some payload text|3".getBytes("UTF-8")) % 2000003L)
+    // dataset path: same units through the per-partition codec plumbing
+    val av = Multimodal.fixtureFromDocuments(spark, docs)
+      .filter(org.apache.spark.sql.functions.col("kind") =!= "image")
+    val row = Multimodal.stubUnits(av.repartition(4), Seq(0, 7))
+      .orderBy("media_id").head()
+    val item = av.orderBy("media_id").head()
+    assert(row.getLong(0) == item.media_id)
+    assert(row.getSeq[Long](3) == Seq(
+      Multimodal.Codecs.stubFeatureUnit(item.content, 0),
+      Multimodal.Codecs.stubFeatureUnit(item.content, 7)))
+    intercept[IllegalArgumentException](Multimodal.stubUnits(av, Seq(-1)))
+  }
+
   test("real PNG codec: known 2x2 image round-trips through encode/decode") {
     // hand-built 2x2 with known colors — decode must report true dims,
     // 3 bands, and exact per-band means
