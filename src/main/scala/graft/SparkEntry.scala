@@ -455,30 +455,31 @@ object SparkEntry {
     }),
 
     // Extension — per-partition batch feature extraction. Image rows are
-    // REAL PNGs decoded with javax.imageio (true pixel dims + band means);
-    // audio/video rows run the documented stub codec. Rows-only (PNG byte
-    // streams aren't SQL-reproducible), so the output SELF-VERIFIES the
-    // decode: every image row's DECODED dimensions must equal the
-    // fixture's metadata dims (dims_ok), and every row must carry a
-    // full-dimension feature vector with the kind-appropriate head
-    // (shape_ok).
+    // REAL PNGs decoded with javax.imageio (true pixel dims + band
+    // means); audio/video rows run the portable stub codec (gated
+    // value-by-value in q137). HASH-EXACT since round 8: the compared
+    // columns are the decoded dimensions and the shape/head invariants —
+    // values Spark derives from the ACTUAL decode while the oracle
+    // states the expected truth (image dims follow the fixture's
+    // media_id arithmetic; stub rows decode to 0×0; every feature vector
+    // is full-dimension with the kind-appropriate head). A decode
+    // regression changes the Spark side and fails the hash. The PNG
+    // byte-stream itself (n_bytes, band means) stays unreplayable and
+    // lives in MultimodalSpec; q102 remains the one rows-only entry.
     "q32_media_features" -> ((s, dir) => {
       val items = Multimodal.fixtureWithRealImages(s, t(s, dir, "documents"))
       Multimodal.extractFeatures(items).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("decoded_w"), col("decoded_h"),
-          element_at(col("feature"), 1).as("f0"),
+        .select(col("media_id"), col("kind"),
+          col("decoded_w").cast("long").as("decoded_w"),
+          col("decoded_h").cast("long").as("decoded_h"),
           (size(col("feature")) === Multimodal.FeatureDim &&
             when(col("kind") === "image",
               // real decode: f0 is the true width, dims in fixture range
               element_at(col("feature"), 1) === col("decoded_w").cast("float") &&
                 col("decoded_w").between(2, 7) && col("decoded_h").between(2, 5))
-              // stub codec emits ((h % 2000003)/1000001.5) - 1: span (-3, 1)
+              // stub codec emits (u/1000001.5) - 1 for |u| < 2000003: span (-3, 1)
               .otherwise(element_at(col("feature"), 1).between(-3.0, 1.0) &&
-                col("decoded_w") === 0 && col("decoded_h") === 0)).as("shape_ok"),
-          (col("kind") =!= "image" ||
-            (col("decoded_w") === pmod(col("media_id"), lit(6)) + 2 &&
-             col("decoded_h") === pmod(col("media_id"), lit(4)) + 2)).as("dims_ok"))
+                col("decoded_w") === 0 && col("decoded_h") === 0)).as("shape_ok"))
         .orderBy("media_id")
     }),
 
@@ -3779,6 +3780,18 @@ object SparkEntry {
     "q134_trailing_distinct" -> q134Oracle,
     "q135_trailing_hitters" -> q135Oracle,
     "q136_stored_state_rollup" -> q136Oracle,
+
+    // The oracle states the EXPECTED decode truths (fixture dims follow
+    // media_id arithmetic; stubs decode 0×0; invariants hold) — the
+    // Spark side produces them from the actual javax.imageio decode, so
+    // a decode regression is a hash mismatch.
+    "q32_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 6 + 2 ELSE 0 END AS BIGINT) AS decoded_w,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 4 + 2 ELSE 0 END AS BIGINT) AS decoded_h,
+        |  true AS shape_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // The stub codec replayed literally: payload = the document text's
     // UTF-8 bytes, feature-head i = portable md5 slice of text || '|i'
