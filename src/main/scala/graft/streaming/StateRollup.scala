@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Cardinality
+import graft.sink.SnapshotSink
+
+/** STREAMING INGESTION for the stored-state rollup (q136's write path as
+  * a Structured Streaming job): each micro-batch's per-day KMV states
+  * are MERGED into the snapshot-committed state table — KMV closure
+  * makes the merge associative, so the accumulated store equals the
+  * states one all-at-once batch build would produce no matter how the
+  * stream chops the data (asserted by the StreamingSpec twin). Trailing
+  * windows are then answered from the store by
+  * [[Cardinality.trailingDistinctFromStates]] without ever rescanning
+  * events — the ClickHouse AggregatingMergeTree deployment loop
+  * (reference seghouse delegates rollups to exactly this warehouse
+  * shape; see `reference/seghouse/warehouse/clickhouse.py:81-88`),
+  * rebuilt native.
+  *
+  * foreachBatch rather than a stateful aggregation: the state lives in
+  * the SNAPSHOT TABLE (readable by any engine, mergeable across
+  * clusters), not in the stream's checkpoint — restart-safe because
+  * commits are atomic manifest renames and micro-batch replays re-merge
+  * idempotently-shaped states (a re-merged sketch is unchanged:
+  * `merge(s, s) = s` for KMV).
+  *
+  * Scale shape: per micro-batch, one map-side-combined scan down to ≤ k
+  * longs per day, one state-sized merge against the stored table —
+  * events never accumulate anywhere. */
+object StateRollup {
+
+  /** Start an AvailableNow/continuous ingestion of `stream` (must carry
+    * `dayCol` and `valueCol`) that folds each micro-batch's daily KMV
+    * states into the snapshot root. One snapshot version per non-empty
+    * micro-batch. */
+  def appendDailyKmvStates(
+      stream: DataFrame,
+      valueCol: String,
+      dayCol: String,
+      k: Int,
+      root: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val states = Cardinality.kmvSketches(batch, valueCol, dayCol, k)
+            .withColumnRenamed("segment", "day")
+          val merged =
+            if (SnapshotSink.versions(spark, root).isEmpty) states
+            else Cardinality.mergeKmvStates(SnapshotSink.read(spark, root), states, k)
+          SnapshotSink.commit(merged, root)
+          ()
+        }
+      }
+      .trigger(trigger)
+      .start()
+}

@@ -335,6 +335,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.keySet == Set("s0", "s1"))
   }
 
+  test("streaming state rollup: micro-batch commits merge to the batch-built store; windows served from it") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Cardinality
+    import graft.sink.SnapshotSink
+
+    val src = Files.createTempDirectory("graft_stream_states")
+    val ckp = Files.createTempDirectory("graft_stream_states_ckp")
+    val root = Files.createTempDirectory("graft_stream_states_root").toString
+    // two files -> two micro-batches, overlapping day 2
+    Files.write(src.resolve("a.json"),
+      (0 until 30).map(i => s"""{"day":${1 + i % 2},"v":${i % 7}}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      (0 until 30).map(i => s"""{"day":${2 + i % 2},"v":${i % 11}}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.streaming.StateRollup.appendDailyKmvStates(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src.toString),
+      "v", "day", k = 8, root = root, checkpointDir = ckp.toString)
+    q.awaitTermination(120000)
+
+    // one committed version per micro-batch, one logical lineage
+    assert(SnapshotSink.versions(spark, root) == Seq(1, 2))
+    // stream-built stored states ≡ the all-at-once batch build
+    def stateMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val stored = stateMap(SnapshotSink.read(spark, root))
+    val batchStates = stateMap(
+      Cardinality.kmvSketches(spark.read.json(src.toString), "v", "day", k = 8)
+        .withColumnRenamed("segment", "day"))
+    assert(stored == batchStates && stored.keySet == Set(1L, 2L, 3L))
+    // serving from the store matches the batch rollup's sketch columns
+    val served = Cardinality.trailingDistinctFromStates(
+        SnapshotSink.read(spark, root), k = 8, windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val batchRollup = Cardinality.trailingDistinct(
+        spark.read.json(src.toString).filter(col("v").isNotNull), "v", "day",
+        k = 8, windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(served == batchRollup)
+  }
+
   test("streaming contract report (row-level checks) equals its batch twin") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Contracts
