@@ -2042,6 +2042,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — the q135 pattern DEPLOYED (the CM twin of q136):
+    // per-day count-min states, pigeonhole candidate lists and day
+    // totals are PERSISTED as three snapshot-committed state tables —
+    // even days first, odd days merged/unioned in (CM states merge by
+    // ADDITION, linear sketch; candidates and totals are per-day facts
+    // unioned at the day grain, the natural commit unit) — and the
+    // trailing heavy hitters are served ENTIRELY from the stored
+    // tables: no events scan in the serving plan, every stored table
+    // bounded by days × depth × width (states) or days × den·w/num
+    // (candidates). Output drops the exact audit column — that needs
+    // raw events by definition, which the store deliberately does not
+    // keep (q135 carries it). Hash-exact vs a DuckDB replay from raw
+    // events, equal by sketch linearity.
+    "q138_stored_hitters" -> ((s, dir) => {
+      import graft.operators.CountMin
+      import graft.sink.SnapshotSink
+      val root = java.nio.file.Files.createTempDirectory("graft_q138_states").toString
+      val (num, den, w) = (1L, 100L, 7)
+      val nn = events(s, dir)
+        .select(expr("unix_millis(ts) DIV 86400000").as("d"),
+          col("user_id").cast("string").as("v"))
+        .filter(col("v").isNotNull)
+      def tables(batch: org.apache.spark.sql.DataFrame) = {
+        val dayCounts = batch.groupBy("d", "v").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val totals = dayCounts.groupBy("d").agg(sum("cnt").as("n"))
+        val cands = dayCounts.join(totals, Seq("d"))
+          .filter(col("cnt") * den * w >= col("n") * num).select("d", "v")
+        (CountMin.dailyStates(batch, "v", "d", CmDepth, CmWidth), cands, totals)
+      }
+      val (s1, c1, t1) = tables(nn.filter(pmod(col("d"), lit(2)) === 0))
+      SnapshotSink.commit(s1, s"$root/cm"); SnapshotSink.commit(c1, s"$root/cand")
+      SnapshotSink.commit(t1, s"$root/tot")
+      val (s2, c2, t2) = tables(nn.filter(pmod(col("d"), lit(2)) === 1))
+      SnapshotSink.commit(
+        CountMin.mergeDailyStates(SnapshotSink.read(s, s"$root/cm"), s2), s"$root/cm")
+      SnapshotSink.commit(
+        SnapshotSink.read(s, s"$root/cand").unionByName(c2), s"$root/cand")
+      SnapshotSink.commit(
+        SnapshotSink.read(s, s"$root/tot").unionByName(t2), s"$root/tot")
+      // serve from the three stored tables — no events scan in this plan
+      CountMin.trailingHittersFromStates(
+          SnapshotSink.read(s, s"$root/cm"),
+          SnapshotSink.read(s, s"$root/cand"),
+          SnapshotSink.read(s, s"$root/tot"),
+          num, den, CmDepth, CmWidth, windowDays = w)
+        .orderBy(col("day"), col("est_count").desc, col("value"))
+    }),
+
     // Extension — 2D PARETO FRONTIER over curation signals: the docs no
     // other doc beats on BOTH token count and lexical richness (distinct
     // tokens) — multi-criteria selection without an arbitrary weighted
@@ -3425,6 +3474,47 @@ object SparkEntry {
        |ORDER BY est.day, est.est_count DESC, value ASC""".stripMargin
   }
 
+  /** q138: the stored-state heavy hitters served from SnapshotSink — the
+    * oracle is q135's replay minus the exact-audit column: the two-batch
+    * commit + merge lineage is invisible to the result by CM linearity
+    * (even/odd-day batches sum to the full states) and day-grain
+    * candidate/total union. */
+  private def q138Oracle: String = {
+    val (d, w) = (CmDepth, CmWidth)
+    s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS d, user_id::VARCHAR AS v
+       |  FROM events WHERE user_id IS NOT NULL),
+       |days AS (SELECT DISTINCT d AS day FROM e),
+       |js AS (SELECT unnest(range(0, $d)) AS j),
+       |daily AS (SELECT d, j,
+       |    (((${duckMd5Long("(j::VARCHAR || '|' || v)")}) % $w) + $w) % $w AS bucket,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM e, js GROUP BY 1, 2, 3),
+       |tr7 AS (SELECT t.day, x.j, x.bucket, CAST(sum(x.c) AS BIGINT) AS c
+       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day FROM daily) x
+       |  JOIN days t USING (day) GROUP BY 1, 2, 3),
+       |dc AS (SELECT d, v, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+       |dt AS (SELECT d, CAST(sum(cnt) AS BIGINT) AS n FROM dc GROUP BY 1),
+       |totals AS (SELECT t.day, CAST(sum(x.n) AS BIGINT) AS total
+       |  FROM (SELECT *, unnest(range(d, d + 7)) AS day FROM dt) x
+       |  JOIN days t USING (day) GROUP BY 1),
+       |cand AS (SELECT DISTINCT t.day, x.v
+       |  FROM (SELECT dc.v, unnest(range(dc.d, dc.d + 7)) AS day
+       |        FROM dc JOIN dt USING (d)
+       |        WHERE dc.cnt * 100 * 7 >= dt.n * 1) x
+       |  JOIN days t USING (day)),
+       |cb AS (SELECT c.day, c.v, js.j,
+       |    (((${duckMd5Long("(j::VARCHAR || '|' || c.v)")}) % $w) + $w) % $w AS bucket
+       |  FROM cand c, js),
+       |est AS (SELECT cb.day, cb.v,
+       |    CAST(min(coalesce(tr.c, 0)) AS BIGINT) AS est_count
+       |  FROM cb LEFT JOIN tr7 tr USING (day, j, bucket)
+       |  GROUP BY 1, 2)
+       |SELECT est.day, est.v AS value, est.est_count
+       |FROM est JOIN totals USING (day)
+       |WHERE est.est_count * 100 >= totals.total * 1
+       |ORDER BY est.day, est.est_count DESC, value ASC""".stripMargin
+  }
+
   /** q133: incremental span coverage — batch grams flagged only when the
     * CORPUS gram set has them, then the q126 island merge verbatim. */
   private def q133Oracle: String = {
@@ -3780,6 +3870,7 @@ object SparkEntry {
     "q134_trailing_distinct" -> q134Oracle,
     "q135_trailing_hitters" -> q135Oracle,
     "q136_stored_state_rollup" -> q136Oracle,
+    "q138_stored_hitters" -> q138Oracle,
 
     // The oracle states the EXPECTED decode truths (fixture dims follow
     // media_id arithmetic; stubs decode 0×0; invariants hold) — the

@@ -165,18 +165,7 @@ object CountMin {
     val nn = df.filter(col(valueCol).isNotNull)
       .select(col(dayCol).as("d"), col(valueCol).cast("string").as("v"))
       .localCheckpoint(true) // feeds states, totals, candidates, audit
-    // the stored per-day state rows
-    val daily = nn
-      .select(col("d"), bucketed(col("v"), depth, width).as(Seq("j", "h")))
-      .select(col("d"), col("j"), pmod(col("h"), lit(width.toLong)).as("bucket"))
-      .groupBy("d", "j", "bucket").agg(count(lit(1)).as("c"))
-    val days = daily.select(col("d").as("day")).distinct().localCheckpoint(true)
-    def windowed(src: DataFrame): DataFrame = src
-      .withColumn("day", explode(sequence(col("d"), col("d") + lit(windowDays - 1))))
-      .join(days, Seq("day"), "left_semi")
-    // linear merge: trailing state = sum of daily states
-    val trailing = windowed(daily)
-      .groupBy("day", "j", "bucket").agg(sum("c").as("c"))
+    val daily = dailyStates(nn, "v", "d", depth, width)
     // one (d, v) aggregation feeds candidates, totals AND the exact
     // audit — at scale this is the only distinct-sized stage, and it
     // never gets window-exploded
@@ -184,14 +173,81 @@ object CountMin {
       .localCheckpoint(true)
     val dayTotals = dayCounts.groupBy("d").agg(sum("cnt").as("n"))
       .localCheckpoint(true)
-    val totals = windowed(dayTotals)
-      .groupBy("day").agg(sum("n").as("total"))
     // pigeonhole: only values (num/(den·w))-heavy on some window day are
     // probed — ≤ den·w/num values per day enter the window explode
-    val cand = windowed(
-        dayCounts.join(dayTotals, Seq("d"))
-          .filter(col("cnt") * den * windowDays >= col("n") * num)
-          .select("d", "v"))
+    val cands = dayCounts.join(dayTotals, Seq("d"))
+      .filter(col("cnt") * den * windowDays >= col("n") * num)
+      .select("d", "v")
+    val served = trailingHittersFromStates(
+      daily, cands, dayTotals, num, den, depth, width, windowDays)
+    val days = daily.select(col("d").as("day")).distinct()
+    val exact = dayCounts
+      .withColumn("day", explode(sequence(col("d"), col("d") + lit(windowDays - 1))))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day", "v").agg(sum("cnt").as("exact_count"))
+      .withColumnRenamed("day", "e_day").withColumnRenamed("v", "e_v")
+    served
+      .join(exact, col("value") === col("e_v") && col("day") === col("e_day"))
+      .select(col("day"), col("value"), col("est_count"), col("exact_count"))
+      .orderBy(col("day"), col("est_count").desc, col("value"))
+  }
+
+  /** Per-day CM state rows `(d, j, bucket, c)` — the STORED table of the
+    * rollup pattern, ≤ depth×width rows per day. `valueCol` must already
+    * be non-null strings (callers normalize, as [[trailingHeavyHitters]]
+    * does). */
+  def dailyStates(
+      df: DataFrame, valueCol: String, dayCol: String,
+      depth: Int, width: Int): DataFrame =
+    df.select(col(dayCol).as("d"),
+        bucketed(col(valueCol), depth, width).as(Seq("j", "h")))
+      .select(col("d"), col("j"), pmod(col("h"), lit(width.toLong)).as("bucket"))
+      .groupBy("d", "j", "bucket").agg(count(lit(1)).as("c"))
+
+  /** MERGE two per-day CM state tables — count-min is a LINEAR sketch,
+    * so merge is literally addition on (d, j, bucket): associative,
+    * commutative, exact for any split of the stream (split days
+    * included). State-sized shuffle. */
+  def mergeDailyStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("d", "j", "bucket", "c")
+      .unionByName(b.select("d", "j", "bucket", "c"))
+      .groupBy("d", "j", "bucket").agg(sum("c").as("c"))
+
+  /** SERVE trailing heavy hitters from STORED state tables — no raw
+    * events anywhere in this plan: `states` = per-day CM rows
+    * ([[dailyStates]]), `candidates` = per-day pigeonhole candidate
+    * values `(d, v)` (≤ den·windowDays/num per day), `totals` = per-day
+    * stream lengths `(d, n)`. Unlike the CM states (linear — merge at
+    * any granularity), the candidate and total tables are per-DAY facts:
+    * the day is the commit grain, so batches appending whole days union
+    * them; a day split across batches must re-derive that day's
+    * candidates from its merged counts before commit.
+    *
+    * Output `(day, value, est_count)` — the exact audit column needs raw
+    * events by definition, which the store deliberately does not keep;
+    * [[trailingHeavyHitters]] attaches it for the demo/oracle anchor. */
+  def trailingHittersFromStates(
+      states: DataFrame,
+      candidates: DataFrame,
+      totals: DataFrame,
+      num: Long,
+      den: Long,
+      depth: Int = 4,
+      width: Int = 1024,
+      windowDays: Int = 7
+  ): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "need 0 < num/den <= 1")
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val days = states.select(col("d").as("day")).distinct().localCheckpoint(true)
+    def windowed(src: DataFrame): DataFrame = src
+      .withColumn("day", explode(sequence(col("d"), col("d") + lit(windowDays - 1))))
+      .join(days, Seq("day"), "left_semi")
+    // linear merge: trailing state = sum of daily states
+    val trailing = windowed(states)
+      .groupBy("day", "j", "bucket").agg(sum("c").as("c"))
+    val wtot = windowed(totals.select("d", "n"))
+      .groupBy("day").agg(sum("n").as("total"))
+    val cand = windowed(candidates.select("d", "v"))
       .select("day", "v").distinct()
     val est = cand
       .select(col("day"), col("v"), bucketed(col("v"), depth, width).as(Seq("j", "h")))
@@ -199,13 +255,9 @@ object CountMin {
         pmod(col("h"), lit(width.toLong)).as("bucket"))
       .join(trailing, Seq("day", "j", "bucket"), "left")
       .groupBy("day", "v").agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
-    val exact = windowed(dayCounts)
-      .groupBy("day", "v").agg(sum("cnt").as("exact_count"))
-    est.join(totals, Seq("day"))
+    est.join(wtot, Seq("day"))
       .filter(col("est_count") * den >= col("total") * num)
-      .join(exact, Seq("day", "v"))
-      .select(col("day"), col("v").as("value"), col("est_count"), col("exact_count"))
-      .orderBy(col("day"), col("est_count").desc, col("value"))
+      .select(col("day"), col("v").as("value"), col("est_count"))
   }
 
   /** SELF-JOIN SIZE (second frequency moment F2 = Σ_key f(key)²) from

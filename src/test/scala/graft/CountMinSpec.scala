@@ -127,4 +127,35 @@ class CountMinSpec extends AnyFunSuite {
       (3L, "u1", 3L, 3L),
       (3L, "u3", 3L, 3L)))
   }
+
+  test("stored-state serve: linear merge of split-day states equals the all-at-once build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq.fill(5)((1L, "u1")) ++ Seq((1L, "u2")) ++
+      Seq.fill(3)((2L, "u1")) ++ Seq.fill(2)((2L, "u3")) ++ Seq((3L, "u3"))
+    val all = rows.toDF("d", "v")
+    // split EVERY day's rows across two batches: CM states are linear,
+    // so merged partial-day states must equal the one-shot states
+    val (b1, b2) = (all.filter(monotonically_increasing_id() % 2 === 0),
+      all.filter(monotonically_increasing_id() % 2 =!= 0))
+    val merged = CountMin.mergeDailyStates(
+      CountMin.dailyStates(b1, "v", "d", 4, 1024),
+      CountMin.dailyStates(b2, "v", "d", 4, 1024))
+    val oneShot = CountMin.dailyStates(all, "v", "d", 4, 1024)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(m(merged) == m(oneShot))
+    // serving from the state tables reproduces the full operator's
+    // sketch columns (candidates/totals derived at the day grain)
+    val dayCounts = all.groupBy("d", "v").agg(count(lit(1)).as("cnt"))
+    val totals = dayCounts.groupBy("d").agg(sum("cnt").as("n"))
+    val cands = dayCounts.join(totals, Seq("d"))
+      .filter(col("cnt") * 2 * 2 >= col("n")).select("d", "v")
+    val served = CountMin.trailingHittersFromStates(merged, cands, totals,
+        num = 1L, den = 2L, depth = 4, width = 1024, windowDays = 2)
+      .orderBy(col("day"), col("est_count").desc, col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(served == Seq(
+      (1L, "u1", 5L), (2L, "u1", 8L), (3L, "u1", 3L), (3L, "u3", 3L)))
+  }
 }
