@@ -2042,6 +2042,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — SNAPSHOT TIME TRAVEL: both committed versions of the
+    // q136 state lineage stay readable (reader/writer isolation is the
+    // point of manifest commits), so "what did the rollup know after
+    // batch 1?" is a query, not an archaeology dig. Per version: day
+    // count and the merged-sketch estimate of total distinct users the
+    // store could answer AT THAT VERSION (v1 = even days only, v2 = all
+    // days). Hash-exact: the oracle rebuilds both version states from
+    // raw events, legal because commits are deterministic functions of
+    // the batches.
+    "q139_snapshot_time_travel" -> ((s, dir) => {
+      import graft.operators.Cardinality
+      import graft.sink.SnapshotSink
+      val root = java.nio.file.Files.createTempDirectory("graft_q139_states").toString
+      val ev = events(s, dir).select(
+        expr("unix_millis(ts) DIV 86400000").as("day"), col("user_id"))
+        .filter(col("user_id").isNotNull)
+      def dailyStates(batch: org.apache.spark.sql.DataFrame) =
+        Cardinality.kmvSketches(batch, "user_id", "day", KmvK)
+          .withColumnRenamed("segment", "day")
+      SnapshotSink.commit(dailyStates(ev.filter(pmod(col("day"), lit(2)) === 0)), root)
+      SnapshotSink.commit(
+        Cardinality.mergeKmvStates(
+          SnapshotSink.read(s, root),
+          dailyStates(ev.filter(pmod(col("day"), lit(2)) === 1)), KmvK), root)
+      // read BOTH versions; per version, merge all day sketches (KMV
+      // closure) and estimate the total distinct the store knew then
+      SnapshotSink.versions(s, root).map { v =>
+        SnapshotSink.read(s, root, Some(v))
+          .select(explode(col("kmv")).as("u"))
+          .agg(graft.plans.KmvSketch.kmv(col("u"), KmvK).as("m"))
+          .select(lit(v.toLong).as("version"),
+            Cardinality.kmvEstimate(col("m"), KmvK).as("kmv_total_est"))
+          .crossJoin(SnapshotSink.read(s, root, Some(v))
+            .agg(count(lit(1)).as("n_days")))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_days"), col("kmv_total_est"))
+        .orderBy("version")
+    }),
+
     // Extension — the q135 pattern DEPLOYED (the CM twin of q136):
     // per-day count-min states, pigeonhole candidate lists and day
     // totals are PERSISTED as three snapshot-committed state tables —
@@ -3474,6 +3513,36 @@ object SparkEntry {
        |ORDER BY est.day, est.est_count DESC, value ASC""".stripMargin
   }
 
+  /** q139: snapshot time travel — both committed versions' states rebuilt
+    * from raw events (v1 = even days, v2 = all days; commits are
+    * deterministic functions of the batches), per-version merged-sketch
+    * estimate via KMV closure. */
+  private def q139Oracle: String = {
+    val k = KmvK
+    s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT DISTINCT day,
+       |    ((${duckMd5Long("user_id::VARCHAR")}) >> 2) & 4611686018427387903 AS u
+       |  FROM e),
+       |r AS (SELECT day, u,
+       |    row_number() OVER (PARTITION BY day ORDER BY u ASC) AS rk FROM h),
+       |daily AS (SELECT day, u FROM r WHERE rk <= $k),
+       |v AS (SELECT 1 AS version, day, u FROM daily WHERE day % 2 = 0
+       |  UNION ALL SELECT 2 AS version, day, u FROM daily),
+       |vr AS (SELECT version, u,
+       |    row_number() OVER (PARTITION BY version ORDER BY u ASC) AS rk
+       |  FROM (SELECT DISTINCT version, u FROM v)),
+       |m AS (SELECT version, list(u ORDER BY u ASC) AS merged
+       |  FROM vr WHERE rk <= $k GROUP BY version),
+       |nd AS (SELECT version, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+       |  FROM v GROUP BY version)
+       |SELECT CAST(m.version AS BIGINT) AS version, nd.n_days,
+       |  CASE WHEN len(merged) < $k THEN CAST(len(merged) AS BIGINT)
+       |    ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * 4611686018427387904.0 /
+       |      CAST(greatest(merged[$k], 1) AS DOUBLE)) AS BIGINT) END AS kmv_total_est
+       |FROM m JOIN nd USING (version) ORDER BY version""".stripMargin
+  }
+
   /** q138: the stored-state heavy hitters served from SnapshotSink — the
     * oracle is q135's replay minus the exact-audit column: the two-batch
     * commit + merge lineage is invisible to the result by CM linearity
@@ -3871,6 +3940,7 @@ object SparkEntry {
     "q135_trailing_hitters" -> q135Oracle,
     "q136_stored_state_rollup" -> q136Oracle,
     "q138_stored_hitters" -> q138Oracle,
+    "q139_snapshot_time_travel" -> q139Oracle,
 
     // The oracle states the EXPECTED decode truths (fixture dims follow
     // media_id arithmetic; stubs decode 0×0; invariants hold) — the
