@@ -2103,24 +2103,36 @@ object SparkEntry {
         .select(expr("unix_millis(ts) DIV 86400000").as("d"),
           col("user_id").cast("string").as("v"))
         .filter(col("v").isNotNull)
-      def tables(batch: org.apache.spark.sql.DataFrame) = {
-        val dayCounts = batch.groupBy("d", "v").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true)
-        val totals = dayCounts.groupBy("d").agg(sum("cnt").as("n"))
-        val cands = dayCounts.join(totals, Seq("d"))
-          .filter(col("cnt") * den * w >= col("n") * num).select("d", "v")
-        (CountMin.dailyStates(batch, "v", "d", CmDepth, CmWidth), cands, totals)
-      }
-      val (s1, c1, t1) = tables(nn.filter(pmod(col("d"), lit(2)) === 0))
-      SnapshotSink.commit(s1, s"$root/cm"); SnapshotSink.commit(c1, s"$root/cand")
-      SnapshotSink.commit(t1, s"$root/tot")
-      val (s2, c2, t2) = tables(nn.filter(pmod(col("d"), lit(2)) === 1))
+        .localCheckpoint(true) // events read ONCE
+      // the batches are DAY-PARTITIONED (even days land first), so each
+      // batch's state tables are exactly the full tables sliced by day —
+      // build once, slice per commit: identical commit contents to a
+      // per-batch build (states are per-day facts), one events pass
+      // instead of two. The deployment builds each day's slice as the
+      // day arrives; the split-day merge case is CountMinSpec's.
+      val states = CountMin.dailyStates(nn, "v", "d", CmDepth, CmWidth)
+        .localCheckpoint(true)
+      val dayCounts = nn.groupBy("d", "v").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val totals = dayCounts.groupBy("d").agg(sum("cnt").as("n"))
+        .localCheckpoint(true)
+      val cands = dayCounts.join(totals, Seq("d"))
+        .filter(col("cnt") * den * w >= col("n") * num).select("d", "v")
+        .localCheckpoint(true)
+      def even(df: org.apache.spark.sql.DataFrame) =
+        df.filter(pmod(col("d"), lit(2)) === 0)
+      def odd(df: org.apache.spark.sql.DataFrame) =
+        df.filter(pmod(col("d"), lit(2)) === 1)
+      // state tables are state-sized — one file per commit is right-sized
+      SnapshotSink.commit(even(states).coalesce(1), s"$root/cm")
+      SnapshotSink.commit(even(cands).coalesce(1), s"$root/cand")
+      SnapshotSink.commit(even(totals).coalesce(1), s"$root/tot")
+      SnapshotSink.commit(CountMin.mergeDailyStates(
+        SnapshotSink.read(s, s"$root/cm"), odd(states)).coalesce(1), s"$root/cm")
       SnapshotSink.commit(
-        CountMin.mergeDailyStates(SnapshotSink.read(s, s"$root/cm"), s2), s"$root/cm")
+        SnapshotSink.read(s, s"$root/cand").unionByName(odd(cands)).coalesce(1), s"$root/cand")
       SnapshotSink.commit(
-        SnapshotSink.read(s, s"$root/cand").unionByName(c2), s"$root/cand")
-      SnapshotSink.commit(
-        SnapshotSink.read(s, s"$root/tot").unionByName(t2), s"$root/tot")
+        SnapshotSink.read(s, s"$root/tot").unionByName(odd(totals)).coalesce(1), s"$root/tot")
       // serve from the three stored tables — no events scan in this plan
       CountMin.trailingHittersFromStates(
           SnapshotSink.read(s, s"$root/cm"),
