@@ -1997,25 +1997,10 @@ object SparkEntry {
     // per query; the oracle recomputes from raw events and matches
     // because state merge is associative sketch algebra. Hash-exact.
     "q136_stored_state_rollup" -> ((s, dir) => {
-      import graft.operators.Cardinality
-      import graft.sink.SnapshotSink
-      val root = java.nio.file.Files.createTempDirectory("graft_q136_states").toString
-      val ev = events(s, dir).select(
-        expr("unix_millis(ts) DIV 86400000").as("day"), col("user_id"))
-        .filter(col("user_id").isNotNull)
-      def dailyStates(batch: org.apache.spark.sql.DataFrame) =
-        Cardinality.kmvSketches(batch, "user_id", "day", KmvK)
-          .withColumnRenamed("segment", "day")
-      // batch 1 (even days): first commit
-      SnapshotSink.commit(dailyStates(ev.filter(pmod(col("day"), lit(2)) === 0)), root)
-      // batch 2 (odd days): merge into the STORED states, commit v2
-      SnapshotSink.commit(
-        Cardinality.mergeKmvStates(
-          SnapshotSink.read(s, root),
-          dailyStates(ev.filter(pmod(col("day"), lit(2)) === 1)), KmvK), root)
+      val root = kmvStateLineage(s, dir, "q136")
       // serve from the store — this plan contains NO events scan
-      Cardinality.trailingDistinctFromStates(
-          SnapshotSink.read(s, root), KmvK, windowDays = 7)
+      graft.operators.Cardinality.trailingDistinctFromStates(
+          graft.sink.SnapshotSink.read(s, root), KmvK, windowDays = 7)
         .orderBy("day")
     }),
 
@@ -2054,18 +2039,7 @@ object SparkEntry {
     "q139_snapshot_time_travel" -> ((s, dir) => {
       import graft.operators.Cardinality
       import graft.sink.SnapshotSink
-      val root = java.nio.file.Files.createTempDirectory("graft_q139_states").toString
-      val ev = events(s, dir).select(
-        expr("unix_millis(ts) DIV 86400000").as("day"), col("user_id"))
-        .filter(col("user_id").isNotNull)
-      def dailyStates(batch: org.apache.spark.sql.DataFrame) =
-        Cardinality.kmvSketches(batch, "user_id", "day", KmvK)
-          .withColumnRenamed("segment", "day")
-      SnapshotSink.commit(dailyStates(ev.filter(pmod(col("day"), lit(2)) === 0)), root)
-      SnapshotSink.commit(
-        Cardinality.mergeKmvStates(
-          SnapshotSink.read(s, root),
-          dailyStates(ev.filter(pmod(col("day"), lit(2)) === 1)), KmvK), root)
+      val root = kmvStateLineage(s, dir, "q139")
       // read BOTH versions; per version, merge all day sketches (KMV
       // closure) and estimate the total distinct the store knew then
       SnapshotSink.versions(s, root).map { v =>
@@ -2097,7 +2071,7 @@ object SparkEntry {
     "q138_stored_hitters" -> ((s, dir) => {
       import graft.operators.CountMin
       import graft.sink.SnapshotSink
-      val root = java.nio.file.Files.createTempDirectory("graft_q138_states").toString
+      val root = freshStateRoot(s, "q138", dir)
       val (num, den, w) = (1L, 100L, 7)
       val nn = events(s, dir)
         .select(expr("unix_millis(ts) DIV 86400000").as("d"),
@@ -2696,6 +2670,45 @@ object SparkEntry {
   private val CmDepth = 4
   private val CmWidth = 1024
   private val KmvK = 64
+
+  /** Deterministic per-(tag, sfDir) snapshot root under the system tmp
+    * dir, WIPED before use: gate queries re-run many times per process
+    * (Bench reps, Verify, ExplainAudit), so a fresh random root per
+    * invocation would leak a parquet lineage each pass — a fixed root
+    * that each invocation replaces is bounded at one lineage per tag. */
+  private def freshStateRoot(s: SparkSession, tag: String, dir: String): String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_states_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  /** The two-batch per-day KMV state lineage shared by q136 (serving)
+    * and q139 (time travel): even-day states committed as v1, odd-day
+    * states merged into the store as v2. One definition — the two
+    * queries cannot diverge on what the lineage contains. */
+  private def kmvStateLineage(s: SparkSession, dir: String, tag: String): String = {
+    import graft.operators.Cardinality
+    import graft.sink.SnapshotSink
+    val root = freshStateRoot(s, tag, dir)
+    val ev = events(s, dir).select(
+      expr("unix_millis(ts) DIV 86400000").as("day"), col("user_id"))
+      .filter(col("user_id").isNotNull)
+    def dailyStates(batch: org.apache.spark.sql.DataFrame) =
+      Cardinality.kmvSketches(batch, "user_id", "day", KmvK)
+        .withColumnRenamed("segment", "day")
+    // batch 1 (even days): first commit
+    SnapshotSink.commit(
+      dailyStates(ev.filter(pmod(col("day"), lit(2)) === 0)).coalesce(1), root)
+    // batch 2 (odd days): merge into the STORED states, commit v2
+    SnapshotSink.commit(
+      Cardinality.mergeKmvStates(
+        SnapshotSink.read(s, root),
+        dailyStates(ev.filter(pmod(col("day"), lit(2)) === 1)), KmvK).coalesce(1), root)
+    root
+  }
   private val HllP = 8
   private val AuditHashes = 64
 

@@ -198,9 +198,15 @@ object SnapshotSink {
     val mdir = manifestDir(root)
     dropped.foreach(v => f.delete(new Path(mdir, s"v$v.json"), false))
     if (f.exists(mdir)) {
-      f.listStatus(mdir).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".json.tmp"))
-        .foreach(p => f.delete(p, false))
+      // .tmp manifests get the same grace as orphan data dirs: a young
+      // .tmp may be a commit BETWEEN write and rename — sweeping it would
+      // fail that commit's rename (the same race the data-dir grace
+      // closes; only crashed commits leave an OLD .tmp behind)
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      f.listStatus(mdir).toSeq
+        .filter(st => st.getPath.getName.endsWith(".json.tmp") &&
+          st.getModificationTime <= cutoff)
+        .foreach(st => f.delete(st.getPath, false))
     }
     dropped
   }

@@ -34,7 +34,15 @@ object StateRollup {
   /** Start an AvailableNow/continuous ingestion of `stream` (must carry
     * `dayCol` and `valueCol`) that folds each micro-batch's daily KMV
     * states into the snapshot root. One snapshot version per non-empty
-    * micro-batch. */
+    * micro-batch.
+    *
+    * Each commit is a full (state-sized — ≤ k longs per day) copy of the
+    * merged table, so a long-running stream retires old versions as it
+    * goes: `keepVersions` snapshots are retained and older ones vacuumed
+    * after every commit (readers of the retained versions are never
+    * affected; in-flight commits are protected by vacuum's grace
+    * period). Set `keepVersions = Int.MaxValue` to keep the whole
+    * lineage (e.g. for time-travel tests). */
   def appendDailyKmvStates(
       stream: DataFrame,
       valueCol: String,
@@ -42,23 +50,33 @@ object StateRollup {
       k: Int,
       root: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()
-  ): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      keepVersions: Int = 3
+  ): StreamingQuery = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val states = Cardinality.kmvSketches(batch, valueCol, dayCol, k)
-            .withColumnRenamed("segment", "day")
-          val merged =
-            if (SnapshotSink.versions(spark, root).isEmpty) states
-            else Cardinality.mergeKmvStates(SnapshotSink.read(spark, root), states, k)
-          SnapshotSink.commit(merged, root)
-          ()
-        }
+        // persist: the emptiness probe and the sketch build must not
+        // re-read the source twice per trigger
+        val b = batch.persist()
+        try {
+          if (b.take(1).nonEmpty) {
+            val spark = b.sparkSession
+            val states = Cardinality.kmvSketches(b, valueCol, dayCol, k)
+              .withColumnRenamed("segment", "day")
+            val merged =
+              if (SnapshotSink.versions(spark, root).isEmpty) states
+              else Cardinality.mergeKmvStates(SnapshotSink.read(spark, root), states, k)
+            SnapshotSink.commit(merged, root)
+            if (keepVersions != Int.MaxValue)
+              SnapshotSink.vacuum(spark, root, keepLast = keepVersions)
+            ()
+          }
+        } finally { b.unpersist(); () }
       }
       .trigger(trigger)
       .start()
+  }
 }

@@ -69,7 +69,7 @@ object SpanScaleCheck {
 
     println(s"SPAN_SCALE cpus=$cpus (flood: one 8-gram shared by ALL n docs)")
     // naive pair join: quadratic in the flood size
-    Iterator.iterate(nNaiveMax / 10)(_ * 3).takeWhile(_ <= nNaiveMax).foreach { n =>
+    Iterator.iterate((nNaiveMax / 10).max(1L))(_ * 3).takeWhile(_ <= nNaiveMax).foreach { n =>
       val o = occ(flooded(spark, n), 8).localCheckpoint(true)
       val (sec, rows) = time(
         o.select("gh", "doc_id").join(o.select(col("gh"), col("doc_id").as("other")), "gh")
@@ -77,7 +77,7 @@ object SpanScaleCheck {
       println(f"  naive occ-pair join  n=$n%7d  pair_rows=$rows%12d  $sec%7.2f s")
     }
     // semi path: flagged rows stay O(occurrences), coverage stays linear
-    Iterator.iterate(nSemiMax / 100)(_ * 10).takeWhile(_ <= nSemiMax).foreach { n =>
+    Iterator.iterate((nSemiMax / 100).max(1L))(_ * 10).takeWhile(_ <= nSemiMax).foreach { n =>
       val docs = flooded(spark, n)
       val o = occ(docs, 8)
       val dup = o.select("gh", "doc_id").distinct()

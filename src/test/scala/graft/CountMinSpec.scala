@@ -133,11 +133,16 @@ class CountMinSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val rows = Seq.fill(5)((1L, "u1")) ++ Seq((1L, "u2")) ++
       Seq.fill(3)((2L, "u1")) ++ Seq.fill(2)((2L, "u3")) ++ Seq((3L, "u3"))
-    val all = rows.toDF("d", "v")
-    // split EVERY day's rows across two batches: CM states are linear,
-    // so merged partial-day states must equal the one-shot states
-    val (b1, b2) = (all.filter(monotonically_increasing_id() % 2 === 0),
-      all.filter(monotonically_increasing_id() % 2 =!= 0))
+    // deterministic row index baked into the data (a nondeterministic
+    // id expression evaluated in two filters could split differently
+    // per execution): split EVERY day's rows across two batches — CM
+    // states are linear, so merged partial-day states must equal the
+    // one-shot states
+    val indexed = rows.zipWithIndex.map { case ((d, v), i) => (d, v, i.toLong) }
+      .toDF("d", "v", "i")
+    val all = indexed.select("d", "v")
+    val (b1, b2) = (indexed.filter($"i" % 2 === 0).select("d", "v"),
+      indexed.filter($"i" % 2 =!= 0).select("d", "v"))
     val merged = CountMin.mergeDailyStates(
       CountMin.dailyStates(b1, "v", "d", 4, 1024),
       CountMin.dailyStates(b2, "v", "d", 4, 1024))
