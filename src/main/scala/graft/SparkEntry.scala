@@ -2027,6 +2027,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — LLOYD'S K-MEANS over embeddings, the "cluster then
+    // sample" diversity-balancing pass (operators/KMeansQuant): integer
+    // quantization makes every iteration engine-exact — centroids update
+    // by exact integer sums floor-divided by counts, assignments are
+    // codegen'd integer distances against broadcast literals (zero
+    // shuffle per scan; the update shuffle is k·dim-bounded, the MLlib
+    // shape). Init pinned to vec_id 1..8, three fixed iterations.
+    // Hash-exact: DuckDB replays quantization, every assignment round,
+    // every centroid update and the tie rule literally.
+    "q140_kmeans_clusters" -> ((s, dir) => {
+      graft.operators.KMeansQuant.lloydAssign(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        initIds = (1L to 8L), iters = 3)
+    }),
+
     // Extension — SNAPSHOT TIME TRAVEL: both committed versions of the
     // q136 state lineage stay readable (reader/writer isolation is the
     // point of manifest commits), so "what did the rollup know after
@@ -3538,6 +3553,48 @@ object SparkEntry {
        |ORDER BY est.day, est.est_count DESC, value ASC""".stripMargin
   }
 
+  /** q140: Lloyd's k-means replayed literally — same quantization, same
+    * integer distances, same floor-div centroid updates (the
+    * `(s − pmod(s, n)) / n` identity; `//` is exact because the
+    * numerator is a multiple of n), same lower-cluster tie rule,
+    * iteration by iteration as sequential CTEs. */
+  private def q140Oracle: String = {
+    val scale = graft.operators.KMeansQuant.Scale
+    val iters = 3
+    val sb = new StringBuilder
+    sb.append(s"""WITH qv AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * $scale.0) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |ev AS (SELECT vec_id, j, xq[j] AS v
+      |  FROM (SELECT vec_id, xq, unnest(range(1, len(xq) + 1)) AS j FROM qv)),
+      |cent0 AS (SELECT CAST(vec_id - 1 AS BIGINT) AS c, j, v
+      |  FROM ev WHERE vec_id BETWEEN 1 AND 8),""".stripMargin)
+    for (t <- 1 to iters) sb.append(s"""
+      |d$t AS (SELECT e.vec_id, c.c, CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d
+      |  FROM ev e JOIN cent${t - 1} c USING (j) GROUP BY 1, 2),
+      |a$t AS (SELECT vec_id, c FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rk
+      |  FROM d$t) WHERE rk = 1),
+      |cent$t AS (
+      |  SELECT u.c, u.j,
+      |    CAST((u.s - (((u.s % u.n) + u.n) % u.n)) // u.n AS BIGINT) AS v
+      |  FROM (SELECT a.c, e.j, CAST(sum(e.v) AS BIGINT) AS s,
+      |      CAST(count(*) AS BIGINT) AS n
+      |    FROM a$t a JOIN ev e USING (vec_id) GROUP BY 1, 2) u
+      |  UNION ALL
+      |  SELECT c, j, v FROM cent${t - 1}
+      |  WHERE c NOT IN (SELECT DISTINCT c FROM a$t)),""".stripMargin)
+    sb.append(s"""
+      |df AS (SELECT e.vec_id, c.c, CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d
+      |  FROM ev e JOIN cent$iters c USING (j) GROUP BY 1, 2)
+      |SELECT vec_id, c AS cluster, d AS dist2q
+      |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rk
+      |  FROM df) WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   /** q139: snapshot time travel — both committed versions' states rebuilt
     * from raw events (v1 = even days, v2 = all days; commits are
     * deterministic functions of the batches), per-version merged-sketch
@@ -3966,6 +4023,7 @@ object SparkEntry {
     "q136_stored_state_rollup" -> q136Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
+    "q140_kmeans_clusters" -> q140Oracle,
 
     // The oracle states the EXPECTED decode truths (fixture dims follow
     // media_id arithmetic; stubs decode 0×0; invariants hold) — the

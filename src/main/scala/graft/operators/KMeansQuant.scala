@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LLOYD'S K-MEANS over an embedding column, ENGINE-EXACT BY
+  * CONSTRUCTION — the clustering pass a training-data pipeline runs for
+  * diversity balancing, stratified selection and per-cluster sampling
+  * quotas (the "cluster then sample" recipe), built on the q127/q61
+  * integer discipline so every iteration replays bit-identically in an
+  * external engine:
+  *
+  *   - vectors QUANTIZE to integer units (round(x · 2^20),
+  *     half-away-from-zero — identical in Spark and DuckDB);
+  *   - distances are exact integer sums of squared differences
+  *     (dim · (2·2^20)² ≪ 2^63 — no float order-dependence anywhere);
+  *   - centroid updates are exact integer element sums (order-free,
+  *     map-side combined) FLOOR-DIVIDED by the cluster count —
+  *     `Math.floorDiv` on the driver, the `(s − pmod(s, n)) / n`
+  *     identity in SQL — so the next iteration's centroids are integers
+  *     again;
+  *   - argmin ties break to the LOWER cluster id (the q35 argmax
+  *     discipline), initial centroids are PINNED to caller-chosen
+  *     vector ids (the q35/q131 fixture discipline).
+  *
+  * Scale shape (100 TB): per iteration, the assignment is a ZERO-SHUFFLE
+  * scan — centroids travel as k×dim broadcast literals, each row
+  * computes k codegen'd integer distances — and the update is one
+  * posexplode → groupBy(cluster, dim) with map-side combine, so the only
+  * shuffle carries ≤ k·dim·partitions partial sums; the k×dim result
+  * (KBs) collects to the driver exactly as Spark MLlib's own k-means
+  * does. Iterations are a fixed count — the caller pins compute cost
+  * rather than chasing convergence on a moving corpus. */
+object KMeansQuant {
+
+  /** Quantization scale: 2^20 integer units per 1.0. */
+  val Scale: Long = 1L << 20
+
+  private def quantized(df: DataFrame, embCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($embCol, x -> cast(round(cast(x as double) * ${Scale}.0) as bigint))")
+        .as("xq"))
+
+  /** Exact integer squared distance of `xq` to the literal centroid. */
+  private def dist2(c: Array[Long]): Column =
+    aggregate(
+      zip_with(col("xq"), array(c.map(lit).toIndexedSeq: _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** `(vec_id, cluster, dist2q)` after `iters` Lloyd rounds from
+    * centroids pinned to `initIds`' quantized embeddings (cluster i
+    * starts at initIds(i)). Empty clusters keep their previous centroid.
+    * Totally ordered by vec_id; `dist2q` is the exact integer squared
+    * distance to the final centroid in quantized units. */
+  def lloydAssign(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      initIds: Seq[Long],
+      iters: Int
+  ): DataFrame = {
+    require(initIds.nonEmpty && initIds.distinct.size == initIds.size,
+      "initIds must be non-empty and distinct")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val k = initIds.size
+    val qv = quantized(df, embCol, idCol)
+      .localCheckpoint(true) // scanned once per iteration, not re-derived
+    // pinned init: the quantized embeddings of initIds, in initIds order
+    val initRows = qv.filter(col("vec_id").isin(initIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    require(initRows.keySet == initIds.toSet,
+      s"missing init vectors: ${initIds.filterNot(initRows.contains).mkString(",")}")
+    var cents: IndexedSeq[Array[Long]] = initIds.map(initRows).toIndexedSeq
+
+    def best(cs: IndexedSeq[Array[Long]]): Column =
+      // struct(d, c): array_min orders by field order → ties to lower c
+      array_min(array(cs.zipWithIndex.map { case (c, i) =>
+        struct(dist2(c).as("d"), lit(i.toLong).as("c"))
+      }: _*))
+
+    for (_ <- 1 to iters) {
+      // one bounded shuffle (≤ k·dim·partitions partial sums) + one
+      // k×dim collect — the MLlib update shape
+      val sums = qv.withColumn("b", best(cents))
+        .select(col("b.c").as("c"), posexplode(col("xq")).as(Seq("j", "v")))
+        .groupBy("c", "j").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (prev, i) =>
+        byCluster.get(i.toLong) match {
+          case None => prev // empty cluster: centroid carries over
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1))
+              .map(r => Math.floorDiv(r.getLong(2), r.getLong(3))).toArray
+        }
+      }
+    }
+    qv.withColumn("b", best(cents))
+      .select(col("vec_id"), col("b.c").as("cluster"), col("b.d").as("dist2q"))
+      .orderBy("vec_id")
+  }
+}
