@@ -2042,6 +2042,25 @@ object SparkEntry {
         initIds = (1L to 8L), iters = 3)
     }),
 
+    // Extension — CLUSTER-BALANCED SAMPLING, the "cluster then sample"
+    // loop CLOSED: q140's k-means assignment feeds the bounded-state
+    // weighted-reservoir aggregate (q106's scale-safe shape — map-side
+    // top-k per cluster, no per-stratum window), equal quotas per
+    // cluster at weight 1 — the diversity-balanced selection a curation
+    // pipeline actually ships. Hash-exact: the oracle replays the
+    // k-means CTEs plus the exponential-sort priority rank.
+    "q141_cluster_balanced_sample" -> ((s, dir) => {
+      val assigned = graft.operators.KMeansQuant.lloydAssign(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        initIds = (1L to 8L), iters = 3)
+      Sampling.weightedSampleAgg(
+          assigned.withColumn("w", lit(1L)), "cluster", "vec_id", "w",
+          perStratum = 10, salt = "cb1")
+        .select(col("cluster"), col("vec_id"), col("priority_micros"),
+          col("sample_rank"))
+        .orderBy("cluster", "sample_rank")
+    }),
+
     // Extension — SNAPSHOT TIME TRAVEL: both committed versions of the
     // q136 state lineage stay readable (reader/writer isolation is the
     // point of manifest commits), so "what did the rollup know after
@@ -3558,7 +3577,10 @@ object SparkEntry {
     * `(s − pmod(s, n)) / n` identity; `//` is exact because the
     * numerator is a multiple of n), same lower-cluster tie rule,
     * iteration by iteration as sequential CTEs. */
-  private def q140Oracle: String = {
+  /** The k-means WITH-chain shared by q140 and q141: ends at
+    * `asg(vec_id, cluster, dist2q)` — ONE definition of the clustering
+    * replay, so the two oracles cannot diverge. */
+  private def kmeansCtes: String = {
     val scale = graft.operators.KMeansQuant.Scale
     val iters = 3
     val sb = new StringBuilder
@@ -3587,13 +3609,30 @@ object SparkEntry {
       |  WHERE c NOT IN (SELECT DISTINCT c FROM a$t)),""".stripMargin)
     sb.append(s"""
       |df AS (SELECT e.vec_id, c.c, CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d
-      |  FROM ev e JOIN cent$iters c USING (j) GROUP BY 1, 2)
-      |SELECT vec_id, c AS cluster, d AS dist2q
-      |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rk
-      |  FROM df) WHERE rk = 1
-      |ORDER BY vec_id""".stripMargin)
+      |  FROM ev e JOIN cent$iters c USING (j) GROUP BY 1, 2),
+      |asg AS (SELECT vec_id, c AS cluster, d AS dist2q
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rk
+      |    FROM df) WHERE rk = 1)""".stripMargin)
     sb.toString
   }
+
+  private def q140Oracle: String =
+    kmeansCtes + "\nSELECT vec_id, cluster, dist2q FROM asg ORDER BY vec_id"
+
+  /** q141: the cluster-balanced sample — q140's assignment CTEs plus
+    * q106's exponential-sort priority replay (weight 1, salt 'cb1')
+    * ranked per cluster. */
+  private def q141Oracle: String =
+    kmeansCtes + s""",
+      |w AS (SELECT vec_id, cluster, CAST(floor(
+      |    ln(CAST(((${duckMd5Long("(vec_id::VARCHAR || 'cb1')")} >> 11)
+      |        & 9007199254740991) + 1 AS DOUBLE) * 1.1102230246251565e-16)
+      |      / CAST(1 AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS priority_micros
+      |  FROM asg),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+      |    ORDER BY priority_micros DESC, vec_id ASC) AS INTEGER) AS sample_rank FROM w)
+      |SELECT cluster, vec_id, priority_micros, sample_rank
+      |FROM r WHERE sample_rank <= 10 ORDER BY cluster, sample_rank""".stripMargin
 
   /** q139: snapshot time travel — both committed versions' states rebuilt
     * from raw events (v1 = even days, v2 = all days; commits are
@@ -4024,6 +4063,7 @@ object SparkEntry {
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
+    "q141_cluster_balanced_sample" -> q141Oracle,
 
     // The oracle states the EXPECTED decode truths (fixture dims follow
     // media_id arithmetic; stubs decode 0×0; invariants hold) — the
