@@ -1265,6 +1265,30 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Extension — BM25 served from a STORED INVERTED INDEX, the
+    // text-retrieval twin of the materialized ANN index and the round's
+    // stored-state theme applied to lexical search: the full postings
+    // table (term, doc_id, tf — the classic one-explode index build) and
+    // docstats are committed through SnapshotSink, then the query runs
+    // with NO document text in the plan — only the query terms' posting
+    // slivers (term filter pushed to the postings scan) and docstats.
+    // Hash-exact against q77's FROM-SCRATCH oracle: the served ranking
+    // must equal the scan-path computation integer for integer — the
+    // strongest possible check that the index is lossless.
+    "q142_stored_text_index" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q142", dir)
+      val (postings, docstats) =
+        graft.operators.Bm25.buildIndex(t(s, dir, "documents"), "text", "doc_id")
+      SnapshotSink.commit(postings, s"$root/postings")
+      SnapshotSink.commit(docstats.coalesce(1), s"$root/docstats")
+      graft.operators.Bm25.scoreTopKFromIndex(
+          SnapshotSink.read(s, s"$root/postings"),
+          SnapshotSink.read(s, s"$root/docstats"),
+          Seq("join", "vector", "scan"), k = 20)
+        .orderBy("rank")
+    }),
+
     // Extension — embedding-space stratified downsample: per LSH cell keep
     // the `perCell` members least similar to the cell's min-id anchor —
     // diversity-preserving budget cut (redundant near-anchor copies go
@@ -3939,6 +3963,9 @@ object SparkEntry {
     "q75_semantic_dedup" -> q75Oracle,
     "q76_projected_rerank" -> q76Oracle,
     "q77_bm25" -> q77Oracle,
+    // the stored-index serve must equal the from-scratch computation —
+    // one oracle, two execution paths
+    "q142_stored_text_index" -> q77Oracle,
     "q78_cell_coverage" -> q78Oracle,
     "q79_triplet_mining" -> q79Oracle,
     "q80_dsir_select" -> q80Oracle,

@@ -40,4 +40,17 @@ class Bm25Spec extends AnyFunSuite {
     val only = Bm25.scoreTopK(docs, "text", "doc_id", Seq("join"), k = 10).collect()
     assert(r.map(_.getAs[Long]("doc_id")).toSet == only.map(_.getAs[Long]("doc_id")).toSet)
   }
+
+  test("stored-index serve equals the scan path, integer for integer (absent term included)") {
+    val terms = Seq("join", "vector", "zzz_absent")
+    val (postings, docstats) = Bm25.buildIndex(docs, "text", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        r.getAs[Long]("tf_join"), r.getAs[Long]("tf_vector"),
+        r.getAs[Long]("score_micros"), r.getAs[Int]("rank"))).toSeq
+    val served = rows(Bm25.scoreTopKFromIndex(postings, docstats, terms, k = 10))
+    val scanned = rows(Bm25.scoreTopK(docs, "text", "doc_id", terms, k = 10))
+    assert(served == scanned && served.nonEmpty)
+  }
 }
