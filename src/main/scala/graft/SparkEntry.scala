@@ -2735,11 +2735,23 @@ object SparkEntry {
     * invocation would leak a parquet lineage each pass — a fixed root
     * that each invocation replaces is bounded at one lineage per tag. */
   private def freshStateRoot(s: SparkSession, tag: String, dir: String): String = {
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${tag}_states_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    // pid-scoped: two JVMs (e.g. a Verify and a Bench) running the same
+    // query concurrently must not wipe each other's live lineages; the
+    // same process reuses (and replaces) its one root per tag
+    val pid = ProcessHandle.current().pid()
+    val base = new java.io.File(sys.props("java.io.tmpdir"))
+    val prefix = s"graft_${tag}_states_${Integer.toHexString(dir.hashCode)}"
+    val root = new java.io.File(base, s"${prefix}_p$pid").getAbsolutePath
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    // sweep siblings left by DEAD processes (bounded litter): same tag
+    // prefix, different pid, untouched for >2h
+    val cutoff = System.currentTimeMillis() - 7200000L
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getAbsolutePath != root &&
+        f.lastModified() < cutoff)
+      .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getAbsolutePath), true))
     root
   }
 
@@ -3680,12 +3692,16 @@ object SparkEntry {
        |m AS (SELECT version, list(u ORDER BY u ASC) AS merged
        |  FROM vr WHERE rk <= $k GROUP BY version),
        |nd AS (SELECT version, CAST(count(DISTINCT day) AS BIGINT) AS n_days
-       |  FROM v GROUP BY version)
-       |SELECT CAST(m.version AS BIGINT) AS version, nd.n_days,
-       |  CASE WHEN len(merged) < $k THEN CAST(len(merged) AS BIGINT)
+       |  FROM v GROUP BY version),
+       |vers AS (SELECT * FROM (VALUES (1), (2)) AS t(version))
+       |SELECT CAST(vers.version AS BIGINT) AS version,
+       |  coalesce(nd.n_days, 0) AS n_days,
+       |  CASE WHEN merged IS NULL THEN CAST(0 AS BIGINT)
+       |    WHEN len(merged) < $k THEN CAST(len(merged) AS BIGINT)
        |    ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * 4611686018427387904.0 /
        |      CAST(greatest(merged[$k], 1) AS DOUBLE)) AS BIGINT) END AS kmv_total_est
-       |FROM m JOIN nd USING (version) ORDER BY version""".stripMargin
+       |FROM vers LEFT JOIN m USING (version) LEFT JOIN nd USING (version)
+       |ORDER BY version""".stripMargin
   }
 
   /** q138: the stored-state heavy hitters served from SnapshotSink — the

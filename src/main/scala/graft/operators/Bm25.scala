@@ -138,6 +138,9 @@ object Bm25 {
     val tfAggs = terms.map(t =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$t"))
     val base = hits.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-    rankTopK(base.join(docstats, Seq("doc_id")), terms, n, avgdl, dfs, k, k1, b)
+      .join(docstats, Seq("doc_id"))
+      // honor scoreTopK's column order exactly (positional consumers)
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(t => col(s"tf_$t")): _*)
+    rankTopK(base, terms, n, avgdl, dfs, k, k1, b)
   }
 }

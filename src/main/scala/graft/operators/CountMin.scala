@@ -166,6 +166,7 @@ object CountMin {
       .select(col(dayCol).as("d"), col(valueCol).cast("string").as("v"))
       .localCheckpoint(true) // feeds states, totals, candidates, audit
     val daily = dailyStates(nn, "v", "d", depth, width)
+      .localCheckpoint(true) // consumed by the serve (days + trailing) AND the audit's day set
     // one (d, v) aggregation feeds candidates, totals AND the exact
     // audit — at scale this is the only distinct-sized stage, and it
     // never gets window-exploded

@@ -36,10 +36,14 @@ object KMeansQuant {
   /** Quantization scale: 2^20 integer units per 1.0. */
   val Scale: Long = 1L << 20
 
+  /** Rows with null ids or empty embeddings are DROPPED — they have no
+    * direction to cluster, and the SQL replay's unnest never sees them,
+    * so keeping them would make the two engines disagree. */
   private def quantized(df: DataFrame, embCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("vec_id"),
-      expr(s"transform($embCol, x -> cast(round(cast(x as double) * ${Scale}.0) as bigint))")
-        .as("xq"))
+    df.filter(col(idCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).cast("long").as("vec_id"),
+        transform(col(embCol),
+          x => round(x.cast("double") * lit(Scale.toDouble)).cast("long")).as("xq"))
 
   /** Exact integer squared distance of `xq` to the literal centroid. */
   private def dist2(c: Array[Long]): Column =
@@ -67,10 +71,15 @@ object KMeansQuant {
     val qv = quantized(df, embCol, idCol)
       .localCheckpoint(true) // scanned once per iteration, not re-derived
     // pinned init: the quantized embeddings of initIds, in initIds order
-    val initRows = qv.filter(col("vec_id").isin(initIds: _*))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    require(initRows.keySet == initIds.toSet,
-      s"missing init vectors: ${initIds.filterNot(initRows.contains).mkString(",")}")
+    val initCollected = qv.filter(col("vec_id").isin(initIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    require(initCollected.length == initIds.size, {
+      val seen = initCollected.map(_._1)
+      val missing = initIds.filterNot(seen.contains)
+      if (missing.nonEmpty) s"missing init vectors: ${missing.mkString(",")}"
+      else "duplicate init vector ids in the input — initialization would be nondeterministic"
+    })
+    val initRows = initCollected.toMap
     var cents: IndexedSeq[Array[Long]] = initIds.map(initRows).toIndexedSeq
 
     def best(cs: IndexedSeq[Array[Long]]): Column =
