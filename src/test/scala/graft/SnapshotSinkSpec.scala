@@ -87,6 +87,17 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.parseFilesArray("""{"version":1,"rows":0,"files":[]}""").isEmpty)
   }
 
+  test("schema can evolve between versions; each version reads back with its own schema") {
+    val root = tmpRoot()
+    SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // v2 adds a column — manifest isolation means v1 readers see v1's
+    // schema, v2 readers v2's; no cross-version file mixing can occur
+    SnapshotSink.commit(Seq((2L, "b", 9.5)).toDF("k", "v", "w"), root)
+    assert(SnapshotSink.read(spark, root, Some(1)).columns.toSeq == Seq("k", "v"))
+    assert(SnapshotSink.read(spark, root, Some(2)).columns.toSeq == Seq("k", "v", "w"))
+    assert(SnapshotSink.read(spark, root).collect().head.getDouble(2) == 9.5)
+  }
+
   test("guards: reading an empty root or an uncommitted version raises") {
     val root = tmpRoot()
     intercept[IllegalArgumentException](SnapshotSink.read(spark, root))

@@ -379,6 +379,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(served == batchRollup)
   }
 
+  test("streaming state rollup retires old versions as it ingests (keepVersions)") {
+    import graft.operators.Cardinality
+    import graft.sink.SnapshotSink
+
+    val src = Files.createTempDirectory("graft_stream_vac")
+    val ckp = Files.createTempDirectory("graft_stream_vac_ckp")
+    val root = Files.createTempDirectory("graft_stream_vac_root").toString
+    (0 until 4).foreach { b =>
+      Files.write(src.resolve(s"$b.json"),
+        (0 until 10).map(i => s"""{"day":${b + 1},"v":${b * 10 + i}}""")
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.streaming.StateRollup.appendDailyKmvStates(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src.toString),
+      "v", "day", k = 64, root = root, checkpointDir = ckp.toString,
+      keepVersions = 2)
+    q.awaitTermination(120000)
+    // 4 micro-batches committed; only the last 2 versions survive
+    assert(SnapshotSink.versions(spark, root) == Seq(3, 4))
+    // the latest version still holds the FULL accumulated state
+    val stored = SnapshotSink.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batch = Cardinality.kmvSketches(
+        spark.read.json(src.toString), "v", "day", k = 64)
+      .withColumnRenamed("segment", "day")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(stored == batch && stored.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming contract report (row-level checks) equals its batch twin") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Contracts
