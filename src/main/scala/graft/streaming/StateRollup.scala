@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.Cardinality
+import graft.operators.{Cardinality, CountMin}
 import graft.sink.SnapshotSink
 
 /** STREAMING INGESTION for the stored-state rollup (q136's write path as
@@ -69,6 +69,54 @@ object StateRollup {
             val merged =
               if (SnapshotSink.versions(spark, root).isEmpty) states
               else Cardinality.mergeKmvStates(SnapshotSink.read(spark, root), states, k)
+            SnapshotSink.commit(merged, root)
+            if (keepVersions != Int.MaxValue)
+              SnapshotSink.vacuum(spark, root, keepLast = keepVersions)
+            ()
+          }
+        } finally { b.unpersist(); () }
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The COUNT-MIN twin of [[appendDailyKmvStates]]: each micro-batch's
+    * per-day CM state rows fold into the stored table by ADDITION
+    * ([[CountMin.mergeDailyStates]] — linear sketch, exact for ANY
+    * split of the stream, split days included, so unlike the day-grain
+    * candidate tables this ingestion needs no alignment between
+    * micro-batch boundaries and days). Same snapshot-commit semantics
+    * and retention as the KMV variant. `valueCol` is normalized to
+    * non-null strings here (the [[CountMin.trailingHeavyHitters]]
+    * convention). */
+  def appendDailyCmStates(
+      stream: DataFrame,
+      valueCol: String,
+      dayCol: String,
+      depth: Int,
+      width: Int,
+      root: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      keepVersions: Int = 3
+  ): StreamingQuery = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          if (b.take(1).nonEmpty) {
+            val spark = b.sparkSession
+            val nn = b.filter(org.apache.spark.sql.functions.col(valueCol).isNotNull)
+              .select(
+                org.apache.spark.sql.functions.col(dayCol).as("d"),
+                org.apache.spark.sql.functions.col(valueCol).cast("string").as("v"))
+            val states = CountMin.dailyStates(nn, "v", "d", depth, width)
+            val merged =
+              if (SnapshotSink.versions(spark, root).isEmpty) states
+              else CountMin.mergeDailyStates(SnapshotSink.read(spark, root), states)
             SnapshotSink.commit(merged, root)
             if (keepVersions != Int.MaxValue)
               SnapshotSink.vacuum(spark, root, keepLast = keepVersions)

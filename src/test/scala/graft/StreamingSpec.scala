@@ -379,6 +379,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(served == batchRollup)
   }
 
+  test("streaming CM state rollup: split-day micro-batches sum to the batch states; served hitters match") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.CountMin
+    import graft.sink.SnapshotSink
+
+    val src = Files.createTempDirectory("graft_stream_cm")
+    val ckp = Files.createTempDirectory("graft_stream_cm_ckp")
+    val root = Files.createTempDirectory("graft_stream_cm_root").toString
+    // the SAME days appear in both files: CM linearity means partial-day
+    // states from different micro-batches must sum to the full states
+    Files.write(src.resolve("a.json"),
+      (0 until 30).map(i => s"""{"day":${1 + i % 3},"v":"u${i % 5}"}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      (0 until 30).map(i => s"""{"day":${1 + i % 3},"v":"u${i % 7}"}""")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.streaming.StateRollup.appendDailyCmStates(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src.toString),
+      "v", "day", depth = 4, width = 64, root = root, checkpointDir = ckp.toString)
+    q.awaitTermination(120000)
+    assert(SnapshotSink.versions(spark, root) == Seq(1, 2))
+
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val all = spark.read.json(src.toString).filter(col("v").isNotNull)
+      .select(col("day").as("d"), col("v").cast("string").as("v"))
+    assert(m(SnapshotSink.read(spark, root)) ==
+      m(CountMin.dailyStates(all, "v", "d", 4, 64)))
+    // serving from the stream-built store matches fresh-state serving
+    val dayCounts = all.groupBy("d", "v")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val totals = dayCounts.groupBy("d")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
+    val cands = dayCounts.join(totals, Seq("d"))
+      .filter(col("cnt") * 5 * 2 >= col("n")).select("d", "v")
+    def served(states: org.apache.spark.sql.DataFrame) =
+      CountMin.trailingHittersFromStates(states, cands, totals,
+          num = 1L, den = 5L, depth = 4, width = 64, windowDays = 2)
+        .orderBy("day", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val fromStore = served(SnapshotSink.read(spark, root))
+    assert(fromStore == served(CountMin.dailyStates(all, "v", "d", 4, 64)))
+    assert(fromStore.nonEmpty)
+  }
+
   test("streaming state rollup retires old versions as it ingests (keepVersions)") {
     import graft.operators.Cardinality
     import graft.sink.SnapshotSink
