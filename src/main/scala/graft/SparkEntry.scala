@@ -2051,6 +2051,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extension — INCREMENTAL ANN INDEX maintenance: the signature
+    // table grows through a SnapshotSink lineage by UNION — v1 indexes
+    // 80% of the corpus, v2 appends the held-out batch after signing
+    // ONLY that batch (signatures are per-row facts; maintenance is
+    // union, never rebuild — the property q58's hive-partitioned index
+    // lacks). The stored table is bucket-range-clustered so the serve's
+    // probe-bucket predicate prunes row groups on footer stats. Gated
+    // against q29's FROM-SCRATCH LSH oracle: serving from the
+    // incrementally-grown store must equal the all-at-once computation
+    // — one oracle, three execution paths (q29 scan, q56 partitioned
+    // index, q143 snapshot lineage).
+    "q143_ann_index_append" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q143", dir)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 8)
+      val initial = e.filter(pmod(col("vec_id"), lit(5)) =!= 1)
+      val batch = e.filter(pmod(col("vec_id"), lit(5)) === 1)
+      SnapshotSink.commit(Similarity.clusterForBucketPruning(
+        Similarity.signatureTable(initial, "embedding", "vec_id", lsh), 4), root)
+      SnapshotSink.commit(Similarity.clusterForBucketPruning(
+        SnapshotSink.read(s, root).unionByName(
+          Similarity.signatureTable(batch, "embedding", "vec_id", lsh)), 4), root)
+      Similarity.annTopKFromSignatures(
+          SnapshotSink.read(s, root), "embedding", "vec_id", q, 10, lsh,
+          keep = col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
     // Extension — LLOYD'S K-MEANS over embeddings, the "cluster then
     // sample" diversity-balancing pass (operators/KMeansQuant): integer
     // quantization makes every iteration engine-exact — centroids update
@@ -3982,6 +4013,9 @@ object SparkEntry {
     // the stored-index serve must equal the from-scratch computation —
     // one oracle, two execution paths
     "q142_stored_text_index" -> q77Oracle,
+    // the incrementally-grown index serve must equal q29's from-scratch
+    // LSH computation — one oracle, three execution paths
+    "q143_ann_index_append" -> q29Oracle,
     "q78_cell_coverage" -> q78Oracle,
     "q79_triplet_mining" -> q79Oracle,
     "q80_dsir_select" -> q80Oracle,

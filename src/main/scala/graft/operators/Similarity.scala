@@ -293,6 +293,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Signature rows `(idCol, embCol, bucket)` for the SNAPSHOT-VERSIONED
+    * incremental index: unlike [[buildAnnIndex]]'s hive-partitioned
+    * layout (rebuild-oriented, directory per bucket), these are plain
+    * rows a [[graft.sink.SnapshotSink]] lineage can grow by UNION —
+    * appending a batch signs ONLY the batch (signatures are per-row
+    * facts, so index maintenance is union, never rebuild). Sort the
+    * stored table by bucket ([[clusterForBucketPruning]]) so the serve's
+    * bucket predicate prunes row groups via parquet min-max stats — the
+    * flat-layout analogue of partition pruning. */
+  def signatureTable(
+      df: DataFrame, embCol: String, idCol: String, lsh: HyperplaneLsh): DataFrame =
+    df.select(col(idCol), col(embCol), lsh.signature(col(embCol)).as("bucket"))
+
+  /** Bucket-clustered layout for a signature-table commit: range-
+    * partitioned and sorted on bucket, so every parquet row group spans
+    * a narrow bucket range and the serve's `bucket IN (...)` filter
+    * skips the rest on footer stats alone. */
+  def clusterForBucketPruning(sigs: DataFrame, partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else sigs.sparkSession.sessionState.conf.numShufflePartitions
+    sigs.repartitionByRange(p, col("bucket"))
+      .sortWithinPartitions("bucket")
+  }
+
+  /** Top-k neighbors served from a STORED signature table (the
+    * incremental-index twin of [[annTopKIndexed]]): probe buckets are
+    * literal, so the filter reaches the parquet scan; only the probed
+    * slivers are scored. */
+  def annTopKFromSignatures(
+      sigs: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      lsh: HyperplaneLsh,
+      keep: Column = lit(true)
+  ): DataFrame =
+    sigs
+      .filter(col("bucket").isin(lsh.probeBucketsOf(query): _*))
+      .filter(keep)
+      .select(col(idCol), cosine(col(embCol), litVec(query)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
   /** Distributed knn-join: top-k base neighbors for EVERY query row.
     * Both sides are signed; the equi-join on bucket id (with multiprobe on
     * the query side) replaces the quadratic cross join; per-query top-k is

@@ -363,6 +363,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental signature index: union-grown store serves identically to an all-at-once build") {
+    import graft.sink.SnapshotSink
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 4)
+    val q = base.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val root = java.nio.file.Files.createTempDirectory("ann_incr").toString
+    val initial = base.filter($"vec_id" % 5 =!= 1)
+    val batch = base.filter($"vec_id" % 5 === 1)
+    SnapshotSink.commit(Similarity.clusterForBucketPruning(
+      Similarity.signatureTable(initial, "embedding", "vec_id", lsh), 2), root)
+    SnapshotSink.commit(Similarity.clusterForBucketPruning(
+      SnapshotSink.read(spark, root).unionByName(
+        Similarity.signatureTable(batch, "embedding", "vec_id", lsh)), 2), root)
+    // stored rows ≡ signing the whole corpus at once
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(SnapshotSink.read(spark, root)) ==
+      rows(Similarity.signatureTable(base, "embedding", "vec_id", lsh)))
+    // serving from the grown store ≡ the direct LSH scan, and the
+    // appended batch's vectors are reachable
+    def served(df: org.apache.spark.sql.DataFrame) =
+      Similarity.annTopKFromSignatures(df, "embedding", "vec_id", q, 8, lsh,
+          keep = col("vec_id") =!= 0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromStore = served(SnapshotSink.read(spark, root))
+    assert(fromStore == served(Similarity.signatureTable(base, "embedding", "vec_id", lsh)))
+    val direct = Similarity.annTopK(base.filter($"vec_id" =!= 0),
+        "embedding", "vec_id", q, 8, lsh)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromStore == direct)
+  }
+
   test("projection column and driver-side projection agree") {
     val v = base.filter($"vec_id" === 3).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble)
