@@ -2052,16 +2052,17 @@ object SparkEntry {
     }),
 
     // Extension — INCREMENTAL ANN INDEX maintenance: the signature
-    // table grows through a SnapshotSink lineage by UNION — v1 indexes
+    // table grows through a SnapshotSink ADD-FILES lineage — v1 indexes
     // 80% of the corpus, v2 appends the held-out batch after signing
-    // ONLY that batch (signatures are per-row facts; maintenance is
-    // union, never rebuild — the property q58's hive-partitioned index
-    // lacks). The stored table is bucket-range-clustered so the serve's
-    // probe-bucket predicate prunes row groups on footer stats. Gated
-    // against q29's FROM-SCRATCH LSH oracle: serving from the
-    // incrementally-grown store must equal the all-at-once computation
-    // — one oracle, three execution paths (q29 scan, q56 partitioned
-    // index, q143 snapshot lineage).
+    // ONLY that batch; SnapshotSink.append writes the batch's files and
+    // publishes old files + new files in one manifest rename, so an
+    // append costs O(batch) I/O while the hive-partitioned q58 index
+    // would rebuild. Each batch is bucket-range-clustered internally so
+    // the serve's probe-bucket predicate prunes row groups on footer
+    // stats. Gated against q29's FROM-SCRATCH LSH oracle: serving from
+    // the incrementally-grown store must equal the all-at-once
+    // computation — one oracle, three execution paths (q29 scan, q56
+    // partitioned index, q143 snapshot lineage).
     "q143_ann_index_append" -> ((s, dir) => {
       import graft.sink.SnapshotSink
       val root = freshStateRoot(s, "q143", dir)
@@ -2073,9 +2074,8 @@ object SparkEntry {
       val batch = e.filter(pmod(col("vec_id"), lit(5)) === 1)
       SnapshotSink.commit(Similarity.clusterForBucketPruning(
         Similarity.signatureTable(initial, "embedding", "vec_id", lsh), 4), root)
-      SnapshotSink.commit(Similarity.clusterForBucketPruning(
-        SnapshotSink.read(s, root).unionByName(
-          Similarity.signatureTable(batch, "embedding", "vec_id", lsh)), 4), root)
+      SnapshotSink.append(Similarity.clusterForBucketPruning(
+        Similarity.signatureTable(batch, "embedding", "vec_id", lsh), 2), root)
       Similarity.annTopKFromSignatures(
           SnapshotSink.read(s, root), "embedding", "vec_id", q, 10, lsh,
           keep = col("vec_id") =!= 0)

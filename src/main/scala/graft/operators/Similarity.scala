@@ -153,7 +153,7 @@ object Similarity {
     val salt =
       if (filesPerBucket > 0) filesPerBucket
       else derivedFilesPerBucket(df.count(), lsh)
-    df.select(col(idCol), col(embCol), lsh.signature(col(embCol)).as("bucket"))
+    signatureTable(df, embCol, idCol, lsh)
       .repartition(col("bucket"), pmod(hash(col(idCol)), lit(salt)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
@@ -285,12 +285,11 @@ object Similarity {
       keep: Column = lit(true)
   ): DataFrame = {
     preferDriverSideListing(spark, lsh)
-    spark.read.parquet(indexPath)
-      .filter(col("bucket").isin(lsh.probeBucketsOf(query): _*))
-      .filter(keep)
-      .select(col(idCol), cosine(col(embCol), litVec(query)).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+    // one probe/score/rank pipeline for every serving path — see
+    // annTopKFromSignatures (partition pruning still applies: `bucket`
+    // is the partition column here)
+    annTopKFromSignatures(spark.read.parquet(indexPath), embCol, idCol,
+      query, k, lsh, keep)
   }
 
   /** Signature rows `(idCol, embCol, bucket)` for the SNAPSHOT-VERSIONED

@@ -51,9 +51,9 @@ object SnapshotSink {
       .sorted
   }
 
-  /** Write `df` as the next snapshot version and commit it atomically.
-    * Returns the committed snapshot descriptor. */
-  def commit(df: DataFrame, root: String): Snapshot = {
+  /** Write `df`'s data files into a fresh data subdir — NO manifest yet,
+    * so nothing is visible to readers. Returns (files, rows). */
+  private def writeData(df: DataFrame, root: String): (Seq[String], Long) = {
     val spark = df.sparkSession
     val token = java.util.UUID.randomUUID().toString.take(12)
     val dataPath = new Path(new Path(root, "data"), token)
@@ -65,8 +65,15 @@ object SnapshotSink {
     val rows =
       if (files.isEmpty) 0L
       else spark.read.parquet(files: _*).count()
-    val version = versions(spark, root).lastOption.getOrElse(0) + 1
+    (files, rows)
+  }
+
+  /** Rename-commit a manifest for `version` over `files`. */
+  private def writeManifest(
+      spark: SparkSession, root: String, version: Int,
+      files: Seq[String], rows: Long): Snapshot = {
     val mdir = manifestDir(root)
+    val f = fs(spark, mdir)
     f.mkdirs(mdir)
     val tmp = new Path(mdir, s"v$version.json.tmp")
     val fin = new Path(mdir, s"v$version.json")
@@ -80,6 +87,37 @@ object SnapshotSink {
     if (!f.rename(tmp, fin))
       throw new IllegalStateException(s"snapshot commit failed: cannot rename $tmp to $fin")
     Snapshot(version, files, rows)
+  }
+
+  /** Write `df` as the next snapshot version and commit it atomically.
+    * Returns the committed snapshot descriptor. */
+  def commit(df: DataFrame, root: String): Snapshot = {
+    val spark = df.sparkSession
+    val (files, rows) = writeData(df, root)
+    val version = versions(spark, root).lastOption.getOrElse(0) + 1
+    writeManifest(spark, root, version, files, rows)
+  }
+
+  /** APPEND `df` as the next snapshot version WITHOUT rewriting existing
+    * data: the batch lands in a fresh data subdir and the new manifest
+    * references the previous version's files PLUS the new ones — an
+    * add-files commit, O(batch) write I/O per append instead of the
+    * O(table) rewrite a read-union-recommit costs. This is how a
+    * corpus-sized table (e.g. an ANN signature index, q143) grows
+    * incrementally; state-sized tables can afford either. Readers of
+    * prior versions are untouched (their file lists never change). */
+  def append(df: DataFrame, root: String): Snapshot = {
+    val spark = df.sparkSession
+    val prior = versions(spark, root).lastOption
+      .map(v => snapshot(spark, root, Some(v)))
+    // batch data lands invisibly first; the ONE manifest rename then
+    // publishes prior files + batch files together — same atomicity as
+    // commit, O(batch) write I/O
+    val (files, rows) = writeData(df, root)
+    val all = (prior.map(_.files).getOrElse(Seq.empty) ++ files).sorted
+    val total = prior.map(_.rows).getOrElse(0L) + rows
+    val version = prior.map(_.version).getOrElse(0) + 1
+    writeManifest(spark, root, version, all, total)
   }
 
   /** The committed snapshot descriptor for `version` (default: latest). */

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.{Cardinality, CountMin}
@@ -21,20 +22,45 @@ import graft.sink.SnapshotSink
   *
   * foreachBatch rather than a stateful aggregation: the state lives in
   * the SNAPSHOT TABLE (readable by any engine, mergeable across
-  * clusters), not in the stream's checkpoint — restart-safe because
-  * commits are atomic manifest renames and micro-batch replays re-merge
-  * idempotently-shaped states (a re-merged sketch is unchanged:
-  * `merge(s, s) = s` for KMV).
+  * clusters), not in the stream's checkpoint.
   *
-  * Scale shape: per micro-batch, one map-side-combined scan down to ≤ k
-  * longs per day, one state-sized merge against the stored table —
-  * events never accumulate anywhere. */
+  * REPLAY SAFETY: foreachBatch is at-least-once — after a crash between
+  * a successful commit and the checkpoint's offset write, the same
+  * micro-batch re-runs. KMV's merge is idempotent (`merge(s, s) = s`),
+  * but count-min's is ADDITION, which double-counts on replay — so both
+  * variants record the committed batch id in a marker file
+  * (`_batches/b<id>`, written AFTER the snapshot commit) and skip a
+  * batch id already marked. The marker can lag the commit by a crash
+  * (commit landed, marker didn't): the replay then re-merges that one
+  * batch — harmless for KMV, and for CM this is the standard
+  * at-least-once residual that an exactly-once deployment closes by
+  * making the marker write part of the commit (single-committer rename,
+  * same journal). Markers are tiny and bounded by batch count.
+  *
+  * Scale shape: per micro-batch, one map-side-combined scan down to
+  * state-sized rows per day, one state-sized merge against the stored
+  * table — events never accumulate anywhere. */
 object StateRollup {
+
+  private def batchMarker(spark: SparkSession, root: String, id: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, "_batches"), s"b$id")
+
+  private def alreadyCommitted(spark: SparkSession, root: String, id: Long): Boolean = {
+    val p = batchMarker(spark, root, id)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def markCommitted(spark: SparkSession, root: String, id: Long): Unit = {
+    val p = batchMarker(spark, root, id)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
 
   /** Start an AvailableNow/continuous ingestion of `stream` (must carry
     * `dayCol` and `valueCol`) that folds each micro-batch's daily KMV
-    * states into the snapshot root. One snapshot version per non-empty
-    * micro-batch.
+    * states into the snapshot root. One snapshot version per micro-batch
+    * with non-null values.
     *
     * Each commit is a full (state-sized — ≤ k longs per day) copy of the
     * merged table, so a long-running stream retires old versions as it
@@ -57,19 +83,20 @@ object StateRollup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // persist: the emptiness probe and the sketch build must not
         // re-read the source twice per trigger
-        val b = batch.persist()
+        val b = batch.filter(col(valueCol).isNotNull).persist()
         try {
-          if (b.take(1).nonEmpty) {
-            val spark = b.sparkSession
+          val spark = b.sparkSession
+          if (!alreadyCommitted(spark, root, batchId) && b.take(1).nonEmpty) {
             val states = Cardinality.kmvSketches(b, valueCol, dayCol, k)
               .withColumnRenamed("segment", "day")
             val merged =
               if (SnapshotSink.versions(spark, root).isEmpty) states
               else Cardinality.mergeKmvStates(SnapshotSink.read(spark, root), states, k)
             SnapshotSink.commit(merged, root)
+            markCommitted(spark, root, batchId)
             if (keepVersions != Int.MaxValue)
               SnapshotSink.vacuum(spark, root, keepLast = keepVersions)
             ()
@@ -85,10 +112,11 @@ object StateRollup {
     * ([[CountMin.mergeDailyStates]] — linear sketch, exact for ANY
     * split of the stream, split days included, so unlike the day-grain
     * candidate tables this ingestion needs no alignment between
-    * micro-batch boundaries and days). Same snapshot-commit semantics
-    * and retention as the KMV variant. `valueCol` is normalized to
-    * non-null strings here (the [[CountMin.trailingHeavyHitters]]
-    * convention). */
+    * micro-batch boundaries and days). Same commit/marker/retention
+    * semantics as the KMV variant; the batch-id marker matters MORE
+    * here because addition is not idempotent (see the replay-safety
+    * note above). `valueCol` is normalized to non-null strings here
+    * (the [[CountMin.trailingHeavyHitters]] convention). */
   def appendDailyCmStates(
       stream: DataFrame,
       valueCol: String,
@@ -104,20 +132,18 @@ object StateRollup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.filter(col(valueCol).isNotNull).persist()
         try {
-          if (b.take(1).nonEmpty) {
-            val spark = b.sparkSession
-            val nn = b.filter(org.apache.spark.sql.functions.col(valueCol).isNotNull)
-              .select(
-                org.apache.spark.sql.functions.col(dayCol).as("d"),
-                org.apache.spark.sql.functions.col(valueCol).cast("string").as("v"))
+          val spark = b.sparkSession
+          if (!alreadyCommitted(spark, root, batchId) && b.take(1).nonEmpty) {
+            val nn = b.select(col(dayCol).as("d"), col(valueCol).cast("string").as("v"))
             val states = CountMin.dailyStates(nn, "v", "d", depth, width)
             val merged =
               if (SnapshotSink.versions(spark, root).isEmpty) states
               else CountMin.mergeDailyStates(SnapshotSink.read(spark, root), states)
             SnapshotSink.commit(merged, root)
+            markCommitted(spark, root, batchId)
             if (keepVersions != Int.MaxValue)
               SnapshotSink.vacuum(spark, root, keepLast = keepVersions)
             ()

@@ -373,9 +373,9 @@ class SimilaritySpec extends AnyFunSuite {
     val batch = base.filter($"vec_id" % 5 === 1)
     SnapshotSink.commit(Similarity.clusterForBucketPruning(
       Similarity.signatureTable(initial, "embedding", "vec_id", lsh), 2), root)
-    SnapshotSink.commit(Similarity.clusterForBucketPruning(
-      SnapshotSink.read(spark, root).unionByName(
-        Similarity.signatureTable(batch, "embedding", "vec_id", lsh)), 2), root)
+    // add-files append: only the batch is signed and written
+    SnapshotSink.append(Similarity.clusterForBucketPruning(
+      Similarity.signatureTable(batch, "embedding", "vec_id", lsh), 1), root)
     // stored rows ≡ signing the whole corpus at once
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("vec_id", "bucket").collect()

@@ -87,6 +87,32 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.parseFilesArray("""{"version":1,"rows":0,"files":[]}""").isEmpty)
   }
 
+  test("append: add-files commit reuses prior data files; vacuum keeps shared dirs") {
+    val root = tmpRoot()
+    val s1 = SnapshotSink.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val s2 = SnapshotSink.append(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(s2.version == 2 && s2.rows == 3)
+    // v2 references v1's files VERBATIM plus the batch's — no rewrite
+    assert(s1.files.toSet.subsetOf(s2.files.toSet))
+    assert((s2.files.toSet -- s1.files.toSet).nonEmpty)
+    assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // v1 still reads alone (time travel over an append lineage)
+    assert(SnapshotSink.read(spark, root, Some(1))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a third append, then vacuum to the latest: v1/v2 manifests drop,
+    // but v1's data dir is SHARED with the kept v3 manifest — it must
+    // survive, and the kept snapshot must stay fully readable
+    SnapshotSink.append(Seq((4L, "d")).toDF("k", "v"), root)
+    SnapshotSink.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(SnapshotSink.versions(spark, root) == Seq(3))
+    assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // append onto an empty root behaves like a first commit
+    val root2 = tmpRoot()
+    assert(SnapshotSink.append(Seq((9L, "z")).toDF("k", "v"), root2).version == 1)
+  }
+
   test("schema can evolve between versions; each version reads back with its own schema") {
     val root = tmpRoot()
     SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
