@@ -2205,6 +2205,51 @@ object SparkEntry {
         .orderBy(col("day"), col("est_count").desc, col("value"))
     }),
 
+    // Extension — ZONE-MAP DATA SKIPPING on the snapshot store: events
+    // land range-clustered on day (the ClickHouse ORDER BY analog,
+    // reference clickhouse.py:86-87) through commitWithStats, which
+    // writes a per-file min/max sidecar in the same pass that counts
+    // rows; the serve then asks readPruned for a 6-day window and reads
+    // ONLY the files whose day range can intersect it — file-granular
+    // skipping BEFORE Spark lists anything, the primary-index story at
+    // 100 TB (a day probe touches O(1) of O(table) files). Hash-exact:
+    // pruning is lossless by construction, so the windowed aggregate
+    // equals DuckDB's full-scan filter. SnapshotSinkSpec asserts the
+    // file-count reduction; here the gate checks the answer.
+    "q144_zonemap_pruned_serve" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q144", dir)
+      val ev = events(s, dir).select(
+        expr("unix_millis(ts) DIV 86400000").as("day"),
+        col("event_type"), col("user_id"), col("value"))
+      SnapshotSink.commitWithStats(
+        ev.repartitionByRange(10, col("day")), root, Seq("day"))
+      SnapshotSink.readPruned(s, root, "day", 19733L, 19738L).df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Extension — MODEL-BASED QUALITY FILTER (operators/QualityModel):
+    // hashing-trick linear classifier inference, the FineWeb/DCLM-style
+    // learned gate that complements q22's heuristic signals. Score =
+    // Σ weights[md5(token) mod 1024] + bias in integer micro-units —
+    // one codegen'd projection, zero shuffle, weight vector shipped as
+    // ONE typedLit array (broadcast-by-construction); trained weights
+    // would drop into the identical plan. Gate weights are the pinned
+    // projection whose FORMULA replays in DuckDB, so tokenization,
+    // bucketing, gather, exact integer sum and the keep threshold are
+    // all hash-verified. Hash-exact.
+    "q145_quality_model_score" -> ((s, dir) => {
+      graft.operators.QualityModel.scored(
+          t(s, dir, "documents"), "text", "doc_id",
+          weights = graft.operators.QualityModel.pinnedWeights(1024, seed = 7L),
+          biasMicros = 0L, thresholdMicros = 0L)
+        .orderBy("doc_id")
+    }),
+
     // Extension — 2D PARETO FRONTIER over curation signals: the docs no
     // other doc beats on BOTH token count and lexical richness (distinct
     // tokens) — multi-criteria selection without an arbitrary weighted
@@ -3735,6 +3780,41 @@ object SparkEntry {
        |ORDER BY version""".stripMargin
   }
 
+  /** q144: the zone-map pruned serve — file skipping is lossless by
+    * construction (a file is dropped only when its [min,max] day range
+    * cannot intersect the probe window), so the oracle is the plain
+    * full-scan day-window aggregate; the file-count reduction itself is
+    * asserted in SnapshotSinkSpec. */
+  private def q144Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch_ms(ts) // 86400000 BETWEEN 19733 AND 19738
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q145: the hashing-trick classifier replayed literally — same
+    * tokenization, same portable md5 bucket (pmod into [0,1024)), the
+    * pinned weight FORMULA regenerated per token, exact integer sum
+    * (empty docs fall back to the bias via coalesce, Spark's empty-
+    * aggregate convention), same ≥ threshold rule. */
+  private def q145Oracle: String = {
+    val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
+    s"""SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(list_aggregate(list_transform(toks,
+       |      t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |    AS BIGINT) AS score_micros,
+       |  CAST(coalesce(list_aggregate(list_transform(toks,
+       |      t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |    AS BIGINT) >= 0 AS keep
+       |FROM (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS toks
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q138: the stored-state heavy hitters served from SnapshotSink — the
     * oracle is q135's replay minus the exact-audit column: the two-batch
     * commit + merge lineage is invisible to the result by CM linearity
@@ -4137,6 +4217,8 @@ object SparkEntry {
     "q134_trailing_distinct" -> q134Oracle,
     "q135_trailing_hitters" -> q135Oracle,
     "q136_stored_state_rollup" -> q136Oracle,
+    "q144_zonemap_pruned_serve" -> q144Oracle,
+    "q145_quality_model_score" -> q145Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -2,6 +2,7 @@ package graft.sink
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** MANIFEST-COMMITTED parquet snapshots — atomic dataset publication
   * without a table format. A 100 TB write that dies halfway must leave
@@ -52,15 +53,22 @@ object SnapshotSink {
   }
 
   /** Write `df`'s data files into a fresh data subdir — NO manifest yet,
-    * so nothing is visible to readers. Returns (files, rows). */
-  private def writeData(df: DataFrame, root: String): (Seq[String], Long) = {
+    * so nothing is visible to readers. Returns the file list. */
+  private def writeFiles(df: DataFrame, root: String): Seq[String] = {
     val spark = df.sparkSession
     val token = java.util.UUID.randomUUID().toString.take(12)
     val dataPath = new Path(new Path(root, "data"), token)
     df.write.parquet(dataPath.toString)
     val f = fs(spark, dataPath)
-    val files = f.listStatus(dataPath).toSeq.map(_.getPath)
+    f.listStatus(dataPath).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+  }
+
+  /** Write `df`'s data files into a fresh data subdir — NO manifest yet,
+    * so nothing is visible to readers. Returns (files, rows). */
+  private def writeData(df: DataFrame, root: String): (Seq[String], Long) = {
+    val spark = df.sparkSession
+    val files = writeFiles(df, root)
     // footer-only count: no data scan
     val rows =
       if (files.isEmpty) 0L
@@ -181,6 +189,133 @@ object SnapshotSink {
     spark.read.parquet(s.files: _*)
   }
 
+  // ===== Zone maps: per-file min/max stats sidecar + pruned reads =====
+  //
+  // The data-skipping half of the ClickHouse sort-key story the reference
+  // leans on (`reference/seghouse/warehouse/clickhouse.py:86-87` —
+  // `PARTITION BY toDate(timestamp) ORDER BY (timestamp, message_id)`
+  // exists precisely so the server can skip granules by primary-key
+  // range): a snapshot committed through [[commitWithStats]] carries a
+  // QUERYABLE parquet sidecar of per-file bounds, and [[readPruned]]
+  // drops every file whose [min,max] cannot intersect the predicate
+  // BEFORE Spark ever lists it. Layout clustering is the caller's lever —
+  // `repartitionByRange` on the stats column gives tight disjoint
+  // per-file ranges (the ZOrder module's multi-column variant composes
+  // the same way), after which an equality/range probe touches O(1)
+  // files out of O(table).
+  //
+  // Scale notes: the stats job replaces the plain-commit count pass (one
+  // column-pruned, map-side-combined aggregate over the just-written
+  // batch — O(batch) like the count it replaces, and it yields the row
+  // count for free); the sidecar is O(files × statsCols) parquet — at a
+  // million files it is itself a well-formed small table, which is why
+  // it is stored as parquet and not folded into the JSON manifest. The
+  // sidecar is written BEFORE the manifest rename, so commit atomicity
+  // is unchanged: an unreferenced `.stats` dir from a crashed commit is
+  // invisible (readers resolve stats through the committed version
+  // number) and is swept by vacuum after the orphan grace.
+
+  private def statsDir(root: String, version: Int) =
+    new Path(manifestDir(root), s"v$version.stats")
+
+  /** One row per data file: `file`, `rows`, and for each stats column
+    * `<c>__min` / `<c>__max` / `<c>__nulls` in the column's NATIVE type
+    * (parquet preserves it, so pruning comparisons never round-trip
+    * through strings). Exact bounds — computed from the committed rows
+    * themselves; a petabyte deployment could swap in a footer-metadata
+    * job without changing the sidecar contract. */
+  private def computeFileStats(
+      spark: SparkSession, files: Seq[String], statsCols: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(files: _*)
+      .select(input_file_name().as("file") +: statsCols.map(col): _*)
+    val aggs = count(lit(1L)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls")))
+    base.groupBy("file").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[commit]], plus a zone-map sidecar over `statsCols`. The row count
+    * comes from the same single stats pass (no separate count job). */
+  def commitWithStats(df: DataFrame, root: String, statsCols: Seq[String]): Snapshot = {
+    require(statsCols.nonEmpty, "commitWithStats needs at least one stats column")
+    val spark = df.sparkSession
+    val files = writeFiles(df, root)
+    val version = versions(spark, root).lastOption.getOrElse(0) + 1
+    val stats = computeFileStats(spark, files, statsCols)
+      .coalesce(1).localCheckpoint(true)
+    val rows = Option(stats.agg(sum("rows")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
+    writeManifest(spark, root, version, files, rows)
+  }
+
+  /** [[append]], plus a zone-map sidecar: the new version's sidecar is
+    * the prior sidecar's rows (stats are per-file facts — files never
+    * change once committed) plus the batch's freshly computed rows, so an
+    * append costs O(batch) stats work + O(files) sidecar metadata, never
+    * a table re-scan. The prior version must itself carry stats over the
+    * same columns. */
+  def appendWithStats(df: DataFrame, root: String, statsCols: Seq[String]): Snapshot = {
+    require(statsCols.nonEmpty, "appendWithStats needs at least one stats column")
+    val spark = df.sparkSession
+    val prior = versions(spark, root).lastOption.map { v =>
+      (snapshot(spark, root, Some(v)), statsTable(spark, root, Some(v)))
+    }
+    val files = writeFiles(df, root)
+    val fresh = computeFileStats(spark, files, statsCols)
+    val stats = prior.map(_._2.unionByName(fresh)).getOrElse(fresh)
+      .coalesce(1).localCheckpoint(true)
+    val rows = Option(stats.agg(sum("rows")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val version = prior.map(_._1.version).getOrElse(0) + 1
+    val all = (prior.map(_._1.files).getOrElse(Seq.empty) ++ files).sorted
+    stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
+    writeManifest(spark, root, version, all, rows)
+  }
+
+  /** The zone-map sidecar of `version` (default latest) as a DataFrame —
+    * stats are themselves a queryable table. Fails with a pointed message
+    * for versions committed without stats. */
+  def statsTable(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val s = snapshot(spark, root, version)
+    val p = statsDir(root, s.version)
+    require(fs(spark, p).exists(p),
+      s"snapshot v${s.version} has no zone-map sidecar (committed without " +
+        "stats — use commitWithStats/appendWithStats)")
+    spark.read.parquet(p.toString)
+  }
+
+  final case class PrunedRead(df: DataFrame, keptFiles: Int, totalFiles: Int)
+
+  /** Read `version` (default latest) with files pruned by the zone map:
+    * keep only files whose [min,max] on `c` can intersect [lo, hi], then
+    * apply the residual `lo <= c <= hi` filter (pruning is file-granular;
+    * the predicate still runs — and pushes down to row groups — inside
+    * kept files). All-null files are pruned: a range predicate is
+    * null-rejecting. The kept/total counts are returned for audit.
+    *
+    * The kept-file list is collected on the driver — O(files) metadata,
+    * the same order every manifest read already costs; a deployment with
+    * millions of files would push this selection into a join against the
+    * sidecar table instead. */
+  def readPruned(
+      spark: SparkSession, root: String, c: String, lo: Any, hi: Any,
+      version: Option[Int] = None): PrunedRead = {
+    val s = snapshot(spark, root, version)
+    require(s.files.nonEmpty, s"snapshot v${s.version} has no files")
+    val mn = col(s"${c}__min")
+    val mx = col(s"${c}__max")
+    val kept = statsTable(spark, root, Some(s.version))
+      .filter(mn.isNotNull && mx.isNotNull && !(mn > lit(hi) || mx < lit(lo)))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(s.files: _*).filter(lit(false))
+      else
+        spark.read.parquet(kept: _*).filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    PrunedRead(df, kept.size, s.files.size)
+  }
+
   /** Retire everything but the last `keepLast` snapshots: drops their
     * manifests, then deletes every `data/` subdirectory no kept manifest
     * references — which also sweeps crashed-commit orphans and
@@ -234,7 +369,10 @@ object SnapshotSink {
         .foreach(st => f.delete(st.getPath, true))
     }
     val mdir = manifestDir(root)
-    dropped.foreach(v => f.delete(new Path(mdir, s"v$v.json"), false))
+    dropped.foreach { v =>
+      f.delete(new Path(mdir, s"v$v.json"), false)
+      f.delete(statsDir(root, v), true) // retired version's zone-map sidecar
+    }
     if (f.exists(mdir)) {
       // .tmp manifests get the same grace as orphan data dirs: a young
       // .tmp may be a commit BETWEEN write and rename — sweeping it would
@@ -245,6 +383,18 @@ object SnapshotSink {
         .filter(st => st.getPath.getName.endsWith(".json.tmp") &&
           st.getModificationTime <= cutoff)
         .foreach(st => f.delete(st.getPath, false))
+      // orphan .stats sidecars (stats written, manifest rename never
+      // happened) get the same crashed-commit treatment: invisible to
+      // readers, swept once they outlive the grace
+      val committed = versions(spark, root).toSet
+      f.listStatus(mdir).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          n.matches("v\\d+\\.stats") &&
+            !committed.contains(n.stripPrefix("v").stripSuffix(".stats").toInt) &&
+            st.getModificationTime <= cutoff
+        }
+        .foreach(st => f.delete(st.getPath, true))
     }
     dropped
   }

@@ -130,4 +130,71 @@ class SnapshotSinkSpec extends AnyFunSuite {
     SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
     intercept[IllegalArgumentException](SnapshotSink.read(spark, root, Some(7)))
   }
+
+  test("zone maps: commitWithStats writes exact per-file bounds; readPruned skips files losslessly") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    // 100 rows over k=0..99, range-clustered into 10 files → each file
+    // covers a tight disjoint k-range, the layout pruning needs
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+    val snap = SnapshotSink.commitWithStats(
+      df.repartitionByRange(10, col("k")), root, Seq("k"))
+    assert(snap.rows == 100 && snap.files.size == 10)
+
+    val st = SnapshotSink.statsTable(spark, root)
+    assert(st.count() == 10)
+    assert(st.columns.toSet == Set("file", "rows", "k__min", "k__max", "k__nulls"))
+    // bounds tile [0,99] exactly, no overlaps lost rows
+    assert(st.agg(sum("rows")).head.getLong(0) == 100L)
+    assert(st.agg(min("k__min"), max("k__max")).head() match {
+      case r => r.getLong(0) == 0L && r.getLong(1) == 99L
+    })
+
+    // a 10-wide probe keeps ~1-2 of 10 files and still answers exactly
+    val pr = SnapshotSink.readPruned(spark, root, "k", 40L, 49L)
+    assert(pr.totalFiles == 10 && pr.keptFiles < 10)
+    assert(pr.df.agg(count(lit(1)), sum("k")).head() match {
+      case r => r.getLong(0) == 10L && r.getLong(1) == (40L to 49L).sum
+    })
+    // out-of-range probe: every file pruned, schema intact, zero rows
+    val none = SnapshotSink.readPruned(spark, root, "k", 1000L, 2000L)
+    assert(none.keptFiles == 0 && none.df.count() == 0L)
+    assert(none.df.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("zone maps: appendWithStats extends the sidecar O(batch); vacuum sweeps retired and orphan sidecars") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    SnapshotSink.commitWithStats(
+      spark.range(0, 50).select(col("id").as("k")).repartitionByRange(5, col("k")),
+      root, Seq("k"))
+    val s2 = SnapshotSink.appendWithStats(
+      spark.range(50, 100).select(col("id").as("k")).repartitionByRange(5, col("k")),
+      root, Seq("k"))
+    assert(s2.version == 2 && s2.rows == 100)
+    // v2 sidecar covers BOTH batches' files; v1's is untouched
+    assert(SnapshotSink.statsTable(spark, root, Some(1)).count() == 5)
+    assert(SnapshotSink.statsTable(spark, root, Some(2)).count() == 10)
+    // pruning works across the append boundary
+    val pr = SnapshotSink.readPruned(spark, root, "k", 90L, 99L)
+    assert(pr.totalFiles == 10 && pr.keptFiles < 10 && pr.df.count() == 10L)
+
+    // an orphan sidecar from a crashed commit + vacuum: retired v1
+    // sidecar and the orphan both go; the kept version's stays
+    new java.io.File(s"$root/_manifests/v9.stats").mkdirs()
+    SnapshotSink.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$root/_manifests/v1.stats").exists())
+    assert(!new java.io.File(s"$root/_manifests/v9.stats").exists())
+    assert(SnapshotSink.statsTable(spark, root).count() == 10)
+    intercept[IllegalArgumentException](
+      SnapshotSink.statsTable(spark, root, Some(1)))
+  }
+
+  test("zone maps: a version committed without stats refuses statsTable with a pointed message") {
+    val root = tmpRoot()
+    SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    val e = intercept[IllegalArgumentException](SnapshotSink.statsTable(spark, root))
+    assert(e.getMessage.contains("commitWithStats"))
+  }
 }
