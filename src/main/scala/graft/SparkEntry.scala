@@ -2232,6 +2232,48 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Extension — EXACT DEDUP STATE DEPLOYED through SnapshotSink (the
+    // q68/q72 pattern's q136-style deployment): three batches arrive in
+    // order; each anti-joins the STORED fingerprint lineage (16 bytes/doc
+    // — the corpus text is never re-read or even kept) and appends its
+    // survivors' fingerprints as the next snapshot version, so batch k's
+    // plan reads k−1 committed state versions and the raw history zero
+    // times. Planted: b2 redelivers some b1 docs, b3 redelivers some b2
+    // docs (cross-batch drops through the STORE), and b3 carries its own
+    // within-batch dups (min-id rule). Hash-exact: fingerprints, batch
+    // construction, min-id and first-batch-wins all replay in DuckDB.
+    "q146_stored_dedup_state" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q146", dir)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(3)) === 1 && pmod(col("doc_id"), lit(12)) === 1)
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
+      val b3 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(3)) === 2 && pmod(col("doc_id"), lit(12)) === 2)
+          .select((col("doc_id") + 60000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .select((col("doc_id") + 70000000L).as("doc_id"), col("text")))
+      val emptySeen = docs.select(lit("").as("fp")).limit(0)
+      val sv1 = NearDup.incrementalDedupStored(b1, emptySeen, "text", "doc_id")
+        .localCheckpoint(true)
+      SnapshotSink.commit(sv1.select("fp"), root)
+      val sv2 = NearDup.incrementalDedupStored(
+          b2, SnapshotSink.read(s, root), "text", "doc_id")
+        .localCheckpoint(true)
+      SnapshotSink.append(sv2.select("fp"), root)
+      val sv3 = NearDup.incrementalDedupStored(
+        b3, SnapshotSink.read(s, root), "text", "doc_id")
+      sv1.withColumn("batch", lit(1L))
+        .unionByName(sv2.withColumn("batch", lit(2L)))
+        .unionByName(sv3.withColumn("batch", lit(3L)))
+        .select(col("batch"), col("doc_id"), col("fp"))
+        .orderBy("batch", "doc_id")
+    }),
+
     // Extension — MODEL-BASED QUALITY FILTER (operators/QualityModel):
     // hashing-trick linear classifier inference, the FineWeb/DCLM-style
     // learned gate that complements q22's heuristic signals. Score =
@@ -3793,6 +3835,35 @@ object SparkEntry {
       |WHERE epoch_ms(ts) // 86400000 BETWEEN 19733 AND 19738
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q146: the stored-state dedup lineage replayed — the snapshot store
+    * is invisible to the RESULT (it holds exactly the distinct
+    * fingerprints of earlier batches' survivors, and a batch fp matches
+    * the store iff it matches any earlier batch occurrence), so the
+    * oracle is pure first-batch-wins + within-batch min-id over the
+    * replayed batch construction. */
+  private val q146Oracle =
+    """WITH fp AS (SELECT doc_id, md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS f
+         FROM documents),
+       b AS (
+         SELECT 1 AS batch, doc_id, f FROM fp WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT 2, doc_id, f FROM fp WHERE doc_id % 3 = 2
+         UNION ALL
+         SELECT 2, doc_id + 50000000, f FROM fp
+           WHERE doc_id % 3 = 1 AND doc_id % 12 = 1
+         UNION ALL
+         SELECT 3, doc_id, f FROM fp WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT 3, doc_id + 60000000, f FROM fp
+           WHERE doc_id % 3 = 2 AND doc_id % 12 = 2
+         UNION ALL
+         SELECT 3, doc_id + 70000000, f FROM fp WHERE doc_id % 9 = 0)
+       SELECT CAST(batch AS BIGINT) AS batch, doc_id, f AS fp FROM b
+       QUALIFY row_number() OVER (PARTITION BY batch, f ORDER BY doc_id) = 1
+         AND batch = min(batch) OVER (PARTITION BY f)
+       ORDER BY batch, doc_id"""
+
   /** q145: the hashing-trick classifier replayed literally — same
     * tokenization, same portable md5 bucket (pmod into [0,1024)), the
     * pinned weight FORMULA regenerated per token, exact integer sum
@@ -4219,6 +4290,7 @@ object SparkEntry {
     "q136_stored_state_rollup" -> q136Oracle,
     "q144_zonemap_pruned_serve" -> q144Oracle,
     "q145_quality_model_score" -> q145Oracle,
+    "q146_stored_dedup_state" -> q146Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

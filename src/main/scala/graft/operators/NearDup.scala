@@ -453,6 +453,29 @@ object NearDup {
       .select(col("id").as(idCol), col("fp"))
   }
 
+  /** [[incrementalDedup]] against an already-MATERIALIZED fingerprint
+    * set — the deployed shape of an ongoing ingest: the accumulated
+    * corpus is never re-read (or even kept); its distinct fingerprints
+    * live in a stored state table (e.g. a SnapshotSink lineage the
+    * caller appends each batch's surviving fingerprints to, q146), and
+    * every batch anti-joins that 16-bytes-per-doc table instead of
+    * re-fingerprinting history. Same within-batch min-id rule, same
+    * anti-join semantics; `seenFps` needs a `fp` column and may carry
+    * duplicates (the distinct here is one map-side-combined pass over
+    * state-sized data). */
+  def incrementalDedupStored(
+      batch: DataFrame,
+      seenFps: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    val bfp = batch.select(col(idCol).as("id"),
+      TextAnalysis.canonicalFingerprint(col(textCol)).as("fp"))
+    graft.etl.Dedup.dedupDeterministic(bfp, Seq("fp"), Seq(col("id").asc))
+      .join(seenFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("id").as(idCol), col("fp"))
+  }
+
   /** Bloom fast path for [[incrementalDedup]] — the corpus ≫ batch shape
     * an ongoing ingest actually runs: the exact anti-join would shuffle
     * the FULL accumulated corpus fingerprint set against every (small)

@@ -296,6 +296,36 @@ class NearDupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("incremental dedup against a stored fingerprint set ≡ against the corpus text") {
+    import graft.functions.TextAnalysis
+    import org.apache.spark.sql.functions.{col, lit}
+    val corpusDf = Seq(
+      (1L, "existing document about rivers and banks"),
+      (2L, "another existing document about optimizers")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Existing   DOCUMENT about rivers and banks"), // dup via the STORE
+      (11L, "a genuinely new document about parquet"),
+      (12L, "a genuinely new document about parquet"),     // within-batch dup
+      (13L, "a second new document about arrow")
+    ).toDF("doc_id", "text")
+    // the deployed shape: only 16-byte fingerprints persist, duplicated
+    // rows in the state table are tolerated
+    val storedFps = corpusDf
+      .select(TextAnalysis.canonicalFingerprint(col("text")).as("fp"))
+      .unionAll(corpusDf.select(TextAnalysis.canonicalFingerprint(col("text")).as("fp")))
+    val viaStore = NearDup.incrementalDedupStored(batch, storedFps, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+    val viaText = NearDup.incrementalDedup(batch, corpusDf, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+    assert(viaStore == viaText)
+    assert(viaStore.map(_._1) == Set(11L, 13L))
+    // empty store: plain within-batch dedup
+    val emptySeen = corpusDf.select(lit("").as("fp")).limit(0)
+    assert(NearDup.incrementalDedupStored(batch, emptySeen, "text", "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSet == Set(10L, 11L, 13L))
+  }
+
   test("incremental dedup Bloom path matches the exact path (property)") {
     // randomized-but-seeded corpus/batch with engineered overlap: corpus
     // dups, within-batch dups, and fresh docs — the Bloom path must agree
