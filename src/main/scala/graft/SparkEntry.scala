@@ -2274,6 +2274,33 @@ object SparkEntry {
         .orderBy("batch", "doc_id")
     }),
 
+    // Extension — TOKEN-BLOOM SET SKIPPING INDEX (q144's membership
+    // sibling, ClickHouse tokenbf_v1 at file grain): documents commit
+    // with a per-file Bloom over their token-hash sets (one map-side-
+    // combined BloomSetAgg pass), and a keyword probe reads only files
+    // whose filter might contain the token — skipping WITHOUT layout
+    // clustering, which range zone maps require. No false negatives ⇒
+    // lossless for the contains-token predicate re-applied on kept
+    // files; false positives only add files. Hash-exact: the oracle is
+    // the full-scan token-containment query.
+    "q147_token_bloom_search" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q147", dir)
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      SnapshotSink.commitWithSetIndex(
+        docs.repartitionByRange(16, col("doc_id")), root,
+        keys = graft.plans.SketchFunctions.portableHash64(
+          TextAnalysis.tokens(col("text"))),
+        expectedPerFile = 4096)
+      val probe = graft.plans.PortableSketch.md5Long(
+        "dup".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      SnapshotSink.readSetPruned(s, root, probe).df
+        .filter(array_contains(TextAnalysis.tokens(col("text")), "dup"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Extension — MODEL-BASED QUALITY FILTER (operators/QualityModel):
     // hashing-trick linear classifier inference, the FineWeb/DCLM-style
     // learned gate that complements q22's heuristic signals. Score =
@@ -3835,6 +3862,18 @@ object SparkEntry {
       |WHERE epoch_ms(ts) // 86400000 BETWEEN 19733 AND 19738
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q147: token-bloom skipping search — the index is invisible to the
+    * RESULT (no false negatives; kept files re-filter exactly), so the
+    * oracle is the plain full-scan token-containment query. */
+  private val q147Oracle =
+    """SELECT doc_id, source,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> x <> '')) AS BIGINT) AS n_tokens
+      |FROM documents
+      |WHERE list_contains(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |  x -> x <> ''), 'dup')
+      |ORDER BY doc_id""".stripMargin
+
   /** q146: the stored-state dedup lineage replayed — the snapshot store
     * is invisible to the RESULT (it holds exactly the distinct
     * fingerprints of earlier batches' survivors, and a batch fp matches
@@ -4291,6 +4330,7 @@ object SparkEntry {
     "q144_zonemap_pruned_serve" -> q144Oracle,
     "q145_quality_model_score" -> q145Oracle,
     "q146_stored_dedup_state" -> q146Oracle,
+    "q147_token_bloom_search" -> q147Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -316,6 +316,70 @@ object SnapshotSink {
     PrunedRead(df, kept.size, s.files.size)
   }
 
+  // ===== Set skipping index: per-file Bloom sidecar + pruned reads =====
+  //
+  // Zone maps skip on RANGE (and need a clustered layout); the set index
+  // skips on MEMBERSHIP and needs none — ClickHouse's `tokenbf_v1`
+  // secondary index, here at file grain: each data file carries one
+  // Bloom filter over a caller-defined per-row hash SET (token hashes
+  // for full-text probes, user-id hashes for point lookups), and a probe
+  // reads only files whose filter might contain the hash. No false
+  // negatives ⇒ pruning is lossless for any predicate that IMPLIES
+  // "some row's key set contains h"; false positives only add files.
+  // Built by one map-side-combined BloomSetAgg pass (each partition
+  // ships one filter per file to the shuffle — state-sized, like the
+  // zone-map stats job it runs beside).
+
+  private def setIndexDir(root: String, version: Int) =
+    new Path(manifestDir(root), s"v$version.setidx")
+
+  /** [[commitWithStats]]'s sibling for membership probes: commit `df`
+    * with a per-file Bloom sidecar over `keys` (a LongType or
+    * ARRAY<BIGINT> column computed FROM the written columns, e.g.
+    * `portableHash64(tokens(col("text")))`). `expectedPerFile` sizes
+    * each filter (distinct keys per file; ~1.2 KB per 1k keys at 1%). */
+  def commitWithSetIndex(
+      df: DataFrame, root: String, keys: org.apache.spark.sql.Column,
+      expectedPerFile: Long, fpp: Double = 0.01): Snapshot = {
+    val spark = df.sparkSession
+    val files = writeFiles(df, root)
+    val version = versions(spark, root).lastOption.getOrElse(0) + 1
+    val base = spark.read.parquet(files: _*)
+    val idx = base.select(input_file_name().as("file"), keys.as("ks"))
+      .groupBy("file")
+      .agg(count(lit(1L)).as("rows"),
+        graft.plans.BloomSetAgg.bloomSetAgg(col("ks"), expectedPerFile, fpp).as("bloom"))
+      .coalesce(1).localCheckpoint(true)
+    val rows = Option(idx.agg(sum("rows")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    writeManifest(spark, root, version, files, rows)
+  }
+
+  /** Read `version` (default latest) keeping only files whose set index
+    * might contain `h`. SOUND ONLY for predicates that require some
+    * row's key set to contain `h` (the caller re-applies the exact
+    * predicate; a pruned file provably has no such row). Per-file probe
+    * runs on the driver over the sidecar — metadata-scale, like the
+    * zone-map path. */
+  def readSetPruned(
+      spark: SparkSession, root: String, h: Long,
+      version: Option[Int] = None): PrunedRead = {
+    val s = snapshot(spark, root, version)
+    require(s.files.nonEmpty, s"snapshot v${s.version} has no files")
+    val p = setIndexDir(root, s.version)
+    require(fs(spark, p).exists(p),
+      s"snapshot v${s.version} has no set index (committed without one — " +
+        "use commitWithSetIndex)")
+    val kept = spark.read.parquet(p.toString).select("file", "bloom").collect()
+      .filter(r => graft.plans.BloomSetAgg.mightContain(r.getAs[Array[Byte]]("bloom"), h))
+      .map(_.getString(0)).toSeq.sorted
+    val df =
+      if (kept.isEmpty) spark.read.parquet(s.files: _*).filter(lit(false))
+      else spark.read.parquet(kept: _*)
+    PrunedRead(df, kept.size, s.files.size)
+  }
+
   /** Retire everything but the last `keepLast` snapshots: drops their
     * manifests, then deletes every `data/` subdirectory no kept manifest
     * references — which also sweeps crashed-commit orphans and
@@ -371,7 +435,8 @@ object SnapshotSink {
     val mdir = manifestDir(root)
     dropped.foreach { v =>
       f.delete(new Path(mdir, s"v$v.json"), false)
-      f.delete(statsDir(root, v), true) // retired version's zone-map sidecar
+      f.delete(statsDir(root, v), true)    // retired zone-map sidecar
+      f.delete(setIndexDir(root, v), true) // retired set-index sidecar
     }
     if (f.exists(mdir)) {
       // .tmp manifests get the same grace as orphan data dirs: a young
@@ -383,15 +448,16 @@ object SnapshotSink {
         .filter(st => st.getPath.getName.endsWith(".json.tmp") &&
           st.getModificationTime <= cutoff)
         .foreach(st => f.delete(st.getPath, false))
-      // orphan .stats sidecars (stats written, manifest rename never
+      // orphan sidecars (stats/set-index written, manifest rename never
       // happened) get the same crashed-commit treatment: invisible to
       // readers, swept once they outlive the grace
       val committed = versions(spark, root).toSet
       f.listStatus(mdir).toSeq
         .filter { st =>
           val n = st.getPath.getName
-          n.matches("v\\d+\\.stats") &&
-            !committed.contains(n.stripPrefix("v").stripSuffix(".stats").toInt) &&
+          n.matches("v\\d+\\.(stats|setidx)") &&
+            !committed.contains(
+              n.stripPrefix("v").replaceAll("\\.(stats|setidx)$", "").toInt) &&
             st.getModificationTime <= cutoff
         }
         .foreach(st => f.delete(st.getPath, true))

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.plans.{BloomSetAgg, PortableSketch, SketchFunctions}
+import graft.functions.TextAnalysis
+import graft.sink.SnapshotSink
+
+class BloomSetAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpRoot() =
+    java.nio.file.Files.createTempDirectory("bloom_setidx").toString
+
+  private def h(s: String): Long =
+    PortableSketch.md5Long(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("bloomSetAgg: no false negatives over scalar and array inputs, across partitions") {
+    // 4 partitions force partial-aggregate merges (bitwise OR of filters)
+    val scalar = spark.range(0, 1000).repartition(4)
+      .select((col("id") * 2654435761L).as("k"))
+    val bytes = scalar.agg(BloomSetAgg.bloomSetAgg(col("k"), 2000, 0.01))
+      .head().getAs[Array[Byte]](0)
+    (0L until 1000L).foreach { i =>
+      assert(BloomSetAgg.mightContain(bytes, i * 2654435761L))
+    }
+    // array input: each row contributes its whole set; nulls skipped
+    val arr = Seq(
+      (1L, Seq("alpha", "beta")),
+      (2L, Seq("gamma"))).toDF("id", "toks")
+      .select(SketchFunctions.portableHash64(col("toks")).as("ks"))
+    val b2 = arr.agg(BloomSetAgg.bloomSetAgg(col("ks"), 100, 0.01))
+      .head().getAs[Array[Byte]](0)
+    Seq("alpha", "beta", "gamma").foreach(t => assert(BloomSetAgg.mightContain(b2, h(t))))
+    // false-positive rate sanity: absent keys mostly probe negative
+    val misses = (5000L until 6000L).count(i => BloomSetAgg.mightContain(bytes, i))
+    assert(misses < 100) // 1% nominal; generous bound
+  }
+
+  test("bloomSetAgg: filter bits are partitioning-invariant (order-free OR)") {
+    def build(parts: Int): Seq[Byte] = spark.range(0, 500).repartition(parts)
+      .select((col("id") * 9026583417L + 17L).as("k")) // distinct keys, ANSI-safe range
+      .agg(BloomSetAgg.bloomSetAgg(col("k"), 1000, 0.01))
+      .head().getAs[Array[Byte]](0).toSeq
+    assert(build(1) == build(7))
+  }
+
+  test("set skipping index: keyword probe prunes files with disjoint vocab, result ≡ full scan") {
+    val root = tmpRoot()
+    // 8 files, each with its OWN vocabulary (word<fileNo>-...) — a probe
+    // for one file's word must prune the other 7 (modulo Bloom fp)
+    val docs = spark.range(0, 800)
+      .select(col("id").as("doc_id"),
+        concat(lit("word"), (col("id") / 100).cast("long"),
+          lit(" filler common text id"), col("id")).as("text"))
+    SnapshotSink.commitWithSetIndex(
+      docs.repartitionByRange(8, col("doc_id")), root,
+      keys = SketchFunctions.portableHash64(TextAnalysis.tokens(col("text"))),
+      expectedPerFile = 512)
+    val pr = SnapshotSink.readSetPruned(spark, root, h("word3"))
+    assert(pr.totalFiles == 8)
+    assert(pr.keptFiles <= 2) // 1 + possible rare fp
+    val got = pr.df.filter(array_contains(TextAnalysis.tokens(col("text")), "word3"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (300L until 400L).toSet)
+    // the common word keeps everything — and still answers exactly
+    val all = SnapshotSink.readSetPruned(spark, root, h("filler"))
+    assert(all.keptFiles == 8)
+    // absent word: all files pruned (w.h.p.), schema preserved
+    val none = SnapshotSink.readSetPruned(spark, root, h("absent-token-zz"))
+    assert(none.df.columns.toSeq == Seq("doc_id", "text"))
+    assert(none.df.count() == 0 || none.keptFiles <= 1) // fp tolerance
+  }
+
+  test("set skipping index: vacuum sweeps retired and orphan .setidx sidecars") {
+    val root = tmpRoot()
+    SnapshotSink.commitWithSetIndex(
+      Seq((1L, "a b")).toDF("k", "text"), root,
+      keys = graft.plans.SketchFunctions.portableHash64(
+        graft.functions.TextAnalysis.tokens(org.apache.spark.sql.functions.col("text"))),
+      expectedPerFile = 16)
+    SnapshotSink.commit(Seq((2L, "c")).toDF("k", "text"), root)
+    new java.io.File(s"$root/_manifests/v9.setidx").mkdirs()
+    SnapshotSink.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$root/_manifests/v1.setidx").exists())
+    assert(!new java.io.File(s"$root/_manifests/v9.setidx").exists())
+    // and reading a version without an index raises the pointed message
+    val e = intercept[IllegalArgumentException](
+      SnapshotSink.readSetPruned(spark, root, 42L))
+    assert(e.getMessage.contains("commitWithSetIndex"))
+  }
+}
