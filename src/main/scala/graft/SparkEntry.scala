@@ -2274,6 +2274,35 @@ object SparkEntry {
         .orderBy("batch", "doc_id")
     }),
 
+    // Extension — COMPOSITE INDEX SERVE: one snapshot committed with
+    // BOTH sidecars (day zone maps + a user-id Bloom set index), probed
+    // on both dimensions — "user 41's days 19728–19737" reads only the
+    // INTERSECTION of each index's kept files. This is the ClickHouse
+    // primary-key + secondary-index layout: cluster on time, point-probe
+    // on entity; at 100 TB the day range prunes to O(window) files and
+    // the entity bloom drops the window files the user never touched.
+    // Hash-exact: both prunes are lossless for this predicate (range
+    // residual re-applied; membership implies bloom-positive).
+    "q148_composite_index_serve" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q148", dir)
+      val ev = events(s, dir).select(
+        expr("unix_millis(ts) DIV 86400000").as("day"),
+        col("user_id"), col("event_type"), col("value"))
+      SnapshotSink.commitIndexed(
+        ev.repartitionByRange(10, col("day")), root, Seq("day"),
+        Some((graft.plans.SketchFunctions.portableHash64(
+          array(col("user_id").cast("string"))), 4096L, 0.01)))
+      val probe = graft.plans.PortableSketch.md5Long(
+        "41".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      SnapshotSink.readPrunedBoth(s, root, "day", 19728L, 19737L, probe).df
+        .filter(col("user_id") === 41L)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("day")
+    }),
+
     // Extension — TOKEN-BLOOM SET SKIPPING INDEX (q144's membership
     // sibling, ClickHouse tokenbf_v1 at file grain): documents commit
     // with a per-file Bloom over their token-hash sets (one map-side-
@@ -3862,6 +3891,17 @@ object SparkEntry {
       |WHERE epoch_ms(ts) // 86400000 BETWEEN 19733 AND 19738
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q148: composite-index serve — both prunes are lossless for the
+    * probe (range residual re-applied, membership implies
+    * bloom-positive), so the oracle is the plain filtered aggregate. */
+  private val q148Oracle =
+    """SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id = 41
+      |  AND epoch_ms(ts) // 86400000 BETWEEN 19728 AND 19737
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   /** q147: token-bloom skipping search — the index is invisible to the
     * RESULT (no false negatives; kept files re-filter exactly), so the
     * oracle is the plain full-scan token-containment query. */
@@ -4331,6 +4371,7 @@ object SparkEntry {
     "q145_quality_model_score" -> q145Oracle,
     "q146_stored_dedup_state" -> q146Oracle,
     "q147_token_bloom_search" -> q147Oracle,
+    "q148_composite_index_serve" -> q148Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -238,15 +238,7 @@ object SnapshotSink {
     * comes from the same single stats pass (no separate count job). */
   def commitWithStats(df: DataFrame, root: String, statsCols: Seq[String]): Snapshot = {
     require(statsCols.nonEmpty, "commitWithStats needs at least one stats column")
-    val spark = df.sparkSession
-    val files = writeFiles(df, root)
-    val version = versions(spark, root).lastOption.getOrElse(0) + 1
-    val stats = computeFileStats(spark, files, statsCols)
-      .coalesce(1).localCheckpoint(true)
-    val rows = Option(stats.agg(sum("rows")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
-    writeManifest(spark, root, version, files, rows)
+    commitIndexed(df, root, statsCols, None)
   }
 
   /** [[append]], plus a zone-map sidecar: the new version's sidecar is
@@ -285,7 +277,9 @@ object SnapshotSink {
     spark.read.parquet(p.toString)
   }
 
-  final case class PrunedRead(df: DataFrame, keptFiles: Int, totalFiles: Int)
+  final case class PrunedRead(
+      df: DataFrame, keptFiles: Int, totalFiles: Int,
+      files: Seq[String] = Seq.empty)
 
   /** Read `version` (default latest) with files pruned by the zone map:
     * keep only files whose [min,max] on `c` can intersect [lo, hi], then
@@ -313,7 +307,7 @@ object SnapshotSink {
         spark.read.parquet(s.files: _*).filter(lit(false))
       else
         spark.read.parquet(kept: _*).filter(col(c) >= lit(lo) && col(c) <= lit(hi))
-    PrunedRead(df, kept.size, s.files.size)
+    PrunedRead(df, kept.size, s.files.size, kept)
   }
 
   // ===== Set skipping index: per-file Bloom sidecar + pruned reads =====
@@ -340,20 +334,66 @@ object SnapshotSink {
     * each filter (distinct keys per file; ~1.2 KB per 1k keys at 1%). */
   def commitWithSetIndex(
       df: DataFrame, root: String, keys: org.apache.spark.sql.Column,
-      expectedPerFile: Long, fpp: Double = 0.01): Snapshot = {
+      expectedPerFile: Long, fpp: Double = 0.01): Snapshot =
+    commitIndexed(df, root, Seq.empty, Some((keys, expectedPerFile, fpp)))
+
+  /** Commit with BOTH sidecars — range zone maps over `statsCols` AND a
+    * membership Bloom over `setKeys` — the primary-plus-secondary-index
+    * serve (cluster on time, point-probe on entity): a probe constrained
+    * on both dimensions reads only the INTERSECTION of each index's kept
+    * files ([[readPruned]] ∩ [[readSetPruned]] file sets via
+    * [[readPrunedBoth]]). Both sidecars derive from one column-pruned
+    * pass over the just-written batch. Either index list may be empty /
+    * None — [[commitWithStats]] and [[commitWithSetIndex]] are the
+    * single-index specializations. */
+  def commitIndexed(
+      df: DataFrame, root: String, statsCols: Seq[String],
+      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)]): Snapshot = {
+    require(statsCols.nonEmpty || setKeys.nonEmpty,
+      "commitIndexed needs at least one index (stats columns or set keys)")
     val spark = df.sparkSession
     val files = writeFiles(df, root)
     val version = versions(spark, root).lastOption.getOrElse(0) + 1
-    val base = spark.read.parquet(files: _*)
-    val idx = base.select(input_file_name().as("file"), keys.as("ks"))
-      .groupBy("file")
-      .agg(count(lit(1L)).as("rows"),
-        graft.plans.BloomSetAgg.bloomSetAgg(col("ks"), expectedPerFile, fpp).as("bloom"))
-      .coalesce(1).localCheckpoint(true)
-    val rows = Option(idx.agg(sum("rows")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    var rows = -1L
+    if (statsCols.nonEmpty) {
+      val stats = computeFileStats(spark, files, statsCols)
+        .coalesce(1).localCheckpoint(true)
+      rows = Option(stats.agg(sum("rows")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
+    }
+    setKeys.foreach { case (keys, expectedPerFile, fpp) =>
+      require(expectedPerFile > 0, "expectedPerFile must be positive")
+      val idx = spark.read.parquet(files: _*)
+        .select(input_file_name().as("file"), keys.as("ks"))
+        .groupBy("file")
+        .agg(count(lit(1L)).as("rows"),
+          graft.plans.BloomSetAgg.bloomSetAgg(col("ks"), expectedPerFile, fpp).as("bloom"))
+        .coalesce(1).localCheckpoint(true)
+      if (rows < 0)
+        rows = Option(idx.agg(sum("rows")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    }
     writeManifest(spark, root, version, files, rows)
+  }
+
+  /** Read `version` (default latest) pruned by BOTH indexes: files must
+    * survive the zone-map range test on `c` ∈ [lo, hi] AND the set-index
+    * membership probe for `h`. The range residual is applied; the
+    * caller re-applies its exact membership predicate (same soundness
+    * contract as [[readSetPruned]]). */
+  def readPrunedBoth(
+      spark: SparkSession, root: String, c: String, lo: Any, hi: Any, h: Long,
+      version: Option[Int] = None): PrunedRead = {
+    val s = snapshot(spark, root, version)
+    val range = readPruned(spark, root, c, lo, hi, Some(s.version))
+    val set = readSetPruned(spark, root, h, Some(s.version))
+    val kept = (range.files.toSet intersect set.files.toSet).toSeq.sorted
+    val df =
+      if (kept.isEmpty) spark.read.parquet(s.files: _*).filter(lit(false))
+      else spark.read.parquet(kept: _*).filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    PrunedRead(df, kept.size, s.files.size, kept)
   }
 
   /** Read `version` (default latest) keeping only files whose set index
@@ -377,7 +417,7 @@ object SnapshotSink {
     val df =
       if (kept.isEmpty) spark.read.parquet(s.files: _*).filter(lit(false))
       else spark.read.parquet(kept: _*)
-    PrunedRead(df, kept.size, s.files.size)
+    PrunedRead(df, kept.size, s.files.size, kept)
   }
 
   /** Retire everything but the last `keepLast` snapshots: drops their

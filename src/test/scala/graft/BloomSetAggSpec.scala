@@ -74,6 +74,36 @@ class BloomSetAggSpec extends AnyFunSuite {
     assert(none.df.count() == 0 || none.keptFiles <= 1) // fp tolerance
   }
 
+  test("composite index: range ∩ membership keeps only the intersection, result ≡ full scan") {
+    import graft.plans.SketchFunctions
+    val root = tmpRoot()
+    // 8 day-range files × one entity per day decade: entity e appears
+    // only on days [e*10, e*10+9] — so a (day, entity) probe prunes on
+    // BOTH axes and the intersection is no larger than either
+    // single-index keep
+    val rows = spark.range(0, 800)
+      .select((col("id") % 80).as("day"),
+        expr("(id % 80) DIV 10").as("entity"), // entity 0..7 tied to day decade
+        col("id").as("v"))
+    SnapshotSink.commitIndexed(
+      rows.repartitionByRange(8, col("day")), root, Seq("day"),
+      Some((SketchFunctions.portableHash64(array(col("entity").cast("string"))),
+        256L, 0.01)))
+    val h3 = h("3") // entity 3 lives only on days 30..39
+    val both = SnapshotSink.readPrunedBoth(spark, root, "day", 30L, 39L, h3)
+    assert(both.totalFiles == 8 && both.keptFiles <= 2)
+    val got = both.df.filter(col("entity") === 3L)
+      .agg(count(lit(1)), sum("v")).head()
+    val want = rows.filter(col("entity") === 3L &&
+        col("day").between(30L, 39L))
+      .agg(count(lit(1)), sum("v")).head()
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+    // disjoint dimensions: day range where the entity never occurs →
+    // empty intersection w.h.p., and the read still answers (empty)
+    val none = SnapshotSink.readPrunedBoth(spark, root, "day", 70L, 79L, h3)
+    assert(none.df.filter(col("entity") === 3L).count() == 0)
+  }
+
   test("set skipping index: vacuum sweeps retired and orphan .setidx sidecars") {
     val root = tmpRoot()
     SnapshotSink.commitWithSetIndex(
