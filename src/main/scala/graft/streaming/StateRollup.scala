@@ -107,6 +107,58 @@ object StateRollup {
       .start()
   }
 
+  /** CORPUS-TABLE maintenance twin: where the two state variants fold
+    * micro-batches into state-SIZED tables, this one GROWS a corpus-sized
+    * table — each micro-batch lands as an add-files append
+    * ([[SnapshotSink.appendWithStats]]: O(batch) write I/O, prior files
+    * referenced verbatim) with the zone-map sidecar extended in the same
+    * pass, so the store stays range-skippable ([[SnapshotSink.readPruned]])
+    * while it grows. `clusterCol` range-clusters each batch's files so
+    * their bounds are tight (the ClickHouse ORDER BY discipline applied
+    * per part, q144's layout lever); un-clustered batches still index,
+    * they just prune less. Appends are NOT idempotent (a replayed batch
+    * would duplicate rows), so the batch-id marker guard is load-bearing
+    * here, like the CM variant. Retention: an append lineage's old
+    * versions share data files with the tip, so vacuum here only retires
+    * manifests + sidecars — data dirs referenced by the kept tip always
+    * survive. */
+  def appendIndexedBatches(
+      stream: DataFrame,
+      statsCols: Seq[String],
+      root: String,
+      checkpointDir: String,
+      clusterCol: Option[String] = None,
+      filesPerBatch: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow(),
+      keepVersions: Int = 3
+  ): StreamingQuery = {
+    require(statsCols.nonEmpty, "appendIndexedBatches needs stats columns")
+    require(filesPerBatch >= 1, "filesPerBatch must be >= 1")
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val spark = b.sparkSession
+          if (!alreadyCommitted(spark, root, batchId) && b.take(1).nonEmpty) {
+            val laid = clusterCol match {
+              case Some(c) => b.repartitionByRange(filesPerBatch, col(c))
+              case None => b.coalesce(filesPerBatch)
+            }
+            SnapshotSink.appendWithStats(laid, root, statsCols)
+            markCommitted(spark, root, batchId)
+            if (keepVersions != Int.MaxValue)
+              SnapshotSink.vacuum(spark, root, keepLast = keepVersions)
+            ()
+          }
+        } finally { b.unpersist(); () }
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** The COUNT-MIN twin of [[appendDailyKmvStates]]: each micro-batch's
     * per-day CM state rows fold into the stored table by ADDITION
     * ([[CountMin.mergeDailyStates]] — linear sketch, exact for ANY

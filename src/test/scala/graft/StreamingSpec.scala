@@ -458,6 +458,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored == batch && stored.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("streaming indexed appends: the store grows per micro-batch and stays range-skippable") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sink.SnapshotSink
+
+    val src = Files.createTempDirectory("graft_stream_idx")
+    val ckp = Files.createTempDirectory("graft_stream_idx_ckp")
+    val root = Files.createTempDirectory("graft_stream_idx_root").toString
+    // three files → three micro-batches, disjoint day ranges (the
+    // arriving-partition shape an ingest actually has)
+    (0 until 3).foreach { b =>
+      Files.write(src.resolve(s"$b.json"),
+        (0 until 40).map(i => s"""{"day":${b * 10 + i % 10},"v":${b * 1000 + i}}""")
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.streaming.StateRollup.appendIndexedBatches(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src.toString),
+      statsCols = Seq("day"), root = root, checkpointDir = ckp.toString,
+      clusterCol = Some("day"), filesPerBatch = 2,
+      keepVersions = Int.MaxValue)
+    q.awaitTermination(120000)
+
+    // one append version per micro-batch; rows accumulate
+    assert(SnapshotSink.versions(spark, root) == Seq(1, 2, 3))
+    assert(SnapshotSink.snapshot(spark, root).rows == 120L)
+    // the sidecar covers every file of the grown table and a mid-range
+    // probe prunes the other batches' files
+    val pr = SnapshotSink.readPruned(spark, root, "day", 10L, 19L)
+    assert(pr.totalFiles == 6 && pr.keptFiles <= 2)
+    val got = pr.df.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    val want = spark.read.json(src.toString)
+      .filter(col("day").between(lit(10L), lit(19L)))
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    assert(got == want)
+    // earlier versions still read alone (append lineage time travel)
+    assert(SnapshotSink.read(spark, root, Some(1)).count() == 40L)
+  }
+
   test("streaming contract report (row-level checks) equals its batch twin") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Contracts
