@@ -2274,6 +2274,25 @@ object SparkEntry {
         .orderBy("batch", "doc_id")
     }),
 
+    // Extension — BPE MERGE DISCOVERY (operators/BpeTrain): the first
+    // round of tokenizer vocabulary induction — adjacent character-pair
+    // frequencies over the word vocab weighted by word frequency, the
+    // argmax-producing table every merge round consumes. Scale shape:
+    // one corpus scan collapses to a vocab-sized (word, freq) table
+    // (Heaps' law), and the pair explode is bounded by total vocab
+    // characters — corpus size never appears again. Top 20 with a full
+    // deterministic order. Hash-exact; the multi-round learner
+    // (learnMerges) is spec-verified against the hand-computed Sennrich
+    // example. q149
+    "q149_bpe_pair_counts" -> ((s, dir) => {
+      import graft.operators.BpeTrain
+      val vocab = BpeTrain.wordCounts(t(s, dir, "documents"), "text")
+        .select(BpeTrain.charSymbols(col("word")).as("symbols"), col("freq"))
+      BpeTrain.pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     // Extension — COMPOSITE INDEX SERVE: one snapshot committed with
     // BOTH sidecars (day zone maps + a user-id Bloom set index), probed
     // on both dimensions — "user 41's days 19728–19737" reads only the
@@ -3891,6 +3910,20 @@ object SparkEntry {
       |WHERE epoch_ms(ts) // 86400000 BETWEEN 19733 AND 19738
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q149: BPE round-1 replay — same tokenization, same char split
+    * (empty-pattern regexp ≡ Spark's `(?!^)`), same per-position pair
+    * count weighted by word frequency, same (cnt desc, a, b) order. */
+  private val q149Oracle =
+    """WITH toks AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+      |cs AS (SELECT freq, regexp_split_to_array(w, '') AS c FROM wc),
+      |p AS (SELECT c[i] AS a, c[i+1] AS b, freq
+      |  FROM cs, unnest(range(1, len(c))) AS t(i) WHERE len(c) >= 2)
+      |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
+
   /** q148: composite-index serve — both prunes are lossless for the
     * probe (range residual re-applied, membership implies
     * bloom-positive), so the oracle is the plain filtered aggregate. */
@@ -4372,6 +4405,7 @@ object SparkEntry {
     "q146_stored_dedup_state" -> q146Oracle,
     "q147_token_bloom_search" -> q147Oracle,
     "q148_composite_index_serve" -> q148Oracle,
+    "q149_bpe_pair_counts" -> q149Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** BPE MERGE DISCOVERY — tokenizer vocabulary induction over a corpus
+  * (Sennrich et al., "Neural Machine Translation of Rare Words with
+  * Subword Units", ACL 2016): count adjacent symbol pairs over the word
+  * vocabulary weighted by word frequency, repeatedly merge the most
+  * frequent pair. The training-data angle: the merge table IS the
+  * tokenizer; discovering it from the corpus being curated is how a
+  * pipeline bootstraps a vocab (and how it audits an existing vocab's
+  * fit — `functions/TextAnalysis.subwordCount` approximates the budget,
+  * this learns the actual merges).
+  *
+  * Scale shape: everything runs on the WORD VOCABULARY with frequencies
+  * — one corpus scan collapses 100 TB of text to a vocab-sized
+  * (word, freq) table (Heaps' law: ~10⁶–10⁷ rows), and every merge
+  * round is a vocab-sized pair count + a vocab-sized symbol-array
+  * rewrite. The driver holds only the running merge list (one row per
+  * round) and each round's argmax (one row) — the MLlib-style bounded
+  * driver state, not data. Pair explosion is bounded by total symbol
+  * count ≤ total vocab characters, shrinking every round.
+  */
+object BpeTrain {
+
+  /** Corpus → (word, freq): the one corpus-sized scan. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1L)).as("freq"))
+
+  /** Split into single-character symbols — the BPE round-0 state.
+    * `(?!^)` splits between every pair of adjacent chars; Spark's split
+    * keeps the trailing empty the end-of-string lookahead produces, so
+    * it is filtered — leaving the same char list DuckDB's empty-pattern
+    * regexp split yields, so round-1 counts replay cross-engine. */
+  def charSymbols(word: Column): Column =
+    filter(split(word, "(?!^)"), t => t =!= lit(""))
+
+  /** Adjacent-pair frequencies over a symbolized vocab
+    * (`symbols: array<string>`, `freq`): Σ freq per (a, b) pair,
+    * overlapping occurrences counted per position (the BPE convention
+    * for counting; merging is greedy leftmost, see [[mergeOnce]]). */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("symbols")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(symbols) - 1), " +
+          "i -> struct(symbols[i - 1] AS a, symbols[i] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Greedy leftmost application of one merge (a, b) → ab to a symbol
+    * array: a fold that joins the pair when the accumulator's last
+    * symbol is `a` and the next is `b` — "aaa" under (a,a) becomes
+    * [aa, a], the standard convention. */
+  def mergeOnce(symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, x) => when(
+        coalesce(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b), lit(false)),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `rounds` merges from a corpus: symbolize the vocab, then per
+    * round count pairs, take the argmax (count desc, then (a, b) asc —
+    * deterministic), rewrite the vocab, repeat. Stops early when no
+    * pair occurs at least `minCount` times. Returns the merge table in
+    * learned order. Each round's vocab is checkpointed so plan depth
+    * stays constant across rounds (the q120 PageRank discipline). */
+  def learnMerges(
+      docs: DataFrame, textCol: String, rounds: Int,
+      minCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(rounds >= 1 && rounds <= 64,
+      "rounds must be in [1, 64] — each round is a full vocab rewrite")
+    var vocab = wordCounts(docs, textCol)
+      .select(charSymbols(col("word")).as("symbols"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minCount) done = true
+      else {
+        val (a, b, c) = (top.head.getAs[String]("a"),
+          top.head.getAs[String]("b"), top.head.getAs[Long]("cnt"))
+        merges += ((a, b, c))
+        vocab = vocab.select(mergeOnce(col("symbols"), a, b).as("symbols"),
+          col("freq")).localCheckpoint(true)
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+}

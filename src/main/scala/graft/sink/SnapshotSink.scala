@@ -249,20 +249,7 @@ object SnapshotSink {
     * same columns. */
   def appendWithStats(df: DataFrame, root: String, statsCols: Seq[String]): Snapshot = {
     require(statsCols.nonEmpty, "appendWithStats needs at least one stats column")
-    val spark = df.sparkSession
-    val prior = versions(spark, root).lastOption.map { v =>
-      (snapshot(spark, root, Some(v)), statsTable(spark, root, Some(v)))
-    }
-    val files = writeFiles(df, root)
-    val fresh = computeFileStats(spark, files, statsCols)
-    val stats = prior.map(_._2.unionByName(fresh)).getOrElse(fresh)
-      .coalesce(1).localCheckpoint(true)
-    val rows = Option(stats.agg(sum("rows")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val version = prior.map(_._1.version).getOrElse(0) + 1
-    val all = (prior.map(_._1.files).getOrElse(Seq.empty) ++ files).sorted
-    stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
-    writeManifest(spark, root, version, all, rows)
+    appendIndexed(df, root, statsCols, None)
   }
 
   /** The zone-map sidecar of `version` (default latest) as a DataFrame —
@@ -376,6 +363,58 @@ object SnapshotSink {
       idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
     }
     writeManifest(spark, root, version, files, rows)
+  }
+
+  /** [[appendWithStats]]'s generalization to both sidecars: add-files
+    * append with the zone-map sidecar extended by the batch's rows and
+    * the set-index sidecar extended by the batch's per-file filters
+    * (per-file facts both — files never change once committed, so prior
+    * sidecar rows carry over verbatim; O(batch) index work + O(files)
+    * sidecar metadata per append). Each sidecar is extended only if the
+    * prior version carries it (and the batch must then supply the
+    * matching columns/keys), so a stats-only lineage stays stats-only
+    * under the specialized entry points. */
+  def appendIndexed(
+      df: DataFrame, root: String, statsCols: Seq[String],
+      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)]): Snapshot = {
+    require(statsCols.nonEmpty || setKeys.nonEmpty,
+      "appendIndexed needs at least one index (stats columns or set keys)")
+    val spark = df.sparkSession
+    val prior = versions(spark, root).lastOption.map { v =>
+      (snapshot(spark, root, Some(v)), v)
+    }
+    val files = writeFiles(df, root)
+    val version = prior.map(_._2).getOrElse(0) + 1
+    val all = (prior.map(_._1.files).getOrElse(Seq.empty) ++ files).sorted
+    var rows = -1L
+    if (statsCols.nonEmpty) {
+      val fresh = computeFileStats(spark, files, statsCols)
+      val stats = prior.map(p => statsTable(spark, root, Some(p._2)).unionByName(fresh))
+        .getOrElse(fresh).coalesce(1).localCheckpoint(true)
+      rows = Option(stats.agg(sum("rows")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
+    }
+    setKeys.foreach { case (keys, expectedPerFile, fpp) =>
+      require(expectedPerFile > 0, "expectedPerFile must be positive")
+      val fresh = spark.read.parquet(files: _*)
+        .select(input_file_name().as("file"), keys.as("ks"))
+        .groupBy("file")
+        .agg(count(lit(1L)).as("rows"),
+          graft.plans.BloomSetAgg.bloomSetAgg(col("ks"), expectedPerFile, fpp).as("bloom"))
+      val idx = prior.map { p =>
+        val pd = setIndexDir(root, p._2)
+        require(fs(spark, pd).exists(pd),
+          s"prior snapshot v${p._2} has no set index to extend " +
+            "(committed without one — use commitWithSetIndex/commitIndexed)")
+        spark.read.parquet(pd.toString).unionByName(fresh)
+      }.getOrElse(fresh).coalesce(1).localCheckpoint(true)
+      if (rows < 0)
+        rows = Option(idx.agg(sum("rows")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    }
+    writeManifest(spark, root, version, all, rows)
   }
 
   /** Read `version` (default latest) pruned by BOTH indexes: files must

@@ -104,6 +104,35 @@ class BloomSetAggSpec extends AnyFunSuite {
     assert(none.df.filter(col("entity") === 3L).count() == 0)
   }
 
+  test("appendIndexed extends both sidecars across versions; both prunes work on the grown store") {
+    import graft.plans.SketchFunctions
+    val root = tmpRoot()
+    def slab(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select((col("id") % 100).as("day"),
+        expr("(id % 100) DIV 25").as("entity"), col("id").as("v"))
+    def keys = SketchFunctions.portableHash64(array(col("entity").cast("string")))
+    SnapshotSink.commitIndexed(
+      slab(0, 200).repartitionByRange(4, col("day")), root, Seq("day"),
+      Some((keys, 128L, 0.01)))
+    val s2 = SnapshotSink.appendIndexed(
+      slab(200, 400).repartitionByRange(4, col("day")), root, Seq("day"),
+      Some((keys, 128L, 0.01)))
+    assert(s2.version == 2 && s2.rows == 400)
+    assert(SnapshotSink.statsTable(spark, root).count() == 8)
+    val both = SnapshotSink.readPrunedBoth(spark, root, "day", 25L, 49L, h("1"))
+    assert(both.totalFiles == 8 && both.keptFiles <= 4) // entity 1 = days 25..49 slabs
+    val got = both.df.filter(col("entity") === 1L).agg(sum("v")).head().getLong(0)
+    val want = slab(0, 400).filter(col("entity") === 1L).agg(sum("v")).head().getLong(0)
+    assert(got == want)
+    // appending onto a set-index lineage without prior index raises
+    val root2 = tmpRoot()
+    SnapshotSink.commit(slab(0, 10), root2)
+    val e = intercept[IllegalArgumentException](
+      SnapshotSink.appendIndexed(slab(10, 20), root2, Seq.empty,
+        Some((keys, 32L, 0.01))))
+    assert(e.getMessage.contains("no set index"))
+  }
+
   test("set skipping index: vacuum sweeps retired and orphan .setidx sidecars") {
     val root = tmpRoot()
     SnapshotSink.commitWithSetIndex(

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeTrain
+
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("charSymbols splits into single characters with no empties") {
+    val got = Seq(Tuple1("abc"), Tuple1("x"))
+      .toDF("w").select(BpeTrain.charSymbols(col("w")))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a", "b", "c") && got(1) == Seq("x"))
+  }
+
+  test("pairCounts: per-position counting weighted by freq; single-symbol words excluded") {
+    val vocab = Seq(
+      (Seq("a", "a", "a"), 2L), // pairs (a,a) at 2 positions × freq 2 = 4
+      (Seq("a", "b"), 3L),
+      (Seq("z"), 99L) // no pairs
+    ).toDF("symbols", "freq")
+    val got = BpeTrain.pairCounts(vocab)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("a", "a") -> 4L, ("a", "b") -> 3L))
+  }
+
+  test("mergeOnce is greedy leftmost: aaa + (a,a) -> [aa, a]") {
+    val got = Seq(Tuple1(Seq("a", "a", "a")), Tuple1(Seq("b", "a", "a")),
+        Tuple1(Seq("a", "b")), Tuple1(Seq.empty[String]))
+      .toDF("symbols")
+      .select(BpeTrain.mergeOnce(col("symbols"), "a", "a"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("aa", "a"))
+    assert(got(1) == Seq("b", "aa"))
+    assert(got(2) == Seq("a", "b"))
+    assert(got(3) == Seq.empty)
+  }
+
+  test("learnMerges replays the classic low/lower/newest/widest example") {
+    // Sennrich et al. (2016) §3.2 vocabulary: low×5, lower×2, newest×6,
+    // widest×3 (no end-of-word marker in this simplified setting).
+    // Hand-computed: round 1 best pair is (e,s) cnt 9 (newest 6 +
+    // widest 3); round 2 (es,t) 9; round 3 (l,o) 7 (low 5 + lower 2).
+    val docs = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = BpeTrain.learnMerges(docs, "text", rounds = 3)
+    assert(merges == Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)))
+    // and it stops early once no pair reaches minCount
+    val tiny = Seq(("ab cd")).toDF("text")
+    assert(BpeTrain.learnMerges(tiny, "text", rounds = 5, minCount = 2L).isEmpty)
+  }
+
+  test("learnMerges ties break deterministically on (a, b)") {
+    // every pair occurs exactly twice -> ties everywhere; the argmax
+    // must be the lexicographically first pair, round after round
+    val docs = Seq(("zy zy ab ab")).toDF("text")
+    val merges = BpeTrain.learnMerges(docs, "text", rounds = 2)
+    assert(merges.head._1 == "a" && merges.head._2 == "b")
+    assert(merges == Seq(("a", "b", 2L), ("z", "y", 2L)))
+  }
+}
