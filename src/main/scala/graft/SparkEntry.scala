@@ -2293,6 +2293,31 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — BPE TRAINED AND APPLIED end-to-end (q149's full loop):
+    // learn 8 merges from the corpus (argmax + vocab rewrite per round,
+    // driver state = 8 rows), then segment the vocabulary with the
+    // learned table via the delimiter-anchored string-replace encoding
+    // (BpeTrain.encodeSymbols — one literal replace per merge, provably
+    // ≡ the greedy symbol fold, spec BpeTrainSpec). Hash-exact with the
+    // LEARNING REPLAYED IN DUCKDB: 8 chained CTE rounds recompute every
+    // argmax and rewrite, so the oracle proves the whole training loop,
+    // not just one application. Output: top-30 words by frequency with
+    // piece counts and piece lists. q150
+    "q150_bpe_segmentation" -> ((s, dir) => {
+      import graft.operators.BpeTrain
+      val docs = t(s, dir, "documents")
+      val merges = BpeTrain.learnMerges(docs, "text", rounds = 8, minCount = 1L)
+      val enc0 = BpeTrain.encodeSymbols(BpeTrain.charSymbols(col("word")))
+      val encN = merges.foldLeft(enc0) { case (c, (a, b, _)) =>
+        BpeTrain.applyMerge(c, a, b) }
+      BpeTrain.wordCounts(docs, "text")
+        .select(col("word"), col("freq"),
+          BpeTrain.pieceCount(encN).as("n_pieces"),
+          BpeTrain.pieces(encN).as("pieces"))
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(30)
+    }),
+
     // Extension — COMPOSITE INDEX SERVE: one snapshot committed with
     // BOTH sidecars (day zone maps + a user-id Bloom set index), probed
     // on both dimensions — "user 41's days 19728–19737" reads only the
@@ -3924,6 +3949,39 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q150: the full BPE loop replayed — 8 chained learning rounds, each
+    * recomputing pair counts from the delimiter-encoded vocab, taking
+    * the same (cnt desc, a, b) argmax, and rewriting via the same
+    * anchored string replace; then the same segmentation readout. */
+  private def q150Oracle: String = {
+    // AS MATERIALIZED is load-bearing: each v_k is referenced twice
+    // (pair count + rewrite), so inlined CTEs re-expand 2^8-fold
+    val rounds = (0 until 8).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT c[i] AS a, c[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(s, chr(1)), chr(1)||chr(1)) AS c
+         |        FROM v$k) x, unnest(range(1, len(c))) AS t(i)
+         |  WHERE len(c) >= 2 GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |v${k + 1} AS MATERIALIZED (SELECT word, freq,
+         |  replace(s, (SELECT chr(1)||a||chr(1)||chr(1)||b||chr(1) FROM b$k),
+         |             (SELECT chr(1)||a||b||chr(1) FROM b$k)) AS s FROM v$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT word, freq,
+       |  chr(1) || array_to_string(regexp_split_to_array(word, ''),
+       |    chr(1)||chr(1)) || chr(1) AS s FROM wc),
+       |$rounds
+       |SELECT word, freq,
+       |  CAST((len(s) - len(replace(s, chr(1), ''))) // 2 AS BIGINT) AS n_pieces,
+       |  replace(replace(s, chr(1)||chr(1), '|'), chr(1), '') AS pieces
+       |FROM v8 ORDER BY freq DESC, word LIMIT 30""".stripMargin
+  }
+
   /** q148: composite-index serve — both prunes are lossless for the
     * probe (range residual re-applied, membership implies
     * bloom-positive), so the oracle is the plain filtered aggregate. */
@@ -4406,6 +4464,7 @@ object SparkEntry {
     "q147_token_bloom_search" -> q147Oracle,
     "q148_composite_index_serve" -> q148Oracle,
     "q149_bpe_pair_counts" -> q149Oracle,
+    "q150_bpe_segmentation" -> q150Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -62,6 +62,39 @@ object BpeTrain {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** BOTH-SIDES-DELIMITED string encoding of a symbol array:
+    * `␟a␟␟b␟␟c␟` (every symbol wrapped in the separator) — the form in
+    * which ONE literal string replace per merge applies BPE greedily:
+    * searching `␟a␟␟b␟` can only match two complete adjacent symbols
+    * (both anchors present), never a symbol's substring, and replacing
+    * with `␟ab␟` leaves both neighbors' anchors intact so the scan
+    * continues into the next candidate pair — exactly [[mergeOnce]]'s
+    * greedy-leftmost fold (spec-proven equivalent), but expressible in
+    * any engine with a string replace, which is what makes the q150
+    * two-engine learning replay possible. `sep` must not occur in any
+    * symbol (default U+0001; corpus tokens are whitespace-split so
+    * control chars cannot survive tokenization). */
+  def encodeSymbols(symbols: Column, sep: String = "\u0001"): Column =
+    concat(lit(sep), array_join(symbols, sep + sep), lit(sep))
+
+  /** One merge (a, b) → ab applied to an [[encodeSymbols]] string. */
+  def applyMerge(enc: Column, a: String, b: String, sep: String = "\u0001"): Column =
+    call_function("replace", enc,
+      lit(sep + a + sep + sep + b + sep), lit(sep + a + b + sep))
+
+  /** Human-readable `a|b|c` piece list of an encoded string. */
+  def pieces(enc: Column, sep: String = "\u0001"): Column =
+    call_function("replace",
+      call_function("replace", enc, lit(sep + sep), lit("|")),
+      lit(sep), lit(""))
+
+  /** Piece count of an encoded string: each symbol carries exactly two
+    * separator chars, so count(sep) / 2 — pure length arithmetic, no
+    * split. */
+  def pieceCount(enc: Column, sep: String = "\u0001"): Column =
+    ((length(enc) -
+      length(call_function("replace", enc, lit(sep), lit("")))) / 2).cast("long")
+
   /** Learn `rounds` merges from a corpus: symbolize the vocab, then per
     * round count pairs, take the argmax (count desc, then (a, b) asc —
     * deterministic), rewrite the vocab, repeat. Stops early when no

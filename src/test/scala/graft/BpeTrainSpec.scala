@@ -55,6 +55,36 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(BpeTrain.learnMerges(tiny, "text", rounds = 5, minCount = 2L).isEmpty)
   }
 
+  test("replace-encoding applyMerge ≡ mergeOnce symbol fold, including adversarial substrings") {
+    // the cases that break naive string-replace encodings:
+    //  [des, t] under (es, t): "es" is a SUFFIX of symbol "des" — the
+    //    anchored encoding must NOT merge;
+    //  [a, bc] under (a, b): "b" is a PREFIX of "bc" — must not merge;
+    //  [a, a, a, a] under (a, a): greedy leftmost gives [aa, aa];
+    //  [es, t] under (es, t): the real merge fires
+    val cases = Seq(
+      Seq("des", "t") -> ("es", "t"),
+      Seq("a", "bc") -> ("a", "b"),
+      Seq("a", "a", "a", "a") -> ("a", "a"),
+      Seq("a", "a", "a") -> ("a", "a"),
+      Seq("es", "t") -> ("es", "t"))
+    cases.foreach { case (syms, (a, b)) =>
+      val df = Seq(Tuple1(syms)).toDF("symbols")
+      val viaFold = df.select(BpeTrain.mergeOnce(col("symbols"), a, b))
+        .head().getSeq[String](0)
+      val viaReplace = df.select(BpeTrain.pieces(
+          BpeTrain.applyMerge(BpeTrain.encodeSymbols(col("symbols")), a, b)))
+        .head().getString(0)
+      assert(viaReplace == viaFold.mkString("|"),
+        s"mismatch for $syms under ($a,$b)")
+    }
+    // piece count arithmetic agrees with the fold's length
+    val enc = BpeTrain.applyMerge(
+      BpeTrain.encodeSymbols(typedLit(Seq("a", "a", "a"))), "a", "a")
+    val r = spark.range(1).select(BpeTrain.pieceCount(enc), BpeTrain.pieces(enc)).head()
+    assert(r.getLong(0) == 2L && r.getString(1) == "aa|a")
+  }
+
   test("learnMerges ties break deterministically on (a, b)") {
     // every pair occurs exactly twice -> ties everywhere; the argmax
     // must be the lexicographically first pair, round after round
