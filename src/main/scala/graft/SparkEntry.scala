@@ -2293,6 +2293,41 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — COMPACTION, the explicit MergeTree part-merge
+    // (SnapshotSink.compact): an append lineage lands events in 3
+    // per-batch-clustered commits (12 small files whose day ranges
+    // overlap ACROSS batches), then one compaction rewrites the tip as
+    // 4 globally range-clustered files with the zone-map sidecar
+    // recomputed — after which a day probe prunes on tight disjoint
+    // bounds, which the pre-compaction layout cannot offer. Rows are
+    // bit-identical by construction (one read → one clustered write of
+    // the same lineage); the pre-compaction version still time-travels
+    // until vacuumed. Hash-exact vs the plain filtered aggregate.
+    "q151_compacted_store_serve" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q151", dir)
+      val ev = events(s, dir).select(
+        expr("unix_millis(ts) DIV 86400000").as("day"), col("event_id"),
+        col("event_type"), col("user_id"), col("value"))
+      // arrival shape: three interleaved batches (event_id mod — the
+      // non-null PK), each internally day-clustered — across batches
+      // every file range overlaps every other
+      (0L until 3L).foreach { b =>
+        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+          .repartitionByRange(4, col("day"))
+        if (b == 0L) SnapshotSink.commitWithStats(batch, root, Seq("day"))
+        else SnapshotSink.appendIndexed(batch, root, Seq("day"), None)
+      }
+      SnapshotSink.compact(s, root, targetFiles = 4,
+        clusterCol = Some("day"), statsCols = Seq("day"))
+      SnapshotSink.readPruned(s, root, "day", 19740L, 19745L).df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Extension — BPE TRAINED AND APPLIED end-to-end (q149's full loop):
     // learn 8 merges from the corpus (argmax + vocab rewrite per round,
     // driver state = 8 rows), then segment the vocabulary with the
@@ -3949,6 +3984,18 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q151: compacted-store serve — compaction rewrites the same rows
+    * (lineage-internal layout change, invisible to the result), so the
+    * oracle is the plain day-window aggregate; layout/pruning effects
+    * are asserted in SnapshotSinkSpec. */
+  private val q151Oracle =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch_ms(ts) // 86400000 BETWEEN 19740 AND 19745
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q150: the full BPE loop replayed — 8 chained learning rounds, each
     * recomputing pair counts from the delimiter-encoded vocab, taking
     * the same (cnt desc, a, b) argmax, and rewriting via the same
@@ -4465,6 +4512,7 @@ object SparkEntry {
     "q148_composite_index_serve" -> q148Oracle,
     "q149_bpe_pair_counts" -> q149Oracle,
     "q150_bpe_segmentation" -> q150Oracle,
+    "q151_compacted_store_serve" -> q151Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

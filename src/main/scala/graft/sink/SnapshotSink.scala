@@ -459,6 +459,38 @@ object SnapshotSink {
     PrunedRead(df, kept.size, s.files.size, kept)
   }
 
+  /** COMPACTION — the explicit form of ClickHouse's background part
+    * merge (MergeTree's whole operating principle, the reference's
+    * warehouse): rewrite the current version's data as `targetFiles`
+    * files and publish the result as the NEXT version of the same
+    * lineage. An append-heavy ingest (q143/q146/appendIndexedBatches)
+    * accumulates small files; compaction restores read efficiency and —
+    * with `clusterCol` — re-establishes the global sort-key layout that
+    * per-batch clustering only approximates (each batch was internally
+    * clustered; compaction interleaves them back into tight disjoint
+    * ranges, which is exactly what a MergeTree merge does to sorted
+    * parts). Costs O(table) I/O by definition; rows are bit-identical.
+    * Readers are never disturbed: the old version keeps its files until
+    * vacuumed, the new version is one manifest rename away. Sidecars
+    * (`statsCols` / `setKeys`) are recomputed for the new layout. */
+  def compact(
+      spark: SparkSession, root: String, targetFiles: Int,
+      clusterCol: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty,
+      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)] = None): Snapshot = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val s = snapshot(spark, root)
+    require(s.files.nonEmpty, s"snapshot v${s.version} has no files to compact")
+    val df = spark.read.parquet(s.files: _*)
+    val laid = clusterCol match {
+      case Some(c) => df.repartitionByRange(targetFiles, col(c))
+      case None => df.coalesce(targetFiles)
+    }
+    if (statsCols.nonEmpty || setKeys.nonEmpty)
+      commitIndexed(laid, root, statsCols, setKeys)
+    else commit(laid, root)
+  }
+
   /** Retire everything but the last `keepLast` snapshots: drops their
     * manifests, then deletes every `data/` subdirectory no kept manifest
     * references — which also sweeps crashed-commit orphans and

@@ -191,6 +191,42 @@ class SnapshotSinkSpec extends AnyFunSuite {
       SnapshotSink.statsTable(spark, root, Some(1)))
   }
 
+  test("compact: rewrites the tip as fewer range-clustered files; rows identical; old version travels; vacuum reclaims") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    // three appended batches, each internally clustered — across
+    // batches every file's k-range overlaps (the small-file shape)
+    (0 until 3).foreach { b =>
+      val batch = spark.range(0, 300).filter(col("id") % 3 === b)
+        .select(col("id").as("k")).repartitionByRange(4, col("k"))
+      if (b == 0) SnapshotSink.commitWithStats(batch, root, Seq("k"))
+      else SnapshotSink.appendIndexed(batch, root, Seq("k"), None)
+    }
+    assert(SnapshotSink.snapshot(spark, root).files.size == 12)
+    // pre-compaction: a narrow probe keeps a file from EVERY batch
+    val before = SnapshotSink.readPruned(spark, root, "k", 100L, 124L)
+    assert(before.keptFiles >= 3)
+
+    val c = SnapshotSink.compact(spark, root, targetFiles = 4,
+      clusterCol = Some("k"), statsCols = Seq("k"))
+    assert(c.version == 4 && c.rows == 300 && c.files.size == 4)
+    // identical rows, tighter layout: the same probe now keeps 1 file
+    val after = SnapshotSink.readPruned(spark, root, "k", 100L, 124L)
+    assert(after.totalFiles == 4 && after.keptFiles == 1)
+    assert(after.df.agg(sum("k")).head().getLong(0) ==
+      before.df.agg(sum("k")).head().getLong(0))
+    assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 300L).toSeq)
+    // the pre-compaction version still reads until vacuumed...
+    assert(SnapshotSink.read(spark, root, Some(3)).count() == 300)
+    // ...and vacuum to the compacted tip reclaims every small-file dir
+    SnapshotSink.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(SnapshotSink.versions(spark, root) == Seq(4))
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName)
+    assert(dataDirs.length == 1)
+    assert(SnapshotSink.read(spark, root).count() == 300)
+  }
+
   test("zone maps: a version committed without stats refuses statsTable with a pointed message") {
     val root = tmpRoot()
     SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
