@@ -2293,6 +2293,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — HASHED-SIGN TEXT EMBEDDING + cosine top-k
+    // (operators/HashEmbed): a dense 16-dim integer embedding from
+    // token-hash sign bits — the pre-threshold state of SimHash, i.e. a
+    // Rademacher random projection — so "most similar docs to doc 0" is
+    // answered WITHOUT an external model or the embeddings table:
+    // text → vector → ANN entirely in-engine. Integer-first discipline
+    // throughout (order-free ±1 sums, exact dot/norms, one final IEEE
+    // division), zero-shuffle embed+score scan. Hash-exact.
+    "q152_hash_embed_topk" -> ((s, dir) => {
+      graft.operators.HashEmbed.cosineTopK(
+        t(s, dir, "documents"), "text", "doc_id", queryId = 0L, k = 10, dim = 16)
+    }),
+
     // Extension — COMPACTION, the explicit MergeTree part-merge
     // (SnapshotSink.compact): an append lineage lands events in 3
     // per-batch-clustered commits (12 small files whose day ranges
@@ -3984,6 +3997,32 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q152: hashed-sign embedding replay — same tokens, same portable
+    * hash, same sign-bit extraction per dimension (arithmetic >> in
+    * both engines), exact integer dot/norms, one IEEE division. */
+  private def q152Oracle: String = {
+    val h = duckMd5Long("t")
+    s"""WITH dt AS (SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |emb AS (SELECT doc_id, list_transform(range(0, 16), j ->
+       |    CAST(coalesce(list_aggregate(list_transform(toks,
+       |      t -> ((($h) >> j) & 1) * 2 - 1), 'sum'), 0) AS BIGINT)) AS v
+       |  FROM dt),
+       |q AS (SELECT v AS qv FROM emb WHERE doc_id = 0),
+       |sc AS (SELECT e.doc_id,
+       |    CAST(list_aggregate(list_transform(range(1, 17),
+       |      i -> e.v[i] * q.qv[i]), 'sum') AS BIGINT) AS dot,
+       |    CAST(list_aggregate(list_transform(e.v, x -> x * x), 'sum')
+       |      AS BIGINT) AS n2,
+       |    CAST(list_aggregate(list_transform(q.qv, x -> x * x), 'sum')
+       |      AS BIGINT) AS qn
+       |  FROM emb e, q WHERE e.doc_id <> 0)
+       |SELECT doc_id, dot, n2,
+       |  CAST(dot AS DOUBLE) / sqrt(CAST(n2 * qn AS DOUBLE)) AS cosine
+       |FROM sc WHERE n2 > 0 ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** q151: compacted-store serve — compaction rewrites the same rows
     * (lineage-internal layout change, invisible to the result), so the
     * oracle is the plain day-window aggregate; layout/pruning effects
@@ -4513,6 +4552,7 @@ object SparkEntry {
     "q149_bpe_pair_counts" -> q149Oracle,
     "q150_bpe_segmentation" -> q150Oracle,
     "q151_compacted_store_serve" -> q151Oracle,
+    "q152_hash_embed_topk" -> q152Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
