@@ -2293,6 +2293,29 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — METADATA-ONLY AGGREGATE SERVING (the zone-map
+    // sidecar's endgame, SnapshotSink.aggRangeFromStats): count + sum
+    // over a day range answered by partitioning the FILE SET — files
+    // fully inside the range contribute their sidecar (rows, Σ value)
+    // with zero data read; only boundary files scan with the residual
+    // filter. On the range-clustered layout this is ClickHouse's
+    // partition-pruned count with the sum riding along: a 100 TB window
+    // aggregate becomes KBs of sidecar + ≤2 boundary files. Exact:
+    // per-file sums are fixed-point decimals computed from the committed
+    // rows (associative addition). Hash-exact vs the full-scan filter
+    // aggregate; the metadata-vs-scan file split is spec-asserted.
+    "q153_metadata_agg_serve" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q153", dir)
+      val ev = events(s, dir).select(
+        expr("unix_millis(ts) DIV 86400000").as("day"), col("value"))
+      SnapshotSink.commitIndexed(
+        ev.repartitionByRange(10, col("day")), root, Seq("day"), None,
+        sumCols = Seq("value"))
+      SnapshotSink.aggRangeFromStats(s, root, "day", 19730L, 19739L, "value")
+        .df.select(col("n"), col("sum").cast("double").as("sum_value"))
+    }),
+
     // Extension — HASHED-SIGN TEXT EMBEDDING + cosine top-k
     // (operators/HashEmbed): a dense 16-dim integer embedding from
     // token-hash sign bits — the pre-threshold state of SimHash, i.e. a
@@ -3997,6 +4020,16 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q153: metadata-served aggregate — file partitioning is invisible
+    * to the RESULT (contained files' sidecar sums are exact fixed-point
+    * sums of their committed rows), so the oracle is the plain filtered
+    * aggregate in the same DECIMAL(18,6) quantization. */
+  private val q153Oracle =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch_ms(ts) // 86400000 BETWEEN 19730 AND 19739""".stripMargin
+
   /** q152: hashed-sign embedding replay — same tokens, same portable
     * hash, same sign-bit extraction per dimension (arithmetic >> in
     * both engines), exact integer dot/norms, one IEEE division. */
@@ -4553,6 +4586,7 @@ object SparkEntry {
     "q150_bpe_segmentation" -> q150Oracle,
     "q151_compacted_store_serve" -> q151Oracle,
     "q152_hash_embed_topk" -> q152Oracle,
+    "q153_metadata_agg_serve" -> q153Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

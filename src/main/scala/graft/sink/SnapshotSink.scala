@@ -224,13 +224,23 @@ object SnapshotSink {
     * through strings). Exact bounds — computed from the committed rows
     * themselves; a petabyte deployment could swap in a footer-metadata
     * job without changing the sidecar contract. */
+  /** Fixed-point type for per-file measure sums: exact, mergeable
+    * across files (decimal addition is associative — the property the
+    * metadata-only aggregate path rests on), and wide enough that
+    * file-level partials never overflow. */
+  private val SumDec = "decimal(30,6)"
+
   private def computeFileStats(
-      spark: SparkSession, files: Seq[String], statsCols: Seq[String]): DataFrame = {
+      spark: SparkSession, files: Seq[String], statsCols: Seq[String],
+      sumCols: Seq[String] = Seq.empty): DataFrame = {
     val base = spark.read.parquet(files: _*)
-      .select(input_file_name().as("file") +: statsCols.map(col): _*)
-    val aggs = count(lit(1L)).as("rows") +: statsCols.flatMap(c => Seq(
+      .select(input_file_name().as("file") +:
+        (statsCols ++ sumCols).distinct.map(col): _*)
+    val aggs = count(lit(1L)).as("rows") +: (statsCols.flatMap(c => Seq(
       min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
-      sum(col(c).isNull.cast("long")).as(s"${c}__nulls")))
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"))) ++
+      sumCols.map(m =>
+        sum(col(m).cast("decimal(18,6)")).cast(SumDec).as(s"${m}__sum")))
     base.groupBy("file").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -335,15 +345,18 @@ object SnapshotSink {
     * single-index specializations. */
   def commitIndexed(
       df: DataFrame, root: String, statsCols: Seq[String],
-      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)]): Snapshot = {
+      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)],
+      sumCols: Seq[String] = Seq.empty): Snapshot = {
     require(statsCols.nonEmpty || setKeys.nonEmpty,
       "commitIndexed needs at least one index (stats columns or set keys)")
+    require(sumCols.isEmpty || statsCols.nonEmpty,
+      "sumCols ride the zone-map sidecar — statsCols must be non-empty")
     val spark = df.sparkSession
     val files = writeFiles(df, root)
     val version = versions(spark, root).lastOption.getOrElse(0) + 1
     var rows = -1L
     if (statsCols.nonEmpty) {
-      val stats = computeFileStats(spark, files, statsCols)
+      val stats = computeFileStats(spark, files, statsCols, sumCols)
         .coalesce(1).localCheckpoint(true)
       rows = Option(stats.agg(sum("rows")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -457,6 +470,60 @@ object SnapshotSink {
       if (kept.isEmpty) spark.read.parquet(s.files: _*).filter(lit(false))
       else spark.read.parquet(kept: _*)
     PrunedRead(df, kept.size, s.files.size, kept)
+  }
+
+  /** METADATA-ONLY AGGREGATE SERVING — the endgame of the zone-map
+    * sidecar: `count(*)` and `sum(measure)` over `lo ≤ c ≤ hi` answered
+    * by PARTITIONING THE FILE SET, not the rows. Files fully CONTAINED
+    * in the range (min ≥ lo ∧ max ≤ hi) contribute their sidecar `rows`
+    * and `measure__sum` — no data read at all; only BOUNDARY files
+    * (overlapping but not contained) are scanned with the residual
+    * filter. On a range-clustered layout a 100 TB table answers a
+    * window aggregate from KBs of sidecar plus ≤2 boundary-file scans —
+    * ClickHouse's partition-pruned count with the sum riding along.
+    * Exact because per-file sums are fixed-point decimals (associative
+    * addition) computed from the same committed rows; requires the
+    * snapshot to carry `measure` in `sumCols` at commit time.
+    *
+    * Returns one row `(n, sum)` — `sum` in the sidecar's DECIMAL type;
+    * plus the audit counts (metadata-served / scanned / total files).
+    * One SQL-semantics edge: an all-null measure yields SUM() = NULL in
+    * SQL but 0 here (the metadata path cannot distinguish "no rows"
+    * from "all null") — callers with nullable measures own that
+    * convention. */
+  final case class AggServed(df: DataFrame, metaFiles: Int, scanFiles: Int, totalFiles: Int)
+
+  def aggRangeFromStats(
+      spark: SparkSession, root: String, c: String, lo: Any, hi: Any,
+      measure: String, version: Option[Int] = None): AggServed = {
+    val s = snapshot(spark, root, version)
+    require(s.files.nonEmpty, s"snapshot v${s.version} has no files")
+    val st = statsTable(spark, root, Some(s.version))
+    require(st.columns.contains(s"${measure}__sum"),
+      s"snapshot v${s.version} has no per-file sums for '$measure' " +
+        "(pass it in sumCols at commit time)")
+    val mn = col(s"${c}__min")
+    val mx = col(s"${c}__max")
+    val overlaps = mn.isNotNull && mx.isNotNull && !(mn > lit(hi) || mx < lit(lo))
+    val contained = overlaps && mn >= lit(lo) && mx <= lit(hi)
+    val parts = st.select(col("file"), col("rows"), col(s"${measure}__sum").as("msum"),
+        overlaps.as("ov"), contained.as("cont"))
+      .filter(col("ov")).collect()
+    val (meta, boundary) = parts.partition(_.getAs[Boolean]("cont"))
+    val metaN = meta.map(_.getAs[Long]("rows")).sum
+    val metaSum = meta.map(r => Option(r.getAs[java.math.BigDecimal]("msum")))
+      .flatten.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val metaDf = spark.range(1).select(
+      lit(metaN).as("n"), lit(metaSum).cast(SumDec).as("s"))
+    val scanned =
+      if (boundary.isEmpty) metaDf.filter(lit(false))
+      else spark.read.parquet(boundary.map(_.getString(0)).toIndexedSeq.sorted: _*)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+        .agg(count(lit(1L)).as("n"),
+          sum(col(measure).cast("decimal(18,6)")).cast(SumDec).as("s"))
+    val out = metaDf.unionByName(scanned)
+      .agg(sum("n").cast("long").as("n"), sum("s").cast(SumDec).as("sum"))
+    AggServed(out, meta.length, boundary.length, s.files.size)
   }
 
   /** COMPACTION — the explicit form of ClickHouse's background part

@@ -227,6 +227,38 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.read(spark, root).count() == 300)
   }
 
+  test("metadata-only aggregate: contained files served from the sidecar, only boundary files scanned") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    // k = 0..99 over 10 tight files; measure m = k * 0.5 (exact in
+    // decimal(18,6)); nulls planted to prove sum skips them
+    val df = spark.range(100).select(col("id").as("k"),
+      when(col("id") % 10 === 9, lit(null)).otherwise(col("id") / lit(2.0)).as("m"))
+    SnapshotSink.commitIndexed(df.repartitionByRange(10, col("k")), root,
+      Seq("k"), None, sumCols = Seq("m"))
+    // [15, 74]: files [20,29]..[60,69] fully contained (5), [10,19] and
+    // [70,79] are boundary (2), the rest pruned outright
+    val served = SnapshotSink.aggRangeFromStats(spark, root, "k", 15L, 74L, "m")
+    assert(served.totalFiles == 10 && served.metaFiles == 5 && served.scanFiles == 2)
+    val r = served.df.head()
+    val expect = df.filter(col("k").between(15L, 74L))
+      .agg(count(col("k")), sum(col("m").cast("decimal(18,6)"))).head()
+    assert(r.getLong(0) == expect.getLong(0))
+    assert(r.getDecimal(1).compareTo(expect.getDecimal(1)) == 0)
+    // fully-contained range: zero files scanned
+    val all = SnapshotSink.aggRangeFromStats(spark, root, "k", 0L, 99L, "m")
+    assert(all.scanFiles == 0 && all.metaFiles == 10)
+    assert(all.df.head().getLong(0) == 100L)
+    // empty range: nothing served, n = 0
+    val none = SnapshotSink.aggRangeFromStats(spark, root, "k", 500L, 600L, "m")
+    assert(none.metaFiles == 0 && none.scanFiles == 0)
+    assert(none.df.head().getLong(0) == 0L)
+    // measure not committed in sumCols → pointed error
+    val e = intercept[IllegalArgumentException](
+      SnapshotSink.aggRangeFromStats(spark, root, "k", 0L, 9L, "k"))
+    assert(e.getMessage.contains("sumCols"))
+  }
+
   test("zone maps: a version committed without stats refuses statsTable with a pointed message") {
     val root = tmpRoot()
     SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
