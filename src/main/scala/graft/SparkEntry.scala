@@ -2293,6 +2293,38 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — TARGETED DELETE on the store (q124's RTBF made
+    // physical, SnapshotSink.deleteMatching): events commit
+    // entity-bucketed with a user-id Bloom index; deleting user 41
+    // rewrites ONLY the files whose index might contain them (O(victim
+    // files), every other file carried verbatim into the next version),
+    // with null user_ids kept (strict-TRUE deletion). The post-delete
+    // serve must equal the IS-DISTINCT-FROM filter over raw events;
+    // pre-delete data stays time-travelable until vacuum — which is the
+    // compliance erasure clock. Hash-exact.
+    "q154_store_delete_rtbf" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q154", dir)
+      val ev = events(s, dir).select(
+        expr("unix_millis(ts) DIV 86400000").as("day"),
+        col("event_type"), col("user_id"), col("value"))
+      def keys = graft.plans.SketchFunctions.portableHash64(
+        array(col("user_id").cast("string")))
+      // entity-bucketed layout: a user lands in exactly one bucket file
+      SnapshotSink.commitWithSetIndex(
+        ev.repartition(12, col("user_id")), root, keys, expectedPerFile = 4096)
+      val h41 = graft.plans.PortableSketch.md5Long(
+        "41".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      SnapshotSink.deleteMatching(s, root, h41,
+        pred = col("user_id") === 41L, keys = keys, expectedPerFile = 4096)
+      SnapshotSink.read(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Extension — METADATA-ONLY AGGREGATE SERVING (the zone-map
     // sidecar's endgame, SnapshotSink.aggRangeFromStats): count + sum
     // over a day range answered by partitioning the FILE SET — files
@@ -4020,6 +4052,18 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q154: post-deletion serve — the targeted rewrite is invisible to
+    * the RESULT (survivors ≡ rows where the predicate is not strictly
+    * true), so the oracle filters raw events with IS DISTINCT FROM
+    * (nulls kept, matching the strict-TRUE deletion). */
+  private val q154Oracle =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id IS DISTINCT FROM 41
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q153: metadata-served aggregate — file partitioning is invisible
     * to the RESULT (contained files' sidecar sums are exact fixed-point
     * sums of their committed rows), so the oracle is the plain filtered
@@ -4587,6 +4631,7 @@ object SparkEntry {
     "q151_compacted_store_serve" -> q151Oracle,
     "q152_hash_embed_topk" -> q152Oracle,
     "q153_metadata_agg_serve" -> q153Oracle,
+    "q154_store_delete_rtbf" -> q154Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -324,6 +324,19 @@ object SnapshotSink {
   private def setIndexDir(root: String, version: Int) =
     new Path(manifestDir(root), s"v$version.setidx")
 
+  /** One set-index row per file of `files`: `(file, rows, bloom)`. */
+  private def computeSetIndex(
+      spark: SparkSession, files: Seq[String],
+      keys: org.apache.spark.sql.Column, expectedPerFile: Long,
+      fpp: Double): DataFrame = {
+    require(expectedPerFile > 0, "expectedPerFile must be positive")
+    spark.read.parquet(files: _*)
+      .select(input_file_name().as("file"), keys.as("ks"))
+      .groupBy("file")
+      .agg(count(lit(1L)).as("rows"),
+        graft.plans.BloomSetAgg.bloomSetAgg(col("ks"), expectedPerFile, fpp).as("bloom"))
+  }
+
   /** [[commitWithStats]]'s sibling for membership probes: commit `df`
     * with a per-file Bloom sidecar over `keys` (a LongType or
     * ARRAY<BIGINT> column computed FROM the written columns, e.g.
@@ -363,12 +376,7 @@ object SnapshotSink {
       stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
     }
     setKeys.foreach { case (keys, expectedPerFile, fpp) =>
-      require(expectedPerFile > 0, "expectedPerFile must be positive")
-      val idx = spark.read.parquet(files: _*)
-        .select(input_file_name().as("file"), keys.as("ks"))
-        .groupBy("file")
-        .agg(count(lit(1L)).as("rows"),
-          graft.plans.BloomSetAgg.bloomSetAgg(col("ks"), expectedPerFile, fpp).as("bloom"))
+      val idx = computeSetIndex(spark, files, keys, expectedPerFile, fpp)
         .coalesce(1).localCheckpoint(true)
       if (rows < 0)
         rows = Option(idx.agg(sum("rows")).head.get(0))
@@ -409,12 +417,7 @@ object SnapshotSink {
       stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
     }
     setKeys.foreach { case (keys, expectedPerFile, fpp) =>
-      require(expectedPerFile > 0, "expectedPerFile must be positive")
-      val fresh = spark.read.parquet(files: _*)
-        .select(input_file_name().as("file"), keys.as("ks"))
-        .groupBy("file")
-        .agg(count(lit(1L)).as("rows"),
-          graft.plans.BloomSetAgg.bloomSetAgg(col("ks"), expectedPerFile, fpp).as("bloom"))
+      val fresh = computeSetIndex(spark, files, keys, expectedPerFile, fpp)
       val idx = prior.map { p =>
         val pd = setIndexDir(root, p._2)
         require(fs(spark, pd).exists(pd),
@@ -524,6 +527,58 @@ object SnapshotSink {
     val out = metaDf.unionByName(scanned)
       .agg(sum("n").cast("long").as("n"), sum("s").cast(SumDec).as("sum"))
     AggServed(out, meta.length, boundary.length, s.files.size)
+  }
+
+  /** TARGETED DELETE — the lakehouse DELETE with the Bloom set index
+    * doing the file targeting, and the store-side half of the q124
+    * right-to-be-forgotten pass: only files whose set index might
+    * contain `h` are rewritten (minus rows where `pred` is strictly
+    * TRUE — null predicates keep their rows, the IS DISTINCT FROM
+    * convention a deletion wants); every other file is carried into the
+    * next version VERBATIM, so the write cost is O(victim files), not
+    * O(table) — on an entity-bucketed 100 TB layout, deleting one user
+    * touches the handful of files that user ever landed in. Soundness
+    * is the set-index contract: `pred` must imply "this row's key set
+    * contains h", so an untouched file provably holds no matching rows.
+    * The set-index sidecar carries over untouched files' rows and
+    * recomputes rewritten ones (with `keys`/`expectedPerFile`/`fpp` —
+    * same parameters as the original commit); prior versions still
+    * time-travel to the pre-deletion data until vacuumed (retention is
+    * the compliance clock: vacuum after the grace window IS the
+    * physical erasure). Requires a set-indexed lineage; zone-map-only
+    * lineages would rewrite blind (no targeting) and are refused. */
+  def deleteMatching(
+      spark: SparkSession, root: String, h: Long,
+      pred: org.apache.spark.sql.Column,
+      keys: org.apache.spark.sql.Column,
+      expectedPerFile: Long, fpp: Double = 0.01): Snapshot = {
+    val s = snapshot(spark, root)
+    val hit = readSetPruned(spark, root, h, Some(s.version))
+    if (hit.files.isEmpty) return s // nothing can match — no new version
+    // sidecar file strings come from input_file_name() (`file:///…`),
+    // manifest files from Path.toString (`file:/…`) — compare in Path-
+    // canonical form or the victim files silently land in `untouched`
+    def canon(p: String) = new Path(p).toString
+    val hitCanon = hit.files.map(canon).toSet
+    val untouched = s.files.filterNot(f => hitCanon.contains(canon(f)))
+    val survivors = spark.read.parquet(hit.files: _*)
+      .filter(!coalesce(pred, lit(false)))
+      .coalesce(hit.files.size)
+    val newFiles = writeFiles(survivors, root)
+    val version = s.version + 1
+    val all = (untouched ++ newFiles).sorted
+    val sidecar = spark.read.parquet(setIndexDir(root, s.version).toString)
+    val sidecarKeep = sidecar.select("file").collect().map(_.getString(0))
+      .filter(f => !hitCanon.contains(canon(f))).toSeq
+    val priorIdx = sidecar.filter(col("file").isin(sidecarKeep: _*))
+    val idx = (if (newFiles.isEmpty) priorIdx
+      else priorIdx.unionByName(
+        computeSetIndex(spark, newFiles, keys, expectedPerFile, fpp)))
+      .coalesce(1).localCheckpoint(true)
+    val rows = Option(idx.agg(sum("rows")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    writeManifest(spark, root, version, all, rows)
   }
 
   /** COMPACTION — the explicit form of ClickHouse's background part

@@ -133,6 +133,44 @@ class BloomSetAggSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no set index"))
   }
 
+  test("deleteMatching rewrites only bloom-targeted files; untouched files carry over verbatim") {
+    import graft.plans.SketchFunctions
+    val root = tmpRoot()
+    // entity-bucketed: entity e in its own file (8 files, 100 rows each);
+    // entity 3 rows carry a planted null twin to prove strict-TRUE keep
+    val rows = spark.range(0, 800)
+      .select(expr("id DIV 100").as("entity"), col("id").as("v"))
+      .select(when(col("v") === 342L, lit(null)).otherwise(col("entity")).as("entity"),
+        col("v"))
+    def keys = SketchFunctions.portableHash64(array(col("entity").cast("string")))
+    val s1 = SnapshotSink.commitWithSetIndex(
+      rows.repartition(8, col("entity")), root, keys, expectedPerFile = 256)
+    val s2 = SnapshotSink.deleteMatching(spark, root, h("3"),
+      pred = col("entity") === 3L, keys = keys, expectedPerFile = 256)
+    assert(s2.version == 2)
+    // only the victim's file(s) were rewritten — everything else
+    // verbatim (hash-bucket collisions and Bloom fps can add a file or
+    // two to the rewrite set, never subtract)
+    val untouchedCarried = s1.files.toSet intersect s2.files.toSet
+    assert(untouchedCarried.size >= s1.files.size - 2)
+    assert(untouchedCarried.size < s1.files.size) // something WAS rewritten
+    assert((s2.files.toSet -- s1.files.toSet).nonEmpty)
+    // entity 3 strictly-TRUE rows gone; the null twin (pred null) kept
+    val left = SnapshotSink.read(spark, root)
+    assert(left.filter(col("entity") === 3L).count() == 0)
+    assert(left.filter(col("entity").isNull).count() == 1)
+    assert(s2.rows == 800L - 99L) // 100 entity-3 rows minus the null twin
+    // the rebuilt index no longer claims entity 3 anywhere (modulo fp)
+    assert(SnapshotSink.readSetPruned(spark, root, h("3")).keptFiles <= 1)
+    // pre-deletion version still time-travels until vacuumed
+    assert(SnapshotSink.read(spark, root, Some(1))
+      .filter(col("entity") === 3L).count() == 99)
+    // probing an absent entity: no version bump, same snapshot back
+    val s3 = SnapshotSink.deleteMatching(spark, root, h("zz-absent"),
+      pred = col("entity") === 99L, keys = keys, expectedPerFile = 256)
+    assert(s3.version == 2)
+  }
+
   test("set skipping index: vacuum sweeps retired and orphan .setidx sidecars") {
     val root = tmpRoot()
     SnapshotSink.commitWithSetIndex(
