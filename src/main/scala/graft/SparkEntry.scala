@@ -2293,6 +2293,41 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — KEYED UPSERT on the store (SnapshotSink.upsertKeyed):
+    // the reference's users table IS ReplacingMergeTree ORDER BY
+    // user_id (clickhouse.py:113-117) — here the merge is explicit and
+    // TARGETED: the first 20 days' last-writes commit entity-bucketed
+    // with a user-id Bloom index, the last ~10 days arrive as the
+    // upsert batch, and only files whose index might contain a batch
+    // user are rewritten (LWW over hit-rows ∪ batch, q14 semantics —
+    // new users insert, existing users replace). Serving the stored
+    // users table must equal LWW over ALL events, proving the
+    // composition base ∪ batch → upsert ≡ one-shot. Hash-exact.
+    "q155_store_upsert_lww" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q155", dir)
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), unix_millis(col("ts")).as("ver"),
+          col("event_type"), col("event_id"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      def keys = graft.plans.SketchFunctions.portableHash64(
+        array(col("user_id").cast("string")))
+      val cutoff = 19743L // first 20 days stored, the rest is the batch
+      val base = graft.etl.Dedup.lastWriteWins(
+          ev.filter(col("day") < cutoff), Seq("user_id"), "ver",
+          Seq(col("event_id").desc)).drop("day")
+      SnapshotSink.commitWithSetIndex(
+        base.repartition(8, col("user_id")), root, keys, expectedPerFile = 4096)
+      SnapshotSink.upsertKeyed(s, root,
+        ev.filter(col("day") >= cutoff).drop("day"),
+        keyCols = Seq("user_id"), verCol = "ver",
+        tieBreak = Seq(col("event_id").desc),
+        keys = keys, expectedPerFile = 4096)
+      SnapshotSink.read(s, root)
+        .select(col("user_id"), col("ver"), col("event_type").as("last_event_type"))
+        .orderBy("user_id")
+    }),
+
     // Extension — TARGETED DELETE on the store (q124's RTBF made
     // physical, SnapshotSink.deleteMatching): events commit
     // entity-bucketed with a user-id Bloom index; deleting user 41
@@ -4052,6 +4087,18 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q155: stored-users upsert — LWW is associative over batch splits
+    * (argmax of a set = argmax of any subset's argmax ∪ the rest), so
+    * the oracle is one-shot LWW over all events, q14's replay filtered
+    * to non-null users. */
+  private val q155Oracle =
+    """SELECT user_id, ver, last_event_type FROM (
+      |  SELECT user_id, epoch_ms(ts) AS ver, event_type AS last_event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events WHERE user_id IS NOT NULL)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** q154: post-deletion serve — the targeted rewrite is invisible to
     * the RESULT (survivors ≡ rows where the predicate is not strictly
     * true), so the oracle filters raw events with IS DISTINCT FROM
@@ -4632,6 +4679,7 @@ object SparkEntry {
     "q152_hash_embed_topk" -> q152Oracle,
     "q153_metadata_agg_serve" -> q153Oracle,
     "q154_store_delete_rtbf" -> q154Oracle,
+    "q155_store_upsert_lww" -> q155Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

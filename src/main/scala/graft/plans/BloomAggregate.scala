@@ -111,4 +111,11 @@ object BloomSetAgg {
   def mightContain(bloomBytes: Array[Byte], h: Long): Boolean =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
       .mightContainLong(h)
+
+  /** Multi-probe: might the filter contain ANY of `hs`? Deserializes
+    * once — the per-file test of a batch-keyed operation (upsert). */
+  def mightContainAny(bloomBytes: Array[Byte], hs: Array[Long]): Boolean = {
+    val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+    hs.exists(bf.mightContainLong)
+  }
 }

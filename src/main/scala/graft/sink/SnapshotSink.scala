@@ -581,6 +581,70 @@ object SnapshotSink {
     writeManifest(spark, root, version, all, rows)
   }
 
+  /** KEYED UPSERT — the ReplacingMergeTree merge made explicit on the
+    * store (the reference's users table IS `ReplacingMergeTree ORDER BY
+    * user_id`, `reference/seghouse/warehouse/clickhouse.py:113-117`):
+    * batch rows replace same-key stored rows by last-write-wins, new
+    * keys insert, and only the files whose set index might contain a
+    * batch key are rewritten — O(victim files + batch), never O(table).
+    * The per-file test is a multi-probe of the file's Bloom against the
+    * batch's distinct key hashes (driver-side, files × batch-keys —
+    * metadata × batch, the "batch ≪ table" shape every upsert assumes;
+    * the batch's distinct hashes are collected, which is the same
+    * bound). Rewrite = LWW over (hit-file rows ∪ batch) via
+    * `etl.Dedup.lastWriteWins` — the q14/O-21 semantics; Bloom false
+    * positives only widen the rewrite set, and a key in NO file is
+    * simply inserted (it rides the union). Batch schema must match the
+    * stored schema (unionByName). Prior versions time-travel. */
+  def upsertKeyed(
+      spark: SparkSession, root: String, batch: DataFrame,
+      keyCols: Seq[String], verCol: String,
+      tieBreak: Seq[org.apache.spark.sql.Column],
+      keys: org.apache.spark.sql.Column,
+      expectedPerFile: Long, fpp: Double = 0.01): Snapshot = {
+    require(keyCols.nonEmpty, "upsertKeyed needs key columns")
+    val s = snapshot(spark, root)
+    val idxPath = setIndexDir(root, s.version)
+    require(fs(spark, idxPath).exists(idxPath),
+      s"snapshot v${s.version} has no set index (upsert needs key targeting — " +
+        "use commitWithSetIndex)")
+    // the batch's distinct key hashes — bounded by the batch
+    val ksDf = batch.select(keys.as("ks"))
+    val hashes: Array[Long] = (ksDf.schema("ks").dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        ksDf.select(explode(col("ks")).as("h"))
+      case _ => ksDf.select(col("ks").as("h"))
+    }).filter(col("h").isNotNull).distinct().collect().map(_.getLong(0))
+    val sidecar = spark.read.parquet(idxPath.toString)
+    val parts = sidecar.select("file", "bloom").collect()
+    val hitSidecarFiles = parts.filter(r =>
+        graft.plans.BloomSetAgg.mightContainAny(r.getAs[Array[Byte]]("bloom"), hashes))
+      .map(_.getString(0)).toSeq.sorted
+    def canon(p: String) = new Path(p).toString
+    val hitCanon = hitSidecarFiles.map(canon).toSet
+    val untouched = s.files.filterNot(f => hitCanon.contains(canon(f)))
+    val stored =
+      if (hitSidecarFiles.isEmpty) batch.filter(lit(false))
+      else spark.read.parquet(hitSidecarFiles: _*)
+    val resolved = graft.etl.Dedup.lastWriteWins(
+      stored.unionByName(batch), keyCols, verCol, tieBreak)
+      .coalesce(math.max(1, hitSidecarFiles.size))
+    val newFiles = writeFiles(resolved, root)
+    val version = s.version + 1
+    val all = (untouched ++ newFiles).sorted
+    val keepList = parts.map(_.getString(0))
+      .filter(f => !hitCanon.contains(canon(f))).toSeq
+    val priorIdx = sidecar.filter(col("file").isin(keepList: _*))
+    val idx = (if (newFiles.isEmpty) priorIdx
+      else priorIdx.unionByName(
+        computeSetIndex(spark, newFiles, keys, expectedPerFile, fpp)))
+      .coalesce(1).localCheckpoint(true)
+    val rows = Option(idx.agg(sum("rows")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    writeManifest(spark, root, version, all, rows)
+  }
+
   /** COMPACTION — the explicit form of ClickHouse's background part
     * merge (MergeTree's whole operating principle, the reference's
     * warehouse): rewrite the current version's data as `targetFiles`

@@ -171,6 +171,41 @@ class BloomSetAggSpec extends AnyFunSuite {
     assert(s3.version == 2)
   }
 
+  test("upsertKeyed: replaces by LWW, inserts new keys, rewrites only targeted files") {
+    import graft.plans.SketchFunctions
+    val root = tmpRoot()
+    // 4 entity-bucketed files of (k, ver, payload)
+    val base = spark.range(0, 40)
+      .select(col("id").as("k"), lit(1L).as("ver"),
+        concat(lit("old"), col("id")).as("p"))
+    def keys = SketchFunctions.portableHash64(array(col("k").cast("string")))
+    val s1 = SnapshotSink.commitWithSetIndex(
+      base.repartition(4, col("k")), root, keys, expectedPerFile = 64)
+    // batch: k=7 updated twice (ver 3 wins), k=8 stale (ver 0 loses),
+    // k=100 brand new
+    val batch = Seq(
+      (7L, 2L, "mid7"), (7L, 3L, "new7"),
+      (8L, 0L, "stale8"),
+      (100L, 5L, "new100")).toDF("k", "ver", "p")
+    val s2 = SnapshotSink.upsertKeyed(spark, root, batch,
+      keyCols = Seq("k"), verCol = "ver", tieBreak = Seq(col("p").asc),
+      keys = keys, expectedPerFile = 64)
+    assert(s2.version == 2 && s2.rows == 41L) // 40 keys + inserted 100
+    val m = SnapshotSink.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(m(7L) == (3L, "new7"))   // highest ver wins over both batch rows
+    assert(m(8L) == (1L, "old8"))   // stale batch row loses to stored
+    assert(m(100L) == (5L, "new100")) // new key inserted
+    assert(m(20L) == (1L, "old20")) // untouched keys intact
+    // targeting: most base files carried verbatim
+    val carried = s1.files.toSet intersect s2.files.toSet
+    assert(carried.nonEmpty && carried.size < s1.files.size)
+    // the new version's index resolves the inserted key
+    assert(SnapshotSink.readSetPruned(spark, root, h("100")).keptFiles >= 1)
+    // v1 still time-travels to the pre-upsert state
+    assert(SnapshotSink.read(spark, root, Some(1)).count() == 40L)
+  }
+
   test("set skipping index: vacuum sweeps retired and orphan .setidx sidecars") {
     val root = tmpRoot()
     SnapshotSink.commitWithSetIndex(
