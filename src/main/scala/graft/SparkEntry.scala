@@ -2293,6 +2293,31 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — RANGE EXPIRY / TTL on the store
+    // (SnapshotSink.expireBelow): ClickHouse's `TTL … DELETE` — retire
+    // everything before day 19733 from a day-clustered lineage. Zone
+    // maps make it near-free: files wholly below the cutoff are OMITTED
+    // from the next manifest (metadata-only, zero I/O — at 100 TB,
+    // daily TTL = dropping a day's files), only the straddling boundary
+    // file rewrites with the residual filter. The post-expiry serve
+    // must equal the day >= cutoff filter over raw events; the
+    // drop/carry/rewrite file split is spec-asserted. Hash-exact.
+    "q156_store_ttl_expiry" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q156", dir)
+      val ev = events(s, dir).select(
+        expr("unix_millis(ts) DIV 86400000").as("day"),
+        col("event_type"), col("user_id"), col("value"))
+      SnapshotSink.commitWithStats(
+        ev.repartitionByRange(10, col("day")), root, Seq("day"))
+      SnapshotSink.expireBelow(s, root, "day", 19733L, Seq("day"))
+      SnapshotSink.read(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("day").as("first_day"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Extension — KEYED UPSERT on the store (SnapshotSink.upsertKeyed):
     // the reference's users table IS ReplacingMergeTree ORDER BY
     // user_id (clickhouse.py:113-117) — here the merge is explicit and
@@ -4087,6 +4112,17 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q156: post-expiry serve — file drops and the boundary rewrite are
+    * invisible to the RESULT, so the oracle is the day >= cutoff filter
+    * (strict < deletion keeps the cutoff day). */
+  private val q156Oracle =
+    """SELECT event_type, count(*) AS n,
+      |  min(epoch_ms(ts) // 86400000) AS first_day,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch_ms(ts) // 86400000 >= 19733
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q155: stored-users upsert — LWW is associative over batch splits
     * (argmax of a set = argmax of any subset's argmax ∪ the rest), so
     * the oracle is one-shot LWW over all events, q14's replay filtered
@@ -4680,6 +4716,7 @@ object SparkEntry {
     "q153_metadata_agg_serve" -> q153Oracle,
     "q154_store_delete_rtbf" -> q154Oracle,
     "q155_store_upsert_lww" -> q155Oracle,
+    "q156_store_ttl_expiry" -> q156Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

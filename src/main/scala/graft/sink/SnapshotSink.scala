@@ -581,6 +581,69 @@ object SnapshotSink {
     writeManifest(spark, root, version, all, rows)
   }
 
+  /** RANGE EXPIRY — ClickHouse's `TTL … DELETE` / `DROP PARTITION` on
+    * the zone-mapped store: retire every row with `c < cutoff`. The
+    * zone maps make this ALMOST FREE on a range-clustered layout —
+    * files wholly below the cutoff are simply omitted from the next
+    * manifest (a metadata-only drop, no I/O at all; at 100 TB, daily
+    * TTL = dropping one day's files from the manifest), files wholly at
+    * or above it carry verbatim, and only the straddling boundary files
+    * (≤ the cluster overlap, usually 1) rewrite with the residual
+    * filter. All-null-`c` files cannot be classified and are rewritten
+    * (the filter keeps null-`c` rows — strict `c < cutoff` deletion,
+    * same null convention as [[deleteMatching]]). Sidecar rows carry
+    * for kept files and recompute for rewritten ones — pass the same
+    * `statsCols`/`sumCols` the lineage was committed with (the sidecar
+    * union is schema-checked); prior versions time-travel until vacuum,
+    * which is the retention/erasure clock. */
+  def expireBelow(
+      spark: SparkSession, root: String, c: String, cutoff: Any,
+      statsCols: Seq[String], sumCols: Seq[String] = Seq.empty): Snapshot = {
+    require(statsCols.contains(c), s"expiry column '$c' must be a stats column")
+    val s = snapshot(spark, root)
+    val st = statsTable(spark, root, Some(s.version))
+    val mn = col(s"${c}__min")
+    val mx = col(s"${c}__max")
+    // a whole-file drop must prove EVERY row matches `c < cutoff` —
+    // null-c rows are invisible to min/max but kept by the strict-<
+    // policy, so any file carrying nulls can at most be rewritten;
+    // whole-file keeps are safe with nulls (null rows are kept anyway)
+    val parts = st.select(col("file"),
+        (mx.isNotNull && mx < lit(cutoff) &&
+          col(s"${c}__nulls") === lit(0L)).as("drop"),
+        (mn.isNotNull && mn >= lit(cutoff)).as("keep"))
+      .collect()
+    def canon(p: String) = new Path(p).toString
+    val keepCanon = parts.filter(_.getAs[Boolean]("keep"))
+      .map(r => canon(r.getString(0))).toSet
+    // dropped files need no action at all — they are simply absent from
+    // the next manifest; boundary = neither kept nor dropped
+    val boundarySidecar = parts
+      .filter(r => !r.getAs[Boolean]("keep") && !r.getAs[Boolean]("drop"))
+      .map(_.getString(0)).toSeq.sorted
+    val kept = s.files.filter(f => keepCanon.contains(canon(f)))
+    val newFiles =
+      if (boundarySidecar.isEmpty) Seq.empty[String]
+      else writeFiles(
+        spark.read.parquet(boundarySidecar: _*)
+          .filter(col(c).isNull || col(c) >= lit(cutoff))
+          .coalesce(boundarySidecar.size),
+        root)
+    val version = s.version + 1
+    val all = (kept ++ newFiles).sorted
+    val keepList = parts.map(_.getString(0))
+      .filter(f => keepCanon.contains(canon(f))).toSeq
+    val priorStats = st.filter(col("file").isin(keepList: _*))
+    val stats = (if (newFiles.isEmpty) priorStats
+      else priorStats.unionByName(
+        computeFileStats(spark, newFiles, statsCols, sumCols)))
+      .coalesce(1).localCheckpoint(true)
+    val rows = Option(stats.agg(sum("rows")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
+    writeManifest(spark, root, version, all, rows)
+  }
+
   /** KEYED UPSERT — the ReplacingMergeTree merge made explicit on the
     * store (the reference's users table IS `ReplacingMergeTree ORDER BY
     * user_id`, `reference/seghouse/warehouse/clickhouse.py:113-117`):

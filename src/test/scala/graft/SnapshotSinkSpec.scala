@@ -259,6 +259,41 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sumCols"))
   }
 
+  test("expireBelow: whole files drop from the manifest with zero I/O; only the boundary file rewrites") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    // k = 0..99 over 10 tight files; a null-k row rides along to prove
+    // the strict-< null convention (null-k rows are kept)
+    val df = spark.range(100)
+      .select(when(col("id") === 7L, lit(null)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val s1 = SnapshotSink.commitWithStats(
+      df.repartitionByRange(10, col("k")), root, Seq("k"))
+    // cutoff 35: files [0..9],[10..19],[20..29] drop whole, [30..39]
+    // straddles (rewrite), [40..] carry — the null row's file rewrites
+    // or carries depending on where range partitioning put it
+    val s2 = SnapshotSink.expireBelow(spark, root, "k", 35L, Seq("k"))
+    assert(s2.version == 2)
+    val carried = s1.files.toSet intersect s2.files.toSet
+    assert(carried.size >= 6) // at least [40..99]'s six files verbatim
+    assert((s1.files.toSet -- s2.files.toSet).size >= 3) // dropped + boundary
+    val left = SnapshotSink.read(spark, root)
+    assert(left.filter(col("k").isNotNull && col("k") < 35L).count() == 0)
+    assert(left.filter(col("k").isNull).count() == 1) // null kept
+    assert(s2.rows == 100L - 34L) // k in 0..34 minus the null twin (id 7)
+    // the new sidecar still prunes correctly on the survivor range
+    val pr = SnapshotSink.readPruned(spark, root, "k", 90L, 99L)
+    assert(pr.keptFiles <= 2 && pr.df.count() == 10L)
+    // pre-expiry version still time-travels
+    assert(SnapshotSink.read(spark, root, Some(1)).count() == 100L)
+    // expiring below the table minimum is a no-op version (all carry)
+    val s3 = SnapshotSink.expireBelow(spark, root, "k", -5L, Seq("k"))
+    assert(s3.rows == s2.rows)
+    // expiry column must be a stats column
+    intercept[IllegalArgumentException](
+      SnapshotSink.expireBelow(spark, root, "v", 0L, Seq("k")))
+  }
+
   test("zone maps: a version committed without stats refuses statsTable with a pointed message") {
     val root = tmpRoot()
     SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
