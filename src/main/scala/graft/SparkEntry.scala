@@ -2293,6 +2293,42 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — CURATION v3, the session's pieces COMPOSED and
+    // LANDED: learned quality gate (q145's pinned-weight classifier) →
+    // exact dedup (min-id per canonical fingerprint) → leak-free
+    // deterministic split (train = 90%) → train shard COMMITTED to a
+    // zone-mapped snapshot and the readout SERVED FROM THE STORE. The
+    // shape a production curation run actually ships: every stage a
+    // verified component, the output a manifest-committed dataset a
+    // trainer can mount, the serve a store read (no recuration). Oracle
+    // replays score, fingerprint, dedup, split and the aggregate —
+    // hash-exact.
+    "q157_curation_v3_store" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      import graft.operators.QualityModel
+      val root = freshStateRoot(s, "q157", dir)
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      val scored = t(s, dir, "documents").select("doc_id", "source", "text")
+        .withColumn("score_micros", QualityModel.scoreMicros(col("text"), w, 0L))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("fp", TextAnalysis.canonicalFingerprint(col("text")))
+        .drop("text")
+      val kept = scored.filter(col("score_micros") >= 0L)
+      val deduped = graft.etl.Dedup.dedupDeterministic(
+        kept, Seq("fp"), Seq(col("doc_id").asc))
+      val train = Sampling.withSplitId(deduped, "doc_id", Seq(0.9, 0.1), salt = "cur3")
+        .filter(col("split_id") === 0)
+        .select("doc_id", "source", "n_tokens", "score_micros")
+      SnapshotSink.commitWithStats(
+        train.repartitionByRange(4, col("doc_id")), root, Seq("doc_id"))
+      SnapshotSink.read(s, root)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("score_micros").as("sum_score"))
+        .orderBy("source")
+    }),
+
     // Extension — RANGE EXPIRY / TTL on the store
     // (SnapshotSink.expireBelow): ClickHouse's `TTL … DELETE` — retire
     // everything before day 19733 from a day-clustered lineage. Zone
@@ -4112,6 +4148,30 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q157: curation v3 — q145's score formula, the canonical
+    * fingerprint, min-id dedup, the md5-bucket split and the per-source
+    * aggregate, chained; the store landing is invisible to the result. */
+  private def q157Oracle: String = {
+    val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
+    s"""WITH sc AS (SELECT doc_id, source,
+       |    CAST(coalesce(list_aggregate(list_transform(toks,
+       |        t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |      AS BIGINT) AS score_micros,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    md5(array_to_string(toks, ' ')) AS fp
+       |  FROM (SELECT doc_id, source, list_filter(
+       |      regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |    FROM documents)),
+       |k AS (SELECT * FROM sc WHERE score_micros >= 0),
+       |d AS (SELECT * FROM k
+       |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+       |tr AS (SELECT * FROM d WHERE ${duckBucket("cur3")} < 9000)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(score_micros) AS BIGINT) AS sum_score
+       |FROM tr GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** q156: post-expiry serve — file drops and the boundary rewrite are
     * invisible to the RESULT, so the oracle is the day >= cutoff filter
     * (strict < deletion keeps the cutoff day). */
@@ -4717,6 +4777,7 @@ object SparkEntry {
     "q154_store_delete_rtbf" -> q154Oracle,
     "q155_store_upsert_lww" -> q155Oracle,
     "q156_store_ttl_expiry" -> q156Oracle,
+    "q157_curation_v3_store" -> q157Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
