@@ -159,6 +159,59 @@ object StateRollup {
       .start()
   }
 
+  /** STREAMING KEYED UPSERT — the reference's whole pipeline shape
+    * (stream → users table, `ReplacingMergeTree ORDER BY user_id`) on
+    * the snapshot store: each micro-batch upserts through
+    * [[SnapshotSink.upsertKeyed]], so only files whose Bloom index
+    * might contain a batch key rewrite — per-trigger cost O(victim
+    * files + batch) while the stored table stays globally LWW-correct
+    * (upsert associativity: argmax of argmaxes). LWW makes replay
+    * IDEMPOTENT in content (a re-run batch re-resolves to the same
+    * winners), but the marker guard still skips it to avoid burning a
+    * version + rewrite per replay. The first batch bootstraps the
+    * lineage with a keyed commit. */
+  def upsertKeyedStream(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      verCol: String,
+      tieBreak: Seq[org.apache.spark.sql.Column],
+      keys: org.apache.spark.sql.Column,
+      expectedPerFile: Long,
+      root: String,
+      checkpointDir: String,
+      buckets: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow(),
+      keepVersions: Int = 3
+  ): StreamingQuery = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val spark = b.sparkSession
+          if (!alreadyCommitted(spark, root, batchId) && b.take(1).nonEmpty) {
+            if (SnapshotSink.versions(spark, root).isEmpty) {
+              val winners = graft.etl.Dedup.lastWriteWins(b, keyCols, verCol, tieBreak)
+              SnapshotSink.commitWithSetIndex(
+                winners.repartition(buckets, keyCols.map(col): _*),
+                root, keys, expectedPerFile)
+            } else {
+              SnapshotSink.upsertKeyed(spark, root, b, keyCols, verCol,
+                tieBreak, keys, expectedPerFile)
+            }
+            markCommitted(spark, root, batchId)
+            if (keepVersions != Int.MaxValue)
+              SnapshotSink.vacuum(spark, root, keepLast = keepVersions)
+            ()
+          }
+        } finally { b.unpersist(); () }
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** The COUNT-MIN twin of [[appendDailyKmvStates]]: each micro-batch's
     * per-day CM state rows fold into the stored table by ADDITION
     * ([[CountMin.mergeDailyStates]] — linear sketch, exact for ANY

@@ -497,6 +497,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotSink.read(spark, root, Some(1)).count() == 40L)
   }
 
+  test("streaming keyed upsert: stream-maintained users table equals one-shot LWW") {
+    import org.apache.spark.sql.functions.{array, col}
+    import graft.sink.SnapshotSink
+    import graft.plans.SketchFunctions
+
+    val src = Files.createTempDirectory("graft_stream_upsert")
+    val ckp = Files.createTempDirectory("graft_stream_upsert_ckp")
+    val root = Files.createTempDirectory("graft_stream_upsert_root").toString
+    // three micro-batches with overlapping keys: later versions win,
+    // ties break on the larger payload tag
+    (0 until 3).foreach { b =>
+      Files.write(src.resolve(s"$b.json"),
+        (0 until 30).map { i =>
+          val k = (b * 10 + i) % 25 // keys collide across batches
+          s"""{"k":$k,"ver":${b * 100 + i},"p":"b$b-$i"}"""
+        }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    val schema = spark.read.json(src.toString).schema
+    def keys = SketchFunctions.portableHash64(array(col("k").cast("string")))
+    val q = graft.streaming.StateRollup.upsertKeyedStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(src.toString),
+      keyCols = Seq("k"), verCol = "ver", tieBreak = Seq(col("p").desc),
+      keys = keys, expectedPerFile = 64,
+      root = root, checkpointDir = ckp.toString,
+      keepVersions = Int.MaxValue)
+    q.awaitTermination(120000)
+
+    assert(SnapshotSink.versions(spark, root) == Seq(1, 2, 3))
+    val stored = SnapshotSink.read(spark, root).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("ver"), r.getAs[String]("p"))).toMap
+    val oneShot = graft.etl.Dedup.lastWriteWins(
+        spark.read.json(src.toString), Seq("k"), "ver", Seq(col("p").desc))
+      .collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("ver"), r.getAs[String]("p"))).toMap
+    assert(stored == oneShot)
+    assert(stored.keySet == (0L until 25L).toSet)
+  }
+
   test("streaming contract report (row-level checks) equals its batch twin") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Contracts
