@@ -2293,6 +2293,29 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — THE SQL SURFACE, gated: a query written ENTIRELY in
+    // SQL against the GraftExtensions-registered native functions
+    // (graft_md5_rolling_fp / graft_md5_hash64 / graft_simhash) — the
+    // path a SQL-only user takes (`spark.sql.extensions=
+    // graft.plans.GraftExtensions`, no Scala imports). Verify/Bench
+    // sessions install the extensions, so this gate fails if the
+    // registry, the ExpressionInfo wiring, or any builder arity drifts.
+    // Hash-exact: both signature families already have literal DuckDB
+    // replays (q33's rolling chain, q27's bit-vote simhash).
+    "q158_sql_surface" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_q158")
+      s.sql("""
+        WITH tok AS (
+          SELECT doc_id,
+            filter(split(lower(trim(text)), '\\s+'), x -> x != '') AS t
+          FROM graft_docs_q158)
+        SELECT doc_id,
+          graft_md5_rolling_fp(t) AS fp_rolling,
+          graft_simhash(graft_md5_hash64(t)) AS sig,
+          size(t) AS n_tokens
+        FROM tok WHERE size(t) > 0 ORDER BY doc_id""")
+    }),
+
     // Extension — CURATION v3, the session's pieces COMPOSED and
     // LANDED: learned quality gate (q145's pinned-weight classifier) →
     // exact dedup (min-id per canonical fingerprint) → leak-free
@@ -4148,6 +4171,30 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q158: the SQL surface — q33's rolling-chain replay joined with
+    * q27's bit-vote simhash replay, per doc. */
+  private def q158Oracle: String = {
+    def chain(listExpr: String) =
+      s"CAST(list_reduce(list_prepend('0', $listExpr), (a, tk) -> CAST(${duckMd5Long("(a || '|' || tk)")} AS VARCHAR)) AS BIGINT)"
+    val bitRows = (0 until 64).map(b => s"(${1L << b})").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |nz AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+       |h AS (SELECT doc_id, unnest(list_transform(t, x -> ${duckMd5Long("x")})) AS h FROM nz),
+       |bits AS (SELECT doc_id, bv.bitval,
+       |    sum(CASE WHEN (h & bv.bitval) <> 0 THEN 1 ELSE -1 END) AS c
+       |  FROM h CROSS JOIN (VALUES $bitRows) bv(bitval)
+       |  GROUP BY doc_id, bv.bitval),
+       |sig AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 0 THEN bitval ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY doc_id)
+       |SELECT nz.doc_id AS doc_id, ${chain("nz.t")} AS fp_rolling,
+       |  sig.sig AS sig, CAST(len(nz.t) AS INT) AS n_tokens
+       |FROM nz JOIN sig ON nz.doc_id = sig.doc_id
+       |ORDER BY nz.doc_id""".stripMargin
+  }
+
   /** q157: curation v3 — q145's score formula, the canonical
     * fingerprint, min-id dedup, the md5-bucket split and the per-source
     * aggregate, chained; the store landing is invisible to the result. */
@@ -4778,6 +4825,7 @@ object SparkEntry {
     "q155_store_upsert_lww" -> q155Oracle,
     "q156_store_ttl_expiry" -> q156Oracle,
     "q157_curation_v3_store" -> q157Oracle,
+    "q158_sql_surface" -> q158Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
