@@ -2242,37 +2242,10 @@ object SparkEntry {
     // docs (cross-batch drops through the STORE), and b3 carries its own
     // within-batch dups (min-id rule). Hash-exact: fingerprints, batch
     // construction, min-id and first-batch-wins all replay in DuckDB.
-    "q146_stored_dedup_state" -> ((s, dir) => {
-      import graft.sink.SnapshotSink
-      val root = freshStateRoot(s, "q146", dir)
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
-      val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
-        .unionByName(docs
-          .filter(pmod(col("doc_id"), lit(3)) === 1 && pmod(col("doc_id"), lit(12)) === 1)
-          .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
-      val b3 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .unionByName(docs
-          .filter(pmod(col("doc_id"), lit(3)) === 2 && pmod(col("doc_id"), lit(12)) === 2)
-          .select((col("doc_id") + 60000000L).as("doc_id"), col("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
-          .select((col("doc_id") + 70000000L).as("doc_id"), col("text")))
-      val emptySeen = docs.select(lit("").as("fp")).limit(0)
-      val sv1 = NearDup.incrementalDedupStored(b1, emptySeen, "text", "doc_id")
-        .localCheckpoint(true)
-      SnapshotSink.commit(sv1.select("fp"), root)
-      val sv2 = NearDup.incrementalDedupStored(
-          b2, SnapshotSink.read(s, root), "text", "doc_id")
-        .localCheckpoint(true)
-      SnapshotSink.append(sv2.select("fp"), root)
-      val sv3 = NearDup.incrementalDedupStored(
-        b3, SnapshotSink.read(s, root), "text", "doc_id")
-      sv1.withColumn("batch", lit(1L))
-        .unionByName(sv2.withColumn("batch", lit(2L)))
-        .unionByName(sv3.withColumn("batch", lit(3L)))
+    "q146_stored_dedup_state" -> ((s, dir) =>
+      dedupStateLineage(s, dir, "q146")._2
         .select(col("batch"), col("doc_id"), col("fp"))
-        .orderBy("batch", "doc_id")
-    }),
+        .orderBy("batch", "doc_id")),
 
     // Extension — BPE MERGE DISCOVERY (operators/BpeTrain): the first
     // round of tokenizer vocabulary induction — adjacent character-pair
@@ -2291,6 +2264,19 @@ object SparkEntry {
       BpeTrain.pairCounts(vocab)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(20)
+    }),
+
+    // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
+    // HISTORY analog): the q146 dedup lineage's per-version row counts
+    // read from the manifests alone — metadata-only, no data I/O. The
+    // oracle recomputes each version's expected size as the running sum
+    // of per-batch survivor counts (commit/append semantics made into
+    // numbers: v_k rows = Σ batches ≤ k survivors). Hash-exact.
+    "q159_store_history" -> ((s, dir) => {
+      val (root, _) = dedupStateLineage(s, dir, "q159")
+      graft.sink.SnapshotSink.history(s, root)
+        .select(col("version").cast("long").as("version"), col("n_rows"))
+        .orderBy("version")
     }),
 
     // Extension — THE SQL SURFACE, gated: a query written ENTIRELY in
@@ -3174,6 +3160,46 @@ object SparkEntry {
     * (Bench reps, Verify, ExplainAudit), so a fresh random root per
     * invocation would leak a parquet lineage each pass — a fixed root
     * that each invocation replaces is bounded at one lineage per tag. */
+  /** The three-batch stored-dedup lineage shared by q146 (survivor
+    * readout) and q159 (lineage history): batches b1/b2/b3 with planted
+    * cross-batch redeliveries and within-batch dups; each batch
+    * anti-joins the stored fingerprint versions and appends its
+    * survivors' fingerprints (v1 commit, v2 and v3 appends). Returns
+    * (root, survivors-with-batch). */
+  private def dedupStateLineage(
+      s: SparkSession, dir: String, tag: String): (String, DataFrame) = {
+    import graft.sink.SnapshotSink
+    val root = freshStateRoot(s, tag, dir)
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(3)) === 1 && pmod(col("doc_id"), lit(12)) === 1)
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
+    val b3 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(3)) === 2 && pmod(col("doc_id"), lit(12)) === 2)
+        .select((col("doc_id") + 60000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 70000000L).as("doc_id"), col("text")))
+    val emptySeen = docs.select(lit("").as("fp")).limit(0)
+    val sv1 = NearDup.incrementalDedupStored(b1, emptySeen, "text", "doc_id")
+      .localCheckpoint(true)
+    SnapshotSink.commit(sv1.select("fp"), root)
+    val sv2 = NearDup.incrementalDedupStored(
+        b2, SnapshotSink.read(s, root), "text", "doc_id")
+      .localCheckpoint(true)
+    SnapshotSink.append(sv2.select("fp"), root)
+    val sv3 = NearDup.incrementalDedupStored(
+        b3, SnapshotSink.read(s, root), "text", "doc_id")
+      .localCheckpoint(true)
+    SnapshotSink.append(sv3.select("fp"), root)
+    val out = sv1.withColumn("batch", lit(1L))
+      .unionByName(sv2.withColumn("batch", lit(2L)))
+      .unionByName(sv3.withColumn("batch", lit(3L)))
+    (root, out)
+  }
+
   private def freshStateRoot(s: SparkSession, tag: String, dir: String): String = {
     // pid-scoped: two JVMs (e.g. a Verify and a Bench) running the same
     // query concurrently must not wipe each other's live lineages; the
@@ -4171,6 +4197,34 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q159: lineage history — version k's manifest row count equals the
+    * running sum of per-batch survivor counts from the q146 replay. */
+  private val q159Oracle =
+    """WITH fp AS (SELECT doc_id, md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS f
+         FROM documents),
+       b AS (
+         SELECT 1 AS batch, doc_id, f FROM fp WHERE doc_id % 3 = 1
+         UNION ALL
+         SELECT 2, doc_id, f FROM fp WHERE doc_id % 3 = 2
+         UNION ALL
+         SELECT 2, doc_id + 50000000, f FROM fp
+           WHERE doc_id % 3 = 1 AND doc_id % 12 = 1
+         UNION ALL
+         SELECT 3, doc_id, f FROM fp WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT 3, doc_id + 60000000, f FROM fp
+           WHERE doc_id % 3 = 2 AND doc_id % 12 = 2
+         UNION ALL
+         SELECT 3, doc_id + 70000000, f FROM fp WHERE doc_id % 9 = 0),
+       kept AS (
+         SELECT CAST(batch AS BIGINT) AS version FROM b
+         QUALIFY row_number() OVER (PARTITION BY batch, f ORDER BY doc_id) = 1
+           AND batch = min(batch) OVER (PARTITION BY f)),
+       per AS (SELECT version, count(*) AS c FROM kept GROUP BY version)
+       SELECT version, CAST(sum(c) OVER (ORDER BY version) AS BIGINT) AS n_rows
+       FROM per ORDER BY version"""
+
   /** q158: the SQL surface — q33's rolling-chain replay joined with
     * q27's bit-vote simhash replay, per doc. */
   private def q158Oracle: String = {
@@ -4826,6 +4880,7 @@ object SparkEntry {
     "q156_store_ttl_expiry" -> q156Oracle,
     "q157_curation_v3_store" -> q157Oracle,
     "q158_sql_surface" -> q158Oracle,
+    "q159_store_history" -> q159Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -181,6 +181,21 @@ object SnapshotSink {
     out.toSeq
   }
 
+  /** DESCRIBE HISTORY analog: one row per committed version —
+    * `(version, n_files, n_rows)` — read from the manifests alone
+    * (metadata-only; no data I/O). The audit surface a lineage needs:
+    * which commit grew the table, what a vacuum would retire, where a
+    * time-travel read lands. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root)
+      .map { v =>
+        val s = snapshot(spark, root, Some(v))
+        (v, s.files.size, s.rows)
+      }
+      .toDF("version", "n_files", "n_rows")
+  }
+
   /** Read a committed snapshot BY ITS MANIFEST — orphan files in the
     * data directories are invisible by construction. */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {

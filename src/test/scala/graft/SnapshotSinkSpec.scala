@@ -22,6 +22,10 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.read(spark, root).collect().map(_.getLong(0)).toSet == Set(3L))
     assert(SnapshotSink.read(spark, root, Some(1))
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // history: one metadata-only row per version
+    assert(SnapshotSink.history(spark, root)
+      .select("version", "n_rows").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted == Seq((1, 2L), (2, 1L)))
   }
 
   test("orphan data files and un-renamed manifests are invisible to readers") {
