@@ -2266,6 +2266,34 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — Z-ORDERED LAYOUT + MULTI-DIM PRUNED SERVE (the
+    // q85 layout audit made a LIVE read path): events land
+    // range-clustered on the Morton z-value of (day, user), so every
+    // file spans a narrow range of BOTH dimensions, and the two-range
+    // probe (6 days × one user band) prunes files multiplicatively via
+    // SnapshotSink.readPrunedRanges — where a day-sorted layout prunes
+    // on day alone. This is Delta/Iceberg's OPTIMIZE ZORDER BY serve on
+    // the same stats sidecar. Pruning lossless (residual conjunction
+    // re-applied); hash-exact vs the plain two-predicate filter.
+    "q160_zorder_pruned_serve" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q160", dir)
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+        .select(expr("unix_millis(ts) DIV 86400000").as("day"),
+          col("user_id"), col("event_type"), col("value"))
+      val z = graft.operators.ZOrder.zValue(
+        col("day") - lit(19723L), col("user_id"))
+      SnapshotSink.commitWithStats(
+        ev.repartitionByRange(16, z), root, Seq("day", "user_id"))
+      SnapshotSink.readPrunedRanges(s, root,
+          Seq(("day", 19733L, 19738L), ("user_id", 20L, 60L))).df
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4197,6 +4225,17 @@ object SparkEntry {
       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** q160: z-order pruned serve — layout + pruning invisible to the
+    * RESULT; plain two-predicate filter aggregate. */
+  private val q160Oracle =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch_ms(ts) // 86400000 BETWEEN 19733 AND 19738
+      |  AND user_id BETWEEN 20 AND 60
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q159: lineage history — version k's manifest row count equals the
     * running sum of per-batch survivor counts from the q146 replay. */
   private val q159Oracle =
@@ -4881,6 +4920,7 @@ object SparkEntry {
     "q157_curation_v3_store" -> q157Oracle,
     "q158_sql_surface" -> q158Oracle,
     "q159_store_history" -> q159Oracle,
+    "q160_zorder_pruned_serve" -> q160Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

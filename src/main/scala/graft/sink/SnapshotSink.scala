@@ -401,6 +401,36 @@ object SnapshotSink {
     writeManifest(spark, root, version, files, rows)
   }
 
+  /** Conjunctive multi-range pruned read: keep only files whose bounds
+    * can intersect EVERY `(column, lo, hi)` range, then apply the full
+    * residual conjunction. This is the read side of a Z-ORDERED layout
+    * (`operators/ZOrder.zValue`): z-contiguous files span a narrow
+    * range of BOTH interleaved dimensions, so a two-predicate probe
+    * prunes multiplicatively where a single-column sort layout prunes
+    * on its sort key only — the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * serve, on the same sidecar [[readPruned]] uses. */
+  def readPrunedRanges(
+      spark: SparkSession, root: String, ranges: Seq[(String, Any, Any)],
+      version: Option[Int] = None): PrunedRead = {
+    require(ranges.nonEmpty, "readPrunedRanges needs at least one range")
+    val s = snapshot(spark, root, version)
+    require(s.files.nonEmpty, s"snapshot v${s.version} has no files")
+    val keep = ranges.map { case (c, lo, hi) =>
+      val mn = col(s"${c}__min")
+      val mx = col(s"${c}__max")
+      mn.isNotNull && mx.isNotNull && !(mn > lit(hi) || mx < lit(lo))
+    }.reduce(_ && _)
+    val kept = statsTable(spark, root, Some(s.version))
+      .filter(keep).select("file").collect().map(_.getString(0)).toSeq.sorted
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val df =
+      if (kept.isEmpty) spark.read.parquet(s.files: _*).filter(lit(false))
+      else spark.read.parquet(kept: _*).filter(residual)
+    PrunedRead(df, kept.size, s.files.size, kept)
+  }
+
   /** [[appendWithStats]]'s generalization to both sidecars: add-files
     * append with the zone-map sidecar extended by the batch's rows and
     * the set-index sidecar extended by the batch's per-file filters

@@ -298,6 +298,37 @@ class SnapshotSinkSpec extends AnyFunSuite {
       SnapshotSink.expireBelow(spark, root, "v", 0L, Seq("k")))
   }
 
+  test("multi-range pruning: z-ordered layout prunes on both dims; x-sorted layout only on x") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.ZOrder
+    // a 32×32 grid, one row per cell — 16 files either z-clustered or
+    // x-clustered; probe = an 8×8 corner box
+    val grid = spark.range(1024).select(
+      (col("id") % 32).as("x"), expr("id DIV 32").as("y"), col("id").as("v"))
+    val rootZ = tmpRoot()
+    SnapshotSink.commitWithStats(
+      grid.repartitionByRange(16, ZOrder.zValue(col("x"), col("y"))),
+      rootZ, Seq("x", "y"))
+    val rootX = tmpRoot()
+    SnapshotSink.commitWithStats(
+      grid.repartitionByRange(16, col("x")), rootX, Seq("x", "y"))
+    val ranges = Seq(("x", 0L, 7L), ("y", 0L, 7L))
+    val z = SnapshotSink.readPrunedRanges(spark, rootZ, ranges)
+    val x = SnapshotSink.readPrunedRanges(spark, rootX, ranges)
+    // z-layout: the corner box lives in O(1) z-contiguous files; the
+    // x-layout keeps every file overlapping x∈[0,7] (each spans all y)
+    assert(z.keptFiles < x.keptFiles)
+    assert(z.keptFiles <= 4)
+    // both answer exactly
+    val want = grid.filter(col("x") <= 7 && col("y") <= 7)
+      .agg(sum("v")).head().getLong(0)
+    assert(z.df.agg(sum("v")).head().getLong(0) == want)
+    assert(x.df.agg(sum("v")).head().getLong(0) == want)
+    // degenerate single range ≡ readPruned
+    val one = SnapshotSink.readPrunedRanges(spark, rootX, Seq(("x", 0L, 7L)))
+    assert(one.keptFiles == SnapshotSink.readPruned(spark, rootX, "x", 0L, 7L).keptFiles)
+  }
+
   test("zone maps: a version committed without stats refuses statsTable with a pointed message") {
     val root = tmpRoot()
     SnapshotSink.commit(Seq((1L, "a")).toDF("k", "v"), root)
