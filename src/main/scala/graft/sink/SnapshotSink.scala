@@ -41,6 +41,17 @@ object SnapshotSink {
 
   private def manifestDir(root: String) = new Path(root, "_manifests")
 
+  /** Path-canonical string form — sidecar file strings come from
+    * `input_file_name()` (`file:///…`) while manifest files come from
+    * `Path.toString` (`file:/…`); every cross-comparison goes through
+    * this or victim files silently mismatch (the q154 lesson). */
+  private def canon(p: String): String = new Path(p).toString
+
+  /** Total of a sidecar frame's `rows` column (0 for an empty frame). */
+  private def totalRows(sidecar: DataFrame): Long =
+    Option(sidecar.agg(sum("rows")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
   /** Committed versions, ascending (fully-renamed manifests only). */
   def versions(spark: SparkSession, root: String): Seq[Int] = {
     val dir = manifestDir(root)
@@ -386,16 +397,14 @@ object SnapshotSink {
     if (statsCols.nonEmpty) {
       val stats = computeFileStats(spark, files, statsCols, sumCols)
         .coalesce(1).localCheckpoint(true)
-      rows = Option(stats.agg(sum("rows")).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      rows = totalRows(stats)
       stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
     }
     setKeys.foreach { case (keys, expectedPerFile, fpp) =>
       val idx = computeSetIndex(spark, files, keys, expectedPerFile, fpp)
         .coalesce(1).localCheckpoint(true)
       if (rows < 0)
-        rows = Option(idx.agg(sum("rows")).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        rows = totalRows(idx)
       idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
     }
     writeManifest(spark, root, version, files, rows)
@@ -457,8 +466,7 @@ object SnapshotSink {
       val fresh = computeFileStats(spark, files, statsCols)
       val stats = prior.map(p => statsTable(spark, root, Some(p._2)).unionByName(fresh))
         .getOrElse(fresh).coalesce(1).localCheckpoint(true)
-      rows = Option(stats.agg(sum("rows")).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      rows = totalRows(stats)
       stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
     }
     setKeys.foreach { case (keys, expectedPerFile, fpp) =>
@@ -471,8 +479,7 @@ object SnapshotSink {
         spark.read.parquet(pd.toString).unionByName(fresh)
       }.getOrElse(fresh).coalesce(1).localCheckpoint(true)
       if (rows < 0)
-        rows = Option(idx.agg(sum("rows")).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        rows = totalRows(idx)
       idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
     }
     writeManifest(spark, root, version, all, rows)
@@ -600,10 +607,6 @@ object SnapshotSink {
     val s = snapshot(spark, root)
     val hit = readSetPruned(spark, root, h, Some(s.version))
     if (hit.files.isEmpty) return s // nothing can match — no new version
-    // sidecar file strings come from input_file_name() (`file:///…`),
-    // manifest files from Path.toString (`file:/…`) — compare in Path-
-    // canonical form or the victim files silently land in `untouched`
-    def canon(p: String) = new Path(p).toString
     val hitCanon = hit.files.map(canon).toSet
     val untouched = s.files.filterNot(f => hitCanon.contains(canon(f)))
     val survivors = spark.read.parquet(hit.files: _*)
@@ -620,8 +623,7 @@ object SnapshotSink {
       else priorIdx.unionByName(
         computeSetIndex(spark, newFiles, keys, expectedPerFile, fpp)))
       .coalesce(1).localCheckpoint(true)
-    val rows = Option(idx.agg(sum("rows")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val rows = totalRows(idx)
     idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
     writeManifest(spark, root, version, all, rows)
   }
@@ -658,7 +660,6 @@ object SnapshotSink {
           col(s"${c}__nulls") === lit(0L)).as("drop"),
         (mn.isNotNull && mn >= lit(cutoff)).as("keep"))
       .collect()
-    def canon(p: String) = new Path(p).toString
     val keepCanon = parts.filter(_.getAs[Boolean]("keep"))
       .map(r => canon(r.getString(0))).toSet
     // dropped files need no action at all — they are simply absent from
@@ -683,8 +684,7 @@ object SnapshotSink {
       else priorStats.unionByName(
         computeFileStats(spark, newFiles, statsCols, sumCols)))
       .coalesce(1).localCheckpoint(true)
-    val rows = Option(stats.agg(sum("rows")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val rows = totalRows(stats)
     stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
     writeManifest(spark, root, version, all, rows)
   }
@@ -728,7 +728,6 @@ object SnapshotSink {
     val hitSidecarFiles = parts.filter(r =>
         graft.plans.BloomSetAgg.mightContainAny(r.getAs[Array[Byte]]("bloom"), hashes))
       .map(_.getString(0)).toSeq.sorted
-    def canon(p: String) = new Path(p).toString
     val hitCanon = hitSidecarFiles.map(canon).toSet
     val untouched = s.files.filterNot(f => hitCanon.contains(canon(f)))
     val stored =
@@ -747,8 +746,7 @@ object SnapshotSink {
       else priorIdx.unionByName(
         computeSetIndex(spark, newFiles, keys, expectedPerFile, fpp)))
       .coalesce(1).localCheckpoint(true)
-    val rows = Option(idx.agg(sum("rows")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val rows = totalRows(idx)
     idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
     writeManifest(spark, root, version, all, rows)
   }
