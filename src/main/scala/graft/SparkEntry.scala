@@ -4379,7 +4379,7 @@ object SparkEntry {
        |      AS BIGINT) AS qn
        |  FROM emb e, q WHERE e.doc_id <> 0)
        |SELECT doc_id, dot, n2,
-       |  CAST(dot AS DOUBLE) / sqrt(CAST(n2 * qn AS DOUBLE)) AS cosine
+       |  CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE) * CAST(qn AS DOUBLE)) AS cosine
        |FROM sc WHERE n2 > 0 ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin
   }
 

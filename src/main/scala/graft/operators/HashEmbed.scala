@@ -76,17 +76,21 @@ object HashEmbed {
         SketchFunctions.portableHash64(TextAnalysis.tokens(col(textCol))).as("hs"))
       .localCheckpoint(true)
     val embedded = hashed.select(col(idCol), embedFromHashes(col("hs"), dim).as("v"))
-    val q = embedded.filter(col(idCol) === queryId)
-      .head().getSeq[Long](1)
+    val qRows = embedded.filter(col(idCol) === queryId).take(1)
+    require(qRows.nonEmpty, s"query id $queryId not present in '$idCol'")
+    val q = qRows.head.getSeq[Long](1)
     require(q.exists(_ != 0L), s"query $queryId has a zero embedding")
     val qn = q.map(x => x * x).sum
     embedded.filter(col(idCol) =!= queryId)
       .withColumn("dot", dotLit(col("v"), q))
       .withColumn("n2", norm2(col("v")))
       .filter(col("n2") > 0L)
+      // norms multiply as DOUBLES: n2·qn in Long overflows for long
+      // repetitive docs (n2 ≤ dim·t², two ~15k-token docs wrap
+      // negative → NaN cosine, which Spark ranks FIRST on desc)
       .withColumn("cosine",
         col("dot").cast("double") /
-          sqrt((col("n2") * lit(qn)).cast("double")))
+          sqrt(col("n2").cast("double") * lit(qn.toDouble)))
       .select(col(idCol), col("dot"), col("n2"), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

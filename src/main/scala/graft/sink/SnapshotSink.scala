@@ -139,12 +139,10 @@ object SnapshotSink {
     writeManifest(spark, root, version, all, total)
   }
 
-  /** The committed snapshot descriptor for `version` (default: latest). */
-  def snapshot(spark: SparkSession, root: String, version: Option[Int] = None): Snapshot = {
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no committed snapshots under $root")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
+  /** Read `v`'s manifest directly — the caller vouches `v` is committed
+    * (no directory re-listing; [[history]] reads V manifests off ONE
+    * listing instead of V+1). */
+  private def readManifest(spark: SparkSession, root: String, v: Int): Snapshot = {
     val p = new Path(manifestDir(root), s"v$v.json")
     val f = fs(spark, p)
     val in = f.open(p)
@@ -155,6 +153,15 @@ object SnapshotSink {
     // manifest fields are machine-written (see commit) — parse positionally
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
     Snapshot(v, parseFilesArray(json), rows)
+  }
+
+  /** The committed snapshot descriptor for `version` (default: latest). */
+  def snapshot(spark: SparkSession, root: String, version: Option[Int] = None): Snapshot = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
+    readManifest(spark, root, v)
   }
 
   /** The `"files":[...]` array, parsed by an escape-aware character walk.
@@ -199,9 +206,9 @@ object SnapshotSink {
     * time-travel read lands. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    versions(spark, root)
+    versions(spark, root) // ONE listing; then one manifest read per version
       .map { v =>
-        val s = snapshot(spark, root, Some(v))
+        val s = readManifest(spark, root, v)
         (v, s.files.size, s.rows)
       }
       .toDF("version", "n_files", "n_rows")
@@ -315,16 +322,26 @@ object SnapshotSink {
     * the same order every manifest read already costs; a deployment with
     * millions of files would push this selection into a join against the
     * sidecar table instead. */
+  /** The zone-map kept-file list for `lo ≤ c ≤ hi` on `version` —
+    * shared by the single, set-composite and multi-range reads so the
+    * composite paths intersect LISTS instead of constructing and
+    * discarding DataFrames. */
+  private def keptByRange(
+      spark: SparkSession, root: String, version: Int,
+      c: String, lo: Any, hi: Any): Seq[String] = {
+    val mn = col(s"${c}__min")
+    val mx = col(s"${c}__max")
+    statsTable(spark, root, Some(version))
+      .filter(mn.isNotNull && mx.isNotNull && !(mn > lit(hi) || mx < lit(lo)))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+  }
+
   def readPruned(
       spark: SparkSession, root: String, c: String, lo: Any, hi: Any,
       version: Option[Int] = None): PrunedRead = {
     val s = snapshot(spark, root, version)
     require(s.files.nonEmpty, s"snapshot v${s.version} has no files")
-    val mn = col(s"${c}__min")
-    val mx = col(s"${c}__max")
-    val kept = statsTable(spark, root, Some(s.version))
-      .filter(mn.isNotNull && mx.isNotNull && !(mn > lit(hi) || mx < lit(lo)))
-      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    val kept = keptByRange(spark, root, s.version, c, lo, hi)
     val df =
       if (kept.isEmpty)
         spark.read.parquet(s.files: _*).filter(lit(false))
@@ -393,6 +410,8 @@ object SnapshotSink {
     val spark = df.sparkSession
     val files = writeFiles(df, root)
     val version = versions(spark, root).lastOption.getOrElse(0) + 1
+    if (files.isEmpty) // zero-part write: an empty version, like commit()
+      return writeManifest(spark, root, version, Seq.empty, 0L)
     var rows = -1L
     if (statsCols.nonEmpty) {
       val stats = computeFileStats(spark, files, statsCols, sumCols)
@@ -451,21 +470,37 @@ object SnapshotSink {
     * under the specialized entry points. */
   def appendIndexed(
       df: DataFrame, root: String, statsCols: Seq[String],
-      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)]): Snapshot = {
+      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)],
+      sumCols: Seq[String] = Seq.empty): Snapshot = {
     require(statsCols.nonEmpty || setKeys.nonEmpty,
       "appendIndexed needs at least one index (stats columns or set keys)")
+    require(sumCols.isEmpty || statsCols.nonEmpty,
+      "sumCols ride the zone-map sidecar — statsCols must be non-empty")
     val spark = df.sparkSession
     val prior = versions(spark, root).lastOption.map { v =>
       (snapshot(spark, root, Some(v)), v)
     }
     val files = writeFiles(df, root)
+    if (files.isEmpty) // empty batch: nothing to add, no version burned
+      return prior.map(_._1).getOrElse(
+        writeManifest(spark, root, 1, Seq.empty, 0L))
     val version = prior.map(_._2).getOrElse(0) + 1
     val all = (prior.map(_._1.files).getOrElse(Seq.empty) ++ files).sorted
     var rows = -1L
     if (statsCols.nonEmpty) {
-      val fresh = computeFileStats(spark, files, statsCols)
-      val stats = prior.map(p => statsTable(spark, root, Some(p._2)).unionByName(fresh))
-        .getOrElse(fresh).coalesce(1).localCheckpoint(true)
+      val fresh = computeFileStats(spark, files, statsCols, sumCols)
+      val stats = prior.map { p =>
+        val pst = statsTable(spark, root, Some(p._2))
+        // loud schema guard: an append must extend the sidecar with the
+        // SAME statsCols/sumCols the lineage was committed with, or a
+        // sum-carrying lineage silently becomes unappendable
+        require(pst.columns.toSet == fresh.columns.toSet,
+          s"stats sidecar schema mismatch: prior has " +
+            s"[${pst.columns.sorted.mkString(",")}], this append computes " +
+            s"[${fresh.columns.sorted.mkString(",")}] — pass the lineage's " +
+            "original statsCols and sumCols")
+        pst.unionByName(fresh)
+      }.getOrElse(fresh).coalesce(1).localCheckpoint(true)
       rows = totalRows(stats)
       stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
     }
@@ -494,9 +529,9 @@ object SnapshotSink {
       spark: SparkSession, root: String, c: String, lo: Any, hi: Any, h: Long,
       version: Option[Int] = None): PrunedRead = {
     val s = snapshot(spark, root, version)
-    val range = readPruned(spark, root, c, lo, hi, Some(s.version))
-    val set = readSetPruned(spark, root, h, Some(s.version))
-    val kept = (range.files.toSet intersect set.files.toSet).toSeq.sorted
+    require(s.files.nonEmpty, s"snapshot v${s.version} has no files")
+    val kept = (keptByRange(spark, root, s.version, c, lo, hi).toSet intersect
+      keptBySet(spark, root, s.version, h).toSet).toSeq.sorted
     val df =
       if (kept.isEmpty) spark.read.parquet(s.files: _*).filter(lit(false))
       else spark.read.parquet(kept: _*).filter(col(c) >= lit(lo) && col(c) <= lit(hi))
@@ -509,18 +544,24 @@ object SnapshotSink {
     * predicate; a pruned file provably has no such row). Per-file probe
     * runs on the driver over the sidecar — metadata-scale, like the
     * zone-map path. */
+  /** The set-index kept-file list for probe `h` on `version`. */
+  private def keptBySet(
+      spark: SparkSession, root: String, version: Int, h: Long): Seq[String] = {
+    val p = setIndexDir(root, version)
+    require(fs(spark, p).exists(p),
+      s"snapshot v$version has no set index (committed without one — " +
+        "use commitWithSetIndex)")
+    spark.read.parquet(p.toString).select("file", "bloom").collect()
+      .filter(r => graft.plans.BloomSetAgg.mightContain(r.getAs[Array[Byte]]("bloom"), h))
+      .map(_.getString(0)).toSeq.sorted
+  }
+
   def readSetPruned(
       spark: SparkSession, root: String, h: Long,
       version: Option[Int] = None): PrunedRead = {
     val s = snapshot(spark, root, version)
     require(s.files.nonEmpty, s"snapshot v${s.version} has no files")
-    val p = setIndexDir(root, s.version)
-    require(fs(spark, p).exists(p),
-      s"snapshot v${s.version} has no set index (committed without one — " +
-        "use commitWithSetIndex)")
-    val kept = spark.read.parquet(p.toString).select("file", "bloom").collect()
-      .filter(r => graft.plans.BloomSetAgg.mightContain(r.getAs[Array[Byte]]("bloom"), h))
-      .map(_.getString(0)).toSeq.sorted
+    val kept = keptBySet(spark, root, s.version, h)
     val df =
       if (kept.isEmpty) spark.read.parquet(s.files: _*).filter(lit(false))
       else spark.read.parquet(kept: _*)
@@ -560,7 +601,12 @@ object SnapshotSink {
     val mn = col(s"${c}__min")
     val mx = col(s"${c}__max")
     val overlaps = mn.isNotNull && mx.isNotNull && !(mn > lit(hi) || mx < lit(lo))
-    val contained = overlaps && mn >= lit(lo) && mx <= lit(hi)
+    // metadata-only service requires EVERY row of the file to satisfy
+    // the range — null-c rows are invisible to min/max but rejected by
+    // the residual filter, so a null-carrying file must scan (the same
+    // null guard expireBelow's whole-file drop uses)
+    val contained = overlaps && mn >= lit(lo) && mx <= lit(hi) &&
+      col(s"${c}__nulls") === lit(0L)
     val parts = st.select(col("file"), col("rows"), col(s"${measure}__sum").as("msum"),
         overlaps.as("ov"), contained.as("cont"))
       .filter(col("ov")).collect()
@@ -579,6 +625,62 @@ object SnapshotSink {
     val out = metaDf.unionByName(scanned)
       .agg(sum("n").cast("long").as("n"), sum("s").cast(SumDec).as("sum"))
     AggServed(out, meta.length, boundary.length, s.files.size)
+  }
+
+  /** The shared sidecar tail of every targeted maintenance op
+    * (delete/upsert/TTL): write version `version`'s sidecars by
+    * CARRYING the prior version's rows for files whose canonical path
+    * is in `carriedCanon` and recomputing rows for `newFiles`.
+    * WHICHEVER sidecar the prior version carries is extended — a
+    * dual-indexed lineage (commitIndexed with stats AND set keys) stays
+    * dual-indexed through maintenance; a present sidecar whose rebuild
+    * parameters weren't passed is refused loudly rather than silently
+    * severed. Returns the new version's total rows. */
+  private def carrySidecars(
+      spark: SparkSession, root: String, priorVersion: Int, version: Int,
+      carriedCanon: Set[String], newFiles: Seq[String],
+      statsCols: Seq[String], sumCols: Seq[String],
+      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)]): Long = {
+    var rows = -1L
+    def carried(sidecar: DataFrame): DataFrame = {
+      val keepList = sidecar.select("file").collect().map(_.getString(0))
+        .filter(f => carriedCanon.contains(canon(f))).toSeq
+      sidecar.filter(col("file").isin(keepList: _*))
+    }
+    val sd = statsDir(root, priorVersion)
+    if (fs(spark, sd).exists(sd)) {
+      require(statsCols.nonEmpty,
+        "lineage carries a zone-map sidecar — pass its statsCols (and " +
+          "sumCols) so the maintenance op can extend it")
+      val prior = carried(spark.read.parquet(sd.toString))
+      val fresh =
+        if (newFiles.isEmpty) prior.limit(0)
+        else computeFileStats(spark, newFiles, statsCols, sumCols)
+      require(prior.columns.toSet == fresh.columns.toSet,
+        s"stats sidecar schema mismatch: prior has " +
+          s"[${prior.columns.sorted.mkString(",")}], this op computes " +
+          s"[${fresh.columns.sorted.mkString(",")}] — pass the lineage's " +
+          "original statsCols and sumCols")
+      val stats = prior.unionByName(fresh).coalesce(1).localCheckpoint(true)
+      rows = totalRows(stats)
+      stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
+    }
+    val xd = setIndexDir(root, priorVersion)
+    if (fs(spark, xd).exists(xd)) {
+      require(setKeys.nonEmpty,
+        "lineage carries a set index — pass setKeys (keys column, " +
+          "expectedPerFile, fpp) so the maintenance op can extend it")
+      val (keys, expectedPerFile, fpp) = setKeys.get
+      val prior = carried(spark.read.parquet(xd.toString))
+      val idx = (if (newFiles.isEmpty) prior
+        else prior.unionByName(
+          computeSetIndex(spark, newFiles, keys, expectedPerFile, fpp)))
+        .coalesce(1).localCheckpoint(true)
+      if (rows < 0) rows = totalRows(idx)
+      idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    }
+    require(rows >= 0, "lineage has no sidecars to carry")
+    rows
   }
 
   /** TARGETED DELETE — the lakehouse DELETE with the Bloom set index
@@ -603,28 +705,23 @@ object SnapshotSink {
       spark: SparkSession, root: String, h: Long,
       pred: org.apache.spark.sql.Column,
       keys: org.apache.spark.sql.Column,
-      expectedPerFile: Long, fpp: Double = 0.01): Snapshot = {
+      expectedPerFile: Long, fpp: Double = 0.01,
+      statsCols: Seq[String] = Seq.empty,
+      sumCols: Seq[String] = Seq.empty): Snapshot = {
     val s = snapshot(spark, root)
-    val hit = readSetPruned(spark, root, h, Some(s.version))
-    if (hit.files.isEmpty) return s // nothing can match — no new version
-    val hitCanon = hit.files.map(canon).toSet
+    val hitFiles = keptBySet(spark, root, s.version, h)
+    if (hitFiles.isEmpty) return s // nothing can match — no new version
+    val hitCanon = hitFiles.map(canon).toSet
+    val carriedCanon = s.files.map(canon).toSet -- hitCanon
     val untouched = s.files.filterNot(f => hitCanon.contains(canon(f)))
-    val survivors = spark.read.parquet(hit.files: _*)
+    val survivors = spark.read.parquet(hitFiles: _*)
       .filter(!coalesce(pred, lit(false)))
-      .coalesce(hit.files.size)
+      .coalesce(hitFiles.size)
     val newFiles = writeFiles(survivors, root)
     val version = s.version + 1
     val all = (untouched ++ newFiles).sorted
-    val sidecar = spark.read.parquet(setIndexDir(root, s.version).toString)
-    val sidecarKeep = sidecar.select("file").collect().map(_.getString(0))
-      .filter(f => !hitCanon.contains(canon(f))).toSeq
-    val priorIdx = sidecar.filter(col("file").isin(sidecarKeep: _*))
-    val idx = (if (newFiles.isEmpty) priorIdx
-      else priorIdx.unionByName(
-        computeSetIndex(spark, newFiles, keys, expectedPerFile, fpp)))
-      .coalesce(1).localCheckpoint(true)
-    val rows = totalRows(idx)
-    idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    val rows = carrySidecars(spark, root, s.version, version, carriedCanon,
+      newFiles, statsCols, sumCols, Some((keys, expectedPerFile, fpp)))
     writeManifest(spark, root, version, all, rows)
   }
 
@@ -645,7 +742,8 @@ object SnapshotSink {
     * which is the retention/erasure clock. */
   def expireBelow(
       spark: SparkSession, root: String, c: String, cutoff: Any,
-      statsCols: Seq[String], sumCols: Seq[String] = Seq.empty): Snapshot = {
+      statsCols: Seq[String], sumCols: Seq[String] = Seq.empty,
+      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)] = None): Snapshot = {
     require(statsCols.contains(c), s"expiry column '$c' must be a stats column")
     val s = snapshot(spark, root)
     val st = statsTable(spark, root, Some(s.version))
@@ -677,15 +775,8 @@ object SnapshotSink {
         root)
     val version = s.version + 1
     val all = (kept ++ newFiles).sorted
-    val keepList = parts.map(_.getString(0))
-      .filter(f => keepCanon.contains(canon(f))).toSeq
-    val priorStats = st.filter(col("file").isin(keepList: _*))
-    val stats = (if (newFiles.isEmpty) priorStats
-      else priorStats.unionByName(
-        computeFileStats(spark, newFiles, statsCols, sumCols)))
-      .coalesce(1).localCheckpoint(true)
-    val rows = totalRows(stats)
-    stats.write.mode("overwrite").parquet(statsDir(root, version).toString)
+    val rows = carrySidecars(spark, root, s.version, version, keepCanon,
+      newFiles, statsCols, sumCols, setKeys)
     writeManifest(spark, root, version, all, rows)
   }
 
@@ -709,7 +800,9 @@ object SnapshotSink {
       keyCols: Seq[String], verCol: String,
       tieBreak: Seq[org.apache.spark.sql.Column],
       keys: org.apache.spark.sql.Column,
-      expectedPerFile: Long, fpp: Double = 0.01): Snapshot = {
+      expectedPerFile: Long, fpp: Double = 0.01,
+      statsCols: Seq[String] = Seq.empty,
+      sumCols: Seq[String] = Seq.empty): Snapshot = {
     require(keyCols.nonEmpty, "upsertKeyed needs key columns")
     val s = snapshot(spark, root)
     val idxPath = setIndexDir(root, s.version)
@@ -739,15 +832,9 @@ object SnapshotSink {
     val newFiles = writeFiles(resolved, root)
     val version = s.version + 1
     val all = (untouched ++ newFiles).sorted
-    val keepList = parts.map(_.getString(0))
-      .filter(f => !hitCanon.contains(canon(f))).toSeq
-    val priorIdx = sidecar.filter(col("file").isin(keepList: _*))
-    val idx = (if (newFiles.isEmpty) priorIdx
-      else priorIdx.unionByName(
-        computeSetIndex(spark, newFiles, keys, expectedPerFile, fpp)))
-      .coalesce(1).localCheckpoint(true)
-    val rows = totalRows(idx)
-    idx.write.mode("overwrite").parquet(setIndexDir(root, version).toString)
+    val carriedCanon = s.files.map(canon).toSet -- hitCanon
+    val rows = carrySidecars(spark, root, s.version, version, carriedCanon,
+      newFiles, statsCols, sumCols, Some((keys, expectedPerFile, fpp)))
     writeManifest(spark, root, version, all, rows)
   }
 
@@ -769,7 +856,8 @@ object SnapshotSink {
       spark: SparkSession, root: String, targetFiles: Int,
       clusterCol: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
-      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)] = None): Snapshot = {
+      setKeys: Option[(org.apache.spark.sql.Column, Long, Double)] = None,
+      sumCols: Seq[String] = Seq.empty): Snapshot = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val s = snapshot(spark, root)
     require(s.files.nonEmpty, s"snapshot v${s.version} has no files to compact")
@@ -779,7 +867,7 @@ object SnapshotSink {
       case None => df.coalesce(targetFiles)
     }
     if (statsCols.nonEmpty || setKeys.nonEmpty)
-      commitIndexed(laid, root, statsCols, setKeys)
+      commitIndexed(laid, root, statsCols, setKeys, sumCols)
     else commit(laid, root)
   }
 

@@ -49,6 +49,28 @@ class HashEmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineTopK: huge repetitive docs do not overflow the norm product into NaN-first ranking") {
+    // n2 ≈ dim·t² for t identical tokens; two ~15k-token docs make
+    // n2·qn ≈ 1.3e19 > Long.MaxValue — a Long multiply wraps negative,
+    // sqrt goes NaN, and Spark ranks NaN FIRST on desc. The double
+    // product must rank the true twin first instead.
+    val huge = Seq.fill(15000)("tokentoken").mkString(" ")
+    val docs = Seq(
+      (0L, huge),
+      (1L, huge),                           // true twin: cosine 1.0
+      (2L, Seq.fill(15000)("other").mkString(" ")),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val r = HashEmbed.cosineTopK(docs, "text", "doc_id", queryId = 0L, k = 3, dim = 16)
+      .collect()
+    assert(r.head.getLong(0) == 1L)
+    assert(!r.exists(x => x.getAs[Double]("cosine").isNaN))
+    assert(math.abs(r.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    // and a missing query id is a pointed error, not an empty-iterator crash
+    val e = intercept[IllegalArgumentException](
+      HashEmbed.cosineTopK(docs, "text", "doc_id", queryId = 99L, k = 3, dim = 16))
+    assert(e.getMessage.contains("not present"))
+  }
+
   test("cosineTopK: identical text scores cosine 1.0 first; zero-norm docs excluded") {
     val docs = Seq(
       (0L, "parquet scan pruning pushdown"),

@@ -263,6 +263,85 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sumCols"))
   }
 
+  test("metadata-only aggregate: null range-column rows demote their file to a scan (no overcount)") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    // k = 0..39 over 4 files; one row in the [10,19] file has k = NULL —
+    // that file's min/max still read [10,19], so a naive 'contained'
+    // test would serve its sidecar rows (including the null row the
+    // residual filter excludes) from metadata and overcount
+    val df = spark.range(40).select(
+      when(col("id") === 15L, lit(null)).otherwise(col("id")).as("k"),
+      col("id").as("m"))
+    SnapshotSink.commitIndexed(
+      df.repartitionByRange(4, col("k")), root, Seq("k"), None, Seq("m"))
+    val served = SnapshotSink.aggRangeFromStats(spark, root, "k", 0L, 39L, "m")
+    // the null-carrying file must SCAN; pure files still serve from metadata
+    assert(served.scanFiles == 1 && served.metaFiles == 3)
+    val r = served.df.head()
+    assert(r.getLong(0) == 39L) // 40 rows minus the null-k row
+    assert(r.getDecimal(1).longValueExact() == (0L until 40L).sum - 15L)
+  }
+
+  test("appendIndexed and compact carry measure sums; schema drift is refused loudly") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    def slab(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") * 2).as("m"))
+    SnapshotSink.commitIndexed(slab(0, 50).repartitionByRange(2, col("k")),
+      root, Seq("k"), None, Seq("m"))
+    // append extends the sum sidecar when the same sumCols are passed
+    SnapshotSink.appendIndexed(slab(50, 100).repartitionByRange(2, col("k")),
+      root, Seq("k"), None, Seq("m"))
+    val a = SnapshotSink.aggRangeFromStats(spark, root, "k", 0L, 99L, "m")
+    assert(a.df.head().getDecimal(1).longValueExact() == (0L until 100L).map(_ * 2).sum)
+    // dropping sumCols on append is refused with a pointed message
+    val e = intercept[IllegalArgumentException](
+      SnapshotSink.appendIndexed(slab(100, 110), root, Seq("k"), None))
+    assert(e.getMessage.contains("schema mismatch"))
+    // compaction re-derives the sum sidecar for the new layout
+    SnapshotSink.compact(spark, root, targetFiles = 2,
+      clusterCol = Some("k"), statsCols = Seq("k"), sumCols = Seq("m"))
+    val c = SnapshotSink.aggRangeFromStats(spark, root, "k", 0L, 49L, "m")
+    assert(c.df.head().getDecimal(1).longValueExact() == (0L until 50L).map(_ * 2).sum)
+  }
+
+  test("maintenance ops keep BOTH sidecars on a dual-indexed lineage") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.{PortableSketch, SketchFunctions}
+    def h(s: String) = PortableSketch.md5Long(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def keys = SketchFunctions.portableHash64(array(col("e").cast("string")))
+    val sk = Some((keys, 64L, 0.01))
+    val root = tmpRoot()
+    val rows = spark.range(80).select(expr("id DIV 10").as("e"),
+      col("id").as("day"), col("id").as("v"))
+    SnapshotSink.commitIndexed(rows.repartition(4, col("e")), root,
+      Seq("day"), sk)
+    // delete keeps the zone maps alive (statsCols passed through)
+    SnapshotSink.deleteMatching(spark, root, h("3"), col("e") === 3L,
+      keys, 64L, statsCols = Seq("day"))
+    assert(SnapshotSink.readPruned(spark, root, "day", 0L, 9L).df.count() == 10L)
+    assert(SnapshotSink.readSetPruned(spark, root, h("2")).df
+      .filter(col("e") === 2L).count() == 10L)
+    // upsert likewise
+    SnapshotSink.upsertKeyed(spark, root,
+      spark.range(1).select(lit(2L).as("e"), lit(999L).as("day"), lit(777L).as("v")),
+      Seq("e", "v"), "day", Nil, keys, 64L, statsCols = Seq("day"))
+    assert(SnapshotSink.readPruned(spark, root, "day", 999L, 999L).df.count() == 1L)
+    // TTL keeps the set index alive (setKeys passed through)
+    SnapshotSink.expireBelow(spark, root, "day", 40L, Seq("day"), setKeys = sk)
+    assert(SnapshotSink.readSetPruned(spark, root, h("6")).df
+      .filter(col("e") === 6L).count() == 10L)
+    // refusing a dual lineage without the rebuild params is loud
+    val e1 = intercept[IllegalArgumentException](
+      SnapshotSink.deleteMatching(spark, root, h("5"), col("e") === 5L, keys, 64L))
+    assert(e1.getMessage.contains("statsCols"))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotSink.expireBelow(spark, root, "day", 50L, Seq("day")))
+    assert(e2.getMessage.contains("setKeys"))
+  }
+
   test("expireBelow: whole files drop from the manifest with zero I/O; only the boundary file rewrites") {
     import org.apache.spark.sql.functions._
     val root = tmpRoot()
