@@ -2294,6 +2294,28 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Extension — CUPED VARIANCE-REDUCED EXPERIMENT READOUT (Deng et al.
+    // WSDM'13): post-period per-user activity adjusted by the pre-period
+    // covariate of the same user, θ = cov(X,Y)/var(X). Every moment is an
+    // exact integer (counts), so θ, the adjusted means, and the ρ²
+    // variance-reduction ratio replay as integer ratios in per-myriad —
+    // engine-exact despite being "statistics". One event-log aggregation;
+    // the moment frames are 1-row/2-row scalars. Hash-exact.
+    "q161_cuped_readout" -> ((s, dir) => {
+      graft.operators.Experiment.cupedReadout(
+        events(s, dir), "user_id", "ts",
+        cutoff = lit("2024-01-15").cast("timestamp"), salt = "cuped1")
+    }),
+
+    // Extension — SAMPLE-RATIO-MISMATCH GUARD: per-day arrival split of
+    // the q109 experiment's assignment, flagged at χ²₁ > 3.8416 via the
+    // integer cross-product test 10000·(n_a−n_b)² > 38416·N. The health
+    // check that runs BEFORE any readout is believed. Hash-exact.
+    "q162_srm_guard" -> ((s, dir) => {
+      graft.operators.Experiment.srmDaily(
+        events(s, dir), "user_id", "ts", salt = "exp1")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4227,6 +4249,62 @@ object SparkEntry {
 
   /** q160: z-order pruned serve — layout + pruning invisible to the
     * RESULT; plain two-predicate filter aggregate. */
+  /** q161: CUPED — the per-user pre/post counts, the md5 arm ledger
+    * (q109's expression), and the exact integer moment algebra replayed
+    * term by term in HUGEINT (⊇ the operator's DECIMAL(38,0)); both
+    * engines' integral division truncates toward zero, so the signed
+    * per-myriad ratios agree bit-for-bit. */
+  private val q161Oracle =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |v AS (SELECT *,
+      |  CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'cuped1'), 1, 8))::BIGINT
+      |             % 10000) < 5000
+      |       THEN 0 ELSE 1 END AS variant FROM pu),
+      |m AS (SELECT count(*)::HUGEINT AS n,
+      |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+      |  sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy,
+      |  sum(y * y)::HUGEINT AS syy FROM v),
+      |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
+      |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+      |  FROM v GROUP BY 1),
+      |s AS (SELECT *,
+      |  n * sxy - sx * sy AS covn,
+      |  n * sxx - sx * sx AS varxn,
+      |  n * syy - sy * sy AS varyn
+      |  FROM a CROSS JOIN m)
+      |SELECT variant, n_v, sum_x, sum_y,
+      |  CAST(sum_y::HUGEINT * 10000 // n_v AS BIGINT) AS mean_y_pm,
+      |  CAST((10000::HUGEINT
+      |        * (sum_y::HUGEINT * varxn * n
+      |           - covn * (sum_x::HUGEINT * n - sx * n_v::HUGEINT)))
+      |       // (n_v::HUGEINT * varxn * n) AS BIGINT) AS mean_y_adj_pm,
+      |  CAST(10000::HUGEINT * covn // varxn AS BIGINT) AS theta_pm,
+      |  CAST(10000::HUGEINT * covn * covn // (varxn * varyn) AS BIGINT)
+      |    AS var_reduction_pm
+      |FROM s ORDER BY variant""".stripMargin
+
+  /** q162: SRM — per-user first active day under the q109 arm ledger,
+    * then the integer χ² cross-product per day. */
+  private val q162Oracle =
+    """WITH fs AS (SELECT user_id,
+      |    CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'exp1'), 1, 8))::BIGINT
+      |               % 10000) < 5000
+      |         THEN 0 ELSE 1 END AS variant,
+      |    min(strftime(ts, '%Y-%m-%d')) AS first_day
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT first_day,
+      |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM fs GROUP BY 1)
+      |SELECT first_day, n_a, n_b,
+      |  10000 * (n_a - n_b) * (n_a - n_b) > 38416 * (n_a + n_b) AS srm
+      |FROM d ORDER BY first_day""".stripMargin
+
   private val q160Oracle =
     """SELECT event_type, count(*) AS n,
       |  count(DISTINCT user_id) AS n_users,
@@ -4921,6 +4999,8 @@ object SparkEntry {
     "q158_sql_surface" -> q158Oracle,
     "q159_store_history" -> q159Oracle,
     "q160_zorder_pruned_serve" -> q160Oracle,
+    "q161_cuped_readout" -> q161Oracle,
+    "q162_srm_guard" -> q162Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

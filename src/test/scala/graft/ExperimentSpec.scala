@@ -68,4 +68,57 @@ class ExperimentSpec extends AnyFunSuite {
       converted = col("metric_value") >= 10, salt = "t").collect().toSeq
     assert(mk() == mk())
   }
+
+  test("CUPED: a perfect covariate (y = 2x) equalizes adjusted means and reports full variance reduction") {
+    // x_u = (u mod 10) + 1 pre-cutoff rows, y_u = 2·x_u post-cutoff rows:
+    // θ = 2 exactly, ρ² = 1, and the adjustment strips ALL between-arm
+    // covariate imbalance — both arms' adjusted mean collapses to the
+    // global 2·mean(x) = 11
+    val rows = users.flatMap { u =>
+      val x = (u % 10).toInt + 1
+      Seq.fill(x)((u, 10L)) ++ Seq.fill(2 * x)((u, 2000L))
+    }
+    val events = rows.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Experiment.cupedReadout(events, "user_id", "ts",
+      cutoff = timestamp_seconds(lit(1000)), salt = "t").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(6) == 20000L, "theta_pm")          // θ = 2
+      assert(r.getLong(7) == 10000L, "var_reduction_pm")  // ρ² = 1
+      assert(r.getLong(5) == 110000L, "mean_y_adj_pm")    // 2·mean(x) = 11
+    }
+    // the RAW means differ across arms (the imbalance CUPED removed)
+    assert(out.map(_.getLong(4)).distinct.length == 2)
+  }
+
+  test("CUPED keeps single-period users in the frame (x=0 or y=0)") {
+    val rows = users.flatMap { u =>
+      if (u % 2 == 0) Seq((u, 10L)) else Seq((u, 2000L)) // pre-only / post-only
+    } ++ users.map(u => (u, 10L)) // and everyone once pre, so var(X) > 0
+    val events = rows.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Experiment.cupedReadout(events, "user_id", "ts",
+      cutoff = timestamp_seconds(lit(1000)), salt = "t").collect()
+    assert(out.map(_.getLong(1)).sum == 200L) // every user counted
+  }
+
+  test("SRM guard flags a one-arm arrival day and passes a balanced one") {
+    val extra = (201L to 500L).toSeq
+    val armsX = armsOf(extra, "t")
+    val day1 = users.map(u => (u, 0L))                       // balanced-ish
+    val day2 = extra.filter(armsX(_) == 0).map(u => (u, 86400L)) // arm-0 only
+    val events = (day1 ++ day2).toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Experiment.srmDaily(events, "user_id", "ts", salt = "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val (n1a, n1b, srm1) = out("1970-01-01")
+    val (n2a, n2b, srm2) = out("1970-01-02")
+    // spec replays the integer χ² test against the REAL assignment counts
+    assert(srm1 == (10000L * (n1a - n1b) * (n1a - n1b) > 38416L * (n1a + n1b)))
+    assert(n2b == 0L && srm2, "a one-arm day must trip the guard")
+    // arrival accounting: day-2 users are the extras, none re-counted
+    assert(n1a + n1b == 200L && n2a == extra.count(armsX(_) == 0).toLong)
+  }
 }
