@@ -2316,6 +2316,21 @@ object SparkEntry {
         events(s, dir), "user_id", "ts", salt = "exp1")
     }),
 
+    // Extension — SPLIT-CONFORMAL COVERAGE AUDIT: distribution-free
+    // interval calibration for a (deliberately crude) length model
+    // ŷ = 6·tokens over documents — q̂ is the ⌈(n_cal+1)(1−α)⌉-th
+    // smallest |y−ŷ| on the md5 calibration split, computed on the
+    // DISTINCT-SCORE frame (counting-sort discipline, never a data-sized
+    // sort), then per-source test coverage. α = 1/10. Hash-exact.
+    "q163_conformal_bounds" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"),
+        (TextAnalysis.tokenCount(col("text")).cast("long") * 6L).as("y_hat"))
+      graft.operators.Conformal.coverageReport(scored, "doc_id", "n_chars",
+        "y_hat", groupCols = Seq("source"), alphaNum = 1, alphaDen = 10,
+        calFraction = 0.5, salt = "conf1")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4288,6 +4303,35 @@ object SparkEntry {
       |    AS var_reduction_pm
       |FROM s ORDER BY variant""".stripMargin
 
+  /** q163: split-conformal — q66's token-count replay feeds the residual
+    * scores; q̂ is the rank-k order statistic via the same distinct-score
+    * cumulative count the operator uses; ∞ spelled as BIGINT max. */
+  private val q163Oracle =
+    """WITH sc AS (SELECT doc_id, source, n_chars::BIGINT AS y,
+      |    6 * len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |            x -> x <> ''))::BIGINT AS y_hat
+      |  FROM documents),
+      |t AS (SELECT source, abs(y - y_hat) AS s,
+      |  CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || 'conf1'), 1, 8))::BIGINT
+      |             % 10000) < 5000
+      |       THEN 0 ELSE 1 END AS split FROM sc),
+      |cc AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM t WHERE split = 0 GROUP BY 1),
+      |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM cc),
+      |nc AS (SELECT CAST(sum(c) AS BIGINT) AS ncal FROM cc),
+      |q AS (SELECT
+      |  coalesce(min(CASE WHEN cum >= ((ncal + 1) * 9 + 9) // 10 THEN s END),
+      |           9223372036854775807) AS q_hat,
+      |  max(ncal) AS n_cal,
+      |  CAST(max(((ncal + 1) * 9 + 9) // 10) AS BIGINT) AS k_rank
+      |  FROM cum CROSS JOIN nc),
+      |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN s <= q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |    max(q_hat) AS q_hat, max(n_cal) AS n_cal, max(k_rank) AS k_rank
+      |  FROM t CROSS JOIN q WHERE split = 1 GROUP BY source)
+      |SELECT source, n_test, n_covered, q_hat, n_cal, k_rank,
+      |  n_covered * 10000 // n_test AS coverage_pm
+      |FROM r ORDER BY source""".stripMargin
+
   /** q162: SRM — per-user first active day under the q109 arm ledger,
     * then the integer χ² cross-product per day. */
   private val q162Oracle =
@@ -5001,6 +5045,7 @@ object SparkEntry {
     "q160_zorder_pruned_serve" -> q160Oracle,
     "q161_cuped_readout" -> q161Oracle,
     "q162_srm_guard" -> q162Oracle,
+    "q163_conformal_bounds" -> q163Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
