@@ -2331,6 +2331,40 @@ object SparkEntry {
         calFraction = 0.5, salt = "conf1")
     }),
 
+    // Extension — FELLEGI–SUNTER RECORD LINKAGE: a deterministic
+    // "re-registration" feed (every 3rd customer, new id; name case-
+    // mangled / segment moved / balance drifted on coprime cycles)
+    // linked back to the customer file with blocked candidates
+    // ((nation, name digit suffix) — keys the corruptions can't touch)
+    // and pinned per-field log-odds weights; per dirty record the best
+    // candidate, agreement pattern, score, and match/possible/non-match
+    // decision. Hash-exact.
+    "q164_record_linkage" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      import graft.operators.RecordLinkage.FieldWeight
+      val c = t(s, dir, "customer")
+      // last two digits of the name — survives the lowercase corruption
+      val blk = expr("substring(c_name, length(c_name) - 1, 2)")
+      val dirty = c.filter(col("c_custkey") % 3 === 0).select(
+        (col("c_custkey") + 10000000L).as("d_id"),
+        col("c_nationkey"),
+        when(col("c_custkey") % 2 === 0, lower(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 7 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 11 === 0, col("c_acctbal") + 1.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        blk.as("blk"))
+      RecordLinkage.linkBest(
+        dirty, "d_id", c.withColumn("blk", blk), "c_custkey",
+        blockCols = Seq("c_nationkey", "blk"),
+        fields = Seq(
+          FieldWeight("c_name", 9900L, -3000L),
+          FieldWeight("c_mktsegment", 3000L, -1500L),
+          FieldWeight("c_acctbal", 5000L, -2000L)),
+        upper = 12000L, lower = 0L)
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4303,6 +4337,39 @@ object SparkEntry {
       |    AS var_reduction_pm
       |FROM s ORDER BY variant""".stripMargin
 
+  /** q164: Fellegi–Sunter — the corruption cycles, the blocked join, the
+    * pinned weights and the two-threshold decision replayed literally;
+    * null-safe agreement spelled IS NOT DISTINCT FROM. */
+  private val q164Oracle =
+    """WITH d AS (SELECT c_custkey + 10000000 AS d_id, c_nationkey,
+      |    CASE WHEN c_custkey % 2 = 0 THEN lower(c_name)
+      |         ELSE c_name END AS nm,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+      |         ELSE c_mktsegment END AS m,
+      |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 1.0
+      |         ELSE c_acctbal END AS b,
+      |    substr(c_name, length(c_name) - 1, 2) AS blk
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |cand AS (SELECT d.d_id, c.c_custkey,
+      |    CAST(CASE WHEN d.nm IS NOT DISTINCT FROM c.c_name THEN 9900 ELSE -3000 END
+      |     + CASE WHEN d.m IS NOT DISTINCT FROM c.c_mktsegment THEN 3000 ELSE -1500 END
+      |     + CASE WHEN d.b IS NOT DISTINCT FROM c.c_acctbal THEN 5000 ELSE -2000 END
+      |      AS BIGINT) AS score,
+      |    CASE WHEN d.nm IS NOT DISTINCT FROM c.c_name THEN '1' ELSE '0' END
+      |     || CASE WHEN d.m IS NOT DISTINCT FROM c.c_mktsegment THEN '1' ELSE '0' END
+      |     || CASE WHEN d.b IS NOT DISTINCT FROM c.c_acctbal THEN '1' ELSE '0' END
+      |      AS agreement
+      |  FROM d JOIN customer c
+      |    ON c.c_nationkey = d.c_nationkey
+      |   AND substr(c.c_name, length(c.c_name) - 1, 2) = d.blk),
+      |best AS (SELECT * FROM cand
+      |  QUALIFY row_number() OVER (PARTITION BY d_id ORDER BY score DESC, c_custkey) = 1)
+      |SELECT d_id, c_custkey AS cand_c_custkey, agreement, score,
+      |  CASE WHEN score >= 12000 THEN 'match'
+      |       WHEN score >= 0 THEN 'possible'
+      |       ELSE 'non_match' END AS decision
+      |FROM best ORDER BY d_id""".stripMargin
+
   /** q163: split-conformal — q66's token-count replay feeds the residual
     * scores; q̂ is the rank-k order statistic via the same distinct-score
     * cumulative count the operator uses; ∞ spelled as BIGINT max. */
@@ -5046,6 +5113,7 @@ object SparkEntry {
     "q161_cuped_readout" -> q161Oracle,
     "q162_srm_guard" -> q162Oracle,
     "q163_conformal_bounds" -> q163Oracle,
+    "q164_record_linkage" -> q164Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
