@@ -2365,6 +2365,16 @@ object SparkEntry {
         upper = 12000L, lower = 0L)
     }),
 
+    // Extension — HEAPS'-LAW VOCABULARY GROWTH: V(n) at token-count
+    // octaves via each type's FIRST-OCCURRENCE position (one min-
+    // aggregate keyed on the token; octave = integer bit length, no
+    // floating log). The corpus-health curve duplication bends flat and
+    // garbage bends linear. Hash-exact.
+    "q165_vocab_growth" -> ((s, dir) => {
+      graft.operators.VocabGrowth.heapsCurve(
+        t(s, dir, "documents"), "doc_id", TextAnalysis.tokens(col("text")))
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4337,6 +4347,34 @@ object SparkEntry {
       |    AS var_reduction_pm
       |FROM s ORDER BY variant""".stripMargin
 
+  /** q165: Heaps' curve — q66's tokenizer replay, corpus offsets via the
+    * doc-order prefix sum, first positions min-aggregated per type,
+    * octave = length(bin(f−1)) (identical integer semantics in both
+    * engines). */
+  private val q165Oracle =
+    """WITH toks AS (SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |dc AS (SELECT doc_id, len(tk)::BIGINT AS t FROM toks),
+      |off AS (SELECT doc_id, sum(t) OVER (ORDER BY doc_id) - t AS o FROM dc),
+      |ex AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+      |    i -> {'tok': tk[i], 'p': i})) AS u FROM toks),
+      |gp AS (SELECT ex.u.tok AS token, ex.u.p + o.o AS pos
+      |  FROM ex JOIN off o ON o.doc_id = ex.doc_id),
+      |fp AS (SELECT token, min(pos)::BIGINT AS f FROM gp GROUP BY 1),
+      |oc AS (SELECT CAST(CASE WHEN f <= 1 THEN 0
+      |                        ELSE length(bin(f - 1)) END AS BIGINT) AS k,
+      |    CAST(count(*) AS BIGINT) AS new_types FROM fp GROUP BY 1),
+      |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n_tokens FROM dc),
+      |res AS (SELECT k, least(1::BIGINT << k, n_tokens) AS prefix_tokens,
+      |    new_types,
+      |    CAST(sum(new_types) OVER (ORDER BY k) AS BIGINT) AS vocab,
+      |    n_tokens
+      |  FROM oc CROSS JOIN tot)
+      |SELECT k, prefix_tokens, new_types, vocab,
+      |  vocab * 10000 // prefix_tokens AS ttr_pm, n_tokens
+      |FROM res ORDER BY k""".stripMargin
+
   /** q164: Fellegi–Sunter — the corruption cycles, the blocked join, the
     * pinned weights and the two-threshold decision replayed literally;
     * null-safe agreement spelled IS NOT DISTINCT FROM. */
@@ -5114,6 +5152,7 @@ object SparkEntry {
     "q162_srm_guard" -> q162Oracle,
     "q163_conformal_bounds" -> q163Oracle,
     "q164_record_linkage" -> q164Oracle,
+    "q165_vocab_growth" -> q165Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
