@@ -2375,6 +2375,21 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", TextAnalysis.tokens(col("text")))
     }),
 
+    // Extension — WATER-FILLING BUDGET ALLOCATOR: 60% of the corpus'
+    // tokens split across sources by the q66 target weights under hard
+    // per-source caps — saturated sources keep their cap, the surplus
+    // redistributes by weight. Non-iterative waterline via the sorted
+    // prefix property, all integer cross-products. Hash-exact.
+    "q166_budget_waterfill" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val strata = docs.groupBy("source").agg(sum("n_tokens").as("cap"))
+        .withColumn("weight",
+          lit(1L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(3L)))
+      val budget = strata.agg(expr("sum(cap) * 3 DIV 5"))
+      graft.operators.BudgetAlloc.waterFill(strata, "source", "cap", "weight", budget)
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4347,6 +4362,41 @@ object SparkEntry {
       |    AS var_reduction_pm
       |FROM s ORDER BY variant""".stripMargin
 
+  /** q166: water-filling — q66's tokenizer + weight replay, the quantized
+    * saturation order, prefix cross-product test, and truncating
+    * proportional split, each in HUGEINT. */
+  private val q166Oracle =
+    """WITH d AS (SELECT source, len(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> x <> ''))::BIGINT AS n FROM documents),
+      |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS cap,
+      |    1 + CAST(substr(source, 4) AS BIGINT) % 3 AS weight
+      |  FROM d GROUP BY source),
+      |b AS (SELECT CAST(sum(cap) * 3 // 5 AS BIGINT) AS budget FROM st),
+      |o AS (SELECT *, cap // weight AS o1,
+      |    (cap % weight) * 1000000 // weight AS o2 FROM st),
+      |f AS (SELECT o.*, b.budget,
+      |    coalesce(sum(cap) OVER (ORDER BY o1, o2, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbefore,
+      |    sum(weight) OVER (ORDER BY o1, o2, source
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wrem
+      |  FROM o CROSS JOIN b),
+      |g AS (SELECT *, cap::HUGEINT * wrem::HUGEINT
+      |    <= (budget - cbefore)::HUGEINT * weight::HUGEINT AS saturated FROM f),
+      |l AS (SELECT
+      |    CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END) AS BIGINT) AS csat,
+      |    CAST(sum(CASE WHEN saturated THEN 0 ELSE weight END) AS BIGINT) AS wun
+      |  FROM g),
+      |r AS (SELECT g.*, l.csat, l.wun,
+      |    CASE WHEN saturated THEN cap
+      |         ELSE least(cap, CAST(weight::HUGEINT * (budget - csat) // wun
+      |                         AS BIGINT)) END AS alloc
+      |  FROM g CROSS JOIN l)
+      |SELECT source, cap, weight, saturated, alloc,
+      |  CAST(alloc::HUGEINT * 10000 // cap AS BIGINT) AS fill_pm,
+      |  CAST(alloc::HUGEINT * 10000 // budget AS BIGINT) AS share_pm
+      |FROM r ORDER BY source""".stripMargin
+
   /** q165: Heaps' curve — q66's tokenizer replay, corpus offsets via the
     * doc-order prefix sum, first positions min-aggregated per type,
     * octave = length(bin(f−1)) (identical integer semantics in both
@@ -5153,6 +5203,7 @@ object SparkEntry {
     "q163_conformal_bounds" -> q163Oracle,
     "q164_record_linkage" -> q164Oracle,
     "q165_vocab_growth" -> q165Oracle,
+    "q166_budget_waterfill" -> q166Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
