@@ -2390,6 +2390,18 @@ object SparkEntry {
       graft.operators.BudgetAlloc.waterFill(strata, "source", "cap", "weight", budget)
     }),
 
+    // Extension — OFF-POLICY EVALUATION (IPS / SNIPS / ESS): what would
+    // a deterministic target policy have earned from these logs? Closed
+    // {1/4, 3/4} propensities make every weight the rational k/3, so
+    // both estimators and Owen's effective-sample-size reduce to exact
+    // integer ratios. One scan, one small-group aggregate. Hash-exact.
+    "q167_ips_offpolicy" -> ((s, dir) => {
+      graft.operators.OffPolicy.ipsReadout(
+        events(s, dir), "user_id", "event_type", "value",
+        actions = Seq("click", "error", "purchase", "signup", "view"),
+        propSalt = "prop1", targetSalt = "tgt1")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4362,6 +4374,38 @@ object SparkEntry {
       |    AS var_reduction_pm
       |FROM s ORDER BY variant""".stripMargin
 
+  /** q167: off-policy — target action by md5 list index, propensity arm
+    * by md5 of "user:action", the decimal reward accumulator and the
+    * three integer ratios replayed in HUGEINT. */
+  private val q167Oracle =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |    ['click', 'error', 'purchase', 'signup', 'view'][
+      |      (('0x' || substr(md5(user_id::VARCHAR || 'tgt1'), 1, 8))::BIGINT
+      |       % 10000) % 5 + 1] AS target,
+      |    CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || ':' || event_type
+      |                    || 'prop1'), 1, 8))::BIGINT % 10000) < 5000
+      |         THEN 12 ELSE 4 END AS k
+      |  FROM events),
+      |g AS (SELECT target AS target_action, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = target THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_matched,
+      |    CAST(sum(CASE WHEN event_type = target THEN k ELSE 0 END) AS BIGINT)
+      |      AS sum_k,
+      |    CAST(sum(CASE WHEN event_type = target THEN k * k ELSE 0 END) AS BIGINT)
+      |      AS sum_k2,
+      |    CAST(sum(CASE WHEN event_type = target
+      |             THEN CAST(value AS DECIMAL(12,2)) * k * 100
+      |             ELSE 0 END) AS HUGEINT) AS num
+      |  FROM e GROUP BY 1)
+      |SELECT target_action, n, n_matched, sum_k,
+      |  CAST(num * 10 // (3 * n) AS BIGINT) AS ips_milli,
+      |  CASE WHEN sum_k > 0 THEN CAST(num * 10 // sum_k AS BIGINT)
+      |       ELSE 0 END AS snips_milli,
+      |  CASE WHEN sum_k2 > 0
+      |       THEN CAST(sum_k::HUGEINT * sum_k * 10000 // (n * sum_k2) AS BIGINT)
+      |       ELSE 0 END AS ess_pm
+      |FROM g ORDER BY target_action""".stripMargin
+
   /** q166: water-filling — q66's tokenizer + weight replay, the quantized
     * saturation order, prefix cross-product test, and truncating
     * proportional split, each in HUGEINT. */
@@ -5204,6 +5248,7 @@ object SparkEntry {
     "q164_record_linkage" -> q164Oracle,
     "q165_vocab_growth" -> q165Oracle,
     "q166_budget_waterfill" -> q166Oracle,
+    "q167_ips_offpolicy" -> q167Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
