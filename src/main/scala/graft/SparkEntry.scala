@@ -2402,6 +2402,23 @@ object SparkEntry {
         propSalt = "prop1", targetSalt = "tgt1")
     }),
 
+    // Extension — SCORE LIFT / GAINS TABLE: the q145 hashing-trick
+    // scorer audited against a reference label (n_chars ≥ 400) in ten
+    // equi-width score bands — per-band precision plus top-down
+    // cumulative gains and lift vs base rate. Banding is scan-side
+    // integer arithmetic (no global rank); the verdict here is the flat
+    // ~1× curve a no-signal scorer HAS to show — the audit doing its
+    // job. Hash-exact.
+    "q168_score_lift" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        QualityModel.scoreMicros(col("text"),
+          QualityModel.pinnedWeights(1024, seed = 7L), 0L).as("score_micros"),
+        (col("n_chars") >= 400L).as("label"))
+      graft.operators.LiftAudit.liftTable(scored, "score_micros", "label",
+        lo = -15000L, hi = 15000L, bands = 10)
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4806,6 +4823,37 @@ object SparkEntry {
     * pinned weight FORMULA regenerated per token, exact integer sum
     * (empty docs fall back to the bias via coalesce, Spark's empty-
     * aggregate convention), same ≥ threshold rule. */
+  /** q168: lift table — q145's score replay feeding the integer banding,
+    * band-frame windows, and HUGEINT ratio-of-ratios lift. */
+  private def q168Oracle: String = {
+    val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
+    s"""WITH s AS (SELECT doc_id,
+       |    CAST(coalesce(list_aggregate(list_transform(toks,
+       |        t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |      AS BIGINT) AS sc, n_chars
+       |  FROM (SELECT doc_id, n_chars,
+       |      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> x <> '') AS toks
+       |    FROM documents)),
+       |b AS (SELECT least(9, greatest(0, ((sc - (-15000)) * 10) // 30000)) AS band,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM s GROUP BY 1),
+       |c AS (SELECT band, n, n_pos,
+       |    CAST(sum(n) OVER () AS BIGINT) AS nn,
+       |    CAST(sum(n_pos) OVER () AS BIGINT) AS npos,
+       |    CAST(sum(n) OVER (ORDER BY band DESC) AS BIGINT) AS cum_n,
+       |    CAST(sum(n_pos) OVER (ORDER BY band DESC) AS BIGINT) AS cum_pos
+       |  FROM b)
+       |SELECT band, -15000 + (band * 30000) // 10 AS band_lo, n, n_pos,
+       |  n_pos * 10000 // n AS prec_pm, cum_n, cum_pos,
+       |  cum_pos * 10000 // cum_n AS cum_prec_pm,
+       |  CASE WHEN npos > 0
+       |       THEN CAST(cum_pos::HUGEINT * nn * 10000 // (cum_n * npos) AS BIGINT)
+       |       ELSE 0 END AS lift_pm
+       |FROM c ORDER BY band DESC""".stripMargin
+  }
+
   private def q145Oracle: String = {
     val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
     s"""SELECT doc_id,
@@ -5249,6 +5297,7 @@ object SparkEntry {
     "q165_vocab_growth" -> q165Oracle,
     "q166_budget_waterfill" -> q166Oracle,
     "q167_ips_offpolicy" -> q167Oracle,
+    "q168_score_lift" -> q168Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.LiftAudit
+
+class LiftAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def table(rows: Seq[(Long, Boolean)], lo: Long = 0L, hi: Long = 100L,
+      bands: Int = 10) =
+    LiftAudit.liftTable(rows.toDF("score", "label"), "score", "label",
+      lo, hi, bands).collect()
+
+  test("a perfect scorer shows top-band lift = N/positives") {
+    // 100 rows, 10 positives all scoring 95+ (band 9)
+    val rows = (1L to 90L).map(i => (i % 50, false)) ++
+      (1L to 10L).map(i => (95L + (i % 5), true))
+    val out = table(rows)
+    val top = out.head
+    assert(top.getAs[Long]("band") == 9L)
+    assert(top.getAs[Long]("n_pos") == 10L && top.getAs[Long]("n") == 10L)
+    assert(top.getAs[Long]("lift_pm") == 100000L) // 10x base rate
+  }
+
+  test("the bottom cumulative row is exactly the base rate (lift 1x)") {
+    val rows = (1L to 97L).map(i => (i % 100, i % 3 == 0))
+    val out = table(rows)
+    assert(out.last.getAs[Long]("cum_n") == 97L)
+    assert(out.last.getAs[Long]("lift_pm") == 10000L)
+  }
+
+  test("out-of-range scores clamp into edge bands; nothing is dropped") {
+    val rows = Seq((-500L, true), (0L, false), (99L, false), (5000L, true))
+    val out = table(rows)
+    assert(out.map(_.getAs[Long]("n")).sum == 4L)
+    assert(out.map(_.getAs[Long]("band")).toSet == Set(0L, 9L))
+    assert(out.find(_.getAs[Long]("band") == 9L).get.getAs[Long]("n_pos") == 1L)
+  }
+
+  test("zero positives: lift reports 0 rather than dividing by zero") {
+    val out = table(Seq((10L, false), (80L, false)))
+    out.foreach(r => assert(r.getAs[Long]("lift_pm") == 0L))
+  }
+
+  test("band edges are integer floor boundaries") {
+    // width 100, 10 bands: score 9 -> band 0, score 10 -> band 1
+    val out = table(Seq((9L, false), (10L, true)))
+    val byBand = out.map(r => r.getAs[Long]("band") -> r.getAs[Long]("band_lo")).toMap
+    assert(byBand == Map(0L -> 0L, 1L -> 10L))
+  }
+}
