@@ -178,15 +178,30 @@ object Experiment {
       userCol: String,
       tsCol: String,
       salt: String = ""
-  ): DataFrame = {
-    // day as a 'yyyy-MM-dd' string: calendar keys travel between engines
-    // as text (DateType physicalizes differently per reader), and the
-    // lexicographic order IS the calendar order
-    val firstSeen = Sampling.withSplitId(
+  ): DataFrame =
+    srmFromLedger(firstSeenLedger(events, userCol, tsCol, salt))
+
+  /** The stateful half of [[srmDaily]]: per (unit, variant) the first
+    * active day — ONE aggregation keyed on the unit, so it runs
+    * unchanged under Structured Streaming (the state store keeps the
+    * running min per unit; StreamingSpec pins the twin). Day travels as
+    * a 'yyyy-MM-dd' string: calendar keys are engine-portable as text
+    * and lexicographic order IS calendar order. */
+  def firstSeenLedger(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      salt: String = ""
+  ): DataFrame =
+    Sampling.withSplitId(
         events.select(col(userCol), date_format(col(tsCol), "yyyy-MM-dd").as("d")),
         userCol, fractions = Seq(0.5, 0.5), splitCol = "variant", salt = salt)
       .groupBy(col(userCol), col("variant")).agg(min(col("d")).as("first_day"))
-    firstSeen.groupBy(col("first_day"))
+
+  /** The stateless finish: roll the ledger up to per-day arm counts and
+    * apply the integer χ² test (days-sized frame). */
+  def srmFromLedger(ledger: DataFrame): DataFrame =
+    ledger.groupBy(col("first_day"))
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
@@ -194,5 +209,4 @@ object Experiment {
         lit(10000L) * (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
           lit(38416L) * (col("n_a") + col("n_b")))
       .orderBy("first_day")
-  }
 }

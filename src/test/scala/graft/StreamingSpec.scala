@@ -613,4 +613,54 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.json(src.toString), Seq("g"), "v", 0.0, 30.0, 3).collect())
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streaming SRM guard: stream-maintained first-seen ledger + batch chi-square finish") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Experiment
+
+    val src = Files.createTempDirectory("graft_stream_srm")
+    val ckp = Files.createTempDirectory("graft_stream_srm_ckp")
+    // the same unit arrives in BOTH micro-batches with different days:
+    // the per-unit min must keep updating through the state store, so
+    // arrival accounting stays exact under re-delivery/out-of-order
+    Files.write(src.resolve("a.json"), (1 to 40).map(u =>
+      s"""{"user_id":$u,"ts":"2024-01-03 10:00:00"}""")
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), ((1 to 15).map(u =>
+      s"""{"user_id":$u,"ts":"2024-01-01 09:00:00"}""") ++ (41 to 60).map(u =>
+      s"""{"user_id":$u,"ts":"2024-01-02 08:00:00"}"""))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = Experiment.firstSeenLedger(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "user_id", "ts", salt = "srm-twin")
+      .writeStream
+      .format("memory").queryName("srm_ledger_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canonL = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val ledgerStream = canonL(spark.table("srm_ledger_stream").collect())
+    val batchEvents = spark.read.json(src.toString)
+    val ledgerBatch = canonL(Experiment.firstSeenLedger(
+      batchEvents, "user_id", "ts", salt = "srm-twin").collect())
+    assert(ledgerStream == ledgerBatch && ledgerBatch.size == 60)
+    // units 1..15 re-delivered with an EARLIER day: min must have moved
+    assert((1 to 15).forall(u =>
+      ledgerStream.exists { case ((uu, _), d) => uu == u.toLong && d == "2024-01-01" }))
+
+    val canonS = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val srmStream = canonS(Experiment.srmFromLedger(
+      spark.table("srm_ledger_stream")).collect())
+    val srmBatch = canonS(Experiment.srmDaily(
+      batchEvents, "user_id", "ts", salt = "srm-twin").collect())
+    assert(srmStream == srmBatch && srmBatch.size == 3)
+  }
 }
