@@ -2419,6 +2419,27 @@ object SparkEntry {
         lo = -15000L, hi = 15000L, bands = 10)
     }),
 
+    // Extension — QUANTILE TREATMENT EFFECTS: exact type-1 per-arm
+    // quantiles of per-user activity at p ∈ {25, 50, 75, 90}% via the
+    // counting-sort discipline (state = O(distinct values), window over
+    // the value-domain frame), differenced across arms — the
+    // distributional readout a mean effect hides. Hash-exact.
+    "q169_quantile_effects" -> ((s, dir) => {
+      graft.operators.Experiment.quantileEffects(
+        events(s, dir), "user_id",
+        ps = Seq((1, 4), (1, 2), (3, 4), (9, 10)), salt = "exp1")
+    }),
+
+    // Extension — DIFFERENCE-IN-DIFFERENCES: the 2×2 (arm × period)
+    // estimator for non-randomized rollouts, on the q161 pre/post
+    // ledger — every cell mean an exact integer ratio, the headline
+    // effect one cross-multiplied truncating division. Hash-exact.
+    "q170_did_readout" -> ((s, dir) => {
+      graft.operators.Experiment.didReadout(
+        events(s, dir), "user_id", "ts",
+        cutoff = lit("2024-01-15").cast("timestamp"), salt = "cuped1")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4486,6 +4507,58 @@ object SparkEntry {
       |  vocab * 10000 // prefix_tokens AS ttr_pm, n_tokens
       |FROM res ORDER BY k""".stripMargin
 
+  /** q169: QTE — per-arm value-domain cumulative counts, rank lookups at
+    * the requested rationals, arms pivoted to columns. */
+  private val q169Oracle =
+    """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |v AS (SELECT y,
+      |  CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'exp1'), 1, 8))::BIGINT
+      |             % 10000) < 5000
+      |       THEN 0 ELSE 1 END AS variant FROM pu),
+      |c AS (SELECT variant, y, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+      |cu AS (SELECT *,
+      |  CAST(sum(cnt) OVER (PARTITION BY variant ORDER BY y) AS BIGINT) AS cum,
+      |  CAST(sum(cnt) OVER (PARTITION BY variant) AS BIGINT) AS n FROM c),
+      |p AS (SELECT * FROM (VALUES (2500, 1, 4), (5000, 1, 2), (7500, 3, 4),
+      |                            (9000, 9, 10)) AS t(p_pm, p_num, p_den)),
+      |j AS (SELECT cu.*, p.p_pm,
+      |  (p.p_num * n + p.p_den - 1) // p.p_den AS rnk FROM cu CROSS JOIN p),
+      |g AS (SELECT CAST(p_pm AS BIGINT) AS p_pm,
+      |  max(CASE WHEN variant = 0 THEN n END) AS n_a,
+      |  max(CASE WHEN variant = 1 THEN n END) AS n_b,
+      |  min(CASE WHEN variant = 0 AND cum >= rnk THEN y END) AS q_a,
+      |  min(CASE WHEN variant = 1 AND cum >= rnk THEN y END) AS q_b
+      |  FROM j GROUP BY 1)
+      |SELECT p_pm, n_a, n_b, q_a, q_b, q_b - q_a AS qte
+      |FROM g ORDER BY p_pm""".stripMargin
+
+  /** q170: DiD — q161's ledger and arm split, the 2×2 cell means and the
+    * cross-multiplied headline effect in HUGEINT. */
+  private val q170Oracle =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |v AS (SELECT *,
+      |  CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'cuped1'), 1, 8))::BIGINT
+      |             % 10000) < 5000
+      |       THEN 0 ELSE 1 END AS variant FROM pu),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+      |  CAST(sum(x) AS BIGINT) AS pre_a, CAST(sum(y) AS BIGINT) AS post_a
+      |  FROM v WHERE variant = 0),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+      |  CAST(sum(x) AS BIGINT) AS pre_b, CAST(sum(y) AS BIGINT) AS post_b
+      |  FROM v WHERE variant = 1)
+      |SELECT n_a, n_b,
+      |  pre_a * 10000 // n_a AS pre_a_pm, post_a * 10000 // n_a AS post_a_pm,
+      |  pre_b * 10000 // n_b AS pre_b_pm, post_b * 10000 // n_b AS post_b_pm,
+      |  CAST(10000::HUGEINT * ((post_b - pre_b) * n_a - (post_a - pre_a) * n_b)
+      |       // (n_a * n_b) AS BIGINT) AS did_pm
+      |FROM a CROSS JOIN b""".stripMargin
+
   /** q164: Fellegi–Sunter — the corruption cycles, the blocked join, the
     * pinned weights and the two-threshold decision replayed literally;
     * null-safe agreement spelled IS NOT DISTINCT FROM. */
@@ -5298,6 +5371,8 @@ object SparkEntry {
     "q166_budget_waterfill" -> q166Oracle,
     "q167_ips_offpolicy" -> q167Oracle,
     "q168_score_lift" -> q168Oracle,
+    "q169_quantile_effects" -> q169Oracle,
+    "q170_did_readout" -> q170Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

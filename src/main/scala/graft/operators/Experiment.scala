@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A/B EXPERIMENT READOUT — deterministic variant assignment plus an
@@ -197,6 +198,96 @@ object Experiment {
         events.select(col(userCol), date_format(col(tsCol), "yyyy-MM-dd").as("d")),
         userCol, fractions = Seq(0.5, 0.5), splitCol = "variant", salt = salt)
       .groupBy(col(userCol), col("variant")).agg(min(col("d")).as("first_day"))
+
+  /** QUANTILE TREATMENT EFFECTS: mean effects (q109/CUPED) miss
+    * distributional change — a treatment that helps the median user but
+    * hurts the tail shows ΔQ(p) of opposite signs across p. Per-arm
+    * EXACT type-1 (inverse-ECDF) quantiles of an integer per-unit
+    * metric, Q(p) = the value at rank ⌈p·n⌉, computed with the q129
+    * counting-sort discipline: one (variant, value) count aggregate
+    * (map-side combined, state = O(distinct values)), a per-arm window
+    * over the VALUE-DOMAIN frame, then rank lookups for every requested
+    * p — no per-row sort, no interpolation, every output a long.
+    *
+    * @param ps quantiles as exact rationals (num, den), e.g. (1,2) for
+    *           the median — ranks are ⌈num·n/den⌉ in integer arithmetic
+    * @return one row per p: p_pm, n_a, n_b, q_a, q_b, qte = q_b − q_a */
+  def quantileEffects(
+      events: DataFrame,
+      userCol: String,
+      ps: Seq[(Int, Int)],
+      perUserAgg: Column = count(lit(1)),
+      salt: String = ""
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) => n > 0 && n <= d },
+      s"bad quantile list $ps")
+    val perUser = events.groupBy(col(userCol)).agg(perUserAgg.cast("long").as("y"))
+    val ledger = Sampling.withSplitId(perUser, userCol,
+      fractions = Seq(0.5, 0.5), salt = salt, splitCol = "variant")
+    val counts = ledger.groupBy(col("variant"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val byV = Window.partitionBy(col("variant"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        byV.orderBy(col("y")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(byV))
+    // requested ranks as a literal frame crossed onto the domain frame
+    val pFrame = ps.map { case (num, den) =>
+      s"SELECT ${num * 10000 / den}L AS p_pm, ${num}L AS p_num, ${den}L AS p_den"
+    }.mkString(" UNION ALL ")
+    val withP = cum.crossJoin(cum.sparkSession.sql(pFrame)) // |ps|-row scalar
+      .withColumn("rank", expr("(p_num * n + p_den - 1) DIV p_den"))
+    withP.groupBy(col("p_pm"))
+      .agg(
+        max(when(col("variant") === 0, col("n"))).as("n_a"),
+        max(when(col("variant") === 1, col("n"))).as("n_b"),
+        min(when(col("variant") === 0 && col("cum") >= col("rank"), col("y"))).as("q_a"),
+        min(when(col("variant") === 1 && col("cum") >= col("rank"), col("y"))).as("q_b"))
+      .withColumn("qte", col("q_b") - col("q_a"))
+      .orderBy(col("p_pm"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES: the 2×2 (arm × period) readout —
+    * DiD = (post_b − pre_b) − (post_a − pre_a) on per-unit mean counts,
+    * the estimator of record when assignment is NOT randomized (a
+    * rollout, a geo launch) and arms carry level differences the
+    * pre-period must absorb. Shares [[cupedReadout]]'s per-user (x, y)
+    * ledger; every cell mean is an exact integer ratio over the arm
+    * size, and the headline effect is cross-multiplied to one
+    * truncating division:
+    *     did_pm = 10⁴·[(Σy_b−Σx_b)·n_a − (Σy_a−Σx_a)·n_b] DIV (n_a·n_b)
+    * Scale shape: identical to CUPED — one event-log aggregation, then
+    * 2-row frames. */
+  def didReadout(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      cutoff: Column,
+      salt: String = ""
+  ): DataFrame = {
+    val perUser = events.groupBy(col(userCol)).agg(
+      sum(when(col(tsCol) < cutoff, 1L).otherwise(0L)).as("x"),
+      sum(when(col(tsCol) >= cutoff, 1L).otherwise(0L)).as("y"))
+    val arms = Sampling.withSplitId(perUser, userCol,
+        fractions = Seq(0.5, 0.5), salt = salt, splitCol = "variant")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"),
+        sum(col("x")).as("sum_pre"), sum(col("y")).as("sum_post"))
+    val a = arms.filter(col("variant") === 0)
+      .select(col("n_v").as("n_a"), col("sum_pre").as("pre_a"),
+        col("sum_post").as("post_a"))
+    val b = arms.filter(col("variant") === 1)
+      .select(col("n_v").as("n_b"), col("sum_pre").as("pre_b"),
+        col("sum_post").as("post_b"))
+    a.crossJoin(b) // 1-row × 1-row
+      .select(col("n_a"), col("n_b"),
+        expr("pre_a * 10000 DIV n_a").as("pre_a_pm"),
+        expr("post_a * 10000 DIV n_a").as("post_a_pm"),
+        expr("pre_b * 10000 DIV n_b").as("pre_b_pm"),
+        expr("post_b * 10000 DIV n_b").as("post_b_pm"),
+        expr("CAST(10000 AS DECIMAL(38,0)) * ((post_b - pre_b) * n_a"
+          + " - (post_a - pre_a) * n_b) DIV (n_a * n_b)").as("did_pm"))
+  }
 
   /** The stateless finish: roll the ledger up to per-day arm counts and
     * apply the integer χ² test (days-sized frame). */

@@ -103,6 +103,44 @@ class ExperimentSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == 200L) // every user counted
   }
 
+  test("quantile effects match a sorted-array hand replay at every p") {
+    // per-user metric y = (u mod 10) + 1 via y event rows
+    val events = users.flatMap(u => Seq.fill((u % 10).toInt + 1)((u, "m")))
+      .toDF("user_id", "mtype")
+    val ps = Seq((1, 4), (1, 2), (3, 4), (9, 10))
+    val out = Experiment.quantileEffects(events, "user_id", ps, salt = "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def typed1(vs: Seq[Long], num: Int, den: Int): Long = {
+      val s = vs.sorted
+      s(((num * s.size + den - 1) / den) - 1) // ceil rank, 1-based
+    }
+    val byArm = users.groupBy(arms).map { case (a, us) =>
+      a -> us.map(u => (u % 10) + 1L) }
+    for ((num, den) <- ps) {
+      val (nA, nB, qA, qB) = out(num * 10000L / den)
+      assert(nA == byArm(0).size.toLong && nB == byArm(1).size.toLong)
+      assert(qA == typed1(byArm(0), num, den), s"q_a at $num/$den")
+      assert(qB == typed1(byArm(1), num, den), s"q_b at $num/$den")
+    }
+  }
+
+  test("DiD isolates the post-period arm effect from a shared level") {
+    // everyone: 2 pre events; post: arm 0 keeps 2, arm 1 gets 5
+    val events = users.flatMap { u =>
+      Seq.fill(2)((u, 10L)) ++
+        Seq.fill(if (arms(u) == 1) 5 else 2)((u, 2000L))
+    }.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val Array(r) = Experiment.didReadout(events, "user_id", "ts",
+      cutoff = timestamp_seconds(lit(1000)), salt = "t").collect()
+    assert(r.getAs[Long]("pre_a_pm") == 20000L)
+    assert(r.getAs[Long]("pre_b_pm") == 20000L)
+    assert(r.getAs[Long]("post_a_pm") == 20000L)
+    assert(r.getAs[Long]("post_b_pm") == 50000L)
+    assert(r.getAs[Long]("did_pm") == 30000L)
+  }
+
   test("SRM guard flags a one-arm arrival day and passes a balanced one") {
     val extra = (201L to 500L).toSeq
     val armsX = armsOf(extra, "t")
