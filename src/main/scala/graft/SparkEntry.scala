@@ -2440,6 +2440,20 @@ object SparkEntry {
         cutoff = lit("2024-01-15").cast("timestamp"), salt = "cuped1")
     }),
 
+    // Extension — MARKOV REMOVAL-EFFECT ATTRIBUTION: journeys as a
+    // first-order chain over session paths (truncated at first
+    // purchase), each channel credited by the K-step conversion
+    // probability lost when transitions into it are redirected to NULL.
+    // Integer-scaled value iteration (q107/q120 discipline) on the
+    // vocabulary-bounded transition matrix; the only data-sized work is
+    // sessionized edge counting. Hash-exact vs a 5-chain unrolled
+    // oracle. Complements q96's rule-based touch attribution.
+    "q171_markov_attribution" -> ((s, dir) => {
+      graft.operators.MarkovAttribution.removalEffects(
+        events(s, dir), "user_id", "ts", "event_type", "event_id",
+        convType = "purchase")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4507,6 +4521,71 @@ object SparkEntry {
       |  vocab * 10000 // prefix_tokens AS ttr_pm, n_tokens
       |FROM res ORDER BY k""".stripMargin
 
+  /** q171: Markov removal effects — the q110 session CTEs build the
+    * truncated-journey edge list; each chain (baseline + one removal per
+    * channel) is the operator's integer-scaled value iteration unrolled
+    * K deep (the q120 skeleton), HUGEINT throughout. */
+  private def q171Oracle: String = {
+    val iters = 16
+    val scale = "1000000000000::HUGEINT"
+    val channels = Seq("click", "error", "signup", "view")
+    val chains = ("none", None) +: channels.map(c => (c, Some(c)))
+    def chainCtes(label: String, removed: Option[String]): String = {
+      val rm = removed.map(c => s" AND eo.dst <> '$c'").getOrElse("")
+      val init = s"""v_${label}_0 AS MATERIALIZED (SELECT state,
+        |  CASE WHEN state = 'CONV' THEN $scale ELSE 0::HUGEINT END AS v
+        |  FROM stt)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s"""v_${label}_$k AS MATERIALIZED (SELECT t.state,
+          |  CASE WHEN t.state = 'CONV' THEN $scale
+          |       ELSE coalesce((SELECT sum(eo.cnt::HUGEINT * p.v) // max(eo.out)
+          |                      FROM eo JOIN v_${label}_${k - 1} p ON p.state = eo.dst
+          |                      WHERE eo.src = t.state$rm), 0::HUGEINT) END AS v
+          |  FROM stt t)""".stripMargin
+      }
+      (init +: steps).mkString(",\n")
+    }
+    val resRows = chains.map { case (label, removed) =>
+      val name = removed.getOrElse("(none)")
+      s"SELECT '$name' AS channel, (SELECT v FROM v_${label}_$iters WHERE state = 'START') AS p"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS MATERIALIZED (SELECT user_id, epoch_ms(ts) AS ms,
+      |    event_type AS etype, event_id AS eid,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+      |sess AS MATERIALIZED (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ms ASC, eid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS sid FROM s),
+      |st AS MATERIALIZED (SELECT user_id, sid, etype, row_number() OVER (
+      |    PARTITION BY user_id, sid ORDER BY ms, eid) AS pos FROM sess),
+      |cp AS MATERIALIZED (SELECT user_id, sid, min(pos) AS ppos FROM st
+      |  WHERE etype = 'purchase' GROUP BY 1, 2),
+      |kept AS MATERIALIZED (SELECT st.*, cp.ppos FROM st LEFT JOIN cp USING (user_id, sid)
+      |  WHERE cp.ppos IS NULL OR st.pos < cp.ppos),
+      |wn AS MATERIALIZED (SELECT *, lead(etype) OVER (
+      |    PARTITION BY user_id, sid ORDER BY pos) AS nxt FROM kept),
+      |er AS MATERIALIZED (SELECT etype AS src,
+      |    coalesce(nxt, CASE WHEN ppos IS NOT NULL THEN 'CONV' ELSE 'NULL' END) AS dst
+      |  FROM wn
+      |  UNION ALL SELECT 'START', etype FROM wn WHERE pos = 1
+      |  UNION ALL SELECT 'START', 'CONV' FROM cp WHERE ppos = 1),
+      |e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM er GROUP BY 1, 2),
+      |eo AS MATERIALIZED (SELECT *, sum(cnt) OVER (PARTITION BY src) AS out FROM e),
+      |stt AS MATERIALIZED (SELECT src AS state FROM e UNION SELECT dst FROM e),
+      |${chains.map { case (l, r) => chainCtes(l, r) }.mkString(",\n")},
+      |res AS (
+      |  $resRows),
+      |base AS MATERIALIZED (SELECT p AS bp FROM res WHERE channel = '(none)')
+      |SELECT channel, CAST(p AS BIGINT) AS p_q12,
+      |  CASE WHEN channel = '(none)' OR bp = 0 THEN 0
+      |       ELSE CAST(10000::HUGEINT * (bp - p) // bp AS BIGINT)
+      |       END AS removal_pm
+      |FROM res CROSS JOIN base ORDER BY channel""".stripMargin
+  }
+
   /** q169: QTE — per-arm value-domain cumulative counts, rank lookups at
     * the requested rationals, arms pivoted to columns. */
   private val q169Oracle =
@@ -5373,6 +5452,7 @@ object SparkEntry {
     "q168_score_lift" -> q168Oracle,
     "q169_quantile_effects" -> q169Oracle,
     "q170_did_readout" -> q170Oracle,
+    "q171_markov_attribution" -> q171Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
