@@ -2454,6 +2454,18 @@ object SparkEntry {
         convType = "purchase")
     }),
 
+    // Extension — SIMPLIFIED SILHOUETTE: per-cluster separation quality
+    // for the q140 k-means fit — per point, (b²−a²)/b² against own vs
+    // nearest-other centroid in exact integer arithmetic (the classical
+    // all-pairs silhouette is O(n²); the centroid form is one scan over
+    // broadcast k×dim literals). The "is this clustering real" audit
+    // that belongs next to cluster-balanced sampling (q141). Hash-exact.
+    "q172_silhouette" -> ((s, dir) => {
+      graft.operators.KMeansQuant.silhouetteReport(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        initIds = (1L to 8L), iters = 3)
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4309,6 +4321,26 @@ object SparkEntry {
   private def q140Oracle: String =
     kmeansCtes + "\nSELECT vec_id, cluster, dist2q FROM asg ORDER BY vec_id"
 
+  /** q172: simplified silhouette — q140's final-centroid distance CTE
+    * ranked per point; a² = rank-1, b² = rank-2, the same (d, c) tie
+    * order as the operator's array_sort. */
+  private def q172Oracle: String =
+    kmeansCtes + s""",
+      |dr AS (SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rk FROM df),
+      |sil AS (SELECT vec_id,
+      |    min(CASE WHEN rk = 1 THEN c END) AS cluster,
+      |    min(CASE WHEN rk = 1 THEN d END) AS a2,
+      |    min(CASE WHEN rk = 2 THEN d END) AS b2
+      |  FROM dr GROUP BY 1),
+      |sp AS (SELECT cluster, CASE WHEN b2 > 0
+      |      THEN CAST((b2 - a2)::HUGEINT * 10000 // b2 AS BIGINT)
+      |      ELSE 0 END AS s_pm FROM sil)
+      |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(s_pm) // count(*) AS BIGINT) AS mean_s_pm,
+      |  min(s_pm) AS min_s_pm, max(s_pm) AS max_s_pm
+      |FROM sp GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** q141: the cluster-balanced sample — q140's assignment CTEs plus
     * q106's exponential-sort priority replay (weight 1, salt 'cb1')
     * ranked per cluster. */
@@ -5453,6 +5485,7 @@ object SparkEntry {
     "q169_quantile_effects" -> q169Oracle,
     "q170_did_readout" -> q170Oracle,
     "q171_markov_attribution" -> q171Oracle,
+    "q172_silhouette" -> q172Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -64,10 +64,25 @@ object KMeansQuant {
       initIds: Seq[Long],
       iters: Int
   ): DataFrame = {
+    val (qv, cents) = fit(df, embCol, idCol, initIds, iters)
+    qv.withColumn("b", best(cents))
+      .select(col("vec_id"), col("b.c").as("cluster"), col("b.d").as("dist2q"))
+      .orderBy("vec_id")
+  }
+
+  /** The Lloyd loop itself: returns the checkpointed quantized frame and
+    * the final k×dim integer centroids (the bounded driver state both
+    * [[lloydAssign]] and [[silhouetteReport]] score against). */
+  private def fit(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      initIds: Seq[Long],
+      iters: Int
+  ): (DataFrame, IndexedSeq[Array[Long]]) = {
     require(initIds.nonEmpty && initIds.distinct.size == initIds.size,
       "initIds must be non-empty and distinct")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val k = initIds.size
     val qv = quantized(df, embCol, idCol)
       .localCheckpoint(true) // scanned once per iteration, not re-derived
     // pinned init: the quantized embeddings of initIds, in initIds order
@@ -81,12 +96,6 @@ object KMeansQuant {
     })
     val initRows = initCollected.toMap
     var cents: IndexedSeq[Array[Long]] = initIds.map(initRows).toIndexedSeq
-
-    def best(cs: IndexedSeq[Array[Long]]): Column =
-      // struct(d, c): array_min orders by field order → ties to lower c
-      array_min(array(cs.zipWithIndex.map { case (c, i) =>
-        struct(dist2(c).as("d"), lit(i.toLong).as("c"))
-      }: _*))
 
     for (_ <- 1 to iters) {
       // one bounded shuffle (≤ k·dim·partitions partial sums) + one
@@ -105,8 +114,56 @@ object KMeansQuant {
         }
       }
     }
-    qv.withColumn("b", best(cents))
-      .select(col("vec_id"), col("b.c").as("cluster"), col("b.d").as("dist2q"))
-      .orderBy("vec_id")
+    (qv, cents)
+  }
+
+  private def best(cs: IndexedSeq[Array[Long]]): Column =
+    // struct(d, c): array_min orders by field order → ties to lower c
+    array_min(array(cs.zipWithIndex.map { case (c, i) =>
+      struct(dist2(c).as("d"), lit(i.toLong).as("c"))
+    }: _*))
+
+  /** SIMPLIFIED (centroid) SILHOUETTE per cluster — the scalable cluster-
+    * quality audit: per point, a² = squared distance to its OWN (nearest)
+    * centroid and b² = squared distance to the NEAREST OTHER centroid,
+    * s = (b²−a²)/b² in per-myriad (the squared-distance variant,
+    * documented; b² ≥ a² by construction so max(a², b²) = b²). Classical
+    * silhouette needs all point-pair distances — O(n²) and dead at scale;
+    * the centroid form is one scan over broadcast k×dim literals with
+    * EXACT integer arithmetic end to end (quantized coordinates, integer
+    * squared distances, truncating per-myriad division), so it
+    * hash-matches any engine. s ≈ 0 ⇒ the point sits on a cluster
+    * boundary; per-cluster mean near 0 ⇒ that cluster is not separated.
+    *
+    * Tie semantics: centroids are ranked by (distance, index) — a point
+    * equidistant to two centroids has b² = a² and scores 0, the honest
+    * "on the boundary" answer.
+    *
+    * @return per cluster: n, mean_s_pm, min_s_pm, max_s_pm */
+  def silhouetteReport(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      initIds: Seq[Long],
+      iters: Int
+  ): DataFrame = {
+    require(initIds.size >= 2, "silhouette needs k >= 2")
+    val (qv, cents) = fit(df, embCol, idCol, initIds, iters)
+    val ranked = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dist2(c).as("d"), lit(i.toLong).as("c"))
+    }: _*))
+    val sPm = qv.withColumn("r", ranked)
+      .select(col("r")(0).getField("c").as("cluster"),
+        col("r")(0).getField("d").as("a2"),
+        col("r")(1).getField("d").as("b2"))
+      .select(col("cluster"),
+        when(col("b2") > 0,
+          expr("CAST(b2 - a2 AS DECIMAL(38,0)) * 10000 DIV b2"))
+          .otherwise(0L).as("s_pm"))
+    sPm.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(s_pm) DIV count(1)").as("mean_s_pm"),
+        min(col("s_pm")).as("min_s_pm"), max(col("s_pm")).as("max_s_pm"))
+      .orderBy("cluster")
   }
 }

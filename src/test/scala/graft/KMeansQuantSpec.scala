@@ -66,4 +66,41 @@ class KMeansQuantSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       KMeansQuant.lloydAssign(df(rows), "embedding", "vec_id", Seq(1L), 0))
   }
+
+  test("silhouette: exact scores for separated blobs with a boundary point") {
+    val rows = Seq(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(1.0f, 0.0f), 3L -> Seq(1.0f, 0.0f),
+      4L -> Seq(-1.0f, 0.0f), 5L -> Seq(-1.0f, 0.0f), 6L -> Seq(-1.0f, 0.0f),
+      7L -> Seq(0.0f, 0.0f)) // between the blobs; ties into cluster 0
+    val got = KMeansQuant.silhouetteReport(df(rows), "embedding", "vec_id",
+        initIds = Seq(1L, 4L), iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // hand replay: the boundary point joins cluster 0, dragging its
+    // centroid to 3/4 -> perfect points score (1 - 1/64)*10^4 = 9843,
+    // the boundary point (1 - 0.5625/1... ) = 4375, mean = 8476;
+    // cluster 1 keeps identical points on their own centroid: s = 10^4
+    assert(got(0L) == ((4L, 8476L, 4375L)))
+    assert(got(1L) == ((3L, 10000L, 10000L)))
+  }
+
+  test("silhouette is scale-invariant: doubling coordinates changes nothing") {
+    val base = Seq(
+      1L -> Seq(1.0f, 0.5f), 2L -> Seq(0.75f, 0.5f), 3L -> Seq(1.25f, 0.25f),
+      4L -> Seq(-1.0f, -0.5f), 5L -> Seq(-0.75f, -0.25f), 6L -> Seq(-1.25f, 0.0f))
+    val doubled = base.map { case (i, v) => i -> v.map(_ * 2.0f) }
+    def rep(rows: Seq[(Long, Seq[Float])]) =
+      KMeansQuant.silhouetteReport(df(rows), "embedding", "vec_id",
+        initIds = Seq(1L, 4L), iters = 2).collect().toSeq.map(_.toSeq)
+    // exactly representable halves: x4 distances cancel in every ratio
+    assert(rep(base) == rep(doubled))
+  }
+
+  test("silhouette guard: k = 1 is rejected") {
+    val rows = Seq(1L -> Seq(1.0f, 0.0f))
+    intercept[IllegalArgumentException] {
+      KMeansQuant.silhouetteReport(df(rows), "embedding", "vec_id",
+        initIds = Seq(1L), iters = 1)
+    }
+  }
 }
