@@ -2466,6 +2466,30 @@ object SparkEntry {
         initIds = (1L to 8L), iters = 3)
     }),
 
+    // Extension — RETRIEVAL EVAL (P@k / NDCG@k / MRR): the q44 LSH
+    // knn-join scored against label ground truth — self-copy excluded
+    // and positions re-ranked, pinned integer log₂ discounts, IDCG from
+    // the corpus-wide relevant count, every ratio truncating integer
+    // division. Retrieval without a scored eval is a demo. Hash-exact.
+    "q173_retrieval_eval" -> ((s, dir) => {
+      import graft.operators.RankEval
+      val e = t(s, dir, "embeddings")
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      val queries = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val retrieved = Similarity.annJoin(queries, e, "embedding", "vec_id",
+        k = 8, lsh)
+      RankEval.metricsAtK(retrieved,
+        queryCol = "query_id", itemCol = "base_id", rankCol = "rank",
+        queryRel = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + 10000000L).as("query_id"), col("label")),
+        itemRel = e.select(col("vec_id").as("base_id"), col("label")),
+        corpusRel = e.groupBy("label")
+          .agg((count(lit(1)) - 1L).as("n_rel")),
+        k = 5,
+        excludeSelf = col("base_id") === col("query_id") - 10000000L)
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -3307,6 +3331,54 @@ object SparkEntry {
        |SELECT query_id, base_id, score, "rank",
        |  ("rank" <> 1 OR score >= CAST(1.0 AS DOUBLE) - 1e-9) AS self_hit
        |FROM ranked WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** q173: retrieval eval — q44's LSH retrieval CTEs at depth 8, self
+    * excluded and re-ranked, the pinned micro-discount table inlined,
+    * IDCG by prefix-sum lookup at min(R, 5). */
+  private def q173Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    val wLit = graft.operators.RankEval.DiscountMicro.mkString("[", ", ", "]")
+    val cumLit = graft.operators.RankEval.CumMicro.mkString("[", ", ", "]")
+    s"""WITH sigs AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT vec_id + 10000000 AS query_id, label AS ql, ne AS qne,
+       |    sig AS qsig FROM sigs WHERE vec_id % 10 = 0),
+       |cand AS (SELECT q.query_id, q.ql, s.vec_id AS base_id, s.label AS il,
+       |    list_reduce(list_transform(range(1, 65), i -> q.qne[i] * s.ne[i]),
+       |      (x, y) -> x + y) AS score
+       |  FROM q JOIN sigs s ON bit_count(xor(q.qsig, s.sig)) <= 1),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, base_id ASC) AS rnk FROM cand),
+       |ev AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS er
+       |  FROM (SELECT * FROM ranked WHERE rnk <= 8)
+       |  WHERE base_id <> query_id - 10000000),
+       |evk AS (SELECT *, CASE WHEN il = ql THEN 1 ELSE 0 END AS rel
+       |  FROM ev WHERE er <= 5),
+       |pq AS (SELECT query_id, ql,
+       |    CAST(sum(rel) AS BIGINT) AS hits,
+       |    CAST(sum(rel * ($wLit)[er]) AS BIGINT) AS dcg,
+       |    min(CASE WHEN rel = 1 THEN er END) AS first_rel
+       |  FROM evk GROUP BY 1, 2),
+       |cr AS (SELECT label, CAST(count(*) - 1 AS BIGINT) AS n_rel
+       |  FROM embeddings GROUP BY 1),
+       |pq2 AS (SELECT pq.*, CASE WHEN cr.n_rel >= 1
+       |      THEN ($cumLit)[least(cr.n_rel, 5)] ELSE 0 END AS idcg
+       |  FROM pq JOIN cr ON cr.label = pq.ql),
+       |pm AS (SELECT ql AS label,
+       |    hits * 10000 // 5 AS p,
+       |    CASE WHEN idcg > 0 THEN dcg * 10000 // idcg ELSE 0 END AS ndcg,
+       |    coalesce(10000 // first_rel, 0) AS rr
+       |  FROM pq2)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(p) // count(*) AS BIGINT) AS p_at_k_pm,
+       |  CAST(sum(ndcg) // count(*) AS BIGINT) AS ndcg_at_k_pm,
+       |  CAST(sum(rr) // count(*) AS BIGINT) AS mrr_pm
+       |FROM pm GROUP BY label ORDER BY label""".stripMargin
   }
 
   /** q65: the Laplace-smoothed bigram LM replayed in DuckDB. Counts are
@@ -5486,6 +5558,7 @@ object SparkEntry {
     "q170_did_readout" -> q170Oracle,
     "q171_markov_attribution" -> q171Oracle,
     "q172_silhouette" -> q172Oracle,
+    "q173_retrieval_eval" -> q173Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
