@@ -2490,6 +2490,17 @@ object SparkEntry {
         excludeSelf = col("base_id") === col("query_id") - 10000000L)
     }),
 
+    // Extension — ANOVA EFFECT STRENGTH (η²) per dimension: how much of
+    // customer balance-in-cents variance nation vs segment explains —
+    // the "which slice deserves a dashboard" screen, all moments exact
+    // integers, the ratio cross-multiplied in DECIMAL(38,0). Hash-exact.
+    "q174_effect_strength" -> ((s, dir) => {
+      graft.operators.Profile.effectStrength(
+        t(s, dir, "customer"),
+        valueCol = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long"),
+        features = Seq("c_nationkey", "c_mktsegment"))
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4690,6 +4701,33 @@ object SparkEntry {
       |FROM res CROSS JOIN base ORDER BY channel""".stripMargin
   }
 
+  /** q174: η² — cent-quantized balances, per-feature group sums with the
+    * same truncating S_g²/n_g quantization, moments in HUGEINT. */
+  private val q174Oracle =
+    """WITH y AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM customer),
+      |m AS (SELECT count(*)::HUGEINT AS n, sum(y)::HUGEINT AS s,
+      |    sum(y::HUGEINT * y) AS ss FROM y),
+      |f1 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    sum(sg::HUGEINT * sg // ng) AS aq
+      |  FROM (SELECT c_nationkey, count(*)::BIGINT AS ng,
+      |      CAST(sum(y) AS BIGINT) AS sg FROM y GROUP BY 1)),
+      |f2 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    sum(sg::HUGEINT * sg // ng) AS aq
+      |  FROM (SELECT c_mktsegment, count(*)::BIGINT AS ng,
+      |      CAST(sum(y) AS BIGINT) AS sg FROM y GROUP BY 1)),
+      |r AS (
+      |  SELECT 'c_nationkey' AS feature, f1.n_groups, f1.aq FROM f1
+      |  UNION ALL
+      |  SELECT 'c_mktsegment', f2.n_groups, f2.aq FROM f2)
+      |SELECT feature, n_groups,
+      |  CASE WHEN n * ss - s * s > 0
+      |       THEN CAST(greatest(0, 10000 * (n * aq - s * s) // (n * ss - s * s))
+      |            AS BIGINT)
+      |       ELSE 0 END AS eta2_pm
+      |FROM r CROSS JOIN m ORDER BY feature""".stripMargin
+
   /** q169: QTE — per-arm value-domain cumulative counts, rank lookups at
     * the requested rationals, arms pivoted to columns. */
   private val q169Oracle =
@@ -5559,6 +5597,7 @@ object SparkEntry {
     "q171_markov_attribution" -> q171Oracle,
     "q172_silhouette" -> q172Oracle,
     "q173_retrieval_eval" -> q173Oracle,
+    "q174_effect_strength" -> q174Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Profile
 
@@ -85,5 +86,43 @@ class ProfileSpec extends AnyFunSuite {
   test("summary guard: at least one column") {
     intercept[IllegalArgumentException](
       Profile.summary(Seq(("a", 1.0)).toDF("g", "v"), Seq("g"), Nil))
+  }
+
+  test("effect strength: a fully explained metric scores 10000") {
+    import graft.operators.Profile
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
+      .toDF("g", "y")
+    val Array(r) = Profile.effectStrength(df, col("y"), Seq("g")).collect()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 10000L)
+  }
+
+  test("effect strength: hand-computed partial eta-squared") {
+    import graft.operators.Profile
+    // A: {0, 2}, B: {10, 12} -> SSB/SST = 100/104 -> 9615 pm
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L)).toDF("g", "y")
+    val Array(r) = Profile.effectStrength(df, col("y"), Seq("g")).collect()
+    assert(r.getLong(2) == 9615L)
+  }
+
+  test("effect strength: identical group distributions score 0; constants guard") {
+    import graft.operators.Profile
+    val flat = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L)).toDF("g", "y")
+    assert(Profile.effectStrength(flat, col("y"), Seq("g"))
+      .collect()(0).getLong(2) == 0L)
+    val const = Seq(("a", 7L), ("b", 7L)).toDF("g", "y")
+    assert(Profile.effectStrength(const, col("y"), Seq("g"))
+      .collect()(0).getLong(2) == 0L)
+  }
+
+  test("effect strength ranks features by explanatory power") {
+    import graft.operators.Profile
+    // g1 fully determines y; g2 is noise
+    val df = (1L to 40L).map(i =>
+      (if (i % 2 == 0) "even" else "odd", (i % 5).toString, (i % 2) * 10L))
+      .toDF("g1", "g2", "y")
+    val out = Profile.effectStrength(df, col("y"), Seq("g1", "g2"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("g1") == 10000L)
+    assert(out("g2") < 2000L)
   }
 }
