@@ -2501,6 +2501,19 @@ object SparkEntry {
         features = Seq("c_nationkey", "c_mktsegment"))
     }),
 
+    // Extension — WALD SPRT over the daily unit stream: pinned
+    // micro-nat LLR increments (H0 p=0.25 vs H1 p=0.30 on "user active
+    // ≥3× that day"), cumulative integer LLR, decision sealed at the
+    // first ±ln19 boundary crossing — the honest always-peeking readout
+    // (repeated fixed-horizon tests inflate false positives). All
+    // post-aggregate work on the days frame. Hash-exact.
+    "q175_sprt_daily" -> ((s, dir) => {
+      graft.operators.Experiment.sprtDaily(
+        events(s, dir), "user_id", "ts",
+        convertedUnit = col("metric_value") >= 3,
+        upMicro = 182322L, downMicro = -68993L)
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4701,6 +4714,36 @@ object SparkEntry {
       |FROM res CROSS JOIN base ORDER BY channel""".stripMargin
   }
 
+  /** q175: SPRT — the per-(day, user) activity aggregate, pinned µnat
+    * increments, running extrema and first-crossing days all on the
+    * days frame. */
+  private val q175Oracle =
+    """WITH du AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+      |    CAST(count(*) AS BIGINT) AS m FROM events GROUP BY 1, 2),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN m >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM du GROUP BY 1),
+      |l AS (SELECT *, c * 182322 + (n - c) * (-68993) AS llr_day_micro FROM d),
+      |cum AS (SELECT *,
+      |    CAST(sum(llr_day_micro) OVER (ORDER BY day) AS BIGINT) AS llr_cum_micro
+      |  FROM l),
+      |st AS (SELECT *,
+      |    CAST(max(llr_cum_micro) OVER (ORDER BY day) AS BIGINT) AS hi,
+      |    CAST(min(llr_cum_micro) OVER (ORDER BY day) AS BIGINT) AS lo,
+      |    min(CASE WHEN llr_cum_micro >= 2944439 THEN day END)
+      |      OVER (ORDER BY day) AS d1,
+      |    min(CASE WHEN llr_cum_micro <= -2944439 THEN day END)
+      |      OVER (ORDER BY day) AS d0
+      |  FROM cum)
+      |SELECT day, n, c, CAST(llr_day_micro AS BIGINT) AS llr_day_micro,
+      |  llr_cum_micro,
+      |  CASE WHEN hi >= 2944439 AND lo <= -2944439
+      |       THEN (CASE WHEN d1 <= d0 THEN 'accept_h1' ELSE 'accept_h0' END)
+      |       WHEN hi >= 2944439 THEN 'accept_h1'
+      |       WHEN lo <= -2944439 THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision
+      |FROM st ORDER BY day""".stripMargin
+
   /** q174: η² — cent-quantized balances, per-feature group sums with the
     * same truncating S_g²/n_g quantization, moments in HUGEINT. */
   private val q174Oracle =
@@ -5598,6 +5641,7 @@ object SparkEntry {
     "q172_silhouette" -> q172Oracle,
     "q173_retrieval_eval" -> q173Oracle,
     "q174_effect_strength" -> q174Oracle,
+    "q175_sprt_daily" -> q175Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -289,6 +289,79 @@ object Experiment {
           + " - (post_a - pre_a) * n_b) DIV (n_a * n_b)").as("did_pm"))
   }
 
+  /** SEQUENTIAL PROBABILITY RATIO TEST (Wald '45) on a daily unit
+    * stream: the readout a team peeking at an experiment every day
+    * should use instead of repeating fixed-horizon z-tests (which
+    * inflates false positives). Each unit contributes a pinned
+    * MICRO-NAT log-likelihood increment — ln(p1/p0) when converted,
+    * ln((1−p1)/(1−p0)) when not, both caller-pinned integers — and the
+    * cumulative LLR decides the first day it leaves (−b, a):
+    * ≥ a ⇒ accept H1, ≤ −b ⇒ accept H0 (a = b = ln 19 ≈ 2944439 µnats
+    * gives α ≈ β ≈ 0.05). Everything after the per-day unit aggregate
+    * is a days-sized frame; the cumulative sum is exact integer
+    * arithmetic, so the decision DAY is engine-exact — no float drift
+    * can move a boundary crossing.
+    *
+    * Output per day (calendar order): n units, c conversions, the day's
+    * LLR, the running LLR, and the decision state carried FORWARD (once
+    * a boundary is crossed the test is over; later days report the
+    * sealed verdict).
+    *
+    * @param convertedUnit per-(day, unit) aggregate predicate exposed as
+    *        `metric_value` (like [[abReadout]]'s `converted`)
+    * @param upMicro   per-converted-unit increment, µnats (ln(p1/p0))
+    * @param downMicro per-unconverted-unit increment, µnats
+    *                  (ln((1−p1)/(1−p0)), negative)
+    * @param aMicro    H1 acceptance boundary (positive µnats)
+    * @param bMicro    H0 acceptance boundary (positive µnats) */
+  def sprtDaily(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      convertedUnit: Column,
+      upMicro: Long,
+      downMicro: Long,
+      aMicro: Long = 2944439L,
+      bMicro: Long = 2944439L
+  ): DataFrame = {
+    require(upMicro > 0 && downMicro < 0 && aMicro > 0 && bMicro > 0,
+      "increments must move the LLR in opposite directions; boundaries positive")
+    val units = events
+      .select(date_format(col(tsCol), "yyyy-MM-dd").as("day"),
+        col(userCol).as("u"))
+      .groupBy(col("day"), col("u")).agg(count(lit(1)).as("metric_value"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(convertedUnit, 1L).otherwise(0L)).as("c"))
+    val byDay = Window.orderBy(col("day")) // days-sized frame
+    units
+      .withColumn("llr_day_micro",
+        col("c") * upMicro + (col("n") - col("c")) * downMicro)
+      .withColumn("llr_cum_micro",
+        sum(col("llr_day_micro")).over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // the decision seals at the FIRST crossing: carry the earliest
+      // crossing day's verdict forward via running min/max
+      .withColumn("_hi", max(col("llr_cum_micro")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_lo", min(col("llr_cum_micro")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("decision",
+        when(col("_hi") >= aMicro && col("_lo") <= -bMicro,
+          // both boundaries touched: the earlier crossing wins — find it
+          // by comparing the first days each boundary was reached
+          when(min(when(col("llr_cum_micro") >= aMicro, col("day"))).over(byDay
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)) <=
+            min(when(col("llr_cum_micro") <= -bMicro, col("day"))).over(byDay
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            lit("accept_h1")).otherwise(lit("accept_h0")))
+          .when(col("_hi") >= aMicro, lit("accept_h1"))
+          .when(col("_lo") <= -bMicro, lit("accept_h0"))
+          .otherwise(lit("continue")))
+      .select("day", "n", "c", "llr_day_micro", "llr_cum_micro", "decision")
+      .orderBy("day")
+  }
+
   /** The stateless finish: roll the ledger up to per-day arm counts and
     * apply the integer χ² test (days-sized frame). */
   def srmFromLedger(ledger: DataFrame): DataFrame =

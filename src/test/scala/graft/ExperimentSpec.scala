@@ -141,6 +141,38 @@ class ExperimentSpec extends AnyFunSuite {
     assert(r.getAs[Long]("did_pm") == 30000L)
   }
 
+  test("SPRT: continue, cross the H0 boundary, and stay sealed") {
+    // 25 inactive units/day (1 event each, metric 1 < 3): each day adds
+    // 25 * -68993 = -1724825; day 1 continue, day 2 crosses -ln19
+    val events = (0 until 3).flatMap { d =>
+      (1L to 25L).map(u => (u + d * 100L, d * 86400L))
+    }.toDF("user_id", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Experiment.sprtDaily(events, "user_id", "ts",
+        convertedUnit = col("metric_value") >= 3,
+        upMicro = 182322L, downMicro = -68993L)
+      .collect().map(r => (r.getLong(4), r.getString(5)))
+    assert(out(0) == ((-1724825L, "continue")))
+    assert(out(1) == ((-3449650L, "accept_h0")))
+    assert(out(2)._2 == "accept_h0")
+  }
+
+  test("SPRT: an H1 crossing seals the verdict against later reversals") {
+    // day 0: 20 converted units (3 events each) -> +3646440 crosses +ln19;
+    // days 1-2: heavy unconverted traffic would drive the LLR negative,
+    // but the sealed decision must not flip
+    val events =
+      (1L to 20L).flatMap(u => Seq.fill(3)((u, 0L))) ++
+        (0 until 2).flatMap(d => (1L to 60L).map(u => (u + 1000L * (d + 1), (d + 1) * 86400L)))
+    val out = Experiment.sprtDaily(events.toDF("user_id", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+        "user_id", "ts", convertedUnit = col("metric_value") >= 3,
+        upMicro = 182322L, downMicro = -68993L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getString(5)))
+    assert(out(0) == ((20L, 20L, 20L * 182322L, "accept_h1")))
+    assert(out(2)._3 < -2944439L, "cumulative LLR really did cross the other boundary")
+    assert(out.forall(_._4 == "accept_h1"), "first crossing wins and stays")
+  }
+
   test("SRM guard flags a one-arm arrival day and passes a balanced one") {
     val extra = (201L to 500L).toSeq
     val armsX = armsOf(extra, "t")
