@@ -2514,6 +2514,18 @@ object SparkEntry {
         upMicro = 182322L, downMicro = -68993L)
     }),
 
+    // Extension — BENFORD'S-LAW AUDIT on line-item prices (in cents):
+    // leading-digit distribution vs log₁₀(1+1/d) with the quantized
+    // integer χ²₈ verdict — the forensic screen for fabricated or
+    // unit-mangled numeric feeds. TPC-H's uniform-ish synthetic prices
+    // are EXPECTED to fail it — the auditor catching synthetic data is
+    // the demo. Digit from the decimal string, no float log. Hash-exact.
+    "q176_benford_audit" -> ((s, dir) => {
+      graft.operators.Profile.benfordAudit(
+        t(s, dir, "lineitem"),
+        valueCol = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4714,6 +4726,34 @@ object SparkEntry {
       |FROM res CROSS JOIN base ORDER BY channel""".stripMargin
   }
 
+  /** q176: Benford — cent strings' leading digits left-joined onto the
+    * full 1..9 frame, the pinned expectation list, and the quantized
+    * HUGEINT χ² terms. */
+  private val q176Oracle =
+    """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |    AS BIGINT) AS v FROM lineitem),
+      |c AS (SELECT CAST(substr(v::VARCHAR, 1, 1) AS BIGINT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS observed FROM v WHERE v > 0 GROUP BY 1),
+      |d AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+      |j AS (SELECT d.digit, coalesce(c.observed, 0) AS observed,
+      |    CAST(([3010, 1761, 1249, 969, 792, 669, 580, 512, 458])[d.digit]
+      |      AS BIGINT) AS expected_pm
+      |  FROM d LEFT JOIN c USING (digit)),
+      |t AS (SELECT *, CAST(sum(observed) OVER () AS BIGINT) AS n_used FROM j),
+      |u AS (SELECT *,
+      |    CASE WHEN n_used > 0 THEN observed * 10000 // n_used
+      |         ELSE 0 END AS observed_pm,
+      |    CASE WHEN n_used > 0 THEN CAST(
+      |        (observed::HUGEINT * 10000 - n_used::HUGEINT * expected_pm)
+      |        * (observed::HUGEINT * 10000 - n_used::HUGEINT * expected_pm)
+      |        // (n_used::HUGEINT * expected_pm) AS BIGINT)
+      |         ELSE 0 END AS chi2_term
+      |  FROM t)
+      |SELECT digit, observed, n_used, observed_pm, expected_pm, chi2_term,
+      |  CAST(sum(chi2_term) OVER () AS BIGINT) AS chi2_q4,
+      |  sum(chi2_term) OVER () > 155070 AS benford_rejected
+      |FROM u ORDER BY digit""".stripMargin
+
   /** q175: SPRT — the per-(day, user) activity aggregate, pinned µnat
     * increments, running extrema and first-crossing days all on the
     * days frame. */
@@ -5642,6 +5682,7 @@ object SparkEntry {
     "q173_retrieval_eval" -> q173Oracle,
     "q174_effect_strength" -> q174Oracle,
     "q175_sprt_daily" -> q175Oracle,
+    "q176_benford_audit" -> q176Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

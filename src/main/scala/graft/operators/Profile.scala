@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DATA PROFILING — the read-side companion to [[Contracts]]: equi-width
@@ -160,5 +161,57 @@ object Profile {
                 + " DIV (_n * _ss - _s * _s)")))
             .otherwise(0L).as("eta2_pm"))
     }.reduce(_ unionByName _).orderBy(col("feature"))
+  }
+
+  /** Benford per-myriad expectations for leading digits 1..9 —
+    * round(10⁴·log₁₀(1 + 1/d)); sums to exactly 10⁴. */
+  val BenfordPm: Seq[Long] =
+    Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+
+  /** BENFORD'S-LAW AUDIT: the leading-digit distribution of a positive
+    * integer metric against log₁₀(1+1/d) — the forensic data-quality
+    * screen for fabricated, truncated, or unit-mangled numeric feeds
+    * (organic multi-scale quantities follow Benford; capped, minimum-
+    * priced, or invented ones don't). Reported per digit with the χ²₈
+    * verdict: the statistic is quantized as
+    *     T = Σ_d ((10⁴·O_d − N·p_d)² DIV (N·p_d))   (≈ 10⁴·χ²)
+    * — per-digit truncating division, identical in both engines, error
+    * < 9 µ-units total — flagged against 10⁴·15.507 (95%, 8 df). The
+    * digit comes from the DECIMAL STRING of the value (no float log),
+    * zero/negative values are excluded and reported via n_used vs N.
+    *
+    * Scale shape: one scan to a ≤9-row digit frame (map-side combined);
+    * the χ² and totals ride windows on that frame. */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val pm = typedlit(BenfordPm)
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val counted = df.select(valueCol.cast("long").as("_v")).filter(col("_v") > 0)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    // all nine digits ALWAYS present: a digit nobody produced still
+    // contributes its full N·p χ² term — dropping it would understate T
+    df.sparkSession.range(1, 10).select(col("id").as("digit"))
+      .join(counted, Seq("digit"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .withColumn("n_used", sum(col("observed")).over(whole))
+      .withColumn("expected_pm", element_at(pm, col("digit").cast("int")))
+      .withColumn("observed_pm",
+        when(col("n_used") > 0, expr("observed * 10000 DIV n_used"))
+          .otherwise(0L))
+      // per-digit quantized chi-square term in DECIMAL (the square of
+      // 10^4·O − N·p overflows long at ~10^5 rows)
+      .withColumn("_t", expr(
+        "(CAST(observed AS DECIMAL(38,0)) * 10000 - CAST(n_used AS DECIMAL(38,0)) * expected_pm)"))
+      .withColumn("chi2_term",
+        when(col("n_used") > 0, expr(
+          "CAST(_t * _t DIV (CAST(n_used AS DECIMAL(38,0)) * expected_pm) AS BIGINT)"))
+          .otherwise(0L))
+      .withColumn("chi2_q4", sum(col("chi2_term")).over(whole))
+      .withColumn("benford_rejected", col("chi2_q4") > lit(155070L))
+      .select("digit", "observed", "n_used", "observed_pm", "expected_pm",
+        "chi2_term", "chi2_q4", "benford_rejected")
+      .orderBy("digit")
   }
 }

@@ -125,4 +125,42 @@ class ProfileSpec extends AnyFunSuite {
     assert(out("g1") == 10000L)
     assert(out("g2") < 2000L)
   }
+
+  test("Benford: exact-Benford counts score chi2 = 0 and pass") {
+    import graft.operators.Profile
+    // O_d exactly N*p_d: value d has leading digit d
+    val rows = Profile.BenfordPm.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n.toInt)((i + 1).toLong) }
+    val out = Profile.benfordAudit(rows.toDF("v"), col("v")).collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      assert(r.getAs[Long]("chi2_term") == 0L)
+      assert(!r.getAs[Boolean]("benford_rejected"))
+    }
+  }
+
+  test("Benford: a uniform feed is rejected; every digit row is present") {
+    import graft.operators.Profile
+    val out = Profile.benfordAudit((1L to 9999L).toDF("v"), col("v")).collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getAs[Boolean]("benford_rejected")))
+  }
+
+  test("Benford: single-digit feeds keep all 9 rows with full missing-mass terms") {
+    import graft.operators.Profile
+    val out = Profile.benfordAudit(Seq.fill(500)(123L).toDF("v"), col("v"))
+      .collect().map(r => r.getAs[Long]("digit") ->
+        ((r.getAs[Long]("observed"), r.getAs[Long]("chi2_term")))).toMap
+    assert(out.keySet == (1L to 9L).toSet)
+    assert(out(1L)._1 == 500L)
+    // a digit nobody produced still contributes (N·p)²/(N·p) = N·p
+    assert(out(2L) == ((0L, 500L * 1761L)))
+  }
+
+  test("Benford: zero and negative values are excluded from n_used") {
+    import graft.operators.Profile
+    val rows = Seq(-5L, 0L, 100L, 200L, 300L)
+    val out = Profile.benfordAudit(rows.toDF("v"), col("v")).collect()
+    assert(out.head.getAs[Long]("n_used") == 3L)
+  }
 }
