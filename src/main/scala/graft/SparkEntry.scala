@@ -2526,6 +2526,15 @@ object SparkEntry {
         valueCol = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
     }),
 
+    // Extension — FLESCH READING-EASE per source: structural counting
+    // only (tokenizer words, [.!?]+ sentence runs, vowel-group
+    // syllables), milli-point quantized arithmetic, band shares — the
+    // register/garble screen next to q22's quality ratios. Hash-exact.
+    "q177_readability" -> ((s, dir) => {
+      graft.operators.Readability.fleschBySource(
+        t(s, dir, "documents"), "text", "source")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4726,6 +4735,32 @@ object SparkEntry {
       |FROM res CROSS JOIN base ORDER BY channel""".stripMargin
   }
 
+  /** q177: Flesch — q66's word replay, separator-run sentence/syllable
+    * counts (both engines keep trailing empties), the three-step
+    * truncating milli-unit formula. */
+  private val q177Oracle =
+    """WITH sc AS (SELECT source,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        x -> x <> ''))::BIGINT AS w,
+      |    CAST(greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+      |      AS BIGINT) AS s,
+      |    CAST(greatest(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1, 1)
+      |      AS BIGINT) AS sy
+      |  FROM documents),
+      |m AS (SELECT source, w, 1000 * w // s AS wps,
+      |    CASE WHEN w > 0 THEN 1000 * sy // w END AS spw FROM sc),
+      |f AS (SELECT source, w, CASE WHEN w > 0
+      |    THEN 206835 - 1015 * wps // 1000 - 84600 * spw // 1000 END AS score
+      |  FROM m)
+      |SELECT source,
+      |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN w > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_empty,
+      |  coalesce(CAST(sum(score) // sum(CASE WHEN w > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT), 0) AS mean_score_milli,
+      |  CAST(sum(CASE WHEN score >= 70000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+      |  CAST(sum(CASE WHEN score < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** q176: Benford — cent strings' leading digits left-joined onto the
     * full 1..9 frame, the pinned expectation list, and the quantized
     * HUGEINT χ² terms. */
@@ -5683,6 +5718,7 @@ object SparkEntry {
     "q174_effect_strength" -> q174Oracle,
     "q175_sprt_daily" -> q175Oracle,
     "q176_benford_audit" -> q176Oracle,
+    "q177_readability" -> q177Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
