@@ -2535,6 +2535,19 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "source")
     }),
 
+    // Extension — TRIANGLE CENSUS of the co-purchase graph (parts
+    // sharing an order): degree-oriented wedge join (each triangle
+    // counted once, per-node fan-out bounded by out-degree ≤ O(√m)),
+    // global transitivity as an exact integer ratio. Hash-exact.
+    "q178_triangle_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      graft.operators.Graph.triangleStats(pairs, "src", "dst")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4735,6 +4748,33 @@ object SparkEntry {
       |FROM res CROSS JOIN base ORDER BY channel""".stripMargin
   }
 
+  /** q178: triangles — the same degree-(row-value)-ordered orientation,
+    * the a→b→c wedge path and the EXISTS closure. */
+  private val q178Oracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |o AS MATERIALIZED (SELECT
+      |    CASE WHEN (d1.d, e.u) < (d2.d, e.v) THEN e.u ELSE e.v END AS s,
+      |    CASE WHEN (d1.d, e.u) < (d2.d, e.v) THEN e.v ELSE e.u END AS t
+      |  FROM e JOIN deg d1 ON d1.n = e.u JOIN deg d2 ON d2.n = e.v),
+      |tri AS (SELECT count(*) AS n_triangles FROM (
+      |    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |    FROM o e1 JOIN o e2 ON e1.t = e2.s) w
+      |  WHERE EXISTS (SELECT 1 FROM o e3
+      |    WHERE e3.s = w.a AND e3.t = w.c)),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+      |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges,
+      |  CAST(n_triangles AS BIGINT) AS n_triangles,
+      |  CASE WHEN n_wedges > 0
+      |       THEN CAST(3 * n_triangles::HUGEINT * 10000 // n_wedges AS BIGINT)
+      |       ELSE 0 END AS transitivity_pm
+      |FROM st CROSS JOIN tri""".stripMargin
+
   /** q177: Flesch — q66's word replay, separator-run sentence/syllable
     * counts (both engines keep trailing empties), the three-step
     * truncating milli-unit formula. */
@@ -5719,6 +5759,7 @@ object SparkEntry {
     "q175_sprt_daily" -> q175Oracle,
     "q176_benford_audit" -> q176Oracle,
     "q177_readability" -> q177Oracle,
+    "q178_triangle_stats" -> q178Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

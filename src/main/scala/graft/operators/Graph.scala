@@ -109,4 +109,57 @@ object Graph {
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
+
+  /** TRIANGLE COUNT + GLOBAL CLUSTERING COEFFICIENT via the
+    * degree-oriented join — the standard distributed shape (Suri &
+    * Vassilvitskii's "last reducer" fix): orient every undirected edge
+    * from its (degree, id)-smaller endpoint, so each triangle is
+    * counted EXACTLY once and the wedge-join fan-out per node is its
+    * OUT-degree, bounded by O(√m) under this orientation — a hub with
+    * degree 10⁶ contributes ~√m wedges instead of 10¹².
+    *
+    * Input: distinct undirected edges as (srcCol < dstCol) pairs (the
+    * operator re-normalizes and dedups defensively — a duplicate edge
+    * would inflate every count downstream). Output is ONE row:
+    * n_nodes, n_edges, n_wedges (Σ deg·(deg−1)/2), n_triangles, and
+    * transitivity_pm = 10⁴·3·triangles DIV wedges — all exact integers.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint(true) // degrees + orientation + closure, one build
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient from the (degree, id)-smaller endpoint
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"))
+      .localCheckpoint(true) // joined three ways below
+    val wedgeClosures = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+      // close the wedge: the (deg, id) order is a TOTAL order, so inside
+      // a triangle a→b→c the third edge is oriented exactly a→c — a
+      // plain equi semi-join (an OR on both directions would force a
+      // nested-loop join and is provably unreachable)
+      .join(oriented.as("e3"),
+        col("a") === col("e3.s") && col("c") === col("e3.t"), "left_semi")
+    val tri = wedgeClosures.agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    stats.crossJoin(tri) // 1-row x 1-row
+      .withColumn("transitivity_pm",
+        when(col("n_wedges") > 0,
+          expr("3 * CAST(n_triangles AS DECIMAL(38,0)) * 10000 DIV n_wedges"))
+          .otherwise(0L))
+  }
 }

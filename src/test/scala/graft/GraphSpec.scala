@@ -106,4 +106,29 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRank(Seq(("a", "b", 0L)).toDF("src", "dst", "w"),
         "src", "dst", "w"))
   }
+
+  test("triangles: complete graphs hit transitivity 1, paths and stars 0") {
+    import graft.operators.Graph
+    def stats(es: Seq[(Long, Long)]) =
+      Graph.triangleStats(es.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).head
+    assert(stats(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == ((3L, 3L, 3L, 1L, 10000L)))
+    // K4: 4 triangles, 12 wedges
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(stats(k4) == ((4L, 6L, 12L, 4L, 10000L)))
+    // path 1-2-3-4: one wedge per inner node, no closure
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 2L, 0L, 0L)))
+    // star: all wedges at the hub, zero triangles
+    assert(stats(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) ==
+      ((5L, 4L, 6L, 0L, 0L)))
+  }
+
+  test("triangles: duplicate and reversed edges are normalized away") {
+    import graft.operators.Graph
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+    val r = Graph.triangleStats(messy.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(3) == 1L)
+  }
 }
