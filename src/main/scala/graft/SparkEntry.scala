@@ -2548,6 +2548,28 @@ object SparkEntry {
       graft.operators.Graph.triangleStats(pairs, "src", "dst")
     }),
 
+    // Extension — COUNT-DATA DISPERSION (s²/ȳ) of per-(user, day)
+    // activity per event type: the overdispersion screen separating
+    // Poisson-ish traffic (D ≈ 1) from bursty/bot/batched feeds — one
+    // exact cross-multiplied integer ratio. Hash-exact.
+    "q179_dispersion_index" -> ((s, dir) => {
+      val units = events(s, dir).groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"), col("user_id"))
+        .agg(count(lit(1)).as("y"))
+      graft.operators.Profile.dispersionIndex(units, "event_type", "y")
+    }),
+
+    // Extension — GINI CONCENTRATION of per-user event mass per type:
+    // the counting-sort identity 2T = Σ y·(2ck + c(c+1)) computes the
+    // rank sum on the VALUE-DOMAIN frame — no data-sized sort — and the
+    // coefficient is one exact integer ratio. Decides whether a feed
+    // needs per-user caps before training. Hash-exact.
+    "q180_gini_concentration" -> ((s, dir) => {
+      val mass = events(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("y"))
+      graft.operators.Profile.giniIndex(mass, "event_type", "y")
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4748,6 +4770,46 @@ object SparkEntry {
       |FROM res CROSS JOIN base ORDER BY channel""".stripMargin
   }
 
+  /** q179: dispersion — per-(type, day, user) unit counts and the
+    * cross-multiplied sample-variance/mean ratio in HUGEINT. */
+  private val q179Oracle =
+    """WITH u AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, user_id,
+      |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2, 3),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_units,
+      |    CAST(sum(y) AS BIGINT) AS s, sum(y::HUGEINT * y) AS ss
+      |  FROM u GROUP BY 1),
+      |r AS (SELECT event_type, n_units,
+      |    CASE WHEN n_units > 0 THEN 1000 * s // n_units ELSE 0 END AS mean_milli,
+      |    CASE WHEN n_units > 1 AND s > 0
+      |         THEN CAST(10000 * (n_units::HUGEINT * ss - s::HUGEINT * s)
+      |              // ((n_units - 1)::HUGEINT * s) AS BIGINT)
+      |         ELSE 0 END AS dispersion_pm
+      |  FROM g)
+      |SELECT event_type, n_units, mean_milli, dispersion_pm,
+      |  dispersion_pm > 15000 AS overdispersed
+      |FROM r ORDER BY event_type""".stripMargin
+
+  /** q180: Gini — the per-type value-domain frame with cumulative-below
+    * counts, 2T accumulated without division, one final ratio. */
+  private val q180Oracle =
+    """WITH m AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, y, CAST(count(*) AS BIGINT) AS c
+      |  FROM m WHERE y >= 0 GROUP BY 1, 2),
+      |k AS (SELECT *, CAST(coalesce(sum(c) OVER (PARTITION BY event_type
+      |    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS k FROM c),
+      |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_units,
+      |    CAST(sum(y * c) AS BIGINT) AS total,
+      |    sum(y::HUGEINT * (2 * c::HUGEINT * k + c::HUGEINT * (c + 1))) AS t2
+      |  FROM k GROUP BY 1)
+      |SELECT event_type, n_units, total,
+      |  CASE WHEN total > 0
+      |       THEN CAST(10000 * (t2 - (n_units::HUGEINT + 1) * total)
+      |            // (n_units::HUGEINT * total) AS BIGINT)
+      |       ELSE 0 END AS gini_pm
+      |FROM g ORDER BY event_type""".stripMargin
+
   /** q178: triangles — the same degree-(row-value)-ordered orientation,
     * the a→b→c wedge path and the EXISTS closure. */
   private val q178Oracle =
@@ -5760,6 +5822,8 @@ object SparkEntry {
     "q176_benford_audit" -> q176Oracle,
     "q177_readability" -> q177Oracle,
     "q178_triangle_stats" -> q178Oracle,
+    "q179_dispersion_index" -> q179Oracle,
+    "q180_gini_concentration" -> q180Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

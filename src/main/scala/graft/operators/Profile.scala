@@ -214,4 +214,77 @@ object Profile {
         "chi2_term", "chi2_q4", "benford_rejected")
       .orderBy("digit")
   }
+
+  /** COUNT-DATA DISPERSION INDEX per group: D = s²/ȳ — the
+    * overdispersion screen for event counts (Poisson traffic has D ≈ 1;
+    * bursty users, bots, and batch re-sends push D ≫ 1; a capped or
+    * deduplicated feed pushes D < 1). With integer unit counts the
+    * whole statistic is one exact integer ratio:
+    *     D_pm = 10⁴·(n·Σy² − S²) DIV ((n−1)·S)
+    * (sample variance over mean, cross-multiplied; DECIMAL(38,0)
+    * products). Groups with n ≤ 1 or S = 0 report 0 — no variance to
+    * speak of, not an error. One aggregate, map-side combined. */
+  def dispersionIndex(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      flagAbovePm: Long = 15000L
+  ): DataFrame = {
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    df.select(col(groupCol), col(valueCol).cast("long").as("_y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_y")).as("_s"),
+        sum(big(col("_y")) * big(col("_y"))).cast("decimal(38,0)").as("_ss"))
+      .withColumn("mean_milli",
+        when(col("n_units") > 0, expr("1000 * _s DIV n_units")).otherwise(0L))
+      .withColumn("dispersion_pm",
+        when(col("n_units") > 1 && col("_s") > 0,
+          expr("10000 * (n_units * _ss - CAST(_s AS DECIMAL(38,0)) * _s)"
+            + " DIV ((n_units - 1) * CAST(_s AS DECIMAL(38,0)))"))
+          .otherwise(0L))
+      .withColumn("overdispersed", col("dispersion_pm") > flagAbovePm)
+      .select(groupCol, "n_units", "mean_milli", "dispersion_pm", "overdispersed")
+      .orderBy(groupCol)
+  }
+
+  /** GINI COEFFICIENT of an integer mass distribution per group — the
+    * concentration screen ("do 1% of users carry 90% of events?") that
+    * decides whether per-user caps or stratified sampling are needed.
+    * Computed WITHOUT a data-sized sort via the counting-sort identity:
+    * for each distinct value v with count c starting after cumulative
+    * count k, its members occupy ranks k+1..k+c, contributing
+    * v·(c·k + c·(c+1)/2) to T = Σ rank·y_(asc); then
+    *     G = (2T − (n+1)·S) / (n·S)
+    * — every term an exact integer, the window runs on the per-group
+    * VALUE-DOMAIN frame (q129 discipline). G ∈ [0, 1): 0 = perfectly
+    * even, → 1 = all mass on one unit. Zero-mass groups report 0. */
+  def giniIndex(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val counts = df.select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_y"))
+      .filter(col("_y") >= 0)
+      .groupBy(col("_g"), col("_y")).agg(count(lit(1)).as("_c"))
+    val byG = Window.partitionBy(col("_g"))
+    val cum = counts.withColumn("_k",
+      coalesce(sum(col("_c")).over(byG.orderBy(col("_y"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // accumulate 2T directly — 2·Σ rank·y = Σ y·(2ck + c(c+1)) — so no
+    // division (exact or otherwise) happens before the final ratio
+    cum.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("n_units"),
+        sum(col("_y") * col("_c")).as("total"),
+        sum(big(col("_y")) * (big(lit(2L)) * big(col("_c")) * col("_k")
+          + big(col("_c")) * (col("_c") + 1))).cast("decimal(38,0)").as("_t2"))
+      .withColumn("gini_pm",
+        when(col("total") > 0,
+          expr("10000 * (_t2 - (CAST(n_units AS DECIMAL(38,0)) + 1) * total)"
+            + " DIV (CAST(n_units AS DECIMAL(38,0)) * total)"))
+          .otherwise(0L))
+      .select(col("_g").as(groupCol), col("n_units"), col("total"), col("gini_pm"))
+      .orderBy(groupCol)
+  }
 }

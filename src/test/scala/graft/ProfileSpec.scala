@@ -163,4 +163,42 @@ class ProfileSpec extends AnyFunSuite {
     val out = Profile.benfordAudit(rows.toDF("v"), col("v")).collect()
     assert(out.head.getAs[Long]("n_used") == 3L)
   }
+
+  test("dispersion index: hand-computed ratios and the burst flag") {
+    import graft.operators.Profile
+    val even = Seq(("a", 1L), ("a", 1L), ("a", 3L), ("a", 3L))
+    val burst = Seq(("b", 0L), ("b", 0L), ("b", 0L), ("b", 10L))
+    val out = Profile.dispersionIndex((even ++ burst).toDF("g", "y"), "g", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("a") == ((6666L, false)))   // var 4/3 over mean 2
+    assert(out("b") == ((100000L, true)))  // one burst unit: D = 10
+  }
+
+  test("dispersion index: constant and degenerate groups report 0") {
+    import graft.operators.Profile
+    val rows = Seq(("c", 5L), ("c", 5L), ("d", 7L), ("z", 0L), ("z", 0L))
+    val out = Profile.dispersionIndex(rows.toDF("g", "y"), "g", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == Map("c" -> 0L, "d" -> 0L, "z" -> 0L))
+  }
+
+  test("Gini: even mass scores 0, one-holder mass scores (n-1)/n") {
+    import graft.operators.Profile
+    val rows = Seq(("e", 5L), ("e", 5L), ("e", 5L), ("e", 5L),
+      ("x", 0L), ("x", 0L), ("x", 0L), ("x", 10L))
+    val out = Profile.giniIndex(rows.toDF("g", "y"), "g", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("e") == 0L)
+    assert(out("x") == 7500L)
+  }
+
+  test("Gini: hand-computed mixed distribution with ties") {
+    import graft.operators.Profile
+    // values 1,1,2,4 -> sorted ranks: T = 1*1+1*2+2*3+4*4 = 25
+    // G = (2*25 - 5*8)/(4*8) = 10/32 -> 3125 pm
+    val rows = Seq(("m", 1L), ("m", 1L), ("m", 2L), ("m", 4L))
+    val Array(r) = Profile.giniIndex(rows.toDF("g", "y"), "g", "y").collect()
+    assert(r.getLong(3) == 3125L)
+  }
 }
