@@ -614,6 +614,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming dispersion index equals its batch twin (live burst monitor)") {
+    val src = Files.createTempDirectory("graft_stream_disp")
+    val ckp = Files.createTempDirectory("graft_stream_disp_ckp")
+    // the burst group's big unit arrives in the SECOND micro-batch: the
+    // moment state (n, S, SS) must merge across batches
+    Files.write(src.resolve("a.json"), Seq(
+      """{"g":"a","y":1}""", """{"g":"a","y":1}""",
+      """{"g":"b","y":0}""", """{"g":"b","y":0}""", """{"g":"b","y":0}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"g":"a","y":3}""", """{"g":"a","y":3}""", """{"g":"b","y":10}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = graft.operators.Profile.dispersionIndex(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "g", "y")
+      .writeStream
+      .format("memory").queryName("disp_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    val streamed = canon(spark.table("disp_stream").collect())
+    val batch = canon(graft.operators.Profile.dispersionIndex(
+      spark.read.json(src.toString), "g", "y").collect())
+    assert(streamed == batch)
+    assert(batch("a") == ((4L, 6666L, false)))
+    assert(batch("b") == ((4L, 100000L, true)))
+  }
+
   test("streaming SRM guard: stream-maintained first-seen ledger + batch chi-square finish") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Experiment
