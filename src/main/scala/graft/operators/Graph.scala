@@ -142,14 +142,21 @@ object Graph {
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("o"))
       .select(col("o.s").as("s"), col("o.t").as("t"))
       .localCheckpoint(true) // joined three ways below
+    // the wedge frame (Σ indeg·outdeg rows) is the big intermediate —
+    // BROADCAST the edge list on both joins so wedges stream through
+    // map-side hash joins and are never shuffled or materialized; the
+    // edge list is m rows of two longs (a 1.2M-edge graph ≈ 20 MB).
+    // Beyond broadcast size (≈ 10⁸ edges) drop the hints and the same
+    // plan degrades to shuffle joins — the wedge frame still never
+    // lands on disk, only re-partitions.
     val wedgeClosures = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
-      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+      .join(broadcast(oriented.as("e2")), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e2.t").as("c")) // b drops: the count never reads it
       // close the wedge: the (deg, id) order is a TOTAL order, so inside
       // a triangle a→b→c the third edge is oriented exactly a→c — a
       // plain equi semi-join (an OR on both directions would force a
       // nested-loop join and is provably unreachable)
-      .join(oriented.as("e3"),
+      .join(broadcast(oriented.as("e3")),
         col("a") === col("e3.s") && col("c") === col("e3.t"), "left_semi")
     val tri = wedgeClosures.agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(
