@@ -2542,9 +2542,11 @@ object SparkEntry {
     "q178_triangle_stats" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // no caller-side distinct: triangleStats normalizes + dedups the
+      // edge list itself — a second pass would just re-shuffle it
       val pairs = li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
       graft.operators.Graph.triangleStats(pairs, "src", "dst")
     }),
 
@@ -3439,11 +3441,11 @@ object SparkEntry {
        |  WHERE base_id <> query_id - 10000000),
        |evk AS (SELECT *, CASE WHEN il = ql THEN 1 ELSE 0 END AS rel
        |  FROM ev WHERE er <= 5),
-       |pq AS (SELECT query_id, ql,
-       |    CAST(sum(rel) AS BIGINT) AS hits,
-       |    CAST(sum(rel * ($wLit)[er]) AS BIGINT) AS dcg,
-       |    min(CASE WHEN rel = 1 THEN er END) AS first_rel
-       |  FROM evk GROUP BY 1, 2),
+       |pq AS (SELECT q.query_id, q.ql,
+       |    CAST(coalesce(sum(e.rel), 0) AS BIGINT) AS hits,
+       |    CAST(coalesce(sum(e.rel * ($wLit)[e.er]), 0) AS BIGINT) AS dcg,
+       |    min(CASE WHEN e.rel = 1 THEN e.er END) AS first_rel
+       |  FROM q LEFT JOIN evk e ON e.query_id = q.query_id GROUP BY 1, 2),
        |cr AS (SELECT label, CAST(count(*) - 1 AS BIGINT) AS n_rel
        |  FROM embeddings GROUP BY 1),
        |pq2 AS (SELECT pq.*, CASE WHEN cr.n_rel >= 1

@@ -52,11 +52,22 @@ object BudgetAlloc {
       weightCol: String,
       budget: DataFrame
   ): DataFrame = {
+    // the budget frame must be exactly one scalar — a multi-row frame
+    // would silently duplicate every stratum through the cross join
+    require(budget.columns.length == 1 && budget.limit(2).count() == 1,
+      "budget must be a 1-row, 1-column frame")
     val b = budget.toDF("_budget")
     val w = Window.orderBy(col("_ord1"), col("_ord2"), col(stratumCol))
     val big = (c: Column) => c.cast("decimal(38,0)")
     val flagged = strata
-      .withColumn("_ord1", expr(s"$capCol DIV $weightCol"))
+      // data-dependent validity enforced in-plan (the strata frame is
+      // sources-sized): a non-positive weight has no defined share and
+      // must fail loudly, not order arbitrarily
+      .withColumn("_ord1",
+        when(col(weightCol) <= 0,
+          raise_error(concat(lit("waterFill: weight must be > 0 for stratum "),
+            col(stratumCol).cast("string"))))
+          .otherwise(expr(s"$capCol DIV $weightCol")))
       .withColumn("_ord2", expr(s"($capCol % $weightCol) * 1000000 DIV $weightCol"))
       .crossJoin(b) // 1-row scalar
       .withColumn("_cbefore",
@@ -83,8 +94,14 @@ object BudgetAlloc {
               + " * (_budget - _csat) DIV _wun"))))
       .select(col(stratumCol), col(capCol), col(weightCol),
         col("saturated"), col("alloc"),
-        expr(s"CAST(alloc AS DECIMAL(38,0)) * 10000 DIV $capCol").as("fill_pm"),
-        expr("CAST(alloc AS DECIMAL(38,0)) * 10000 DIV _budget").as("share_pm"))
+        // a zero-cap stratum is vacuously saturated at alloc 0; its
+        // fill ratio is undefined — report 0 instead of dividing by 0
+        when(col(capCol) > 0,
+          expr(s"CAST(alloc AS DECIMAL(38,0)) * 10000 DIV $capCol"))
+          .otherwise(0L).as("fill_pm"),
+        when(col("_budget") > 0,
+          expr("CAST(alloc AS DECIMAL(38,0)) * 10000 DIV _budget"))
+          .otherwise(0L).as("share_pm"))
       .orderBy(col(stratumCol))
   }
 }

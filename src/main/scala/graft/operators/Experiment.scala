@@ -221,6 +221,11 @@ object Experiment {
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (n, d) => n > 0 && n <= d },
       s"bad quantile list $ps")
+    // p_pm labels the output AND keys the rank grouping — two requested
+    // quantiles colliding at the same per-myriad value would silently
+    // merge into one wrong row
+    require(ps.map { case (n, d) => n * 10000 / d }.distinct.size == ps.size,
+      s"quantile labels collide at per-myriad precision: $ps")
     val perUser = events.groupBy(col(userCol)).agg(perUserAgg.cast("long").as("y"))
     val ledger = Sampling.withSplitId(perUser, userCol,
       fractions = Seq(0.5, 0.5), salt = salt, splitCol = "variant")

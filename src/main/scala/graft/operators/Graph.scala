@@ -161,7 +161,7 @@ object Graph {
     val tri = wedgeClosures.agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      expr("sum(d) DIV 2").as("n_edges"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
     stats.crossJoin(tri) // 1-row x 1-row
       .withColumn("transitivity_pm",

@@ -80,12 +80,17 @@ object MarkovAttribution {
       .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
 
     // ---- bounded collect: the |states|²-capped transition matrix ----
-    val rows = edges.collect().map(r =>
+    // LIMIT the collect itself so a high-cardinality channel column
+    // (the misuse this guard exists for) fails loudly on a bounded
+    // driver buffer instead of OOMing before the check runs
+    val capRows = maxStates * maxStates
+    val rows = edges.limit(capRows + 1).collect().map(r =>
       (r.getString(0), r.getString(1), r.getLong(2)))
     val states = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
-    require(states.length <= maxStates,
-      s"state space ${states.length} exceeds maxStates=$maxStates — " +
-        "removal attribution needs a vocabulary-bounded channel set")
+    require(rows.length <= capRows && states.length <= maxStates,
+      s"state space ${states.length}+ (≥${rows.length} edges) exceeds " +
+        s"maxStates=$maxStates — removal attribution needs a " +
+        "vocabulary-bounded channel set")
     val out = rows.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val bySrc = rows.groupBy(_._1)
 

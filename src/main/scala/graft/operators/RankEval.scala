@@ -48,7 +48,10 @@ object RankEval {
     * @param excludeSelf rows to DROP before evaluation (e.g. the
     *                   query's own copy); remaining candidates re-rank
     *                   densely so position discounts stay honest
-    * @return per label: n_queries, p_at_k_pm, ndcg_at_k_pm, mrr_pm */
+    * @return per label: n_queries, p_at_k_pm, ndcg_at_k_pm, mrr_pm —
+    *         EVERY query in `queryRel` counts: one with no surviving
+    *         candidates scores 0 on all three metrics (standard IR
+    *         accounting; dropping it would hide retrieval failures) */
   def metricsAtK(
       retrieved: DataFrame,
       queryCol: String,
@@ -70,22 +73,31 @@ object RankEval {
       .withColumn("_rel", (col("_il") === col("_ql")).cast("long"))
     val wArr = typedlit(DiscountMicro)
     val cumArr = typedlit(CumMicro)
-    val perQuery = ev.groupBy(col(queryCol), col("_ql"))
+    val perQuery = ev.groupBy(col(queryCol))
       .agg(
         sum(col("_rel")).as("_hits"),
         sum(col("_rel") * element_at(wArr, col("_er").cast("int"))).as("_dcg"),
         min(when(col("_rel") === 1L, col("_er"))).as("_first"))
+    // EVERY query counts: one that retrieved nothing (empty probe
+    // buckets, or only its excluded self-copy) scores 0 on all three
+    // metrics — silently dropping it would let a retriever that fails
+    // 30% of queries score like one that answers them all
+    val spine = queryRel.withColumnRenamed("label", "_ql")
+      .join(perQuery, Seq(queryCol), "left")
+      .withColumn("_hits", coalesce(col("_hits"), lit(0L)))
+      .withColumn("_dcg", coalesce(col("_dcg"), lit(0L)))
       .join(corpusRel.withColumnRenamed("label", "_ql"), "_ql")
       .withColumn("_idcg",
         when(col("n_rel") >= 1L,
           element_at(cumArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
           .otherwise(0L))
+    val scored = spine
       .select(col("_ql").as("label"),
         expr(s"_hits * 10000 DIV $k").as("_p"),
         when(col("_idcg") > 0, expr("_dcg * 10000 DIV _idcg"))
           .otherwise(0L).as("_ndcg"),
         coalesce(expr("10000 DIV _first"), lit(0L)).as("_rr"))
-    perQuery.groupBy(col("label"))
+    scored.groupBy(col("label"))
       .agg(count(lit(1)).as("n_queries"),
         expr("sum(_p) DIV count(1)").as("p_at_k_pm"),
         expr("sum(_ndcg) DIV count(1)").as("ndcg_at_k_pm"),

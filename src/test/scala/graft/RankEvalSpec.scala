@@ -58,4 +58,21 @@ class RankEvalSpec extends AnyFunSuite {
     val got = eval(Seq((1L, 1L, 0), (2L, 2L, 0)), nRel = 0L)
     assert(got == ((0L, 0L, 0L)))
   }
+
+  test("a query with zero surviving candidates scores 0 and still counts") {
+    import graft.operators.RankEval
+    // query 100 retrieves one perfect item; query 200 retrieves ONLY its
+    // excluded self-copy -> no candidates survive, yet it must count
+    val r = Seq((100L, 1L, 1L), (200L, 9L, 1L)).toDF("query_id", "item_id", "rank")
+    val items = Seq((1L, 1), (9L, 1)).toDF("item_id", "label")
+    val queries = Seq((100L, 1), (200L, 1)).toDF("query_id", "label")
+    val corpus = Seq((1, 10L)).toDF("label", "n_rel")
+    val Array(row) = RankEval.metricsAtK(r, "query_id", "item_id", "rank",
+      queries, items, corpus, k = 5,
+      excludeSelf = col("item_id") === lit(9L)).collect()
+    assert(row.getAs[Long]("n_queries") == 2L, "the empty query counts")
+    // query 100: p=2000, mrr=10000; query 200: all zeros -> means halve
+    assert(row.getAs[Long]("p_at_k_pm") == 1000L)
+    assert(row.getAs[Long]("mrr_pm") == 5000L)
+  }
 }
