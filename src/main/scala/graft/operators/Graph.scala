@@ -142,23 +142,25 @@ object Graph {
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("o"))
       .select(col("o.s").as("s"), col("o.t").as("t"))
       .localCheckpoint(true) // joined three ways below
-    // the wedge frame (Σ indeg·outdeg rows) is the big intermediate —
-    // BROADCAST the edge list on both joins so wedges stream through
-    // map-side hash joins and are never shuffled or materialized; the
-    // edge list is m rows of two longs (a 1.2M-edge graph ≈ 20 MB).
-    // Beyond broadcast size (≈ 10⁸ edges) drop the hints and the same
-    // plan degrades to shuffle joins — the wedge frame still never
-    // lands on disk, only re-partitions.
-    val wedgeClosures = oriented.as("e1")
-      .join(broadcast(oriented.as("e2")), col("e1.t") === col("e2.s"))
-      .select(col("e1.s").as("a"), col("e2.t").as("c")) // b drops: the count never reads it
-      // close the wedge: the (deg, id) order is a TOTAL order, so inside
-      // a triangle a→b→c the third edge is oriented exactly a→c — a
-      // plain equi semi-join (an OR on both directions would force a
-      // nested-loop join and is provably unreachable)
-      .join(broadcast(oriented.as("e3")),
-        col("a") === col("e3.s") && col("c") === col("e3.t"), "left_semi")
-    val tri = wedgeClosures.agg(count(lit(1)).as("n_triangles"))
+    // closure by ADJACENCY INTERSECTION instead of wedge expansion:
+    // for each oriented edge (u, v), triangles through it = |N⁺(u) ∩
+    // N⁺(v)| — each triangle a→b→c lands exactly once, at edge (a, b),
+    // via their common out-neighbor c. This never materializes the
+    // Σ indeg·outdeg wedge frame (147.8M rows at sf0.1); the work is
+    // Σ_edges (deg⁺(u) + deg⁺(v)) element comparisons inside one
+    // map-side join row per EDGE. The adjacency table is |V| rows
+    // holding m longs total — broadcast (a 1.2M-edge graph ≈ 10 MB);
+    // beyond broadcast size drop the hint and it shuffle-joins on the
+    // edge key, still edge-frame-sized.
+    val adj = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    val tri = oriented
+      .join(broadcast(adj.select(col("s"), col("nbrs").as("_nu"))), Seq("s"), "left")
+      .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("_nv"))), Seq("t"), "left")
+      .select(size(array_intersect(
+        coalesce(col("_nu"), array()),
+        coalesce(col("_nv"), array()))).cast("long").as("_c"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n_triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       expr("sum(d) DIV 2").as("n_edges"),
