@@ -2572,6 +2572,37 @@ object SparkEntry {
       graft.operators.Profile.giniIndex(mass, "event_type", "y")
     }),
 
+    // Extension — WINSORIZED READOUT: per-arm means of per-user
+    // activity clamped at the POOLED 5%/95% type-1 quantiles (counting-
+    // sort cut points; per-arm cuts would distort the comparison) —
+    // the whale-proof metric, exact integers end to end. Hash-exact.
+    "q181_winsorized_readout" -> ((s, dir) => {
+      graft.operators.Experiment.winsorizedReadout(
+        events(s, dir), "user_id", 1, 20, 19, 20, salt = "exp1")
+    }),
+
+    // Extension — EMBEDDING HEALTH: per-label collapse proxy
+    // ‖Σx‖²/(n·Σ‖x‖²) — 1 when every vector points one way (the dead-
+    // encoder signature that silently breaks every cosine operator), ≈0
+    // when spread. Quantized integer arithmetic end to end. Hash-exact.
+    "q182_embedding_health" -> ((s, dir) => {
+      graft.operators.EmbedAudit.healthReport(
+        t(s, dir, "embeddings"), "embedding", "vec_id", "label")
+    }),
+
+    // Extension — T-CLOSENESS, completing the privacy ladder
+    // (q113 k-anonymity → q130 l-diversity → this): per-QI-class 1-D
+    // EMD between the class's balance-band distribution and the global
+    // one, cross-multiplied to exact integers on the classes × bands
+    // grid (absent bands keep their cumulative rows). t = 0.2.
+    // Hash-exact.
+    "q183_t_closeness" -> ((s, dir) => {
+      graft.operators.Privacy.tClosenessReport(
+        t(s, dir, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4865,6 +4896,94 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN score < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** q183: t-closeness — classes × bands grid with zero-filled cells,
+    * per-class cumulative distributions, the |N·cp − n_c·cq| terms in
+    * HUGEINT, one divisor. */
+  private val q183Oracle =
+    """WITH b AS (SELECT c_nationkey, c_mktsegment,
+      |    coalesce(CAST(floor(c_acctbal / 1000) AS BIGINT),
+      |             -9223372036854775808) AS cat
+      |  FROM customer),
+      |cells AS (SELECT c_nationkey, c_mktsegment, cat,
+      |    CAST(count(*) AS BIGINT) AS cc FROM b GROUP BY 1, 2, 3),
+      |cls AS (SELECT c_nationkey, c_mktsegment, CAST(sum(cc) AS BIGINT) AS n_c
+      |  FROM cells GROUP BY 1, 2),
+      |cats AS (SELECT cat, CAST(sum(cc) AS BIGINT) AS gc FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nn,
+      |    CAST(count(DISTINCT cat) AS BIGINT) AS m FROM cells),
+      |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c,
+      |    cats.cat, cats.gc, coalesce(cells.cc, 0) AS cc
+      |  FROM cls CROSS JOIN cats
+      |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+      |    AND cells.c_mktsegment = cls.c_mktsegment AND cells.cat = cats.cat),
+      |cum AS (SELECT *,
+      |    CAST(sum(cc) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY cat) AS BIGINT) AS cp,
+      |    CAST(sum(gc) OVER (PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY cat) AS BIGINT) AS cq
+      |  FROM grid),
+      |agg AS (SELECT c_nationkey, c_mktsegment, n_c,
+      |    sum(abs(nn::HUGEINT * cp - n_c::HUGEINT * cq)) AS d,
+      |    max(nn) AS nn, max(m) AS m
+      |  FROM cum CROSS JOIN tot GROUP BY 1, 2, 3),
+      |r AS (SELECT c_nationkey, c_mktsegment, n_c,
+      |    CASE WHEN m > 1 THEN CAST(10000 * d
+      |         // ((m - 1)::HUGEINT * n_c * nn) AS BIGINT)
+      |         ELSE 0 END AS emd_pm
+      |  FROM agg)
+      |SELECT c_nationkey, c_mktsegment, n_c, emd_pm, emd_pm <= 2000 AS within_t
+      |FROM r ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** q182: embedding health — the kmeansCtes quantization, per-row norm
+    * mass and per-dim centroid sums in HUGEINT, one ratio. */
+  private val q182Oracle =
+    """WITH qv AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+      |  FROM embeddings WHERE vec_id IS NOT NULL AND len(embedding) > 0),
+      |nm AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |    sum(list_aggregate(list_transform(xq, v -> v * v), 'sum')::HUGEINT)
+      |      AS mass
+      |  FROM qv GROUP BY 1),
+      |ev AS (SELECT label, j, CAST(sum(xq[j]) AS BIGINT) AS s
+      |  FROM (SELECT label, xq, unnest(range(1, len(xq) + 1)) AS j FROM qv)
+      |  GROUP BY 1, 2),
+      |ct AS (SELECT label, CAST(count(*) AS BIGINT) AS dim,
+      |    sum(s::HUGEINT * s) AS cnorm2 FROM ev GROUP BY 1)
+      |SELECT nm.label, n, dim,
+      |  CAST(mass // n AS BIGINT) AS avg_norm2_q,
+      |  CASE WHEN mass > 0
+      |       THEN CAST(cnorm2 * 10000 // (n::HUGEINT * mass) AS BIGINT)
+      |       ELSE 0 END AS collapse_pm
+      |FROM nm JOIN ct USING (label) ORDER BY nm.label""".stripMargin
+
+  /** q181: winsorized — pooled value-domain cut points at the rational
+    * ranks, clamp, per-arm integer sums. */
+  private val q181Oracle =
+    """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |v AS (SELECT y,
+      |  CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'exp1'), 1, 8))::BIGINT
+      |             % 10000) < 5000
+      |       THEN 0 ELSE 1 END AS variant FROM pu),
+      |c AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+      |cu AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY y) AS BIGINT) AS cum FROM c),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM v),
+      |cuts AS (SELECT
+      |    min(CASE WHEN cum >= (1 * n_all + 19) // 20 THEN y END) AS lo_cut,
+      |    min(CASE WHEN cum >= (19 * n_all + 19) // 20 THEN y END) AS hi_cut
+      |  FROM cu CROSS JOIN na),
+      |w AS (SELECT variant, y, greatest(lo_cut, least(hi_cut, y)) AS yw,
+      |    lo_cut, hi_cut FROM v CROSS JOIN cuts),
+      |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
+      |    CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(yw) AS BIGINT) AS sum_yw,
+      |    CAST(sum(CASE WHEN y <> yw THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+      |    max(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut
+      |  FROM w GROUP BY 1)
+      |SELECT variant, n_v, sum_y, sum_yw, n_clamped, lo_cut, hi_cut,
+      |  sum_y * 10000 // n_v AS mean_y_pm, sum_yw * 10000 // n_v AS mean_w_pm
+      |FROM g ORDER BY variant""".stripMargin
+
   /** q176: Benford — cent strings' leading digits left-joined onto the
     * full 1..9 frame, the pinned expectation list, and the quantized
     * HUGEINT χ² terms. */
@@ -5826,6 +5945,9 @@ object SparkEntry {
     "q178_triangle_stats" -> q178Oracle,
     "q179_dispersion_index" -> q179Oracle,
     "q180_gini_concentration" -> q180Oracle,
+    "q181_winsorized_readout" -> q181Oracle,
+    "q182_embedding_health" -> q182Oracle,
+    "q183_t_closeness" -> q183Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -97,4 +97,51 @@ object EmbedAudit {
         (col("best.c") > col("own_cos")).as("is_flagged"))
       .orderBy("vec_id")
   }
+
+  /** EMBEDDING HEALTH / COLLAPSE PROXY per label: the concentration
+    * ratio ‖Σx‖² / (n·Σ‖x‖²) — exactly 1 when every vector points the
+    * same way (representation collapse, the classic failed-encoder
+    * signature) and ≈ 0 for isotropically spread directions. The
+    * first-moment health check that catches a dead embedding column
+    * BEFORE it silently breaks every cosine operator downstream
+    * (collapsed vectors make everything a near-duplicate).
+    *
+    * Exactness: coordinates quantize to 2²⁰ integer units (the
+    * KMeansQuant scale); per-dim centroid sums, their squared norm, and
+    * the total squared mass are all exact integers in DECIMAL(38,0),
+    * and the ratio is one truncating per-myriad division. Scale shape:
+    * one scan for per-row norms (map-side combined), one posexplode
+    * aggregate onto the (label × dim) frame, then label-frame
+    * arithmetic. Null/empty vectors are dropped (no direction). */
+  def healthReport(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val scale = 1L << 20
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val qv = df.filter(col(idCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(labelCol).as("_lab"),
+        transform(col(embCol),
+          x => round(x.cast("double") * lit(scale.toDouble)).cast("long")).as("_xq"))
+      .localCheckpoint(true) // norms pass + centroid pass
+    val norms = qv.select(col("_lab"),
+        aggregate(col("_xq"), lit(0L), (acc, v) => acc + v * v).as("_n2"))
+      .groupBy(col("_lab"))
+      .agg(count(lit(1)).as("n"), sum(big(col("_n2"))).cast("decimal(38,0)").as("_mass"))
+    val cents = qv
+      .select(col("_lab"), posexplode(col("_xq")).as(Seq("_j", "_v")))
+      .groupBy(col("_lab"), col("_j")).agg(sum(col("_v")).as("_s"))
+      .groupBy(col("_lab"))
+      .agg(count(lit(1)).as("dim"),
+        sum(big(col("_s")) * big(col("_s"))).cast("decimal(38,0)").as("_cnorm2"))
+    norms.join(cents, "_lab")
+      .select(col("_lab").as(labelCol), col("n"), col("dim"),
+        expr("_mass DIV n").as("avg_norm2_q"),
+        when(col("_mass") > 0,
+          expr("_cnorm2 * 10000 DIV (n * _mass)")).otherwise(0L)
+          .as("collapse_pm"))
+      .orderBy(col(labelCol))
+  }
 }

@@ -294,6 +294,55 @@ object Experiment {
           + " - (post_a - pre_a) * n_b) DIV (n_a * n_b)").as("did_pm"))
   }
 
+  /** WINSORIZED EXPERIMENT READOUT: per-arm means of the per-unit metric
+    * CLAMPED at pooled type-1 quantile cut points — the robust metric
+    * that keeps one whale from deciding an experiment (the classic
+    * failure of raw revenue/activity means). Cut points are computed on
+    * the POOLED distribution (q129 counting-sort discipline — a
+    * value-domain frame, no data-sized sort) and applied identically to
+    * both arms: per-arm cuts would distort the very comparison being
+    * made. Everything stays exact integers: cuts are order statistics,
+    * clamped sums are integer sums, and the means are truncating
+    * per-myriad divisions.
+    *
+    * @param loNum/loDen, hiNum/hiDen clamp quantiles as exact rationals
+    *        (e.g. 1/20 and 19/20 for 5%/95% winsorization) */
+  def winsorizedReadout(
+      events: DataFrame,
+      userCol: String,
+      loNum: Int, loDen: Int,
+      hiNum: Int, hiDen: Int,
+      perUserAgg: Column = count(lit(1)),
+      salt: String = ""
+  ): DataFrame = {
+    require(loNum >= 0 && hiNum * loDen > loNum * hiDen && hiNum <= hiDen,
+      s"need 0 <= lo < hi <= 1, got $loNum/$loDen, $hiNum/$hiDen")
+    val perUser = events.groupBy(col(userCol)).agg(perUserAgg.cast("long").as("y"))
+    val ledger = Sampling.withSplitId(perUser, userCol,
+        fractions = Seq(0.5, 0.5), salt = salt, splitCol = "variant")
+      .localCheckpoint(true) // cut points + clamped means, one scan
+    // pooled cut points off the value-domain frame
+    val cum = ledger.groupBy(col("y")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("y"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(ledger.agg(count(lit(1)).as("n_all")))
+    val cuts = cum.agg(
+      min(when(col("cum") >= expr(s"($loNum * n_all + $loDen - 1) DIV $loDen"),
+        col("y"))).as("lo_cut"),
+      min(when(col("cum") >= expr(s"($hiNum * n_all + $hiDen - 1) DIV $hiDen"),
+        col("y"))).as("hi_cut"))
+    ledger.crossJoin(cuts) // 1-row scalar
+      .withColumn("yw", greatest(col("lo_cut"), least(col("hi_cut"), col("y"))))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"),
+        sum(col("y")).as("sum_y"), sum(col("yw")).as("sum_yw"),
+        sum(when(col("y") =!= col("yw"), 1L).otherwise(0L)).as("n_clamped"),
+        max(col("lo_cut")).as("lo_cut"), max(col("hi_cut")).as("hi_cut"))
+      .withColumn("mean_y_pm", expr("sum_y * 10000 DIV n_v"))
+      .withColumn("mean_w_pm", expr("sum_yw * 10000 DIV n_v"))
+      .orderBy(col("variant"))
+  }
+
   /** SEQUENTIAL PROBABILITY RATIO TEST (Wald '45) on a daily unit
     * stream: the readout a team peeking at an experiment every day
     * should use instead of repeating fixed-horizon z-tests (which

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K-ANONYMITY AUDIT — how re-identifiable is a table through a set of
@@ -121,5 +122,67 @@ object Privacy {
           (col("n_before") - col("n_purged")).as("n_after"))
     }.reduce(_ unionByName _).orderBy("tbl")
     (purged, ledger)
+  }
+
+  /** T-CLOSENESS AUDIT (Li, Li & Venkatasubramanian '07) — the third
+    * rung of the privacy ladder this module climbs (k-anonymity: class
+    * sizes; l-diversity: distinct sensitive values; t-closeness: the
+    * DISTRIBUTION of sensitive values per class must stay close to the
+    * global one — an attacker learns little beyond the prior). For an
+    * ORDINAL sensitive attribute the distance is the 1-D Earth Mover's
+    * Distance, EMD = (1/(m−1))·Σ_k |CumP_k − CumQ_k| over the m ordered
+    * categories — which cross-multiplies to exact integers:
+    *     emd_pm = 10⁴·Σ_k |N·cp_k − n_c·cq_k| DIV ((m−1)·n_c·N)
+    * (cp/cq cumulative class/global counts). The sensitive attribute
+    * must be NUMERIC ordinal (bands, scores, ages); NULL values form
+    * their own category ordered FIRST — implemented as a Long.MinValue
+    * sentinel so every grid join stays a plain equi-join (the module's
+    * null-is-a-value discipline).
+    *
+    * Scale shape: one (QI, category) count shuffle; the cumulative
+    * distributions live on the classes × m GRID (built from the class
+    * and category frames so a class missing a category still carries
+    * its cumulative row — dropping it would understate the distance);
+    * windows run per class over m rows. */
+  def tClosenessReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tPm: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tPm > 0 && tPm < 10000, s"tPm in (0, 10000), got $tPm")
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val qi = quasiCols.map(col)
+    val cat = coalesce(col(sensitiveCol).cast("long"), lit(Long.MinValue))
+    val cells = df.groupBy(qi :+ cat.as("_cat"): _*)
+      .agg(count(lit(1)).as("_cc"))
+      .localCheckpoint(true) // classes, categories and the grid all read it
+    val classes = cells.groupBy(qi: _*).agg(sum(col("_cc")).as("n_c"))
+    val cats = cells.groupBy(col("_cat")).agg(sum(col("_cc")).as("_gc"))
+    val m = Window.partitionBy(qi: _*)
+      .orderBy(col("_cat").asc) // MinValue sentinel = nulls first
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = classes.crossJoin(cats) // classes × m audit grid
+      .join(cells, quasiCols :+ "_cat", "left")
+      .withColumn("_cc", coalesce(col("_cc"), lit(0L)))
+      .withColumn("_cp", sum(col("_cc")).over(m))
+      .withColumn("_cq", sum(col("_gc")).over(m))
+      .crossJoin(cells.agg(sum(col("_cc")).as("_nn"),
+        countDistinct(col("_cat")).as("_m"))) // sentinel counts as a value
+    grid
+      // the last category's cumulative term is always 0 — summing all m
+      // keeps the formula readable; the (m−1) divisor is what matters
+      .groupBy(qi :+ col("n_c"): _*)
+      .agg(sum(abs(big(col("_nn")) * col("_cp") - big(col("n_c")) * col("_cq")))
+        .cast("decimal(38,0)").as("_d"),
+        max(col("_nn")).as("_nn"), max(col("_m")).as("_m"))
+      .withColumn("emd_pm",
+        when(col("_m") > 1,
+          expr("10000 * _d DIV ((_m - 1) * CAST(n_c AS DECIMAL(38,0)) * _nn)"))
+          .otherwise(0L))
+      .withColumn("within_t", col("emd_pm") <= tPm)
+      .select(qi ++ Seq(col("n_c"), col("emd_pm"), col("within_t")): _*)
+      .orderBy(qi: _*)
   }
 }

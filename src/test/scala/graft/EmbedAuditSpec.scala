@@ -53,4 +53,28 @@ class EmbedAuditSpec extends AnyFunSuite {
     val v4 = got.find(_.getLong(0) == 4L).get
     assert(v4.getInt(3) == 1) // tie between labels 1 and 2 -> lower wins
   }
+
+  test("health report: collapse reads 10000 for identical vectors, 10000/n for orthogonal") {
+    import graft.operators.EmbedAudit
+    val rows =
+      (1L to 5L).map(i => (i, 7, Seq(0.5f, 0.5f, 0.0f, 0.0f))) ++ // collapsed
+      (1L to 4L).map(i => (10L + i, 8,
+        Seq.tabulate(4)(j => if (j == (i - 1)) 1.0f else 0.0f)))  // one-hot spread
+    val out = EmbedAudit.healthReport(
+        rows.toDF("vec_id", "label", "embedding"), "embedding", "vec_id", "label")
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("collapse_pm")).toMap
+    assert(out(7) == 10000L)
+    assert(out(8) == 2500L) // 1/n with n = 4
+  }
+
+  test("health report drops null-id and empty vectors") {
+    import graft.operators.EmbedAudit
+    val rows = Seq(
+      (Some(1L), 1, Seq(1.0f, 0.0f)), (None, 1, Seq(1.0f, 0.0f)),
+      (Some(3L), 1, Seq.empty[Float]))
+    val Array(r) = EmbedAudit.healthReport(
+      rows.toDF("vec_id", "label", "embedding"), "embedding", "vec_id", "label")
+      .collect()
+    assert(r.getAs[Long]("n") == 1L)
+  }
 }

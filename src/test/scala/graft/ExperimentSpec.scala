@@ -141,6 +141,23 @@ class ExperimentSpec extends AnyFunSuite {
     assert(r.getAs[Long]("did_pm") == 30000L)
   }
 
+
+  test("winsorized readout clamps the whale and leaves everyone else alone") {
+    // 99 users with y=2, one whale y=1000; pooled 5%/95% cuts are both 2
+    val events = (1L to 99L).flatMap(u => Seq.fill(2)((u, "m"))) ++
+      Seq.fill(1000)((100L, "m"))
+    val out = Experiment.winsorizedReadout(events.toDF("user_id", "mtype"),
+        "user_id", 1, 20, 19, 20, salt = "t")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.values.map(_.getAs[Long]("n_clamped")).sum == 1L)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("lo_cut") == 2L && r.getAs[Long]("hi_cut") == 2L)
+      assert(r.getAs[Long]("mean_w_pm") == 20000L, "winsorized mean is whale-proof")
+    }
+    // the raw mean of the whale's arm is badly distorted
+    assert(out.values.map(_.getAs[Long]("mean_y_pm")).max > 60000L)
+  }
+
   test("SPRT: continue, cross the H0 boundary, and stay sealed") {
     // 25 inactive units/day (1 event each, metric 1 < 3): each day adds
     // 25 * -68993 = -1724825; day 1 continue, day 2 crosses -ln19

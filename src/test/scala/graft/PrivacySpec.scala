@@ -93,4 +93,44 @@ class PrivacySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Privacy.lDiversityReport(t, Seq("zip"), "dx", 1L))
   }
+
+  test("t-closeness: a class mirroring the global distribution scores 0; a one-band class scores its EMD") {
+    import graft.operators.Privacy
+    // global bands {0: 2, 1: 2}; class a holds only band 0, class b only 1
+    val df = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L)).toDF("qi", "band")
+    val out = Privacy.tClosenessReport(df, Seq("qi"), "band", tPm = 2000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("emd_pm"), r.getAs[Boolean]("within_t")))).toMap
+    // EMD = |1 - 0.5| / (m-1) = 0.5 -> 5000 pm, violating t = 0.2
+    assert(out("a") == ((5000L, false)) && out("b") == ((5000L, false)))
+    // a balanced class IS the global distribution
+    val bal = Seq(("c", 0L), ("c", 1L), ("d", 0L), ("d", 1L)).toDF("qi", "band")
+    Privacy.tClosenessReport(bal, Seq("qi"), "band", tPm = 2000L)
+      .collect().foreach(r => assert(r.getAs[Long]("emd_pm") == 0L
+        && r.getAs[Boolean]("within_t")))
+  }
+
+  test("t-closeness: null bands form the first-ordered category") {
+    import graft.operators.Privacy
+    val df = Seq(("a", Some(0L)), ("a", None), ("b", Some(0L)), ("b", None))
+      .toDF("qi", "band")
+    // both classes mirror the global {null: 2, 0: 2} split exactly
+    Privacy.tClosenessReport(df, Seq("qi"), "band", tPm = 100L)
+      .collect().foreach(r => assert(r.getAs[Long]("emd_pm") == 0L))
+  }
+
+  test("t-closeness: mass farther along the ordinal scale costs more EMD") {
+    import graft.operators.Privacy
+    // global mass concentrated at rank 0; class lo sits one rank away,
+    // class hi three ranks away (bands 0 < 1 < 5 in rank space)
+    val df = (1 to 20).map(i => (s"pad$i", 0L)) ++
+      Seq(("lo", 1L), ("lo", 1L), ("hi", 5L), ("hi", 5L))
+    val out = Privacy.tClosenessReport(df.toDF("qi", "band"), Seq("qi"),
+        "band", tPm = 2000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("emd_pm")).toMap
+    assert(out("lo") == 4583L)  // hand replay: d = 44, 10^4*44/(2*2*24)
+    assert(out("hi") == 8750L)  // d = 84: the extra rank costs transport
+    assert(out("lo") < out("hi"))
+  }
+
 }
