@@ -186,4 +186,80 @@ class PropertySpec extends AnyFunSuite {
     val expected = parent.keys.map(v => v -> find(v)).toMap
     assert(got == expected)
   }
+
+  test("waterFill is always feasible: alloc in [0, cap], total within budget, saturation consistent") {
+    import graft.operators.BudgetAlloc
+    val stratum = for {
+      cap <- Gen.chooseNum(0L, 5000L)
+      w <- Gen.chooseNum(1L, 9L)
+    } yield (cap, w)
+    val cases = sample(Gen.zip(Gen.listOfN(12, stratum), Gen.chooseNum(1L, 30000L)), 12)
+    for (((strata, budget), i) <- cases.zipWithIndex) {
+      val df = strata.zipWithIndex.map { case ((c, w), j) => (s"s$j", c, w) }
+        .toDF("s", "cap", "weight")
+      val out = BudgetAlloc.waterFill(df, "s", "cap", "weight",
+          Seq(budget).toDF("b"))
+        .collect().map(r => (r.getLong(1), r.getBoolean(3), r.getLong(4)))
+      out.foreach { case (cap, sat, alloc) =>
+        assert(alloc >= 0L && alloc <= cap, s"case $i: alloc bound")
+        assert(!sat || alloc == cap, s"case $i: saturated means full cap")
+      }
+      assert(out.map(_._3).sum <= budget, s"case $i: over-commit")
+      // if anything is unsaturated the budget must be ~spent (within one
+      // truncation unit per stratum) OR every unsaturated alloc hit cap
+      val totalCap = out.map(_._1).sum
+      if (totalCap <= budget)
+        assert(out.forall(_._2), s"case $i: budget covers caps -> all saturated")
+    }
+  }
+
+  test("Gini stays in [0, 10000) and responds to concentration") {
+    import graft.operators.Profile
+    val masses = sample(Gen.listOfN(30, Gen.chooseNum(0L, 200L)), 10)
+    for ((ms, i) <- masses.zipWithIndex if ms.sum > 0) {
+      val df = ms.zipWithIndex.map { case (m, j) => (s"g", m) }.toDF("g", "y")
+      val gini = Profile.giniIndex(df, "g", "y").collect()(0).getLong(3)
+      assert(gini >= 0L && gini < 10000L, s"case $i: gini=$gini")
+    }
+  }
+
+  test("conformal coverage meets the 1-alpha target on exchangeable integer scores") {
+    import graft.operators.Conformal
+    // deterministic pseudo-random residuals via a hash mix: exchangeable
+    // between the md5 calibration/test splits by construction
+    val rows = (1L to 4000L).map { k =>
+      val r = (k * 2654435761L) % 97L // arbitrary 97-value score domain
+      (k, 100L + r, 100L)
+    }
+    val Array(out) = Conformal.coverageReport(
+      rows.toDF("k", "y", "y_hat").withColumn("g", lit("all")),
+      "k", "y", "y_hat", Seq("g"), alphaNum = 1, alphaDen = 10, salt = "pp")
+      .collect()
+    val pm = out.getAs[Long]("coverage_pm")
+    assert(pm >= 8800L, s"coverage_pm=$pm must sit at/above ~90%")
+  }
+
+  test("dispersion of a constant-rate feed is below the burst flag; a planted burst trips it") {
+    import graft.operators.Profile
+    val calm = (1 to 400).map(i => ("calm", 3L + (i % 2)))
+    val bursty = (1 to 399).map(_ => ("burst", 1L)) :+ (("burst", 400L))
+    val out = Profile.dispersionIndex((calm ++ bursty).toDF("g", "y"), "g", "y")
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(!out("calm") && out("burst"))
+  }
+
+  test("triangle census invariants: 3*triangles <= wedges on random graphs") {
+    import graft.operators.Graph
+    val edgeGen = Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(1L, 25L))
+    for (seed <- 1 to 3) {
+      val es = sample(Gen.listOfN(120, edgeGen), seed * 7).flatten
+        .filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        val r = Graph.triangleStats(es.toDF("s", "d"), "s", "d").collect()(0)
+        val (wedges, tri) = (r.getLong(2), r.getLong(3))
+        assert(3L * tri <= wedges, s"3*$tri <= $wedges")
+        assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L)
+      }
+    }
+  }
 }
