@@ -2603,6 +2603,17 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — COHORT LTV CURVE: q87 retention's value-weighted
+    // sibling — cumulative purchase revenue per weekly acquisition
+    // cohort, normalized per member at the cohort's birth size, money
+    // in integer cents (quantize-then-sum), flat ages kept via the
+    // cohort × age grid. The payback-window readout. Hash-exact.
+    "q184_ltv_curve" -> ((s, dir) => {
+      graft.operators.Funnel.ltvCurve(
+        events(s, dir), "user_id", "ts", "event_type", "value",
+        valueEvent = "purchase", periodMs = 604800000L)
+    }),
+
     // Extension — LINEAGE HISTORY (SnapshotSink.history, the DESCRIBE
     // HISTORY analog): the q146 dedup lineage's per-version row counts
     // read from the manifests alone — metadata-only, no data I/O. The
@@ -4896,6 +4907,35 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN score < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** q184: LTV — first-activity cohorts, purchase cents at cohort age,
+    * the cohort × observed-age grid with zero fill, cumulative window
+    * per cohort, per-user truncating division. */
+  private val q184Oracle =
+    """WITH wp AS (SELECT user_id, epoch_ms(ts) // 604800000 AS period,
+      |    event_type AS etype,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |co AS (SELECT user_id, CAST(min(period) AS BIGINT) AS cohort_period
+      |  FROM wp GROUP BY 1),
+      |sz AS (SELECT cohort_period, CAST(count(*) AS BIGINT) AS n_cohort_users
+      |  FROM co GROUP BY 1),
+      |rev AS (SELECT co.cohort_period,
+      |    CAST(wp.period - co.cohort_period AS BIGINT) AS age,
+      |    CAST(sum(wp.cents) AS BIGINT) AS age_cents
+      |  FROM wp JOIN co USING (user_id)
+      |  WHERE wp.etype = 'purchase' GROUP BY 1, 2),
+      |ages AS (SELECT DISTINCT age FROM rev),
+      |grid AS (SELECT sz.cohort_period, sz.n_cohort_users, ages.age,
+      |    coalesce(rev.age_cents, 0) AS age_cents
+      |  FROM sz CROSS JOIN ages
+      |  LEFT JOIN rev ON rev.cohort_period = sz.cohort_period
+      |    AND rev.age = ages.age),
+      |c AS (SELECT *, CAST(sum(age_cents) OVER (PARTITION BY cohort_period
+      |    ORDER BY age) AS BIGINT) AS cum_cents FROM grid)
+      |SELECT cohort_period, age, n_cohort_users, age_cents, cum_cents,
+      |  cum_cents // n_cohort_users AS ltv_cents_per_user
+      |FROM c ORDER BY cohort_period, age""".stripMargin
+
   /** q183: t-closeness — classes × bands grid with zero-filled cells,
     * per-class cumulative distributions, the |N·cp − n_c·cq| terms in
     * HUGEINT, one divisor. */
@@ -5948,6 +5988,7 @@ object SparkEntry {
     "q181_winsorized_readout" -> q181Oracle,
     "q182_embedding_health" -> q182Oracle,
     "q183_t_closeness" -> q183Oracle,
+    "q184_ltv_curve" -> q184Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CLICKSTREAM JOURNEY ANALYTICS: windowed funnels and retention
@@ -85,5 +86,62 @@ object Funnel {
     act.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_period"), (col("period") - col("cohort_period")).as("period_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** COHORT LTV CURVE — [[retentionCohorts]]'s value-weighted sibling:
+    * per (cohort period × age) the cumulative revenue a cohort has
+    * produced, normalized per cohort member — the curve that decides
+    * payback windows and acquisition budgets. Money stays in integer
+    * CENTS (quantize-then-sum, the q115 discipline) so cumulative sums
+    * are order-free-exact; the per-user normalization is truncating
+    * integral division.
+    *
+    * Semantics: a user's cohort is the period of their FIRST event of
+    * any type (acquisition = first activity); the cohort's size is
+    * fixed at birth (inactive members keep diluting later ages — that
+    * is the point of LTV-per-user); only `valueEvent` rows contribute
+    * revenue, at age = event period − cohort period. Ages with zero
+    * revenue still emit rows (the curve must not skip flat weeks) via
+    * the cohort × observed-age grid.
+    *
+    * Scale shape: one distinct-activity pass for cohorts, one revenue
+    * aggregate onto the (cohort × age) frame, cumulative windows on
+    * that frame (periods², tiny). */
+  def ltvCurve(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      valueEvent: String,
+      periodMs: Long
+  ): DataFrame = {
+    require(periodMs > 0, "periodMs must be positive")
+    val withPeriod = df.select(col(userCol).as("user_id"),
+        expr(s"unix_millis($tsCol) DIV ${periodMs}L").as("period"),
+        col(typeCol).as("etype"),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .localCheckpoint(true) // cohort pass + revenue pass
+    val cohorts = withPeriod.groupBy("user_id")
+      .agg(min("period").as("cohort_period"))
+    val sizes = cohorts.groupBy("cohort_period")
+      .agg(count(lit(1)).as("n_cohort_users"))
+    val rev = withPeriod.filter(col("etype") === valueEvent)
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("age"))
+      .agg(sum(col("cents")).as("age_cents"))
+    // cohort × observed-age grid so flat ages still chart
+    val ages = rev.select(col("age")).distinct()
+    val w = Window.partitionBy(col("cohort_period")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sizes.crossJoin(ages) // cohorts × ages: periods² rows
+      .join(rev, Seq("cohort_period", "age"), "left")
+      .withColumn("age_cents", coalesce(col("age_cents"), lit(0L)))
+      .withColumn("cum_cents", sum(col("age_cents")).over(w))
+      .withColumn("ltv_cents_per_user", expr("cum_cents DIV n_cohort_users"))
+      .select("cohort_period", "age", "n_cohort_users", "age_cents",
+        "cum_cents", "ltv_cents_per_user")
+      .orderBy("cohort_period", "age")
   }
 }

@@ -72,4 +72,27 @@ class FunnelSpec extends AnyFunSuite {
       (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
+
+  test("LTV curve: staggered cohorts, zero-revenue ages kept, birth-size dilution") {
+    import graft.operators.Funnel
+    // period = 100ms. cohort 0: users 1,2 (u2 never buys -> dilutes);
+    // cohort 1: user 3. Purchases: u1 buys 10.00 at age 0 and 2.00 at
+    // age 2 (age 1 is flat and must still chart); u3 buys 5.00 at age 0.
+    val rows = Seq(
+      (1L, 10L, "signup", 0.0), (2L, 20L, "signup", 0.0),
+      (1L, 30L, "purchase", 10.0), (3L, 150L, "signup", 0.0),
+      (1L, 250L, "purchase", 2.0), (3L, 160L, "purchase", 5.0))
+    val df = rows.toDF("user_id", "ms", "etype", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = Funnel.ltvCurve(df, "user_id", "ts", "etype", "value",
+        valueEvent = "purchase", periodMs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // cohort 0 (period 0), ages 0..2 from the observed-age grid {0, 2}
+    assert(out((0L, 0L)) == ((2L, 1000L, 1000L, 500L)))   // 10.00 over 2 users
+    assert(out((0L, 2L)) == ((2L, 200L, 1200L, 600L)))    // +2.00 cumulative
+    // cohort 1 (period 1): 5.00 at age 0, flat at age 2 but still charted
+    assert(out((1L, 0L)) == ((1L, 500L, 500L, 500L)))
+    assert(out((1L, 2L)) == ((1L, 0L, 500L, 500L)))
+  }
 }
