@@ -2603,6 +2603,43 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — THE EXPERIMENT DOSSIER: every check this engine runs
+    // on one experiment, composed into a single decision readout —
+    // trust first (SRM days), then the fixed-horizon verdict count,
+    // then the four effect estimates (DiD, CUPED-adjusted, median QTE,
+    // winsorized) side by side; disagreement BETWEEN them is the
+    // finding. Each row reuses the gated operator; the oracle nests the
+    // corresponding replayed SQL as scalar subqueries. Hash-exact.
+    "q185_experiment_dossier" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val ev = events(s, dir)
+      val cut = lit("2024-01-15").cast("timestamp")
+      val srm = Experiment.srmDaily(ev, "user_id", "ts", salt = "exp1")
+        .agg(sum(when(col("srm"), 1L).otherwise(0L)).as("v"))
+        .select(lit("srm_flagged_days").as("check"), col("v"))
+      val ab = Experiment.abReadout(ev, "user_id", "event_type",
+          converted = col("metric_value") >= 15, salt = "exp1")
+        .agg(sum(when(col("significant"), 1L).otherwise(0L)).as("v"))
+        .select(lit("ab_significant_metrics").as("check"), col("v"))
+      val did = Experiment.didReadout(ev, "user_id", "ts", cut, salt = "cuped1")
+        .select(lit("did_pm").as("check"), col("did_pm").as("v"))
+      val cuped = Experiment.cupedReadout(ev, "user_id", "ts", cut, salt = "cuped1")
+        .agg((max(when(col("variant") === 1, col("mean_y_adj_pm")))
+          - max(when(col("variant") === 0, col("mean_y_adj_pm")))).as("v"))
+        .select(lit("cuped_adj_effect_pm").as("check"), col("v"))
+      val qte = Experiment.quantileEffects(ev, "user_id",
+          ps = Seq((1, 2)), salt = "exp1")
+        .select(lit("qte_median_effect").as("check"), col("qte").as("v"))
+      val win = Experiment.winsorizedReadout(ev, "user_id", 1, 20, 19, 20,
+          salt = "exp1")
+        .agg((max(when(col("variant") === 1, col("mean_w_pm")))
+          - max(when(col("variant") === 0, col("mean_w_pm")))).as("v"))
+        .select(lit("winsorized_effect_pm").as("check"), col("v"))
+      srm.unionByName(ab).unionByName(did).unionByName(cuped)
+        .unionByName(qte).unionByName(win)
+        .orderBy("check")
+    }),
+
     // Extension — COHORT LTV CURVE: q87 retention's value-weighted
     // sibling — cumulative purchase revenue per weekly acquisition
     // cohort, normalized per member at the cohort's birth size, money
@@ -4907,6 +4944,29 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN score < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** q185: the dossier — each check's value pulled as a scalar subquery
+    * over the corresponding gated oracle, nested verbatim as derived
+    * tables (self-contained WITH blocks compose without collisions). */
+  private def q185Oracle: String =
+    s"""SELECT 'srm_flagged_days' AS "check",
+       |  (SELECT CAST(sum(CASE WHEN srm THEN 1 ELSE 0 END) AS BIGINT)
+       |   FROM ($q162Oracle) t) AS v
+       |UNION ALL SELECT 'ab_significant_metrics',
+       |  (SELECT CAST(sum(CASE WHEN significant THEN 1 ELSE 0 END) AS BIGINT)
+       |   FROM ($q109Oracle) t)
+       |UNION ALL SELECT 'did_pm', (SELECT did_pm FROM ($q170Oracle) t)
+       |UNION ALL SELECT 'cuped_adj_effect_pm',
+       |  (SELECT max(CASE WHEN variant = 1 THEN mean_y_adj_pm END)
+       |        - max(CASE WHEN variant = 0 THEN mean_y_adj_pm END)
+       |   FROM ($q161Oracle) t)
+       |UNION ALL SELECT 'qte_median_effect',
+       |  (SELECT qte FROM ($q169Oracle) t WHERE p_pm = 5000)
+       |UNION ALL SELECT 'winsorized_effect_pm',
+       |  (SELECT max(CASE WHEN variant = 1 THEN mean_w_pm END)
+       |        - max(CASE WHEN variant = 0 THEN mean_w_pm END)
+       |   FROM ($q181Oracle) t)
+       |ORDER BY "check"""".stripMargin
+
   /** q184: LTV — first-activity cohorts, purchase cents at cohort age,
     * the cohort × observed-age grid with zero fill, cumulative window
     * per cohort, per-user truncating division. */
@@ -5989,6 +6049,7 @@ object SparkEntry {
     "q182_embedding_health" -> q182Oracle,
     "q183_t_closeness" -> q183Oracle,
     "q184_ltv_curve" -> q184Oracle,
+    "q185_experiment_dossier" -> q185Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

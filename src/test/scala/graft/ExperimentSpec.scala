@@ -158,6 +158,31 @@ class ExperimentSpec extends AnyFunSuite {
     assert(out.values.map(_.getAs[Long]("mean_y_pm")).max > 60000L)
   }
 
+
+  test("the dossier composes deterministically from the gated operators") {
+    // structural twin of q185 on synthetic events: same six checks, and
+    // a second run reproduces every value bit-for-bit
+    val events = users.flatMap(u =>
+      Seq.fill((u % 6).toInt + 1)((u, "m", (u * 1000L))))
+      .toDF("user_id", "mtype", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    def run() = {
+      val cut = timestamp_seconds(lit(90000))
+      val srm = Experiment.srmDaily(events, "user_id", "ts", salt = "t")
+        .agg(sum(when(col("srm"), 1L).otherwise(0L)).as("v"))
+        .select(lit("srm_flagged_days").as("check"), col("v"))
+      val did = Experiment.didReadout(events, "user_id", "ts", cut, salt = "t")
+        .select(lit("did_pm").as("check"), col("did_pm").as("v"))
+      val qte = Experiment.quantileEffects(events, "user_id", Seq((1, 2)), salt = "t")
+        .select(lit("qte_median_effect").as("check"), col("qte").as("v"))
+      srm.unionByName(did).unionByName(qte).orderBy("check")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    }
+    val a = run()
+    assert(a.map(_._1) == Seq("did_pm", "qte_median_effect", "srm_flagged_days"))
+    assert(a == run())
+  }
+
   test("SPRT: continue, cross the H0 boundary, and stay sealed") {
     // 25 inactive units/day (1 event each, metric 1 < 3): each day adds
     // 25 * -68993 = -1724825; day 1 continue, day 2 crosses -ln19
