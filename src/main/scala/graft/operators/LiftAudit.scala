@@ -67,4 +67,63 @@ object LiftAudit {
           .otherwise(0L).as("lift_pm"))
       .orderBy(col("band").desc)
   }
+
+  /** RELIABILITY / CALIBRATION table + expected calibration error — does
+    * a score that CLAIMS to be a probability match observed frequency?
+    *
+    * Confidence arrives in integer per-mille (0..1000). Bins are
+    * equi-width on confidence (bin = min(conf,999) DIV width — scan-side
+    * integer arithmetic, no rank); per bin the gap between claimed and
+    * observed mass is
+    *
+    *     gap_pm_n = |1000·pos_b − Σconf_b|
+    *
+    * — per-mille × count units, EXACT (both terms are plain integer
+    * sums), so the ECE weighting by bin mass is just the integer sum of
+    * gaps over N:  ece_pm = Σ_b gap_pm_n DIV N. The per-bin display
+    * ratios (avg conf, accuracy) use one truncating DIV each.
+    *
+    * Same scale shape as [[liftTable]]: one map-side-combined groupBy
+    * onto ≤⌈1000/width⌉ rows, the scalar ECE crossed back from the bin
+    * frame itself.
+    *
+    * @param df       scored rows
+    * @param confPm   integral claimed probability, per-mille 0..1000
+    *                 (out-of-range clamps into edge bins — dropping
+    *                 would bias the base rate)
+    * @param labelCol boolean reference outcome
+    * @param widthPm  bin width in per-mille (e.g. 100 → 10 bins)
+    * @return per non-empty bin: bin, bin_lo_pm, n, n_pos, conf_sum_pm,
+    *         avg_conf_pm, acc_pm, gap_pm_n, plus ece_pm repeated via a
+    *         1-row scalar cross-join
+    */
+  def calibrationReport(
+      df: DataFrame,
+      confPm: Column,
+      labelCol: String,
+      widthPm: Int = 100
+  ): DataFrame = {
+    require(widthPm > 0 && widthPm <= 1000, s"bad bin width $widthPm")
+    val clamped = least(lit(999L), greatest(lit(0L), confPm.cast("long")))
+    val bins = df
+      .select((clamped.cast("long")).as("conf"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(expr(s"conf DIV $widthPm").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("conf")).as("conf_sum_pm"))
+      .withColumn("gap_pm_n", abs(lit(1000L) * col("n_pos") - col("conf_sum_pm")))
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("_nn", sum(col("n")).over(whole))
+      .withColumn("_gap", sum(col("gap_pm_n")).over(whole))
+      .select(col("bin"), (col("bin") * widthPm).as("bin_lo_pm"),
+        col("n"), col("n_pos"), col("conf_sum_pm"),
+        expr("conf_sum_pm DIV n").as("avg_conf_pm"),
+        expr("(1000 * n_pos) DIV n").as("acc_pm"),
+        col("gap_pm_n"),
+        expr("_gap DIV _nn").as("ece_pm"))
+      .orderBy("bin")
+  }
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TIME-SERIES TREND ANALYTICS — per-key daily-series diagnostics, every
+  * statistic integer-exact so the readout is bit-identical on any engine
+  * and any aggregation order.
+  *
+  * The family operates on an ALREADY-AGGREGATED series frame (key, x, y)
+  * — x an integral index (epoch day), y an integral measure (count,
+  * cents) — which is the scale contract: the raw event log collapses to
+  * keys × days rows in one map-side-combined aggregate, and everything
+  * here runs on that days-sized frame. Windows partition by key over
+  * day-bounded partitions (a year is 366 rows), so "No Partition Defined"
+  * never appears and no partition can exceed the calendar.
+  *
+  * Numeric discipline (the [[Experiment]] convention): every ratio is
+  * cross-multiplied into integer products held in DECIMAL(38,0) and
+  * divided once with truncating `DIV` (Spark's IntegralDivide; DuckDB
+  * `//` agrees on negatives), reported in scaled integer units
+  * (ppm/micro). Overflow throws loudly under ANSI decimal — never a
+  * silent wrong trend.
+  */
+object Trend {
+
+  private def big(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Per-key ordinary-least-squares trend over (x, y) points.
+    *
+    * Sufficient statistics only — one aggregate per key computes n, Σx,
+    * Σy, Σxy, Σx², Σy² (x re-based to the per-key minimum so products
+    * stay small); slope and fit quality come out as
+    *
+    *     slope_ppm = 10⁶·(n·Σxy − Σx·Σy)  DIV  (n·Σx² − (Σx)²)
+    *     r2_ppm    = (slope_ppm·(n·Σxy − Σx·Σy)) DIV (n·Σy² − (Σy)²)
+    *
+    * r2_ppm nests the already-truncated slope_ppm rather than squaring
+    * the numerator (num²·10⁶ would breach 38 digits first); the oracle
+    * replays the same nesting, so the truncation is part of the defined
+    * semantics. Degenerate keys (single point, or zero x/y variance)
+    * report NULL slope/r² instead of dividing by zero.
+    *
+    * Scale shape: input is the pre-aggregated series frame; the min-x
+    * re-base is a per-key scalar join (key-count-sized), then ONE
+    * aggregate. No windows, no driver state.
+    *
+    * @param series (key, x, y) frame, integral x and y
+    * @return key, n, slope_ppm (y-units per x-unit, ×10⁶), r2_ppm
+    */
+  def olsTrend(series: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
+    val base = series.groupBy(col(keyCol)).agg(min(col(xCol)).as("x0"))
+    val pts = series.join(base, keyCol)
+      .select(col(keyCol),
+        (col(xCol) - col("x0")).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    val s = pts.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(big(col("x"))).as("sx"),
+      sum(big(col("y"))).as("sy"),
+      sum(big(col("x")) * big(col("y"))).as("sxy"),
+      sum(big(col("x")) * big(col("x"))).as("sxx"),
+      sum(big(col("y")) * big(col("y"))).as("syy"))
+    s.withColumn("num", big(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den_x", big(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den_y", big(col("n")) * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope_ppm",
+        expr("CASE WHEN den_x > 0 THEN (1000000 * num) DIV den_x END"))
+      .withColumn("r2_ppm",
+        expr("CASE WHEN den_x > 0 AND den_y > 0 THEN (slope_ppm * num) DIV den_y END"))
+      .select(col(keyCol), col("n"), col("slope_ppm"), col("r2_ppm"))
+      .orderBy(keyCol)
+  }
+
+  /** Per-key single changepoint locator — the CUSUM-family statistic
+    *
+    *     D_t = |n·P_t − t·S|,   P_t = Σ_{i≤t} y_i,  S = Σ y,  t = 1..n
+    *
+    * (the deviation of the running sum from the constant-rate line,
+    * scaled by n so it stays integral). The reported changepoint is the
+    * EARLIEST x attaining max D_t — the boundary after which the series'
+    * level shifts most. d_max_pm = 10⁶·D_max DIV (n·S) normalizes to the
+    * series mass (0 for a perfectly constant-rate series).
+    *
+    * One window pass per key (cumulative sum over a day-bounded
+    * partition), one per-key aggregate, one back-join on the argmax.
+    */
+  def changePoint(series: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    val cum = series.select(col(keyCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("y")).over(w))
+    val tot = cum.groupBy(col(keyCol))
+      .agg(max(col("t")).as("n"), sum(col("y")).as("s"))
+    val d = cum.join(tot, keyCol)
+      .withColumn("d", abs(big(col("n")) * big(col("p")) - big(col("t")) * big(col("s"))))
+    val dmax = d.groupBy(col(keyCol)).agg(max(col("d")).as("d_max"))
+    d.join(dmax, keyCol)
+      .filter(col("d") === col("d_max"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), max(col("s")).as("total"),
+        min(col("x")).as("cp_x"), max(col("d_max")).as("dm"))
+      .withColumn("d_max", expr("CAST(dm AS BIGINT)"))
+      .withColumn("d_max_pm", expr(
+        "CASE WHEN total > 0 THEN (1000000 * dm) DIV (CAST(n AS DECIMAL(38,0)) * total) END"))
+      .select(col(keyCol), col("n"), col("total"), col("cp_x"),
+        col("d_max"), col("d_max_pm"))
+      .orderBy(keyCol)
+  }
+
+  /** Per-key autocorrelation function at lags 1..maxLag over a
+    * CONTIGUOUSLY RE-INDEXED series (t = row_number by x, so calendar
+    * gaps collapse — the caller zero-fills first if gaps must count).
+    *
+    * The classic large-n estimator, n-scaled to stay integral: with
+    * S = Σy and d_t = n·y_t − S,
+    *
+    *     acf_pm(k) = 10⁶ · Σ_{t≤n−k} d_t·d_{t+k}  DIV  Σ_t d_t²
+    *
+    * (one shared denominator across lags — Box–Jenkins form, which keeps
+    * the lag profile comparable). Negative numerators divide toward zero
+    * identically on both engines.
+    *
+    * Scale shape: one window pass to index, one self-equi-join on
+    * (key, t+k) against the broadcast lag spine — join input is
+    * keys × days × lags rows, all bounded by the calendar.
+    */
+  def acf(series: DataFrame, keyCol: String, xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    val idx = series.select(col(keyCol), col(xCol), col(yCol).cast("long").as("y"))
+      .withColumn("t", row_number().over(w).cast("long"))
+    val tot = idx.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).as("s"))
+    val dev = idx.join(tot, keyCol)
+      .select(col(keyCol), col("t"),
+        (big(col("n")) * big(col("y")) - big(col("s"))).as("d"))
+    val den = dev.groupBy(col(keyCol)).agg(sum(col("d") * col("d")).as("den"))
+    val lags = series.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("long").as("lag_k"))
+    val lagged = dev.crossJoin(broadcast(lags))
+      .select(col(keyCol), col("lag_k"), (col("t") + col("lag_k")).as("t2"), col("d").as("d1"))
+    val pair = lagged.join(
+        dev.select(col(keyCol), col("t").as("t2"), col("d").as("d2")),
+        Seq(keyCol, "t2"))
+      .groupBy(col(keyCol), col("lag_k"))
+      .agg(sum(col("d1") * col("d2")).as("num"), count(lit(1)).as("n_pairs"))
+    pair.join(den, keyCol)
+      .withColumn("acf_pm",
+        expr("CASE WHEN den > 0 THEN (1000000 * num) DIV den END"))
+      .select(col(keyCol), col("lag_k"), col("n_pairs"), col("acf_pm"))
+      .orderBy(col(keyCol), col("lag_k"))
+  }
+
+  /** Per-key Theil–Sen robust slope — the LOWER MEDIAN of all pairwise
+    * slopes, each pre-quantized to integral micro-units
+    *
+    *     slope_micro(i,j) = 10⁶·(y_j − y_i) DIV (x_j − x_i),  x_i < x_j
+    *
+    * so the median selection is over integers (rank (m+1) DIV 2 of the
+    * value-sorted pair frame — deterministic under ties because equal
+    * values are interchangeable). Quantize-then-select is the defined
+    * semantics; the oracle replays it literally.
+    *
+    * The O(d²)-per-key pair frame is the point of the operator — d is
+    * CALENDAR-bounded (366 days → 66 795 pairs per key), so the frame
+    * stays audit-sized at any corpus scale; the event log never joins
+    * itself.
+    */
+  def theilSen(series: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
+    val a = series.select(col(keyCol), col(xCol).cast("long").as("xi"),
+      col(yCol).cast("long").as("yi"))
+    val b = series.select(col(keyCol), col(xCol).cast("long").as("xj"),
+      col(yCol).cast("long").as("yj"))
+    val pairs = a.join(b, Seq(keyCol)).filter(col("xi") < col("xj"))
+      .select(col(keyCol),
+        expr("(1000000 * (yj - yi)) DIV (xj - xi)").as("slope_micro"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("slope_micro"))
+    pairs.withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("r") === expr("(m + 1) DIV 2"))
+      .select(col(keyCol), col("m").as("n_pairs"),
+        col("slope_micro").as("ts_slope_micro"))
+      .orderBy(keyCol)
+  }
+}

@@ -51,4 +51,43 @@ class LiftAuditSpec extends AnyFunSuite {
     val byBand = out.map(r => r.getAs[Long]("band") -> r.getAs[Long]("band_lo")).toMap
     assert(byBand == Map(0L -> 0L, 1L -> 10L))
   }
+
+  // -------------------------------------------------- calibrationReport
+
+  private def calib(rows: Seq[(Long, Boolean)]) =
+    LiftAudit.calibrationReport(rows.toDF("conf", "label"), col("conf"), "label")
+      .collect()
+
+  test("a perfectly calibrated scorer has zero gap in every bin and ECE 0") {
+    // bin 1: 10 rows at conf 100, exactly 1 positive; bin 5: 2 at 500, 1 pos
+    val rows = (1 to 10).map(i => (100L, i == 1)) ++
+      Seq((500L, true), (500L, false))
+    val out = calib(rows)
+    assert(out.forall(_.getAs[Long]("gap_pm_n") == 0L))
+    assert(out.forall(_.getAs[Long]("ece_pm") == 0L))
+  }
+
+  test("an overconfident scorer pays its full gap into ECE") {
+    // 10 rows claiming 900pm, zero positives: ECE = 9000/10 = 900pm
+    val out = calib((1 to 10).map(_ => (900L, false)))
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("gap_pm_n") == 9000L)
+    assert(out.head.getAs[Long]("ece_pm") == 900L)
+    assert(out.head.getAs[Long]("avg_conf_pm") == 900L)
+    assert(out.head.getAs[Long]("acc_pm") == 0L)
+  }
+
+  test("ECE weights bins by mass, not equally") {
+    // big bin gap 0, small bin fully wrong: ECE = (0 + 2*1000)/12
+    val rows = (1 to 10).map(i => (100L, i == 1)) ++
+      Seq((999L, false), (999L, false))
+    val out = calib(rows)
+    assert(out.map(_.getAs[Long]("ece_pm")).distinct.toSeq == Seq(2000L / 12))
+  }
+
+  test("calibration clamps out-of-range confidence into edge bins") {
+    val out = calib(Seq((-50L, false), (2000L, true)))
+    assert(out.map(_.getAs[Long]("bin")).toSet == Set(0L, 9L))
+    assert(out.map(_.getAs[Long]("n")).sum == 2L)
+  }
 }

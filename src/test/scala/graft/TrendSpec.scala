@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Trend
+
+class TrendSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(rows: Seq[(String, Long, Long)]) =
+    rows.toDF("k", "x", "y")
+
+  // ------------------------------------------------------------ olsTrend
+
+  test("olsTrend recovers an exact line with r2 = 1") {
+    // y = 10 + 3x on x = 0..4: num = 5*190-10*80 = 150, den_x = 50
+    val out = Trend.olsTrend(
+      series((0L to 4L).map(x => ("a", x, 10L + 3 * x))), "k", "x", "y").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("slope_ppm") == 3000000L)
+    assert(out.head.getAs[Long]("r2_ppm") == 1000000L)
+  }
+
+  test("olsTrend: flat series has slope 0 and NULL r2 (zero y-variance)") {
+    val out = Trend.olsTrend(
+      series((0L to 3L).map(x => ("a", x, 7L))), "k", "x", "y").collect()
+    assert(out.head.getAs[Long]("slope_ppm") == 0L)
+    assert(out.head.isNullAt(out.head.fieldIndex("r2_ppm")))
+  }
+
+  test("olsTrend: slope is invariant to an x shift (re-based internally)") {
+    val base = Trend.olsTrend(
+      series(Seq(("a", 0L, 5L), ("a", 1L, 9L), ("a", 2L, 13L))), "k", "x", "y")
+      .collect().head.getAs[Long]("slope_ppm")
+    val shifted = Trend.olsTrend(
+      series(Seq(("a", 19000L, 5L), ("a", 19001L, 9L), ("a", 19002L, 13L))),
+      "k", "x", "y").collect().head.getAs[Long]("slope_ppm")
+    assert(base == 4000000L && shifted == 4000000L)
+  }
+
+  test("olsTrend: a single point reports NULL slope (zero x-variance)") {
+    val out = Trend.olsTrend(series(Seq(("a", 3L, 8L))), "k", "x", "y").collect()
+    assert(out.head.isNullAt(out.head.fieldIndex("slope_ppm")))
+  }
+
+  // --------------------------------------------------------- changePoint
+
+  test("changePoint locates a level shift at the last pre-shift x") {
+    // y = 0,0,0,10,10,10: D_t = |6P_t - 30t| peaks at t=3 (D=90)
+    val out = Trend.changePoint(
+      series(Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L),
+        ("a", 4L, 10L), ("a", 5L, 10L), ("a", 6L, 10L))), "k", "x", "y").collect()
+    val r = out.head
+    assert(r.getAs[Long]("cp_x") == 3L)
+    assert(r.getAs[Long]("d_max") == 90L)
+    assert(r.getAs[Long]("d_max_pm") == 500000L) // 10^6*90 DIV (6*30)
+  }
+
+  test("changePoint: a constant-rate series scores 0 at the earliest x") {
+    val out = Trend.changePoint(
+      series((1L to 4L).map(x => ("a", x, 5L))), "k", "x", "y").collect()
+    assert(out.head.getAs[Long]("d_max") == 0L)
+    assert(out.head.getAs[Long]("d_max_pm") == 0L)
+    assert(out.head.getAs[Long]("cp_x") == 1L) // every D_t ties at 0
+  }
+
+  test("changePoint keys are independent") {
+    val out = Trend.changePoint(
+      series(Seq(("a", 1L, 0L), ("a", 2L, 8L),
+        ("b", 1L, 8L), ("b", 2L, 0L))), "k", "x", "y").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("d_max") == 8L)) // |2*P1 - 8| = 8 both
+  }
+
+  // ----------------------------------------------------------------- acf
+
+  test("acf of a period-2 alternating series: negative lag-1, positive lag-2") {
+    // y = 0,10,0,10,0,10: d = ±30, den = 5400
+    val out = Trend.acf(
+      series((1L to 6L).map(x => ("a", x, if (x % 2 == 0) 10L else 0L))),
+      "k", "x", "y", maxLag = 2).collect()
+    val byLag = out.map(r => r.getAs[Long]("lag_k") -> r).toMap
+    assert(byLag(1L).getAs[Long]("acf_pm") == -833333L) // 10^6*(-4500) DIV 5400
+    assert(byLag(2L).getAs[Long]("acf_pm") == 666666L)  // 10^6*3600 DIV 5400
+    assert(byLag(1L).getAs[Long]("n_pairs") == 5L)
+    assert(byLag(2L).getAs[Long]("n_pairs") == 4L)
+  }
+
+  test("acf of a constant series is NULL (zero variance), not a crash") {
+    val out = Trend.acf(
+      series((1L to 4L).map(x => ("a", x, 3L))), "k", "x", "y", 1).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("acf_pm")))
+  }
+
+  test("acf re-indexes contiguously: calendar gaps collapse") {
+    val gapped = Trend.acf(
+      series(Seq(("a", 1L, 2L), ("a", 5L, 4L), ("a", 9L, 6L))), "k", "x", "y", 1)
+      .collect().head.getAs[Long]("acf_pm")
+    val dense = Trend.acf(
+      series(Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L))), "k", "x", "y", 1)
+      .collect().head.getAs[Long]("acf_pm")
+    assert(gapped == dense)
+  }
+
+  // ------------------------------------------------------------ theilSen
+
+  test("theilSen ignores a single outlier that would wreck OLS") {
+    // y = 2x except (3,100): 6 pair slopes, lower median (rank 3) = 2e6
+    val pts = series(Seq(("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 100L)))
+    val out = Trend.theilSen(pts, "k", "x", "y").collect()
+    assert(out.head.getAs[Long]("n_pairs") == 6L)
+    assert(out.head.getAs[Long]("ts_slope_micro") == 2000000L)
+    // contrast: OLS on the same points is dragged far above 2
+    val ols = Trend.olsTrend(pts, "k", "x", "y").collect().head.getAs[Long]("slope_ppm")
+    assert(ols > 20000000L)
+  }
+
+  test("theilSen handles negative slopes with toward-zero quantization") {
+    val out = Trend.theilSen(
+      series(Seq(("a", 0L, 10L), ("a", 1L, 7L), ("a", 2L, 4L))), "k", "x", "y")
+      .collect()
+    assert(out.head.getAs[Long]("n_pairs") == 3L)
+    assert(out.head.getAs[Long]("ts_slope_micro") == -3000000L)
+  }
+}
