@@ -46,6 +46,16 @@ object SparkEntry {
   private val D = "decimal(12,2)"
   private def dec(c: Column): Column = c.cast(D)
 
+  /** Per-(event_type, epoch-day) count series — the shared input of the
+    * q189/q190/q191 trend trio. One map-side-combined aggregate collapses
+    * the event log to a types × days frame; every downstream window/pair
+    * computation is calendar-bounded. */
+  private def dailyEventSeries(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) DIV 86400000").as("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+
   /** Content-addressed location of the shared full-corpus ANN index over
     * `dir`'s embeddings (q56/q58): keyed on the corpus file fingerprint +
     * every LSH parameter, so a data or parameter change produces a fresh
@@ -2603,6 +2613,112 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — χ² INDEPENDENCE AUDIT (Inference.chiSquareAudit): is
+    // the event mix independent of the weekday? Full zero-filled
+    // type × dow grid with per-cell ppb contributions; table-level
+    // χ²/dof/Cramér's V² crossed in from a 1-row scalar frame. Weekday
+    // is pure integer calendar math (epoch-day + 4 mod 7 — 1970-01-01
+    // was a Thursday), so both engines agree bit-for-bit. Hash-exact.
+    "q186_chi2_mix" -> ((s, dir) => {
+      graft.operators.Inference.chiSquareAudit(
+        events(s, dir).select(col("event_type"),
+          expr("((unix_millis(ts) DIV 86400000) + 4) % 7").as("dow")),
+        "event_type", "dow")
+    }),
+
+    // Extension — INTER-RATER AGREEMENT (Inference.cohenKappa): do two
+    // independent length heuristics (char-count band vs word-count
+    // band) agree beyond chance on a small/medium/large call? The κ a
+    // labeling pipeline reports before trusting auto-labels. Both
+    // raters are engine-portable integer rules over documents; cuts
+    // sit at the corpus terciles so every band carries real mass.
+    // Hash-exact.
+    "q187_rater_kappa" -> ((s, dir) => {
+      val lab = t(s, dir, "documents").select(
+        when(col("n_chars") < 250, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L).as("rater_len"),
+        expr("""CASE WHEN length(text) - length(replace(text, ' ', '')) < 40 THEN 0
+               |     WHEN length(text) - length(replace(text, ' ', '')) < 62 THEN 1
+               |     ELSE 2 END""".stripMargin).cast("long").as("rater_wc"))
+      graft.operators.Inference.cohenKappa(lab, "rater_len", "rater_wc")
+    }),
+
+    // Extension — OLS REVENUE TREND (Trend.olsTrend): per-nation daily
+    // revenue slope + fit over the full order history, from integer
+    // sufficient statistics only (one aggregate per nation; money
+    // quantized to cents first). slope_ppm is micro-cents/day.
+    // Hash-exact.
+    "q188_ols_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .cast("long").as("cents"))
+      graft.operators.Trend.olsTrend(daily, "nation", "day", "cents")
+    }),
+
+    // Extension — CHANGEPOINT LOCATOR (Trend.changePoint): where did
+    // each event type's daily rate shift? CUSUM-family |n·P_t − t·S|
+    // peak over the per-type daily-count series, earliest argmax,
+    // mass-normalized d_max_pm. Hash-exact.
+    "q189_changepoint" -> ((s, dir) => {
+      graft.operators.Trend.changePoint(
+        dailyEventSeries(s, dir), "event_type", "day", "y")
+    }),
+
+    // Extension — AUTOCORRELATION PROFILE (Trend.acf): lag 1..7 ACF of
+    // each event type's daily counts — the weekly-seasonality
+    // fingerprint (lag-7 high + lag-1 low ⇒ strong weekday pattern).
+    // Box–Jenkins shared denominator, n-scaled integer deviations.
+    // Hash-exact.
+    "q190_acf" -> ((s, dir) => {
+      graft.operators.Trend.acf(
+        dailyEventSeries(s, dir), "event_type", "day", "y", maxLag = 7)
+    }),
+
+    // Extension — THEIL–SEN ROBUST SLOPE (Trend.theilSen): the
+    // outlier-proof per-type traffic trend — lower median of all
+    // pairwise day-slopes in integer micro-units. The pair frame is
+    // calendar-bounded (30 observed days → ≤435 pairs/type) at any
+    // corpus scale. Hash-exact.
+    "q191_theil_sen" -> ((s, dir) => {
+      graft.operators.Trend.theilSen(
+        dailyEventSeries(s, dir), "event_type", "day", "y")
+    }),
+
+    // Extension — CALIBRATION / RELIABILITY TABLE (LiftAudit
+    // .calibrationReport): does the q145 hashing-trick scorer's
+    // pseudo-probability match observed 'en' frequency? Confidence =
+    // clamp(500 + score DIV 20) per-mille; per-bin claimed-vs-observed
+    // gaps and the mass-weighted ECE — the audit that catches an
+    // uncalibrated gate score BEFORE it prices a training mix.
+    // Hash-exact (score replayed in SQL like q145).
+    "q192_calibration" -> ((s, dir) => {
+      import graft.operators.{LiftAudit, QualityModel}
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      val scored = t(s, dir, "documents").select(
+        QualityModel.scoreMicros(col("text"), w, 0L).as("score_micros"),
+        (col("lang") === "en").as("is_en"))
+      LiftAudit.calibrationReport(scored,
+        expr("least(999L, greatest(0L, 500L + score_micros DIV 20))"),
+        "is_en", widthPm = 100)
+    }),
+
+    // Extension — MANN–WHITNEY RANK-SUM (Inference.mannWhitney): the
+    // nonparametric twin of q109's z-test — does per-user activity
+    // differ between md5-assigned arms when no normality holds?
+    // Midrank ties and the tie-corrected variance are integer-exact;
+    // ranks never materialize per row (distinct-value frame only).
+    // Hash-exact.
+    "q193_mann_whitney" -> ((s, dir) => {
+      val perUser = events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      val grouped = Sampling.withSplitId(perUser, "user_id",
+        fractions = Seq(0.5, 0.5), salt = "mw1", splitCol = "grp")
+      graft.operators.Inference.mannWhitney(grouped, "n_events", "grp")
+    }),
+
     // Extension — THE EXPERIMENT DOSSIER: every check this engine runs
     // on one experiment, composed into a single decision readout —
     // trust first (SRM days), then the fixed-horizon verdict count,
@@ -4944,6 +5060,245 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN score < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** Shared CTE for q189/q190/q191: the per-(event_type, epoch-day)
+    * count series, replayed exactly as [[dailyEventSeries]]. */
+  private val dailySeriesCte =
+    """daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** q186: χ² — full zero-filled grid via row × column cross join, each
+    * cell term ppb-quantized in HUGEINT, one truncating division. */
+  private val q186Oracle =
+    """WITH e AS (SELECT event_type,
+      |    (epoch_ms(ts) // 86400000 + 4) % 7 AS dow FROM events),
+      |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      |  FROM e GROUP BY 1, 2),
+      |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_total
+      |  FROM cells GROUP BY 1),
+      |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS col_total
+      |  FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS rc,
+      |    CAST(count(DISTINCT dow) AS BIGINT) AS cc FROM cells),
+      |grid AS (SELECT r.event_type, c.dow, r.row_total, c.col_total,
+      |    coalesce(cells.o, 0) AS o
+      |  FROM r CROSS JOIN c
+      |  LEFT JOIN cells ON cells.event_type = r.event_type
+      |    AND cells.dow = c.dow),
+      |terms AS (SELECT g.event_type, g.dow, g.o, g.row_total, g.col_total,
+      |    CAST((1000000000::HUGEINT
+      |        * (t.nn::HUGEINT * g.o - g.row_total::HUGEINT * g.col_total)
+      |        * (t.nn::HUGEINT * g.o - g.row_total::HUGEINT * g.col_total))
+      |      // (t.nn::HUGEINT * g.row_total * g.col_total) AS BIGINT) AS term_ppb
+      |  FROM grid g CROSS JOIN tot t),
+      |summ AS (SELECT CAST(sum(term_ppb) AS BIGINT) AS chi2_ppb,
+      |    CAST((max(t.rc) - 1) * (max(t.cc) - 1) AS BIGINT) AS dof,
+      |    CAST(CASE WHEN least(max(t.rc), max(t.cc)) > 1
+      |      THEN sum(term_ppb)
+      |        // (1000 * max(t.nn) * (least(max(t.rc), max(t.cc)) - 1)) END
+      |      AS BIGINT) AS v2_ppm
+      |  FROM terms CROSS JOIN tot t)
+      |SELECT terms.*, summ.* FROM terms CROSS JOIN summ
+      |ORDER BY event_type, dow""".stripMargin
+
+  /** q187: κ — diagonal mass, chance mass E = Σ r_i·c_i joined on the
+    * shared label domain, the (po−pe)/(1−pe) ratio cross-multiplied. */
+  private val q187Oracle =
+    """WITH lab AS (SELECT
+      |    CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 380 THEN 1
+      |      ELSE 2 END AS rater_len,
+      |    CASE WHEN length(text) - length(replace(text, ' ', '')) < 40 THEN 0
+      |      WHEN length(text) - length(replace(text, ' ', '')) < 62 THEN 1
+      |      ELSE 2 END AS rater_wc
+      |  FROM documents),
+      |cells AS (SELECT rater_len, rater_wc, CAST(count(*) AS BIGINT) AS o
+      |  FROM lab GROUP BY 1, 2),
+      |r AS (SELECT rater_len, CAST(sum(o) AS BIGINT) AS rr FROM cells GROUP BY 1),
+      |c AS (SELECT rater_wc, CAST(sum(o) AS BIGINT) AS cc FROM cells GROUP BY 1),
+      |e AS (SELECT sum(r.rr::HUGEINT * c.cc) AS e
+      |  FROM r JOIN c ON r.rater_len = c.rater_wc),
+      |scal AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN rater_len = rater_wc THEN o ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM cells),
+      |k AS (SELECT n,
+      |    CAST((1000000 * d::HUGEINT) // n AS BIGINT) AS po_ppm,
+      |    CAST((1000000 * e.e) // (n::HUGEINT * n) AS BIGINT) AS pe_ppm,
+      |    CAST(CASE WHEN n::HUGEINT * n - e.e <> 0
+      |      THEN (1000000 * (n::HUGEINT * d - e.e)) // (n::HUGEINT * n - e.e)
+      |      END AS BIGINT) AS kappa_ppm
+      |  FROM scal CROSS JOIN e)
+      |SELECT cells.rater_len, cells.rater_wc, cells.o,
+      |  k.n, k.po_ppm, k.pe_ppm, k.kappa_ppm
+      |FROM cells CROSS JOIN k
+      |ORDER BY rater_len, rater_wc""".stripMargin
+
+  /** q188: OLS — integer sufficient statistics in HUGEINT, x re-based
+    * per nation, r2 nesting the already-truncated slope like the
+    * operator. */
+  private val q188Oracle =
+    """WITH daily AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    epoch_ms(o_orderdate) // 86400000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |base AS (SELECT nation, min(day) AS x0 FROM daily GROUP BY 1),
+      |pts AS (SELECT d.nation, d.day - b.x0 AS x, d.cents AS y
+      |  FROM daily d JOIN base b USING (nation)),
+      |s AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+      |    sum(y::HUGEINT * y) AS syy
+      |  FROM pts GROUP BY 1),
+      |f AS (SELECT nation, n,
+      |    n::HUGEINT * sxy - sx * sy AS num,
+      |    n::HUGEINT * sxx - sx * sx AS den_x,
+      |    n::HUGEINT * syy - sy * sy AS den_y
+      |  FROM s)
+      |SELECT nation, n,
+      |  CAST(CASE WHEN den_x > 0 THEN (1000000 * num) // den_x END
+      |    AS BIGINT) AS slope_ppm,
+      |  CAST(CASE WHEN den_x > 0 AND den_y > 0
+      |    THEN (((1000000 * num) // den_x) * num) // den_y END
+      |    AS BIGINT) AS r2_ppm
+      |FROM f ORDER BY nation""".stripMargin
+
+  /** q189: changepoint — windows over per-type day partitions, the
+    * argmax resolved to the earliest day, everything HUGEINT-exact. */
+  private def q189Oracle =
+    s"""WITH $dailySeriesCte,
+       |cum AS (SELECT event_type, day AS x, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS t,
+       |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS p
+       |  FROM daily),
+       |tot AS (SELECT event_type, CAST(max(t) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS s FROM cum GROUP BY 1),
+       |d AS (SELECT c.event_type, c.x, t.n, t.s,
+       |    abs(t.n::HUGEINT * c.p - c.t::HUGEINT * t.s) AS dd
+       |  FROM cum c JOIN tot t USING (event_type)),
+       |dm AS (SELECT event_type, max(dd) AS d_max FROM d GROUP BY 1)
+       |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+       |  CAST(max(d.s) AS BIGINT) AS total,
+       |  CAST(min(d.x) AS BIGINT) AS cp_x,
+       |  CAST(max(dm.d_max) AS BIGINT) AS d_max,
+       |  CAST(max(CASE WHEN d.s > 0
+       |    THEN (1000000 * dm.d_max) // (d.n::HUGEINT * d.s) END)
+       |    AS BIGINT) AS d_max_pm
+       |FROM d JOIN dm USING (event_type)
+       |WHERE d.dd = dm.d_max
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q190: ACF — shared Box–Jenkins denominator, lag spine from
+    * generate_series, the (key, t+k) equi-join. */
+  private def q190Oracle =
+    s"""WITH $dailySeriesCte,
+       |idx AS (SELECT event_type, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS t
+       |  FROM daily),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS s FROM idx GROUP BY 1),
+       |dev AS (SELECT i.event_type, i.t,
+       |    (t2.n::HUGEINT * i.y - t2.s) AS dd
+       |  FROM idx i JOIN tot t2 USING (event_type)),
+       |den AS (SELECT event_type, sum(dd * dd) AS den FROM dev GROUP BY 1),
+       |ks AS (SELECT unnest(generate_series(1, 7)) AS lag_k),
+       |pair AS (SELECT a.event_type, ks.lag_k,
+       |    CAST(count(*) AS BIGINT) AS n_pairs, sum(a.dd * b.dd) AS num
+       |  FROM dev a CROSS JOIN ks
+       |  JOIN dev b ON b.event_type = a.event_type AND b.t = a.t + ks.lag_k
+       |  GROUP BY 1, 2)
+       |SELECT p.event_type, CAST(p.lag_k AS BIGINT) AS lag_k, p.n_pairs,
+       |  CAST(CASE WHEN den.den > 0 THEN (1000000 * p.num) // den.den END
+       |    AS BIGINT) AS acf_pm
+       |FROM pair p JOIN den USING (event_type)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q191: Theil–Sen — pairwise micro-slopes, lower-median selection at
+    * rank (m+1)//2 over the value-sorted pair frame. */
+  private def q191Oracle =
+    s"""WITH $dailySeriesCte,
+       |pairs AS (SELECT a.event_type,
+       |    (1000000 * (b.y - a.y)) // (b.day - a.day) AS slope_micro
+       |  FROM daily a
+       |  JOIN daily b ON b.event_type = a.event_type AND a.day < b.day),
+       |r AS (SELECT event_type, slope_micro,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY slope_micro) AS BIGINT) AS r,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+       |  FROM pairs)
+       |SELECT event_type, m AS n_pairs,
+       |  CAST(slope_micro AS BIGINT) AS ts_slope_micro
+       |FROM r WHERE r = (m + 1) // 2 ORDER BY event_type""".stripMargin
+
+  /** q192: calibration — the q145 pinned-weight score replayed verbatim,
+    * clamped into per-mille confidence, binned; every gap and the ECE
+    * are plain integer sums. */
+  private def q192Oracle: String = {
+    val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
+    s"""WITH scored AS (SELECT
+       |    CAST(coalesce(list_aggregate(list_transform(
+       |        list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |          x -> x <> ''),
+       |        t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |      AS BIGINT) AS score,
+       |    (lang = 'en') AS y
+       |  FROM documents),
+       |conf AS (SELECT least(999, greatest(0, 500 + score // 20)) AS conf, y
+       |  FROM scored),
+       |bins AS (SELECT conf // 100 AS bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(conf) AS BIGINT) AS conf_sum_pm
+       |  FROM conf GROUP BY 1),
+       |g AS (SELECT *, abs(1000 * n_pos - conf_sum_pm) AS gap_pm_n FROM bins),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(gap_pm_n) AS BIGINT) AS gap FROM g)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 100 AS BIGINT) AS bin_lo_pm,
+       |  n, n_pos, conf_sum_pm,
+       |  conf_sum_pm // n AS avg_conf_pm,
+       |  (1000 * n_pos) // n AS acc_pm, gap_pm_n,
+       |  gap // nn AS ece_pm
+       |FROM g CROSS JOIN tot ORDER BY bin""".stripMargin
+  }
+
+  /** q193: Mann–Whitney — md5 arm assignment (the q109 replay), midranks
+    * from the distinct-value cumulative frame, tie-corrected verdict
+    * cross-multiplied in HUGEINT. */
+  private val q193Oracle =
+    """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT v,
+      |    CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'mw1'), 1, 8))::BIGINT
+      |               % 10000) < 5000 THEN 0 ELSE 1 END AS grp
+      |  FROM pu),
+      |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+      |  FROM g GROUP BY 1),
+      |cum AS (SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |  FROM vals),
+      |agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |    CAST(sum(c) AS BIGINT) AS nn,
+      |    sum(ca::HUGEINT * (2 * cb + c + 1)) AS ra2,
+      |    sum(c::HUGEINT * c * c - c) AS tie FROM cum),
+      |f AS (SELECT n_a, nn, nn - n_a AS n_b,
+      |    CAST(ra2 - n_a::HUGEINT * (n_a + 1) AS BIGINT) AS u2_a,
+      |    CAST(tie AS BIGINT) AS tie_term
+      |  FROM agg)
+      |SELECT n_a, n_b, u2_a, tie_term,
+      |  CAST(CASE WHEN n_a > 0 AND n_b > 0
+      |    THEN (1000000 * (u2_a::HUGEINT - n_a::HUGEINT * n_b))
+      |         // (n_a::HUGEINT * n_b) END AS BIGINT) AS r_ppm,
+      |  30000::HUGEINT * nn * (nn - 1)
+      |      * (u2_a::HUGEINT - n_a::HUGEINT * n_b)
+      |      * (u2_a::HUGEINT - n_a::HUGEINT * n_b)
+      |    > 38416::HUGEINT * n_a * n_b
+      |      * (nn::HUGEINT * (nn::HUGEINT * nn - 1) - tie_term) AS significant
+      |FROM f""".stripMargin
+
   /** q185: the dossier — each check's value pulled as a scalar subquery
     * over the corresponding gated oracle, nested verbatim as derived
     * tables (self-contained WITH blocks compose without collisions). */
@@ -6050,6 +6405,14 @@ object SparkEntry {
     "q183_t_closeness" -> q183Oracle,
     "q184_ltv_curve" -> q184Oracle,
     "q185_experiment_dossier" -> q185Oracle,
+    "q186_chi2_mix" -> q186Oracle,
+    "q187_rater_kappa" -> q187Oracle,
+    "q188_ols_trend" -> q188Oracle,
+    "q189_changepoint" -> q189Oracle,
+    "q190_acf" -> q190Oracle,
+    "q191_theil_sen" -> q191Oracle,
+    "q192_calibration" -> q192Oracle,
+    "q193_mann_whitney" -> q193Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -87,7 +87,7 @@ object Trend {
     * partition), one per-key aggregate, one back-join on the argmax.
     */
   def changePoint(series: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("x"))
     val cum = series.select(col(keyCol), col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"))
       .withColumn("t", row_number().over(w).cast("long"))
