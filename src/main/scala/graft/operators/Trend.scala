@@ -50,8 +50,9 @@ object Trend {
     * @return key, n, slope_ppm (y-units per x-unit, ×10⁶), r2_ppm
     */
   def olsTrend(series: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
-    val base = series.groupBy(col(keyCol)).agg(min(col(xCol)).as("x0"))
-    val pts = series.join(base, keyCol)
+    val ser = series.localCheckpoint(true) // consumed twice (re-base + points)
+    val base = ser.groupBy(col(keyCol)).agg(min(col(xCol)).as("x0"))
+    val pts = ser.join(base, keyCol)
       .select(col(keyCol),
         (col(xCol) - col("x0")).cast("long").as("x"),
         col(yCol).cast("long").as("y"))
@@ -88,10 +89,14 @@ object Trend {
     */
   def changePoint(series: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("x"))
+    // the cumulative frame feeds four consumers (totals, deviations,
+    // argmax, back-join); materialize it so the upstream series — and
+    // whatever scan produced it — runs exactly once
     val cum = series.select(col(keyCol), col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"))
       .withColumn("t", row_number().over(w).cast("long"))
       .withColumn("p", sum(col("y")).over(w))
+      .localCheckpoint(true)
     val tot = cum.groupBy(col(keyCol))
       .agg(max(col("t")).as("n"), sum(col("y")).as("s"))
     val d = cum.join(tot, keyCol)
@@ -133,11 +138,13 @@ object Trend {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
     val idx = series.select(col(keyCol), col(xCol), col(yCol).cast("long").as("y"))
       .withColumn("t", row_number().over(w).cast("long"))
+      .localCheckpoint(true) // feeds totals AND both join sides
     val tot = idx.groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).as("s"))
     val dev = idx.join(tot, keyCol)
       .select(col(keyCol), col("t"),
         (big(col("n")) * big(col("y")) - big(col("s"))).as("d"))
+      .localCheckpoint(true) // consumed by den, lagged and the pair probe
     val den = dev.groupBy(col(keyCol)).agg(sum(col("d") * col("d")).as("den"))
     val lags = series.sparkSession.range(1, maxLag + 1)
       .select(col("id").cast("long").as("lag_k"))
@@ -171,9 +178,10 @@ object Trend {
     * itself.
     */
   def theilSen(series: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame = {
-    val a = series.select(col(keyCol), col(xCol).cast("long").as("xi"),
+    val ser = series.localCheckpoint(true) // self-joined: one upstream run
+    val a = ser.select(col(keyCol), col(xCol).cast("long").as("xi"),
       col(yCol).cast("long").as("yi"))
-    val b = series.select(col(keyCol), col(xCol).cast("long").as("xj"),
+    val b = ser.select(col(keyCol), col(xCol).cast("long").as("xj"),
       col(yCol).cast("long").as("yj"))
     val pairs = a.join(b, Seq(keyCol)).filter(col("xi") < col("xj"))
       .select(col(keyCol),

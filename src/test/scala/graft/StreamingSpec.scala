@@ -699,4 +699,64 @@ class StreamingSpec extends AnyFunSuite {
       batchEvents, "user_id", "ts", salt = "srm-twin").collect())
     assert(srmStream == srmBatch && srmBatch.size == 3)
   }
+
+  test("streaming daily-series maintenance + batch changepoint/trend finish") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Trend
+
+    val src = Files.createTempDirectory("graft_stream_cp")
+    val ckp = Files.createTempDirectory("graft_stream_cp_ckp")
+    // day 2's count is SPLIT across micro-batches (1 event in the first,
+    // 4 in the second): the streamed series is only correct if the
+    // per-(type, day) counts merge through the state store
+    def line(ts: String) = s"""{"event_type":"click","ts":"$ts 10:00:00"}"""
+    Files.write(src.resolve("a.json"),
+      ((1 to 5).map(_ => line("2024-01-01")) :+ line("2024-01-02"))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      ((1 to 4).map(_ => line("2024-01-02")) ++ (1 to 9).map(_ => line("2024-01-03")))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val dailyOf = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy(col("event_type"),
+        expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val q = dailyOf(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString))
+      .writeStream
+      .format("memory").queryName("cp_series_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // the stream-maintained state itself: day 2 merged to 5 across batches
+    val series = spark.table("cp_series_stream").collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("y")).toMap
+    assert(series.values.toSeq.sorted == Seq(5L, 5L, 9L))
+    assert(series(19724L) == 5L) // 2024-01-02
+
+    // batch operators finish from the streamed state table, and agree
+    // with the fully-batch twin built from the same files
+    val canonCp = (rows: Array[org.apache.spark.sql.Row]) => rows.map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("cp_x"),
+        r.getAs[Long]("d_max"), r.getAs[Long]("d_max_pm"))).toSet
+    val batchSeries = dailyOf(spark.read.json(src.toString))
+    val cpStream = canonCp(Trend.changePoint(
+      spark.table("cp_series_stream"), "event_type", "day", "y").collect())
+    val cpBatch = canonCp(Trend.changePoint(
+      batchSeries, "event_type", "day", "y").collect())
+    assert(cpStream == cpBatch && cpStream.nonEmpty)
+    // 5,5,9: the level shift is after day 2 -> cp at 2024-01-02
+    assert(cpStream.head._2 == 19724L)
+
+    val tsStream = Trend.theilSen(spark.table("cp_series_stream"),
+      "event_type", "day", "y").collect().head.getAs[Long]("ts_slope_micro")
+    val tsBatch = Trend.theilSen(batchSeries,
+      "event_type", "day", "y").collect().head.getAs[Long]("ts_slope_micro")
+    assert(tsStream == tsBatch && tsStream == 2000000L) // slopes 0,4,2 -> median 2
+  }
 }
