@@ -50,9 +50,35 @@ object Experiment {
       perUserAgg: Column = count(lit(1)),
       salt: String = ""
   ): DataFrame = {
-    // the user→arm ledger is read twice (arm totals + the conversion
-    // join); checkpoint it so the distinct-shuffle over the event log
-    // runs once, not per consumer
+    val big = (x: Column) => x.cast("decimal(38,0)")
+    val a = big(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+    val bigN = big(col("n_a") + col("n_b"))
+    val c = big(col("c_a") + col("c_b"))
+    convArms(events, userCol, metricCol, converted, perUserAgg, salt)
+      .select(col(metricCol), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        when(col("n_a") > 0, expr("c_a * 10000 DIV n_a")).otherwise(0L)
+          .cast("long").as("conv_a_pm"),
+        when(col("n_b") > 0, expr("c_b * 10000 DIV n_b")).otherwise(0L)
+          .cast("long").as("conv_b_pm"),
+        (big(lit(10000L)) * a * a * bigN >
+          big(lit(38416L)) * big(col("n_a")) * big(col("n_b")) * c * (bigN - c))
+          .as("significant"))
+      .orderBy(metricCol)
+  }
+
+  /** Shared counts frame of the proportion-test family: per metric, arm
+    * sizes and converter counts (`metricCol, c_a, c_b, n_a, n_b`). The
+    * user→arm ledger is read twice (arm totals + the conversion join);
+    * it is checkpointed so the distinct-shuffle over the event log runs
+    * once, not per consumer. */
+  private def convArms(
+      events: DataFrame,
+      userCol: String,
+      metricCol: String,
+      converted: Column,
+      perUserAgg: Column,
+      salt: String
+  ): DataFrame = {
     val variants = Sampling.withSplitId(
       events.select(col(userCol)).distinct(), userCol,
       fractions = Seq(0.5, 0.5), salt = salt, splitCol = "variant")
@@ -63,7 +89,7 @@ object Experiment {
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
 
-    val conv = events.groupBy(col(metricCol), col(userCol))
+    events.groupBy(col(metricCol), col(userCol))
       .agg(perUserAgg.as("metric_value"))
       .filter(converted)
       .join(variants, userCol)
@@ -71,21 +97,81 @@ object Experiment {
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c_a"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c_b"))
+      .crossJoin(arms)
+  }
 
-    val big = (x: Column) => x.cast("decimal(38,0)")
-    val a = big(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
-    val bigN = big(col("n_a") + col("n_b"))
-    val c = big(col("c_a") + col("c_b"))
-    conv.crossJoin(arms)
-      .select(col(metricCol), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-        when(col("n_a") > 0, expr("c_a * 10000 DIV n_a")).otherwise(0L)
-          .cast("long").as("conv_a_pm"),
-        when(col("n_b") > 0, expr("c_b * 10000 DIV n_b")).otherwise(0L)
-          .cast("long").as("conv_b_pm"),
-        (big(lit(10000L)) * a * a * bigN >
-          big(lit(38416L)) * big(col("n_a")) * big(col("n_b")) * c * (bigN - c))
-          .as("significant"))
-      .orderBy(metricCol)
+  /** BENJAMINI–HOCHBERG STEP-UP over the metric family — the
+    * multiple-testing correction [[abReadout]]'s per-metric verdicts
+    * need before anyone ships a launch decision off "1 of 12 metrics
+    * moved": controls the false-discovery rate at α across the m
+    * simultaneous proportion tests.
+    *
+    * Works entirely on integer-exact z² proxies: per metric,
+    *
+    *     z2_ppm = 10⁶·a²·N DIV (n_a·n_b·c·(N−c)),  a = c_a·n_b − c_b·n_a
+    *
+    * (monotone in the p-value, so ranking z² DESC ranks p ASC — no
+    * p-value is ever computed). Rank i compares against the PINNED χ²₁
+    * critical value for α·i/m (`critsPpm(i−1)`, engine-independent
+    * constants); BH rejects ranks 1..k where k is the LARGEST rank
+    * whose z² clears its own bar. Ranking ties break on metric name, so
+    * the readout is total-ordered and replayable.
+    *
+    * The rank window runs over the METRIC-FAMILY frame (m rows — a
+    * domain frame, never data-sized). `critsPpm` must cover m ranks:
+    * under ANSI, `element_at` past the end throws loudly rather than
+    * silently skipping the correction.
+    *
+    * @param critsPpm χ²₁ critical values ×10⁶ for p = α·i/m, i = 1..m —
+    *                 e.g. α = 0.05, m = 5: Seq(6634897, 5411894,
+    *                 4709292, 4217885, 3841459)
+    * @return per metric: metric, c_a, n_a, c_b, n_b, z2_ppm, p_rank,
+    *         crit_ppm, reject
+    */
+  def bhStepUp(
+      events: DataFrame,
+      userCol: String,
+      metricCol: String,
+      converted: Column,
+      critsPpm: Seq[Long],
+      perUserAgg: Column = count(lit(1)),
+      salt: String = ""
+  ): DataFrame = {
+    val z2 = convArms(events, userCol, metricCol, converted, perUserAgg, salt)
+      .withColumn("z2_ppm", expr(
+        """CASE WHEN (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b)
+          |THEN (1000000 * CAST(c_a * n_b - c_b * n_a AS DECIMAL(38,0))
+          |              * CAST(c_a * n_b - c_b * n_a AS DECIMAL(38,0))
+          |              * (n_a + n_b))
+          |  DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
+          |       * ((n_a + n_b) - (c_a + c_b)))
+          |ELSE 0 END""".stripMargin))
+    bhFinish(z2, metricCol, critsPpm)
+      .select(col(metricCol), col("c_a"), col("n_a"), col("c_b"), col("n_b"),
+        col("z2_ppm"), col("p_rank"), col("crit_ppm"), col("reject"))
+      .orderBy("p_rank")
+  }
+
+  /** The BH step-up mechanics over an already-computed `(metric,
+    * z2_ppm)` frame (bring your own test statistic — any z²-monotone
+    * proxy works). Appends `p_rank`, `crit_ppm`, `reject`, keeping
+    * every input column. See [[bhStepUp]] for semantics. */
+  def bhFinish(perMetric: DataFrame, metricCol: String, critsPpm: Seq[Long]): DataFrame = {
+    require(critsPpm.nonEmpty && critsPpm == critsPpm.sorted.reverse,
+      s"critsPpm must be non-empty and non-increasing, got $critsPpm")
+    val w = Window.orderBy(col("z2_ppm").desc, col(metricCol))
+    val ranked = perMetric
+      .withColumn("p_rank", row_number().over(w).cast("long"))
+      .withColumn("crit_ppm",
+        element_at(typedLit(critsPpm), col("p_rank").cast("int")))
+      .withColumn("cleared", col("z2_ppm") >= col("crit_ppm"))
+      .localCheckpoint(true) // m-row frame, read twice (k_max + verdicts)
+    val kMax = ranked.agg(
+      max(when(col("cleared"), col("p_rank"))).as("k_max"))
+    ranked.crossJoin(kMax)
+      .withColumn("reject",
+        col("k_max").isNotNull && col("p_rank") <= col("k_max"))
+      .drop("cleared", "k_max")
   }
 
   /** CUPED variance-reduced readout (Deng et al., WSDM'13): the post-period

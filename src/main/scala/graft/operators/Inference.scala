@@ -72,6 +72,60 @@ object Inference {
       .orderBy(aCol, bCol)
   }
 
+  /** Mutual information between two categorical columns — the
+    * information-theoretic completion of [[chiSquareAudit]] (χ² asks "is
+    * there dependence"; MI asks "how many nats does knowing B buy about
+    * A").
+    *
+    * Each observed cell's pointwise mutual information is quantized to
+    * integer micro-nats FIRST (the q70 quantize-then-sum construction —
+    * `floor(ln((N·o)/(r·c))·10⁶ + 0.5)`, both engines evaluating the
+    * same double ratio), then the exact integer finish:
+    *
+    *     mi_micronats  = Σ_cells o·pmi_micronats  DIV  N
+    *     h_a_micronats = Σ_rows  r·ln(N/r)-terms  DIV  N   (ditto h_b)
+    *     u_a_ppm       = 10⁶·mi DIV h_a   (uncertainty coefficient:
+    *                     the share of A's entropy explained by B)
+    *
+    * Zero cells contribute nothing to MI (lim p→0 of p·ln = 0), so only
+    * OBSERVED cells materialize — no grid fill, the frame is bounded by
+    * support size.
+    *
+    * @return one row per observed cell (a, b, o, pmi_micronats) with
+    *         the table-level mi/h_a/h_b/u_a_ppm/u_b_ppm repeated via a
+    *         1-row scalar cross-join
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy(col(aCol)).agg(sum(col("o")).cast("long").as("r"))
+    val colsT = cells.groupBy(col(bCol)).agg(sum(col("o")).cast("long").as("c"))
+    val tot = cells.agg(sum(col("o")).cast("long").as("nn"))
+    val terms = cells.join(rows, aCol).join(colsT, bCol).crossJoin(tot)
+      .withColumn("pmi_micronats", expr(
+        """CAST(floor(ln((CAST(nn AS DOUBLE) * o) / (CAST(r AS DOUBLE) * c))
+          |  * 1e6 + 0.5) AS BIGINT)""".stripMargin))
+      .localCheckpoint(true)
+    val hOf = (mass: DataFrame, m: String) => mass.crossJoin(tot)
+      .select(sum(col(m) * expr(
+        s"CAST(floor(ln(CAST(nn AS DOUBLE) / $m) * 1e6 + 0.5) AS BIGINT)"))
+        .as("hsum"), max(col("nn")).as("n0"))
+      .select(expr("hsum DIV n0").as("h"))
+    val summary = terms
+      .agg(sum(col("o") * col("pmi_micronats")).as("misum"), max(col("nn")).as("n0"))
+      .select(expr("misum DIV n0").cast("long").as("mi_micronats"))
+      .crossJoin(hOf(rows, "r").select(col("h").cast("long").as("h_a_micronats")))
+      .crossJoin(hOf(colsT, "c").select(col("h").cast("long").as("h_b_micronats")))
+      .withColumn("u_a_ppm", expr(
+        "CASE WHEN h_a_micronats > 0 THEN (1000000 * mi_micronats) DIV h_a_micronats END"))
+      .withColumn("u_b_ppm", expr(
+        "CASE WHEN h_b_micronats > 0 THEN (1000000 * mi_micronats) DIV h_b_micronats END"))
+    terms.select(col(aCol), col(bCol), col("o").cast("long").as("o"),
+        col("pmi_micronats"))
+      .crossJoin(summary)
+      .orderBy(aCol, bCol)
+  }
+
   /** Cohen's κ inter-rater agreement between two label columns sharing a
     * domain. With diagonal mass D = Σ n_ii and chance mass
     * E = Σ r_i·c_i (row × column totals joined on the SAME label):

@@ -287,4 +287,48 @@ object Profile {
       .select(col("_g").as(groupCol), col("n_units"), col("total"), col("gini_pm"))
       .orderBy(groupCol)
   }
+
+  /** POWER-LAW TAIL SCREEN — survival-count ratios at doubling
+    * thresholds. For a value distribution (user activity, degree,
+    * doc length), report S(k) = #{units : value ≥ k} at k = k₀·2^j and
+    * the doubling ratio
+    *
+    *     ratio_pm = 1000·S(2k) DIV S(k)
+    *
+    * A Pareto tail with index α shows a FLAT ratio column (≈ 2^(−α)·1000
+    * at every doubling — e.g. α = 1 ⇒ ~500 pm); exponential-ish tails
+    * show ratios collapsing toward 0 as k grows. The log-free,
+    * integer-exact replacement for a log-log regression — the screen
+    * that decides whether heavy-hitter machinery (salting, skew joins,
+    * per-user caps) is needed at all.
+    *
+    * One aggregate over the input computes every survival count as a
+    * conditional sum (no per-threshold scan); the ≤`doublings`+1-row
+    * readout assembles from that single row.
+    *
+    * @param df        one row per unit
+    * @param valueCol  integral nonneg value per unit
+    * @param k0        smallest threshold (≥ 1)
+    * @param doublings number of doublings to probe (output rows − 1)
+    * @return per threshold: k, survivors, ratio_pm (survivors here vs
+    *         at the previous threshold; NULL on the first row and when
+    *         the previous count is 0), n_units crossed in
+    */
+  def tailRatios(df: DataFrame, valueCol: String, k0: Long, doublings: Int): DataFrame = {
+    require(k0 >= 1 && doublings >= 1, s"bad tail spec k0=$k0 x$doublings")
+    val ks = (0 to doublings).map(j => k0 << j)
+    val v = col(valueCol).cast("long")
+    val aggCols = count(lit(1)).cast("long").as("n_units") +:
+      ks.zipWithIndex.map { case (k, j) =>
+        sum(when(v >= k, 1L).otherwise(0L)).as(s"s$j") }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true) // 1 row, read once per threshold row
+    val rows = ks.zipWithIndex.map { case (k, j) =>
+      val prev = if (j == 0) lit(null).cast("long")
+        else expr(s"CASE WHEN s${j - 1} > 0 THEN (1000 * s$j) DIV s${j - 1} END")
+      one.select(lit(k).as("k"), col(s"s$j").as("survivors"),
+        prev.as("ratio_pm"), col("n_units"))
+    }
+    rows.reduce(_ unionByName _).orderBy("k")
+  }
 }

@@ -162,6 +162,49 @@ object Trend {
       .orderBy(col(keyCol), col("lag_k"))
   }
 
+  /** Per-key SEASONAL-NAIVE FORECAST BACKTEST — how predictable is the
+    * series, and does the season carry signal? Two zero-parameter
+    * forecasters are replayed over the contiguously re-indexed series:
+    * seasonal-naive ŷ_t = y_{t−season} and last-value ŷ_t = y_{t−1},
+    * both evaluated on the SAME rows (t > season, where both exist) so
+    * the comparison is apples-to-apples. Integer readout:
+    *
+    *     mae_seasonal_micro = 10⁶·Σ|y_t − y_{t−s}| DIV n_eval
+    *     mae_naive_micro    = 10⁶·Σ|y_t − y_{t−1}| DIV n_eval
+    *     ratio_ppm          = 10⁶·Σ|e_s| DIV Σ|e_1|   (< 10⁶ ⇒ the
+    *                          season beats persistence — real weekly
+    *                          structure; NULL when Σ|e_1| = 0)
+    *
+    * One window pass per key (two lags over calendar-bounded
+    * partitions), one aggregate. The model-selection readout a capacity
+    * planner runs before trusting any seasonal forecast.
+    */
+  def seasonalNaiveBacktest(series: DataFrame, keyCol: String, xCol: String,
+      yCol: String, season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    series.select(col(keyCol), col(xCol), col(yCol).cast("long").as("y"))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("y_s", lag(col("y"), season).over(w))
+      .withColumn("y_1", lag(col("y"), 1).over(w))
+      .filter(col("t") > season)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        sum(abs(col("y") - col("y_s"))).cast("long").as("sae_seasonal"),
+        sum(abs(col("y") - col("y_1"))).cast("long").as("sae_naive"))
+      .withColumn("mae_seasonal_micro",
+        expr("(1000000 * CAST(sae_seasonal AS DECIMAL(38,0))) DIV n_eval"))
+      .withColumn("mae_naive_micro",
+        expr("(1000000 * CAST(sae_naive AS DECIMAL(38,0))) DIV n_eval"))
+      .withColumn("ratio_ppm", expr(
+        """CASE WHEN sae_naive > 0
+          |THEN (1000000 * CAST(sae_seasonal AS DECIMAL(38,0))) DIV sae_naive
+          |END""".stripMargin))
+      .select(col(keyCol), col("n_eval"), col("mae_seasonal_micro"),
+        col("mae_naive_micro"), col("ratio_ppm"))
+      .orderBy(keyCol)
+  }
+
   /** Per-key Theil–Sen robust slope — the LOWER MEDIAN of all pairwise
     * slopes, each pre-quantized to integral micro-units
     *

@@ -233,4 +233,77 @@ class ExperimentSpec extends AnyFunSuite {
     // arrival accounting: day-2 users are the extras, none re-counted
     assert(n1a + n1b == 200L && n2a == extra.count(armsX(_) == 0).toLong)
   }
+
+  test("BH step-up: a lower-ranked clearance rescues the ranks above it") {
+    import spark.implicits._
+    // rank 1 (z2=5e6) misses its 10e6 bar, rank 2 (z2=2e6) clears 1e6:
+    // step-up rejects BOTH - the defining BH property
+    val z2 = Seq(("m_strong", 5000000L), ("m_weak", 2000000L)).toDF("metric", "z2_ppm")
+    val out = Experiment.bhFinish(z2, "metric", Seq(10000000L, 1000000L))
+      .collect().map(r => r.getAs[String]("metric") ->
+        ((r.getAs[Long]("p_rank"), r.getAs[Boolean]("reject")))).toMap
+    assert(out("m_strong") == ((1L, true)))
+    assert(out("m_weak") == ((2L, true)))
+  }
+
+  test("BH step-up: nothing clears, nothing is rejected") {
+    import spark.implicits._
+    val z2 = Seq(("a", 5000000L), ("b", 2000000L)).toDF("metric", "z2_ppm")
+    val out = Experiment.bhFinish(z2, "metric", Seq(10000000L, 6000000L)).collect()
+    assert(out.forall(!_.getAs[Boolean]("reject")))
+  }
+
+  test("BH step-up: rejection stops exactly at k_max") {
+    import spark.implicits._
+    // ranks 1,2 clear; rank 3 does not and nothing below rescues it
+    val z2 = Seq(("a", 9000000L), ("b", 5000000L), ("c", 100000L))
+      .toDF("metric", "z2_ppm")
+    val out = Experiment.bhFinish(z2, "metric",
+        Seq(8000000L, 4000000L, 3000000L))
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Boolean]("reject")).toMap
+    assert(out == Map("a" -> true, "b" -> true, "c" -> false))
+  }
+
+  test("BH step-up: z2 ties rank deterministically by metric name") {
+    import spark.implicits._
+    val z2 = Seq(("zz", 5000000L), ("aa", 5000000L)).toDF("metric", "z2_ppm")
+    val out = Experiment.bhFinish(z2, "metric", Seq(6000000L, 6000000L))
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Long]("p_rank")).toMap
+    assert(out == Map("aa" -> 1L, "zz" -> 2L))
+  }
+
+  test("BH step-up: more metrics than pinned critical values fails loudly") {
+    import spark.implicits._
+    val z2 = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("metric", "z2_ppm")
+    intercept[Exception] {
+      Experiment.bhFinish(z2, "metric", Seq(10L, 5L)).collect()
+    }
+    intercept[IllegalArgumentException] { // crits must be non-increasing
+      Experiment.bhFinish(z2, "metric", Seq(1L, 5L, 10L))
+    }
+  }
+
+  test("bhStepUp end to end: an engineered unanimous effect is rank 1 and rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // learn the md5 arms first, then give arm-0 users 5 'big' events and
+    // arm-1 users 1, so converted(>=5) separates the arms completely
+    val users = (1L to 120L)
+    val arms = graft.operators.Sampling.withSplitId(
+        users.toDF("user_id"), "user_id", Seq(0.5, 0.5), salt = "bh", splitCol = "v")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val events =
+      users.flatMap(u => Seq.fill(if (arms(u) == 0) 5 else 1)((u, "big")))
+    val out = Experiment.bhStepUp(events.toDF("user_id", "metric"),
+        "user_id", "metric", converted = col("metric_value") >= 5,
+        critsPpm = Seq(6634897L), salt = "bh")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("p_rank") == 1L && r.getAs[Boolean]("reject"))
+    assert(r.getAs[Long]("z2_ppm") > 6634897L)
+    // complete separation: every arm-0 user converted, no arm-1 user did
+    assert(r.getAs[Long]("c_a") == r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("c_b") == 0L)
+  }
 }

@@ -79,6 +79,39 @@ class InferenceSpec extends AnyFunSuite {
     assert(cells == Map((0, 0) -> 1L, (0, 1) -> 2L, (1, 1) -> 1L))
   }
 
+  // ---------------------------------------------- mutualInformation
+
+  test("MI of perfect dependence equals the marginal entropy (u = 1)") {
+    // diag [[2,0],[0,2]]: every pmi = ln 2 = 693147 micronats = H(A)
+    val rows = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+    val out = Inference.mutualInformation(rows.toDF("a", "b"), "a", "b").collect()
+    assert(out.length == 2) // only observed cells materialize
+    assert(out.forall(_.getAs[Long]("pmi_micronats") == 693147L))
+    assert(out.head.getAs[Long]("mi_micronats") == 693147L)
+    assert(out.head.getAs[Long]("h_a_micronats") == 693147L)
+    assert(out.head.getAs[Long]("u_a_ppm") == 1000000L)
+    assert(out.head.getAs[Long]("u_b_ppm") == 1000000L)
+  }
+
+  test("MI of exact independence is 0") {
+    val rows = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+    val out = Inference.mutualInformation(rows.toDF("a", "b"), "a", "b").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("pmi_micronats") == 0L))
+    assert(out.head.getAs[Long]("mi_micronats") == 0L)
+    assert(out.head.getAs[Long]("u_a_ppm") == 0L)
+  }
+
+  test("MI is asymmetric in the uncertainty coefficients when marginals differ") {
+    // A has 3 values, B has 2 -> H(A) > H(B) -> u_a < u_b for shared MI
+    val rows = Seq(("x", "p"), ("y", "p"), ("z", "q"), ("z", "q"))
+    val out = Inference.mutualInformation(rows.toDF("a", "b"), "a", "b").collect()
+    val r = out.head
+    assert(r.getAs[Long]("h_a_micronats") > r.getAs[Long]("h_b_micronats"))
+    assert(r.getAs[Long]("u_a_ppm") < r.getAs[Long]("u_b_ppm"))
+    assert(r.getAs[Long]("mi_micronats") > 0L)
+  }
+
   // ---------------------------------------------------------- mannWhitney
 
   test("mannWhitney: fully separated groups give U=0 and r=-1") {

@@ -201,4 +201,28 @@ class ProfileSpec extends AnyFunSuite {
     val Array(r) = Profile.giniIndex(rows.toDF("g", "y"), "g", "y").collect()
     assert(r.getLong(3) == 3125L)
   }
+
+  test("tail ratios: a perfect alpha=1 power law reads flat 500pm") {
+    import graft.operators.Profile
+    // survivors at 1,2,4,8 = 8,4,2,1: every doubling halves
+    val vals = Seq(1L, 1L, 1L, 1L, 2L, 2L, 4L, 8L)
+    val out = Profile.tailRatios(vals.toDF("v"), "v", k0 = 1L, doublings = 3)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("survivors"), Option(r.get(r.fieldIndex("ratio_pm")))))).toMap
+    assert(out(1L) == ((8L, None)))
+    assert(out(2L) == ((4L, Some(500L))))
+    assert(out(4L) == ((2L, Some(500L))))
+    assert(out(8L) == ((1L, Some(500L))))
+  }
+
+  test("tail ratios: a short tail collapses and empty levels report NULL") {
+    import graft.operators.Profile
+    val vals = Seq(1L, 1L, 1L, 2L) // nothing reaches 4
+    val out = Profile.tailRatios(vals.toDF("v"), "v", 1L, 3)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("survivors"), Option(r.get(r.fieldIndex("ratio_pm")))))).toMap
+    assert(out(2L) == ((1L, Some(250L))))
+    assert(out(4L) == ((0L, Some(0L))))
+    assert(out(8L)._1 == 0L && out(8L)._2.isEmpty) // prev survivors = 0
+  }
 }

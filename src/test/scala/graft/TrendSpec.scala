@@ -124,4 +124,44 @@ class TrendSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_pairs") == 3L)
     assert(out.head.getAs[Long]("ts_slope_micro") == -3000000L)
   }
+
+  // ------------------------------------------------- seasonalNaiveBacktest
+
+  test("backtest: a period-2 series is perfectly seasonal-predictable") {
+    // y = 1,5,1,5,1,5: e_s = 0 on all eval rows, e_1 = 4 each
+    val out = Trend.seasonalNaiveBacktest(
+      series((1L to 6L).map(x => ("a", x, if (x % 2 == 0) 5L else 1L))),
+      "k", "x", "y", season = 2).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_eval") == 4L)
+    assert(r.getAs[Long]("mae_seasonal_micro") == 0L)
+    assert(r.getAs[Long]("mae_naive_micro") == 4000000L)
+    assert(r.getAs[Long]("ratio_ppm") == 0L)
+  }
+
+  test("backtest: on a pure trend, persistence beats the season 2:1") {
+    // y = 1..6, season 2: e_s = 2, e_1 = 1 on each of 4 eval rows
+    val out = Trend.seasonalNaiveBacktest(
+      series((1L to 6L).map(x => ("a", x, x))), "k", "x", "y", season = 2)
+      .collect()
+    assert(out.head.getAs[Long]("ratio_ppm") == 2000000L)
+  }
+
+  test("backtest: a constant series reports NULL ratio (0/0), not a crash") {
+    val out = Trend.seasonalNaiveBacktest(
+      series((1L to 5L).map(x => ("a", x, 3L))), "k", "x", "y", season = 2)
+      .collect()
+    assert(out.head.getAs[Long]("mae_seasonal_micro") == 0L)
+    assert(out.head.isNullAt(out.head.fieldIndex("ratio_ppm")))
+  }
+
+  test("backtest evaluates both forecasters on the same rows only") {
+    // 3 points, season 2: exactly one eval row (t = 3)
+    val out = Trend.seasonalNaiveBacktest(
+      series(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 40L))),
+      "k", "x", "y", season = 2).collect()
+    assert(out.head.getAs[Long]("n_eval") == 1L)
+    assert(out.head.getAs[Long]("mae_seasonal_micro") == 30000000L) // |40-10|
+    assert(out.head.getAs[Long]("mae_naive_micro") == 20000000L)    // |40-20|
+  }
 }
