@@ -2613,6 +2613,112 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — MUTUAL INFORMATION (Inference.mutualInformation): the
+    // information-theoretic completion of q186 — how many nats does the
+    // weekday buy about the event mix? Per-cell PMI quantized to
+    // micro-nats (the q70 ln construction), exact integer finish,
+    // uncertainty coefficients both ways. Hash-exact (q70 ln caveat
+    // per term).
+    "q194_mutual_info" -> ((s, dir) => {
+      graft.operators.Inference.mutualInformation(
+        events(s, dir).select(col("event_type"),
+          expr("((unix_millis(ts) DIV 86400000) + 4) % 7").as("dow")),
+        "event_type", "dow")
+    }),
+
+    // Extension — LEAVE-ONE-SOURCE-OUT VALUATION (Valuation
+    // .leaveOneOut): which source is pulling the corpus quality score
+    // up, and which would the mix be better without? Exact contribution
+    // deltas off ONE sufficient-stats aggregate — no per-group rescan,
+    // no resampling. Value = the q145 pinned-weight score (replayed in
+    // SQL). Hash-exact.
+    "q195_loo_valuation" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      graft.operators.Valuation.leaveOneOut(
+        t(s, dir, "documents").select(col("source"),
+          QualityModel.scoreMicros(col("text"), w, 0L).as("score_micros")),
+        "source", "score_micros")
+    }),
+
+    // Extension — BH MULTIPLE-TESTING CORRECTION (Experiment.bhStepUp):
+    // q109's per-metric verdicts, FDR-corrected at α = 0.05 across the
+    // m = 5 simultaneous tests — integer z² proxies ranked against
+    // pinned χ²₁ critical values for α·i/m, the step-up resolved via
+    // k_max. The launch-decision guard against "1 of 12 metrics moved".
+    // Hash-exact.
+    "q196_bh_family" -> ((s, dir) => {
+      graft.operators.Experiment.bhStepUp(events(s, dir), "user_id",
+        "event_type", converted = col("metric_value") >= 15,
+        critsPpm = Seq(6634897L, 5411894L, 4709292L, 4217885L, 3841459L),
+        salt = "exp1")
+    }),
+
+    // Extension — POWER-LAW TAIL SCREEN (Profile.tailRatios): survival
+    // counts of per-user activity at doubling thresholds 16..128 — a
+    // flat ratio column ⇒ Pareto tail ⇒ heavy-hitter machinery (salts,
+    // caps, skew joins) is warranted; collapsing ratios ⇒ it is not.
+    // Log-free, one conditional aggregate. Hash-exact.
+    "q197_tail_ratios" -> ((s, dir) => {
+      graft.operators.Profile.tailRatios(
+        events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n_events")),
+        "n_events", k0 = 16L, doublings = 3)
+    }),
+
+    // Extension — SEASONAL-NAIVE BACKTEST (Trend.seasonalNaiveBacktest):
+    // is each event type's weekly pattern real enough to forecast with?
+    // ŷ_t = y_{t−7} vs persistence ŷ_t = y_{t−1}, both scored on the
+    // same rows; ratio < 10⁶ ⇒ the season carries signal. Hash-exact.
+    "q198_seasonal_backtest" -> ((s, dir) => {
+      graft.operators.Trend.seasonalNaiveBacktest(
+        dailyEventSeries(s, dir), "event_type", "day", "y", season = 7)
+    }),
+
+    // Extension — SCORER AUC/GINI (Inference.mannWhitney, reused): the
+    // ranking power of the q145 scorer against the 'en' label via the
+    // exact U/(n₀·n₁) identity — AUC without a single ROC point, ranks
+    // never materializing (distinct-confidence frame). The q192
+    // calibration table's discrimination-side sibling. Hash-exact.
+    "q199_scorer_auc" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      val scored = t(s, dir, "documents").select(
+        QualityModel.scoreMicros(col("text"), w, 0L).as("score_micros"),
+        (col("lang") === "en").cast("int").as("is_en"))
+        .withColumn("conf_pm",
+          expr("least(999L, greatest(0L, 500L + score_micros DIV 20))"))
+      graft.operators.Inference.mannWhitney(scored, "conf_pm", "is_en")
+        .withColumn("auc_en_ppm", expr("(1000000 - r_ppm) DIV 2"))
+    }),
+
+    // Extension — THE SERIES DOSSIER: every series diagnostic this
+    // engine runs, composed per event type into one health card — OLS
+    // slope+fit, changepoint location+strength, lag-1/lag-7 ACF,
+    // Theil–Sen robust slope, seasonal-vs-persistence skill. The
+    // one-page readout a traffic analyst starts the week with;
+    // disagreement between the robust and OLS slopes IS the outlier
+    // alarm. Hash-exact (composition of q188–q191/q198 replays).
+    "q200_series_dossier" -> ((s, dir) => {
+      import graft.operators.Trend
+      val series = dailyEventSeries(s, dir).localCheckpoint(true)
+      val ols = Trend.olsTrend(series, "event_type", "day", "y")
+        .select(col("event_type"), col("n").as("n_days"),
+          col("slope_ppm"), col("r2_ppm"))
+      val cp = Trend.changePoint(series, "event_type", "day", "y")
+        .select(col("event_type"), col("cp_x").as("cp_day"), col("d_max_pm"))
+      val ac = Trend.acf(series, "event_type", "day", "y", maxLag = 7)
+        .groupBy("event_type")
+        .agg(max(when(col("lag_k") === 1, col("acf_pm"))).as("acf1_pm"),
+          max(when(col("lag_k") === 7, col("acf_pm"))).as("acf7_pm"))
+      val ts = Trend.theilSen(series, "event_type", "day", "y")
+        .select(col("event_type"), col("ts_slope_micro"))
+      val bt = Trend.seasonalNaiveBacktest(series, "event_type", "day", "y", 7)
+        .select(col("event_type"), col("ratio_ppm").as("season_ratio_ppm"))
+      ols.join(cp, "event_type").join(ac, "event_type")
+        .join(ts, "event_type").join(bt, "event_type")
+        .orderBy("event_type")
+    }),
+
     // Extension — χ² INDEPENDENCE AUDIT (Inference.chiSquareAudit): is
     // the event mix independent of the weekday? Full zero-filled
     // type × dow grid with per-cell ppb contributions; table-level
@@ -5067,6 +5173,273 @@ object SparkEntry {
       |    CAST(count(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** Shared CTE: every document scored by the q145 pinned-weight
+    * classifier (verbatim weight replay), carrying source + lang. */
+  private def scoredDocsCte: String = {
+    val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
+    s"""scored AS (SELECT doc_id, source, lang,
+       |    CAST(coalesce(list_aggregate(list_transform(
+       |        list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |          x -> x <> ''),
+       |        t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |      AS BIGINT) AS score
+       |  FROM documents)""".stripMargin
+  }
+
+  /** q194: MI — observed cells only, per-cell PMI floor-rounded to
+    * micro-nats, entropies from the marginal frames, one DIV each. */
+  private val q194Oracle =
+    """WITH e AS (SELECT event_type,
+      |    (epoch_ms(ts) // 86400000 + 4) % 7 AS dow FROM events),
+      |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      |  FROM e GROUP BY 1, 2),
+      |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+      |terms AS (SELECT cells.event_type, cells.dow, cells.o,
+      |    CAST(floor(ln((CAST(nn AS DOUBLE) * o) / (CAST(r.r AS DOUBLE) * c.c))
+      |      * 1e6 + 0.5) AS BIGINT) AS pmi_micronats
+      |  FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN tot),
+      |mi AS (SELECT CAST(sum(o::HUGEINT * pmi_micronats) // max(nn) AS BIGINT)
+      |    AS mi_micronats
+      |  FROM terms CROSS JOIN tot),
+      |ha AS (SELECT CAST(sum(r::HUGEINT *
+      |      CAST(floor(ln(CAST(nn AS DOUBLE) / r) * 1e6 + 0.5) AS BIGINT))
+      |    // max(nn) AS BIGINT) AS h_a_micronats
+      |  FROM r CROSS JOIN tot),
+      |hb AS (SELECT CAST(sum(c::HUGEINT *
+      |      CAST(floor(ln(CAST(nn AS DOUBLE) / c) * 1e6 + 0.5) AS BIGINT))
+      |    // max(nn) AS BIGINT) AS h_b_micronats
+      |  FROM c CROSS JOIN tot),
+      |summ AS (SELECT mi_micronats, h_a_micronats, h_b_micronats,
+      |    CAST(CASE WHEN h_a_micronats > 0
+      |      THEN (1000000 * mi_micronats::HUGEINT) // h_a_micronats END
+      |      AS BIGINT) AS u_a_ppm,
+      |    CAST(CASE WHEN h_b_micronats > 0
+      |      THEN (1000000 * mi_micronats::HUGEINT) // h_b_micronats END
+      |      AS BIGINT) AS u_b_ppm
+      |  FROM mi CROSS JOIN ha CROSS JOIN hb)
+      |SELECT terms.*, summ.* FROM terms CROSS JOIN summ
+      |ORDER BY event_type, dow""".stripMargin
+
+  /** q195: LOO valuation — group sufficient stats, complement means by
+    * subtraction, one truncating division per ratio. */
+  private def q195Oracle =
+    s"""WITH $scoredDocsCte,
+       |grp AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(score) AS BIGINT) AS s FROM scored GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(s) AS BIGINT) AS ss FROM grp)
+       |SELECT source, n,
+       |  CAST((1000 * n::HUGEINT) // nn AS BIGINT) AS share_pm,
+       |  CAST((1000000 * s::HUGEINT) // n AS BIGINT) AS mean_micro,
+       |  CAST(CASE WHEN nn > n
+       |    THEN (1000000 * (ss::HUGEINT - s)) // (nn - n) END
+       |    AS BIGINT) AS loo_mean_micro,
+       |  CAST((1000000 * ss::HUGEINT) // nn
+       |    - CASE WHEN nn > n
+       |        THEN (1000000 * (ss::HUGEINT - s)) // (nn - n) END
+       |    AS BIGINT) AS contribution_micro,
+       |  CAST((1000000 * ss::HUGEINT) // nn AS BIGINT) AS global_mean_micro
+       |FROM grp CROSS JOIN tot ORDER BY source""".stripMargin
+
+  /** q196: BH — the q109 counts replay, z² proxies, rank-indexed pinned
+    * critical values, k_max step-up. */
+  private val q196Oracle =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT user_id,
+      |  CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'exp1'), 1, 8))::BIGINT
+      |             % 10000) < 5000
+      |       THEN 0 ELSE 1 END AS variant FROM u),
+      |arms AS (SELECT
+      |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM v),
+      |pm AS (SELECT event_type, user_id FROM events
+      |  GROUP BY 1, 2 HAVING count(*) >= 15),
+      |cc AS (SELECT p.event_type,
+      |  CAST(sum(CASE WHEN v.variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |  CAST(sum(CASE WHEN v.variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM pm p JOIN v ON v.user_id = p.user_id GROUP BY 1),
+      |z AS (SELECT event_type, c_a, n_a, c_b, n_b,
+      |  CAST(CASE WHEN (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b)
+      |    THEN (1000000::HUGEINT
+      |          * (c_a * n_b - c_b * n_a)::HUGEINT
+      |          * (c_a * n_b - c_b * n_a)::HUGEINT
+      |          * (n_a + n_b))
+      |      // (n_a::HUGEINT * n_b * (c_a + c_b)
+      |          * ((n_a + n_b) - (c_a + c_b)))
+      |    ELSE 0 END AS BIGINT) AS z2_ppm
+      |  FROM cc CROSS JOIN arms),
+      |crits(i, crit_ppm) AS (VALUES (1, 6634897), (2, 5411894),
+      |  (3, 4709292), (4, 4217885), (5, 3841459)),
+      |ranked AS (SELECT z.*, CAST(row_number()
+      |    OVER (ORDER BY z2_ppm DESC, event_type) AS BIGINT) AS p_rank
+      |  FROM z),
+      |flagged AS (SELECT ranked.*, CAST(crit_ppm AS BIGINT) AS crit_ppm,
+      |    z2_ppm >= crit_ppm AS cleared
+      |  FROM ranked JOIN crits ON crits.i = ranked.p_rank),
+      |km AS (SELECT max(CASE WHEN cleared THEN p_rank END) AS k_max FROM flagged)
+      |SELECT event_type, c_a, n_a, c_b, n_b, z2_ppm, p_rank, crit_ppm,
+      |  (k_max IS NOT NULL AND p_rank <= k_max) AS reject
+      |FROM flagged CROSS JOIN km ORDER BY p_rank""".stripMargin
+
+  /** q197: tail ratios — survival counts per doubling threshold off the
+    * per-user frame, the doubling ratio via a lag window on ≤4 rows. */
+  private val q197Oracle =
+    """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |ks(k) AS (VALUES (16), (32), (64), (128)),
+      |s AS (SELECT CAST(ks.k AS BIGINT) AS k,
+      |    CAST(sum(CASE WHEN pu.v >= ks.k THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS survivors
+      |  FROM ks CROSS JOIN pu GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM pu),
+      |w AS (SELECT *, lag(survivors) OVER (ORDER BY k) AS prev FROM s)
+      |SELECT k, survivors,
+      |  CAST(CASE WHEN prev > 0 THEN (1000 * survivors) // prev END
+      |    AS BIGINT) AS ratio_pm,
+      |  n_units
+      |FROM w CROSS JOIN n ORDER BY k""".stripMargin
+
+  /** Shared CTE for q198/q200: the seasonal backtest per event type —
+    * contiguous re-index, two lags, one aggregate. */
+  private val backtestCte =
+    """bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |    CAST((1000000 * sum(abs(y - y_s))::HUGEINT) // count(*) AS BIGINT)
+      |      AS mae_seasonal_micro,
+      |    CAST((1000000 * sum(abs(y - y_1))::HUGEINT) // count(*) AS BIGINT)
+      |      AS mae_naive_micro,
+      |    CAST(CASE WHEN sum(abs(y - y_1)) > 0
+      |      THEN (1000000 * sum(abs(y - y_s))::HUGEINT) // sum(abs(y - y_1))
+      |      END AS BIGINT) AS ratio_ppm
+      |  FROM (SELECT event_type, y,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |      lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y_s,
+      |      lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y_1
+      |    FROM daily) x
+      |  WHERE t > 7 GROUP BY 1)""".stripMargin
+
+  private def q198Oracle =
+    s"""WITH $dailySeriesCte, $backtestCte
+       |SELECT event_type, n_eval, mae_seasonal_micro, mae_naive_micro,
+       |  ratio_ppm
+       |FROM bt ORDER BY event_type""".stripMargin
+
+  /** q199: AUC — the q193 midrank machinery over the q192 confidence,
+    * grouped by the 'en' label (group A = non-en), AUC via (1−r)/2. */
+  private def q199Oracle =
+    s"""WITH $scoredDocsCte,
+       |g AS (SELECT least(999, greatest(0, 500 + score // 20)) AS v,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp FROM scored),
+       |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+       |  FROM g GROUP BY 1),
+       |cum AS (SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM vals),
+       |agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |    CAST(sum(c) AS BIGINT) AS nn,
+       |    sum(ca::HUGEINT * (2 * cb + c + 1)) AS ra2,
+       |    sum(c::HUGEINT * c * c - c) AS tie FROM cum),
+       |f AS (SELECT n_a, nn, nn - n_a AS n_b,
+       |    CAST(ra2 - n_a::HUGEINT * (n_a + 1) AS BIGINT) AS u2_a,
+       |    CAST(tie AS BIGINT) AS tie_term
+       |  FROM agg),
+       |mw AS (SELECT n_a, n_b, u2_a, tie_term,
+       |  CAST(CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN (1000000 * (u2_a::HUGEINT - n_a::HUGEINT * n_b))
+       |         // (n_a::HUGEINT * n_b) END AS BIGINT) AS r_ppm,
+       |  30000::HUGEINT * nn * (nn - 1)
+       |      * (u2_a::HUGEINT - n_a::HUGEINT * n_b)
+       |      * (u2_a::HUGEINT - n_a::HUGEINT * n_b)
+       |    > 38416::HUGEINT * n_a * n_b
+       |      * (nn::HUGEINT * (nn::HUGEINT * nn - 1) - tie_term) AS significant
+       |  FROM f)
+       |SELECT *, CAST((1000000 - r_ppm) // 2 AS BIGINT) AS auc_en_ppm
+       |FROM mw""".stripMargin
+
+  /** q200: the series dossier — q188/q189/q190/q191/q198 replays keyed
+    * by event type and joined into one health card. */
+  private def q200Oracle =
+    s"""WITH $dailySeriesCte,
+       |base AS (SELECT event_type, min(day) AS x0 FROM daily GROUP BY 1),
+       |pts AS (SELECT d.event_type, d.day - b.x0 AS x, d.y
+       |  FROM daily d JOIN base b USING (event_type)),
+       |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+       |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+       |    sum(y::HUGEINT * y) AS syy
+       |  FROM pts GROUP BY 1),
+       |ols AS (SELECT event_type, n_days,
+       |    CAST(CASE WHEN n_days::HUGEINT * sxx - sx * sx > 0
+       |      THEN (1000000 * (n_days::HUGEINT * sxy - sx * sy))
+       |           // (n_days::HUGEINT * sxx - sx * sx) END AS BIGINT) AS slope_ppm,
+       |    CAST(CASE WHEN n_days::HUGEINT * sxx - sx * sx > 0
+       |           AND n_days::HUGEINT * syy - sy * sy > 0
+       |      THEN (((1000000 * (n_days::HUGEINT * sxy - sx * sy))
+       |             // (n_days::HUGEINT * sxx - sx * sx))
+       |            * (n_days::HUGEINT * sxy - sx * sy))
+       |        // (n_days::HUGEINT * syy - sy * sy) END AS BIGINT) AS r2_ppm
+       |  FROM st),
+       |cum AS (SELECT event_type, day AS x, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS t,
+       |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS p
+       |  FROM daily),
+       |tt AS (SELECT event_type, CAST(max(t) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS s FROM cum GROUP BY 1),
+       |dd AS (SELECT c.event_type, c.x, t.n, t.s,
+       |    abs(t.n::HUGEINT * c.p - c.t::HUGEINT * t.s) AS dv
+       |  FROM cum c JOIN tt t USING (event_type)),
+       |dmx AS (SELECT event_type, max(dv) AS d_max FROM dd GROUP BY 1),
+       |cp AS (SELECT dd.event_type, CAST(min(dd.x) AS BIGINT) AS cp_day,
+       |    CAST(max(CASE WHEN dd.s > 0
+       |      THEN (1000000 * dmx.d_max) // (dd.n::HUGEINT * dd.s) END)
+       |      AS BIGINT) AS d_max_pm
+       |  FROM dd JOIN dmx USING (event_type)
+       |  WHERE dd.dv = dmx.d_max GROUP BY 1),
+       |dev AS (SELECT i.event_type, i.t, (t2.n::HUGEINT * i.y - t2.s) AS dq
+       |  FROM (SELECT event_type, y, CAST(row_number() OVER
+       |      (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t
+       |    FROM daily) i
+       |  JOIN tt t2 USING (event_type)),
+       |den AS (SELECT event_type, sum(dq * dq) AS den FROM dev GROUP BY 1),
+       |ac AS (SELECT a.event_type,
+       |    CAST(max(CASE WHEN den.den > 0 AND k.k = 1
+       |      THEN (1000000 * pr.num) // den.den END) AS BIGINT) AS acf1_pm,
+       |    CAST(max(CASE WHEN den.den > 0 AND k.k = 7
+       |      THEN (1000000 * pr.num) // den.den END) AS BIGINT) AS acf7_pm
+       |  FROM (SELECT DISTINCT event_type FROM daily) a
+       |  CROSS JOIN (VALUES (1), (7)) k(k)
+       |  LEFT JOIN (SELECT x.event_type, x.k, sum(x.dq * y.dq) AS num
+       |      FROM (SELECT dev.*, kk.k, dev.t + kk.k AS t2
+       |            FROM dev CROSS JOIN (VALUES (1), (7)) kk(k)) x
+       |      JOIN dev y ON y.event_type = x.event_type AND y.t = x.t2
+       |      GROUP BY 1, 2) pr
+       |    ON pr.event_type = a.event_type AND pr.k = k.k
+       |  JOIN den ON den.event_type = a.event_type
+       |  GROUP BY 1),
+       |tsp AS (SELECT event_type,
+       |    CAST(slope_micro AS BIGINT) AS ts_slope_micro
+       |  FROM (SELECT event_type, slope_micro,
+       |      CAST(row_number() OVER (PARTITION BY event_type
+       |        ORDER BY slope_micro) AS BIGINT) AS r,
+       |      CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+       |    FROM (SELECT a.event_type,
+       |        (1000000 * (b.y - a.y)) // (b.day - a.day) AS slope_micro
+       |      FROM daily a JOIN daily b
+       |        ON b.event_type = a.event_type AND a.day < b.day) p) rr
+       |  WHERE r = (m + 1) // 2),
+       |$backtestCte
+       |SELECT ols.event_type, ols.n_days, ols.slope_ppm, ols.r2_ppm,
+       |  cp.cp_day, cp.d_max_pm, ac.acf1_pm, ac.acf7_pm,
+       |  tsp.ts_slope_micro, bt.ratio_ppm AS season_ratio_ppm
+       |FROM ols JOIN cp USING (event_type) JOIN ac USING (event_type)
+       |JOIN tsp USING (event_type) JOIN bt USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   /** q186: χ² — full zero-filled grid via row × column cross join, each
     * cell term ppb-quantized in HUGEINT, one truncating division. */
   private val q186Oracle =
@@ -6413,6 +6786,13 @@ object SparkEntry {
     "q191_theil_sen" -> q191Oracle,
     "q192_calibration" -> q192Oracle,
     "q193_mann_whitney" -> q193Oracle,
+    "q194_mutual_info" -> q194Oracle,
+    "q195_loo_valuation" -> q195Oracle,
+    "q196_bh_family" -> q196Oracle,
+    "q197_tail_ratios" -> q197Oracle,
+    "q198_seasonal_backtest" -> q198Oracle,
+    "q199_scorer_auc" -> q199Oracle,
+    "q200_series_dossier" -> q200Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
