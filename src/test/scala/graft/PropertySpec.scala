@@ -262,4 +262,108 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Mann-Whitney: swapping the groups mirrors U and the effect exactly") {
+    import graft.operators.Inference
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 30L), Gen.oneOf(0, 1)), 300)
+    val df = rows.toDF("v", "g")
+    val fwd = Inference.mannWhitney(df, "v", "g").collect().head
+    val rev = Inference.mannWhitney(
+      df.select(col("v"), (lit(1) - col("g")).as("g")), "v", "g").collect().head
+    // U_A + U_B = n_a*n_b (in 2x units), so u2 mirrors around 2*n_a*n_b
+    assert(fwd.getAs[Long]("u2_a") + rev.getAs[Long]("u2_a") ==
+      2L * fwd.getAs[Long]("n_a") * fwd.getAs[Long]("n_b"))
+    assert(fwd.getAs[Long]("tie_term") == rev.getAs[Long]("tie_term"))
+    assert(fwd.getAs[Boolean]("significant") == rev.getAs[Boolean]("significant"))
+    // r mirrors in sign up to the +-1 toward-zero truncation asymmetry
+    assert(math.abs(fwd.getAs[Long]("r_ppm") + rev.getAs[Long]("r_ppm")) <= 1L)
+  }
+
+  test("mutual information: symmetric in its arguments, bounded by both entropies") {
+    import graft.operators.Inference
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(0, 3)), 400)
+    val df = rows.toDF("a", "b")
+    val ab = Inference.mutualInformation(df, "a", "b").collect().head
+    val ba = Inference.mutualInformation(
+      df.select(col("b").as("a"), col("a").as("b")), "a", "b").collect().head
+    assert(ab.getAs[Long]("mi_micronats") == ba.getAs[Long]("mi_micronats"))
+    assert(ab.getAs[Long]("h_a_micronats") == ba.getAs[Long]("h_b_micronats"))
+    // MI <= min(H_A, H_B) up to the per-term half-micronat quantization
+    val mi = ab.getAs[Long]("mi_micronats")
+    assert(mi <= ab.getAs[Long]("h_a_micronats") + 5L)
+    assert(mi <= ab.getAs[Long]("h_b_micronats") + 5L)
+    assert(mi >= -5L) // MI >= 0 modulo quantization
+  }
+
+  test("chi2 / kappa stay inside their algebraic ranges on random tables") {
+    import graft.operators.Inference
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 3)), 300)
+    val df = rows.toDF("a", "b")
+    val chi = Inference.chiSquareAudit(df, "a", "b").collect().head
+    assert(chi.getAs[Long]("v2_ppm") >= 0L &&
+      chi.getAs[Long]("v2_ppm") <= 1000000L)
+    val kap = Inference.cohenKappa(df, "a", "b").collect().head
+    assert(kap.getAs[Long]("po_ppm") >= 0L && kap.getAs[Long]("po_ppm") <= 1000000L)
+    assert(kap.getAs[Long]("pe_ppm") >= 0L && kap.getAs[Long]("pe_ppm") <= 1000000L)
+    assert(kap.getAs[Long]("kappa_ppm") <= 1000000L)
+  }
+
+  test("OLS and Theil-Sen agree exactly on noiseless integer lines") {
+    import graft.operators.Trend
+    val specs = sample(Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(-100L, 100L)), 8)
+    val pts = specs.zipWithIndex.flatMap { case ((m, b), i) =>
+      (0L to 9L).map(x => (s"k$i", x, m * x + b)) }
+    val ols = Trend.olsTrend(pts.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("slope_ppm")).toMap
+    val ts = Trend.theilSen(pts.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("ts_slope_micro")).toMap
+    specs.zipWithIndex.foreach { case ((m, _), i) =>
+      assert(ols(s"k$i") == m * 1000000L, s"ols k$i")
+      assert(ts(s"k$i") == m * 1000000L, s"theilSen k$i")
+    }
+  }
+
+  test("changepoint and ACF statistics respect their normalization bounds") {
+    import graft.operators.Trend
+    val ys = sample(Gen.chooseNum(0L, 100L), 60)
+    val series = ys.zipWithIndex.map { case (y, i) => (s"k${i % 3}", i.toLong, y) }
+      .toDF("k", "x", "y")
+    Trend.changePoint(series, "k", "x", "y").collect().foreach { r =>
+      val pm = r.getAs[Long]("d_max_pm")
+      assert(pm >= 0L && pm <= 1000000L) // |nP_t - tS| <= nS always
+    }
+    Trend.acf(series, "k", "x", "y", 3).collect().foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("acf_pm"))) {
+        val pm = r.getAs[Long]("acf_pm")
+        assert(pm >= -1000000L && pm <= 1000000L) // Cauchy-Schwarz
+      }
+    }
+  }
+
+  test("BH step-up: clearing the strictest bar guarantees rejection; reject set is a prefix") {
+    import graft.operators.Experiment
+    val crits = Seq(6634897L, 5411894L, 4709292L, 4217885L, 3841459L)
+    val z2s = sample(Gen.chooseNum(0L, 10000000L), 5)
+    val df = z2s.zipWithIndex.map { case (z, i) => (s"m$i", z) }.toDF("metric", "z2_ppm")
+    val out = Experiment.bhFinish(df, "metric", crits)
+      .collect().sortBy(_.getAs[Long]("p_rank"))
+    // prefix property: once a rank is not rejected, none below it are
+    val rejects = out.map(_.getAs[Boolean]("reject"))
+    assert(!rejects.dropWhile(identity).contains(true))
+    // Bonferroni domination: z2 >= strictest crit => always rejected
+    out.foreach { r =>
+      if (r.getAs[Long]("z2_ppm") >= crits.head)
+        assert(r.getAs[Boolean]("reject"))
+    }
+  }
+
+  test("tail ratios: survivors are monotone non-increasing and bounded by units") {
+    import graft.operators.Profile
+    val vals = sample(Gen.chooseNum(0L, 300L), 250)
+    val out = Profile.tailRatios(vals.toDF("v"), "v", k0 = 2L, doublings = 6)
+      .collect().sortBy(_.getAs[Long]("k"))
+    val surv = out.map(_.getAs[Long]("survivors"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b })
+    assert(surv.forall(s => s >= 0L && s <= out.head.getAs[Long]("n_units")))
+  }
 }
