@@ -2613,6 +2613,49 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — SEQUENCE MATCH (Paths.sequenceMatch): the ClickHouse
+    // sequenceMatch('(?1)(?2)…') shape — per-pattern share of users
+    // whose stream contains the steps as a strictly-time-ordered
+    // subsequence. The earliest-chain construction is EXACT for
+    // unconstrained subsequences (exchange argument, see scaladoc).
+    // Hash-exact.
+    "q201_sequence_match" -> ((s, dir) => {
+      import graft.operators.Paths
+      val ev = events(s, dir).localCheckpoint(true)
+      val total = ev.agg(countDistinct(col("user_id")).as("n_users"))
+      seqPatterns.map { p =>
+        Paths.sequenceMatch(ev, "user_id", "event_type", "ts", p)
+          .agg(count(lit(1)).as("n_matched"))
+          .crossJoin(total)
+          .select(lit(p.mkString(" > ")).as("pattern"),
+            col("n_matched"), col("n_users"),
+            expr("(1000 * n_matched) DIV n_users").as("match_pm"))
+      }.reduce(_ unionByName _).orderBy("pattern")
+    }),
+
+    // Extension — EXACT WINDOW FUNNEL (Funnel.windowFunnelExact): the
+    // all-anchors windowFunnel ClickHouse ships, repairing q86's
+    // documented earliest-anchor lossiness — per-user MAX level over
+    // every step-1 anchor within a 1-hour window, reported as the level
+    // histogram. Hash-exact.
+    "q202_funnel_exact" -> ((s, dir) => {
+      graft.operators.Funnel.windowFunnelExact(events(s, dir), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"),
+          windowMs = 3600000L)
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
+    }),
+
+    // Extension — CONVERSION LATENCY (Funnel.conversionLatency): how
+    // long from first signup/view to the first purchase at-or-after it?
+    // Exact counting-sort quantiles (p25/p50/p75/p90, whole seconds) on
+    // the distinct-latency frame — the funnel's "how fast", next to
+    // q86/q202's "how many". Hash-exact.
+    "q203_conversion_latency" -> ((s, dir) => {
+      graft.operators.Funnel.conversionLatency(events(s, dir), "user_id",
+        "event_type", "ts", latencyPairs)
+    }),
+
     // Extension — MUTUAL INFORMATION (Inference.mutualInformation): the
     // information-theoretic completion of q186 — how many nats does the
     // weekday buy about the event mix? Per-cell PMI quantized to
@@ -5173,6 +5216,105 @@ object SparkEntry {
       |    CAST(count(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** q201/q203 shared parameters — one definition feeds the Spark query
+    * AND the oracle generator, so they can never drift. */
+  private val seqPatterns: Seq[Seq[String]] = Seq(
+    Seq("signup", "purchase"),
+    Seq("view", "click", "purchase"),
+    Seq("error", "purchase"))
+  private val latencyPairs: Seq[(String, String)] = Seq(
+    ("signup", "purchase"), ("view", "purchase"), ("signup", "error"))
+
+  /** q201: per pattern, the earliest-chain CTE ladder (tₖ = first step-k
+    * event strictly after tₖ₋₁), counted and shared against the user
+    * ledger. */
+  private def q201Oracle: String = {
+    val blocks = seqPatterns.zipWithIndex.map { case (p, pi) =>
+      val ctes = p.zipWithIndex.map { case (step, i) =>
+        if (i == 0)
+          s"""p${pi}_s1 AS (SELECT user_id AS u, min(epoch_ms(ts)) AS t1
+             |  FROM events WHERE event_type = '$step' GROUP BY 1)""".stripMargin
+        else
+          s"""p${pi}_s${i + 1} AS (SELECT e.user_id AS u, min(epoch_ms(e.ts)) AS t${i + 1}
+             |  FROM events e JOIN p${pi}_s$i c ON c.u = e.user_id
+             |  WHERE e.event_type = '$step' AND epoch_ms(e.ts) > c.t$i
+             |  GROUP BY 1)""".stripMargin
+      }
+      val row =
+        s"""SELECT '${p.mkString(" > ")}' AS pattern,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM p${pi}_s${p.size}) AS n_matched,
+           |  tot.n_users,
+           |  (1000 * (SELECT CAST(count(*) AS BIGINT) FROM p${pi}_s${p.size}))
+           |    // tot.n_users AS match_pm
+           |FROM tot""".stripMargin
+      (ctes, row)
+    }
+    s"""WITH tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM events),
+       |${blocks.flatMap(_._1).mkString(",\n")}
+       |${blocks.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY pattern""".stripMargin
+  }
+
+  /** q202: the all-anchors funnel — per-anchor chained mins keyed
+    * (user, t1), levels unioned, max per user, zero-filled ledger. */
+  private def q202Oracle: String = {
+    val steps = Seq("view", "click", "purchase")
+    val w = 3600000L
+    val chain = steps.zipWithIndex.tail.map { case (step, i) =>
+      s"""a${i + 1} AS (SELECT b.user_id, a.t1, min(b.ms) AS tp
+         |  FROM base b JOIN a$i a ON a.user_id = b.user_id
+         |  WHERE b.event_type = '$step' AND b.ms >= a.tp AND b.ms <= a.t1 + $w
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val lvls = steps.indices.map(i =>
+      s"SELECT user_id, ${i + 1} AS lvl FROM a${i + 1}").mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |a1 AS (SELECT user_id, ms AS t1, ms AS tp FROM base
+       |  WHERE event_type = '${steps.head}'),
+       |${chain.mkString(",\n")},
+       |lv AS ($lvls),
+       |ul AS (SELECT u.user_id, CAST(coalesce(max(lv.lvl), 0) AS BIGINT) AS level
+       |  FROM (SELECT DISTINCT user_id FROM base) u
+       |  LEFT JOIN lv USING (user_id) GROUP BY 1)
+       |SELECT level, CAST(count(*) AS BIGINT) AS n_users
+       |FROM ul GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q203: per pair, first-from → first-at-or-after-to waits in whole
+    * seconds, exact lower quantiles off the distinct-latency frame. */
+  private def q203Oracle: String = {
+    val blocks = latencyPairs.zipWithIndex.map { case ((from, to), i) =>
+      val cte =
+        s"""l$i AS (SELECT e.user_id,
+           |    min((epoch_ms(e.ts) - t.t0) // 1000) AS lat_s
+           |  FROM events e
+           |  JOIN (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+           |        WHERE event_type = '$from' GROUP BY 1) t
+           |    ON t.user_id = e.user_id
+           |  WHERE e.event_type = '$to' AND epoch_ms(e.ts) >= t.t0
+           |  GROUP BY 1),
+           |c$i AS (SELECT lat_s, CAST(count(*) AS BIGINT) AS cnt FROM l$i GROUP BY 1),
+           |k$i AS (SELECT lat_s, cnt,
+           |    CAST(sum(cnt) OVER (ORDER BY lat_s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           |    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM c$i) AS n
+           |  FROM c$i)""".stripMargin
+      val row =
+        s"""SELECT '$from' AS step_from, '$to' AS step_to,
+           |  coalesce(max(n), 0) AS n_converted,
+           |  min(CASE WHEN cum >= (n + 3) // 4 THEN lat_s END) AS p25_s,
+           |  min(CASE WHEN cum >= (n + 1) // 2 THEN lat_s END) AS p50_s,
+           |  min(CASE WHEN cum >= (3 * n + 3) // 4 THEN lat_s END) AS p75_s,
+           |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lat_s END) AS p90_s
+           |FROM k$i""".stripMargin
+      (cte, row)
+    }
+    s"""WITH ${blocks.map(_._1).mkString(",\n")}
+       |${blocks.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY step_from, step_to""".stripMargin
+  }
+
   /** Shared CTE: every document scored by the q145 pinned-weight
     * classifier (verbatim weight replay), carrying source + lang. */
   private def scoredDocsCte: String = {
@@ -6793,6 +6935,9 @@ object SparkEntry {
     "q198_seasonal_backtest" -> q198Oracle,
     "q199_scorer_auc" -> q199Oracle,
     "q200_series_dossier" -> q200Oracle,
+    "q201_sequence_match" -> q201Oracle,
+    "q202_funnel_exact" -> q202Oracle,
+    "q203_conversion_latency" -> q203Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,113 @@ object Funnel {
     }
     acc.select(col("user_id") +: level.as("level") +:
       steps.indices.map(i => col(s"step${i + 1}_ms")): _*)
+  }
+
+  /** EXACT windowFunnel — the all-anchors semantics ClickHouse ships:
+    * per user, `level` = the MAXIMUM number of in-order steps reachable
+    * within `windowMs` of ANY step-1 event (not just the first). This
+    * repairs [[windowFunnel]]'s documented earliest-anchor lossiness: a
+    * user whose later step-1 event completes the funnel now reports the
+    * full level. Per ANCHOR the earliest-next-step chain is exact (with
+    * the window anchored at t₁ fixed, taking the earliest feasible
+    * event at each step only enlarges the feasible suffix); scanning
+    * every anchor makes the per-user max exact too.
+    *
+    * Timestamp comparisons mirror [[windowFunnel]] (`ms >= prev`,
+    * `ms <= t1 + windowMs`), so exact ≥ greedy holds level-wise by
+    * construction — the spec pins it.
+    *
+    * Scale shape: the chain frames are keyed (user, anchor) — anchor
+    * count per user is that user's step-1 event count, so frame growth
+    * is bounded by per-user activity, and every join/groupBy shares the
+    * user shuffle key. Step filters push to the scan.
+    *
+    * @return one row per user in `df`: (user_id, level) — level 0 when
+    *         no step-1 event exists
+    */
+  def windowFunnelExact(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowMs: Long
+  ): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(windowMs > 0, "windowMs must be positive")
+    val base = df.select(col(userCol).as("user_id"), col(typeCol).as("etype"),
+        unix_millis(col(tsCol)).as("ms"))
+      .localCheckpoint(true) // consumed once per step + once for the user set
+    val anchors = base.filter(col("etype") === steps.head)
+      .select(col("user_id"), col("ms").as("t1"))
+      .withColumn("t_prev", col("t1"))
+    val levelFrames = steps.zipWithIndex.tail.scanLeft(anchors) {
+      case (acc, (step, i)) =>
+        base.filter(col("etype") === step)
+          .join(acc.select("user_id", "t1", "t_prev"), Seq("user_id"))
+          .filter(col("ms") >= col("t_prev") &&
+            col("ms") <= col("t1") + windowMs)
+          .groupBy(col("user_id"), col("t1"))
+          .agg(min(col("ms")).as("t_prev"))
+    }
+    val reached = levelFrames.zipWithIndex.map { case (f, i) =>
+      f.select(col("user_id"), lit(i + 1).as("lvl")) }
+      .reduce(_ unionByName _)
+    base.select("user_id").distinct()
+      .join(reached.groupBy("user_id").agg(max(col("lvl")).as("level")),
+        Seq("user_id"), "left")
+      .na.fill(0, Seq("level"))
+      .select(col("user_id"), col("level").cast("long").as("level"))
+      .orderBy("user_id")
+  }
+
+  /** CONVERSION-LATENCY DISTRIBUTION per step pair: for each user with
+    * a `from` event, the wait from their FIRST `from` to the first `to`
+    * at-or-after it, quantized to whole seconds; the per-pair readout is
+    * the counting-sort quantile selection (q129/q163 discipline — exact
+    * lower quantiles at ranks ⌈p·n⌉ found on the distinct-latency frame,
+    * never a data-sized sort).
+    *
+    * @param pairs (from, to) event-type pairs, each one output row
+    * @return per pair: step_from, step_to, n_converted, p25_s, p50_s,
+    *         p75_s, p90_s (NULL row values when nobody converts)
+    */
+  def conversionLatency(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      pairs: Seq[(String, String)]
+  ): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (from, to) pair")
+    val base = df.select(col(userCol).as("user_id"), col(typeCol).as("etype"),
+        unix_millis(col(tsCol)).as("ms"))
+      .localCheckpoint(true)
+    val perPair = pairs.map { case (from, to) =>
+      val t0 = base.filter(col("etype") === from)
+        .groupBy("user_id").agg(min(col("ms")).as("t0"))
+      val lat = base.filter(col("etype") === to)
+        .join(t0, Seq("user_id"))
+        .filter(col("ms") >= col("t0"))
+        .groupBy("user_id").agg(min(expr("(ms - t0) DIV 1000")).as("lat_s"))
+      val counts = lat.groupBy("lat_s").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // distinct-latency frame, read twice (cum + n)
+      val cum = counts.withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("lat_s"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(counts.agg(sum(col("cnt")).cast("long").as("n")))
+      def at(rank: Column): Column = min(when(col("cum") >= rank, col("lat_s")))
+      cum.agg(
+          max(col("n")).as("n_converted"),
+          at(expr("(n + 3) DIV 4")).as("p25_s"),
+          at(expr("(n + 1) DIV 2")).as("p50_s"),
+          at(expr("(3 * n + 3) DIV 4")).as("p75_s"),
+          at(expr("(9 * n + 9) DIV 10")).as("p90_s"))
+        .select(lit(from).as("step_from"), lit(to).as("step_to"),
+          coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+          col("p25_s"), col("p50_s"), col("p75_s"), col("p90_s"))
+    }
+    perPair.reduce(_ unionByName _).orderBy("step_from", "step_to")
   }
 
   /** Weekly-style retention matrix on integer periods of `periodMs`

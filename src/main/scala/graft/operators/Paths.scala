@@ -128,4 +128,51 @@ object Paths {
         row_number().over(Window.orderBy(col("n").desc, col("path").asc)))
       .filter(col("path_rank") <= topK)
   }
+
+  /** ORDERED-SUBSEQUENCE MATCH (the ClickHouse `sequenceMatch('(?1)(?2)…')`
+    * shape without time conditions): per user, does the event stream
+    * contain `pattern` as a subsequence at strictly increasing
+    * millisecond timestamps?
+    *
+    * The earliest-chain construction — t₁ = first p₁ event, t₂ = first
+    * p₂ event after t₁, … — is EXACT here, not a greedy approximation:
+    * for unconstrained subsequence existence, taking the earliest
+    * feasible event at each step can only enlarge the feasible suffix
+    * (exchange argument), so the chain completes iff any match exists.
+    * (Contrast [[Funnel.windowFunnel]], where a global window makes
+    * earliest-anchor greedy lossy — and
+    * [[Funnel.windowFunnelExact]] repairs it by scanning anchors.)
+    *
+    * Scale shape: one narrow (user, type, ms) projection feeds k
+    * pushed-down type filters, each aggregating map-side onto a
+    * user-keyed frame; every join is a user-key equi-join on the same
+    * shuffle key. k = pattern length, a constant.
+    *
+    * @return matched users only: (userCol, first_ms, last_ms) — the
+    *         chain's endpoints; anti-join against the user ledger for
+    *         the unmatched set
+    */
+  def sequenceMatch(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      pattern: Seq[String]
+  ): DataFrame = {
+    require(pattern.nonEmpty, "pattern must have at least one step")
+    val base = df.select(col(userCol).as("u"), col(typeCol).as("et"),
+      unix_millis(col(tsCol)).as("ms"))
+    val first = base.filter(col("et") === pattern.head)
+      .groupBy("u").agg(min(col("ms")).as("t1"))
+    val chain = pattern.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      base.filter(col("et") === step)
+        .join(acc, Seq("u"))
+        .filter(col("ms") > col(s"t$i"))
+        .groupBy(col("u") +: (1 to i).map(j => col(s"t$j")): _*)
+        .agg(min(col("ms")).as(s"t${i + 1}"))
+    }
+    chain.select(col("u").as(userCol), col("t1").as("first_ms"),
+        col(s"t${pattern.size}").as("last_ms"))
+      .orderBy(userCol)
+  }
 }

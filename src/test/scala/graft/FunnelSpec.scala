@@ -95,4 +95,67 @@ class FunnelSpec extends AnyFunSuite {
     assert(out((1L, 0L)) == ((1L, 500L, 500L, 500L)))
     assert(out((1L, 2L)) == ((1L, 0L, 500L, 500L)))
   }
+
+  private def ev(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("u", "et", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+
+  test("windowFunnelExact rescues the later anchor the greedy funnel misses") {
+    // user 1: s1@0 cannot reach s2@1000s inside a 100s window, but the
+    // second anchor s1@950 can - exact reports 2, greedy reports 1
+    val rows = Seq((1L, "s1", 0L), (1L, "s1", 950L), (1L, "s2", 1000L))
+    val greedy = Funnel.windowFunnel(ev(rows), "u", "et", "ts",
+      Seq("s1", "s2"), windowMs = 100000L).collect().head.getAs[Int]("level")
+    val exact = Funnel.windowFunnelExact(ev(rows), "u", "et", "ts",
+      Seq("s1", "s2"), windowMs = 100000L).collect().head.getAs[Long]("level")
+    assert(greedy == 1 && exact == 2L)
+  }
+
+  test("windowFunnelExact: level is never below the greedy funnel's") {
+    val rows = Seq(
+      (1L, "s1", 0L), (1L, "s2", 10L), (1L, "s3", 20L),   // clean 3
+      (2L, "s1", 0L), (2L, "s3", 5L),                     // skips s2: 1
+      (3L, "s2", 0L), (3L, "s3", 10L),                    // no anchor: 0
+      (4L, "s1", 0L), (4L, "s1", 500L), (4L, "s2", 505L), (4L, "s3", 550L))
+    val steps = Seq("s1", "s2", "s3")
+    val greedy = Funnel.windowFunnel(ev(rows), "u", "et", "ts", steps, 60000L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("level").toLong).toMap
+    val exact = Funnel.windowFunnelExact(ev(rows), "u", "et", "ts", steps, 60000L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("level")).toMap
+    assert(exact.keySet == greedy.keySet)
+    exact.foreach { case (u, l) => assert(l >= greedy(u), s"user $u") }
+    assert(exact(1L) == 3L && exact(2L) == 1L && exact(3L) == 0L && exact(4L) == 3L)
+  }
+
+  test("conversionLatency: exact counting quantiles over whole-second waits") {
+    val rows = Seq(
+      (1L, "signup", 0L), (1L, "purchase", 10L),    // 10s
+      (2L, "signup", 0L), (2L, "purchase", 30L),    // 30s
+      (3L, "signup", 0L),                           // never converts
+      (4L, "signup", 10L), (4L, "purchase", 12L),   // 2s
+      (5L, "purchase", 5L))                         // no signup: excluded
+    val out = Funnel.conversionLatency(ev(rows), "u", "et", "ts",
+      Seq(("signup", "purchase"))).collect().head
+    assert(out.getAs[Long]("n_converted") == 3L)
+    assert(out.getAs[Long]("p25_s") == 2L)   // rank ceil(3/4) = 1
+    assert(out.getAs[Long]("p50_s") == 10L)  // rank 2
+    assert(out.getAs[Long]("p75_s") == 30L)  // rank 3
+    assert(out.getAs[Long]("p90_s") == 30L)
+  }
+
+  test("conversionLatency: only the first 'from' anchors, earlier 'to' ignored") {
+    // purchase@5 precedes signup@10: not a conversion; purchase@25 is
+    val rows = Seq((1L, "purchase", 5L), (1L, "signup", 10L), (1L, "purchase", 25L))
+    val out = Funnel.conversionLatency(ev(rows), "u", "et", "ts",
+      Seq(("signup", "purchase"))).collect().head
+    assert(out.getAs[Long]("n_converted") == 1L)
+    assert(out.getAs[Long]("p50_s") == 15L)
+  }
+
+  test("conversionLatency: an unconverting pair reports a 0-count row") {
+    val rows = Seq((1L, "signup", 0L))
+    val out = Funnel.conversionLatency(ev(rows), "u", "et", "ts",
+      Seq(("signup", "purchase"))).collect().head
+    assert(out.getAs[Long]("n_converted") == 0L)
+    assert(out.isNullAt(out.fieldIndex("p50_s")))
+  }
 }

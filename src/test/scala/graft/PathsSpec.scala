@@ -58,4 +58,43 @@ class PathsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Paths.topPaths(ev(rows), "user", "ts", "etype", "eid", steps = 1))
   }
+
+  private def seqEv(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("u", "et", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+
+  test("sequenceMatch: in-order subsequences match, reversed ones do not") {
+    val rows = Seq(
+      (1L, "click", 1L), (1L, "view", 2L), (1L, "purchase", 3L), // matches
+      (2L, "purchase", 1L), (2L, "click", 2L))                   // wrong order
+    val out = Paths.sequenceMatch(seqEv(rows), "u", "et", "ts",
+        Seq("click", "purchase"))
+      .collect().map(r => r.getAs[Long]("u") ->
+        ((r.getAs[Long]("first_ms"), r.getAs[Long]("last_ms")))).toMap
+    assert(out == Map(1L -> ((1000L, 3000L))))
+  }
+
+  test("sequenceMatch requires strictly increasing timestamps") {
+    val rows = Seq((1L, "a", 5L), (1L, "b", 5L),  // tied: no match
+      (2L, "a", 5L), (2L, "b", 6L))
+    val out = Paths.sequenceMatch(seqEv(rows), "u", "et", "ts", Seq("a", "b"))
+      .collect().map(_.getAs[Long]("u")).toSet
+    assert(out == Set(2L))
+  }
+
+  test("sequenceMatch: the earliest chain is exact - later detours cannot block a match") {
+    // a@1, b@2, a@3, c@4: pattern a,b,c matches via (1,2,4); the chain
+    // must not be derailed by the second 'a'
+    val rows = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "c", 4L))
+    val out = Paths.sequenceMatch(seqEv(rows), "u", "et", "ts", Seq("a", "b", "c"))
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Long]("last_ms") == 4000L)
+  }
+
+  test("sequenceMatch with a repeated step type needs distinct instants") {
+    val rows = Seq((1L, "a", 1L),                 // one event: no a,a
+      (2L, "a", 1L), (2L, "a", 2L))               // two: matches
+    val out = Paths.sequenceMatch(seqEv(rows), "u", "et", "ts", Seq("a", "a"))
+      .collect().map(_.getAs[Long]("u")).toSet
+    assert(out == Set(2L))
+  }
 }
