@@ -5221,7 +5221,8 @@ object SparkEntry {
   private val seqPatterns: Seq[Seq[String]] = Seq(
     Seq("signup", "purchase"),
     Seq("view", "click", "purchase"),
-    Seq("error", "purchase"))
+    Seq("error", "purchase"),
+    Seq("purchase", "refund")) // 'refund' never occurs: pins the 0 branch
   private val latencyPairs: Seq[(String, String)] = Seq(
     ("signup", "purchase"), ("view", "purchase"), ("signup", "error"))
 

@@ -81,10 +81,17 @@ object Funnel {
     * `ms <= t1 + windowMs`), so exact ≥ greedy holds level-wise by
     * construction — the spec pins it.
     *
-    * Scale shape: the chain frames are keyed (user, anchor) — anchor
-    * count per user is that user's step-1 event count, so frame growth
-    * is bounded by per-user activity, and every join/groupBy shares the
-    * user shuffle key. Step filters push to the scan.
+    * Scale shape: chain frames are keyed (user, anchor), and the step
+    * joins are TIME-BUCKET CO-LOCATED — events carry their
+    * `ms DIV windowMs` bucket, each anchor explodes into the ≤2 buckets
+    * its window [t₁, t₁+W] can touch, and the join key is
+    * (user, bucket). A whale user with a anchors and e events per
+    * window therefore produces O(a·e) join rows — NOT a × (all of the
+    * whale's events), which is quadratic in total activity. An event's
+    * single bucket matches at most one of the anchor's two bucket rows,
+    * so no pair duplicates and the per-anchor min is unchanged.
+    * `tools/FunnelScaleCheck` measures the two shapes under a
+    * whale-user flood.
     *
     * @return one row per user in `df`: (user_id, level) — level 0 when
     *         no step-1 event exists
@@ -101,14 +108,18 @@ object Funnel {
     require(windowMs > 0, "windowMs must be positive")
     val base = df.select(col(userCol).as("user_id"), col(typeCol).as("etype"),
         unix_millis(col(tsCol)).as("ms"))
+      .withColumn("bkt", expr(s"ms DIV ${windowMs}L"))
       .localCheckpoint(true) // consumed once per step + once for the user set
     val anchors = base.filter(col("etype") === steps.head)
       .select(col("user_id"), col("ms").as("t1"))
       .withColumn("t_prev", col("t1"))
     val levelFrames = steps.zipWithIndex.tail.scanLeft(anchors) {
       case (acc, (step, i)) =>
+        val anchorsB = acc.select("user_id", "t1", "t_prev")
+          .withColumn("bkt", explode(expr(
+            s"sequence(t1 DIV ${windowMs}L, (t1 + ${windowMs}L) DIV ${windowMs}L)")))
         base.filter(col("etype") === step)
-          .join(acc.select("user_id", "t1", "t_prev"), Seq("user_id"))
+          .join(anchorsB, Seq("user_id", "bkt"))
           .filter(col("ms") >= col("t_prev") &&
             col("ms") <= col("t1") + windowMs)
           .groupBy(col("user_id"), col("t1"))
