@@ -2613,6 +2613,63 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — SEASONAL RESIDUAL SCREEN (Trend.seasonalResiduals):
+    // each day's count against ITS WEEKDAY's mean in exact per-mille
+    // excess — a Friday spike is only a spike if it is large for a
+    // Friday. The deseasonalized sibling of q91's rate anomaly.
+    // Hash-exact.
+    "q204_seasonal_residuals" -> ((s, dir) => {
+      graft.operators.Trend.seasonalResiduals(
+        dailyEventSeries(s, dir), "event_type", "day", "y",
+        period = 7, thresholdPm = 300L)
+    }),
+
+    // Extension — HILL TAIL INDEX (Profile.hillTailIndex): the
+    // quantitative companion to q197's tail screen — α̂ from the top-20
+    // per-user activity order statistics, micro-nat quantized ln (the
+    // q70 construction), top-k selected by counting, never a data sort.
+    // Hash-exact.
+    "q205_hill_tail" -> ((s, dir) => {
+      graft.operators.Profile.hillTailIndex(
+        events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n_events")),
+        "n_events", k = 20)
+    }),
+
+    // Extension — CROSS-CORRELATION MATRIX (Trend.crossCorrelation):
+    // signed exact r² between every pair of event types' daily series —
+    // which traffic streams move together and which trade off. The
+    // q188 integer nesting with the sign carried explicitly.
+    // Hash-exact.
+    "q206_cross_correlation" -> ((s, dir) => {
+      graft.operators.Trend.crossCorrelation(
+        dailyEventSeries(s, dir), "event_type", "day", "y")
+    }),
+
+    // Extension — IN-SESSION SEQUENCE MATCH: q201's matcher scoped to
+    // ONE VISIT — the session key (q39's construction, shared via
+    // Paths.sessionized) becomes the sequence unit, so "view then
+    // click" must happen without a 30-minute gap. Conversion inside a
+    // visit vs across visits is the difference between a working flow
+    // and a nagging email. Hash-exact.
+    "q207_session_sequence" -> ((s, dir) => {
+      import graft.operators.Paths
+      val sess = Paths.sessionized(events(s, dir), "user_id", "ts",
+          "event_type", "event_id")
+        .withColumn("skey", concat(col("user_id").cast("string"), lit("#"),
+          col("session_id").cast("string")))
+        .withColumn("ts2", timestamp_millis(col("ms")))
+        .localCheckpoint(true)
+      val total = sess.agg(countDistinct(col("skey")).as("n_sessions"))
+      sessPatterns.map { p =>
+        Paths.sequenceMatch(sess, "skey", "etype", "ts2", p)
+          .agg(count(lit(1)).as("n_matched"))
+          .crossJoin(total)
+          .select(lit(p.mkString(" > ")).as("pattern"),
+            col("n_matched"), col("n_sessions"),
+            expr("(1000 * n_matched) DIV n_sessions").as("match_pm"))
+      }.reduce(_ unionByName _).orderBy("pattern")
+    }),
+
     // Extension — SEQUENCE MATCH (Paths.sequenceMatch): the ClickHouse
     // sequenceMatch('(?1)(?2)…') shape — per-pattern share of users
     // whose stream contains the steps as a strictly-time-ordered
@@ -5226,6 +5283,126 @@ object SparkEntry {
   private val latencyPairs: Seq[(String, String)] = Seq(
     ("signup", "purchase"), ("view", "purchase"), ("signup", "error"))
 
+  private val sessPatterns: Seq[Seq[String]] = Seq(
+    Seq("view", "click"),
+    Seq("click", "purchase"),
+    Seq("view", "purchase", "refund")) // 'refund' never occurs: 0 branch
+
+  /** q204: weekday-slot excess — slot sums joined back, the cross-
+    * multiplied per-mille residual. */
+  private def q204Oracle =
+    s"""WITH $dailySeriesCte,
+       |ser AS (SELECT event_type, day AS x, y, day % 7 AS slot FROM daily),
+       |slots AS (SELECT event_type, slot, CAST(sum(y) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM ser GROUP BY 1, 2)
+       |SELECT ser.event_type, ser.x, ser.y, ser.slot,
+       |  CAST(CASE WHEN s > 0
+       |    THEN (1000 * ser.y::HUGEINT * c) // s - 1000 END AS BIGINT) AS excess_pm,
+       |  (CASE WHEN s > 0
+       |    THEN abs((1000 * ser.y::HUGEINT * c) // s - 1000) >= 300
+       |    ELSE FALSE END) AS burst
+       |FROM ser JOIN slots USING (event_type, slot)
+       |ORDER BY event_type, x""".stripMargin
+
+  /** q205: Hill — counting top-k with boundary-tie truncation, per-value
+    * micro-nat ln, one DIV finish. */
+  private val q205Oracle =
+    """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM pu
+      |  WHERE v >= 1 GROUP BY 1),
+      |cum AS (SELECT v, c,
+      |    CAST(sum(c) OVER (ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      |  FROM vals),
+      |taken AS (SELECT v, c, s - c AS above,
+      |    greatest(0, least(c, 20 - (s - c))) AS take,
+      |    CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lv
+      |  FROM cum WHERE greatest(0, least(c, 20 - (s - c))) > 0),
+      |agg AS (SELECT CAST(sum(take * lv) AS BIGINT) AS t,
+      |    CAST(sum(take) AS BIGINT) AS kk, CAST(min(v) AS BIGINT) AS x_k
+      |  FROM taken),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_units FROM vals),
+      |f AS (SELECT n_units, kk AS k, x_k,
+      |    (t - kk * CAST(floor(ln(CAST(x_k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+      |      // kk AS h_micronats
+      |  FROM agg CROSS JOIN n)
+      |SELECT n_units, k, x_k, CAST(h_micronats AS BIGINT) AS h_micronats,
+      |  CAST(CASE WHEN h_micronats > 0
+      |    THEN 1000000000000 // h_micronats END AS BIGINT) AS alpha_ppm
+      |FROM f""".stripMargin
+
+  /** q206: signed r² — the q188 sufficient-stats nesting over the
+    * day-equi-joined series pairs, sign carried explicitly. */
+  private def q206Oracle =
+    s"""WITH $dailySeriesCte,
+       |j AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+       |    a.y AS ya, b.y AS yb
+       |  FROM daily a JOIN daily b ON a.day = b.day
+       |  WHERE a.event_type < b.event_type),
+       |st AS (SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS n,
+       |    sum(ya::HUGEINT) AS sa, sum(yb::HUGEINT) AS sb,
+       |    sum(ya::HUGEINT * yb) AS sab, sum(ya::HUGEINT * ya) AS saa,
+       |    sum(yb::HUGEINT * yb) AS sbb
+       |  FROM j GROUP BY 1, 2),
+       |f AS (SELECT key_a, key_b, n,
+       |    n::HUGEINT * sab - sa * sb AS num,
+       |    n::HUGEINT * saa - sa * sa AS den_a,
+       |    n::HUGEINT * sbb - sb * sb AS den_b
+       |  FROM st)
+       |SELECT key_a, key_b, n,
+       |  CAST(CASE WHEN den_a > 0 AND den_b > 0 THEN
+       |    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+       |    * ((((1000000 * num) // den_a) * num) // den_b) END
+       |    AS BIGINT) AS signed_r2_ppm
+       |FROM f ORDER BY key_a, key_b""".stripMargin
+
+  /** q207: the q39 session construction (ms/event_id tiebreak), session
+    * keys as the sequence unit, then the q201 chain ladder per
+    * pattern. */
+  private def q207Oracle: String = {
+    val blocks = sessPatterns.zipWithIndex.map { case (p, pi) =>
+      val ctes = p.zipWithIndex.map { case (step, i) =>
+        if (i == 0)
+          s"""p${pi}_s1 AS (SELECT skey, min(ms) AS t1
+             |  FROM sess WHERE etype = '$step' GROUP BY 1)""".stripMargin
+        else
+          s"""p${pi}_s${i + 1} AS (SELECT e.skey, min(e.ms) AS t${i + 1}
+             |  FROM sess e JOIN p${pi}_s$i c USING (skey)
+             |  WHERE e.etype = '$step' AND e.ms > c.t$i
+             |  GROUP BY 1)""".stripMargin
+      }
+      val row =
+        s"""SELECT '${p.mkString(" > ")}' AS pattern,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM p${pi}_s${p.size}) AS n_matched,
+           |  tot.n_sessions,
+           |  (1000 * (SELECT CAST(count(*) AS BIGINT) FROM p${pi}_s${p.size}))
+           |    // tot.n_sessions AS match_pm
+           |FROM tot""".stripMargin
+      (ctes, row)
+    }
+    s"""WITH marked AS (SELECT user_id, event_id, event_type,
+       |    epoch_ms(ts) AS ms,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       |sess AS (SELECT user_id::VARCHAR || '#' ||
+       |    CAST(CAST(sum(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ms ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS VARCHAR) AS skey,
+       |    event_type AS etype, ms
+       |  FROM marked),
+       |tot AS (SELECT CAST(count(DISTINCT skey) AS BIGINT) AS n_sessions
+       |  FROM sess),
+       |${blocks.flatMap(_._1).mkString(",\n")}
+       |${blocks.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY pattern""".stripMargin
+  }
+
   /** q201: per pattern, the earliest-chain CTE ladder (tₖ = first step-k
     * event strictly after tₖ₋₁), counted and shared against the user
     * ledger. */
@@ -6939,6 +7116,10 @@ object SparkEntry {
     "q201_sequence_match" -> q201Oracle,
     "q202_funnel_exact" -> q202Oracle,
     "q203_conversion_latency" -> q203Oracle,
+    "q204_seasonal_residuals" -> q204Oracle,
+    "q205_hill_tail" -> q205Oracle,
+    "q206_cross_correlation" -> q206Oracle,
+    "q207_session_sequence" -> q207Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -314,6 +314,57 @@ object Profile {
     *         at the previous threshold; NULL on the first row and when
     *         the previous count is 0), n_units crossed in
     */
+  /** HILL TAIL-INDEX ESTIMATE over the top-k order statistics — the
+    * quantitative companion to [[tailRatios]]: with x₍₁₎ ≥ … ≥ x₍ₖ₎ the
+    * k largest values (ties at the boundary truncated deterministically
+    * by count),
+    *
+    *     H = (Σᵢ L(xᵢ) − k·L(x₍ₖ₎)) DIV k,   L(v) = ⌊ln(v)·10⁶ + ½⌋
+    *     alpha_ppm = 10¹² DIV H                (NULL when H = 0)
+    *
+    * — the classic 1/α̂ = mean ln(xᵢ/x₍ₖ₎), per-value quantized to
+    * micro-nats first (the q70 construction) so the estimate is
+    * bit-identical across engines. α̂ ≈ 1 reads "extremely heavy"
+    * (Zipf-like), α̂ ≥ 3-4 reads "tail too thin to matter".
+    *
+    * Selection never sorts the data: the top-k set is found by
+    * cumulative counts on the DISTINCT-value frame (counting-sort
+    * discipline), bounded by value cardinality.
+    *
+    * @param df       one row per unit
+    * @param valueCol integral value ≥ 1 per unit (rows < 1 are ignored
+    *                 — ln needs a positive domain)
+    * @param k        requested tail size (≥ 2); the reported `k` is
+    *                 min(k, units) — a dataset smaller than k estimates
+    *                 on everything it has rather than failing
+    * @return 1 row: n_units, k, x_k, h_micronats, alpha_ppm
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 1L)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // top-k selection + the unit total: one scan
+    val fromTop = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = vals.withColumn("s", sum(col("c")).over(fromTop))
+      .withColumn("above", col("s") - col("c"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("c"), lit(k.toLong) - col("above"))))
+      .filter(col("take") > 0)
+      .withColumn("lv", expr("CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+    cum.agg(sum(col("take") * col("lv")).as("t"),
+        sum(col("take")).cast("long").as("kk"),
+        min(col("v")).as("x_k"))
+      .crossJoin(vals.agg(sum(col("c")).cast("long").as("n_units")))
+      .withColumn("lk", expr("CAST(floor(ln(CAST(x_k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("h_micronats", expr("(t - kk * lk) DIV kk"))
+      .withColumn("alpha_ppm", expr(
+        "CASE WHEN h_micronats > 0 THEN 1000000000000 DIV h_micronats END"))
+      .select(col("n_units"), col("kk").as("k"), col("x_k"),
+        col("h_micronats"), col("alpha_ppm"))
+  }
+
   def tailRatios(df: DataFrame, valueCol: String, k0: Long, doublings: Int): DataFrame = {
     require(k0 >= 1 && doublings >= 1, s"bad tail spec k0=$k0 x$doublings")
     val ks = (0 to doublings).map(j => k0 << j)

@@ -162,6 +162,78 @@ object Trend {
       .orderBy(col(keyCol), col("lag_k"))
   }
 
+  /** Per-key SEASONAL RESIDUAL SCREEN — each observation against its
+    * own seasonal slot's mean, in exact per-mille excess:
+    *
+    *     excess_pm = 1000·y·c_slot DIV s_slot − 1000
+    *
+    * (slot = x mod period; c/s = the slot's count/sum within the key —
+    * cross-multiplied so no rational mean is ever materialized). The
+    * deseasonalized anomaly screen: a Friday spike is only a spike if
+    * it is large FOR A FRIDAY. `burst` flags |excess| ≥ thresholdPm.
+    *
+    * One aggregate to the (key × period) slot frame, one broadcast-size
+    * join back — the series frame never re-shuffles.
+    */
+  def seasonalResiduals(series: DataFrame, keyCol: String, xCol: String,
+      yCol: String, period: Int, thresholdPm: Long): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val ser = series.select(col(keyCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("slot", expr(s"x % $period"))
+      .localCheckpoint(true) // slot stats + residuals: one upstream run
+    val slots = ser.groupBy(col(keyCol), col("slot"))
+      .agg(sum(col("y")).as("s"), count(lit(1)).as("c"))
+    ser.join(slots, Seq(keyCol, "slot"))
+      .withColumn("excess_pm", expr(
+        """CASE WHEN s > 0
+          |THEN (1000 * CAST(y AS DECIMAL(38,0)) * c) DIV s - 1000 END""".stripMargin))
+      .withColumn("burst",
+        col("excess_pm").isNotNull && abs(col("excess_pm")) >= thresholdPm)
+      .select(col(keyCol), col("x"), col("y"), col("slot"),
+        col("excess_pm"), col("burst"))
+      .orderBy(keyCol, "x")
+  }
+
+  /** CROSS-CORRELATION MATRIX over keys sharing an x-axis — for every
+    * key pair (a < b), the SIGNED squared Pearson correlation of their
+    * series joined on x:
+    *
+    *     signed_r2_ppm = sign(num) · (10⁶·num DIV den_a)·num DIV den_b
+    *
+    * (num = n·Σab − Σa·Σb — the [[olsTrend]] nesting, so r² is exact
+    * integer arithmetic; the sign carries the direction that plain r²
+    * destroys). NULL when either side is constant over the shared days.
+    *
+    * Key-count² pairs, each from one sufficient-stats aggregate over
+    * the x-equi-joined series — with keys = event types this is a
+    * domain-sized frame; the series join is on the (x) day key.
+    */
+  def crossCorrelation(series: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val ser = series.select(col(keyCol).cast("string").as("k"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .localCheckpoint(true) // both join sides
+    val joined = ser.select(col("k").as("key_a"), col("x"), col("y").as("ya"))
+      .join(ser.select(col("k").as("key_b"), col("x"), col("y").as("yb")), "x")
+      .filter(col("key_a") < col("key_b"))
+    joined.groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(big(col("ya"))).as("sa"), sum(big(col("yb"))).as("sb"),
+        sum(big(col("ya")) * big(col("yb"))).as("sab"),
+        sum(big(col("ya")) * big(col("ya"))).as("saa"),
+        sum(big(col("yb")) * big(col("yb"))).as("sbb"))
+      .withColumn("num", big(col("n")) * col("sab") - col("sa") * col("sb"))
+      .withColumn("den_a", big(col("n")) * col("saa") - col("sa") * col("sa"))
+      .withColumn("den_b", big(col("n")) * col("sbb") - col("sb") * col("sb"))
+      .withColumn("signed_r2_ppm", expr(
+        """CASE WHEN den_a > 0 AND den_b > 0 THEN
+          |  (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+          |  * ((((1000000 * num) DIV den_a) * num) DIV den_b) END""".stripMargin))
+      .select(col("key_a"), col("key_b"), col("n"), col("signed_r2_ppm"))
+      .orderBy("key_a", "key_b")
+  }
+
   /** Per-key SEASONAL-NAIVE FORECAST BACKTEST — how predictable is the
     * series, and does the season carry signal? Two zero-parameter
     * forecasters are replayed over the contiguously re-indexed series:

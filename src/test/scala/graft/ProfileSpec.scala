@@ -215,6 +215,35 @@ class ProfileSpec extends AnyFunSuite {
     assert(out(8L) == ((1L, Some(500L))))
   }
 
+  test("hill tail index: hand-computed micro-nat estimate with boundary ties") {
+    import graft.operators.Profile
+    // top-7 = {16, 8, 8, 4, 4, 4, 4} (all four boundary 4s taken),
+    // H = (L16 + 2*L8 - 3*L4) DIV 7 with L = floor(ln*1e6 + .5)
+    val vals = Seq(16L, 8L, 8L, 4L, 4L, 4L, 4L) ++ Seq.fill(100)(1L)
+    val out = Profile.hillTailIndex(vals.toDF("v"), "v", k = 7).collect().head
+    assert(out.getAs[Long]("n_units") == 107L)
+    assert(out.getAs[Long]("k") == 7L && out.getAs[Long]("x_k") == 4L)
+    val h = (2772589L + 2L * 2079442L - 3L * 1386294L) / 7L
+    assert(out.getAs[Long]("h_micronats") == h)
+    assert(out.getAs[Long]("alpha_ppm") == 1000000000000L / h)
+  }
+
+  test("hill tail index: k=2 reduces to ln of the top ratio over 2") {
+    import graft.operators.Profile
+    val out = Profile.hillTailIndex(
+      Seq(16L, 8L, 1L, 1L).toDF("v"), "v", k = 2).collect().head
+    assert(out.getAs[Long]("x_k") == 8L)
+    assert(out.getAs[Long]("h_micronats") == 693147L / 2L) // (L16-L8) DIV 2
+  }
+
+  test("hill tail index: k beyond the data clamps to the unit count") {
+    import graft.operators.Profile
+    val out = Profile.hillTailIndex(
+      Seq(4L, 2L, 0L, -3L).toDF("v"), "v", k = 10).collect().head
+    assert(out.getAs[Long]("n_units") == 2L) // values < 1 ignored
+    assert(out.getAs[Long]("k") == 2L)
+  }
+
   test("tail ratios: a short tail collapses and empty levels report NULL") {
     import graft.operators.Profile
     val vals = Seq(1L, 1L, 1L, 2L) // nothing reaches 4

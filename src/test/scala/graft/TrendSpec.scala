@@ -125,6 +125,47 @@ class TrendSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("ts_slope_micro") == -3000000L)
   }
 
+  // ---------------------------------------------------- seasonalResiduals
+
+  test("seasonal residuals: a perfectly periodic series has zero excess everywhere") {
+    val out = Trend.seasonalResiduals(
+      series(Seq(("a", 0L, 10L), ("a", 1L, 20L), ("a", 2L, 10L), ("a", 3L, 20L))),
+      "k", "x", "y", period = 2, thresholdPm = 300L).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("excess_pm") == 0L))
+    assert(out.forall(!_.getAs[Boolean]("burst")))
+  }
+
+  test("seasonal residuals: excess is measured against the slot, not the global mean") {
+    // slot 0 holds {10, 30}: x=0 reads -500pm, x=2 reads +500pm; slot 1 flat
+    val out = Trend.seasonalResiduals(
+      series(Seq(("a", 0L, 10L), ("a", 1L, 20L), ("a", 2L, 30L), ("a", 3L, 20L))),
+      "k", "x", "y", period = 2, thresholdPm = 300L)
+      .collect().map(r => r.getAs[Long]("x") ->
+        ((r.getAs[Long]("excess_pm"), r.getAs[Boolean]("burst")))).toMap
+    assert(out(0L) == ((-500L, true)) && out(2L) == ((500L, true)))
+    assert(out(1L) == ((0L, false)) && out(3L) == ((0L, false)))
+  }
+
+  // ---------------------------------------------------- crossCorrelation
+
+  test("cross-correlation: exact +-1e6 on perfectly linear pairs, ordered keys") {
+    val rows = (0L to 2L).flatMap(x => Seq(
+      ("a", x, x), ("b", x, 2 * x), ("c", x, 5 - x)))
+    val out = Trend.crossCorrelation(series(rows), "k", "x", "y")
+      .collect().map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b")) ->
+        r.getAs[Long]("signed_r2_ppm")).toMap
+    assert(out == Map(("a", "b") -> 1000000L, ("a", "c") -> -1000000L,
+      ("b", "c") -> -1000000L))
+  }
+
+  test("cross-correlation: a constant side reports NULL, not a crash") {
+    val rows = (0L to 2L).flatMap(x => Seq(("a", x, x), ("flat", x, 7L)))
+    val out = Trend.crossCorrelation(series(rows), "k", "x", "y").collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("signed_r2_ppm")))
+  }
+
   // ------------------------------------------------- seasonalNaiveBacktest
 
   test("backtest: a period-2 series is perfectly seasonal-predictable") {
