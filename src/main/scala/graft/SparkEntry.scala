@@ -2697,10 +2697,29 @@ object SparkEntry {
     // histogram. Hash-exact.
     "q202_funnel_exact" -> ((s, dir) => {
       graft.operators.Funnel.windowFunnelExact(events(s, dir), "user_id",
-          "event_type", "ts", Seq("view", "click", "purchase"),
-          windowMs = 3600000L)
+          "event_type", "ts", funnelSteps, windowMs = funnelWindowMs)
         .groupBy("level").agg(count(lit(1)).as("n_users"))
         .orderBy("level")
+    }),
+
+    // Extension — AUDIENCE OVERLAP MATRIX (Audience.overlapMatrix): the
+    // segment set-algebra readout ClickHouse serves with groupBitmap —
+    // |A|, |B|, |A∩B|, |A∪B| and Jaccard for every audience pair, all
+    // from ONE aggregate over the per-user membership flags (the m²
+    // term lives in columns, never rows). Hash-exact.
+    "q208_audience_overlap" -> ((s, dir) => {
+      graft.operators.Audience.overlapMatrix(events(s, dir), "user_id",
+        "event_type", audienceTypes)
+    }),
+
+    // Extension — FUNNEL DROP-OFF TABLE (Funnel.dropOffTable): the
+    // presentation layer over q202's exact funnel — per step, survivors
+    // and the exact per-mille conversion from both the previous step
+    // and the top. Shares funnelSteps/funnelWindowMs with q202 so the
+    // two readouts can never disagree. Hash-exact.
+    "q209_funnel_dropoff" -> ((s, dir) => {
+      graft.operators.Funnel.dropOffTable(events(s, dir), "user_id",
+        "event_type", "ts", funnelSteps, funnelWindowMs)
     }),
 
     // Extension — CONVERSION LATENCY (Funnel.conversionLatency): how
@@ -5283,6 +5302,9 @@ object SparkEntry {
   private val latencyPairs: Seq[(String, String)] = Seq(
     ("signup", "purchase"), ("view", "purchase"), ("signup", "error"))
 
+  private val audienceTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
   private val sessPatterns: Seq[Seq[String]] = Seq(
     Seq("view", "click"),
     Seq("click", "purchase"),
@@ -5434,29 +5456,85 @@ object SparkEntry {
        |ORDER BY pattern""".stripMargin
   }
 
-  /** q202: the all-anchors funnel — per-anchor chained mins keyed
-    * (user, t1), levels unioned, max per user, zero-filled ledger. */
-  private def q202Oracle: String = {
-    val steps = Seq("view", "click", "purchase")
-    val w = 3600000L
-    val chain = steps.zipWithIndex.tail.map { case (step, i) =>
+  /** Shared q202/q209 funnel parameters + the all-anchors per-user
+    * level CTE ladder (chained mins keyed (user, t1), levels unioned,
+    * max per user, zero-filled ledger) ending in `ul(user_id, level)`. */
+  private val funnelSteps = Seq("view", "click", "purchase")
+  private val funnelWindowMs = 3600000L
+
+  private def funnelUlCte: String = {
+    val chain = funnelSteps.zipWithIndex.tail.map { case (step, i) =>
       s"""a${i + 1} AS (SELECT b.user_id, a.t1, min(b.ms) AS tp
          |  FROM base b JOIN a$i a ON a.user_id = b.user_id
-         |  WHERE b.event_type = '$step' AND b.ms >= a.tp AND b.ms <= a.t1 + $w
+         |  WHERE b.event_type = '$step' AND b.ms >= a.tp
+         |    AND b.ms <= a.t1 + $funnelWindowMs
          |  GROUP BY 1, 2)""".stripMargin
     }
-    val lvls = steps.indices.map(i =>
+    val lvls = funnelSteps.indices.map(i =>
       s"SELECT user_id, ${i + 1} AS lvl FROM a${i + 1}").mkString("\nUNION ALL\n")
-    s"""WITH base AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+    s"""base AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
        |a1 AS (SELECT user_id, ms AS t1, ms AS tp FROM base
-       |  WHERE event_type = '${steps.head}'),
+       |  WHERE event_type = '${funnelSteps.head}'),
        |${chain.mkString(",\n")},
        |lv AS ($lvls),
        |ul AS (SELECT u.user_id, CAST(coalesce(max(lv.lvl), 0) AS BIGINT) AS level
        |  FROM (SELECT DISTINCT user_id FROM base) u
-       |  LEFT JOIN lv USING (user_id) GROUP BY 1)
+       |  LEFT JOIN lv USING (user_id) GROUP BY 1)""".stripMargin
+  }
+
+  /** q202: the level histogram off the shared ladder. */
+  private def q202Oracle: String =
+    s"""WITH $funnelUlCte
        |SELECT level, CAST(count(*) AS BIGINT) AS n_users
        |FROM ul GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q209: per-step survival counts + both conversion ratios off the
+    * same ladder. */
+  private def q209Oracle: String = {
+    val rows = funnelSteps.zipWithIndex.map { case (name, i) =>
+      val r = s"r${i + 1}"
+      val prev = if (i == 0) "n_users" else s"r$i"
+      s"""SELECT ${i + 1} AS step, '$name' AS step_name, $r AS n_reached,
+         |  CASE WHEN $prev > 0 THEN (1000 * $r) // $prev END AS conv_prev_pm,
+         |  CASE WHEN n_users > 0 THEN (1000 * $r) // n_users END AS conv_total_pm,
+         |  n_users
+         |FROM s""".stripMargin
+    }
+    s"""WITH $funnelUlCte,
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    ${funnelSteps.indices.map(i =>
+             s"CAST(sum(CASE WHEN level >= ${i + 1} THEN 1 ELSE 0 END) AS BIGINT) AS r${i + 1}")
+             .mkString(", ")}
+       |  FROM ul)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY step""".stripMargin
+  }
+
+  /** q208: audience overlap — per-user membership flags via conditional
+    * max, every pair statistic a FILTER-free integer sum over the flags
+    * frame, Jaccard by inclusion–exclusion. */
+  private def q208Oracle: String = {
+    val ts = audienceTypes
+    val flags = ts.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS f$i" }
+    val singles = ts.indices.map(i => s"CAST(sum(f$i) AS BIGINT) AS n$i")
+    val pairs = for { i <- ts.indices; j <- ts.indices if i < j }
+      yield s"CAST(sum(f$i * f$j) AS BIGINT) AS i${i}_$j"
+    val rows = for { i <- ts.indices; j <- ts.indices if i < j } yield
+      s"""SELECT '${ts(i)}' AS type_a, '${ts(j)}' AS type_b,
+         |  n$i AS n_a, n$j AS n_b, i${i}_$j AS n_both,
+         |  n$i + n$j - i${i}_$j AS n_any,
+         |  CASE WHEN n$i + n$j - i${i}_$j > 0
+         |    THEN (1000 * i${i}_$j) // (n$i + n$j - i${i}_$j) END AS jaccard_pm,
+         |  n_users
+         |FROM s""".stripMargin
+    s"""WITH f AS (SELECT user_id, ${flags.mkString(", ")}
+       |  FROM events GROUP BY 1),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    ${(singles ++ pairs).mkString(", ")}
+       |  FROM f)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY type_a, type_b""".stripMargin
   }
 
   /** q203: per pair, first-from → first-at-or-after-to waits in whole
@@ -7120,6 +7198,8 @@ object SparkEntry {
     "q205_hill_tail" -> q205Oracle,
     "q206_cross_correlation" -> q206Oracle,
     "q207_session_sequence" -> q207Oracle,
+    "q208_audience_overlap" -> q208Oracle,
+    "q209_funnel_dropoff" -> q209Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

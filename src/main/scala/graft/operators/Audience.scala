@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** AUDIENCE SET ALGEBRA — the segment-overlap readout ClickHouse serves
+  * with `groupBitmap` bitmaps, re-expressed as ONE aggregate pass.
+  *
+  * Per user, a 0/1 flag per audience (conditional max — the membership
+  * "bitmap" as columns); then every |A|, |B| and |A∩B| for all pairs is
+  * a plain integer sum over the flags frame, computed in a SINGLE
+  * aggregate (no per-pair scan, no distinct per segment). Union and
+  * Jaccard follow by inclusion–exclusion — exact, order-free integers.
+  *
+  * Scale shape: one user-keyed count-shuffle builds the flags frame
+  * (map-side combined — the event log collapses before the exchange);
+  * the m·(m+1)/2 sums ride one aggregate over it; the output assembles
+  * from a 1-row frame. m = audience count, a constant — the m² term
+  * lives in COLUMNS, never in rows.
+  *
+  * @param df       event-level rows
+  * @param userCol  membership unit
+  * @param typeCol  audience discriminator
+  * @param types    the audiences to compare (explicit so the output
+  *                 shape is static and replayable — an unexpected new
+  *                 type is invisible here, by design)
+  * @return one row per unordered pair (a < b): type_a, type_b, n_a,
+  *         n_b, n_both, n_any, jaccard_pm (NULL when the union is
+  *         empty), n_users crossed in
+  */
+object Audience {
+
+  def overlapMatrix(df: DataFrame, userCol: String, typeCol: String,
+      types: Seq[String]): DataFrame = {
+    require(types.size >= 2 && types.distinct == types,
+      s"need >= 2 distinct audience types, got $types")
+    val flagCols = types.zipWithIndex.map { case (t, i) =>
+      max(when(col(typeCol) === t, 1L).otherwise(0L)).as(s"f$i") }
+    val flags = df.groupBy(col(userCol)).agg(flagCols.head, flagCols.tail: _*)
+    val singles = types.indices.map(i => sum(col(s"f$i")).as(s"n$i"))
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield sum(col(s"f$i") * col(s"f$j")).as(s"i${i}_$j")
+    val aggCols = count(lit(1)).cast("long").as("n_users") +: (singles ++ pairs)
+    val one = flags.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true) // 1 row, one select per pair below
+    val rows = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield one.select(
+      lit(types(i)).as("type_a"), lit(types(j)).as("type_b"),
+      col(s"n$i").cast("long").as("n_a"), col(s"n$j").cast("long").as("n_b"),
+      col(s"i${i}_$j").cast("long").as("n_both"),
+      (col(s"n$i") + col(s"n$j") - col(s"i${i}_$j")).cast("long").as("n_any"),
+      expr(s"CASE WHEN n$i + n$j - i${i}_$j > 0 " +
+        s"THEN (1000 * i${i}_$j) DIV (n$i + n$j - i${i}_$j) END").as("jaccard_pm"),
+      col("n_users"))
+    rows.reduce(_ unionByName _).orderBy("type_a", "type_b")
+  }
+}

@@ -136,6 +136,44 @@ object Funnel {
       .orderBy("user_id")
   }
 
+  /** FUNNEL DROP-OFF TABLE — the presentation layer over
+    * [[windowFunnelExact]]: per step, how many users reach it and the
+    * exact per-mille conversion both from the previous step and from
+    * the top. One conditional aggregate over the per-user level frame
+    * (survival counts as columns), rows assembled from the 1-row
+    * result.
+    *
+    * @return per step (1-based): step, step_name, n_reached,
+    *         conv_prev_pm (vs the previous step; step 1 compares to the
+    *         full user ledger), conv_total_pm (vs the ledger), n_users
+    */
+  def dropOffTable(
+      df: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowMs: Long
+  ): DataFrame = {
+    val lv = windowFunnelExact(df, userCol, typeCol, tsCol, steps, windowMs)
+    val aggCols = count(lit(1)).cast("long").as("n_users") +:
+      steps.indices.map(i =>
+        sum(when(col("level") >= i + 1, 1L).otherwise(0L)).as(s"r${i + 1}"))
+    val one = lv.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true) // 1 row, one select per step below
+    val rows = steps.zipWithIndex.map { case (name, i) =>
+      val prev = if (i == 0) "n_users" else s"r$i"
+      one.select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+        col(s"r${i + 1}").cast("long").as("n_reached"),
+        expr(s"CASE WHEN $prev > 0 THEN (1000 * r${i + 1}) DIV $prev END")
+          .as("conv_prev_pm"),
+        expr(s"CASE WHEN n_users > 0 THEN (1000 * r${i + 1}) DIV n_users END")
+          .as("conv_total_pm"),
+        col("n_users"))
+    }
+    rows.reduce(_ unionByName _).orderBy("step")
+  }
+
   /** CONVERSION-LATENCY DISTRIBUTION per step pair: for each user with
     * a `from` event, the wait from their FIRST `from` to the first `to`
     * at-or-after it, quantized to whole seconds; the per-pair readout is

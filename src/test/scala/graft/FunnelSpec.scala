@@ -151,6 +151,23 @@ class FunnelSpec extends AnyFunSuite {
     assert(out.getAs[Long]("p50_s") == 15L)
   }
 
+  test("dropOffTable: survival counts and both conversion ratios") {
+    // 10 users: 4 never anchor, 3 stop at s1, 2 at s2, 1 completes
+    val rows =
+      (1L to 4L).map(u => (u, "x", 0L)) ++
+      (5L to 7L).map(u => (u, "s1", 0L)) ++
+      (8L to 9L).flatMap(u => Seq((u, "s1", 0L), (u, "s2", 10L))) ++
+      Seq((10L, "s1", 0L), (10L, "s2", 10L), (10L, "s3", 20L))
+    val out = Funnel.dropOffTable(ev(rows), "u", "et", "ts",
+        Seq("s1", "s2", "s3"), windowMs = 3600000L)
+      .collect().map(r => r.getAs[Long]("step") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Long]("conv_prev_pm"),
+          r.getAs[Long]("conv_total_pm")))).toMap
+    assert(out(1L) == ((6L, 600L, 600L)))
+    assert(out(2L) == ((3L, 500L, 300L)))
+    assert(out(3L) == ((1L, 333L, 100L)))
+  }
+
   test("conversionLatency: an unconverting pair reports a 0-count row") {
     val rows = Seq((1L, "signup", 0L))
     val out = Funnel.conversionLatency(ev(rows), "u", "et", "ts",
