@@ -12,31 +12,42 @@ import org.apache.spark.sql.functions._
   * aggregate (no per-pair scan, no distinct per segment). Union and
   * Jaccard follow by inclusion–exclusion — exact, order-free integers.
   *
+  * The two stages are public because the flags frame is STREAMING
+  * STATE: `membershipFlags` is a plain streaming-safe aggregation
+  * (max merges monotonically across micro-batches), so a live segment
+  * store maintains it incrementally and [[overlapFromFlags]] finishes
+  * from the stored state — the StreamingSpec twin pins stream ≡ batch.
+  *
   * Scale shape: one user-keyed count-shuffle builds the flags frame
   * (map-side combined — the event log collapses before the exchange);
   * the m·(m+1)/2 sums ride one aggregate over it; the output assembles
   * from a 1-row frame. m = audience count, a constant — the m² term
   * lives in COLUMNS, never in rows.
-  *
-  * @param df       event-level rows
-  * @param userCol  membership unit
-  * @param typeCol  audience discriminator
-  * @param types    the audiences to compare (explicit so the output
-  *                 shape is static and replayable — an unexpected new
-  *                 type is invisible here, by design)
-  * @return one row per unordered pair (a < b): type_a, type_b, n_a,
-  *         n_b, n_both, n_any, jaccard_pm (NULL when the union is
-  *         empty), n_users crossed in
   */
 object Audience {
 
-  def overlapMatrix(df: DataFrame, userCol: String, typeCol: String,
+  /** Stage 1: per-user 0/1 membership flags `(userCol, f0..f(m−1))` —
+    * fᵢ = 1 iff the user has any `types(i)` event. A streaming-safe
+    * max-aggregation (complete/update modes both merge it exactly). */
+  def membershipFlags(df: DataFrame, userCol: String, typeCol: String,
       types: Seq[String]): DataFrame = {
     require(types.size >= 2 && types.distinct == types,
       s"need >= 2 distinct audience types, got $types")
     val flagCols = types.zipWithIndex.map { case (t, i) =>
       max(when(col(typeCol) === t, 1L).otherwise(0L)).as(s"f$i") }
-    val flags = df.groupBy(col(userCol)).agg(flagCols.head, flagCols.tail: _*)
+    df.groupBy(col(userCol)).agg(flagCols.head, flagCols.tail: _*)
+  }
+
+  /** Stage 2: the pair matrix off an existing flags frame (stored,
+    * streamed, or fresh from [[membershipFlags]]).
+    *
+    * @return one row per unordered pair (a < b): type_a, type_b, n_a,
+    *         n_b, n_both, n_any, jaccard_pm (NULL when the union is
+    *         empty), n_users crossed in
+    */
+  def overlapFromFlags(flags: DataFrame, types: Seq[String]): DataFrame = {
+    require(types.size >= 2 && types.distinct == types,
+      s"need >= 2 distinct audience types, got $types")
     val singles = types.indices.map(i => sum(col(s"f$i")).as(s"n$i"))
     val pairs = for {
       i <- types.indices; j <- types.indices if i < j
@@ -56,4 +67,9 @@ object Audience {
       col("n_users"))
     rows.reduce(_ unionByName _).orderBy("type_a", "type_b")
   }
+
+  /** The one-shot composition: events → flags → pair matrix. */
+  def overlapMatrix(df: DataFrame, userCol: String, typeCol: String,
+      types: Seq[String]): DataFrame =
+    overlapFromFlags(membershipFlags(df, userCol, typeCol, types), types)
 }

@@ -700,6 +700,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(srmStream == srmBatch && srmBatch.size == 3)
   }
 
+  test("streaming membership flags + batch overlap finish (live segment store)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Audience
+
+    val src = Files.createTempDirectory("graft_stream_aud")
+    val ckp = Files.createTempDirectory("graft_stream_aud_ckp")
+    // user 1's 'b' membership arrives only in the SECOND micro-batch:
+    // the flags must merge through the state store (max is monotone)
+    Files.write(src.resolve("a.json"), Seq(
+      """{"u":1,"et":"a"}""", """{"u":2,"et":"a"}""", """{"u":3,"et":"b"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"u":1,"et":"b"}""", """{"u":4,"et":"a"}""", """{"u":4,"et":"b"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val types = Seq("a", "b")
+    val schema = spark.read.json(src.toString).schema
+    val q = Audience.membershipFlags(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "u", "et", types)
+      .writeStream
+      .format("memory").queryName("aud_flags_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // stream-maintained state: user 1 holds BOTH flags after the merge
+    val f1 = spark.table("aud_flags_stream").filter(col("u") === 1).collect().head
+    assert(f1.getAs[Long]("f0") == 1L && f1.getAs[Long]("f1") == 1L)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) => rows.map(r =>
+      (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Long]("n_any"),
+          r.getAs[Long]("n_users")))).toMap
+    val streamed = canon(Audience.overlapFromFlags(
+      spark.table("aud_flags_stream"), types).collect())
+    val batch = canon(Audience.overlapMatrix(
+      spark.read.json(src.toString), "u", "et", types).collect())
+    assert(streamed == batch)
+    assert(batch(("a", "b")) == ((2L, 4L, 4L))) // users 1 and 4 in both
+  }
+
   test("streaming daily-series maintenance + batch changepoint/trend finish") {
     import org.apache.spark.sql.functions._
     import graft.operators.Trend
