@@ -2613,6 +2613,44 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — THE SEGMENT STORE DEPLOYED: q208's membership flags
+    // maintained THROUGH the snapshot store — even-day flags committed
+    // with a user-key Bloom index, odd-day flags merged in by
+    // read-modify-write keyed upsert (per-flag max vs the stored row),
+    // and the overlap matrix SERVED FROM THE STORE. Because flag-max is
+    // associative, the two-batch lineage must be invisible in the
+    // result: the oracle is q208's one-shot replay verbatim — the gate
+    // fails if the store path loses or duplicates a membership.
+    // Hash-exact.
+    "q210_segment_store" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      import graft.operators.Audience
+      val root = freshStateRoot(s, "q210", dir)
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts) DIV 86400000").as("day"))
+      def keys = graft.plans.SketchFunctions.portableHash64(
+        array(col("user_id").cast("string")))
+      val f1 = Audience.membershipFlags(
+          ev.filter(pmod(col("day"), lit(2)) === 0), "user_id", "event_type",
+          audienceTypes)
+        .withColumn("ver", lit(1L))
+      SnapshotSink.commitWithSetIndex(
+        f1.repartition(8, col("user_id")), root, keys, expectedPerFile = 4096)
+      val f2 = Audience.membershipFlags(
+        ev.filter(pmod(col("day"), lit(2)) === 1), "user_id", "event_type",
+        audienceTypes)
+      val merged = f2.alias("b")
+        .join(SnapshotSink.read(s, root).alias("st"), Seq("user_id"), "left")
+        .select(col("user_id") +: audienceTypes.indices.map(i =>
+          greatest(col(s"b.f$i"), coalesce(col(s"st.f$i"), lit(0L))).as(s"f$i")): _*)
+        .withColumn("ver", lit(2L))
+      SnapshotSink.upsertKeyed(s, root, merged,
+        keyCols = Seq("user_id"), verCol = "ver",
+        tieBreak = Seq(col("f0").desc), keys = keys, expectedPerFile = 4096)
+      Audience.overlapFromFlags(
+        SnapshotSink.read(s, root).drop("ver"), audienceTypes)
+    }),
+
     // Extension — SEASONAL RESIDUAL SCREEN (Trend.seasonalResiduals):
     // each day's count against ITS WEEKDAY's mean in exact per-mille
     // excess — a Friday spike is only a spike if it is large for a
@@ -7200,6 +7238,9 @@ object SparkEntry {
     "q207_session_sequence" -> q207Oracle,
     "q208_audience_overlap" -> q208Oracle,
     "q209_funnel_dropoff" -> q209Oracle,
+    // max-merge associativity: the stored two-batch lineage must equal
+    // the one-shot flags -> the q208 replay IS q210's oracle
+    "q210_segment_store" -> q208Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
