@@ -2716,8 +2716,15 @@ object SparkEntry {
     // Hash-exact.
     "q201_sequence_match" -> ((s, dir) => {
       import graft.operators.Paths
-      val ev = events(s, dir).localCheckpoint(true)
-      val total = ev.agg(countDistinct(col("user_id")).as("n_users"))
+      // materialize only the narrow, pattern-relevant slice: the user
+      // ledger needs every user, the chains only the pattern types
+      val allSteps = seqPatterns.flatten.distinct
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .filter(col("event_type").isin(allSteps: _*))
+        .localCheckpoint(true)
+      val total = events(s, dir)
+        .agg(countDistinct(col("user_id")).as("n_users"))
       seqPatterns.map { p =>
         Paths.sequenceMatch(ev, "user_id", "event_type", "ts", p)
           .agg(count(lit(1)).as("n_matched"))
