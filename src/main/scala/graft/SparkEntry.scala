@@ -2613,6 +2613,36 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — WEIGHT-OF-EVIDENCE / INFORMATION VALUE (LiftAudit
+    // .woeTable): the scorecard audit over the q192 confidence bands vs
+    // the 'en' label — per-band WoE in micro-nats (q70 quantization),
+    // IV from exact integer products with ONE final division, pure
+    // bands excluded and counted rather than poisoning the number.
+    // Completes the score-evaluation family: q168 lift → q192
+    // calibration → q199 AUC → q211 IV. Hash-exact.
+    "q211_woe_iv" -> ((s, dir) => {
+      import graft.operators.{LiftAudit, QualityModel}
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      val scored = t(s, dir, "documents").select(
+          QualityModel.scoreMicros(col("text"), w, 0L).as("score_micros"),
+          (col("lang") === "en").as("is_en"))
+        .withColumn("conf",
+          expr("least(999L, greatest(0L, 500L + score_micros DIV 20))"))
+      LiftAudit.woeTable(scored, expr("conf DIV 100"), "is_en")
+    }),
+
+    // Extension — POPULATION STABILITY INDEX (Drift.psiReport): has the
+    // event-type traffic mix shifted between the month's halves? The
+    // scorecard-drift number (psi < 0.1 stable / > 0.25 act) computed
+    // integer-exactly — micro-nat log ratios, one division on the exact
+    // term sum, one-sided cells surfaced separately. Hash-exact.
+    "q212_psi_mix" -> ((s, dir) => {
+      graft.operators.Drift.psiReport(
+        events(s, dir).select(col("event_type"),
+          (expr("unix_millis(ts) DIV 86400000") < psiCutoffDay).as("e")),
+        col("e"), col("event_type"))
+    }),
+
     // Extension — THE SEGMENT STORE DEPLOYED: q208's membership flags
     // maintained THROUGH the snapshot store — even-day flags committed
     // with a user-key Bloom index, odd-day flags merged in by
@@ -5350,6 +5380,10 @@ object SparkEntry {
   private val audienceTypes: Seq[String] =
     Seq("click", "error", "purchase", "signup", "view")
 
+  /** q212: the expected/actual boundary — first half of the observed
+    * month (2024-01-16) forms the expected side. */
+  private val psiCutoffDay = 19738L
+
   private val sessPatterns: Seq[Seq[String]] = Seq(
     Seq("view", "click"),
     Seq("click", "purchase"),
@@ -5469,6 +5503,74 @@ object SparkEntry {
        |${blocks.map(_._2).mkString("\nUNION ALL\n")}
        |ORDER BY pattern""".stripMargin
   }
+
+  /** q211: WoE/IV — the q192 confidence banding, per-band micro-nat
+    * WoE, IV from exact integer term products with one division. */
+  private def q211Oracle: String =
+    s"""WITH $scoredDocsCte,
+       |conf AS (SELECT least(999, greatest(0, 500 + score // 20)) AS conf,
+       |    (lang = 'en') AS y FROM scored),
+       |bands AS (SELECT conf // 100 AS band,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |  FROM conf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+       |    CAST(sum(n_neg) AS BIGINT) AS n FROM bands),
+       |terms AS (SELECT band, n_pos, n_neg,
+       |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |      CAST(floor(ln((CAST(n_pos AS DOUBLE) * n)
+       |        / (CAST(n_neg AS DOUBLE) * p)) * 1e6 + 0.5) AS BIGINT) END
+       |      AS woe_micro,
+       |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |      (n_pos::HUGEINT * n - n_neg::HUGEINT * p)
+       |        * CAST(floor(ln((CAST(n_pos AS DOUBLE) * n)
+       |          / (CAST(n_neg AS DOUBLE) * p)) * 1e6 + 0.5) AS BIGINT) END
+       |      AS term,
+       |    p, n
+       |  FROM bands CROSS JOIN tot),
+       |summ AS (SELECT
+       |    CAST(sum(term) // (max(p)::HUGEINT * max(n)) AS BIGINT) AS iv_micro,
+       |    CAST(sum(CASE WHEN woe_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pure,
+       |    max(p) AS n_pos_total, max(n) AS n_neg_total
+       |  FROM terms)
+       |SELECT band, n_pos, n_neg, woe_micro, CAST(term AS BIGINT) AS term,
+       |  iv_micro, n_pure, n_pos_total, n_neg_total
+       |FROM terms CROSS JOIN summ ORDER BY band""".stripMargin
+
+  /** q212: PSI — (cell, side) counts, micro-nat log ratios, one
+    * division on the exact term sum. */
+  private def q212Oracle: String =
+    s"""WITH c AS (SELECT event_type AS cell,
+       |    (epoch_ms(ts) // 86400000 < $psiCutoffDay) AS e FROM events),
+       |cells AS (SELECT cell,
+       |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+       |    CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS ca
+       |  FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ce) AS BIGINT) AS te,
+       |    CAST(sum(ca) AS BIGINT) AS ta FROM cells),
+       |terms AS (SELECT cell, ce, ca,
+       |    CASE WHEN ce > 0 AND ca > 0 THEN
+       |      CAST(floor(ln((CAST(ce AS DOUBLE) * ta)
+       |        / (CAST(ca AS DOUBLE) * te)) * 1e6 + 0.5) AS BIGINT) END
+       |      AS lnr_micro,
+       |    CASE WHEN ce > 0 AND ca > 0 THEN
+       |      (ce::HUGEINT * ta - ca::HUGEINT * te)
+       |        * CAST(floor(ln((CAST(ce AS DOUBLE) * ta)
+       |          / (CAST(ca AS DOUBLE) * te)) * 1e6 + 0.5) AS BIGINT) END
+       |      AS term,
+       |    te, ta
+       |  FROM cells CROSS JOIN tot),
+       |summ AS (SELECT
+       |    CAST(sum(term) // (max(te)::HUGEINT * max(ta)) AS BIGINT) AS psi_micro,
+       |    CAST(sum(CASE WHEN lnr_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_one_sided,
+       |    max(te) AS n_expected_total, max(ta) AS n_actual_total
+       |  FROM terms)
+       |SELECT cell, ce AS n_expected, ca AS n_actual, lnr_micro,
+       |  CAST(term AS BIGINT) AS term,
+       |  psi_micro, n_one_sided, n_expected_total, n_actual_total
+       |FROM terms CROSS JOIN summ ORDER BY cell""".stripMargin
 
   /** q201: per pattern, the earliest-chain CTE ladder (tₖ = first step-k
     * event strictly after tₖ₋₁), counted and shared against the user
@@ -7248,6 +7350,8 @@ object SparkEntry {
     // max-merge associativity: the stored two-batch lineage must equal
     // the one-shot flags -> the q208 replay IS q210's oracle
     "q210_segment_store" -> q208Oracle,
+    "q211_woe_iv" -> q211Oracle,
+    "q212_psi_mix" -> q212Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

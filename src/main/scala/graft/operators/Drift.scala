@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -139,5 +139,62 @@ object Drift {
             sqrt(col("norm_a").cast("double") * col("norm_b").cast("double")))
           .as("cosine"))
       .orderBy("grp_a", "grp_b")
+  }
+
+  /** POPULATION STABILITY INDEX between two sides of one frame — the
+    * drift number a scorecard owner tracks per release: with cᵉ/cᵃ the
+    * expected/actual cell counts and Tᵉ/Tᵃ the side totals,
+    *
+    *     PSI = Σ_cells (cᵉ/Tᵉ − cᵃ/Tᵃ)·ln((cᵉ·Tᵃ)/(cᵃ·Tᵉ))
+    *
+    * evaluated integer-exactly: the log ratio is quantized to
+    * micro-nats per cell (the q70 construction), each cell's
+    * contribution is the integer product (cᵉ·Tᵃ − cᵃ·Tᵉ)·lnr_micro,
+    * and the single division by Tᵉ·Tᵃ happens once on the exact sum:
+    *
+    *     psi_micro = Σ (cᵉ·Tᵃ − cᵃ·Tᵉ)·lnr_micro  DIV  (Tᵉ·Tᵃ)
+    *
+    * Every term is ≥ 0 ((p−q) and ln(p/q) share a sign), so psi_micro
+    * is monotone in drift. Cells present on only ONE side have an
+    * infinite PSI term; they are excluded from the sum and surfaced in
+    * `n_one_sided` instead of poisoning the number — rule of thumb:
+    * psi < 0.1 (100 000 micro) stable, > 0.25 act.
+    *
+    * One count-shuffle to the (cell, side) frame; everything after is
+    * cell-domain-sized.
+    *
+    * @param df       rows from both populations
+    * @param expected boolean column — true rows form the EXPECTED side
+    * @param cellCol  the banded/categorical cell
+    * @return one row per cell seen anywhere (cell, n_expected,
+    *         n_actual, lnr_micro, term — NULL for one-sided cells) with
+    *         psi_micro / n_one_sided / totals crossed in
+    */
+  def psiReport(df: DataFrame, expected: Column, cellCol: Column): DataFrame = {
+    val cells = df.select(cellCol.as("cell"), expected.as("e"))
+      .groupBy("cell")
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("ce"),
+        sum(when(!col("e"), 1L).otherwise(0L)).as("ca"))
+      .localCheckpoint(true) // totals + terms: one shuffle
+    val tot = cells.agg(sum(col("ce")).cast("long").as("te"),
+      sum(col("ca")).cast("long").as("ta"))
+    val terms = cells.crossJoin(tot)
+      .withColumn("lnr_micro", expr(
+        """CASE WHEN ce > 0 AND ca > 0 THEN
+          |CAST(floor(ln((CAST(ce AS DOUBLE) * ta) / (CAST(ca AS DOUBLE) * te))
+          |  * 1e6 + 0.5) AS BIGINT) END""".stripMargin))
+      .withColumn("term", expr(
+        """CASE WHEN ce > 0 AND ca > 0 THEN
+          |(CAST(ce AS DECIMAL(38,0)) * ta - CAST(ca AS DECIMAL(38,0)) * te)
+          |  * lnr_micro END""".stripMargin))
+    val summary = terms.agg(
+        expr("CAST(sum(term) DIV (max(CAST(te AS DECIMAL(38,0))) * max(ta)) AS BIGINT)")
+          .as("psi_micro"),
+        sum(when(col("lnr_micro").isNull, 1L).otherwise(0L)).as("n_one_sided"),
+        max(col("te")).as("n_expected_total"), max(col("ta")).as("n_actual_total"))
+    terms.select(col("cell"), col("ce").as("n_expected"), col("ca").as("n_actual"),
+        col("lnr_micro"), col("term").cast("long").as("term"))
+      .crossJoin(summary)
+      .orderBy("cell")
   }
 }

@@ -98,4 +98,35 @@ class DriftSpec extends AnyFunSuite {
       graft.operators.Drift.centroidCosines(
         Seq(("g", Seq(1.0f))).toDF("grp", "vec"), "grp", "vec", quant = 0L))
   }
+
+  test("PSI: hand-computed micro-nat terms, one-sided cells excluded not poisoning") {
+    import org.apache.spark.sql.functions.col
+    // expected: A=6, B=4 (Te=10); actual: A=3, B=5, C=2 (Ta=10)
+    val rows = Seq.fill(6)(("A", true)) ++ Seq.fill(4)(("B", true)) ++
+      Seq.fill(3)(("A", false)) ++ Seq.fill(5)(("B", false)) ++
+      Seq.fill(2)(("C", false))
+    val out = graft.operators.Drift.psiReport(
+        rows.toDF("cell", "e"), col("e"), col("cell"))
+      .collect().map(r => r.getAs[String]("cell") -> r).toMap
+    assert(out("A").getAs[Long]("lnr_micro") == 693147L)  // ln 2
+    assert(out("A").getAs[Long]("term") == 30L * 693147L)
+    assert(out("B").getAs[Long]("lnr_micro") == -223144L) // ln 0.8
+    assert(out("B").getAs[Long]("term") == 2231440L)      // (-10)*(-223144)
+    assert(out("C").isNullAt(out("C").fieldIndex("term")))
+    // psi = (20794410 + 2231440) DIV (10*10)
+    assert(out("A").getAs[Long]("psi_micro") == 230258L)
+    assert(out("A").getAs[Long]("n_one_sided") == 1L)
+    assert(out("A").getAs[Long]("n_expected_total") == 10L)
+    assert(out("A").getAs[Long]("n_actual_total") == 10L)
+  }
+
+  test("PSI: identical distributions read exactly zero") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq.fill(4)(("A", true)) ++ Seq.fill(6)(("B", true)) ++
+      Seq.fill(2)(("A", false)) ++ Seq.fill(3)(("B", false))
+    val out = graft.operators.Drift.psiReport(
+      rows.toDF("cell", "e"), col("e"), col("cell")).collect()
+    assert(out.forall(_.getAs[Long]("psi_micro") == 0L))
+    assert(out.forall(_.getAs[Long]("term") == 0L)) // counts differ, shares don't
+  }
 }

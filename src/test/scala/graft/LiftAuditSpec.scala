@@ -90,4 +90,34 @@ class LiftAuditSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("bin")).toSet == Set(0L, 9L))
     assert(out.map(_.getAs[Long]("n")).sum == 2L)
   }
+
+  // --------------------------------------------------------- woeTable
+
+  test("WoE/IV: hand-computed micro-nats, pure bands excluded from IV") {
+    // band 0: 4+/1-, band 1: 1+/4-, band 2: 2+/0- (pure); P=7, N=5
+    val rows = Seq.fill(4)((0L, true)) ++ Seq((0L, false)) ++
+      Seq((1L, true)) ++ Seq.fill(4)((1L, false)) ++ Seq.fill(2)((2L, true))
+    val out = LiftAudit.woeTable(rows.toDF("band", "label"), col("band"), "label")
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    // woe0 = ln((4*5)/(1*7)) = ln(20/7) = 1049822; woe1 = ln(5/28) = -1722767
+    assert(out(0L).getAs[Long]("woe_micro") == 1049822L)
+    assert(out(1L).getAs[Long]("woe_micro") == -1722767L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("woe_micro")))
+    assert(out(0L).getAs[Long]("term") == 13L * 1049822L)  // 4*5-1*7 = 13
+    assert(out(1L).getAs[Long]("term") == 23L * 1722767L)  // (5-28)*(-woe)
+    // iv = (13649686 + 39623641) DIV 35
+    assert(out(0L).getAs[Long]("iv_micro") ==
+      (13L * 1049822L + 23L * 1722767L) / 35L)
+    assert(out(0L).getAs[Long]("n_pure") == 1L)
+  }
+
+  test("WoE: a no-signal band sits at exactly zero evidence") {
+    // band shares equal to class shares: woe = ln(1) = 0
+    val rows = Seq.fill(2)((0L, true)) ++ Seq.fill(2)((0L, false)) ++
+      Seq.fill(3)((1L, true)) ++ Seq.fill(3)((1L, false))
+    val out = LiftAudit.woeTable(rows.toDF("band", "label"), col("band"), "label")
+      .collect()
+    assert(out.forall(_.getAs[Long]("woe_micro") == 0L))
+    assert(out.head.getAs[Long]("iv_micro") == 0L)
+  }
 }
