@@ -2613,6 +2613,19 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — POISSON BOOTSTRAP CI (Bootstrap.meanCi): the
+    // distributed bootstrap — each user enters replicate b with a
+    // deterministic md5-driven Poisson(1) multiplicity (pinned ppm
+    // inverse-CDF thresholds), B = 64 replicate means from integer
+    // sufficient sums, CI bounds selected by exact rank. The
+    // uncertainty number q112's profile can't give. Hash-exact.
+    "q213_bootstrap_ci" -> ((s, dir) => {
+      graft.operators.Bootstrap.meanCi(
+        events(s, dir).groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("v")),
+        "k", "v", reps = 64, loPm = 25, hiPm = 975, salt = "ci1")
+    }),
+
     // Extension — WEIGHT-OF-EVIDENCE / INFORMATION VALUE (LiftAudit
     // .woeTable): the scorecard audit over the q192 confidence bands vs
     // the 'en' label — per-band WoE in micro-nats (q70 quantization),
@@ -5504,6 +5517,42 @@ object SparkEntry {
        |ORDER BY pattern""".stripMargin
   }
 
+  /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
+    * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
+    * rank selection over the B replicate means. */
+  private def q213Oracle: String = {
+    val thr = graft.operators.Bootstrap.PoissonCdfPpm
+    val ladder = thr.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""WITH pu AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS v
+       |  FROM events GROUP BY 1),
+       |point AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST((1000000 * sum(v)::HUGEINT) // count(*) AS BIGINT) AS mean_micro
+       |  FROM pu),
+       |reps AS (SELECT unnest(generate_series(0, 63)) AS rep),
+       |draws AS (SELECT pu.v, reps.rep,
+       |    ('0x' || substr(md5(pu.k::VARCHAR || '|' || reps.rep::VARCHAR
+       |      || '|ci1'), 1, 8))::BIGINT % 1000000 AS u
+       |  FROM pu CROSS JOIN reps),
+       |w AS (SELECT rep, v, CASE $ladder ELSE 8 END AS w FROM draws),
+       |rm AS (SELECT rep, CAST(sum(w) AS BIGINT) AS nb,
+       |    CAST(sum(w * v) AS BIGINT) AS sb FROM w GROUP BY 1),
+       |m AS (SELECT CASE WHEN nb > 0
+       |    THEN CAST((1000000 * sb::HUGEINT) // nb AS BIGINT) END AS m FROM rm),
+       |r AS (SELECT m, CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS r
+       |  FROM m WHERE m IS NOT NULL),
+       |bb AS (SELECT CAST(max(r) AS BIGINT) AS b FROM r),
+       |sel AS (SELECT max(bb.b) AS b,
+       |    CAST(min(CASE WHEN r >= (25 * bb.b + 999) // 1000 THEN m END)
+       |      AS BIGINT) AS ci_lo_micro,
+       |    CAST(min(CASE WHEN r >= (975 * bb.b + 999) // 1000 THEN m END)
+       |      AS BIGINT) AS ci_hi_micro
+       |  FROM r CROSS JOIN bb)
+       |SELECT point.n_units, sel.b, point.mean_micro,
+       |  sel.ci_lo_micro, sel.ci_hi_micro
+       |FROM point CROSS JOIN sel""".stripMargin
+  }
+
   /** q211: WoE/IV — the q192 confidence banding, per-band micro-nat
     * WoE, IV from exact integer term products with one division. */
   private def q211Oracle: String =
@@ -7352,6 +7401,7 @@ object SparkEntry {
     "q210_segment_store" -> q208Oracle,
     "q211_woe_iv" -> q211Oracle,
     "q212_psi_mix" -> q212Oracle,
+    "q213_bootstrap_ci" -> q213Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
