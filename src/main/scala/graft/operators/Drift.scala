@@ -170,12 +170,19 @@ object Drift {
     *         n_actual, lnr_micro, term — NULL for one-sided cells) with
     *         psi_micro / n_one_sided / totals crossed in
     */
-  def psiReport(df: DataFrame, expected: Column, cellCol: Column): DataFrame = {
-    val cells = df.select(cellCol.as("cell"), expected.as("e"))
+  def psiReport(df: DataFrame, expected: Column, cellCol: Column): DataFrame =
+    psiFromCells(df.select(cellCol.as("cell"), expected.as("e"))
       .groupBy("cell")
       .agg(sum(when(col("e"), 1L).otherwise(0L)).as("ce"),
-        sum(when(!col("e"), 1L).otherwise(0L)).as("ca"))
-      .localCheckpoint(true) // totals + terms: one shuffle
+        sum(when(!col("e"), 1L).otherwise(0L)).as("ca")))
+
+  /** The PSI finish from an ALREADY-MAINTAINED `(cell, ce, ca)` count
+    * frame — the monitoring deployment shape: the cell counts are plain
+    * streaming-safe sum-aggregations (a live monitor maintains them per
+    * micro-batch), and this finish reads the state. The StreamingSpec
+    * twin pins stream-built cells ≡ batch. */
+  def psiFromCells(cellCounts: DataFrame): DataFrame = {
+    val cells = cellCounts.localCheckpoint(true) // totals + terms: one pass
     val tot = cells.agg(sum(col("ce")).cast("long").as("te"),
       sum(col("ca")).cast("long").as("ta"))
     val terms = cells.crossJoin(tot)

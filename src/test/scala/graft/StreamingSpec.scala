@@ -700,6 +700,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(srmStream == srmBatch && srmBatch.size == 3)
   }
 
+  test("streaming PSI cell counts + batch finish (live drift monitor)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Drift
+
+    val src = Files.createTempDirectory("graft_stream_psi")
+    val ckp = Files.createTempDirectory("graft_stream_psi_ckp")
+    // cell A's actual-side mass is split across micro-batches: the
+    // (cell, side) sums must merge through the state store
+    Files.write(src.resolve("a.json"), (Seq.fill(6)("""{"cell":"A","e":true}""") ++
+      Seq.fill(4)("""{"cell":"B","e":true}""") ++
+      Seq.fill(1)("""{"cell":"A","e":false}"""))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), (Seq.fill(2)("""{"cell":"A","e":false}""") ++
+      Seq.fill(5)("""{"cell":"B","e":false}""") ++
+      Seq.fill(2)("""{"cell":"C","e":false}"""))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(src.toString)
+      .groupBy("cell")
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("ce"),
+        sum(when(!col("e"), 1L).otherwise(0L)).as("ca"))
+      .writeStream
+      .format("memory").queryName("psi_cells_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) => rows.map(r =>
+      r.getAs[String]("cell") -> ((r.getAs[Long]("n_expected"),
+        r.getAs[Long]("n_actual"), Option(r.get(r.fieldIndex("term"))),
+        r.getAs[Long]("psi_micro")))).toMap
+    val streamed = canon(Drift.psiFromCells(
+      spark.table("psi_cells_stream")).collect())
+    val batch = canon(Drift.psiReport(spark.read.json(src.toString),
+      col("e"), col("cell")).collect())
+    assert(streamed == batch)
+    // the DriftSpec hand case: A merged to (6e, 3a) across batches
+    assert(streamed("A")._1 == 6L && streamed("A")._2 == 3L)
+    assert(streamed("A")._4 == 230258L)
+  }
+
   test("streaming membership flags + batch overlap finish (live segment store)") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Audience
