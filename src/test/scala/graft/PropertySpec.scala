@@ -357,6 +357,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("audience overlap: set algebra bounds hold on random memberships") {
+    import graft.operators.Audience
+    val rows = sample(Gen.zip(Gen.chooseNum(1L, 80L), Gen.oneOf("a", "b", "c")), 300)
+    val out = Audience.overlapMatrix(rows.toDF("u", "et"), "u", "et",
+      Seq("a", "b", "c")).collect()
+    out.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val (both, any) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_any"))
+      assert(both <= math.min(na, nb) && math.max(na, nb) <= any)
+      assert(any <= r.getAs[Long]("n_users"))
+      if (any > 0) {
+        val j = r.getAs[Long]("jaccard_pm")
+        assert(j >= 0L && j <= 1000L)
+      }
+    }
+  }
+
+  test("WoE IV and PSI are non-negative by the shared-sign argument, on random tables") {
+    import graft.operators.{LiftAudit, Drift}
+    val lab = sample(Gen.zip(Gen.chooseNum(0L, 5L), Gen.oneOf(true, false)), 400)
+    val woe = LiftAudit.woeTable(lab.toDF("band", "label"), col("band"), "label")
+      .collect()
+    assert(woe.head.getAs[Long]("iv_micro") >= 0L)
+    woe.filterNot(_.isNullAt(woe.head.fieldIndex("term")))
+      .foreach(r => assert(r.getAs[Long]("term") >= 0L))
+    val psi = Drift.psiReport(
+      lab.toDF("cell", "e"), col("e"), col("cell").cast("string")).collect()
+    assert(psi.head.getAs[Long]("psi_micro") >= 0L)
+  }
+
+  test("bootstrap CI: ordered bounds, deterministic across identical calls") {
+    import graft.operators.Bootstrap
+    val rows = sample(Gen.chooseNum(0L, 50L), 200).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("u", "v")
+    val a = Bootstrap.meanCi(df, "u", "v", reps = 32, loPm = 25, hiPm = 975, salt = "p")
+      .collect().head
+    val b = Bootstrap.meanCi(df, "u", "v", reps = 32, loPm = 25, hiPm = 975, salt = "p")
+      .collect().head
+    assert(a.getAs[Long]("ci_lo_micro") <= a.getAs[Long]("ci_hi_micro"))
+    assert(a.toSeq == b.toSeq) // bit-identical re-run
+  }
+
   test("tail ratios: survivors are monotone non-increasing and bounded by units") {
     import graft.operators.Profile
     val vals = sample(Gen.chooseNum(0L, 300L), 250)
