@@ -2613,6 +2613,21 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
+    // the second uncertainty method, cross-checking q213 — 20 md5
+    // buckets, leave-one-bucket-out means by sufficient-stats
+    // subtraction, SE² exact in micro² with one final IEEE sqrt. On
+    // this data 1.96·se ≈ q213's CI half-width — two independent
+    // resampling schemes agreeing is the readout (and the spec that
+    // caught a real formula bug the single-method replay could not).
+    // Hash-exact.
+    "q214_jackknife_se" -> ((s, dir) => {
+      graft.operators.Valuation.groupedJackknife(
+        events(s, dir).groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("v")),
+        "k", "v", g = 20, salt = "jk1")
+    }),
+
     // Extension — POISSON BOOTSTRAP CI (Bootstrap.meanCi): the
     // distributed bootstrap — each user enters replicate b with a
     // deterministic md5-driven Poisson(1) multiplicity (pinned ppm
@@ -5517,6 +5532,36 @@ object SparkEntry {
        |ORDER BY pattern""".stripMargin
   }
 
+  /** q214: grouped jackknife — the md5 20-bucket split (u DIV 500 over
+    * the per-myriad digest), LOO means by subtraction, the exact SE²
+    * finish with one IEEE sqrt. */
+  private val q214Oracle =
+    """WITH pu AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |bk AS (SELECT v,
+      |    (('0x' || substr(md5(k::VARCHAR || 'jk1'), 1, 8))::BIGINT
+      |      % 10000) // 500 AS bkt
+      |  FROM pu),
+      |grp AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS s FROM bk GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(s) AS BIGINT) AS ss,
+      |    CAST(count(*) AS BIGINT) AS gg FROM grp),
+      |loo AS (SELECT gg, nn, ss,
+      |    CASE WHEN nn > n THEN (1000000 * (ss::HUGEINT - s)) // (nn - n) END AS m
+      |  FROM grp CROSS JOIN tot),
+      |f AS (SELECT max(gg) AS g, max(nn) AS n_units,
+      |    CAST(max((1000000 * ss::HUGEINT) // nn) AS BIGINT) AS mean_micro,
+      |    sum(m::HUGEINT) AS sm, sum(m::HUGEINT * m) AS sm2
+      |  FROM loo WHERE m IS NOT NULL),
+      |z AS (SELECT g, n_units, mean_micro,
+      |    CAST(((g - 1) * (g::HUGEINT * sm2 - sm * sm))
+      |      // (g::HUGEINT * g) AS BIGINT) AS se2_micro2
+      |  FROM f)
+      |SELECT g, n_units, mean_micro, se2_micro2,
+      |  CAST(floor(sqrt(CAST(se2_micro2 AS DOUBLE))) AS BIGINT) AS se_micro
+      |FROM z""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7402,6 +7447,7 @@ object SparkEntry {
     "q211_woe_iv" -> q211Oracle,
     "q212_psi_mix" -> q212Oracle,
     "q213_bootstrap_ci" -> q213Oracle,
+    "q214_jackknife_se" -> q214Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

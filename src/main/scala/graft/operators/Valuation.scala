@@ -55,4 +55,61 @@ object Valuation {
         col("global_mean_micro").cast("long").as("global_mean_micro"))
       .orderBy(groupCol)
   }
+
+  /** GROUPED (delete-a-bucket) JACKKNIFE standard error of the mean —
+    * the second uncertainty method next to [[Bootstrap.meanCi]], and
+    * its cross-check: units land in g deterministic md5 buckets (the
+    * [[Sampling]] split), the g leave-one-bucket-out means come from
+    * the SAME sufficient-stats subtraction as [[leaveOneOut]], and
+    *
+    *     SE² = (g−1)/g · Σᵢ (m₍ᵢ₎ − m̄)²
+    *         = (g−1)·(g·Σm² − (Σm)²) DIV g²        (exact, micro²)
+    *
+    * with the m₍ᵢ₎ already integer micro-means. se_micro finishes with
+    * one IEEE sqrt on the exact integer (the centroid-cosine
+    * discipline — correctly rounded, floor-quantized; the q70 boundary
+    * caveat applies to this last step only). A healthy pairing with the
+    * bootstrap reads CI half-width ≈ 1.96·se.
+    *
+    * One bucket-keyed aggregate over the units; everything after runs
+    * on the g-row frame.
+    *
+    * @param g    bucket count (≥ 2; 10000 must divide evenly so the
+    *             md5 per-myriad split is exact)
+    * @return 1 row: g, n_units, mean_micro, se2_micro2 (exact),
+    *         se_micro
+    */
+  def groupedJackknife(df: DataFrame, keyCol: String, valueCol: String,
+      g: Int, salt: String = ""): DataFrame = {
+    require(g >= 2 && 10000 % g == 0, s"g must be >= 2 and divide 10000, got $g")
+    val bucketed = Sampling.withSplitId(
+      df.select(col(keyCol), col(valueCol).cast("long").as("v")),
+      keyCol, fractions = Seq.fill(g)(1.0 / g), salt = salt, splitCol = "bkt")
+    val grp = bucketed.groupBy("bkt")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("s"))
+      .localCheckpoint(true) // totals + LOO means: one shuffle
+    val tot = grp.agg(sum(col("n")).cast("long").as("nn"),
+      sum(col("s")).cast("decimal(38,0)").as("ss"),
+      count(lit(1)).cast("long").as("gg"))
+    val loo = grp.crossJoin(tot)
+      .withColumn("m", expr(
+        "CASE WHEN nn > n THEN (1000000 * (ss - s)) DIV (nn - n) END"))
+      .filter(col("m").isNotNull)
+    loo.agg(max(col("gg")).as("g"), max(col("nn")).as("n_units"),
+        max(expr("(1000000 * ss) DIV nn")).as("mean_micro"),
+        sum(big(col("m"))).as("sm"),
+        sum(big(col("m")) * col("m")).as("sm2"))
+      .withColumn("se2_micro2", expr(
+        """((g - 1) * (CAST(g AS DECIMAL(38,0)) * sm2 - sm * sm))
+          |DIV (CAST(g AS DECIMAL(38,0)) * g)""".stripMargin))
+      .select(col("g"), col("n_units"),
+        col("mean_micro").cast("long").as("mean_micro"),
+        col("se2_micro2").cast("long").as("se2_micro2"),
+        expr("CAST(floor(sqrt(CAST(se2_micro2 AS DOUBLE))) AS BIGINT)")
+          .as("se_micro"))
+  }
+
+  private def big(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(38,0)")
 }

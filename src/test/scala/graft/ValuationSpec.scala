@@ -31,6 +31,52 @@ class ValuationSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("mean_micro") == 6000000L)
   }
 
+  test("grouped jackknife: constant metric gives exactly zero SE") {
+    import graft.operators.Valuation
+    val rows = (1L to 200L).map(u => (u, 9L))
+    val out = Valuation.groupedJackknife(rows.toDF("u", "v"), "u", "v",
+      g = 20, salt = "jk").collect().head
+    assert(out.getAs[Long]("mean_micro") == 9000000L)
+    assert(out.getAs[Long]("se2_micro2") == 0L)
+    assert(out.getAs[Long]("se_micro") == 0L)
+  }
+
+  test("grouped jackknife: matches a hand replay over the same md5 buckets") {
+    import graft.operators.{Sampling, Valuation}
+    val rows = (1L to 300L).map(u => (u, u % 37))
+    val df = rows.toDF("u", "v")
+    val out = Valuation.groupedJackknife(df, "u", "v", g = 10, salt = "jk2")
+      .collect().head
+    // replay: collect the SAME buckets, compute loo means + SE in Scala
+    val b = Sampling.withSplitId(df, "u", Seq.fill(10)(0.1), "jk2", "bkt")
+      .collect().map(r => (r.getAs[Int]("bkt"),
+        r.getAs[Long]("v"))).groupBy(_._1)
+    val (nn, ss) = (300L, rows.map(_._2).sum)
+    val ms = b.values.map { rs =>
+      val (n, s) = (rs.size.toLong, rs.map(_._2).sum)
+      (1000000L * (ss - s)) / (nn - n)
+    }.toSeq
+    val g = ms.size.toLong
+    val (sm, sm2) = (ms.sum, ms.map(m => BigInt(m) * m).sum)
+    val se2 = ((g - 1) * (g * sm2 - BigInt(sm) * sm) / (g * g)).toLong
+    assert(out.getAs[Long]("g") == g)
+    assert(out.getAs[Long]("se2_micro2") == se2)
+    assert(out.getAs[Long]("se_micro") == math.sqrt(se2.toDouble).floor.toLong)
+  }
+
+  test("grouped jackknife SE agrees with the bootstrap CI width on the same data") {
+    import graft.operators.{Bootstrap, Valuation}
+    val rows = (1L to 500L).map(u => (u, 10L + (u * u) % 41))
+    val df = rows.toDF("u", "v")
+    val jk = Valuation.groupedJackknife(df, "u", "v", g = 20, salt = "x")
+      .collect().head.getAs[Long]("se_micro")
+    val ci = Bootstrap.meanCi(df, "u", "v", reps = 64, loPm = 25, hiPm = 975,
+      salt = "x").collect().head
+    val half = (ci.getAs[Long]("ci_hi_micro") - ci.getAs[Long]("ci_lo_micro")) / 2
+    // 95% CI half-width ~ 1.96*se: the two methods must agree within 2x
+    assert(half > jk && half < 4L * jk, s"half=$half se=$jk")
+  }
+
   test("leave-one-out: contributions are consistent (sum of n*contrib telescopes)") {
     // exact identity modulo per-group truncation: each contribution is
     // within 1 micro of (n_g/(N-n_g))*(mean_g - global_mean)
