@@ -2613,6 +2613,23 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tPm = 2000L)
     }),
 
+    // Extension — THE UNCERTAINTY DOSSIER: q213's bootstrap percentile
+    // interval and q214's jackknife 1.96·se half-width on the SAME
+    // estimand, side by side — two independent resampling schemes whose
+    // AGREEMENT is the readout (the q185/q200 dossier pattern applied
+    // to uncertainty itself). Hash-exact via the nested replays.
+    "q215_uncertainty_dossier" -> ((s, dir) => {
+      val bs = queries("q213_bootstrap_ci")(s, dir)
+        .select(lit("bootstrap_p95").as("method"),
+          col("mean_micro").as("center_micro"),
+          expr("(ci_hi_micro - ci_lo_micro) DIV 2").as("half_width_micro"))
+      val jk = queries("q214_jackknife_se")(s, dir)
+        .select(lit("jackknife_1p96se").as("method"),
+          col("mean_micro").as("center_micro"),
+          expr("(196 * se_micro) DIV 100").as("half_width_micro"))
+      bs.unionByName(jk).orderBy("method")
+    }),
+
     // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
     // the second uncertainty method, cross-checking q213 — 20 md5
     // buckets, leave-one-bucket-out means by sufficient-stats
@@ -5562,6 +5579,20 @@ object SparkEntry {
       |  CAST(floor(sqrt(CAST(se2_micro2 AS DOUBLE))) AS BIGINT) AS se_micro
       |FROM z""".stripMargin
 
+  /** q215: the two uncertainty replays nested verbatim, one row each.
+    * Assembled WITHOUT an outer stripMargin: the nested oracles contain
+    * lines whose first non-blank character is SQL's `||`, which a
+    * second stripMargin pass would eat. */
+  private def q215Oracle: String =
+    "SELECT 'bootstrap_p95' AS method, mean_micro AS center_micro,\n" +
+      "  (ci_hi_micro - ci_lo_micro) // 2 AS half_width_micro\n" +
+      s"FROM ($q213Oracle) t\n" +
+      "UNION ALL\n" +
+      "SELECT 'jackknife_1p96se', mean_micro,\n" +
+      "  (196 * se_micro) // 100\n" +
+      s"FROM ($q214Oracle) t\n" +
+      "ORDER BY method"
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7448,6 +7479,7 @@ object SparkEntry {
     "q212_psi_mix" -> q212Oracle,
     "q213_bootstrap_ci" -> q213Oracle,
     "q214_jackknife_se" -> q214Oracle,
+    "q215_uncertainty_dossier" -> q215Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
