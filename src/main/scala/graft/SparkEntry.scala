@@ -2630,6 +2630,25 @@ object SparkEntry {
       bs.unionByName(jk).orderBy("method")
     }),
 
+    // Extension — SURVIVAL ANALYSIS (Survival.nelsonAalen): discrete
+    // Nelson–Aalen cumulative hazard of time-to-next-purchase with
+    // right-censoring — each purchase is a subject, the last purchase
+    // per user is censored at the corpus horizon instead of being
+    // dropped (the bias q203's completed-pairs latency view carries).
+    // One user-partitioned window + a calendar-bounded bucket frame;
+    // every hazard term one truncating DIV, replayed in the oracle.
+    // Hash-exact.
+    "q216_survival_hazard" -> ((s, dir) => {
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("tms"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      graft.operators.Survival.nelsonAalen(
+        graft.operators.Survival.timeToNextDurations(
+          purchases, "user_id", "day", Seq("tms", "event_id")))
+    }),
+
     // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
     // the second uncertainty method, cross-checking q213 — 20 md5
     // buckets, leave-one-bucket-out means by sufficient-stats
@@ -5593,6 +5612,36 @@ object SparkEntry {
       s"FROM ($q214Oracle) t\n" +
       "ORDER BY method"
 
+  /** q216: Nelson–Aalen replay — lead() per user for gap durations,
+    * horizon censoring for last purchases, reverse-prefix at-risk,
+    * per-bucket truncated hazard, prefix-summed cumulative hazard. */
+  private val q216Oracle =
+    """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+      |    epoch_ms(ts) // 86400000 AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |h AS (SELECT max(day) AS h_day FROM p),
+      |g AS (SELECT user_id, day,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+      |      AS next_day
+      |  FROM p),
+      |subj AS (SELECT
+      |    CASE WHEN next_day IS NULL THEN h.h_day - g.day
+      |         ELSE next_day - g.day END AS dur,
+      |    CASE WHEN next_day IS NULL THEN 0 ELSE 1 END AS observed
+      |  FROM g, h),
+      |b AS (SELECT CAST(dur AS BIGINT) AS dur_day,
+      |    CAST(sum(observed) AS BIGINT) AS events,
+      |    CAST(sum(1 - observed) AS BIGINT) AS censored
+      |  FROM subj GROUP BY 1),
+      |r AS (SELECT *, CAST(sum(events + censored)
+      |      OVER (ORDER BY dur_day DESC) AS BIGINT) AS at_risk FROM b),
+      |z AS (SELECT *, CAST((1000000 * events) // at_risk AS BIGINT)
+      |    AS hazard_ppm FROM r)
+      |SELECT dur_day, at_risk, events, censored, hazard_ppm,
+      |  CAST(sum(hazard_ppm) OVER (ORDER BY dur_day) AS BIGINT)
+      |    AS cum_hazard_ppm
+      |FROM z ORDER BY dur_day""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7480,6 +7529,7 @@ object SparkEntry {
     "q213_bootstrap_ci" -> q213Oracle,
     "q214_jackknife_se" -> q214Oracle,
     "q215_uncertainty_dossier" -> q215Oracle,
+    "q216_survival_hazard" -> q216Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVIVAL ANALYSIS — discrete-time Nelson–Aalen cumulative hazard with
+  * right-censoring, the estimator behind "how long until the next
+  * purchase / the next crash / churn?" when the observation window cuts
+  * some subjects off before their event arrives. Ignoring censoring
+  * (e.g. q203's conversion-latency view of completed pairs only) biases
+  * the readout optimistic: the slowest subjects are exactly the ones the
+  * window truncates. The at-risk denominator is how survival analysis
+  * reinstates them.
+  *
+  * Numeric discipline (the [[Trend]]/[[Experiment]] convention): all
+  * counts are BIGINT, each hazard term is one truncating `DIV` into ppm,
+  * and the cumulative hazard is a prefix sum of the already-truncated
+  * terms — the truncation order is part of the defined semantics the
+  * DuckDB oracle replays term-for-term. No floating point anywhere, so
+  * the readout is bit-identical on any engine and aggregation order.
+  *
+  * Scale shape: [[timeToNextDurations]] is one user-partitioned window
+  * over the subject stream (the same shuffle a sessionization pass
+  * already needs) plus a 1-row broadcast horizon; [[nelsonAalen]] then
+  * aggregates subjects down to DURATION-BUCKET granularity — bounded by
+  * the calendar (a 10-year log at day grain is ≤ 3,653 rows) — and only
+  * the bucket frame sees unpartitioned windows. 100 TB of events never
+  * meets a window wider than one user's history.
+  */
+object Survival {
+
+  /** Build right-censored time-to-next-occurrence subjects from an
+    * occurrence stream: one row per occurrence, `dur` = whole-`dayCol`
+    * units until the same subject's next occurrence, `observed` = 1. The
+    * LAST occurrence of each subject has no successor — it is censored
+    * at the corpus horizon (max `dayCol` over the stream): `dur` =
+    * horizon − day, `observed` = 0, meaning "survived at least this
+    * long, outcome unknown".
+    *
+    * Ordering within a subject is by `orderCols` (pass the event
+    * timestamp plus a unique id so same-timestamp rows resolve
+    * deterministically); durations are taken on the integral `dayCol`,
+    * so same-day successors yield dur = 0 — a real bucket, not an error.
+    *
+    * @param df        occurrence stream (already filtered to the event
+    *                  of interest)
+    * @param subjectCol grouping identity (user id)
+    * @param dayCol    integral time bucket (epoch day)
+    * @param orderCols deterministic within-subject order (ts, event id)
+    */
+  def timeToNextDurations(df: DataFrame, subjectCol: String, dayCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(subjectCol)).orderBy(orderCols.map(col): _*)
+    val horizon = df.agg(max(col(dayCol)).cast("long").as("h_day"))
+    df.withColumn("next_day", lead(col(dayCol), 1).over(w))
+      .crossJoin(broadcast(horizon)) // 1-row scalar frame (the q84 pattern)
+      .select(
+        when(col("next_day").isNotNull, col("next_day") - col(dayCol))
+          .otherwise(col("h_day") - col(dayCol)).cast("long").as("dur"),
+        when(col("next_day").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("observed"))
+  }
+
+  /** Discrete Nelson–Aalen hazard table over censored duration subjects.
+    *
+    * For each duration bucket d that any subject reaches exactly:
+    *   - events_d   = subjects whose event occurred at duration d
+    *   - censored_d = subjects last seen at duration d (no event)
+    *   - at_risk_d  = subjects with duration ≥ d (reverse prefix sum —
+    *                  still at risk when d begins)
+    *   - hazard_ppm = 10⁶·events_d DIV at_risk_d  (discrete hazard)
+    *   - cum_hazard_ppm = Σ_{d'≤d} hazard_ppm  (Nelson–Aalen; survival
+    *     ≈ exp(−H) is left to the reader — the exact integer H is the
+    *     engine's deliverable)
+    *
+    * Censored subjects leave the risk set at their censoring duration
+    * without contributing an event — the whole point of the estimator.
+    *
+    * @param subjects (dur, observed) frame from [[timeToNextDurations]]
+    *                 or any censored-duration source; dur integral,
+    *                 observed ∈ {0, 1}
+    */
+  def nelsonAalen(subjects: DataFrame, durCol: String = "dur",
+      obsCol: String = "observed"): DataFrame = {
+    val buckets = subjects
+      .groupBy(col(durCol).cast("long").as("dur_day"))
+      .agg(sum(col(obsCol)).cast("long").as("events"),
+        sum(lit(1L) - col(obsCol)).cast("long").as("censored"))
+    // bucket frame is calendar-bounded — unpartitioned windows are safe
+    val wRisk = Window.orderBy(col("dur_day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("dur_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("at_risk", sum(col("events") + col("censored")).over(wRisk))
+      .withColumn("hazard_ppm", expr("(1000000 * events) DIV at_risk"))
+      .withColumn("cum_hazard_ppm", sum(col("hazard_ppm")).over(wCum))
+      .select(col("dur_day"), col("at_risk"), col("events"), col("censored"),
+        col("hazard_ppm"), col("cum_hazard_ppm"))
+      .orderBy("dur_day")
+  }
+}
