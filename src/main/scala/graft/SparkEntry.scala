@@ -2649,6 +2649,30 @@ object SparkEntry {
           purchases, "user_id", "day", Seq("tms", "event_id")))
     }),
 
+    // Extension — HYBRID SEARCH (Fusion.reciprocalRank): BM25 top-20
+    // (q77's exact ranking) and brute-cosine top-20 against vec_id=0,
+    // fused by reciprocal-rank with k0=60 — rank-only fusion, no
+    // cross-scale score normalization. doc_id and vec_id share the
+    // 0..N-1 id space (TESTDATA fixture contract), so the two rankers
+    // retrieve over the same corpus. Hash-exact: both input rankings
+    // are already oracle-replayable, and every RRF term is one
+    // truncating integer DIV.
+    "q217_hybrid_rrf" -> ((s, dir) => {
+      val lex = queries("q77_bm25")(s, dir)
+        .select(col("doc_id").as("id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val vec = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv, 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("id"), col("rank"))
+      graft.operators.Fusion.reciprocalRank(
+          Seq("lex" -> lex, "vec" -> vec), "id", "rank", k0 = 60L, topK = 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
     // the second uncertainty method, cross-checking q213 — 20 md5
     // buckets, leave-one-bucket-out means by sufficient-stats
@@ -5642,6 +5666,36 @@ object SparkEntry {
       |    AS cum_hazard_ppm
       |FROM z ORDER BY dur_day""".stripMargin
 
+  /** q217: RRF replay — q77's ranking nested verbatim (no outer
+    * stripMargin), the q28-style cosine top-20 ranked the same way the
+    * operator ranks it, FULL OUTER JOIN on id, per-list truncated
+    * reciprocal terms, fused rank with id tie-break. */
+  private def q217Oracle: String =
+    "WITH lex AS (SELECT doc_id AS id, \"rank\" AS rnk FROM (\n" +
+      q77Oracle + "\n) t),\n" +
+      s"""vec AS (SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+         |  FROM (WITH q AS (SELECT embedding AS qe FROM embeddings
+         |        WHERE vec_id = 0)
+         |    SELECT vec_id, ${duckDot("embedding", "qe")}
+         |        / (sqrt(${duckDot("embedding", "embedding")})
+         |         * sqrt(${duckDot("qe", "qe")})) AS score
+         |    FROM embeddings, q WHERE vec_id <> 0
+         |    ORDER BY score DESC, vec_id ASC LIMIT 20) t),
+         |u AS (SELECT coalesce(l.id, v.id) AS doc_id,
+         |    l.rnk AS rank_lex, v.rnk AS rank_vec
+         |  FROM lex l FULL OUTER JOIN vec v ON l.id = v.id),
+         |z AS (SELECT doc_id, rank_lex, rank_vec,
+         |    coalesce(1000000 // (60 + rank_lex), 0)
+         |      + coalesce(1000000 // (60 + rank_vec), 0) AS rrf_micro
+         |  FROM u)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, rank_lex, rank_vec,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro, fused_rank
+         |FROM (SELECT *, row_number()
+         |    OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank
+         |  FROM z)
+         |WHERE fused_rank <= 15 ORDER BY fused_rank""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7530,6 +7584,7 @@ object SparkEntry {
     "q214_jackknife_se" -> q214Oracle,
     "q215_uncertainty_dossier" -> q215Oracle,
     "q216_survival_hazard" -> q216Oracle,
+    "q217_hybrid_rrf" -> q217Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
