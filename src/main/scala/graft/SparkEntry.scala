@@ -2673,6 +2673,16 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Extension — MARKOV BACKTEST (Paths.transitionBacktest): the q103
+    // transition model evaluated OUT-OF-TIME — argmax next-event
+    // predictor trained on the first 21 days, top-1 accuracy scored on
+    // the rest. Day-split before sessionization (what a daily retrain
+    // sees), ties to the alphabetically-least successor. Hash-exact.
+    "q218_markov_backtest" -> ((s, dir) => {
+      graft.operators.Paths.transitionBacktest(events(s, dir),
+        "user_id", "ts", "event_type", "event_id", trainDays = 21L)
+    }),
+
     // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
     // the second uncertainty method, cross-checking q213 — 20 md5
     // buckets, leave-one-bucket-out means by sufficient-stats
@@ -5696,6 +5706,49 @@ object SparkEntry {
          |  FROM z)
          |WHERE fused_rank <= 15 ORDER BY fused_rank""".stripMargin
 
+  /** q218: Markov backtest replay — day split, per-side sessionization
+    * (the q103 session CTE, parameterized by day predicate), argmax
+    * predictor with alphabetical tie-break, eval join + accuracy. */
+  private def q218Oracle: String = {
+    def pairsCte(pred: String, p: String) =
+      s"""${p}s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+         |    event_id AS eid,
+         |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+         |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events WHERE $pred
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+         |${p}sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ms ASC, eid ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM ${p}s),
+         |${p}p AS (SELECT etype AS from_type,
+         |    lead(etype) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ms ASC, eid ASC) AS to_type
+         |  FROM ${p}sess)""".stripMargin
+    s"""WITH d0 AS (SELECT min(epoch_ms(ts) // 86400000) + 21 AS split
+       |  FROM events),
+       |${pairsCte("epoch_ms(ts) // 86400000 < (SELECT split FROM d0)", "tr")},
+       |trc AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM trp WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |pred AS (SELECT from_type, to_type AS pred_type, n AS n_train
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY from_type
+       |      ORDER BY n DESC, to_type ASC) AS rn FROM trc)
+       |  WHERE rn = 1),
+       |${pairsCte("epoch_ms(ts) // 86400000 >= (SELECT split FROM d0)", "ev")},
+       |evc AS (SELECT from_type, to_type FROM evp WHERE to_type IS NOT NULL),
+       |agg AS (SELECT e.from_type, any_value(p.pred_type) AS pred_type,
+       |    any_value(p.n_train) AS n_train,
+       |    CAST(sum(CASE WHEN e.to_type = p.pred_type THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits,
+       |    CAST(count(*) AS BIGINT) AS total
+       |  FROM evc e LEFT JOIN pred p ON e.from_type = p.from_type
+       |  GROUP BY 1)
+       |SELECT from_type, pred_type, n_train, hits, total,
+       |  (10000 * hits) // total AS acc_pm
+       |FROM agg ORDER BY from_type""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7585,6 +7638,7 @@ object SparkEntry {
     "q215_uncertainty_dossier" -> q215Oracle,
     "q216_survival_hazard" -> q216Oracle,
     "q217_hybrid_rrf" -> q217Oracle,
+    "q218_markov_backtest" -> q218Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

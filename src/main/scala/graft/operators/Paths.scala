@@ -175,4 +175,73 @@ object Paths {
         col(s"t${pattern.size}").as("last_ms"))
       .orderBy(userCol)
   }
+
+  /** OUT-OF-TIME BACKTEST of the first-order Markov next-event model:
+    * train the argmax-transition predictor on the first `trainDays` of
+    * the corpus, score its top-1 accuracy on everything after — the
+    * honest evaluation q103's in-sample transition matrix cannot give
+    * (a model scored on its own training window always looks better
+    * than it will live).
+    *
+    * Semantics, all deterministic and oracle-replayable:
+    *   - split FIRST on epoch day (day < minDay + trainDays is train),
+    *     THEN sessionize each side — the boundary cuts sessions, which
+    *     is exactly what a daily retrain sees;
+    *   - predictor: per from-type argmax of within-session transition
+    *     counts, ties to the alphabetically-least to-type;
+    *   - readout per eval from-type: the prediction, its training
+    *     support, eval hits/total, acc_pm = 10⁴·hits DIV total. Eval
+    *     types unseen in training keep a NULL prediction and 0 hits.
+    *
+    * Scale shape: two user-partitioned session windows (the same single
+    * exchange [[transitions]] uses — Catalyst reuses one shuffle for
+    * both sides' windows), aggregates at event-type² granularity, and
+    * an event-type-sized broadcast join of predictor onto eval pairs.
+    * The min-day scalar is a 1-row aggregate collected driver-side.
+    */
+  def transitionBacktest(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      trainDays: Long,
+      gapMs: Long = 30L * 60000L
+  ): DataFrame = {
+    val withDay = events.withColumn("_day",
+      expr(s"unix_millis(CAST(`$tsCol` AS TIMESTAMP)) DIV 86400000"))
+    val d0 = withDay.agg(min(col("_day"))).head().getLong(0)
+    val split = d0 + trainDays
+
+    def sessionPairs(df: DataFrame): DataFrame = {
+      val bySession = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("ms").asc, col("eid").asc)
+      sessionized(df, userCol, tsCol, typeCol, idCol, gapMs)
+        .withColumn("to_type", lead(col("etype"), 1).over(bySession))
+        .filter(col("to_type").isNotNull)
+        .select(col("etype").as("from_type"), col("to_type"))
+    }
+
+    val trainPairs = sessionPairs(withDay.filter(col("_day") < split))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val wPred = Window.partitionBy("from_type")
+      .orderBy(col("n").desc, col("to_type").asc)
+    val pred = trainPairs
+      .withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("pred_type"),
+        col("n").as("n_train"))
+
+    sessionPairs(withDay.filter(col("_day") >= split))
+      .join(broadcast(pred), Seq("from_type"), "left")
+      .groupBy("from_type")
+      .agg(first(col("pred_type")).as("pred_type"),
+        first(col("n_train")).as("n_train"),
+        sum(when(col("to_type") === col("pred_type"), 1L).otherwise(0L))
+          .as("hits"),
+        count(lit(1)).as("total"))
+      .withColumn("acc_pm", expr("(10000 * hits) DIV total"))
+      .select("from_type", "pred_type", "n_train", "hits", "total", "acc_pm")
+      .orderBy("from_type")
+  }
 }
