@@ -2683,6 +2683,17 @@ object SparkEntry {
         "user_id", "ts", "event_type", "event_id", trainDays = 21L)
     }),
 
+    // Extension — POWER / MDE CALCULATOR (Experiment.powerReadout): the
+    // design-time sibling of q109 — per metric, the absolute lift the
+    // current audience could detect at α=.05 / 80% power, and the users
+    // per arm a 2% and a 5% relative lift would need. Pinned z-sum
+    // 28016e-4, one IEEE sqrt, ceiling division on n_needed. Hash-exact.
+    "q219_power_mde" -> ((s, dir) => {
+      graft.operators.Experiment.powerReadout(events(s, dir),
+        "user_id", "event_type", converted = col("value") >= 15,
+        relPm = Seq(200L, 500L))
+    }),
+
     // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
     // the second uncertainty method, cross-checking q213 — 20 md5
     // buckets, leave-one-bucket-out means by sufficient-stats
@@ -5749,6 +5760,36 @@ object SparkEntry {
        |FROM agg ORDER BY from_type""".stripMargin
   }
 
+  /** q219: power/MDE replay — distinct-user conversion counts, the
+    * pinned 28016²  z-sum, floor(sqrt(double)) for MDE (IEEE sqrt is
+    * correctly rounded — both engines agree bit-for-bit), ceiling
+    * division for n_needed. */
+  private val q219Oracle = {
+    val z2 = 28016L * 28016L
+    def need(r: Long) =
+      s"""CASE WHEN p_pm > 0 AND ($r * p_pm) // 10000 > 0 THEN
+         |  CAST((num + 100000000::HUGEINT * (($r * p_pm) // 10000)
+         |      * (($r * p_pm) // 10000) - 1)
+         |    // (100000000::HUGEINT * (($r * p_pm) // 10000)
+         |      * (($r * p_pm) // 10000)) AS BIGINT) END AS n_need_rel$r""".stripMargin
+    s"""WITH c AS (SELECT event_type AS metric,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |    CAST(count(DISTINCT CASE WHEN value >= 15 THEN user_id END)
+       |      AS BIGINT) AS conv_users
+       |  FROM events GROUP BY 1),
+       |p AS (SELECT *, (10000 * conv_users) // n_users AS p_pm,
+       |    n_users // 2 AS n_arm FROM c),
+       |z AS (SELECT *, $z2::HUGEINT * 2 * p_pm * (10000 - p_pm) AS num
+       |  FROM p)
+       |SELECT metric, n_users, conv_users, p_pm, n_arm,
+       |  CASE WHEN n_arm > 0 AND p_pm > 0 THEN
+       |    CAST(floor(sqrt(CAST(num // n_arm AS DOUBLE))) AS BIGINT) // 10000
+       |  END AS mde_pm,
+       |  ${need(200L)},
+       |  ${need(500L)}
+       |FROM z ORDER BY metric""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7639,6 +7680,7 @@ object SparkEntry {
     "q216_survival_hazard" -> q216Oracle,
     "q217_hybrid_rrf" -> q217Oracle,
     "q218_markov_backtest" -> q218Oracle,
+    "q219_power_mde" -> q219Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -502,6 +502,75 @@ object Experiment {
       .orderBy("day")
   }
 
+  /** POWER ANALYSIS / MINIMUM DETECTABLE EFFECT — the design-time
+    * counterpart of [[abReadout]]: BEFORE running a test, what absolute
+    * lift could this metric's current audience even detect, and how many
+    * users per arm would a target relative lift need? The standard
+    * two-proportion approximation at α = .05 (two-sided) and 80% power:
+    *
+    *     MDE      = (z_{α/2} + z_β) · sqrt(2·p·(1−p)/n_arm)
+    *     n_needed = (z_{α/2} + z_β)² · 2·p·(1−p) / δ²
+    *
+    * with z_{α/2} + z_β = 1.9600 + 0.8416 pinned as the integer 28016
+    * (×10⁻⁴) — the same pinned-constant discipline as [[abReadout]]'s
+    * 1.96² = 38416.
+    *
+    * Exactness: everything is cross-multiplied into DECIMAL(38,0)
+    * integers; the single irrational step is one sqrt on a DOUBLE —
+    * IEEE-754 requires sqrt correctly rounded, and both engines convert
+    * the same integer to the same double, so floor(sqrt(…)) is
+    * bit-identical (the q214 jackknife-SE construction). n_needed uses
+    * ceiling division — under-powering by rounding down would be the
+    * one direction a design tool must never err.
+    *
+    * Scale shape: one distinct-user aggregate per metric (the same
+    * expand a conversion readout already pays), then arithmetic on the
+    * metrics-sized frame. No joins, no windows.
+    *
+    * @param converted row-level conversion predicate (a user converts
+    *                  if ANY of their rows under the metric satisfies it)
+    * @param relPm     target relative lifts in per-myriad of baseline
+    *                  (200 = detect a 2% relative change)
+    * @return per metric: n_users, conv_users, p_pm, n_arm, mde_pm,
+    *         and one n_need_rel<r> column per requested lift
+    */
+  def powerReadout(
+      events: DataFrame,
+      userCol: String,
+      metricCol: String,
+      converted: Column,
+      relPm: Seq[Long] = Seq(200L, 500L)
+  ): DataFrame = {
+    require(relPm.nonEmpty, "need at least one target relative lift")
+    val z2 = 28016L * 28016L // (1.96 + 0.8416)² in 1e-8 units
+    val counts = events
+      .groupBy(col(metricCol).as("metric"))
+      .agg(count_distinct(col(userCol)).as("n_users"),
+        count_distinct(when(converted, col(userCol))).as("conv_users"))
+      .withColumn("p_pm", expr("(10000 * conv_users) DIV n_users"))
+      .withColumn("n_arm", expr("n_users DIV 2"))
+      .withColumn("_num",
+        (lit(z2).cast("decimal(38,0)") * 2 * col("p_pm")
+          * (lit(10000L) - col("p_pm"))).cast("decimal(38,0)"))
+      .withColumn("mde_pm",
+        when(col("n_arm") > 0 && col("p_pm") > 0,
+          expr("CAST(floor(sqrt(CAST(_num DIV n_arm AS DOUBLE))) AS BIGINT) DIV 10000")))
+    val withNeeds = relPm.foldLeft(counts) { (acc, r) =>
+      acc.withColumn(s"n_need_rel$r",
+        when(col("p_pm") > 0 && expr(s"($r * p_pm) DIV 10000") > 0,
+          expr(s"""(_num + 100000000 * (($r * p_pm) DIV 10000)
+                  |  * (($r * p_pm) DIV 10000) - 1)
+                  | DIV (100000000 * (($r * p_pm) DIV 10000)
+                  |  * (($r * p_pm) DIV 10000))""".stripMargin.replace("\n", " "))
+            .cast("long")))
+    }
+    withNeeds
+      .select(Seq(col("metric"), col("n_users"), col("conv_users"),
+        col("p_pm"), col("n_arm"), col("mde_pm")) ++
+        relPm.map(r => col(s"n_need_rel$r")): _*)
+      .orderBy("metric")
+  }
+
   /** The stateless finish: roll the ledger up to per-day arm counts and
     * apply the integer χ² test (days-sized frame). */
   def srmFromLedger(ledger: DataFrame): DataFrame =
