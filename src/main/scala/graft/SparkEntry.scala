@@ -2694,6 +2694,19 @@ object SparkEntry {
         relPm = Seq(200L, 500L))
     }),
 
+    // Extension — TWO-SAMPLE KS DRIFT TEST (Drift.ksTwoSample): did
+    // each event type's value distribution shift between the first 15
+    // days and the rest? Full-ECDF comparison in cross-multiplied
+    // integers — no bins (PSI q212's blind spot), no floats; the
+    // α=.05 rejection uses the exact rational (1358/1000)². Hash-exact.
+    "q220_ks_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("_day", expr("unix_millis(ts) DIV 86400000"))
+      val d0 = ev.agg(min(col("_day"))).head().getLong(0)
+      graft.operators.Drift.ksTwoSample(ev, "event_type", "value",
+        inA = col("_day") < d0 + 15)
+    }),
+
     // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
     // the second uncertainty method, cross-checking q213 — 20 md5
     // buckets, leave-one-bucket-out means by sufficient-stats
@@ -5790,6 +5803,38 @@ object SparkEntry {
        |FROM z ORDER BY metric""".stripMargin
   }
 
+  /** q220: KS replay — (key, value)-grain split counts, cumulative and
+    * total windows, HUGEINT cross-multiplied D, the exact 1844164/10⁶
+    * rejection rational. */
+  private val q220Oracle =
+    """WITH d0 AS (SELECT min(epoch_ms(ts) // 86400000) + 15 AS split
+      |  FROM events),
+      |c AS (SELECT event_type AS "key", value AS v,
+      |    CAST(sum(CASE WHEN epoch_ms(ts) // 86400000
+      |        < (SELECT split FROM d0) THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN epoch_ms(ts) // 86400000
+      |        >= (SELECT split FROM d0) THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |    sum(ca) OVER (PARTITION BY "key" ORDER BY v) AS cum_a,
+      |    sum(cb) OVER (PARTITION BY "key" ORDER BY v) AS cum_b,
+      |    sum(ca) OVER (PARTITION BY "key") AS n_a,
+      |    sum(cb) OVER (PARTITION BY "key") AS n_b
+      |  FROM c),
+      |d AS (SELECT "key", n_a, n_b,
+      |    abs(n_b::HUGEINT * cum_a - n_a::HUGEINT * cum_b) AS d_int
+      |  FROM w),
+      |m AS (SELECT "key", CAST(max(n_a) AS BIGINT) AS n_a,
+      |    CAST(max(n_b) AS BIGINT) AS n_b, max(d_int) AS d
+      |  FROM d GROUP BY 1)
+      |SELECT "key", n_a, n_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0
+      |    THEN CAST((10000 * d) // (n_a::HUGEINT * n_b) AS BIGINT)
+      |  END AS d_pm,
+      |  (d::HUGEINT * d * 1000000
+      |    > 1844164::HUGEINT * (n_a + n_b) * n_a * n_b) AS reject
+      |FROM m ORDER BY "key"""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7681,6 +7726,7 @@ object SparkEntry {
     "q217_hybrid_rrf" -> q217Oracle,
     "q218_markov_backtest" -> q218Oracle,
     "q219_power_mde" -> q219Oracle,
+    "q220_ks_drift" -> q220Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -203,5 +204,65 @@ object Drift {
         col("lnr_micro"), col("term").cast("long").as("term"))
       .crossJoin(summary)
       .orderBy("cell")
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST, exact — the nonparametric
+    * complement of [[psiReport]]: PSI needs pre-chosen bins and goes
+    * blind between their edges; KS compares the FULL empirical CDFs, so
+    * a shape change PSI's bins straddle still registers. Per key:
+    *
+    *     D = max_v |F_a(v) − F_b(v)|
+    *       = max_v |n_b·C_a(v) − n_a·C_b(v)| / (n_a·n_b)
+    *
+    * computed entirely in cross-multiplied integers (no 1/n floats);
+    * the α=.05 rejection c(α)=1.358 enters as the EXACT rational
+    * (1358/1000)², i.e.
+    *
+    *     reject ⇔ D_int² · 10⁶ > 1844164 · (n_a+n_b) · n_a · n_b
+    *
+    * — no rounded constant, no sqrt, engine-independent to the bit.
+    *
+    * Scale shape: one (key, value)-grain aggregate (map-side combined),
+    * then per-key ordered windows over the DISTINCT-VALUE frame — fine
+    * for measures with bounded cardinality (prices in cents, latencies
+    * in ms); for truly continuous 100 TB measures, quantize `valueCol`
+    * to the precision you care about first and the window shrinks to
+    * the quantized domain.
+    *
+    * @param df     observations
+    * @param keyCol per-key tests run independently
+    * @param valueCol ordered measure (any orderable type)
+    * @param inA    predicate splitting the rows into sample A vs B
+    * @return key, n_a, n_b, d_pm (10⁴·D truncated), reject
+    */
+  def ksTwoSample(df: DataFrame, keyCol: String, valueCol: String,
+      inA: Column): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).as("key"), col(valueCol).as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
+        sum(when(inA, 0L).otherwise(1L)).as("cb"))
+    val wCum = Window.partitionBy("key").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("key")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("cum_a", sum(col("ca")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wTot))
+      .withColumn("n_b", sum(col("cb")).over(wTot))
+      .withColumn("d_int",
+        abs(col("n_b").cast("decimal(38,0)") * col("cum_a")
+          - col("n_a").cast("decimal(38,0)") * col("cum_b")))
+      .groupBy("key")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("d_int")).as("_d"))
+      .select(col("key"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(10000 * _d) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
+          .as("d_pm"),
+        (col("_d").cast("decimal(38,0)") * col("_d") * 1000000L >
+          lit(1844164L).cast("decimal(38,0)") * (col("n_a") + col("n_b"))
+            * col("n_a") * col("n_b")).as("reject"))
+      .orderBy("key")
   }
 }
