@@ -2707,6 +2707,22 @@ object SparkEntry {
         inA = col("_day") < d0 + 15)
     }),
 
+    // Extension — K-CORE BACKBONE (Graph.kCore): the 46-core of the
+    // customer–supplier purchase graph (distinct trading pairs via
+    // orders⋈lineitem, ids disambiguated by side prefix) — the cohesive
+    // trading core a plain degree-≥46 filter overstates, found by
+    // synchronous peeling to fixpoint. Oracle unrolls 6 peel rounds
+    // (fixture converges in ≤2; peeling is idempotent past the
+    // fixpoint, so extra unrolled rounds are no-ops). Hash-exact.
+    "q221_kcore_backbone" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cust"),
+          concat(lit("s"), col("l_suppkey")).as("supp"))
+        .distinct()
+      graft.operators.Graph.kCore(edges, "cust", "supp", k = 46)
+    }),
+
     // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
     // the second uncertainty method, cross-checking q213 — 20 md5
     // buckets, leave-one-bucket-out means by sufficient-stats
@@ -5835,6 +5851,33 @@ object SparkEntry {
       |    > 1844164::HUGEINT * (n_a + n_b) * n_a * n_b) AS reject
       |FROM m ORDER BY "key"""".stripMargin
 
+  /** q221: k-core replay — symmetrized distinct edges, then SIX
+    * unrolled peel rounds (each: degrees of the surviving edge set,
+    * edges whose BOTH endpoints keep degree ≥ k). The fixture reaches
+    * the fixpoint in ≤2 rounds; rounds past the fixpoint are identity,
+    * so the unroll equals the operator's run-to-convergence loop. */
+  private val q221Oracle = {
+    val k = 46
+    val rounds = 6
+    val base =
+      """e0 AS (SELECT a, b FROM (
+        |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  UNION
+        |  SELECT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey) t)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT a AS n, count(*) AS d FROM e${r - 1} GROUP BY 1),
+         |ok$r AS (SELECT n FROM d$r WHERE d >= $k),
+         |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN ok$r x ON e.a = x.n JOIN ok$r y ON e.b = y.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$peels
+       |SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e$rounds GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7727,6 +7770,7 @@ object SparkEntry {
     "q218_markov_backtest" -> q218Oracle,
     "q219_power_mde" -> q219Oracle,
     "q220_ks_drift" -> q220Oracle,
+    "q221_kcore_backbone" -> q221Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -171,4 +171,70 @@ object Graph {
           expr("3 * CAST(n_triangles AS DECIMAL(38,0)) * 10000 DIV n_wedges"))
           .otherwise(0L))
   }
+
+  /** K-CORE DECOMPOSITION — the maximal subgraph in which every node
+    * keeps degree ≥ k, found by iterative peeling: drop every node
+    * whose CURRENT degree is < k, recompute degrees on the induced
+    * subgraph, repeat to fixpoint. The classic "dense backbone"
+    * extractor (cohesive customer–supplier trading cores, spam-farm
+    * detection, bot-ring mining) — a plain degree filter is one round
+    * of this and overcounts, because removing the periphery lowers the
+    * degrees of what remains.
+    *
+    * Determinism: peeling removes ALL sub-k nodes of a round at once
+    * (synchronous), so the result is the unique k-core — no ordering
+    * sensitivity, unlike vertex-at-a-time peeling. Monotone and
+    * idempotent: once the fixpoint is reached, further rounds are
+    * no-ops (which is what lets a fixed-unroll SQL replay agree with
+    * this run-to-fixpoint loop whenever convergence happens within the
+    * unroll budget).
+    *
+    * Scale shape (the [[pageRank]] discipline): each round is one
+    * map-side-combined degree aggregate plus two anti-joins of the
+    * edge list against the (usually tiny, AQE-broadcast) sub-k node
+    * set, with a `localCheckpoint` per round pinning plan depth
+    * constant. The driver sees one count per round — the convergence
+    * scalar, never data. Rounds are data-bounded: each round removes
+    * ≥1 node or stops, and real graphs converge in a handful.
+    *
+    * @param edges undirected edges; parallel edges collapse (a
+    *              neighbor counts once toward degree)
+    * @return (node, core_degree) for nodes of the k-core — degree
+    *         measured IN the core, so every row has core_degree ≥ k
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 50
+  ): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // symmetrize + dedup: degree = distinct-neighbor count
+    var sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val bad = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k)
+        .select("n")
+        .localCheckpoint(true) // consumed by two anti-joins + the scalar
+      if (bad.isEmpty) converged = true
+      else {
+        sym = sym
+          .join(bad.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+          .select("a", "b")
+          .localCheckpoint(true) // constant plan depth across rounds
+        round += 1
+      }
+    }
+    require(converged, s"k-core did not converge within $maxRounds rounds")
+    sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
 }
