@@ -236,11 +236,17 @@ object Drift {
     * @return key, n_a, n_b, d_pm (10⁴·D truncated), reject
     */
   def ksTwoSample(df: DataFrame, keyCol: String, valueCol: String,
-      inA: Column): DataFrame = {
-    val counts = df
+      inA: Column): DataFrame =
+    ksFromCounts(df
       .groupBy(col(keyCol).as("key"), col(valueCol).as("v"))
       .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
-        sum(when(inA, 0L).otherwise(1L)).as("cb"))
+        sum(when(inA, 0L).otherwise(1L)).as("cb")))
+
+  /** The stateless KS finish over pre-aggregated (key, v, ca, cb) cell
+    * counts — the mergeable state a streaming ingest maintains (cell
+    * sums commute with micro-batching), mirroring [[psiFromCells]]:
+    * aggregate live, finish on demand. */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
     val wCum = Window.partitionBy("key").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy("key")

@@ -745,6 +745,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("A")._4 == 230258L)
   }
 
+  test("streaming KS cell counts + batch finish (live ECDF drift monitor)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Drift
+
+    val src = Files.createTempDirectory("graft_stream_ks")
+    val ckp = Files.createTempDirectory("graft_stream_ks_ckp")
+    // value 2.0's A-side mass is split across micro-batches: the
+    // (key, v, side) sums must merge through the state store before
+    // the ECDF finish sees them
+    Files.write(src.resolve("a.json"), Seq(
+      """{"k":"m","v":1.0,"a":true}""", """{"k":"m","v":2.0,"a":true}""",
+      """{"k":"m","v":5.0,"a":false}""", """{"k":"m","v":6.0,"a":false}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"k":"m","v":2.0,"a":true}""", """{"k":"m","v":3.0,"a":true}""",
+      """{"k":"m","v":5.0,"a":false}""", """{"k":"m","v":7.0,"a":false}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(src.toString)
+      .groupBy(col("k").as("key"), col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+      .writeStream
+      .format("memory").queryName("ks_cells_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) => rows.map(r =>
+      r.getAs[String]("key") -> ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("d_pm"), r.getAs[Boolean]("reject")))).toMap
+    val streamed = canon(Drift.ksFromCounts(
+      spark.table("ks_cells_stream")).collect())
+    val batch = canon(Drift.ksTwoSample(spark.read.json(src.toString),
+      "k", "v", col("a")).collect())
+    assert(streamed == batch)
+    // disjoint supports (A in {1,2,3}, B in {5,6,7}): D = 1, and the
+    // critical D at 4-vs-4 is 1.358*sqrt(8/16) = 0.96 < 1 — rejected
+    assert(streamed("m") == ((4L, 4L, 10000L, true)))
+  }
+
   test("streaming membership flags + batch overlap finish (live segment store)") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Audience
