@@ -2723,6 +2723,27 @@ object SparkEntry {
       graft.operators.Graph.kCore(edges, "cust", "supp", k = 46)
     }),
 
+    // Extension — HYBRID SERVING FROM STORED INDEXES (the round's
+    // composition): q217's fusion with BOTH legs swapped to their
+    // stored-index serving paths — BM25 from the q142 snapshot-committed
+    // inverted index (no document text in the plan) and ANN from the
+    // q56 materialized bucket-partitioned index (partition-pruned probe,
+    // no corpus re-sign). Query-time work touches only index slivers;
+    // RRF fuses the two (lex exactly q77's ranking — the index is
+    // lossless; vec exactly q29's LSH ranking — the index serves the
+    // same candidates). Hash-exact against from-scratch oracles.
+    "q222_stored_hybrid_serve" -> ((s, dir) => {
+      val lex = queries("q142_stored_text_index")(s, dir)
+        .select(col("doc_id").as("id"), col("rank"))
+      val vec = queries("q56_ann_indexed")(s, dir)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("id"), col("rank"))
+      graft.operators.Fusion.reciprocalRank(
+          Seq("lex" -> lex, "vec" -> vec), "id", "rank", k0 = 60L, topK = 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Extension — GROUPED JACKKNIFE SE (Valuation.groupedJackknife):
     // the second uncertainty method, cross-checking q213 — 20 md5
     // buckets, leave-one-bucket-out means by sufficient-stats
@@ -5878,6 +5899,29 @@ object SparkEntry {
        |FROM e$rounds GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** q222: stored-hybrid replay — q217's fusion frame with the vec leg
+    * swapped to q29's LSH ranking (what the materialized index serves);
+    * the lex leg stays q77's ranking (the stored index is lossless). */
+  private def q222Oracle: String =
+    "WITH lex AS (SELECT doc_id AS id, \"rank\" AS rnk FROM (\n" +
+      q77Oracle + "\n) t),\n" +
+      "vec AS (SELECT vec_id AS id,\n" +
+      "    row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rnk\n" +
+      s"  FROM ($q29Oracle) t),\n" +
+      """u AS (SELECT coalesce(l.id, v.id) AS doc_id,
+        |    l.rnk AS rank_lex, v.rnk AS rank_vec
+        |  FROM lex l FULL OUTER JOIN vec v ON l.id = v.id),
+        |z AS (SELECT doc_id, rank_lex, rank_vec,
+        |    coalesce(1000000 // (60 + rank_lex), 0)
+        |      + coalesce(1000000 // (60 + rank_vec), 0) AS rrf_micro
+        |  FROM u)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, rank_lex, rank_vec,
+        |  CAST(rrf_micro AS BIGINT) AS rrf_micro, fused_rank
+        |FROM (SELECT *, row_number()
+        |    OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank
+        |  FROM z)
+        |WHERE fused_rank <= 15 ORDER BY fused_rank""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7771,6 +7815,7 @@ object SparkEntry {
     "q219_power_mde" -> q219Oracle,
     "q220_ks_drift" -> q220Oracle,
     "q221_kcore_backbone" -> q221Oracle,
+    "q222_stored_hybrid_serve" -> q222Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
