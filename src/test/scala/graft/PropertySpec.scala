@@ -400,6 +400,71 @@ class PropertySpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq) // bit-identical re-run
   }
 
+  test("survival: risk set shrinks, cumulative hazard grows, hazards bounded") {
+    import graft.operators.Survival
+    val subj = sample(Gen.zip(Gen.chooseNum(0L, 20L), Gen.oneOf(0L, 1L)), 300)
+    val out = Survival.nelsonAalen(subj.toDF("dur", "observed")).collect()
+    val risk = out.map(_.getAs[Long]("at_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a > b })
+    val cum = out.map(_.getAs[Long]("cum_hazard_ppm"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    out.foreach { r =>
+      val h = r.getAs[Long]("hazard_ppm")
+      assert(h >= 0L && h <= 1000000L)
+      assert(r.getAs[Long]("events") + r.getAs[Long]("censored") <=
+        r.getAs[Long]("at_risk"))
+    }
+  }
+
+  test("rrf fusion: ranks are a 1..n permutation and scores decay with rank") {
+    import graft.operators.Fusion
+    val la = sample(Gen.chooseNum(1L, 60L), 40).distinct.zipWithIndex
+      .map { case (id, i) => (id, i + 1) }
+    val lb = sample(Gen.chooseNum(30L, 90L), 40).distinct.zipWithIndex
+      .map { case (id, i) => (id, i + 1) }
+    val out = Fusion.reciprocalRank(
+      Seq("a" -> la.toDF("id", "rank"), "b" -> lb.toDF("id", "rank")),
+      "id", "rank", topK = 25).collect()
+    assert(out.map(_.getAs[Int]("fused_rank")).toList == (1 to out.length).toList)
+    val scores = out.map(_.getAs[Long]("rrf_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every score is the exact sum of its members' reciprocal terms
+    out.foreach { r =>
+      def term(idx: Int) = if (r.isNullAt(idx)) 0L
+        else 1000000L / (60L + r.getLong(idx))
+      assert(r.getAs[Long]("rrf_micro") ==
+        term(r.fieldIndex("rank_a")) + term(r.fieldIndex("rank_b")))
+    }
+  }
+
+  test("ks: D is symmetric in the samples and bounded in [0, 10000]") {
+    import graft.operators.Drift
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 30L), Gen.oneOf(true, false)), 400)
+      .map { case (v, a) => ("k", v.toDouble, a) }
+    val df = rows.toDF("k", "v", "a")
+    val fwd = Drift.ksTwoSample(df, "k", "v", col("a")).collect().head
+    val rev = Drift.ksTwoSample(df, "k", "v", !col("a")).collect().head
+    assert(fwd.getAs[Long]("d_pm") == rev.getAs[Long]("d_pm"))
+    assert(fwd.getAs[Boolean]("reject") == rev.getAs[Boolean]("reject"))
+    assert(fwd.getAs[Long]("d_pm") >= 0L && fwd.getAs[Long]("d_pm") <= 10000L)
+    assert(fwd.getAs[Long]("n_a") == rev.getAs[Long]("n_b"))
+  }
+
+  test("k-core nesting: the (k+1)-core is contained in the k-core") {
+    import graft.operators.Graph
+    val edges = sample(
+      Gen.zip(Gen.chooseNum(1L, 22L), Gen.chooseNum(1L, 22L)), 140)
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("u", "v")
+    val k3 = Graph.kCore(df, "u", "v", k = 3).collect()
+      .map(_.getAs[Long]("node")).toSet
+    val k4 = Graph.kCore(df, "u", "v", k = 4).collect()
+      .map(_.getAs[Long]("node")).toSet
+    assert(k4.subsetOf(k3))
+    Graph.kCore(df, "u", "v", k = 3).collect()
+      .foreach(r => assert(r.getAs[Long]("core_degree") >= 3L))
+  }
+
   test("tail ratios: survivors are monotone non-increasing and bounded by units") {
     import graft.operators.Profile
     val vals = sample(Gen.chooseNum(0L, 300L), 250)
