@@ -2673,6 +2673,27 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Extension — LOG-RANK TEST (Survival.logRank): do big purchases
+    // (value ≥ 15) and small ones lead to DIFFERENT time-to-next-
+    // purchase hazard curves? The Mantel–Cox χ²₁ against the full
+    // censored curves — per event bucket, group 1's observed events vs
+    // the hypergeometric expectation and variance, micro-truncated
+    // term-by-term, rejection fully cross-multiplied against the
+    // house-pinned 38416e-4. Hash-exact.
+    "q223_logrank_hazard" -> ((s, dir) => {
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("tms"),
+          expr("unix_millis(ts) DIV 86400000").as("day"),
+          (col("value") >= 15).as("big"))
+      graft.operators.Survival.logRank(
+        graft.operators.Survival.timeToNextDurations(
+          purchases, "user_id", "day", Seq("tms", "event_id"),
+          carryCols = Seq("big")),
+        "dur", "observed", inG1Col = col("big"))
+    }),
+
     // Extension — MARKOV BACKTEST (Paths.transitionBacktest): the q103
     // transition model evaluated OUT-OF-TIME — argmax next-event
     // predictor trained on the first 21 days, top-1 accuracy scored on
@@ -5922,6 +5943,58 @@ object SparkEntry {
         |  FROM z)
         |WHERE fused_rank <= 15 ORDER BY fused_rank""".stripMargin
 
+  /** q223: log-rank replay — q216's subject construction carrying the
+    * value≥15 group flag, (dur, group) bucket counts, reverse-prefix
+    * risk sets, micro-truncated hypergeometric terms, cross-multiplied
+    * rejection. */
+  private val q223Oracle =
+    """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+      |    epoch_ms(ts) // 86400000 AS day, (value >= 15) AS big
+      |  FROM events WHERE event_type = 'purchase'),
+      |h AS (SELECT max(day) AS h_day FROM p),
+      |g AS (SELECT user_id, day, big,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+      |      AS next_day
+      |  FROM p),
+      |subj AS (SELECT
+      |    CASE WHEN next_day IS NULL THEN h.h_day - g.day
+      |         ELSE next_day - g.day END AS dur,
+      |    CASE WHEN next_day IS NULL THEN 0 ELSE 1 END AS observed, big
+      |  FROM g, h),
+      |b AS (SELECT CAST(dur AS BIGINT) AS dur_day,
+      |    CAST(sum(CASE WHEN big THEN observed ELSE 0 END) AS BIGINT) AS e1,
+      |    CAST(sum(CASE WHEN big THEN 1 - observed ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN NOT big THEN observed ELSE 0 END) AS BIGINT) AS e2,
+      |    CAST(sum(CASE WHEN NOT big THEN 1 - observed ELSE 0 END) AS BIGINT) AS c2
+      |  FROM subj GROUP BY 1),
+      |r AS (SELECT *,
+      |    CAST(sum(e1 + c1) OVER (ORDER BY dur_day DESC) AS BIGINT) AS r1,
+      |    CAST(sum(e2 + c2) OVER (ORDER BY dur_day DESC) AS BIGINT) AS r2
+      |  FROM b),
+      |t AS (SELECT *, r1 + r2 AS r, e1 + e2 AS e,
+      |    max(r1) OVER () AS nn1, max(r2) OVER () AS nn2
+      |  FROM r),
+      |f AS (SELECT *,
+      |    (1000000 * e * r1) // r AS exp1_micro,
+      |    CASE WHEN r > 1 THEN
+      |      (1000000::HUGEINT * e * r1 * (r - r1) * (r - e))
+      |        // (r::HUGEINT * r * (r - 1))
+      |    ELSE 0 END AS var_micro
+      |  FROM t WHERE e > 0),
+      |agg AS (SELECT CAST(max(nn1) AS BIGINT) AS n1,
+      |    CAST(max(nn2) AS BIGINT) AS n2,
+      |    CAST(sum(e1) AS BIGINT) AS o1,
+      |    CAST(sum(exp1_micro) AS BIGINT) AS e1_micro,
+      |    CAST(sum(var_micro) AS BIGINT) AS v_micro
+      |  FROM f)
+      |SELECT n1, n2, o1, e1_micro, v_micro,
+      |  CASE WHEN v_micro > 0 THEN
+      |    CAST(((o1 * 1000000 - e1_micro)::HUGEINT * (o1 * 1000000 - e1_micro))
+      |      // (1000 * v_micro) AS BIGINT) END AS chi2_milli,
+      |  ((o1 * 1000000 - e1_micro)::HUGEINT * (o1 * 1000000 - e1_micro) * 10000
+      |    > 38416::HUGEINT * v_micro * 1000000) AS reject
+      |FROM agg""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7816,6 +7889,7 @@ object SparkEntry {
     "q220_ks_drift" -> q220Oracle,
     "q221_kcore_backbone" -> q221Oracle,
     "q222_stored_hybrid_serve" -> q222Oracle,
+    "q223_logrank_hazard" -> q223Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Survival
@@ -46,6 +47,43 @@ class SurvivalSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("hazard_ppm") == 0L))
     assert(out.forall(_.getAs[Long]("cum_hazard_ppm") == 0L))
     assert(out.map(_.getAs[Long]("at_risk")).toList == List(2L, 1L))
+  }
+
+  test("logrank: mirror-image groups give exactly zero statistic") {
+    val subj = Seq((1L, 1L, true), (1L, 1L, false), (3L, 1L, true),
+      (3L, 1L, false), (4L, 0L, true), (4L, 0L, false))
+      .toDF("dur", "observed", "g")
+    val r = Survival.logRank(subj, "dur", "observed", col("g"))
+      .collect().head
+    assert(r.getAs[Long]("o1") * 1000000L == r.getAs[Long]("e1_micro"))
+    assert(r.getAs[Long]("chi2_milli") == 0L)
+    assert(!r.getAs[Boolean]("reject"))
+  }
+
+  test("logrank: hand-computed chi2 on the two-bucket case") {
+    // g1 events at d=1 (2 subjects), g2 events at d=2 (2 subjects):
+    // E1 = 1e6 micro, V = 333333 micro, chi2 = 3.000 (< 3.8416 -> keep)
+    val subj = Seq((1L, 1L, true), (1L, 1L, true), (2L, 1L, false),
+      (2L, 1L, false)).toDF("dur", "observed", "g")
+    val r = Survival.logRank(subj, "dur", "observed", col("g"))
+      .collect().head
+    assert(r.getAs[Long]("o1") == 2L)
+    assert(r.getAs[Long]("e1_micro") == 1000000L)
+    assert(r.getAs[Long]("v_micro") == 333333L)
+    assert(r.getAs[Long]("chi2_milli") == 3000L)
+    assert(!r.getAs[Boolean]("reject"))
+  }
+
+  test("logrank: decisive separation rejects; group sizes count censor-only buckets") {
+    // g1: 30 fast events at d=1 plus a censor-only early bucket entry;
+    // g2: 30 slow events at d=9 — strongly different curves
+    val subj = (Seq((0L, 0L, true)) ++ Seq.fill(30)((1L, 1L, true)) ++
+      Seq.fill(30)((9L, 1L, false))).toDF("dur", "observed", "g")
+    val r = Survival.logRank(subj, "dur", "observed", col("g"))
+      .collect().head
+    assert(r.getAs[Long]("n1") == 31L) // censor-only bucket still counted
+    assert(r.getAs[Long]("n2") == 30L)
+    assert(r.getAs[Boolean]("reject"))
   }
 
   test("invariant: at_risk is a reverse prefix sum of bucket totals") {
