@@ -2694,6 +2694,18 @@ object SparkEntry {
         "dur", "observed", inG1Col = col("big"))
     }),
 
+    // Extension — A/A CALIBRATION (Experiment.aaCalibration): the
+    // q109 proportion test run over 8 NULL splits of the same events —
+    // no treatment anywhere, so every "significant" is a false
+    // positive; a healthy α=.05 test fires on ≈5% of the 40 cells.
+    // The event-log passes are paid once and shared across salts.
+    // Hash-exact (8 verbatim md5-split replays + the q109 verdict).
+    "q224_aa_calibration" -> ((s, dir) => {
+      graft.operators.Experiment.aaCalibration(events(s, dir),
+        "user_id", "event_type", converted = col("metric_value") >= 15,
+        salts = (1 to 8).map(i => s"aa$i"))
+    }),
+
     // Extension — MARKOV BACKTEST (Paths.transitionBacktest): the q103
     // transition model evaluated OUT-OF-TIME — argmax next-event
     // predictor trained on the first 21 days, top-1 accuracy scored on
@@ -5995,6 +6007,53 @@ object SparkEntry {
       |    > 38416::HUGEINT * v_micro * 1000000) AS reject
       |FROM agg""".stripMargin
 
+  /** q224: A/A replay — q109's md5 split and verdict, once per salt,
+    * UNION ALL'd, with the family false-positive summary crossJoined
+    * onto every row. Generated SQL: one variant/arms/converter-join
+    * block per salt over the shared u/pm CTEs. */
+  private def q224Oracle: String = {
+    val salts = (1 to 8).map(i => s"aa$i")
+    val blocks = salts.zipWithIndex.map { case (s, i) =>
+      s"""v$i AS (SELECT user_id,
+         |  CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || '$s'), 1, 8))::BIGINT
+         |             % 10000) < 5000
+         |       THEN 0 ELSE 1 END AS variant FROM u),
+         |arms$i AS (SELECT
+         |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM v$i),
+         |cc$i AS (SELECT '$s' AS salt, p.event_type,
+         |  CAST(sum(CASE WHEN v.variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |  CAST(sum(CASE WHEN v.variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM pm p JOIN v$i v ON v.user_id = p.user_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val unions = salts.indices.map(i =>
+      s"SELECT salt, event_type, n_a, c_a, n_b, c_b FROM cc$i CROSS JOIN arms$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |pm AS (SELECT event_type, user_id FROM events
+       |  GROUP BY 1, 2 HAVING count(*) >= 15),
+       |$blocks,
+       |cells AS ($unions),
+       |sig AS (SELECT *,
+       |  10000::HUGEINT
+       |    * (c_a * n_b - c_b * n_a)::HUGEINT
+       |    * (c_a * n_b - c_b * n_a)::HUGEINT
+       |    * (n_a + n_b)::HUGEINT
+       |  > 38416::HUGEINT * n_a::HUGEINT * n_b::HUGEINT
+       |    * (c_a + c_b)::HUGEINT
+       |    * ((n_a + n_b) - (c_a + c_b))::HUGEINT AS significant
+       |  FROM cells),
+       |smry AS (SELECT CAST(count(*) AS BIGINT) AS n_tests,
+       |    CAST(sum(CASE WHEN significant THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_false_pos
+       |  FROM sig)
+       |SELECT salt, event_type, n_a, c_a, n_b, c_b, significant,
+       |  n_tests, n_false_pos, (10000 * n_false_pos) // n_tests AS fp_pm
+       |FROM sig CROSS JOIN smry
+       |ORDER BY salt, event_type""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7890,6 +7949,7 @@ object SparkEntry {
     "q221_kcore_backbone" -> q221Oracle,
     "q222_stored_hybrid_serve" -> q222Oracle,
     "q223_logrank_hazard" -> q223Oracle,
+    "q224_aa_calibration" -> q224Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -502,6 +502,73 @@ object Experiment {
       .orderBy("day")
   }
 
+  /** A/A CALIBRATION — the experiment platform's self-check: run the
+    * [[abReadout]] proportion test over MANY null splits of the SAME
+    * data (different salts, no real treatment anywhere) and count how
+    * often it cries "significant". A healthy α=.05 test fires on ≈5%
+    * of (salt, metric) cells; materially more means the assignment
+    * hash, the variance model, or the independence assumption is broken
+    * — the standard pre-flight before trusting any real readout.
+    *
+    * Scale shape: the two event-log passes (distinct users; per-user
+    * conversion) are paid ONCE and checkpointed; each salt then costs
+    * only a projection over the user ledger plus a converter-ledger
+    * join — salts × (users-sized join), never salts × (events-sized
+    * scan). The readout frame is (salts × metrics)-sized.
+    *
+    * @return per (salt, metric): arm/converter counts and the q109
+    *         significance verdict, plus family-wide n_tests,
+    *         n_false_pos, fp_pm on every row (the crossJoin-summary
+    *         convention) — ordered by (salt, metric)
+    */
+  def aaCalibration(
+      events: DataFrame,
+      userCol: String,
+      metricCol: String,
+      converted: Column,
+      perUserAgg: Column = count(lit(1)),
+      salts: Seq[String]
+  ): DataFrame = {
+    require(salts.nonEmpty, "need at least one A/A salt")
+    val users = events.select(col(userCol)).distinct().localCheckpoint(true)
+    val conv = events.groupBy(col(metricCol), col(userCol))
+      .agg(perUserAgg.as("metric_value"))
+      .filter(converted)
+      .select(col(metricCol), col(userCol))
+      .localCheckpoint(true) // the heavy pass, shared by every salt
+    val cells = salts.map { s =>
+      val variants = Sampling.withSplitId(users, userCol,
+          fractions = Seq(0.5, 0.5), salt = s, splitCol = "variant")
+        .select(col(userCol), col("variant"))
+      val arms = variants.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      conv.join(variants, userCol)
+        .groupBy(col(metricCol))
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c_b"))
+        .crossJoin(arms)
+        .withColumn("salt", lit(s))
+    }.reduce(_ unionByName _)
+    val big = (x: Column) => x.cast("decimal(38,0)")
+    val a = big(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+    val bigN = big(col("n_a") + col("n_b"))
+    val c = big(col("c_a") + col("c_b"))
+    val flagged = cells.withColumn("significant",
+      big(lit(10000L)) * a * a * bigN >
+        big(lit(38416L)) * big(col("n_a")) * big(col("n_b")) * c * (bigN - c))
+    val summary = flagged.agg(
+      count(lit(1)).as("n_tests"),
+      sum(when(col("significant"), 1L).otherwise(0L)).as("n_false_pos"))
+      .withColumn("fp_pm", expr("(10000 * n_false_pos) DIV n_tests"))
+    flagged
+      .select(col("salt"), col(metricCol), col("n_a"), col("c_a"),
+        col("n_b"), col("c_b"), col("significant"))
+      .crossJoin(summary)
+      .orderBy("salt", metricCol)
+  }
+
   /** POWER ANALYSIS / MINIMUM DETECTABLE EFFECT — the design-time
     * counterpart of [[abReadout]]: BEFORE running a test, what absolute
     * lift could this metric's current audience even detect, and how many

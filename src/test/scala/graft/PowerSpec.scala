@@ -45,6 +45,32 @@ class PowerSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("n_need_rel200")))
   }
 
+  test("aa calibration: cell grid is salts x metrics with a consistent summary") {
+    val rows = (1L to 120L).flatMap(u => Seq(
+      (u, "m1", 20.0), (u, "m2", if (u % 3 == 0) 20.0 else 1.0)))
+    val df = rows.toDF("user_id", "event_type", "value")
+    val out = Experiment.aaCalibration(df, "user_id", "event_type",
+      converted = col("metric_value") >= 20,
+      perUserAgg = max(col("value")),
+      salts = Seq("s1", "s2", "s3")).collect()
+    assert(out.length == 6) // 3 salts x 2 metrics
+    assert(out.forall(_.getAs[Long]("n_tests") == 6L))
+    val fp = out.head.getAs[Long]("n_false_pos")
+    assert(fp == out.count(_.getAs[Boolean]("significant")).toLong)
+    assert(out.head.getAs[Long]("fp_pm") == (10000L * fp) / 6L)
+    // arms always partition the full user ledger
+    assert(out.forall(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 120L))
+  }
+
+  test("aa calibration: identical salts give identical verdicts (determinism)") {
+    val rows = (1L to 60L).map(u => (u, "m", if (u % 2 == 0) 20.0 else 1.0))
+    val df = rows.toDF("user_id", "event_type", "value")
+    def run() = Experiment.aaCalibration(df, "user_id", "event_type",
+      converted = col("metric_value") >= 20, perUserAgg = max(col("value")),
+      salts = Seq("x", "y")).collect().map(_.toSeq)
+    assert(run().toList == run().toList)
+  }
+
   test("power: a user with any converting row counts once") {
     val df = Seq((1L, "m", 20.0), (1L, "m", 20.0), (1L, "m", 1.0),
       (2L, "m", 1.0)).toDF("user_id", "event_type", "value")
