@@ -5913,8 +5913,12 @@ object SparkEntry {
   private val q221Oracle = {
     val k = 46
     val rounds = 6
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // each round references its predecessor twice (degrees + join), so
+    // an inlined unroll re-evaluates e0 2^rounds times — observed as a
+    // temp-spill disk blowup at sf0.1. Materializing makes it linear.
     val base =
-      """e0 AS (SELECT a, b FROM (
+      """e0 AS MATERIALIZED (SELECT a, b FROM (
         |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b
         |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  UNION
@@ -5923,7 +5927,7 @@ object SparkEntry {
     val peels = (1 to rounds).map { r =>
       s"""d$r AS (SELECT a AS n, count(*) AS d FROM e${r - 1} GROUP BY 1),
          |ok$r AS (SELECT n FROM d$r WHERE d >= $k),
-         |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
          |  JOIN ok$r x ON e.a = x.n JOIN ok$r y ON e.b = y.n)""".stripMargin
     }.mkString(",\n")
     s"""WITH $base,
