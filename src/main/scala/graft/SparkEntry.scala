@@ -2694,6 +2694,37 @@ object SparkEntry {
         "dur", "observed", inG1Col = col("big"))
     }),
 
+    // Extension — STORED SURVIVAL STATE (the q136 pattern applied to
+    // the new family): per-duration (events, censored) counts are the
+    // mergeable survival sketch — batch 1 (even users) commits its
+    // bucket states through SnapshotSink, batch 2 (odd users) merges
+    // into the STORED states and commits v2, and the Nelson–Aalen
+    // finish runs from the store with NO subject scan in the plan.
+    // Splitting SUBJECTS (not events) keeps every duration exact.
+    // Hash-exact against q216's from-scratch oracle — the store is
+    // lossless.
+    "q225_stored_survival_serve" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      import graft.operators.Survival
+      val root = freshStateRoot(s, "q225", dir)
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("tms"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val subjects = Survival.timeToNextDurations(
+          purchases, "user_id", "day", Seq("tms", "event_id"),
+          carryCols = Seq("user_id"))
+        .localCheckpoint(true) // split twice below
+      SnapshotSink.commit(Survival.bucketCounts(
+        subjects.filter(pmod(col("user_id"), lit(2)) === 0)).coalesce(1), root)
+      SnapshotSink.commit(Survival.mergeBucketStates(
+        SnapshotSink.read(s, root),
+        Survival.bucketCounts(
+          subjects.filter(pmod(col("user_id"), lit(2)) === 1))).coalesce(1), root)
+      Survival.nelsonAalenFromBuckets(SnapshotSink.read(s, root))
+    }),
+
     // Extension — A/A CALIBRATION (Experiment.aaCalibration): the
     // q109 proportion test run over 8 NULL splits of the same events —
     // no treatment anywhere, so every "significant" is a false
@@ -7954,6 +7985,7 @@ object SparkEntry {
     "q222_stored_hybrid_serve" -> q222Oracle,
     "q223_logrank_hazard" -> q223Oracle,
     "q224_aa_calibration" -> q224Oracle,
+    "q225_stored_survival_serve" -> q216Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -82,11 +82,32 @@ object Survival {
     *                 observed ∈ {0, 1}
     */
   def nelsonAalen(subjects: DataFrame, durCol: String = "dur",
-      obsCol: String = "observed"): DataFrame = {
-    val buckets = subjects
+      obsCol: String = "observed"): DataFrame =
+    nelsonAalenFromBuckets(bucketCounts(subjects, durCol, obsCol))
+
+  /** The mergeable survival STATE: per duration bucket, event and
+    * censor counts. Plain sums — two batches' states merge by adding
+    * per-bucket ([[mergeBucketStates]]), so the state can live in a
+    * snapshot store ([[graft.sink.SnapshotSink]]) or a streaming
+    * aggregation and the estimator finish never re-reads subjects. */
+  def bucketCounts(subjects: DataFrame, durCol: String = "dur",
+      obsCol: String = "observed"): DataFrame =
+    subjects
       .groupBy(col(durCol).cast("long").as("dur_day"))
       .agg(sum(col(obsCol)).cast("long").as("events"),
         sum(lit(1L) - col(obsCol)).cast("long").as("censored"))
+
+  /** Merge two bucket-state frames: per-bucket sums (counts are the
+    * canonical mergeable sketch — associative, commutative, exact). */
+  def mergeBucketStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("dur_day")
+      .agg(sum(col("events")).cast("long").as("events"),
+        sum(col("censored")).cast("long").as("censored"))
+
+  /** The stateless Nelson–Aalen finish over stored bucket counts —
+    * [[nelsonAalen]] is exactly [[bucketCounts]] piped through this. */
+  def nelsonAalenFromBuckets(buckets: DataFrame): DataFrame = {
     // bucket frame is calendar-bounded — unpartitioned windows are safe
     val wRisk = Window.orderBy(col("dur_day").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -86,6 +86,18 @@ class SurvivalSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("reject"))
   }
 
+  test("bucket states merge losslessly: split-and-merge == one pass") {
+    val subj = Seq((0L, 1L, 1L), (0L, 0L, 2L), (1L, 1L, 3L), (4L, 1L, 4L),
+      (4L, 0L, 5L), (9L, 0L, 6L)).toDF("dur", "observed", "u")
+    val whole = Survival.nelsonAalen(subj).collect().map(_.toSeq).toList
+    val merged = Survival.nelsonAalenFromBuckets(
+      Survival.mergeBucketStates(
+        Survival.bucketCounts(subj.filter(col("u") % 2 === 0)),
+        Survival.bucketCounts(subj.filter(col("u") % 2 === 1))))
+      .collect().map(_.toSeq).toList
+    assert(merged == whole)
+  }
+
   test("invariant: at_risk is a reverse prefix sum of bucket totals") {
     val subj = Seq((0L, 1L), (0L, 0L), (1L, 1L), (4L, 1L), (4L, 0L), (9L, 0L))
       .toDF("dur", "observed")
