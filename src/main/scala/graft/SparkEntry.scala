@@ -2694,6 +2694,22 @@ object SparkEntry {
         "dur", "observed", inG1Col = col("big"))
     }),
 
+    // Extension — MMR DIVERSITY RE-RANK (Fusion.mmrRerank): the greedy
+    // maximal-marginal-relevance pass over q217's fused top-15 — pick
+    // 10, each step trading λ=0.7 relevance against the max cosine to
+    // what's already picked, so near-duplicates sink. Bounded-collect
+    // greedy (candidates are topK by construction); relevance
+    // normalized by one DIV, cosines floored to micro (both engines
+    // floor the same IEEE double). Oracle unrolls the 10 greedy steps.
+    // Hash-exact.
+    "q226_mmr_rerank" -> ((s, dir) => {
+      val fused = queries("q217_hybrid_rrf")(s, dir)
+        .select(col("doc_id"), col("rrf_micro"))
+      graft.operators.Fusion.mmrRerank(fused, "doc_id", "rrf_micro",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        lambdaPct = 70, k = 10)
+    }),
+
     // Extension — STORED SURVIVAL STATE (the q136 pattern applied to
     // the new family): per-duration (events, censored) counts are the
     // mergeable survival sketch — batch 1 (even users) commits its
@@ -6089,6 +6105,60 @@ object SparkEntry {
        |ORDER BY salt, event_type""".stripMargin
   }
 
+  /** q226: MMR replay — q217's fused frame nested as the candidate
+    * set, pairwise floored-micro cosines, and the 10 greedy steps
+    * UNROLLED: step r scores the unselected candidates against the
+    * accumulated selection sel(r−1), takes the (mmr DESC, id ASC)
+    * argmax, and appends it. Same truncating DIV order as the
+    * operator's driver-side greedy. */
+  private def q226Oracle: String = {
+    val k = 10
+    val cos = s"${duckDot("a.embedding", "b.embedding")} / " +
+      s"(sqrt(${duckDot("a.embedding", "a.embedding")}) * " +
+      s"sqrt(${duckDot("b.embedding", "b.embedding")}))"
+    // every step CTE is MATERIALIZED: sc_r references sel_{r-1} twice,
+    // so plain (inlined) CTEs re-evaluate the whole selection chain
+    // 2^k times — the q221 lesson, squared
+    val steps = (2 to k).map { r =>
+      s"""sc$r AS MATERIALIZED (SELECT c.id, c.rel_norm,
+         |    coalesce(max(s.sim), 0) AS max_sim
+         |  FROM cand c LEFT JOIN sims s
+         |    ON s.ia = c.id AND s.ib IN (SELECT id FROM sel${r - 1})
+         |  WHERE c.id NOT IN (SELECT id FROM sel${r - 1})
+         |  GROUP BY c.id, c.rel_norm),
+         |p$r AS MATERIALIZED (SELECT id, rel_norm, max_sim,
+         |    (70 * rel_norm - 30 * max_sim) // 100 AS mmr, $r AS mmr_rank
+         |  FROM sc$r ORDER BY (70 * rel_norm - 30 * max_sim) // 100 DESC, id
+         |  LIMIT 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT id FROM sel${r - 1} UNION ALL SELECT id FROM p$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val picks = (1 to k).map(r => s"SELECT * FROM p$r").mkString("\nUNION ALL\n")
+    s"""WITH fused AS MATERIALIZED ($q217Oracle),
+       |mx AS (SELECT max(rrf_micro) AS m FROM fused),
+       |cand AS MATERIALIZED (SELECT f.doc_id AS id,
+       |    (1000000 * f.rrf_micro) // mx.m AS rel_norm
+       |  FROM fused f, mx),
+       |emb AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE vec_id IN (SELECT id FROM cand)),
+       |sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+       |    CAST(floor(($cos) * 1000000) AS BIGINT) AS sim
+       |  FROM emb a JOIN emb b ON a.id <> b.id),
+       |sc1 AS (SELECT id, rel_norm, CAST(0 AS BIGINT) AS max_sim FROM cand),
+       |p1 AS MATERIALIZED (SELECT id, rel_norm, max_sim,
+       |    (70 * rel_norm - 30 * max_sim) // 100 AS mmr, 1 AS mmr_rank
+       |  FROM sc1 ORDER BY (70 * rel_norm - 30 * max_sim) // 100 DESC, id
+       |  LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT id FROM p1),
+       |$steps
+       |SELECT CAST(id AS BIGINT) AS doc_id, mmr_rank,
+       |  CAST(rel_norm AS BIGINT) AS rel_norm_micro,
+       |  CAST(max_sim AS BIGINT) AS max_sim_micro,
+       |  CAST(mmr AS BIGINT) AS mmr_micro
+       |FROM ($picks) ORDER BY mmr_rank""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -7986,6 +8056,7 @@ object SparkEntry {
     "q223_logrank_hazard" -> q223Oracle,
     "q224_aa_calibration" -> q224Oracle,
     "q225_stored_survival_serve" -> q216Oracle,
+    "q226_mmr_rerank" -> q226Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -43,6 +43,35 @@ class FusionSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("id")).toList == List(1L, 6L, 2L))
   }
 
+  test("mmr: a near-duplicate of the top pick sinks below a diverse candidate") {
+    // 1 and 2 are identical vectors (cos 1), 3 is orthogonal; pure
+    // relevance would order 1,2,3 — MMR at lambda .7 orders 1,3,2
+    val cand = Seq((1L, 100L), (2L, 99L), (3L, 80L)).toDF("id", "rel")
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vid", "e")
+    val out = Fusion.mmrRerank(cand, "id", "rel", emb, "vid", "e",
+      lambdaPct = 70, k = 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toList == List(1L, 3L, 2L))
+    // hand arithmetic: pick-2 scores are (70*990000-30*1000000)/100 vs
+    // 70*800000/100
+    val step2 = out(1)
+    assert(step2.getAs[Long]("mmr_micro") == 560000L)
+    assert(out(2).getAs[Long]("max_sim_micro") == 1000000L)
+  }
+
+  test("mmr: rank 1 is always the relevance argmax; determinism across runs") {
+    val cand = Seq((5L, 40L), (6L, 90L), (7L, 60L)).toDF("id", "rel")
+    val emb = Seq(
+      (5L, Array(1f, 0f, 0f, 0f)), (6L, Array(0.6f, 0.8f, 0f, 0f)),
+      (7L, Array(0f, 0f, 1f, 0f))).toDF("vid", "e")
+    def run() = Fusion.mmrRerank(cand, "id", "rel", emb, "vid", "e")
+      .collect().map(_.toSeq).toList
+    val a = run()
+    assert(a.head.head == 6L) // highest relevance leads
+    assert(a == run())
+  }
+
   test("rrf: absent list membership contributes zero, never null") {
     val a = Seq((1L, 1)).toDF("id", "rank")
     val b = Seq((2L, 1)).toDF("id", "rank")
