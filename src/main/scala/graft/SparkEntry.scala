@@ -2710,6 +2710,26 @@ object SparkEntry {
         lambdaPct = 70, k = 10)
     }),
 
+    // Extension — QINI UPLIFT CURVE (LiftAudit.qiniCurve): rank users
+    // by engagement (view count), md5-split them into a null
+    // treatment/control, and trace treated-vs-control purchase
+    // conversions down the score — the uplift-model evaluation q168's
+    // control-free lift table cannot express. Exact score-grain curve
+    // (ties together), diagonal baseline from the nested total.
+    // On a null split the curve should hug the diagonal — the readout
+    // doubles as another platform calibration check. Hash-exact.
+    "q227_qini_uplift" -> ((s, dir) => {
+      val perUser = events(s, dir).groupBy("user_id").agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("score"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      val units = perUser.select(col("score"),
+        (graft.operators.Sampling.bucket(col("user_id"), "uplift") < 5000)
+          .as("treated"),
+        (col("np") >= 3).as("conv"))
+      graft.operators.LiftAudit.qiniCurve(units, "score",
+        treated = col("treated"), conv = col("conv"))
+    }),
+
     // Extension — STORED SURVIVAL STATE (the q136 pattern applied to
     // the new family): per-duration (events, censored) counts are the
     // mergeable survival sketch — batch 1 (even users) commits its
@@ -6159,6 +6179,61 @@ object SparkEntry {
        |FROM ($picks) ORDER BY mmr_rank""".stripMargin
   }
 
+  /** q227: Qini replay — per-user view/purchase counts, the q109 md5
+    * split construction with the 'uplift' salt, score-grain cells,
+    * cumulative + total windows, truncated qini/diagonal. */
+  private val q227Oracle =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS score,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS np
+      |  FROM events GROUP BY 1),
+      |u AS (SELECT score, (np >= 3) AS conv,
+      |    (('0x' || substr(md5(user_id::VARCHAR || 'uplift'), 1, 8))::BIGINT
+      |      % 10000) < 5000 AS treated
+      |  FROM pu),
+      |cells AS (SELECT score,
+      |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      |    CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(sum(CASE WHEN treated AND conv THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS conv_t,
+      |    CAST(sum(CASE WHEN NOT treated AND conv THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv_c
+      |  FROM u GROUP BY 1),
+      |c2 AS (SELECT score,
+      |    CAST(sum(n_t) OVER wc AS BIGINT) AS cum_n_t,
+      |    CAST(sum(n_c) OVER wc AS BIGINT) AS cum_n_c,
+      |    CAST(sum(conv_t) OVER wc AS BIGINT) AS cum_conv_t,
+      |    CAST(sum(conv_c) OVER wc AS BIGINT) AS cum_conv_c,
+      |    CAST(sum(n_t) OVER wa AS BIGINT) AS tot_n_t,
+      |    CAST(sum(n_c) OVER wa AS BIGINT) AS tot_n_c,
+      |    CAST(sum(conv_t) OVER wa AS BIGINT) AS tot_conv_t,
+      |    CAST(sum(conv_c) OVER wa AS BIGINT) AS tot_conv_c
+      |  FROM cells
+      |  WINDOW wc AS (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wa AS (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |z AS (SELECT *,
+      |    CASE WHEN cum_n_c > 0 THEN
+      |      (1000 * (cum_conv_t::HUGEINT * cum_n_c
+      |        - cum_conv_c::HUGEINT * cum_n_t)) // cum_n_c END AS qini_milli,
+      |    CASE WHEN tot_n_c > 0 THEN
+      |      (1000 * (tot_conv_t::HUGEINT * tot_n_c
+      |        - tot_conv_c::HUGEINT * tot_n_t)) // tot_n_c END
+      |      AS qini_tot_milli
+      |  FROM c2)
+      |SELECT score, cum_n_t, cum_n_c, cum_conv_t, cum_conv_c,
+      |  CAST(qini_milli AS BIGINT) AS qini_milli,
+      |  CAST(CASE WHEN tot_n_c > 0 THEN
+      |    (qini_tot_milli * (cum_n_t + cum_n_c)) // (tot_n_t + tot_n_c)
+      |  END AS BIGINT) AS rand_milli,
+      |  CAST(qini_milli - CASE WHEN tot_n_c > 0 THEN
+      |    (qini_tot_milli * (cum_n_t + cum_n_c)) // (tot_n_t + tot_n_c)
+      |  END AS BIGINT) AS excess_milli
+      |FROM z ORDER BY score DESC""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8057,6 +8132,7 @@ object SparkEntry {
     "q224_aa_calibration" -> q224Oracle,
     "q225_stored_survival_serve" -> q216Oracle,
     "q226_mmr_rerank" -> q226Oracle,
+    "q227_qini_uplift" -> q227Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -176,4 +176,74 @@ object LiftAudit {
       .crossJoin(summary)
       .orderBy("band")
   }
+
+  /** QINI UPLIFT CURVE — the evaluation instrument for uplift models
+    * (Radcliffe): rank units by a targeting score, and at each score
+    * threshold compare the treated group's conversions against the
+    * control group's, scaled to the treated size:
+    *
+    *     Q(s) = convT(s) − convC(s)·nT(s)/nC(s)
+    *
+    * against the random-targeting diagonal Q_total·n(s)/N. A score
+    * that finds the persuadables bows above the diagonal; the q168
+    * lift table cannot see this because it has no control group.
+    *
+    * Computed at SCORE-GRAIN breakpoints (ties stay together — the
+    * exact curve, no arbitrary within-tie decile splits): one
+    * (score)-grain aggregate of the unit ledger, then cumulative and
+    * total windows over the score-domain frame. qini_milli is one
+    * truncating DIV (products in DECIMAL(38,0)); the diagonal nests
+    * the already-truncated Q_total, so the truncation order is defined
+    * semantics the oracle replays.
+    *
+    * @param units   one row per unit
+    * @param scoreCol targeting score (higher = target first)
+    * @param treated unit-level treatment predicate
+    * @param conv    unit-level conversion predicate
+    * @return per descending score threshold: score, cum_n_t, cum_n_c,
+    *         cum_conv_t, cum_conv_c, qini_milli, rand_milli,
+    *         excess_milli
+    */
+  def qiniCurve(units: DataFrame, scoreCol: String, treated: Column,
+      conv: Column): DataFrame = {
+    val cells = units.groupBy(col(scoreCol).as("score")).agg(
+      sum(when(treated, 1L).otherwise(0L)).as("n_t"),
+      sum(when(!treated, 1L).otherwise(0L)).as("n_c"),
+      sum(when(treated && conv, 1L).otherwise(0L)).as("conv_t"),
+      sum(when(!treated && conv, 1L).otherwise(0L)).as("conv_c"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("cum_n_t", sum(col("n_t")).over(wCum))
+      .withColumn("cum_n_c", sum(col("n_c")).over(wCum))
+      .withColumn("cum_conv_t", sum(col("conv_t")).over(wCum))
+      .withColumn("cum_conv_c", sum(col("conv_c")).over(wCum))
+      .withColumn("tot_n_t", sum(col("n_t")).over(wAll))
+      .withColumn("tot_n_c", sum(col("n_c")).over(wAll))
+      .withColumn("tot_conv_t", sum(col("conv_t")).over(wAll))
+      .withColumn("tot_conv_c", sum(col("conv_c")).over(wAll))
+      .withColumn("qini_milli", expr(
+        """CASE WHEN cum_n_c > 0 THEN
+          |  (1000 * (CAST(cum_conv_t AS DECIMAL(38,0)) * cum_n_c
+          |    - CAST(cum_conv_c AS DECIMAL(38,0)) * cum_n_t)) DIV cum_n_c
+          |END""".stripMargin))
+      .withColumn("qini_tot_milli", expr(
+        """CASE WHEN tot_n_c > 0 THEN
+          |  (1000 * (CAST(tot_conv_t AS DECIMAL(38,0)) * tot_n_c
+          |    - CAST(tot_conv_c AS DECIMAL(38,0)) * tot_n_t)) DIV tot_n_c
+          |END""".stripMargin))
+      .withColumn("rand_milli", expr(
+        """CASE WHEN tot_n_c > 0 THEN
+          |  (qini_tot_milli * (cum_n_t + cum_n_c))
+          |    DIV (tot_n_t + tot_n_c) END""".stripMargin))
+      .withColumn("excess_milli", expr("qini_milli - rand_milli"))
+      .select(col("score"), col("cum_n_t"), col("cum_n_c"),
+        col("cum_conv_t"), col("cum_conv_c"),
+        col("qini_milli").cast("long").as("qini_milli"),
+        col("rand_milli").cast("long").as("rand_milli"),
+        col("excess_milli").cast("long").as("excess_milli"))
+      .orderBy(col("score").desc)
+  }
 }
