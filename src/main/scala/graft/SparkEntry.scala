@@ -2730,6 +2730,18 @@ object SparkEntry {
         treated = col("treated"), conv = col("conv"))
     }),
 
+    // Extension — CLASSIFIER EVAL (ClassEval.confusionReport): q23's
+    // n-gram language ID scored against the labeled lang column — per
+    // class support, true positives, precision/recall/F1 (F1 nesting
+    // the truncated P and R), overall accuracy on every row. The
+    // evaluation loop any model-based curation filter needs before its
+    // verdicts gate training data. Hash-exact.
+    "q228_langid_eval" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("pred"))
+      graft.operators.ClassEval.confusionReport(scored, "lang", "pred")
+    }),
+
     // Extension — STORED SURVIVAL STATE (the q136 pattern applied to
     // the new family): per-duration (events, censored) counts are the
     // mergeable survival sketch — batch 1 (even users) commits its
@@ -6234,6 +6246,54 @@ object SparkEntry {
       |  END AS BIGINT) AS excess_milli
       |FROM z ORDER BY score DESC""".stripMargin
 
+  /** q228: confusion replay — q23's langid CTE joined to the truth
+    * column, full-outer class marginals, truncated P/R and the nested
+    * F1, accuracy crossJoined. */
+  private val q228Oracle =
+    """WITH toks AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |    len(list_filter(t, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS s_en,
+      |    len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
+      |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+      |    len(list_filter(t, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
+      |  FROM toks),
+      |ev AS (SELECT lang AS t, CASE
+      |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+      |    WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+      |    WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+      |    WHEN s_de >= s_fr THEN 'de'
+      |    ELSE 'fr' END AS p
+      |  FROM sc),
+      |cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |tt AS (SELECT t AS clazz, CAST(sum(n) AS BIGINT) AS n_true
+      |  FROM cells GROUP BY 1),
+      |pt AS (SELECT p AS clazz, CAST(sum(n) AS BIGINT) AS n_pred
+      |  FROM cells GROUP BY 1),
+      |tp AS (SELECT t AS clazz, n AS tp FROM cells WHERE t = p),
+      |smry AS (SELECT CAST(sum(n) AS BIGINT) AS n_units,
+      |    CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS n_corr
+      |  FROM cells),
+      |j AS (SELECT coalesce(tt.clazz, pt.clazz) AS clazz,
+      |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+      |    coalesce(tp.tp, 0) AS tp
+      |  FROM tt FULL OUTER JOIN pt ON tt.clazz = pt.clazz
+      |  LEFT JOIN tp ON coalesce(tt.clazz, pt.clazz) = tp.clazz),
+      |m AS (SELECT clazz, n_true, n_pred, tp,
+      |    CASE WHEN n_pred > 0 THEN (10000 * tp) // n_pred END AS precision_pm,
+      |    CASE WHEN n_true > 0 THEN (10000 * tp) // n_true END AS recall_pm
+      |  FROM j)
+      |SELECT clazz, n_true, n_pred, tp, precision_pm, recall_pm,
+      |  CASE WHEN precision_pm IS NOT NULL AND recall_pm IS NOT NULL
+      |    AND precision_pm + recall_pm > 0
+      |    THEN (2 * precision_pm * recall_pm) // (precision_pm + recall_pm)
+      |  END AS f1_pm,
+      |  (10000 * n_corr) // n_units AS accuracy_pm
+      |FROM m CROSS JOIN smry ORDER BY clazz""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8133,6 +8193,7 @@ object SparkEntry {
     "q225_stored_survival_serve" -> q216Oracle,
     "q226_mmr_rerank" -> q226Oracle,
     "q227_qini_uplift" -> q227Oracle,
+    "q228_langid_eval" -> q228Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CLASSIFIER EVALUATION against labeled data — the confusion-derived
+  * per-class report every model the engine hosts (language ID q23,
+  * quality scoring q145, label audit q127) needs before its output is
+  * trusted as a training-data filter: per class, true/predicted
+  * support, true positives, precision/recall/F1, and the family-wide
+  * accuracy on every row (the crossJoin-summary convention).
+  *
+  * Integer discipline: precision/recall are one truncating DIV each
+  * into per-myriad; F1 nests the already-truncated P and R
+  * ((2·P·R) DIV (P+R) — the harmonic mean of what was reported, not of
+  * unreported exact ratios), so the table is self-consistent and
+  * engine-exact.
+  *
+  * Scale shape: ONE (truth, pred)-grain aggregate (map-side combined;
+  * the frame is |classes|²-bounded), then class-sized joins of the two
+  * marginals. The label scan is the only data-sized pass.
+  */
+object ClassEval {
+
+  /** @param df       one row per evaluated unit
+    * @param truthCol ground-truth class
+    * @param predCol  predicted class
+    * @return per class (union of truth and prediction vocabularies):
+    *         class, n_true, n_pred, tp, precision_pm, recall_pm,
+    *         f1_pm, accuracy_pm — ordered by class; a class absent
+    *         from one side carries 0 support there, NULL metrics where
+    *         the denominator is empty
+    */
+  def confusionReport(df: DataFrame, truthCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // classes²-sized; marginals + tp share it
+    val truthTot = cells.groupBy(col("t").as("clazz"))
+      .agg(sum(col("n")).as("n_true"))
+    val predTot = cells.groupBy(col("p").as("clazz"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = cells.filter(col("t") === col("p"))
+      .select(col("t").as("clazz"), col("n").as("tp"))
+    val summary = cells.agg(
+      sum(col("n")).as("n_units"),
+      sum(when(col("t") === col("p"), col("n")).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy_pm", expr("(10000 * n_correct) DIV n_units"))
+      .select("n_units", "accuracy_pm")
+    truthTot
+      .join(predTot, Seq("clazz"), "full_outer")
+      .join(tp, Seq("clazz"), "left")
+      .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("precision_pm",
+        when(col("n_pred") > 0, expr("(10000 * tp) DIV n_pred")))
+      .withColumn("recall_pm",
+        when(col("n_true") > 0, expr("(10000 * tp) DIV n_true")))
+      .withColumn("f1_pm", expr(
+        """CASE WHEN precision_pm IS NOT NULL AND recall_pm IS NOT NULL
+          |  AND precision_pm + recall_pm > 0
+          |  THEN (2 * precision_pm * recall_pm) DIV (precision_pm + recall_pm)
+          |END""".stripMargin))
+      .crossJoin(summary)
+      .select("clazz", "n_true", "n_pred", "tp", "precision_pm",
+        "recall_pm", "f1_pm", "accuracy_pm")
+      .orderBy("clazz")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ClassEval
+
+class ClassEvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("confusion: hand-computed P/R/F1 on a 3-class table") {
+    // truth a: 2 predicted a, 1 predicted b; truth b: 1 predicted b
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("t", "p")
+    val out = ClassEval.confusionReport(df, "t", "p").collect()
+      .map(r => r.getAs[String]("clazz") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_true") == 3L && a.getAs[Long]("n_pred") == 2L)
+    assert(a.getAs[Long]("precision_pm") == 10000L)
+    assert(a.getAs[Long]("recall_pm") == 6666L)
+    // F1 nests the truncated P and R: 2*10000*6666 / 16666 = 7999
+    assert(a.getAs[Long]("f1_pm") == 7999L)
+    val b = out("b")
+    assert(b.getAs[Long]("precision_pm") == 5000L)
+    assert(b.getAs[Long]("recall_pm") == 10000L)
+    assert(a.getAs[Long]("accuracy_pm") == 7500L) // 3 of 4
+  }
+
+  test("confusion: classes absent from one side carry zero support, null metrics") {
+    // 'c' is only ever predicted, never true; 'd' only true, never predicted
+    val df = Seq(("a", "a"), ("a", "c"), ("d", "a")).toDF("t", "p")
+    val out = ClassEval.confusionReport(df, "t", "p").collect()
+      .map(r => r.getAs[String]("clazz") -> r).toMap
+    assert(out.keySet == Set("a", "c", "d"))
+    val c = out("c")
+    assert(c.getAs[Long]("n_true") == 0L && c.getAs[Long]("n_pred") == 1L)
+    assert(c.isNullAt(c.fieldIndex("recall_pm")))
+    assert(c.getAs[Long]("precision_pm") == 0L)
+    val d = out("d")
+    assert(d.isNullAt(d.fieldIndex("precision_pm")))
+    assert(d.getAs[Long]("recall_pm") == 0L)
+    assert(d.isNullAt(d.fieldIndex("f1_pm"))) // no P to harmonize with
+  }
+
+  test("confusion: a perfect classifier scores 10000 everywhere") {
+    val df = Seq(("x", "x"), ("y", "y"), ("y", "y")).toDF("t", "p")
+    val out = ClassEval.confusionReport(df, "t", "p").collect()
+    assert(out.forall(_.getAs[Long]("f1_pm") == 10000L))
+    assert(out.forall(_.getAs[Long]("accuracy_pm") == 10000L))
+  }
+}
