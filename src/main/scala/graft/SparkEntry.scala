@@ -2730,6 +2730,19 @@ object SparkEntry {
         treated = col("treated"), conv = col("conv"))
     }),
 
+    // Extension — ATTRIBUTION MODEL DOSSIER (Attribution
+    // .modelComparison): per channel, purchase credit under
+    // first/last/linear/U-shape/7-day-decay side by side — how much
+    // the model CHOICE moves each channel. Touch↔conversion pairing
+    // co-locates on (user, lookback bucket) (the q86 discipline);
+    // decay weights are the pinned floor(2^(-d/7)·1e6) table shared
+    // verbatim with the oracle. Hash-exact.
+    "q229_attribution_models" -> ((s, dir) => {
+      graft.operators.Attribution.modelComparison(events(s, dir),
+        "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", lookbackMs = 7L * 24 * 3600 * 1000)
+    }),
+
     // Extension — CLASSIFIER EVAL (ClassEval.confusionReport): q23's
     // n-gram language ID scored against the labeled lang column — per
     // class support, true positives, precision/recall/F1 (F1 nesting
@@ -6294,6 +6307,45 @@ object SparkEntry {
       |  (10000 * n_corr) // n_units AS accuracy_pm
       |FROM m CROSS JOIN smry ORDER BY clazz""".stripMargin
 
+  /** q229: attribution replay — the direct range join (the operator's
+    * bucketing is a lossless co-location), same (ms, id) rank order,
+    * the SAME pinned decay literals, every division truncating. */
+  private def q229Oracle: String = {
+    val decayArr = graft.operators.Attribution.DecayMicro.mkString("[", ", ", "]")
+    val L = 7L * 24 * 3600 * 1000
+    s"""WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
+       |    event_type AS etype, event_id AS eid FROM events),
+       |c AS (SELECT u, ms AS cms, eid AS cid FROM e
+       |  WHERE etype = 'purchase'),
+       |t AS (SELECT u, ms AS tms, etype, eid AS tid FROM e
+       |  WHERE etype <> 'purchase'),
+       |p AS (SELECT c.u, c.cid, c.cms, t.tms, t.etype, t.tid
+       |  FROM c JOIN t ON c.u = t.u
+       |    AND t.tms >= c.cms - $L AND t.tms < c.cms),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY u, cid ORDER BY tms, tid) AS idx,
+       |    count(*) OVER (PARTITION BY u, cid) AS n,
+       |    CAST(($decayArr)[
+       |      CAST(least((cms - tms) // 86400000, 30) + 1 AS INT)] AS BIGINT) AS w
+       |  FROM p),
+       |r2 AS (SELECT *, sum(w) OVER (PARTITION BY u, cid) AS sumw FROM r),
+       |cr AS (SELECT etype AS channel,
+       |    CASE WHEN idx = 1 THEN 1 ELSE 0 END AS isf,
+       |    CASE WHEN idx = n THEN 1 ELSE 0 END AS isl,
+       |    1000000 // n AS lin,
+       |    CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+       |      WHEN idx = 1 OR idx = n THEN 400000
+       |      ELSE 200000 // (n - 2) END AS ush,
+       |    (1000000 * w) // sumw AS shr
+       |  FROM r2)
+       |SELECT channel, CAST(sum(isf) AS BIGINT) AS n_first,
+       |  CAST(sum(isl) AS BIGINT) AS n_last,
+       |  CAST(sum(lin) AS BIGINT) AS linear_micro,
+       |  CAST(sum(ush) AS BIGINT) AS ushape_micro,
+       |  CAST(sum(shr) AS BIGINT) AS decay_micro
+       |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8194,6 +8246,7 @@ object SparkEntry {
     "q226_mmr_rerank" -> q226Oracle,
     "q227_qini_uplift" -> q227Oracle,
     "q228_langid_eval" -> q228Oracle,
+    "q229_attribution_models" -> q229Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
