@@ -2730,6 +2730,17 @@ object SparkEntry {
         treated = col("treated"), conv = col("conv"))
     }),
 
+    // Extension — DEDUP IMPACT LEDGER (Profile.dedupImpact): per
+    // source, raw vs surviving docs/tokens after GLOBAL exact dedup
+    // (min-doc_id survivor) — cross-source syndication leaves the
+    // loser source's effective count, which a per-source distinct
+    // would hide. The "how much data do we actually have" readout a
+    // training budget should be quoted in. Hash-exact.
+    "q230_dedup_impact" -> ((s, dir) => {
+      graft.operators.Profile.dedupImpact(
+        t(s, dir, "documents"), "text", "doc_id", "source")
+    }),
+
     // Extension — ATTRIBUTION MODEL DOSSIER (Attribution
     // .modelComparison): per channel, purchase credit under
     // first/last/linear/U-shape/7-day-decay side by side — how much
@@ -6346,6 +6357,35 @@ object SparkEntry {
        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q230: dedup-impact replay — the q24 canonical fingerprint, global
+    * min-doc_id survivor election, semi-join back, per-source rollup. */
+  private val q230Oracle =
+    """WITH base AS (SELECT source, doc_id,
+      |    md5(array_to_string(list_filter(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''),
+      |      ' ')) AS fp,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |surv AS (SELECT fp, min(doc_id) AS doc_id FROM base GROUP BY 1),
+      |kept AS (SELECT b.source,
+      |    CAST(count(*) AS BIGINT) AS surv_docs,
+      |    CAST(sum(b.n_tok) AS BIGINT) AS surv_toks
+      |  FROM base b JOIN surv s ON b.fp = s.fp AND b.doc_id = s.doc_id
+      |  GROUP BY 1),
+      |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_toks
+      |  FROM base GROUP BY 1)
+      |SELECT r.source, r.n_docs, r.n_toks,
+      |  coalesce(k.surv_docs, 0) AS surv_docs,
+      |  coalesce(k.surv_toks, 0) AS surv_toks,
+      |  (10000 * coalesce(k.surv_docs, 0)) // r.n_docs AS doc_keep_pm,
+      |  CASE WHEN r.n_toks > 0
+      |    THEN (10000 * coalesce(k.surv_toks, 0)) // r.n_toks
+      |    ELSE 10000 END AS tok_keep_pm
+      |FROM raw r LEFT JOIN kept k ON r.source = k.source
+      |ORDER BY r.source""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8247,6 +8287,7 @@ object SparkEntry {
     "q227_qini_uplift" -> q227Oracle,
     "q228_langid_eval" -> q228Oracle,
     "q229_attribution_models" -> q229Oracle,
+    "q230_dedup_impact" -> q230Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -382,4 +382,47 @@ object Profile {
     }
     rows.reduce(_ unionByName _).orderBy("k")
   }
+
+  /** DEDUP IMPACT LEDGER — "how much data do we ACTUALLY have?": per
+    * source, raw vs surviving documents and tokens after global exact
+    * dedup (canonical fingerprint, min-doc_id survivor — the q20/q42
+    * rule). Dedup is GLOBAL: a doc whose fingerprint first appeared
+    * under another source dies here and its tokens leave THIS source's
+    * effective count — which is exactly the cross-source contamination
+    * a per-source distinct would hide. The keep ratios are what a
+    * training-data budget should be quoted in; raw token counts
+    * overstate corpora with heavy syndication.
+    *
+    * Scale shape: one tokenize+fingerprint scan (projection), one
+    * fingerprint-keyed aggregate for survivor election (16-byte keys —
+    * the q20 shuffle), a LEFT SEMI back-join on (fingerprint, doc),
+    * and a source-sized rollup. All integer counts; ratios one
+    * truncating DIV each.
+    */
+  def dedupImpact(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val base = docs.select(col(sourceCol).as("source"),
+        col(idCol).as("doc_id"),
+        TextAnalysis.canonicalFingerprint(col(textCol)).as("fp"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+      .localCheckpoint(true) // narrow; survivor election + rollup share it
+    val survivors = base.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    base
+      .join(survivors, Seq("fp", "doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(count(lit(1)).as("surv_docs"), sum(col("n_tok")).as("surv_toks"))
+      .join(base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks")),
+        Seq("source"), "right")
+      .withColumn("surv_docs", coalesce(col("surv_docs"), lit(0L)))
+      .withColumn("surv_toks", coalesce(col("surv_toks"), lit(0L)))
+      .withColumn("doc_keep_pm", expr("(10000 * surv_docs) DIV n_docs"))
+      .withColumn("tok_keep_pm",
+        when(col("n_toks") > 0, expr("(10000 * surv_toks) DIV n_toks"))
+          .otherwise(10000L))
+      .select("source", "n_docs", "n_toks", "surv_docs", "surv_toks",
+        "doc_keep_pm", "tok_keep_pm")
+      .orderBy("source")
+  }
 }
