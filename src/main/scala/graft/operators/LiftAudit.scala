@@ -205,12 +205,18 @@ object LiftAudit {
     *         excess_milli
     */
   def qiniCurve(units: DataFrame, scoreCol: String, treated: Column,
-      conv: Column): DataFrame = {
-    val cells = units.groupBy(col(scoreCol).as("score")).agg(
+      conv: Column): DataFrame =
+    qiniFromCells(units.groupBy(col(scoreCol).as("score")).agg(
       sum(when(treated, 1L).otherwise(0L)).as("n_t"),
       sum(when(!treated, 1L).otherwise(0L)).as("n_c"),
       sum(when(treated && conv, 1L).otherwise(0L)).as("conv_t"),
-      sum(when(!treated && conv, 1L).otherwise(0L)).as("conv_c"))
+      sum(when(!treated && conv, 1L).otherwise(0L)).as("conv_c")))
+
+  /** The stateless Qini finish over pre-aggregated score-grain cells
+    * (score, n_t, n_c, conv_t, conv_c) — the mergeable state a
+    * streaming ingest maintains (cell sums commute with
+    * micro-batching), the [[Drift.ksFromCounts]] pattern. */
+  def qiniFromCells(cells: DataFrame): DataFrame = {
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("score").desc)

@@ -790,6 +790,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("m") == ((4L, 4L, 10000L, true)))
   }
 
+  test("streaming Qini cells + batch finish (live uplift monitor)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.LiftAudit
+
+    val src = Files.createTempDirectory("graft_stream_qini")
+    val ckp = Files.createTempDirectory("graft_stream_qini_ckp")
+    // score 9's treated-converter mass is split across micro-batches
+    Files.write(src.resolve("a.json"), Seq(
+      """{"s":9,"t":true,"c":true}""", """{"s":9,"t":false,"c":false}""",
+      """{"s":1,"t":true,"c":false}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"s":9,"t":true,"c":true}""", """{"s":9,"t":false,"c":false}""",
+      """{"s":1,"t":false,"c":false}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(src.toString)
+      .groupBy(col("s").as("score"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("t") && col("c"), 1L).otherwise(0L)).as("conv_t"),
+        sum(when(!col("t") && col("c"), 1L).otherwise(0L)).as("conv_c"))
+      .writeStream
+      .format("memory").queryName("qini_cells_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) => rows.map(r =>
+      r.getAs[Long]("score") -> ((r.getAs[Long]("cum_n_t"),
+        r.getAs[Long]("cum_conv_t"), r.getAs[Long]("qini_milli"),
+        r.getAs[Long]("excess_milli")))).toMap
+    val streamed = canon(LiftAudit.qiniFromCells(
+      spark.table("qini_cells_stream")).collect())
+    val batch = canon(LiftAudit.qiniCurve(spark.read.json(src.toString),
+      "s", col("t"), col("c")).collect())
+    assert(streamed == batch)
+    // top threshold: 2 treated conv vs 0 control conv over 2v2
+    assert(streamed(9L)._3 == 2000L)
+  }
+
   test("streaming membership flags + batch overlap finish (live segment store)") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Audience
