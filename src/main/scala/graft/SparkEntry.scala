@@ -2703,11 +2703,16 @@ object SparkEntry {
     // floor the same IEEE double). Oracle unrolls the 10 greedy steps.
     // Hash-exact.
     "q226_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // the rerank pool is fused ∩ vector store: at larger sf the doc
+      // corpus outgrows the embedding table, and a candidate without a
+      // vector has no similarity to trade off (operator stays strict)
       val fused = queries("q217_hybrid_rrf")(s, dir)
+        .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
         .select(col("doc_id"), col("rrf_micro"))
       graft.operators.Fusion.mmrRerank(fused, "doc_id", "rrf_micro",
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        lambdaPct = 70, k = 10)
+        emb, "vec_id", "embedding", lambdaPct = 70, k = 10)
     }),
 
     // Extension — QINI UPLIFT CURVE (LiftAudit.qiniCurve): rank users
@@ -6191,7 +6196,9 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
     val picks = (1 to k).map(r => s"SELECT * FROM p$r").mkString("\nUNION ALL\n")
-    s"""WITH fused AS MATERIALIZED ($q217Oracle),
+    s"""WITH fused0 AS MATERIALIZED ($q217Oracle),
+       |fused AS MATERIALIZED (SELECT * FROM fused0
+       |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
        |mx AS (SELECT max(rrf_micro) AS m FROM fused),
        |cand AS MATERIALIZED (SELECT f.doc_id AS id,
        |    (1000000 * f.rrf_micro) // mx.m AS rel_norm
