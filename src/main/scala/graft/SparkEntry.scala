@@ -2735,6 +2735,43 @@ object SparkEntry {
         treated = col("treated"), conv = col("conv"))
     }),
 
+    // Extension — LSH RECALL AUDIT (the sketch-quality evaluation):
+    // MinHash-LSH's banded candidates scored against EXACT Jaccard
+    // truth on the q25 slice, rolled up by similarity decile — the
+    // measured S-curve (16 bands × 4 rows: ~12% at J=.3, ~98% at
+    // J=.7) that justifies trusting the sketch at its operating point
+    // and nowhere else. Truth is the bounded exhaustive join; found
+    // pairs are the portable-md5 banded+verified set. Hash-exact.
+    "q231_lsh_recall" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id", "text")
+      // graded planted twins: keep a 20%..90% token prefix, so truth
+      // pairs populate Jaccard bands across the whole S-curve instead
+      // of only the fixture's natural high-similarity tail
+      val twins = base.filter(pmod(col("doc_id"), lit(15)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("""array_join(slice(
+            |  filter(split(lower(trim(text)), '\\s+'), x -> x != ''), 1,
+            |  CAST(greatest(3, (size(filter(split(lower(trim(text)),
+            |    '\\s+'), x -> x != '')) * ((doc_id DIV 15) % 8 + 2)) DIV 10)
+            |    AS INT)), ' ')""".stripMargin.replace("\n", " "))
+            .as("text"))
+      val slice = base.unionByName(twins)
+      val truth = NearDup.jaccardPairs(slice, "text", "doc_id", n = 3,
+        thresholdPct = 5, maxShingleFreq = NearDup.Exhaustive)
+      val found = NearDup.minhashLshPairs(slice, "text", "doc_id", n = 3,
+          bands = 16, rowsPerBand = 4, thresholdPct = 5,
+          hash = NearDup.SketchHash.PortableMd5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      truth.join(found, Seq("id_a", "id_b"), "left")
+        .withColumn("j_band", expr("((10000 * inter) DIV uni) DIV 1000"))
+        .groupBy("j_band")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .withColumn("recall_pm", expr("(10000 * n_found) DIV n_truth"))
+        .orderBy("j_band")
+    }),
+
     // Extension — DEDUP IMPACT LEDGER (Profile.dedupImpact): per
     // source, raw vs surviving docs/tokens after GLOBAL exact dedup
     // (min-doc_id survivor) — cross-source syndication leaves the
@@ -6393,6 +6430,69 @@ object SparkEntry {
       |FROM raw r LEFT JOIN kept k ON r.source = k.source
       |ORDER BY r.source""".stripMargin
 
+  /** q231: LSH-recall replay — exact truth over string shingle sets
+    * (the q25 construction) on the slice, the q26-style portable
+    * affine-minhash banding (16×4) + hashed-set verification at 5%,
+    * left join, decile rollup. */
+  private def q231Oracle: String = {
+    val n = 3
+    val bands = 16
+    val rows = 4
+    val (as, bs) = graft.plans.PortableSketch.affineCoeffs(bands * rows)
+    val coeffRows = as.indices.map(j => s"(${j}, ${as(j)}, ${bs(j)})").mkString(", ")
+    val shingleExpr = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(tt[1:CAST(greatest(3,
+       |      (len(tt) * ((doc_id // 15) % 8 + 2)) // 10) AS INT)], ' ')
+       |  FROM (SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> x <> '') AS tt
+       |    FROM documents WHERE doc_id % 15 = 0 AND doc_id % 3 = 0)),
+       |tok AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM corpus),
+       |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - ${n - 2}, 1)),
+       |    i -> $shingleExpr)) AS s
+       |  FROM tok WHERE len(t) >= $n),
+       |truth AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.s, b.s)) AS inter,
+       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 100 >=
+       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 5),
+       |hs AS MATERIALIZED (SELECT doc_id,
+       |    list_distinct(list_transform(s, x -> ${duckMd5Long("x")})) AS hs
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+       |sigr AS (SELECT doc_id, co.j,
+       |    min((co.a * (h & 4294967295) + co.b) % 4294967296) AS s
+       |  FROM ex CROSS JOIN (VALUES $coeffRows) co(j, a, b)
+       |  GROUP BY doc_id, co.j),
+       |bnd AS (SELECT doc_id, j // $rows AS band,
+       |    string_agg(s::VARCHAR, ',' ORDER BY j) AS bucket
+       |  FROM sigr GROUP BY doc_id, j // $rows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |found AS MATERIALIZED (SELECT c.id_a, c.id_b, 1 AS hit
+       |  FROM cand c JOIN hs x ON c.id_a = x.doc_id
+       |    JOIN hs y ON c.id_b = y.doc_id
+       |  WHERE len(list_intersect(x.hs, y.hs)) * 100 >=
+       |    (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 5),
+       |j AS (SELECT t.inter, t.uni, coalesce(f.hit, 0) AS hit
+       |  FROM truth t LEFT JOIN found f
+       |    ON t.id_a = f.id_a AND t.id_b = f.id_b)
+       |SELECT ((10000 * inter) // uni) // 1000 AS j_band,
+       |  CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(sum(hit) AS BIGINT) AS n_found,
+       |  (10000 * CAST(sum(hit) AS BIGINT)) // count(*) AS recall_pm
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8295,6 +8395,7 @@ object SparkEntry {
     "q228_langid_eval" -> q228Oracle,
     "q229_attribution_models" -> q229Oracle,
     "q230_dedup_impact" -> q230Oracle,
+    "q231_lsh_recall" -> q231Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
