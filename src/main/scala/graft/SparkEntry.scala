@@ -2772,6 +2772,46 @@ object SparkEntry {
         .orderBy("j_band")
     }),
 
+    // Extension — ANN RECALL AUDIT (the q231 instrument pointed at the
+    // vector side): LSH annJoin top-8 per query vs the exhaustive
+    // normalized-dot truth, per-query overlap histogram + family
+    // recall. The exhaustive side is audit-only by design (queries are
+    // a bounded sample); the serving path stays bucketed. Hash-exact.
+    "q232_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      val qs = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val found = Similarity.annJoin(qs, e, "embedding", "vec_id", k = 9, lsh)
+        .filter(col("base_id") =!= col("query_id") - 10000000L)
+        .withColumn("r2", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("base_id").asc)))
+        .filter(col("r2") <= 8)
+        .select(col("query_id"), col("base_id"), lit(1L).as("hit"))
+      val baseN = e.select(col("vec_id").as("base_id"),
+        Similarity.normalized(col("embedding")).as("b"))
+      val qn = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id").as("qid"),
+          Similarity.normalized(col("embedding")).as("q"))
+      val truth = baseN.crossJoin(broadcast(qn))
+        .filter(col("base_id") =!= col("qid"))
+        .withColumn("score", Similarity.dot(col("q"), col("b")))
+        .withColumn("r", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("base_id").asc)))
+        .filter(col("r") <= 8)
+        .select((col("qid") + 10000000L).as("query_id"), col("base_id"))
+      val perQuery = truth.join(found, Seq("query_id", "base_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap"))
+        .localCheckpoint(true) // histogram + summary share it
+      val summary = perQuery.agg(count(lit(1)).as("nq"),
+          sum(col("overlap")).as("tot"))
+        .select(expr("(10000 * tot) DIV (8 * nq)").as("recall_pm"))
+      perQuery.groupBy("overlap").agg(count(lit(1)).as("n_queries"))
+        .crossJoin(summary)
+        .orderBy("overlap")
+    }),
+
     // Extension — DEDUP IMPACT LEDGER (Profile.dedupImpact): per
     // source, raw vs surviving docs/tokens after GLOBAL exact dedup
     // (min-doc_id survivor) — cross-source syndication leaves the
@@ -6493,6 +6533,50 @@ object SparkEntry {
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q232: ANN-recall replay — the knnJoinOracle hamming-≤1 candidate
+    * identity for found (self excluded, dense re-rank ≤8), exhaustive
+    * normalized-dot truth, per-query overlap, histogram + family
+    * recall. */
+  private def q232Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    s"""WITH sigs AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS sig
+       |  FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, ne AS qne, sig AS qsig
+       |  FROM sigs WHERE vec_id % 10 = 0),
+       |fc AS (SELECT q.qid, s.vec_id AS base_id,
+       |    list_reduce(list_transform(range(1, 65), i -> q.qne[i] * s.ne[i]),
+       |      (x, y) -> x + y) AS score
+       |  FROM q JOIN sigs s
+       |    ON bit_count(xor(q.qsig, s.sig)) <= 1 AND s.vec_id <> q.qid),
+       |found AS MATERIALIZED (SELECT qid, base_id, 1 AS hit FROM (
+       |    SELECT qid, base_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, base_id ASC) AS r FROM fc)
+       |  WHERE r <= 8),
+       |tc AS (SELECT q.qid, s.vec_id AS base_id,
+       |    list_reduce(list_transform(range(1, 65), i -> q.qne[i] * s.ne[i]),
+       |      (x, y) -> x + y) AS score
+       |  FROM q CROSS JOIN sigs s WHERE s.vec_id <> q.qid),
+       |truth AS MATERIALIZED (SELECT qid, base_id FROM (
+       |    SELECT qid, base_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, base_id ASC) AS r FROM tc)
+       |  WHERE r <= 8),
+       |per AS MATERIALIZED (SELECT t.qid,
+       |    CAST(sum(coalesce(f.hit, 0)) AS BIGINT) AS overlap
+       |  FROM truth t LEFT JOIN found f
+       |    ON t.qid = f.qid AND t.base_id = f.base_id
+       |  GROUP BY 1),
+       |smry AS (SELECT CAST(count(*) AS BIGINT) AS nq,
+       |    CAST(sum(overlap) AS BIGINT) AS tot FROM per)
+       |SELECT overlap, CAST(count(*) AS BIGINT) AS n_queries,
+       |  (10000 * tot) // (8 * nq) AS recall_pm
+       |FROM per CROSS JOIN smry GROUP BY overlap, tot, nq
+       |ORDER BY overlap""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8396,6 +8480,7 @@ object SparkEntry {
     "q229_attribution_models" -> q229Oracle,
     "q230_dedup_impact" -> q230Oracle,
     "q231_lsh_recall" -> q231Oracle,
+    "q232_ann_recall" -> q232Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
