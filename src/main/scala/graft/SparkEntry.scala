@@ -2772,6 +2772,20 @@ object SparkEntry {
         .orderBy("j_band")
     }),
 
+    // Extension — QUALITY-GATE THRESHOLD SWEEP (ClassEval
+    // .thresholdSweep): the q145 linear quality score swept across
+    // every operating point against the n_chars≥400 label — kept
+    // volume and P/R/F1 per cut, the row an operator actually picks
+    // (q199's AUC integrates this table away). Hash-exact.
+    "q233_threshold_sweep" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      val scored = t(s, dir, "documents").select(
+        QualityModel.scoreMicros(col("text"), w, 0L).as("score_micros"),
+        (col("n_chars") >= 400L).cast("long").as("pos"))
+      graft.operators.ClassEval.thresholdSweep(scored, "score_micros", "pos")
+    }),
+
     // Extension — ANN RECALL AUDIT (the q231 instrument pointed at the
     // vector side): LSH annJoin top-8 per query vs the exhaustive
     // normalized-dot truth, per-query overlap histogram + family
@@ -6577,6 +6591,43 @@ object SparkEntry {
        |ORDER BY overlap""".stripMargin
   }
 
+  /** q233: sweep replay — the q145 scoring formula, score-grain cells,
+    * cumulative/total windows, truncated P/R and nested F1. */
+  private def q233Oracle: String = {
+    val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
+    s"""WITH scored AS (SELECT
+       |    CAST(coalesce(list_aggregate(list_transform(toks,
+       |        t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |      AS BIGINT) AS score,
+       |    CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS pos
+       |  FROM (SELECT n_chars,
+       |      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> x <> '') AS toks
+       |    FROM documents)),
+       |cells AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS n_pos
+       |  FROM scored GROUP BY 1),
+       |c2 AS (SELECT score,
+       |    CAST(sum(n) OVER wc AS BIGINT) AS kept,
+       |    CAST(sum(n_pos) OVER wc AS BIGINT) AS tp,
+       |    CAST(sum(n_pos) OVER wa AS BIGINT) AS total_pos
+       |  FROM cells
+       |  WINDOW wc AS (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wa AS (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |m AS (SELECT score, kept, tp,
+       |    (10000 * tp) // kept AS precision_pm,
+       |    CASE WHEN total_pos > 0 THEN (10000 * tp) // total_pos END
+       |      AS recall_pm
+       |  FROM c2)
+       |SELECT score, kept, tp, precision_pm, recall_pm,
+       |  CASE WHEN recall_pm IS NOT NULL AND precision_pm + recall_pm > 0
+       |    THEN (2 * precision_pm * recall_pm) // (precision_pm + recall_pm)
+       |  END AS f1_pm
+       |FROM m ORDER BY score DESC""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8481,6 +8532,7 @@ object SparkEntry {
     "q230_dedup_impact" -> q230Oracle,
     "q231_lsh_recall" -> q231Oracle,
     "q232_ann_recall" -> q232Oracle,
+    "q233_threshold_sweep" -> q233Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

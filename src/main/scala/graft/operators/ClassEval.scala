@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CLASSIFIER EVALUATION against labeled data — the confusion-derived
@@ -67,5 +68,46 @@ object ClassEval {
       .select("clazz", "n_true", "n_pred", "tp", "precision_pm",
         "recall_pm", "f1_pm", "accuracy_pm")
       .orderBy("clazz")
+  }
+
+  /** THRESHOLD SWEEP — the operating-point table for a score-gated
+    * binary filter: at every distinct score value (treated as the
+    * "keep if score ≥ s" cut), how many units survive and what
+    * precision/recall/F1 the gate achieves against the label. The
+    * actionable complement of a single AUC number (q199): an operator
+    * picks a row, not an integral.
+    *
+    * Same integer discipline as [[confusionReport]] (truncated pm
+    * ratios, F1 over the reported P and R); computed at SCORE-GRAIN
+    * like the Qini curve — one aggregate collapses units to distinct
+    * scores, cumulative windows run over the score-domain frame
+    * (quantize continuous scores first at 100 TB).
+    *
+    * @return per descending threshold: score, kept, tp, precision_pm,
+    *         recall_pm, f1_pm
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("kept", sum(col("n")).over(wCum))
+      .withColumn("tp", sum(col("n_pos")).over(wCum))
+      .withColumn("total_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("precision_pm", expr("(10000 * tp) DIV kept"))
+      .withColumn("recall_pm",
+        when(col("total_pos") > 0, expr("(10000 * tp) DIV total_pos")))
+      .withColumn("f1_pm", expr(
+        """CASE WHEN recall_pm IS NOT NULL AND precision_pm + recall_pm > 0
+          |  THEN (2 * precision_pm * recall_pm) DIV (precision_pm + recall_pm)
+          |END""".stripMargin))
+      .select("score", "kept", "tp", "precision_pm", "recall_pm", "f1_pm")
+      .orderBy(col("score").desc)
   }
 }

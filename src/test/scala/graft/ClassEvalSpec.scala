@@ -42,6 +42,23 @@ class ClassEvalSpec extends AnyFunSuite {
     assert(d.isNullAt(d.fieldIndex("f1_pm"))) // no P to harmonize with
   }
 
+  test("threshold sweep: hand-computed operating points, recall monotone") {
+    val df = Seq((10L, 1L), (5L, 0L), (1L, 1L)).toDF("score", "pos")
+    val out = ClassEval.thresholdSweep(df, "score", "pos").collect()
+    assert(out.map(_.getAs[Long]("score")).toList == List(10L, 5L, 1L))
+    val top = out(0); val mid = out(1); val low = out(2)
+    assert(top.getAs[Long]("precision_pm") == 10000L)
+    assert(top.getAs[Long]("recall_pm") == 5000L)
+    assert(top.getAs[Long]("f1_pm") == 6666L)
+    assert(mid.getAs[Long]("precision_pm") == 5000L)
+    assert(mid.getAs[Long]("f1_pm") == 5000L)
+    assert(low.getAs[Long]("precision_pm") == 6666L)
+    assert(low.getAs[Long]("recall_pm") == 10000L)
+    assert(low.getAs[Long]("f1_pm") == 7999L)
+    val recalls = out.map(_.getAs[Long]("recall_pm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+  }
+
   test("confusion: a perfect classifier scores 10000 everywhere") {
     val df = Seq(("x", "x"), ("y", "y"), ("y", "y")).toDF("t", "p")
     val out = ClassEval.confusionReport(df, "t", "p").collect()
