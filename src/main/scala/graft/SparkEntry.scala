@@ -2772,6 +2772,18 @@ object SparkEntry {
         .orderBy("j_band")
     }),
 
+    // Extension — TOP-K TURNOVER (Audience.topKTurnover): week-over-
+    // week churn of the top-10 most-active users — stayers, entrants,
+    // exits, head-set Jaccard. Integer weeks (ms DIV 7d — the q87
+    // convention), total-ordered ranks, (weeks × k)-sized head table.
+    // Hash-exact.
+    "q234_topk_turnover" -> ((s, dir) => {
+      graft.operators.Audience.topKTurnover(
+        events(s, dir).withColumn("week",
+          expr("unix_millis(ts) DIV 604800000")),
+        "user_id", "week", k = 10)
+    }),
+
     // Extension — QUALITY-GATE THRESHOLD SWEEP (ClassEval
     // .thresholdSweep): the q145 linear quality score swept across
     // every operating point against the n_chars≥400 label — kept
@@ -6628,6 +6640,29 @@ object SparkEntry {
        |FROM m ORDER BY score DESC""".stripMargin
   }
 
+  /** q234: turnover replay — weekly counts, (n DESC, user ASC) rank,
+    * top-10 head table, consecutive-week self-join, set counts +
+    * Jaccard. */
+  private val q234Oracle =
+    """WITH c AS (SELECT epoch_ms(ts) // 604800000 AS w, user_id AS e,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tk AS (SELECT w, e FROM (SELECT w, e,
+      |    row_number() OVER (PARTITION BY w ORDER BY n DESC, e ASC) AS r
+      |  FROM c) WHERE r <= 10),
+      |sz AS (SELECT w, CAST(count(*) AS BIGINT) AS kn FROM tk GROUP BY 1),
+      |st AS (SELECT a.w, CAST(count(*) AS BIGINT) AS n_stay
+      |  FROM tk a JOIN tk b ON a.e = b.e AND b.w = a.w + 1 GROUP BY 1)
+      |SELECT p.w AS week, p.kn AS n_prev, q.kn AS n_next,
+      |  coalesce(st.n_stay, 0) AS n_stay,
+      |  q.kn - coalesce(st.n_stay, 0) AS n_enter,
+      |  p.kn - coalesce(st.n_stay, 0) AS n_exit,
+      |  (10000 * coalesce(st.n_stay, 0))
+      |    // (p.kn + q.kn - coalesce(st.n_stay, 0)) AS jaccard_pm
+      |FROM sz p JOIN sz q ON q.w = p.w + 1
+      |LEFT JOIN st ON st.w = p.w
+      |ORDER BY week""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8533,6 +8568,7 @@ object SparkEntry {
     "q231_lsh_recall" -> q231Oracle,
     "q232_ann_recall" -> q232Oracle,
     "q233_threshold_sweep" -> q233Oracle,
+    "q234_topk_turnover" -> q234Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

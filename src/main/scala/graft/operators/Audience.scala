@@ -26,6 +26,51 @@ import org.apache.spark.sql.functions._
   */
 object Audience {
 
+  /** TOP-K TURNOVER — how stable is the head of the distribution?
+    * Rank entities per period by activity (count desc, id asc — total
+    * order), keep the top k, and compare consecutive periods: stayers,
+    * entrants, exits, and the Jaccard of the two head sets. A head
+    * that churns completely every period means "top users" dashboards
+    * are noise; one that never changes means the platform has whales.
+    *
+    * Scale shape: one (period, entity) aggregate over the log, a
+    * period-partitioned rank window (top-k per period — k rows
+    * survive), then a self-join of the (periods × k)-sized head table
+    * on (entity, period+1). Integer counts, one truncating DIV for
+    * the Jaccard.
+    *
+    * @return per consecutive-period boundary: week (earlier period),
+    *         n_prev, n_next, n_stay, n_enter, n_exit, jaccard_pm
+    */
+  def topKTurnover(df: org.apache.spark.sql.DataFrame, entityCol: String,
+      periodCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(periodCol).as("w"), col(entityCol).as("e"))
+      .agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy("w").orderBy(col("n").desc, col("e").asc)
+    val top = counts.withColumn("r", row_number().over(wr))
+      .filter(col("r") <= k)
+      .select("w", "e")
+      .localCheckpoint(true) // periods × k rows; three consumers below
+    val sizes = top.groupBy("w").agg(count(lit(1)).as("kn"))
+    val stay = top.as("a")
+      .join(top.as("b"),
+        col("a.e") === col("b.e") && col("b.w") === col("a.w") + 1)
+      .groupBy(col("a.w").as("w"))
+      .agg(count(lit(1)).as("n_stay"))
+    sizes.select(col("w"), col("kn").as("n_prev"))
+      .join(sizes.select((col("w") - 1).as("w"), col("kn").as("n_next")), "w")
+      .join(stay, Seq("w"), "left")
+      .withColumn("n_stay", coalesce(col("n_stay"), lit(0L)))
+      .withColumn("n_enter", col("n_next") - col("n_stay"))
+      .withColumn("n_exit", col("n_prev") - col("n_stay"))
+      .withColumn("jaccard_pm",
+        expr("(10000 * n_stay) DIV (n_prev + n_next - n_stay)"))
+      .select(col("w").as("week"), col("n_prev"), col("n_next"),
+        col("n_stay"), col("n_enter"), col("n_exit"), col("jaccard_pm"))
+      .orderBy("week")
+  }
+
   /** Stage 1: per-user 0/1 membership flags `(userCol, f0..f(m−1))` —
     * fᵢ = 1 iff the user has any `types(i)` event. A streaming-safe
     * max-aggregation (complete/update modes both merge it exactly). */

@@ -465,6 +465,31 @@ class PropertySpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("core_degree") >= 3L))
   }
 
+  test("top-k turnover: set algebra consistent, hand case correct") {
+    import graft.operators.Audience
+    // week 0 head: users 1,2 (k=2); week 1 head: users 2,3 -> stay 1
+    val rows = Seq.fill(5)((1L, 0L)) ++ Seq.fill(4)((2L, 0L)) ++
+      Seq.fill(1)((9L, 0L)) ++
+      Seq.fill(5)((2L, 1L)) ++ Seq.fill(4)((3L, 1L)) ++ Seq.fill(1)((1L, 1L))
+    val out = Audience.topKTurnover(rows.toDF("u", "w"), "u", "w", k = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_stay") == 1L)
+    assert(r.getAs[Long]("n_enter") == 1L && r.getAs[Long]("n_exit") == 1L)
+    assert(r.getAs[Long]("jaccard_pm") == 3333L) // 1 of 3
+    // invariants on a random feed
+    val rnd = sample(Gen.zip(Gen.chooseNum(1L, 30L), Gen.chooseNum(0L, 3L)), 400)
+    Audience.topKTurnover(rnd.toDF("u", "w"), "u", "w", k = 5).collect()
+      .foreach { x =>
+        assert(x.getAs[Long]("n_stay") + x.getAs[Long]("n_enter") ==
+          x.getAs[Long]("n_next"))
+        assert(x.getAs[Long]("n_stay") + x.getAs[Long]("n_exit") ==
+          x.getAs[Long]("n_prev"))
+        assert(x.getAs[Long]("jaccard_pm") <= 10000L)
+      }
+  }
+
   test("tail ratios: survivors are monotone non-increasing and bounded by units") {
     import graft.operators.Profile
     val vals = sample(Gen.chooseNum(0L, 300L), 250)
