@@ -2772,6 +2772,18 @@ object SparkEntry {
         .orderBy("j_band")
     }),
 
+    // Extension — STATIONARY DISTRIBUTION (Paths
+    // .stationaryDistribution): the session Markov chain's long-run
+    // attention share per event type — q103's matrix driven to its
+    // infinite-horizon fixed point by 16 rounds of integer power
+    // iteration (per-term truncating DIV, dangling self-loops), the
+    // whole trace replayed by the oracle's unrolled rounds.
+    // Hash-exact.
+    "q235_markov_stationary" -> ((s, dir) => {
+      graft.operators.Paths.stationaryDistribution(events(s, dir),
+        "user_id", "ts", "event_type", "event_id", iterations = 16)
+    }),
+
     // Extension — TOP-K TURNOVER (Audience.topKTurnover): week-over-
     // week churn of the top-10 most-active users — stayers, entrants,
     // exits, head-set Jaccard. Integer weeks (ms DIV 7d — the q87
@@ -6663,6 +6675,52 @@ object SparkEntry {
       |LEFT JOIN st ON st.w = p.w
       |ORDER BY week""".stripMargin
 
+  /** q235: stationary replay — the q103 session-pair CTEs, micro
+    * transition matrix with dangling self-loops, π₀ = 10⁶ DIV k, and
+    * 16 UNROLLED power-iteration rounds (MATERIALIZED — each round
+    * references its predecessor once, but materializing keeps the
+    * plan linear and cheap). */
+  private def q235Oracle: String = {
+    val rounds = (1 to 16).map { r =>
+      s"""pp$r AS MATERIALIZED (SELECT t.t AS state,
+         |  CAST(sum((p.pi * t.pm) // 1000000) AS BIGINT) AS pi
+         |  FROM pp${r - 1} p JOIN tm t ON p.state = t.f GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+       |    event_id AS eid,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30 * 60000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+       |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ms ASC, eid ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM s),
+       |pr AS (SELECT etype AS f,
+       |    lead(etype) OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ms ASC, eid ASC) AS t
+       |  FROM sess),
+       |trc AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+       |  FROM pr WHERE t IS NOT NULL GROUP BY 1, 2),
+       |rt AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM trc GROUP BY 1),
+       |states AS (SELECT DISTINCT x AS st FROM
+       |  (SELECT f AS x FROM trc UNION SELECT t FROM trc)),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+       |tm AS MATERIALIZED (
+       |  SELECT trc.f, trc.t, (1000000 * trc.n) // rt.tot AS pm
+       |  FROM trc JOIN rt USING (f)
+       |  UNION ALL
+       |  SELECT st, st, 1000000 FROM states
+       |  WHERE st NOT IN (SELECT f FROM trc)),
+       |pp0 AS MATERIALIZED (SELECT st AS state, 1000000 // kk.k AS pi
+       |  FROM states, kk),
+       |$rounds
+       |SELECT state, pi AS pi_micro FROM pp16 WHERE pi > 0
+       |ORDER BY state""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8569,6 +8627,7 @@ object SparkEntry {
     "q232_ann_recall" -> q232Oracle,
     "q233_threshold_sweep" -> q233Oracle,
     "q234_topk_turnover" -> q234Oracle,
+    "q235_markov_stationary" -> q235Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -176,6 +176,72 @@ object Paths {
       .orderBy(userCol)
   }
 
+  /** STATIONARY DISTRIBUTION of the session Markov chain — the
+    * long-run share of attention each event type commands if users
+    * keep following the observed transition structure, i.e. the
+    * PageRank-without-teleport of the behavioral graph. Complements
+    * q103 (the one-step matrix) and q218 (one-step prediction) with
+    * the infinite-horizon readout.
+    *
+    * Deterministic integer power iteration: P(i,j) in micro units
+    * (one truncating DIV per cell), π₀ uniform (10⁶ DIV k), and each
+    * step π'(j) = Σᵢ (πᵢ·P(i,j)) DIV 10⁶ with per-term truncation —
+    * the exact trace the oracle's unrolled replay reproduces.
+    * Dangling states (incoming but no outgoing transitions) get a
+    * self-loop so their mass is conserved, the standard absorbing
+    * repair. Truncation bleeds ≤1 micro per term per round; after the
+    * pinned 16 rounds the result is a deterministic fixed readout,
+    * not a float approximation.
+    *
+    * Scale shape: ONE session-window pass collapses the log to the
+    * event-type²-sized transition matrix; the power iteration runs
+    * driver-side on that collected domain-bounded matrix (the
+    * pinned-centroid bounded-collect discipline — k event types, not
+    * data).
+    */
+  def stationaryDistribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      iterations: Int = 16,
+      gapMs: Long = 30L * 60000L
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 64, "iterations in [1,64]")
+    val spark = events.sparkSession
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ms").asc, col("eid").asc)
+    val trans = sessionized(events, userCol, tsCol, typeCol, idCol, gapMs)
+      .withColumn("to_type", lead(col("etype"), 1).over(bySession))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("etype").as("f"), col("to_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // event-type²-bounded
+      .map(r => (r.getAs[String]("f"), r.getAs[String]("t"), r.getAs[Long]("n")))
+    val rowTotals = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val froms = rowTotals.keySet
+    val states = (froms ++ trans.map(_._2)).toSeq.sorted
+    // P cells in micro; dangling states self-loop with full mass
+    val p: Map[(String, String), Long] =
+      trans.map { case (f, t, n) => (f, t) -> 1000000L * n / rowTotals(f) }
+        .toMap ++
+        states.filterNot(froms).map(s => (s, s) -> 1000000L)
+    var pi: Map[String, Long] =
+      states.map(_ -> 1000000L / states.size).toMap
+    for (_ <- 1 to iterations) {
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for (((f, t), pm) <- p; m = pi.getOrElse(f, 0L) * pm / 1000000L)
+        next(t) += m
+      pi = next.toMap
+    }
+    import spark.implicits._
+    states.flatMap(s => pi.get(s).filter(_ > 0).map(s -> _))
+      .toDF("state", "pi_micro")
+      .orderBy("state")
+  }
+
   /** OUT-OF-TIME BACKTEST of the first-order Markov next-event model:
     * train the argmax-transition predictor on the first `trainDays` of
     * the corpus, score its top-1 accuracy on everything after — the

@@ -61,6 +61,28 @@ class PathsBacktestSpec extends AnyFunSuite {
     assert(z.getAs[Long]("acc_pm") == 0L)
   }
 
+  test("stationary: a symmetric two-state oscillator stays uniform") {
+    // a->b and b->a only: P is the swap matrix; uniform is stationary
+    val df = ev(Seq((1L, 1000L, "a", 1L), (1L, 2000L, "b", 2L),
+      (1L, 3000L, "a", 3L), (1L, 4000L, "b", 4L)))
+    val out = Paths.stationaryDistribution(df, "user_id", "ts",
+      "event_type", "event_id", iterations = 8).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Long]("pi_micro")).toMap
+    assert(out == Map("a" -> 500000L, "b" -> 500000L))
+  }
+
+  test("stationary: mass drains into a dangling state's self-loop") {
+    // a->b twice, b never leaves (dangling) -> all mass ends at b
+    val df = ev(Seq((1L, 1000L, "a", 1L), (1L, 2000L, "b", 2L),
+      (2L, 1000L, "a", 3L), (2L, 2000L, "b", 4L)))
+    val out = Paths.stationaryDistribution(df, "user_id", "ts",
+      "event_type", "event_id", iterations = 16).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("state") == "b")
+    // started uniform (500000 each); a's share moved to b un-truncated
+    assert(out.head.getAs[Long]("pi_micro") == 1000000L)
+  }
+
   test("backtest: the session gap stops pairs crossing a 30-minute hole") {
     // same eval day, but the two events are 31 minutes apart — no pair,
     // so the eval side is empty and no row survives
