@@ -2772,6 +2772,16 @@ object SparkEntry {
         .orderBy("j_band")
     }),
 
+    // Extension — TOKENIZER FERTILITY (BpeTrain.fertilityByGroup):
+    // pieces-per-word and chars-per-piece per LANGUAGE under the one
+    // corpus-global 8-merge table — the cross-lingual equity readout
+    // (a skewed training mix over-segments minority languages; the
+    // fertility_pm spread shows it before anyone trains). Hash-exact.
+    "q236_bpe_fertility" -> ((s, dir) => {
+      graft.operators.BpeTrain.fertilityByGroup(
+        t(s, dir, "documents"), "text", "lang", rounds = 8, minCount = 1L)
+    }),
+
     // Extension — STATIONARY DISTRIBUTION (Paths
     // .stationaryDistribution): the session Markov chain's long-run
     // attention share per event type — q103's matrix driven to its
@@ -6721,6 +6731,50 @@ object SparkEntry {
        |ORDER BY state""".stripMargin
   }
 
+  /** q236: fertility replay — q150's global merge-learning rounds
+    * verbatim, then per-(lang, word) frequencies joined to the final
+    * segmentation state and rolled up per lang. */
+  private def q236Oracle: String = {
+    val rounds = (0 until 8).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT c[i] AS a, c[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(s, chr(1)), chr(1)||chr(1)) AS c
+         |        FROM v$k) x, unnest(range(1, len(c))) AS t(i)
+         |  WHERE len(c) >= 2 GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |v${k + 1} AS MATERIALIZED (SELECT word, freq,
+         |  replace(s, (SELECT chr(1)||a||chr(1)||chr(1)||b||chr(1) FROM b$k),
+         |             (SELECT chr(1)||a||b||chr(1) FROM b$k)) AS s FROM v$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT unnest(list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT word, freq,
+       |  chr(1) || array_to_string(regexp_split_to_array(word, ''),
+       |    chr(1)||chr(1)) || chr(1) AS s FROM wc),
+       |$rounds,
+       |seg AS MATERIALIZED (SELECT word,
+       |  CAST((len(s) - len(replace(s, chr(1), ''))) // 2 AS BIGINT) AS np
+       |  FROM v8),
+       |lw AS (SELECT lang AS grp, word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT lang, unnest(list_filter(
+       |      regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''))
+       |      AS word
+       |    FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT grp, CAST(sum(freq) AS BIGINT) AS n_words,
+       |  CAST(sum(freq * np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(freq * len(word)) AS BIGINT) AS n_chars,
+       |  (10000 * CAST(sum(freq * np) AS BIGINT))
+       |    // CAST(sum(freq) AS BIGINT) AS fertility_pm,
+       |  (10000 * CAST(sum(freq * len(word)) AS BIGINT))
+       |    // CAST(sum(freq * np) AS BIGINT) AS chars_per_piece_pm
+       |FROM lw JOIN seg USING (word)
+       |GROUP BY grp ORDER BY grp""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8628,6 +8682,7 @@ object SparkEntry {
     "q233_threshold_sweep" -> q233Oracle,
     "q234_topk_turnover" -> q234Oracle,
     "q235_markov_stationary" -> q235Oracle,
+    "q236_bpe_fertility" -> q236Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -128,4 +128,41 @@ object BpeTrain {
     }
     merges.toSeq
   }
+
+  /** TOKENIZER FERTILITY by group — the standard cross-lingual
+    * tokenizer-equity metric: pieces-per-word (fertility) and
+    * chars-per-piece (compression) per group (language, source), under
+    * ONE corpus-globally-learned merge table. A tokenizer trained on a
+    * skewed mix over-segments the under-represented languages; this
+    * readout is where that shows up as a number (fertility_pm spread
+    * across langs) before anyone trains on the tokens.
+    *
+    * Scale shape: merge learning is [[learnMerges]]'s vocab-sized
+    * loop; fertility then needs one (group, word) aggregate and a
+    * vocab-sized segmentation projection (the same fold q150 runs).
+    * All integer counts; ratios one truncating DIV each.
+    */
+  def fertilityByGroup(docs: DataFrame, textCol: String, groupCol: String,
+      rounds: Int = 8, minCount: Long = 1L): DataFrame = {
+    val merges = learnMerges(docs, textCol, rounds, minCount)
+    val lw = docs.select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("grp", "word").agg(count(lit(1)).as("freq"))
+    val enc0 = encodeSymbols(charSymbols(col("word")))
+    val encN = merges.foldLeft(enc0) { case (c, (a, b, _)) =>
+      applyMerge(c, a, b) }
+    lw.select(col("grp"), col("freq"),
+        length(col("word")).cast("long").as("nc"),
+        pieceCount(encN).as("np"))
+      .groupBy("grp")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("np")).as("n_pieces"),
+        sum(col("freq") * col("nc")).as("n_chars"))
+      .withColumn("fertility_pm", expr("(10000 * n_pieces) DIV n_words"))
+      .withColumn("chars_per_piece_pm",
+        expr("(10000 * n_chars) DIV n_pieces"))
+      .select("grp", "n_words", "n_pieces", "n_chars", "fertility_pm",
+        "chars_per_piece_pm")
+      .orderBy("grp")
+  }
 }

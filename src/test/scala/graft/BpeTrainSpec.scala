@@ -93,4 +93,20 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(merges.head._1 == "a" && merges.head._2 == "b")
     assert(merges == Seq(("a", "b", 2L), ("z", "y", 2L)))
   }
+
+  test("fertility: merges learned on the majority group segment it better") {
+    // 'ab' dominates the corpus, so 'a'+'b' merges; group M (all 'ab')
+    // reaches fertility 1 piece/word, group X ('cd' words, never
+    // merged) stays at 2 — and chars >= pieces >= words throughout
+    val docs = (Seq.fill(6)(("M", "ab ab ab")) ++ Seq.fill(2)(("X", "cd cd")))
+      .toDF("grp", "text")
+    val out = BpeTrain.fertilityByGroup(docs, "text", "grp", rounds = 1)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("M").getAs[Long]("fertility_pm") == 10000L)
+    assert(out("X").getAs[Long]("fertility_pm") == 20000L)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_chars") >= r.getAs[Long]("n_pieces"))
+      assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words"))
+    }
+  }
 }
