@@ -2772,6 +2772,47 @@ object SparkEntry {
         .orderBy("j_band")
     }),
 
+    // Extension — CORPUS HEALTH DOSSIER (the q185/q200 dossier pattern
+    // for the document corpus): per source, ONE row joining the
+    // curation signals that elsewhere live in separate queries —
+    // volume, tokens/doc, global-dedup token keep rate (q230), mean
+    // learned-quality score (q145), and the dominant predicted
+    // language with its share (q23). The frame a data-acquisition
+    // review actually reads. Hash-exact.
+    "q237_corpus_dossier" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      val base = t(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+          QualityModel.scoreMicros(col("text"), w, 0L).as("score"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .localCheckpoint(true) // five consumers below
+      val surv = base.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val kept = base.join(surv, Seq("fp", "doc_id"), "left_semi")
+        .groupBy("source").agg(sum(col("n_tok")).as("surv_toks"))
+      val lang = base.groupBy(col("source"), col("pred"))
+        .agg(count(lit(1)).as("ln"))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("ln").desc, col("pred").asc)))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("pred").as("top_lang"), col("ln"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
+          sum(col("score")).as("qsum"))
+        .join(kept, Seq("source"), "left")
+        .join(lang, Seq("source"))
+        .withColumn("toks_per_doc", expr("n_toks DIV n_docs"))
+        .withColumn("tok_keep_pm", when(col("n_toks") > 0,
+          expr("(10000 * coalesce(surv_toks, 0)) DIV n_toks"))
+          .otherwise(10000L))
+        .withColumn("q_mean_micro", expr("qsum DIV n_docs"))
+        .withColumn("top_lang_share_pm", expr("(10000 * ln) DIV n_docs"))
+        .select("source", "n_docs", "toks_per_doc", "tok_keep_pm",
+          "q_mean_micro", "top_lang", "top_lang_share_pm")
+        .orderBy("source")
+    }),
+
     // Extension — TOKENIZER FERTILITY (BpeTrain.fertilityByGroup):
     // pieces-per-word and chars-per-piece per LANGUAGE under the one
     // corpus-global 8-merge table — the cross-lingual equity readout
@@ -6775,6 +6816,56 @@ object SparkEntry {
        |GROUP BY grp ORDER BY grp""".stripMargin
   }
 
+  /** q237: dossier replay — the q230 fingerprint/survivor CTEs, q145
+    * scoring formula, q23 langid CASE, one per-source join. */
+  private def q237Oracle: String = {
+    val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
+    s"""WITH base AS MATERIALIZED (SELECT source, doc_id,
+       |    md5(array_to_string(toks, ' ')) AS fp,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(coalesce(list_aggregate(list_transform(toks,
+       |        t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |      AS BIGINT) AS score,
+       |    CASE
+       |      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+       |      WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+       |      WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+       |      WHEN s_de >= s_fr THEN 'de'
+       |      ELSE 'fr' END AS pred
+       |  FROM (SELECT source, doc_id, toks,
+       |      len(list_filter(toks, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS s_en,
+       |      len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
+       |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+       |      len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
+       |    FROM (SELECT source, doc_id,
+       |        list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |          x -> x <> '') AS toks
+       |      FROM documents))),
+       |surv AS (SELECT fp, min(doc_id) AS doc_id FROM base GROUP BY 1),
+       |kept AS (SELECT b.source, CAST(sum(b.n_tok) AS BIGINT) AS surv_toks
+       |  FROM base b JOIN surv s ON b.fp = s.fp AND b.doc_id = s.doc_id
+       |  GROUP BY 1),
+       |lang AS (SELECT source, pred AS top_lang, ln FROM (
+       |    SELECT source, pred, CAST(count(*) AS BIGINT) AS ln,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY count(*) DESC, pred ASC) AS rn
+       |    FROM base GROUP BY source, pred)
+       |  WHERE rn = 1),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_toks,
+       |    CAST(sum(score) AS BIGINT) AS qsum
+       |  FROM base GROUP BY 1)
+       |SELECT a.source, a.n_docs, a.n_toks // a.n_docs AS toks_per_doc,
+       |  CASE WHEN a.n_toks > 0
+       |    THEN (10000 * coalesce(k.surv_toks, 0)) // a.n_toks
+       |    ELSE 10000 END AS tok_keep_pm,
+       |  a.qsum // a.n_docs AS q_mean_micro,
+       |  l.top_lang, (10000 * l.ln) // a.n_docs AS top_lang_share_pm
+       |FROM agg a LEFT JOIN kept k ON a.source = k.source
+       |JOIN lang l ON a.source = l.source
+       |ORDER BY a.source""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8683,6 +8774,7 @@ object SparkEntry {
     "q234_topk_turnover" -> q234Oracle,
     "q235_markov_stationary" -> q235Oracle,
     "q236_bpe_fertility" -> q236Oracle,
+    "q237_corpus_dossier" -> q237Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
