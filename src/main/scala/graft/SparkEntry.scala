@@ -2772,6 +2772,22 @@ object SparkEntry {
         .orderBy("j_band")
     }),
 
+    // Extension — DAILY SLO PERCENTILES (CountingQuantile
+    // .countingQuantiles): exact type-1 p50/p90/p99 of event value
+    // (cents) per (event_type, day) — the latency/value SLO trend
+    // table, computed by counting (state per key = distinct cents, not
+    // rows) so it stays exact AND mergeable at 100 TB. Hash-exact.
+    "q238_slo_percentiles" -> ((s, dir) => {
+      graft.operators.CountingQuantile.countingQuantiles(
+        events(s, dir).select(col("event_type"),
+          expr("unix_millis(ts) DIV 86400000").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        Seq("event_type", "day"), "cents",
+        Seq(("p50_cents", 5000L), ("p90_cents", 9000L),
+          ("p99_cents", 9900L)))
+    }),
+
     // Extension — CORPUS HEALTH DOSSIER (the q185/q200 dossier pattern
     // for the document corpus): per source, ONE row joining the
     // curation signals that elsewhere live in separate queries —
@@ -6866,6 +6882,28 @@ object SparkEntry {
        |ORDER BY a.source""".stripMargin
   }
 
+  /** q238: SLO replay — (type, day, cents) counting, cumulative
+    * windows, ceil-rank type-1 selection per probability. */
+  private val q238Oracle =
+    """WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |w AS (SELECT *,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type, day ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+      |  FROM c)
+      |SELECT event_type, day, max(n) AS n,
+      |  min(CASE WHEN cum >= (n * 5000 + 9999) // 10000 THEN x END)
+      |    AS p50_cents,
+      |  min(CASE WHEN cum >= (n * 9000 + 9999) // 10000 THEN x END)
+      |    AS p90_cents,
+      |  min(CASE WHEN cum >= (n * 9900 + 9999) // 10000 THEN x END)
+      |    AS p99_cents
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8775,6 +8813,7 @@ object SparkEntry {
     "q235_markov_stationary" -> q235Oracle,
     "q236_bpe_fertility" -> q236Oracle,
     "q237_corpus_dossier" -> q237Oracle,
+    "q238_slo_percentiles" -> q238Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -60,4 +60,48 @@ object CountingQuantile {
       .withColumnRenamed("g", groupCol)
       .orderBy(groupCol)
   }
+
+  /** Per-group exact TYPE-1 quantiles (x at rank ⌈q·n⌉) via value
+    * counting — [[countingMedian]] generalized to many keys and many
+    * probabilities at once: the SLO table (p50/p90/p99 per service per
+    * day) computed exactly and mergeably. Integral `valueCol` only —
+    * quantize money to cents first (the house DECIMAL(12,2)·100 move).
+    *
+    * Scale shape identical to [[countingMedian]]: one (keys, value)
+    * grain aggregate (map-side combined), windows over per-key
+    * DOMAIN-sized partitions, one final aggregate per key. The state
+    * per key is its distinct-value count — bounded for cents/ms
+    * domains regardless of row count.
+    *
+    * @param qs (columnName, probability-per-myriad) pairs, e.g.
+    *           Seq(("p50", 5000L), ("p90", 9000L))
+    */
+  def countingQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[(String, Long)]
+  ): DataFrame = {
+    require(groupCols.nonEmpty && qs.nonEmpty, "need keys and quantiles")
+    require(qs.forall { case (_, q) => q >= 1 && q <= 10000 },
+      "quantiles in (0, 1] per-myriad")
+    val gs = groupCols.map(col)
+    val counts = df
+      .select(gs :+ col(valueCol).cast("long").as("x"): _*)
+      .filter(col("x").isNotNull)
+      .groupBy(gs :+ col("x"): _*).agg(count(lit(1)).as("cnt"))
+    val byG = Window.partitionBy(gs: _*)
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(
+        byG.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(byG))
+    val qCols = qs.map { case (name, qPm) =>
+      // ceil(q·n) in integers: (n·q + 9999) DIV 10000
+      min(when(col("cum") >= expr(s"(n * $qPm + 9999) DIV 10000"), col("x")))
+        .as(name)
+    }
+    cum.groupBy(gs: _*)
+      .agg(max(col("n")).as("n"), qCols: _*)
+      .orderBy(gs: _*)
+  }
 }

@@ -47,4 +47,30 @@ class CountingQuantileSpec extends AnyFunSuite {
     val got = CountingQuantile.countingMedian(df, "g", "x").collect()(0)
     assert(got.getLong(1) == 2L && got.getDouble(5) == 2.0)
   }
+
+  test("countingQuantiles: type-1 ceil-rank selection, hand case on 1..10") {
+    val df = (1L to 10L).map(("a", "d1", _)) ++ Seq(("a", "d2", 7L))
+    val out = CountingQuantile.countingQuantiles(df.toDF("s", "d", "x"),
+      Seq("s", "d"), "x",
+      Seq(("p50", 5000L), ("p90", 9000L), ("p99", 9900L))).collect()
+      .map(r => r.getAs[String]("d") -> r).toMap
+    val d1 = out("d1")
+    assert(d1.getAs[Long]("n") == 10L)
+    assert(d1.getAs[Long]("p50") == 5L)  // rank ceil(5) = 5
+    assert(d1.getAs[Long]("p90") == 9L)  // rank 9
+    assert(d1.getAs[Long]("p99") == 10L) // rank ceil(9.9) = 10
+    // a single-value group answers every quantile with that value
+    val d2 = out("d2")
+    assert(d2.getAs[Long]("p50") == 7L && d2.getAs[Long]("p99") == 7L)
+  }
+
+  test("countingQuantiles: quantiles are monotone and within [min, max]") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(300)(("g", "d", (rnd.nextInt(50) + 1).toLong))
+      .toDF("s", "d", "x")
+    val r = CountingQuantile.countingQuantiles(df, Seq("s", "d"), "x",
+      Seq(("p50", 5000L), ("p90", 9000L), ("p99", 9900L))).collect().head
+    assert(r.getAs[Long]("p50") <= r.getAs[Long]("p90"))
+    assert(r.getAs[Long]("p90") <= r.getAs[Long]("p99"))
+  }
 }
