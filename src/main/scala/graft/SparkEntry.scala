@@ -2788,6 +2788,36 @@ object SparkEntry {
           ("p99_cents", 9900L)))
     }),
 
+    // Extension — STORED SLO STATE (q238 through the q136/q225
+    // pattern): the (type, day, cents) count cells are the exact-
+    // percentile family's mergeable sketch — batch 1 (even event ids)
+    // commits through SnapshotSink, batch 2 merges into the stored
+    // cells (v2), and the quantile finish serves p50/p90/p99 with NO
+    // event scan in the plan. Hash-exact against q238's from-scratch
+    // oracle — the store is lossless. Exact percentiles: batch ≡
+    // stored ≡ streamed (StreamingSpec twin).
+    "q239_stored_slo_serve" -> ((s, dir) => {
+      import graft.operators.CountingQuantile
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q239", dir)
+      val cells = events(s, dir).select(col("event_type"),
+          expr("unix_millis(ts) DIV 86400000").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("x"),
+          col("event_id"))
+        .localCheckpoint(true)
+      def batch(p: Int) = cells.filter(pmod(col("event_id"), lit(2)) === p)
+        .groupBy("event_type", "day", "x").agg(count(lit(1)).as("cnt"))
+      SnapshotSink.commit(batch(0).coalesce(1), root)
+      SnapshotSink.commit(CountingQuantile.mergeCounts(
+        SnapshotSink.read(s, root), batch(1),
+        Seq("event_type", "day")).coalesce(1), root)
+      CountingQuantile.quantilesFromCounts(SnapshotSink.read(s, root),
+        Seq("event_type", "day"),
+        Seq(("p50_cents", 5000L), ("p90_cents", 9000L),
+          ("p99_cents", 9900L)))
+    }),
+
     // Extension — CORPUS HEALTH DOSSIER (the q185/q200 dossier pattern
     // for the document corpus): per source, ONE row joining the
     // curation signals that elsewhere live in separate queries —
@@ -8814,6 +8844,7 @@ object SparkEntry {
     "q236_bpe_fertility" -> q236Oracle,
     "q237_corpus_dossier" -> q237Oracle,
     "q238_slo_percentiles" -> q238Oracle,
+    "q239_stored_slo_serve" -> q238Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

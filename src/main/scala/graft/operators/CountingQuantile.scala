@@ -82,14 +82,28 @@ object CountingQuantile {
       valueCol: String,
       qs: Seq[(String, Long)]
   ): DataFrame = {
+    val gs = groupCols.map(col)
+    quantilesFromCounts(
+      df.select(gs :+ col(valueCol).cast("long").as("x"): _*)
+        .filter(col("x").isNotNull)
+        .groupBy(gs :+ col("x"): _*).agg(count(lit(1)).as("cnt")),
+      groupCols, qs)
+  }
+
+  /** The mergeable counting-quantile STATE is the (keys, x, cnt) cell
+    * frame — plain sums, so batches merge with [[mergeCounts]] and a
+    * streaming aggregation maintains it live; this finish answers any
+    * probability from the stored cells without rescanning rows (the
+    * [[graft.operators.Survival.bucketCounts]] pattern). */
+  def quantilesFromCounts(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[(String, Long)]
+  ): DataFrame = {
     require(groupCols.nonEmpty && qs.nonEmpty, "need keys and quantiles")
     require(qs.forall { case (_, q) => q >= 1 && q <= 10000 },
       "quantiles in (0, 1] per-myriad")
     val gs = groupCols.map(col)
-    val counts = df
-      .select(gs :+ col(valueCol).cast("long").as("x"): _*)
-      .filter(col("x").isNotNull)
-      .groupBy(gs :+ col("x"): _*).agg(count(lit(1)).as("cnt"))
     val byG = Window.partitionBy(gs: _*)
     val cum = counts
       .withColumn("cum", sum("cnt").over(
@@ -104,4 +118,12 @@ object CountingQuantile {
       .agg(max(col("n")).as("n"), qCols: _*)
       .orderBy(gs: _*)
   }
+
+  /** Merge two (keys, x, cnt) cell frames: per-cell sums — exact,
+    * associative, commutative; the store/stream merge primitive. */
+  def mergeCounts(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("x")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
 }

@@ -835,6 +835,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(9L)._3 == 2000L)
   }
 
+  test("streaming counting-quantile cells + batch finish (live SLO monitor)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CountingQuantile
+
+    val src = Files.createTempDirectory("graft_stream_slo")
+    val ckp = Files.createTempDirectory("graft_stream_slo_ckp")
+    // value 5's count mass is split across micro-batches: the
+    // (key, x) cells must merge through the state store before the
+    // ceil-rank selection sees them
+    Files.write(src.resolve("a.json"), Seq(
+      """{"k":"svc","x":1}""", """{"k":"svc","x":5}""", """{"k":"svc","x":9}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"k":"svc","x":5}""", """{"k":"svc","x":2}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(src.toString)
+      .groupBy(col("k"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .format("memory").queryName("slo_cells_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val qs = Seq(("p50", 5000L), ("p90", 9000L))
+    val canon = (rows: Array[org.apache.spark.sql.Row]) => rows.map(r =>
+      (r.getAs[Long]("n"), r.getAs[Long]("p50"), r.getAs[Long]("p90"))).toList
+    val streamed = canon(CountingQuantile.quantilesFromCounts(
+      spark.table("slo_cells_stream"), Seq("k"), qs).collect())
+    val batch = canon(CountingQuantile.countingQuantiles(
+      spark.read.json(src.toString), Seq("k"), "x", qs).collect())
+    assert(streamed == batch)
+    // n=5 of {1,2,5,5,9}: p50 rank 3 -> 5, p90 rank ceil(4.5)=5 -> 9
+    assert(streamed == List((5L, 5L, 9L)))
+  }
+
   test("streaming membership flags + batch overlap finish (live segment store)") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Audience
