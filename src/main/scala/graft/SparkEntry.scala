@@ -2788,6 +2788,48 @@ object SparkEntry {
           ("p99_cents", 9900L)))
     }),
 
+    // Extension — FUNNEL EXPERIMENT (the q202 ladder × the q109 test):
+    // per funnel level, does arm B reach it at a different rate than
+    // arm A? Null md5 split over the SAME exact-funnel user ladder —
+    // the composition a product team actually ships ("did the new
+    // checkout move step-3 conversion?"), with the χ²₁ verdict per
+    // level. Shares funnelSteps/windowMs with q202/q209 so the
+    // readouts cannot drift apart. Hash-exact.
+    "q240_funnel_experiment" -> ((s, dir) => {
+      import graft.operators.{Funnel, Sampling}
+      val ul = Funnel.windowFunnelExact(events(s, dir), "user_id",
+        "event_type", "ts", funnelSteps, funnelWindowMs)
+      val v = Sampling.withSplitId(ul.select("user_id"), "user_id",
+        Seq(0.5, 0.5), salt = "funnel", splitCol = "variant")
+      val j = ul.join(v, "user_id").localCheckpoint(true) // arms + levels
+      val arms = j.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      val big = (x: Column) => x.cast("decimal(38,0)")
+      val a = big(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+      val bigN = big(col("n_a") + col("n_b"))
+      val c = big(col("c_a") + col("c_b"))
+      j.select(col("level").as("ulevel"), col("variant"),
+          explode(array((1 to funnelSteps.size).map(lit): _*)).as("lvl"))
+        .groupBy(col("lvl"))
+        .agg(
+          sum(when(col("variant") === 0 && col("ulevel") >= col("lvl"), 1L)
+            .otherwise(0L)).as("c_a"),
+          sum(when(col("variant") === 1 && col("ulevel") >= col("lvl"), 1L)
+            .otherwise(0L)).as("c_b"))
+        .crossJoin(arms)
+        .select(col("lvl").cast("long").as("level"),
+          col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          when(col("n_a") > 0, expr("(10000 * c_a) DIV n_a")).otherwise(0L)
+            .as("conv_a_pm"),
+          when(col("n_b") > 0, expr("(10000 * c_b) DIV n_b")).otherwise(0L)
+            .as("conv_b_pm"),
+          (big(lit(10000L)) * a * a * bigN >
+            big(lit(38416L)) * big(col("n_a")) * big(col("n_b")) * c
+              * (bigN - c)).as("significant"))
+        .orderBy("level")
+    }),
+
     // Extension — STORED SLO STATE (q238 through the q136/q225
     // pattern): the (type, day, cents) count cells are the exact-
     // percentile family's mergeable sketch — batch 1 (even event ids)
@@ -6934,6 +6976,43 @@ object SparkEntry {
       |    AS p99_cents
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q240: funnel-experiment replay — the shared ul ladder, the q109
+    * md5 split ('funnel' salt), per-level reach counts per arm, the
+    * q109 χ²₁ inequality per level. */
+  private def q240Oracle: String = {
+    val ks = 1 to funnelSteps.size
+    val reaches = ks.flatMap(l => Seq(
+      s"CAST(sum(CASE WHEN variant = 0 AND level >= $l THEN 1 ELSE 0 END) AS BIGINT) AS ca$l",
+      s"CAST(sum(CASE WHEN variant = 1 AND level >= $l THEN 1 ELSE 0 END) AS BIGINT) AS cb$l"))
+      .mkString(",\n    ")
+    val rows = ks.map { l =>
+      s"""SELECT $l AS level, n_a, ca$l AS c_a, n_b, cb$l AS c_b,
+         |  CASE WHEN n_a > 0 THEN (10000 * ca$l) // n_a ELSE 0 END AS conv_a_pm,
+         |  CASE WHEN n_b > 0 THEN (10000 * cb$l) // n_b ELSE 0 END AS conv_b_pm,
+         |  10000::HUGEINT
+         |    * (ca$l * n_b - cb$l * n_a)::HUGEINT
+         |    * (ca$l * n_b - cb$l * n_a)::HUGEINT
+         |    * (n_a + n_b)::HUGEINT
+         |  > 38416::HUGEINT * n_a::HUGEINT * n_b::HUGEINT
+         |    * (ca$l + cb$l)::HUGEINT
+         |    * ((n_a + n_b) - (ca$l + cb$l))::HUGEINT AS significant
+         |FROM s""".stripMargin
+    }
+    s"""WITH $funnelUlCte,
+       |v AS (SELECT user_id, level,
+       |    CASE WHEN (('0x' || substr(md5(user_id::VARCHAR || 'funnel'), 1, 8))::BIGINT
+       |               % 10000) < 5000
+       |         THEN 0 ELSE 1 END AS variant
+       |  FROM ul),
+       |s AS (SELECT
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    $reaches
+       |  FROM v)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY level""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8845,6 +8924,7 @@ object SparkEntry {
     "q237_corpus_dossier" -> q237Oracle,
     "q238_slo_percentiles" -> q238Oracle,
     "q239_stored_slo_serve" -> q238Oracle,
+    "q240_funnel_experiment" -> q240Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
