@@ -2788,6 +2788,34 @@ object SparkEntry {
           ("p99_cents", 9900L)))
     }),
 
+    // Extension — GROWTH ACCOUNTING (Valuation.growthAccounting):
+    // week-over-week order revenue decomposed into the three levers —
+    // users, orders/user, revenue/order — by stepwise substitution in
+    // the pinned order, telescoping exactly to the delta up to the
+    // reported truncation residual. Integer cents throughout.
+    // Hash-exact.
+    "q242_growth_accounting" -> ((s, dir) => {
+      val weekly = t(s, dir, "orders").groupBy(
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000")
+            .as("week"))
+        .agg(countDistinct(col("o_custkey")).as("users"),
+          count(lit(1)).as("orders"),
+          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .cast("long").as("cents"))
+      graft.operators.Valuation.growthAccounting(weekly,
+        "week", "users", "orders", "cents")
+    }),
+
+    // Extension — RETENTION BY CHANNEL (Funnel.retentionBySegment):
+    // q87's cohort retention keyed on the acquisition proxy instead —
+    // each user's segment is their FIRST event's type (min (ts, id)),
+    // offsets count from each user's own first week, and the share_pm
+    // compares channels on equal age. Hash-exact.
+    "q241_retention_by_channel" -> ((s, dir) => {
+      graft.operators.Funnel.retentionBySegment(events(s, dir),
+        "user_id", "ts", "event_type", "event_id", periodMs = 604800000L)
+    }),
+
     // Extension — FUNNEL EXPERIMENT (the q202 ladder × the q109 test):
     // per funnel level, does arm B reach it at a different rate than
     // arm A? Null md5 split over the SAME exact-funnel user ladder —
@@ -7013,6 +7041,50 @@ object SparkEntry {
        |ORDER BY level""".stripMargin
   }
 
+  /** q241: retention-by-channel replay — first event via (ms, id)
+    * window, weekly activity distinct, offset from the user's own
+    * cohort, segment-size share. */
+  private val q241Oracle =
+    """WITH base AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS etype,
+      |    event_id AS eid FROM events),
+      |seg AS (SELECT user_id, etype AS segment,
+      |    ms // 604800000 AS cohort_period
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ms ASC, eid ASC) AS rn FROM base)
+      |  WHERE rn = 1),
+      |sz AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_segment
+      |  FROM seg GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, ms // 604800000 AS period FROM base),
+      |r AS (SELECT s.segment, a.period - s.cohort_period AS period_offset,
+      |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |  FROM act a JOIN seg s USING (user_id) GROUP BY 1, 2)
+      |SELECT r.segment, r.period_offset, r.n_active, z.n_segment,
+      |  (10000 * r.n_active) // z.n_segment AS share_pm
+      |FROM r JOIN sz z ON r.segment = z.segment
+      |ORDER BY r.segment, r.period_offset""".stripMargin
+
+  /** q242: growth-accounting replay — weekly (users, orders, cents),
+    * lag window, the pinned substitution order, truncation residual. */
+  private val q242Oracle =
+    """WITH wk AS (SELECT epoch_ms(o_orderdate) // 604800000 AS period,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS u2,
+      |    CAST(count(*) AS BIGINT) AS o2,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS r2
+      |  FROM orders GROUP BY 1),
+      |lg AS (SELECT *, lag(u2) OVER (ORDER BY period) AS u1,
+      |    lag(o2) OVER (ORDER BY period) AS o1,
+      |    lag(r2) OVER (ORDER BY period) AS r1
+      |  FROM wk),
+      |d AS (SELECT period, u1, u2, o1, o2, r1, r2, r2 - r1 AS delta,
+      |    ((u2 - u1) * r1) // u1 AS d_users,
+      |    (r1 * o2) // o1 - (r1 * u2) // u1 AS d_freq,
+      |    r2 - (r1 * o2) // o1 AS d_value
+      |  FROM lg WHERE u1 IS NOT NULL AND u1 > 0 AND o1 > 0)
+      |SELECT period, u1, u2, o1, o2, r1, r2, delta, d_users, d_freq,
+      |  d_value, delta - d_users - d_freq - d_value AS residual
+      |FROM d ORDER BY period""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8925,6 +8997,8 @@ object SparkEntry {
     "q238_slo_percentiles" -> q238Oracle,
     "q239_stored_slo_serve" -> q238Oracle,
     "q240_funnel_experiment" -> q240Oracle,
+    "q241_retention_by_channel" -> q241Oracle,
+    "q242_growth_accounting" -> q242Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -244,6 +244,57 @@ object Funnel {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** RETENTION BY SEGMENT — [[retentionCohorts]] keyed on an
+    * ACQUISITION attribute instead of (or on top of) time: each user's
+    * segment is derived from their FIRST event (here: its type, the
+    * "how did they arrive" proxy), and the readout is, per (segment,
+    * period offset), how many of the segment's users were active and
+    * what share of the segment that is — the retention comparison that
+    * decides which acquisition channel's users actually stick.
+    *
+    * Deterministic first-event rule: minimum (ts, id) — the same
+    * total order every first-touch operator here uses. Offsets count
+    * from each USER's first period (their cohort), then aggregate over
+    * the segment, so segments acquired in different weeks still align
+    * on age.
+    *
+    * Scale shape: one distinct (user, period) pass + one first-event
+    * window (both the user-key exchange), then segment×offset-sized
+    * aggregates; share_pm one truncating DIV against the segment size.
+    */
+  def retentionBySegment(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      periodMs: Long
+  ): DataFrame = {
+    require(periodMs > 0, "periodMs must be positive")
+    val base = df.select(col(userCol).as("user_id"),
+      unix_millis(col(tsCol)).as("ms"), col(typeCol).as("etype"),
+      col(idCol).as("eid"))
+    val firstW = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("eid").asc)
+    val seg = base.withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("etype").as("segment"),
+        expr(s"ms DIV ${periodMs}L").as("cohort_period"))
+      .localCheckpoint(true) // sizes + the activity join share it
+    val sizes = seg.groupBy("segment").agg(count(lit(1)).as("n_segment"))
+    val act = base.select(col("user_id"),
+        expr(s"ms DIV ${periodMs}L").as("period"))
+      .distinct()
+    act.join(seg, Seq("user_id"))
+      .groupBy(col("segment"),
+        (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "segment")
+      .withColumn("share_pm", expr("(10000 * n_active) DIV n_segment"))
+      .select("segment", "period_offset", "n_active", "n_segment", "share_pm")
+      .orderBy("segment", "period_offset")
+  }
+
   /** COHORT LTV CURVE — [[retentionCohorts]]'s value-weighted sibling:
     * per (cohort period × age) the cumulative revenue a cohort has
     * produced, normalized per cohort member — the curve that decides

@@ -31,6 +31,36 @@ class ValuationSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("mean_micro") == 6000000L)
   }
 
+  test("growth accounting: hand-computed lever split telescopes exactly") {
+    // w1: U=2 O=4 R=400; w2: U=3 O=9 R=1800
+    // d_users = 200, d_freq = 900-600 = 300, d_value = 900 -> delta 1400
+    val df = Seq((1L, 2L, 4L, 400L), (2L, 3L, 9L, 1800L))
+      .toDF("p", "u", "o", "r")
+    val out = Valuation.growthAccounting(df, "p", "u", "o", "r").collect()
+    assert(out.length == 1)
+    val x = out.head
+    assert(x.getAs[Long]("d_users") == 200L)
+    assert(x.getAs[Long]("d_freq") == 300L)
+    assert(x.getAs[Long]("d_value") == 900L)
+    assert(x.getAs[Long]("residual") == 0L)
+  }
+
+  test("growth accounting: residual stays within truncation dust") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 12L).map { p =>
+      val u = rnd.nextInt(50) + 3L
+      val o = u + rnd.nextInt(100)
+      (p, u, o, o * (rnd.nextInt(900) + 100L))
+    }
+    Valuation.growthAccounting(rows.toDF("p", "u", "o", "r"),
+      "p", "u", "o", "r").collect().foreach { x =>
+      assert(math.abs(x.getAs[Long]("residual")) <= 3L)
+      assert(x.getAs[Long]("delta") ==
+        x.getAs[Long]("d_users") + x.getAs[Long]("d_freq") +
+        x.getAs[Long]("d_value") + x.getAs[Long]("residual"))
+    }
+  }
+
   test("grouped jackknife: constant metric gives exactly zero SE") {
     import graft.operators.Valuation
     val rows = (1L to 200L).map(u => (u, 9L))
