@@ -490,6 +490,26 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("retention by segment: offset 0 is always 100%, shares bounded") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import graft.operators.Funnel
+    val rows = sample(Gen.zip(Gen.chooseNum(1L, 25L),
+      Gen.zip(Gen.chooseNum(0L, 20L * 86400000L), Gen.oneOf("a", "b"))), 300)
+      .zipWithIndex.map { case ((u, (ms, et)), i) => (u, ms, et, i.toLong) }
+    val df = rows.toDF("user_id", "ms", "event_type", "event_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = Funnel.retentionBySegment(df, "user_id", "ts", "event_type",
+      "event_id", periodMs = 7L * 86400000L).collect()
+    // every user is active in their own first period, by construction
+    out.filter(_.getAs[Long]("period_offset") == 0L)
+      .foreach(r => assert(r.getAs[Long]("share_pm") == 10000L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("share_pm") <= 10000L)
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_segment"))
+      assert(r.getAs[Long]("period_offset") >= 0L)
+    }
+  }
+
   test("tail ratios: survivors are monotone non-increasing and bounded by units") {
     import graft.operators.Profile
     val vals = sample(Gen.chooseNum(0L, 300L), 250)
