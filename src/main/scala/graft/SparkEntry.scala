@@ -2806,6 +2806,70 @@ object SparkEntry {
         "week", "users", "orders", "cents")
     }),
 
+    // Extension — NATIVE SESSION WINDOWS (session_window): the engine's
+    // own merging-session operator — the one streaming sessionization
+    // runs on (streaming/EventAggregates.scala:59) — exercised in batch
+    // and gate-checked against a gap-merge replay. Probed semantics
+    // (pinned by SessionWindowSemanticsSpec): an event MERGES into the
+    // open session iff gap <= 30min (an event landing exactly on the
+    // window end extends it); window start = first event, end = last
+    // event + gap, all in MICROSECONDS (the fixture has sub-ms parts).
+    // One shuffle on user_id; per-user session state is bounded — the
+    // same operator scales out as streaming state. Hash-exact.
+    "q243_session_window_native" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // Extension — ISOTONIC CALIBRATION (Isotonic.isotonicBins): the
+    // monotone fit q192's reliability curve feeds — PAVA via the
+    // min-max identity iso(i) = max_{j<=i} min_{k>=i} rate(j..k) in
+    // truncating fixed point, over the 40-bin score frame (q192's
+    // clamped confidence DIV 25). The corpus is reduced to a
+    // domain-sized bin frame first; the O(B^2) block frame and the
+    // fit join never see raw rows — the right 100 TB shape for any
+    // calibration curve. Hash-exact.
+    "q244_isotonic_fit" -> ((s, dir) => {
+      import graft.operators.{Isotonic, QualityModel}
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      val scored = t(s, dir, "documents").select(
+        QualityModel.scoreMicros(col("text"), w, 0L).as("score"),
+        (col("lang") === "en").as("y"))
+      val bins = scored.groupBy(
+          expr("least(999L, greatest(0L, 500 + score DIV 20)) DIV 25").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      Isotonic.isotonicBins(bins, "b", "n", "pos")
+    }),
+
+    // Extension — PMI COLLOCATIONS (Keyphrase.pmiCollocations): which
+    // bigrams co-occur far above chance — truncating lift
+    // (c_xy·N)/(c_x·c_y) in micros, two bounded integer steps, noise
+    // floor n_pair >= 5, top 50 with lexical tie-break. Bigrams are
+    // built in the array domain (no per-doc window shuffle); vocab
+    // frames broadcast. Hash-exact.
+    "q245_pmi_collocations" -> ((s, dir) => {
+      graft.operators.Keyphrase.pmiCollocations(
+        t(s, dir, "documents"), "text", minPair = 5L, topK = 50)
+    }),
+
+    // Extension — RAKE KEYPHRASES (Keyphrase.rakeKeyphrases): candidate
+    // phrases split at stopword boundaries, word score = degree/freq in
+    // micros, phrase score = sum of member word scores — the classic
+    // rapid keyword extractor over the corpus, top 40 deterministic.
+    // Explode → groupBy shapes only. Hash-exact.
+    "q246_rake_keyphrases" -> ((s, dir) => {
+      graft.operators.Keyphrase.rakeKeyphrases(
+        t(s, dir, "documents"), "doc_id", "text",
+        stopwords = rakeStopwords, maxLen = 4, topK = 40)
+    }),
+
     // Extension — RETENTION BY CHANNEL (Funnel.retentionBySegment):
     // q87's cohort retention keyed on the acquisition proxy instead —
     // each user's segment is their FIRST event's type (min (ts, id)),
@@ -7085,6 +7149,124 @@ object SparkEntry {
       |  d_value, delta - d_users - d_freq - d_value AS residual
       |FROM d ORDER BY period""".stripMargin
 
+  /** q243: gap-merge replay of Spark's session_window semantics in
+    * MICROSECONDS — merge iff gap <= 30min (exact boundary extends the
+    * session; pinned by SessionWindowSemanticsSpec), end = last + gap. */
+  private val q243Oracle =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+      |  CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** q244: the q192 score replay reduced to 40 bins, then the PAVA
+    * min-max identity over contiguous blocks in truncating micros. */
+  private def q244Oracle: String = {
+    val bucket = s"(((${duckMd5Long("t")}) % 1024) + 1024) % 1024"
+    s"""WITH scored AS (SELECT
+       |    CAST(coalesce(list_aggregate(list_transform(
+       |        list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |          x -> x <> ''),
+       |        t -> (($bucket) * 2654435761 + 7) % 1999 - 999), 'sum'), 0)
+       |      AS BIGINT) AS score,
+       |    (lang = 'en') AS y
+       |  FROM documents),
+       |bins AS (SELECT least(999, greatest(0, 500 + score // 20)) // 25 AS b,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM scored GROUP BY 1),
+       |c AS (SELECT b, n, pos,
+       |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+       |    CAST(sum(pos) OVER w AS BIGINT) AS cpos
+       |  FROM bins WINDOW w AS (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |lo AS (SELECT b AS j, cn - n AS cn0, cpos - pos AS cpos0 FROM c),
+       |hi AS (SELECT b AS k, cn AS cnk, cpos AS cposk FROM c),
+       |blocks AS (SELECT j, k,
+       |    (1000000 * (cposk - cpos0)) // (cnk - cn0) AS rate
+       |  FROM lo JOIN hi ON j <= k),
+       |ids AS (SELECT b AS i, n, pos, (1000000 * pos) // n AS raw FROM c),
+       |mm AS (SELECT i, n, pos, raw, j, min(rate) AS mr
+       |  FROM ids JOIN blocks ON j <= i AND i <= k GROUP BY 1, 2, 3, 4, 5)
+       |SELECT i AS bin, n, pos, CAST(raw AS BIGINT) AS raw_rate_micro,
+       |  CAST(max(mr) AS BIGINT) AS iso_rate_micro
+       |FROM mm GROUP BY 1, 2, 3, 4 ORDER BY bin""".stripMargin
+  }
+
+  /** q245: bigram lift replay — the same two truncating steps. */
+  private val q245Oracle =
+    """WITH toks AS (SELECT list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |uni AS (SELECT unnest(tk) AS w FROM toks),
+      |cx AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntok FROM uni),
+      |bi AS (SELECT unnest(list_transform(range(1, len(tk)),
+      |    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u FROM toks),
+      |cxy AS (SELECT u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+      |  FROM bi GROUP BY 1, 2)
+      |SELECT w1, w2, n_pair, a.c AS c1, b.c AS c2,
+      |  CAST((((1000000 * n_pair) // a.c) * ntok) // b.c AS BIGINT) AS lift_micro
+      |FROM cxy JOIN cx a ON a.w = cxy.w1 JOIN cx b ON b.w = cxy.w2 CROSS JOIN tot
+      |WHERE n_pair >= 5
+      |ORDER BY lift_micro DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
+
+  /** Pinned RAKE stopword list — only function words; portable into the
+    * oracle's IN list verbatim. */
+  private val rakeStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "is", "in", "on", "for")
+
+  /** q246: RAKE replay — positional unnest via struct_pack, stopword
+    * boundary phrase ids by cumulative sum, degree/freq word scores,
+    * phrase score = sum of member word scores. */
+  private def q246Oracle: String = {
+    val stops = rakeStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH toks AS (SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |flat AS (SELECT doc_id, u.p AS pos, u.w AS w FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+       |    i -> struct_pack(p := i, w := tk[i]))) AS u FROM toks)),
+       |mk AS (SELECT doc_id, pos, w,
+       |    CASE WHEN w IN $stops THEN 1 ELSE 0 END AS st FROM flat),
+       |ph AS (SELECT doc_id, pos, w, st,
+       |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+       |  FROM mk),
+       |words AS (SELECT doc_id, pid, pos, w FROM ph WHERE st = 0),
+       |plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+       |  FROM words GROUP BY 1, 2),
+       |wscore AS (SELECT w,
+       |    (1000000 * CAST(sum(plen) AS BIGINT)) // CAST(count(*) AS BIGINT) AS ws
+       |  FROM words JOIN plen USING (doc_id, pid) GROUP BY w),
+       |phrase AS (SELECT doc_id, pid,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |    CAST(count(*) AS BIGINT) AS plen
+       |  FROM words GROUP BY 1, 2),
+       |pf AS (SELECT phrase, plen, CAST(count(*) AS BIGINT) AS phrase_freq
+       |  FROM phrase WHERE plen <= 4 GROUP BY 1, 2),
+       |memb AS (SELECT phrase, plen, phrase_freq,
+       |    unnest(string_split(phrase, ' ')) AS w FROM pf)
+       |SELECT phrase, plen, phrase_freq,
+       |  CAST(sum(ws) AS BIGINT) AS score_micro
+       |FROM memb JOIN wscore USING (w)
+       |GROUP BY 1, 2, 3
+       |ORDER BY score_micro DESC, phrase ASC LIMIT 40""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -8999,6 +9181,10 @@ object SparkEntry {
     "q240_funnel_experiment" -> q240Oracle,
     "q241_retention_by_channel" -> q241Oracle,
     "q242_growth_accounting" -> q242Oracle,
+    "q243_session_window_native" -> q243Oracle,
+    "q244_isotonic_fit" -> q244Oracle,
+    "q245_pmi_collocations" -> q245Oracle,
+    "q246_rake_keyphrases" -> q246Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,
