@@ -2870,6 +2870,83 @@ object SparkEntry {
         stopwords = rakeStopwords, maxLen = 4, topK = 40)
     }),
 
+    // Extension — TEXTRANK KEYWORDS (Keyphrase.textRank): q246's
+    // counterpart by GLOBAL graph centrality — the word co-occurrence
+    // graph (adjacent non-stop tokens, undirected, cooc >= 3) ranked by
+    // the same integer-exact PageRank as q107 (micro ranks, order-free
+    // sums, 10 rounds). Corpus collapses to a vocab-sized edge list in
+    // one shuffle; the iteration never re-touches documents. Oracle =
+    // 10 unrolled MATERIALIZED rounds on the replayed graph. Hash-exact.
+    "q247_textrank_keywords" -> ((s, dir) => {
+      graft.operators.Keyphrase.textRank(
+        t(s, dir, "documents"), "text",
+        stopwords = rakeStopwords, minCooc = 3L, iterations = 10, topK = 20)
+    }),
+
+    // Extension — DEPTH-2 CART (CartTree.fitDepth2): interpretable
+    // segmentation tree by exact integer Gini over BINNED features —
+    // trained to recover q219's planted conversion rule (value >= 15)
+    // from a coarsened value bin (f_val, width-2 floors) against an
+    // uninformative hour-of-day distractor. The readout IS the check:
+    // root splits on f_val at the planted boundary, the pure side stops
+    // (strict gain>0 = textbook CART stopping), the mixed side refines.
+    // Rows melt once per node to a (feature, bin) frame — candidate
+    // scoring never touches raw rows; driver sees only the tree
+    // (<= 10 scalar rows). Hash-exact, split decisions replayed in SQL.
+    "q248_cart_tree" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        expr("least(19L, greatest(0L, CAST(floor(value) AS LONG)) DIV 2)")
+          .as("f_val"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("f_hour"),
+        (col("value") >= 15).as("y"))
+      graft.operators.CartTree.fitDepth2(base, Seq("f_hour", "f_val"), "y")
+    }),
+
+    // Extension — LPA COMMUNITIES (Graph.labelPropagationBipartite):
+    // community detection on the STRONG trading graph (customer–supplier
+    // pairs with >= 2 order lines — q221's graph with a tie-strength
+    // floor), by weighted majority label vote on the semi-synchronous
+    // two-phase schedule (right side from left, then left from the
+    // fresh right — the standard fix for bipartite LPA oscillation).
+    // (weight desc, label asc) tie-break + fixed 3 rounds = a fully
+    // deterministic trajectory any engine replays. Hash-exact.
+    "q249_lpa_communities" -> ((s, dir) => {
+      val strong = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("cust"),
+          concat(lit("s"), col("l_suppkey")).as("supp"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      graft.operators.Graph.labelPropagationBipartite(
+        strong, "cust", "supp", "w", rounds = 3)
+    }),
+
+    // Extension — BFS HOP LAYERS (Graph.bfsLayers): the reach profile
+    // of the strong trading graph from its highest-degree node (argmax
+    // incident strong edges, tie min id — a bounded 1-row collect, the
+    // seed, not data): how many nodes sit 1, 2, ... hops out, plus the
+    // dist = -1 row when anything is unreachable. Frontier expansion
+    // joins the FRONTIER (not the visited set) each round — O(|E|)
+    // total, the textbook distributed-BFS bound; fails loudly if not
+    // exhausted within the unroll budget, which certifies the 12-round
+    // unrolled oracle is exact. Hash-exact.
+    "q250_bfs_layers" -> ((s, dir) => {
+      val strong = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("cust"),
+          concat(lit("s"), col("l_suppkey")).as("supp"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .localCheckpoint(true) // seed scan + BFS reuse one build
+      val seed = strong.select(col("cust").as("n"))
+        .unionAll(strong.select(col("supp").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("n").asc)
+        .limit(1).head().getString(0)
+      graft.operators.Graph.bfsLayers(
+        strong, "cust", "supp", Seq(seed), maxDepth = 12)
+    }),
+
     // Extension — RETENTION BY CHANNEL (Funnel.retentionBySegment):
     // q87's cohort retention keyed on the acquisition proxy instead —
     // each user's segment is their FIRST event's type (min (ts, id)),
@@ -7267,6 +7344,186 @@ object SparkEntry {
        |ORDER BY score_micro DESC, phrase ASC LIMIT 40""".stripMargin
   }
 
+  /** q247: the q107 PageRank unroll on the replayed word co-occurrence
+    * graph — stop-filtered adjacency bigrams, undirected least/greatest
+    * normalization, cooc >= 3, symmetrized before the 10 rounds. */
+  private def q247Oracle: String = {
+    val iters = 10
+    val stops = rakeStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val step = (i: Int) =>
+      s"""dang$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0) AS d FROM p$i
+         |  WHERE node NOT IN (SELECT src FROM edges)),
+         |p${i + 1} AS MATERIALIZED (SELECT nn.node, CAST(
+         |    150000 + 85 * (SELECT d FROM dang$i) // (100 * (SELECT c FROM ncnt))
+         |    + coalesce(cb.in_sum, 0) AS BIGINT) AS pr
+         |  FROM nodes nn
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      sum(pp.pr * 85 * e.w // (100 * ot2.out_total)) AS in_sum
+         |    FROM edges e JOIN p$i pp ON e.src = pp.node
+         |    JOIN ot ot2 ON ot2.src = e.src
+         |    GROUP BY e.dst) cb ON cb.node = nn.node)""".stripMargin
+    s"""WITH toks AS (SELECT list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> x <> '' AND x NOT IN $stops) AS tk
+       |  FROM documents),
+       |bi AS (SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u FROM toks),
+       |und AS MATERIALIZED (SELECT least(u.w1, u.w2) AS a,
+       |    greatest(u.w1, u.w2) AS b, CAST(count(*) AS BIGINT) AS w
+       |  FROM bi WHERE u.w1 <> u.w2 GROUP BY 1, 2 HAVING count(*) >= 3),
+       |edges AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und
+       |  UNION ALL SELECT b, a, w FROM und),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |  UNION SELECT dst FROM edges),
+       |ncnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+       |ot AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS out_total
+       |  FROM edges GROUP BY 1),
+       |p0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |${(0 until iters).map(step).mkString(",\n")}
+       |SELECT node AS word, pr AS pr_micros FROM p$iters
+       |ORDER BY pr DESC, word ASC LIMIT 20""".stripMargin
+  }
+
+  /** q248: the depth-2 CART replay — per-node (feature, bin) melt,
+    * cumulative-window candidate scoring with the same 2p(1−p) Gini in
+    * truncating micros, argmin with (wg, f, v) tie-break, children only
+    * where gain is strictly positive. Node predicates thread the chosen
+    * splits through scalar subqueries on MATERIALIZED best-split CTEs. */
+  private def q248Oracle: String = {
+    def gini(p: String, n: String): String = {
+      val r = s"((1000000 * ($p)) // ($n))"
+      s"((2 * $r * (1000000 - $r)) // 1000000)"
+    }
+    // candidate evaluation + best split + gain for one node subset
+    def block(tag: String, pred: String): String =
+      s"""st$tag AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(y), 0) AS BIGINT) AS p FROM base WHERE $pred),
+         |m$tag AS (SELECT f, v, CAST(count(*) AS BIGINT) AS bn,
+         |    CAST(sum(y) AS BIGINT) AS bpos
+         |  FROM (SELECT 'f_hour' AS f, f_hour AS v, y FROM base WHERE $pred
+         |        UNION ALL SELECT 'f_val', f_val, y FROM base WHERE $pred)
+         |  GROUP BY 1, 2),
+         |c$tag AS (SELECT f, v,
+         |    sum(bn) OVER w AS nl, sum(bpos) OVER w AS posl
+         |  FROM m$tag WINDOW w AS (PARTITION BY f ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |b$tag AS MATERIALIZED (SELECT f, v, CAST(
+         |    (nl * ${gini("posl", "nl")}
+         |     + ((SELECT n FROM st$tag) - nl)
+         |       * ${gini(s"(SELECT p FROM st$tag) - posl",
+                          s"(SELECT n FROM st$tag) - nl")})
+         |    // (SELECT n FROM st$tag) AS BIGINT) AS wg
+         |  FROM c$tag WHERE nl < (SELECT n FROM st$tag)
+         |  ORDER BY wg ASC, f ASC, v ASC LIMIT 1),
+         |g$tag AS MATERIALIZED (SELECT
+         |    ${gini(s"(SELECT p FROM st$tag)", s"(SELECT n FROM st$tag)")}
+         |    - (SELECT wg FROM b$tag) AS gain)""".stripMargin
+    def statsOnly(tag: String, pred: String): String =
+      s"""st$tag AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(y), 0) AS BIGINT) AS p
+         |  FROM base WHERE $pred)""".stripMargin
+    def fsel(tag: String): String =
+      s"(CASE WHEN (SELECT f FROM b$tag) = 'f_hour' THEN f_hour ELSE f_val END)"
+    def splitRow(node: String, tag: String): String =
+      s"""SELECT '$node' AS node, n, p AS pos, (1000000 * p) // n AS rate_micro,
+         |  CASE WHEN coalesce((SELECT gain FROM g$tag), 0) > 0
+         |    THEN (SELECT f FROM b$tag) END AS split_feature,
+         |  CASE WHEN coalesce((SELECT gain FROM g$tag), 0) > 0
+         |    THEN (SELECT v FROM b$tag) END AS split_thr,
+         |  CASE WHEN coalesce((SELECT gain FROM g$tag), 0) > 0
+         |    THEN (SELECT gain FROM g$tag) END AS gain_micro
+         |FROM st$tag""".stripMargin
+    def leafRow(node: String, tag: String, gateTag: String): String =
+      s"""SELECT '$node', n, p, (1000000 * p) // n,
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM st$tag WHERE coalesce((SELECT gain FROM g$gateTag), 0) > 0"""
+        .stripMargin
+    val pL = s"${fsel("root")} <= (SELECT v FROM broot)"
+    val pR = s"NOT ($pL)"
+    val pLL = s"($pL) AND ${fsel("L")} <= (SELECT v FROM bL)"
+    val pLR = s"($pL) AND NOT (${fsel("L")} <= (SELECT v FROM bL))"
+    val pRL = s"($pR) AND ${fsel("R")} <= (SELECT v FROM bR)"
+    val pRR = s"($pR) AND NOT (${fsel("R")} <= (SELECT v FROM bR))"
+    s"""WITH base AS MATERIALIZED (SELECT
+       |    least(19, greatest(0, CAST(floor(value) AS BIGINT)) // 2) AS f_val,
+       |    (epoch_us(ts) // 3600000000) % 24 AS f_hour,
+       |    CASE WHEN value >= 15 THEN 1 ELSE 0 END AS y
+       |  FROM events),
+       |${block("root", "TRUE")},
+       |${block("L", pL)},
+       |${block("R", pR)},
+       |${statsOnly("LL", pLL)},
+       |${statsOnly("LR", pLR)},
+       |${statsOnly("RL", pRL)},
+       |${statsOnly("RR", pRR)}
+       |${splitRow("root", "root")}
+       |UNION ALL ${splitRow("L", "L")}
+       |UNION ALL ${splitRow("R", "R")}
+       |UNION ALL ${leafRow("LL", "LL", "L")}
+       |UNION ALL ${leafRow("LR", "LR", "L")}
+       |UNION ALL ${leafRow("RL", "RL", "R")}
+       |UNION ALL ${leafRow("RR", "RR", "R")}
+       |ORDER BY node""".stripMargin
+  }
+
+  /** q249: six unrolled LPA phases (3 rounds × right-then-left) —
+    * weighted label majority per node via a row_number window over the
+    * (node, label) weight sums, ties to the smaller label. */
+  private def q249Oracle: String = {
+    def phase(tgt: String, nbr: String, prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT e.$tgt AS node, p.label AS label, sum(e.w) AS ws,
+         |    row_number() OVER (PARTITION BY e.$tgt
+         |      ORDER BY sum(e.w) DESC, p.label ASC) AS rn
+         |  FROM se e JOIN $prev p ON p.node = e.$nbr
+         |  GROUP BY e.$tgt, p.label) WHERE rn = 1)""".stripMargin
+    s"""WITH se AS MATERIALIZED (
+       |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM se),
+       |${phase("b", "a", "l0", "r1")},
+       |${phase("a", "b", "r1", "l1")},
+       |${phase("b", "a", "l1", "r2")},
+       |${phase("a", "b", "r2", "l2")},
+       |${phase("b", "a", "l2", "r3")},
+       |${phase("a", "b", "r3", "l3")}
+       |SELECT node, label AS community FROM l3
+       |UNION ALL SELECT node, label FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
+  /** q250: 12 unrolled BFS rounds on the symmetrized strong trading
+    * graph from the max-degree seed; rounds past frontier exhaustion
+    * are empty no-ops (the operator certifies exhaustion <= 12). */
+  private def q250Oracle: String = {
+    val rounds = 12
+    val step = (i: Int) =>
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT s.b AS node
+         |  FROM sym s JOIN f${i - 1} f ON s.a = f.node
+         |  WHERE s.b NOT IN (SELECT node FROM v${i - 1})),
+         |v$i AS MATERIALIZED (SELECT * FROM v${i - 1}
+         |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    s"""WITH se AS MATERIALIZED (
+       |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS MATERIALIZED (SELECT a, b FROM se UNION ALL SELECT b, a FROM se),
+       |deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+       |seed AS MATERIALIZED (SELECT n FROM deg ORDER BY d DESC, n ASC LIMIT 1),
+       |v0 AS MATERIALIZED (SELECT n AS node, CAST(0 AS BIGINT) AS dist FROM seed),
+       |f0 AS MATERIALIZED (SELECT node FROM v0),
+       |${(1 to rounds).map(step).mkString(",\n")}
+       |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes FROM v$rounds GROUP BY 1
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+       |FROM (SELECT DISTINCT a AS node FROM sym) u
+       |WHERE u.node NOT IN (SELECT node FROM v$rounds)
+       |HAVING count(*) > 0
+       |ORDER BY dist""".stripMargin
+  }
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -9185,6 +9442,10 @@ object SparkEntry {
     "q244_isotonic_fit" -> q244Oracle,
     "q245_pmi_collocations" -> q245Oracle,
     "q246_rake_keyphrases" -> q246Oracle,
+    "q247_textrank_keywords" -> q247Oracle,
+    "q248_cart_tree" -> q248Oracle,
+    "q249_lpa_communities" -> q249Oracle,
+    "q250_bfs_layers" -> q250Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

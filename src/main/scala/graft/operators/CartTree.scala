@@ -1,0 +1,133 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DEPTH-2 CART — a classification tree over BINNED integer features,
+  * trained by exact Gini-impurity minimization in truncating integer
+  * fixed point (micros), so a SQL oracle replays every split decision
+  * bit-for-bit. The interpretable-segmentation workhorse: "which two
+  * feature cuts explain this outcome" as a 5-7 row report, not a model
+  * binary.
+  *
+  * Split selection: for a node with (n, pos), every (feature, threshold)
+  * candidate — threshold ranges over the feature's observed bin values,
+  * rows with value <= threshold go left — is scored by the weighted
+  * child impurity
+  *   wg = (nL·gini(L) + nR·gini(R)) DIV n,
+  *   gini = (2·r·(1e6−r)) DIV 1e6,  r = (1e6·pos) DIV n
+  * (the 2p(1−p) binary-Gini form keeps every intermediate ≤ 2e12 — no
+  * overflow at any corpus size, unlike the pos²/n² form). The argmin
+  * with (wg asc, feature asc, threshold asc) tie-break is fully
+  * deterministic; a node splits only if its gain (parent gini − wg) is
+  * STRICTLY positive, otherwise it is a terminal leaf and emits no
+  * children — pure nodes stop exactly like textbook CART.
+  *
+  * SCALE SHAPE: the row frame is melted once per node into a
+  * (feature, bin) aggregate — one map-side-combined shuffle down to a
+  * domain-sized frame (|features| × |bins| rows); candidate scoring is
+  * a cumulative window over THAT frame, never over rows. Node subsets
+  * are filters on one localCheckpoint'd projection (no re-read, no
+  * reshuffle). The driver collects only the tree itself — one stats row
+  * and one best-split row per node, ≤ 10 scalar rows total for depth 2
+  * (the bounded-collect discipline of the pinned-centroid queries).
+  */
+object CartTree {
+
+  private case class Split(feature: String, thr: Long, wg: Long)
+
+  private def giniSql(pos: String, n: String): String = {
+    val r = s"((1000000 * $pos) DIV $n)"
+    s"((2 * $r * (1000000 - $r)) DIV 1000000)"
+  }
+
+  private def giniOf(pos: Long, n: Long): Long = {
+    val r = 1000000L * pos / n
+    2L * r * (1000000L - r) / 1000000L
+  }
+
+  /** Fit a depth-2 tree of `df` on integer-valued (binned) `features`
+    * predicting boolean `labelCol`. Returns one row per tree node —
+    * `root`, its children `L`/`R`, grandchildren `LL`/`LR`/`RL`/`RR`
+    * (children/grandchildren only where the parent actually split):
+    * (node, n, pos, rate_micro, split_feature, split_thr, gain_micro),
+    * split columns NULL on leaves. Requires an informative root split. */
+  def fitDepth2(df: DataFrame, features: Seq[String], labelCol: String): DataFrame = {
+    require(features.nonEmpty && features.size <= 8, "1..8 binned features")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(
+        features.map(f => col(f).cast("long").as(f)) :+
+          when(col(labelCol), 1L).otherwise(0L).as("y"): _*)
+      .localCheckpoint(true) // filtered per node; never re-read from source
+
+    def nodeStats(sub: DataFrame): (Long, Long) = {
+      val r = sub.agg(count(lit(1)), coalesce(sum(col("y")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def bestSplit(sub: DataFrame, n: Long, pos: Long): Option[Split] = {
+      val melted = sub.select(explode(array(features.map(f =>
+          struct(lit(f).as("f"), col(f).as("v"))): _*)).as("fv"), col("y"))
+        .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
+      val byF = Window.partitionBy("f").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val best = melted.groupBy("f", "v")
+        .agg(count(lit(1)).as("bn"), sum(col("y")).as("bpos"))
+        .withColumn("nl", sum(col("bn")).over(byF))
+        .withColumn("posl", sum(col("bpos")).over(byF))
+        .filter(col("nl") < n) // right side must be non-empty
+        .select(col("f"), col("v"),
+          expr(s"(nl * ${giniSql("posl", "nl")} + ($n - nl) * " +
+            s"${giniSql(s"($pos - posl)", s"($n - nl)")}) DIV $n").as("wg"))
+        .orderBy(col("wg").asc, col("f").asc, col("v").asc)
+        .limit(1)
+        .collect() // bounded: the single split decision, not data
+      best.headOption
+        .map(r => Split(r.getString(0), r.getLong(1), r.getLong(2)))
+        .filter(s => giniOf(pos, n) - s.wg > 0)
+    }
+
+    val out = mutable.Buffer
+      .empty[(String, Long, Long, Long, Option[String], Option[Long], Option[Long])]
+
+    def emit(node: String, n: Long, pos: Long, split: Option[Split]): Unit =
+      out += ((node, n, pos, 1000000L * pos / n,
+        split.map(_.feature), split.map(_.thr),
+        split.map(s => giniOf(pos, n) - s.wg)))
+
+    def leftOf(s: Split) = col(s.feature) <= s.thr
+
+    val (nR, pR) = nodeStats(base)
+    require(nR > 0, "empty training frame")
+    val rootSplit = bestSplit(base, nR, pR)
+    require(rootSplit.isDefined, "no informative root split (gain 0)")
+    emit("root", nR, pR, rootSplit)
+
+    for ((childTag, childSub) <- Seq(
+        "L" -> base.filter(leftOf(rootSplit.get)),
+        "R" -> base.filter(!leftOf(rootSplit.get)))) {
+      val sub = childSub.localCheckpoint(true) // reused by split + 2 leaves
+      val (n, pos) = nodeStats(sub)
+      val split = bestSplit(sub, n, pos)
+      emit(childTag, n, pos, split)
+      split.foreach { s =>
+        for ((leafTag, leafSub) <- Seq(
+            s"${childTag}L" -> sub.filter(leftOf(s)),
+            s"${childTag}R" -> sub.filter(!leftOf(s)))) {
+          val (ln, lpos) = nodeStats(leafSub)
+          emit(leafTag, ln, lpos, None) // depth cap: grandchildren are leaves
+        }
+      }
+    }
+
+    out.toSeq
+      .toDF("node", "n", "pos", "rate_micro", "split_feature", "split_thr",
+        "gain_micro")
+      .orderBy("node")
+  }
+}

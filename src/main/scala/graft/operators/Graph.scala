@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** GRAPH CENTRALITY over a weighted edge table — INTEGER-EXACT
@@ -236,5 +237,134 @@ object Graph {
     require(converged, s"k-core did not converge within $maxRounds rounds")
     sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
       .orderBy("node")
+  }
+
+  /** BIPARTITE LABEL PROPAGATION — community detection on a two-sided
+    * graph (customers×suppliers, users×items) by weighted majority
+    * vote: a node adopts the label carrying the highest total edge
+    * weight among its neighbors, ties broken by the SMALLER label.
+    * The schedule is semi-synchronous two-phase (the standard fix for
+    * synchronous LPA's bipartite two-coloring oscillation): each round
+    * first updates every RIGHT node from the left side's labels, then
+    * every LEFT node from the just-updated right side. With the
+    * (weight desc, label asc) tie-break and a fixed round count the
+    * trajectory is fully deterministic — any engine replays it exactly,
+    * converged or not.
+    *
+    * Labels start as each node's own id, so communities are named by a
+    * member node. Scale shape: each phase is one |E|-sized join against
+    * a node-sized label frame, a map-side-combined (node, label) weight
+    * sum, and a per-node top-1 window on the label-deduped frame —
+    * never a per-row window over raw edges. `localCheckpoint` pins plan
+    * depth constant per phase (the [[pageRank]] discipline).
+    *
+    * @return (node, community) for every endpoint of `edges`, both sides
+    */
+  def labelPropagationBipartite(
+      edges: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      weightCol: String,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(true) // joined twice per round
+    var left = e.select(col("l").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var right = e.select(col("r").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+
+    // adopt: every node in `pairs` (node, nbr, w) takes the argmax label
+    // of its neighbors under `nbrLabels`; covers the whole side because
+    // every node of the universe has >= 1 edge by construction.
+    def adopt(pairs: DataFrame, nbrLabels: DataFrame): DataFrame = {
+      val top = Window.partitionBy("node")
+        .orderBy(col("ws").desc, col("label").asc)
+      pairs
+        .join(nbrLabels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node", "label").agg(sum(col("w")).as("ws"))
+        .withColumn("rn", row_number().over(top))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+    }
+
+    var i = 0
+    while (i < rounds) {
+      right = adopt(
+        e.select(col("r").as("node"), col("l").as("nbr"), col("w")), left)
+        .localCheckpoint(true)
+      left = adopt(
+        e.select(col("l").as("node"), col("r").as("nbr"), col("w")), right)
+        .localCheckpoint(true)
+      i += 1
+    }
+    left.unionByName(right)
+      .select(col("node"), col("label").as("community"))
+      .orderBy("node")
+  }
+
+  /** BFS HOP LAYERS — the distance-distribution profile of a graph from
+    * a seed set: how many nodes sit at 1, 2, … hops (plus a dist = −1
+    * row for unreachable nodes, emitted only when any exist). The
+    * "how far does influence travel" readout behind reachability audits
+    * and blast-radius analysis.
+    *
+    * Classic frontier expansion: each round joins the CURRENT frontier
+    * (not the visited set) against the symmetrized edge list and
+    * anti-joins out already-visited nodes — per-round work is
+    * O(frontier-adjacent edges), total O(|E|) across all rounds, the
+    * textbook distributed-BFS bound. Frontiers and the visited set are
+    * node-sized; `localCheckpoint` per round keeps plan depth constant.
+    * Fails loudly if the frontier is not exhausted within `maxDepth`
+    * rounds (which also certifies a fixed-unroll SQL replay is exact).
+    *
+    * @return (dist, n_nodes) ordered by dist; dist −1 = unreachable
+    */
+  def bfsLayers(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Any],
+      maxDepth: Int
+  ): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth in [1,64]")
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
+    var visited = nodes.filter(col("node").isin(seeds: _*))
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var d = 0L
+    var exhausted = false
+    while (!exhausted && d < maxDepth) {
+      val next = sym
+        .join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true) // reused: emptiness probe + union + next join
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited
+          .unionByName(next.withColumn("dist", lit(d + 1L)))
+          .localCheckpoint(true)
+        frontier = next
+        d += 1
+      }
+    }
+    require(exhausted, s"BFS frontier not exhausted within $maxDepth rounds")
+    val reached = visited.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes
+      .join(visited.select("node"), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1L).as("dist"), col("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    reached.unionByName(unreached).orderBy("dist")
   }
 }

@@ -50,6 +50,43 @@ object Keyphrase {
       .limit(topK)
   }
 
+  /** TEXTRANK — graph-based keyword ranking: build the word
+    * co-occurrence graph (adjacent non-stopword tokens, undirected,
+    * weight = co-occurrence count, edges below `minCooc` pruned as
+    * noise) and rank words by integer-exact PageRank over it
+    * ([[Graph.pageRank]] — micro-unit ranks, order-free integer sums,
+    * bit-identical on any engine). The classic unsupervised "which
+    * words organize this corpus" extractor; where RAKE scores words by
+    * local phrase statistics, TextRank scores them by global graph
+    * centrality — hub words win even when individually rare.
+    *
+    * Scale shape: the corpus collapses to a vocab-sized edge list in
+    * one explode → groupBy shuffle; the PageRank loop then runs on
+    * THAT graph (vocab² worst case, far smaller in practice), never
+    * touching documents again. Symmetrization doubles the edge list so
+    * the undirected random walk is exact. */
+  def textRank(docs: DataFrame, textCol: String, stopwords: Seq[String],
+               minCooc: Long, iterations: Int, topK: Int): DataFrame = {
+    val stops = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val base = docs.select(TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(expr(s"filter(tk, x -> x NOT IN $stops)").as("tk"))
+    val bi = base.select(explode(expr(
+        """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+          |  (x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"""
+          .stripMargin.replace("\n", " "))).as("u"))
+      .filter(col("u.w1") =!= col("u.w2"))
+      .select(least(col("u.w1"), col("u.w2")).as("a"),
+        greatest(col("u.w1"), col("u.w2")).as("b"))
+    val und = bi.groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCooc)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    Graph.pageRank(edges, "src", "dst", "w", iterations)
+      .select(col("node").as("word"), col("pr_micros"))
+      .orderBy(col("pr_micros").desc, col("word").asc)
+      .limit(topK)
+  }
+
   /** RAKE: split each document's token stream into candidate phrases at
     * stopword boundaries; word score = (1e6 * degree) DIV freq where
     * degree sums the lengths of phrases containing the word; phrase

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CartTree
+
+class CartTreeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fit(rows: Seq[(Long, Long, Boolean)]) = {
+    import spark.implicits._
+    CartTree.fitDepth2(rows.toDF("x", "z", "y"), Seq("x", "z"), "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.toString),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]))))
+      .toMap
+  }
+
+  test("hand-computed tree: tie-broken root, pure-left leaf, split right") {
+    // x=0: 4 negatives; x=1: 2+/2-; x=2: 4 positives. z is constant (no
+    // candidate: a single bin can never leave the right side non-empty).
+    // Root candidates on x: thr 0 -> wg = (4*0 + 8*375000)/12 = 250000;
+    // thr 1 -> wg = (8*375000 + 4*0)/12 = 250000. Exact tie -> smaller
+    // threshold wins. Parent gini = 500000 -> gain 250000.
+    val rows =
+      (1 to 4).map(_ => (0L, 7L, false)) ++
+        Seq((1L, 7L, true), (1L, 7L, true), (1L, 7L, false), (1L, 7L, false)) ++
+        (1 to 4).map(_ => (2L, 7L, true))
+    val got = fit(rows)
+    assert(got("root") == ((12L, 6L, 500000L, Some("x"), Some(0L), Some(250000L))))
+    // left child is pure -> terminal leaf, no grandchildren
+    assert(got("L") == ((4L, 0L, 0L, None, None, None)))
+    assert(!got.contains("LL") && !got.contains("LR"))
+    // right child (8 rows, 6 pos, gini 375000): split x<=1 ->
+    // wg = (4*500000 + 4*0)/8 = 250000, gain 125000
+    assert(got("R") == ((8L, 6L, 750000L, Some("x"), Some(1L), Some(125000L))))
+    assert(got("RL") == ((4L, 2L, 500000L, None, None, None)))
+    assert(got("RR") == ((4L, 4L, 1000000L, None, None, None)))
+    assert(got.size == 5)
+  }
+
+  test("feature name breaks exact wg ties (f asc before thr asc)") {
+    // x and z are identical copies -> every candidate ties; 'x' < 'z'
+    val rows = Seq((0L, 0L, false), (0L, 0L, false), (1L, 1L, true), (1L, 1L, true))
+    val got = fit(rows)
+    assert(got("root")._4 == Some("x") && got("root")._5 == Some(0L))
+    // both children pure -> 3 rows total
+    assert(got.size == 3 && got("L")._2 == 0L && got("R")._2 == 2L)
+  }
+
+  test("uninformative frame fails loudly instead of emitting a zero-gain root") {
+    val rows = Seq((0L, 0L, true), (1L, 1L, true), (2L, 2L, true))
+    val e = intercept[IllegalArgumentException](fit(rows))
+    assert(e.getMessage.contains("no informative root split"))
+  }
+}

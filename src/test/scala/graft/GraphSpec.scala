@@ -131,4 +131,53 @@ class GraphSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(1) == 3L && r.getLong(3) == 1L)
   }
+
+  private def lpa(edges: Seq[(String, String, Long)], rounds: Int) =
+    Graph.labelPropagationBipartite(edges.toDF("l", "r", "w"), "l", "r", "w",
+        rounds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("bipartite LPA: weight majority wins, components stay separate") {
+    // s1 hears c1 (w=3) and c2 (w=1) -> adopts c1; c2 then follows s1
+    // back to c1's community. The (c3, s2) component never mixes in.
+    val got = lpa(Seq(("c1", "s1", 3L), ("c2", "s1", 1L), ("c3", "s2", 5L)), 1)
+    assert(got == Map("c1" -> "c1", "c2" -> "c1", "s1" -> "c1",
+      "c3" -> "c3", "s2" -> "c3"))
+  }
+
+  test("bipartite LPA: exact weight ties adopt the smaller label") {
+    val got = lpa(Seq(("c2", "s1", 2L), ("c1", "s1", 2L)), 1)
+    assert(got("s1") == "c1" && got("c1") == "c1" && got("c2") == "c1")
+  }
+
+  test("bipartite LPA: fixed rounds replay deterministically") {
+    val edges = Seq(("c1", "s1", 1L), ("c2", "s1", 1L), ("c2", "s2", 4L),
+      ("c3", "s2", 1L), ("c3", "s3", 2L))
+    assert(lpa(edges, 3) == lpa(edges, 3))
+    // one round already coarsens: every node carries a customer label
+    assert(lpa(edges, 1).values.toSet.subsetOf(Set("c1", "c2", "c3")))
+  }
+
+  private def bfs(edges: Seq[(String, String)], seeds: Seq[String], depth: Int) =
+    Graph.bfsLayers(edges.toDF("a", "b"), "a", "b", seeds, depth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("BFS layers: path graph yields one node per hop, both directions") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    assert(bfs(path, Seq("a"), 4) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // seeding the middle walks outward both ways
+    assert(bfs(path, Seq("b"), 4) == Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+  }
+
+  test("BFS layers: unreachable nodes surface as the dist=-1 row") {
+    val got = bfs(Seq(("a", "b"), ("e", "f")), Seq("a"), 2)
+    assert(got == Map(0L -> 1L, 1L -> 1L, -1L -> 2L))
+  }
+
+  test("BFS layers: multi-seed frontier and loud non-exhaustion") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    assert(bfs(path, Seq("a", "d"), 3) == Map(0L -> 2L, 1L -> 2L))
+    val e = intercept[IllegalArgumentException](bfs(path, Seq("a"), 2))
+    assert(e.getMessage.contains("not exhausted"))
+  }
 }

@@ -61,4 +61,30 @@ class KeyphraseSpec extends AnyFunSuite {
     // multi-word phrases outrank the lone unigram
     assert(m("deep learning")._4 > m("network")._4)
   }
+
+  test("textRank: the hub of the co-occurrence star ranks first") {
+    import spark.implicits._
+    // every adjacency touches 'spark'; 'scan' co-occurs once in the
+    // whole corpus -> pruned by minCooc=2
+    val docs = Seq("spark join spark join spark scan",
+      "spark join spark join spark", "spark join")
+    val r = Keyphrase.textRank(docs.toDF("text"), "text",
+      stopwords = Seq("the"), minCooc = 2L, iterations = 10, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq("join", "spark") ||
+      r.map(_._1) == Seq("spark", "join"))
+    assert(!r.map(_._1).contains("scan"))
+    // a 2-node symmetric graph is PageRank's exact fixed point
+    assert(r.forall(_._2 == 1000000L))
+  }
+
+  test("textRank: stopwords are removed BEFORE adjacency is formed") {
+    import spark.implicits._
+    // 'red the wine' x3: with 'the' dropped first, red-wine are adjacent
+    val docs = Seq.fill(3)("red the wine")
+    val r = Keyphrase.textRank(docs.toDF("text"), "text",
+      stopwords = Seq("the"), minCooc = 2L, iterations = 3, topK = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(r.map(_._1).toSet == Set("red", "wine"))
+  }
 }
