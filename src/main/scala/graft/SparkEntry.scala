@@ -56,6 +56,16 @@ object SparkEntry {
         expr("unix_millis(ts) DIV 86400000").as("day"))
       .agg(count(lit(1)).cast("long").as("y"))
 
+  /** Per-(event_type, epoch-day) summed value-cents series — the shared
+    * input of the q253/q254/q255 smoothing trio (the q189 shape with the
+    * q238 cents measure). */
+  private def dailyCents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) DIV 86400000").as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+
   /** Content-addressed location of the shared full-corpus ANN index over
     * `dir`'s embeddings (q56/q58): keyed on the corpus file fingerprint +
     * every LSH parameter, so a data or parameter change produces a fresh
@@ -2945,6 +2955,85 @@ object SparkEntry {
         .limit(1).head().getString(0)
       graft.operators.Graph.bfsLayers(
         strong, "cust", "supp", Seq(seed), maxDepth = 12)
+    }),
+
+    // Extension — NATIVE PIVOT (RelationalGroupedDataset.pivot): the
+    // day × event-type cents matrix through the engine's own pivot
+    // operator with a PINNED value list (no extra distinct pass — the
+    // one scale decision pivot demands; an unpinned pivot collects the
+    // key domain to the driver first). One shuffle, map-side combined.
+    // Hash-exact against the CASE-per-column replay.
+    "q251_pivot_daily" -> ((s, dir) => {
+      events(s, dir)
+        .select(expr("unix_millis(ts) DIV 86400000").as("day"),
+          col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .groupBy("day")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("cents")))
+        .orderBy("day")
+    }),
+
+    // Extension — NATIVE UNPIVOT (Dataset.unpivot): the reverse
+    // reshape — per-returnflag totals of the four lineitem measures
+    // (centi-units) melted to a long (flag, metric, total_centi)
+    // report through the engine's own unpivot operator. Aggregate
+    // FIRST, melt the domain-sized result — never unpivot raw rows
+    // (4× row multiplication before a shuffle). Hash-exact.
+    "q252_unpivot_metrics" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .as("quantity"),
+          sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .as("extendedprice"),
+          sum(expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .as("discount"),
+          sum(expr("CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .as("tax"))
+        .unpivot(Array(col("flag")),
+          Array(col("quantity"), col("extendedprice"), col("discount"),
+            col("tax")),
+          "metric", "total_centi")
+        .orderBy("flag", "metric")
+    }),
+
+    // Extension — EWMA SMOOTHING (Trend.ewmaSeries): per-type daily
+    // cents smoothed by the α=1/5 truncating-micros recursion. A
+    // sequential recursion has no closed form under truncation, so it
+    // runs AS a recursion — in the ARRAY domain (one fold over the
+    // calendar-bounded packed series), not a driver loop. Oracle =
+    // WITH RECURSIVE replay of the identical recurrence (both engines'
+    // integer division truncates toward zero). Hash-exact.
+    "q253_ewma_daily" -> ((s, dir) => {
+      graft.operators.Trend.ewmaSeries(
+        dailyCents(s, dir), "event_type", "day", "cents",
+        aNum = 1L, aDen = 5L)
+    }),
+
+    // Extension — HOLT FORECAST (Trend.holtForecast): level+trend
+    // double recursion (α=1/5, β=1/10) over the same daily series,
+    // extrapolated 7 days — the signed-state case (a falling series
+    // carries b < 0), which is exactly why the truncate-toward-zero
+    // division convention is pinned on both engines. Hash-exact.
+    "q254_holt_forecast" -> ((s, dir) => {
+      graft.operators.Trend.holtForecast(
+        dailyCents(s, dir), "event_type", "day", "cents",
+        aNum = 1L, aDen = 5L, bNum = 1L, bDen = 10L, horizon = 7)
+    }),
+
+    // Extension — MAX DRAWDOWN (Trend.maxDrawdown): the deepest
+    // peak-to-current slump of each type's daily cents, trough
+    // tie-broken earliest — running-max window + one aggregate with
+    // the argmin picked via a (dd, −x) struct max (one pass, no
+    // re-join). Hash-exact.
+    "q255_drawdown" -> ((s, dir) => {
+      graft.operators.Trend.maxDrawdown(
+        dailyCents(s, dir), "event_type", "day", "cents")
     }),
 
     // Extension — RETENTION BY CHANNEL (Funnel.retentionBySegment):
@@ -7524,6 +7613,105 @@ object SparkEntry {
        |ORDER BY dist""".stripMargin
   }
 
+  /** q251: the pivot replayed as one CASE-sum per pinned column. */
+  private val q251Oracle =
+    """SELECT epoch_ms(ts) // 86400000 AS day,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN c END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN c END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN c END) AS BIGINT)
+      |    AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN c END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN c END) AS BIGINT) AS view
+      |FROM (SELECT ts, event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q252: the unpivot replayed as a UNION ALL melt of the grouped
+    * totals. */
+  private val q252Oracle =
+    """WITH g AS (SELECT l_returnflag AS flag,
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS quantity,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS extendedprice,
+      |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS discount,
+      |  CAST(sum(CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS tax
+      |  FROM lineitem GROUP BY 1)
+      |SELECT flag, 'quantity' AS metric, quantity AS total_centi FROM g
+      |UNION ALL SELECT flag, 'extendedprice', extendedprice FROM g
+      |UNION ALL SELECT flag, 'discount', discount FROM g
+      |UNION ALL SELECT flag, 'tax', tax FROM g
+      |ORDER BY flag, metric""".stripMargin
+
+  /** Shared daily-cents CTE for the q253/q254/q255 smoothing trio,
+    * with a per-type row index for the recursive replays. */
+  private val dailyCentsSql =
+    """d AS MATERIALIZED (SELECT event_type AS et,
+      |    epoch_ms(ts) // 86400000 AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS MATERIALIZED (SELECT et, day, x,
+      |    CAST(row_number() OVER (PARTITION BY et ORDER BY day)
+      |      AS BIGINT) AS i
+      |  FROM d)""".stripMargin
+
+  /** q253: the EWMA recurrence replayed with WITH RECURSIVE — row i
+    * joins its per-type predecessor; `//` truncates toward zero exactly
+    * like Spark's DIV. */
+  private def q253Oracle: String =
+    s"""WITH RECURSIVE $dailyCentsSql,
+       |r AS (SELECT et, i, day, x, x * 1000000 AS e FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT n.et, n.i, n.day, n.x,
+       |    (1 * n.x * 1000000 + 4 * r.e) // 5
+       |  FROM r JOIN idx n ON n.et = r.et AND n.i = r.i + 1)
+       |SELECT et AS event_type, day AS x, x AS y, CAST(e AS BIGINT)
+       |  AS ewma_micro
+       |FROM r ORDER BY 1, 2""".stripMargin
+
+  /** q254: Holt's double recursion — (level, trend) carried through the
+    * recursive join, then 7 horizon rows per type off the LAST state. */
+  private def q254Oracle: String =
+    s"""WITH RECURSIVE $dailyCentsSql,
+       |n AS MATERIALIZED (SELECT et, CAST(max(i) AS BIGINT) AS li
+       |  FROM idx GROUP BY 1),
+       |r AS (SELECT et, i, x * 1000000 AS l, CAST(0 AS BIGINT) AS b
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT p.et, p.i,
+       |    (1 * p.x * 1000000 + 4 * (r.l + r.b)) // 5,
+       |    (1 * (((1 * p.x * 1000000 + 4 * (r.l + r.b)) // 5) - r.l)
+       |     + 9 * r.b) // 10
+       |  FROM r JOIN idx p ON p.et = r.et AND p.i = r.i + 1),
+       |fin AS MATERIALIZED (SELECT r.et, r.l, r.b
+       |  FROM r JOIN n ON n.et = r.et AND r.i = n.li)
+       |SELECT et AS event_type, h.h AS h,
+       |  CAST(l + h.h * b AS BIGINT) AS forecast_micro,
+       |  CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro
+       |FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q255: running-max drawdown windows; trough = earliest day at the
+    * max drawdown. */
+  private def q255Oracle: String =
+    s"""WITH $dailyCentsSql,
+       |f AS (SELECT et, day, x,
+       |    CAST(max(x) OVER (PARTITION BY et ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - x
+       |      AS BIGINT) AS dd
+       |  FROM idx),
+       |g AS (SELECT et, CAST(max(x) AS BIGINT) AS peak_y,
+       |    CAST(max(dd) AS BIGINT) AS max_dd
+       |  FROM f GROUP BY 1)
+       |SELECT g.et AS event_type, g.peak_y, g.max_dd,
+       |  CAST(min(f.day) AS BIGINT) AS trough_x
+       |FROM g JOIN f ON f.et = g.et AND f.dd = g.max_dd
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -9446,6 +9634,11 @@ object SparkEntry {
     "q248_cart_tree" -> q248Oracle,
     "q249_lpa_communities" -> q249Oracle,
     "q250_bfs_layers" -> q250Oracle,
+    "q251_pivot_daily" -> q251Oracle,
+    "q252_unpivot_metrics" -> q252Oracle,
+    "q253_ewma_daily" -> q253Oracle,
+    "q254_holt_forecast" -> q254Oracle,
+    "q255_drawdown" -> q255Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

@@ -309,4 +309,116 @@ object Trend {
         col("slope_micro").as("ts_slope_micro"))
       .orderBy(keyCol)
   }
+
+  /** Per-key series packed to a sorted (x, y) array — the family's shape
+    * for SEQUENTIAL recursions: the series contract bounds a key's array
+    * at calendar size, so `collect_list` is domain-bounded by design and
+    * the recursion runs inside one codegen'd higher-order expression,
+    * never as a driver loop or a per-row window chain. */
+  private def packed(series: DataFrame, keyCol: String, xCol: String,
+                     yCol: String): DataFrame =
+    series
+      .select(col(keyCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("s"))
+
+  /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE per key, in truncating
+    * integer micros with a rational smoothing factor α = aNum/aDen:
+    *
+    *     e₁ = y₁·10⁶;   eᵢ = (aNum·yᵢ·10⁶ + (aDen−aNum)·eᵢ₋₁) DIV aDen
+    *
+    * A sequential recursion has no closed form under truncation, so it
+    * is evaluated AS a recursion — but in the array domain: one
+    * `aggregate` fold over the packed per-key series appends each step's
+    * state, then the array unzips back to rows. The SQL oracle replays
+    * the identical recurrence with WITH RECURSIVE (both engines'
+    * integral division truncates toward zero, so signed steps agree).
+    *
+    * @return (key, x, y, ewma_micro) — one row per input point
+    */
+  def ewmaSeries(series: DataFrame, keyCol: String, xCol: String,
+                 yCol: String, aNum: Long, aDen: Long): DataFrame = {
+    require(aNum > 0 && aNum <= aDen, "alpha in (0,1]")
+    packed(series, keyCol, xCol, yCol)
+      .withColumn("e", expr(
+        s"""aggregate(s, CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, p) -> array_append(acc,
+           |    CASE WHEN size(acc) = 0 THEN p.y * 1000000L
+           |         ELSE ($aNum * p.y * 1000000L
+           |               + ($aDen - $aNum) * element_at(acc, -1))
+           |              DIV $aDen END))""".stripMargin.replace("\n", " ")))
+      .select(col(keyCol), posexplode(col("s")).as(Seq("i", "p")), col("e"))
+      .select(col(keyCol), col("p.x").as("x"), col("p.y").as("y"),
+        element_at(col("e"), col("i") + 1).as("ewma_micro"))
+      .orderBy(col(keyCol), col("x"))
+  }
+
+  /** HOLT'S LINEAR TREND forecast per key — the two-variable sequential
+    * recursion (level + trend) in truncating micros with rational
+    * factors α = aNum/aDen, β = bNum/bDen:
+    *
+    *     l₁ = y₁·10⁶, b₁ = 0
+    *     lᵢ = (aNum·yᵢ·10⁶ + (aDen−aNum)·(lᵢ₋₁+bᵢ₋₁)) DIV aDen
+    *     bᵢ = (bNum·(lᵢ−lᵢ₋₁) + (bDen−bNum)·bᵢ₋₁) DIV bDen
+    *     ŷ(n+h) = lₙ + h·bₙ
+    *
+    * Same array-domain fold as [[ewmaSeries]], carrying a struct state;
+    * bᵢ can go negative, which is exactly why the truncate-toward-zero
+    * division convention is pinned in both engines.
+    *
+    * @return (key, h, forecast_micro, level_micro, trend_micro) for
+    *         h = 1..horizon
+    */
+  def holtForecast(series: DataFrame, keyCol: String, xCol: String,
+                   yCol: String, aNum: Long, aDen: Long, bNum: Long,
+                   bDen: Long, horizon: Int): DataFrame = {
+    require(aNum > 0 && aNum <= aDen && bNum > 0 && bNum <= bDen,
+      "alpha, beta in (0,1]")
+    require(horizon >= 1 && horizon <= 366, "horizon in [1,366]")
+    val lNext = s"(($aNum * p.y * 1000000L" +
+      s" + ($aDen - $aNum) * (acc.l + acc.b)) DIV $aDen)"
+    packed(series, keyCol, xCol, yCol)
+      .withColumn("st", expr(
+        s"""aggregate(s,
+           |  named_struct('l', CAST(NULL AS BIGINT), 'b', CAST(NULL AS BIGINT)),
+           |  (acc, p) -> CASE WHEN acc.l IS NULL
+           |    THEN named_struct('l', p.y * 1000000L, 'b', 0L)
+           |    ELSE named_struct('l', $lNext,
+           |      'b', ($bNum * ($lNext - acc.l)
+           |            + ($bDen - $bNum) * acc.b) DIV $bDen) END)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col(keyCol), explode(sequence(lit(1L), lit(horizon.toLong)))
+        .as("h"), col("st"))
+      .select(col(keyCol), col("h"),
+        (col("st.l") + col("h") * col("st.b")).as("forecast_micro"),
+        col("st.l").as("level_micro"), col("st.b").as("trend_micro"))
+      .orderBy(col(keyCol), col("h"))
+  }
+
+  /** MAXIMUM DRAWDOWN per key — the deepest peak-to-current drop of the
+    * series, with the (earliest) x where it bottoms: the classic
+    * "worst slump" diagnostic for any monitored metric. Pure windows
+    * over the day-bounded series frame plus one aggregate; the argmin
+    * over the trough is picked inside the same aggregate via a
+    * (drawdown, −x) struct max — one pass, no re-join.
+    *
+    * @return (key, peak_y, max_dd, trough_x)
+    */
+  def maxDrawdown(series: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val run = Window.partitionBy(col(keyCol)).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .select(col(keyCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("dd", max(col("y")).over(run) - col("y"))
+      .groupBy(col(keyCol))
+      .agg(max(col("y")).as("peak_y"),
+        max(col("dd")).as("max_dd"),
+        max(struct(col("dd"), (-col("x")).as("nx"))).as("m"))
+      .select(col(keyCol), col("peak_y"), col("max_dd"),
+        (-col("m.nx")).as("trough_x"))
+      .orderBy(keyCol)
+  }
 }

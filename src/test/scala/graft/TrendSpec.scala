@@ -205,4 +205,80 @@ class TrendSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("mae_seasonal_micro") == 30000000L) // |40-10|
     assert(out.head.getAs[Long]("mae_naive_micro") == 20000000L)    // |40-20|
   }
+
+  // ------------------------------------------------------------ ewmaSeries
+
+  test("ewma: hand-computed truncating trajectory, alpha = 1/5") {
+    // e1 = 10e6; e2 = (20e6 + 4*10e6)/5 = 12e6; e3 = (1*5e6+4*12e6)/5
+    //    = 53e6/5 = 10600000
+    val out = Trend.ewmaSeries(
+      series(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 5L))),
+      "k", "x", "y", aNum = 1L, aDen = 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 10000000L), (2L, 12000000L), (3L, 10600000L)))
+  }
+
+  test("ewma: alpha = 1 tracks the series exactly; keys independent") {
+    val out = Trend.ewmaSeries(
+      series(Seq(("a", 1L, 3L), ("a", 2L, 9L), ("b", 1L, 7L))),
+      "k", "x", "y", aNum = 1L, aDen = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 1L, 3000000L), ("a", 2L, 9000000L),
+      ("b", 1L, 7000000L)))
+  }
+
+  // ---------------------------------------------------------- holtForecast
+
+  test("holt: constant series forecasts itself with zero trend") {
+    val out = Trend.holtForecast(
+      series(Seq(("a", 1L, 50L), ("a", 2L, 50L), ("a", 3L, 50L))),
+      "k", "x", "y", 1L, 5L, 1L, 10L, horizon = 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Long]("trend_micro") == 0L))
+    assert(out.forall(_.getAs[Long]("forecast_micro") == 50000000L))
+  }
+
+  test("holt: hand-computed level/trend on a rising series") {
+    // y = 10, 20: l1 = 10e6, b1 = 0
+    // l2 = (20e6 + 4*(10e6+0))/5 = 12e6
+    // b2 = (1*(12e6-10e6) + 9*0)/10 = 200000
+    // h=1 -> 12200000, h=2 -> 12400000
+    val out = Trend.holtForecast(
+      series(Seq(("a", 1L, 10L), ("a", 2L, 20L))),
+      "k", "x", "y", 1L, 5L, 1L, 10L, horizon = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 12200000L), (2L, 12400000L)))
+  }
+
+  test("holt: falling series carries a negative trend (signed DIV)") {
+    // y = 20, 10: l2 = (10e6 + 4*20e6)/5 = 18e6; b2 = (-2e6)/10 = -200000
+    val out = Trend.holtForecast(
+      series(Seq(("a", 1L, 20L), ("a", 2L, 10L))),
+      "k", "x", "y", 1L, 5L, 1L, 10L, horizon = 1)
+      .collect().head
+    assert(out.getAs[Long]("trend_micro") == -200000L)
+    assert(out.getAs[Long]("forecast_micro") == 17800000L)
+  }
+
+  // ----------------------------------------------------------- maxDrawdown
+
+  test("drawdown: deepest slump and its earliest trough") {
+    // peaks 50 -> trough 10 (dd 40 at x=4); the later dd 40 at x=6 loses
+    // the earliest-x tie-break
+    val out = Trend.maxDrawdown(
+      series(Seq(("a", 1L, 30L), ("a", 2L, 50L), ("a", 3L, 20L),
+        ("a", 4L, 10L), ("a", 5L, 45L), ("a", 6L, 10L))),
+      "k", "x", "y").collect().head
+    assert(out.getAs[Long]("peak_y") == 50L)
+    assert(out.getAs[Long]("max_dd") == 40L)
+    assert(out.getAs[Long]("trough_x") == 4L)
+  }
+
+  test("drawdown: monotone rise has zero drawdown, trough at the start") {
+    val out = Trend.maxDrawdown(
+      series(Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L))),
+      "k", "x", "y").collect().head
+    assert(out.getAs[Long]("max_dd") == 0L && out.getAs[Long]("trough_x") == 1L)
+  }
 }
