@@ -3036,6 +3036,99 @@ object SparkEntry {
         dailyCents(s, dir), "event_type", "day", "cents")
     }),
 
+    // Extension — NATIVE GROUPING SETS (Dataset.groupingSets +
+    // grouping_id): the three-level (flag, status) / (flag) / ()
+    // subtotal report in ONE pass through the engine's own grouping-set
+    // expansion — one shuffle, rows expanded map-side per set, vs the
+    // oracle's three scans glued by UNION ALL. grouping_id
+    // disambiguates real NULLs from subtotal rows (the reason the
+    // operator exists over plain union). Hash-exact.
+    "q256_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .as("qty_centi"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("qty_centi"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Extension — BAGGED STUMPS (CartTree.baggedStumps): q248's split
+    // machinery lifted to a deterministic mini random forest — five
+    // depth-1 trees, each on the md5-keyed half its bag keeps
+    // (subagging: membership follows from event_id content alone, so
+    // the ensemble replays on any engine, unlike sample()); sides vote
+    // their training majority; ensemble = unweighted majority of the
+    // five. All six accuracies (members + ensemble) evaluated over the
+    // FULL frame in ONE aggregate pass of literal-threshold vote
+    // expressions. Hash-exact.
+    "q257_bagged_stumps" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        col("event_id"),
+        expr("least(19L, greatest(0L, CAST(floor(value) AS LONG)) DIV 2)")
+          .as("f_val"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("f_hour"),
+        (col("value") >= 15).as("y"))
+      graft.operators.CartTree.baggedStumps(
+        base, Seq("f_hour", "f_val"), "y", "event_id", bags = 5)
+    }),
+
+    // Extension — LATERAL TOP-K (SQL lateral correlated subquery): the
+    // top-2 customers by balance PER NATION through the engine's
+    // lateral-join decorrelation — the SQL-surface twin of the window
+    // top-k (q05), exercising the planner's rewrite of a correlated
+    // ORDER BY+LIMIT subquery. Oracle replays via the window form,
+    // proving the two formulations agree. Hash-exact.
+    "q258_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("graft_nation_q258")
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust_q258")
+      s.sql("""
+        SELECT n.n_name, c.c_name, c.bal_cents
+        FROM graft_nation_q258 n
+        JOIN LATERAL (
+          SELECT c_name,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+              AS bal_cents
+          FROM graft_cust_q258
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_name ASC LIMIT 2) c
+        ORDER BY n.n_name ASC, c.bal_cents DESC, c.c_name ASC""")
+    }),
+
+    // Extension — OBSERVED SCAN (Dataset.observe): pipeline health
+    // metrics harvested ON THE SIDE of a real pass — the quality gate
+    // counts rows/cents/nulls at the scan while the actual job (drop
+    // the error stream) runs; NO second scan (the observe node sits
+    // below the filter, so it sees every row the pass reads). The
+    // returned frame IS the metrics row — the one driver-side
+    // materialization is 4 scalars. Hash-exact against a plain
+    // aggregate replay. [Spark: Observation + Dataset.observe]
+    "q259_observed_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      val ev = events(s, dir).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .as("sum_cents"),
+        count(when(col("user_id").isNull, 1)).as("null_users"),
+        max(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .as("max_cents"))
+      val kept = ev.filter(col("event_type") =!= "error").count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_cents").asInstanceOf[Long],
+        m("null_users").asInstanceOf[Long],
+        m("max_cents").asInstanceOf[Long],
+        kept)).toDF("n_rows", "sum_cents", "null_users", "max_cents",
+        "n_kept")
+    }),
+
     // Extension — RETENTION BY CHANNEL (Funnel.retentionBySegment):
     // q87's cohort retention keyed on the acquisition proxy instead —
     // each user's segment is their FIRST event's type (min (ts, id)),
@@ -7712,6 +7805,118 @@ object SparkEntry {
        |FROM g JOIN f ON f.et = g.et AND f.dd = g.max_dd
        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  /** q256: grouping sets replayed as three scans + UNION ALL with
+    * literal grouping_id values (full set 0, flag-only 1, grand 3 —
+    * Spark's bit convention: bit set = column aggregated away). */
+  private val q256Oracle =
+    """WITH b AS (SELECT l_returnflag AS f, l_linestatus AS st,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q
+      |  FROM lineitem)
+      |SELECT f AS l_returnflag, st AS l_linestatus, CAST(0 AS BIGINT) AS gid,
+      |  CAST(sum(q) AS BIGINT) AS qty_centi, CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY 1, 2
+      |UNION ALL
+      |SELECT f, CAST(NULL AS VARCHAR), 1, CAST(sum(q) AS BIGINT),
+      |  CAST(count(*) AS BIGINT) FROM b GROUP BY 1
+      |UNION ALL
+      |SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 3,
+      |  CAST(sum(q) AS BIGINT), CAST(count(*) AS BIGINT) FROM b
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** q257: the bagged-stumps replay — per bag, the q248 candidate
+    * machinery over the md5-bucketed half; votes evaluated per row via
+    * scalar subqueries on the 1-row best-split CTEs; ensemble =
+    * majority of the five; all accuracies off one pred CTE. */
+  private def q257Oracle: String = {
+    val bags = 5
+    def gini(p: String, n: String): String = {
+      val r = s"((1000000 * ($p)) // ($n))"
+      s"((2 * $r * (1000000 - $r)) // 1000000)"
+    }
+    def bagBlock(b: Int): String = {
+      val pred = s"(('0x' || substr(md5(k::VARCHAR || 'bag$b'), 1, 8))" +
+        s"::BIGINT % 10000) < 5000"
+      s"""st$b AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(y), 0) AS BIGINT) AS p FROM base WHERE $pred),
+         |m$b AS (SELECT f, v, CAST(count(*) AS BIGINT) AS bn,
+         |    CAST(sum(y) AS BIGINT) AS bpos
+         |  FROM (SELECT 'f_hour' AS f, f_hour AS v, y FROM base WHERE $pred
+         |        UNION ALL SELECT 'f_val', f_val, y FROM base WHERE $pred)
+         |  GROUP BY 1, 2),
+         |c$b AS (SELECT f, v,
+         |    sum(bn) OVER w AS nl, sum(bpos) OVER w AS posl
+         |  FROM m$b WINDOW w AS (PARTITION BY f ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |b$b AS MATERIALIZED (SELECT f, v, nl, posl, CAST(
+         |    (nl * ${gini("posl", "nl")}
+         |     + ((SELECT n FROM st$b) - nl)
+         |       * ${gini(s"(SELECT p FROM st$b) - posl",
+                          s"(SELECT n FROM st$b) - nl")})
+         |    // (SELECT n FROM st$b) AS BIGINT) AS wg
+         |  FROM c$b WHERE nl < (SELECT n FROM st$b)
+         |  ORDER BY wg ASC, f ASC, v ASC LIMIT 1)""".stripMargin
+    }
+    def voteExpr(b: Int): String =
+      s"""CASE WHEN (CASE WHEN (SELECT f FROM b$b) = 'f_hour'
+         |      THEN f_hour ELSE f_val END) <= (SELECT v FROM b$b)
+         |  THEN (SELECT CASE WHEN (1000000 * posl) // nl >= 500000
+         |    THEN 1 ELSE 0 END FROM b$b)
+         |  ELSE (SELECT CASE WHEN
+         |      (1000000 * ((SELECT p FROM st$b) - posl))
+         |      // ((SELECT n FROM st$b) - nl) >= 500000
+         |    THEN 1 ELSE 0 END FROM b$b) END AS v$b""".stripMargin
+    def memberRow(b: Int): String =
+      s"""SELECT 'bag$b' AS member,
+         |  (SELECT f FROM b$b) AS split_feature,
+         |  (SELECT v FROM b$b) AS split_thr,
+         |  CAST((1000000 * sum(CASE WHEN v$b = y THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS acc_micro
+         |FROM pred""".stripMargin
+    val vsum = (1 to bags).map(b => s"v$b").mkString(" + ")
+    s"""WITH base AS MATERIALIZED (SELECT event_id AS k,
+       |    least(19, greatest(0, CAST(floor(value) AS BIGINT)) // 2) AS f_val,
+       |    (epoch_us(ts) // 3600000000) % 24 AS f_hour,
+       |    CASE WHEN value >= 15 THEN 1 ELSE 0 END AS y
+       |  FROM events),
+       |${(1 to bags).map(bagBlock).mkString(",\n")},
+       |pred AS MATERIALIZED (SELECT y,
+       |${(1 to bags).map(voteExpr).mkString(",\n")}
+       |FROM base)
+       |${(1 to bags).map(memberRow).mkString("\nUNION ALL ")}
+       |UNION ALL SELECT 'ensemble', CAST(NULL AS VARCHAR),
+       |  CAST(NULL AS BIGINT),
+       |  CAST((1000000 * sum(CASE WHEN
+       |      (CASE WHEN $vsum >= 3 THEN 1 ELSE 0 END) = y
+       |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+       |FROM pred
+       |ORDER BY member""".stripMargin
+  }
+
+  /** q258: the lateral top-k replayed via the window formulation. */
+  private val q258Oracle =
+    """WITH r AS (SELECT n.n_name, c.c_name,
+      |    CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS bal_cents,
+      |    row_number() OVER (PARTITION BY n.n_nationkey
+      |      ORDER BY CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |        DESC, c.c_name ASC) AS rn
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
+      |SELECT n_name, c_name, bal_cents FROM r WHERE rn <= 2
+      |ORDER BY n_name ASC, bal_cents DESC, c_name ASC""".stripMargin
+
+  /** q259: the observed metrics replayed as plain aggregates. */
+  private val q259Oracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS null_users,
+      |  CAST(max(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS max_cents,
+      |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept
+      |FROM events""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -9639,6 +9844,10 @@ object SparkEntry {
     "q253_ewma_daily" -> q253Oracle,
     "q254_holt_forecast" -> q254Oracle,
     "q255_drawdown" -> q255Oracle,
+    "q256_grouping_sets" -> q256Oracle,
+    "q257_bagged_stumps" -> q257Oracle,
+    "q258_lateral_topk" -> q258Oracle,
+    "q259_observed_scan" -> q259Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

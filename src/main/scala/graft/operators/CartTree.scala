@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   */
 object CartTree {
 
-  private case class Split(feature: String, thr: Long, wg: Long)
+  private case class Split(feature: String, thr: Long, wg: Long,
+                           nl: Long, posl: Long)
 
   private def giniSql(pos: String, n: String): String = {
     val r = s"((1000000 * $pos) DIV $n)"
@@ -47,6 +48,40 @@ object CartTree {
   private def giniOf(pos: Long, n: Long): Long = {
     val r = 1000000L * pos / n
     2L * r * (1000000L - r) / 1000000L
+  }
+
+  private def nodeStats(sub: DataFrame): (Long, Long) = {
+    val r = sub.agg(count(lit(1)), coalesce(sum(col("y")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Best (feature, threshold) of one node subset by weighted child
+    * Gini, or None when no candidate improves STRICTLY on the parent.
+    * The melt/groupBy/window shape collapses rows to a (feature, bin)
+    * frame before any scoring; the collect is the single decision row. */
+  private def bestSplit(sub: DataFrame, features: Seq[String], n: Long,
+                        pos: Long): Option[Split] = {
+    val melted = sub.select(explode(array(features.map(f =>
+        struct(lit(f).as("f"), col(f).as("v"))): _*)).as("fv"), col("y"))
+      .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
+    val byF = Window.partitionBy("f").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val best = melted.groupBy("f", "v")
+      .agg(count(lit(1)).as("bn"), sum(col("y")).as("bpos"))
+      .withColumn("nl", sum(col("bn")).over(byF))
+      .withColumn("posl", sum(col("bpos")).over(byF))
+      .filter(col("nl") < n) // right side must be non-empty
+      .select(col("f"), col("v"),
+        expr(s"(nl * ${giniSql("posl", "nl")} + ($n - nl) * " +
+          s"${giniSql(s"($pos - posl)", s"($n - nl)")}) DIV $n").as("wg"),
+        col("nl"), col("posl"))
+      .orderBy(col("wg").asc, col("f").asc, col("v").asc)
+      .limit(1)
+      .collect() // bounded: the single split decision, not data
+    best.headOption
+      .map(r => Split(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(s => giniOf(pos, n) - s.wg > 0)
   }
 
   /** Fit a depth-2 tree of `df` on integer-valued (binned) `features`
@@ -65,33 +100,6 @@ object CartTree {
           when(col(labelCol), 1L).otherwise(0L).as("y"): _*)
       .localCheckpoint(true) // filtered per node; never re-read from source
 
-    def nodeStats(sub: DataFrame): (Long, Long) = {
-      val r = sub.agg(count(lit(1)), coalesce(sum(col("y")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-
-    def bestSplit(sub: DataFrame, n: Long, pos: Long): Option[Split] = {
-      val melted = sub.select(explode(array(features.map(f =>
-          struct(lit(f).as("f"), col(f).as("v"))): _*)).as("fv"), col("y"))
-        .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
-      val byF = Window.partitionBy("f").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val best = melted.groupBy("f", "v")
-        .agg(count(lit(1)).as("bn"), sum(col("y")).as("bpos"))
-        .withColumn("nl", sum(col("bn")).over(byF))
-        .withColumn("posl", sum(col("bpos")).over(byF))
-        .filter(col("nl") < n) // right side must be non-empty
-        .select(col("f"), col("v"),
-          expr(s"(nl * ${giniSql("posl", "nl")} + ($n - nl) * " +
-            s"${giniSql(s"($pos - posl)", s"($n - nl)")}) DIV $n").as("wg"))
-        .orderBy(col("wg").asc, col("f").asc, col("v").asc)
-        .limit(1)
-        .collect() // bounded: the single split decision, not data
-      best.headOption
-        .map(r => Split(r.getString(0), r.getLong(1), r.getLong(2)))
-        .filter(s => giniOf(pos, n) - s.wg > 0)
-    }
-
     val out = mutable.Buffer
       .empty[(String, Long, Long, Long, Option[String], Option[Long], Option[Long])]
 
@@ -104,7 +112,7 @@ object CartTree {
 
     val (nR, pR) = nodeStats(base)
     require(nR > 0, "empty training frame")
-    val rootSplit = bestSplit(base, nR, pR)
+    val rootSplit = bestSplit(base, features, nR, pR)
     require(rootSplit.isDefined, "no informative root split (gain 0)")
     emit("root", nR, pR, rootSplit)
 
@@ -113,7 +121,7 @@ object CartTree {
         "R" -> base.filter(!leftOf(rootSplit.get)))) {
       val sub = childSub.localCheckpoint(true) // reused by split + 2 leaves
       val (n, pos) = nodeStats(sub)
-      val split = bestSplit(sub, n, pos)
+      val split = bestSplit(sub, features, n, pos)
       emit(childTag, n, pos, split)
       split.foreach { s =>
         for ((leafTag, leafSub) <- Seq(
@@ -129,5 +137,75 @@ object CartTree {
       .toDF("node", "n", "pos", "rate_micro", "split_feature", "split_thr",
         "gain_micro")
       .orderBy("node")
+  }
+
+  /** BAGGED STUMPS — a deterministic mini random forest: `bags` (odd)
+    * depth-1 trees, each fit on the half of the data its md5 bag keeps
+    * (subagging via [[Sampling.bucket]]-style content hashing — the
+    * bag assignment follows from the row KEY alone, so the ensemble is
+    * reproducible across runs, partitionings, and engines, unlike
+    * `sample()`). Each stump votes the majority label of the training
+    * side a row falls in; the ensemble is the unweighted majority of
+    * stump votes (odd `bags` ⇒ no ties). Accuracy of every member and
+    * of the ensemble is evaluated over the FULL frame in ONE aggregate
+    * pass — the classic variance-reduction readout (ensemble ≥ the
+    * typical member) as a verifiable table.
+    *
+    * Scale shape: per bag, one (feature, bin) melt-aggregate and one
+    * decision-row collect (the [[fitDepth2]] discipline); the final
+    * accuracy pass evaluates all stump votes + the ensemble vote as
+    * literal-threshold expressions in a single scan. Driver sees
+    * `bags` split rows and one accuracy row.
+    *
+    * @return (member, split_feature, split_thr, acc_micro) — one row
+    *         per bag ("bag1"..) + one "ensemble" row (split cols NULL)
+    */
+  def baggedStumps(df: DataFrame, features: Seq[String], labelCol: String,
+                   keyCol: String, bags: Int): DataFrame = {
+    require(bags >= 1 && bags <= 15 && bags % 2 == 1, "bags odd, 1..15")
+    require(features.nonEmpty && features.size <= 8, "1..8 binned features")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(
+        features.map(f => col(f).cast("long").as(f)) ++
+          Seq(when(col(labelCol), 1L).otherwise(0L).as("y"),
+            col(keyCol).as("k")): _*)
+      .localCheckpoint(true) // one build; filtered per bag + final pass
+
+    // fit one stump per bag; carry the bag's (n, pos) for the right-side
+    // majority
+    val stumps = (1 to bags).map { b =>
+      val sub = base.filter(Sampling.bucket(col("k"), s"bag$b") < 5000)
+      val (n, pos) = nodeStats(sub)
+      require(n > 0, s"bag $b is empty")
+      val s = bestSplit(sub, features, n, pos)
+      require(s.isDefined, s"bag $b has no informative split")
+      (s.get, n, pos)
+    }
+
+    // each stump's vote as a literal-threshold expression: a side votes
+    // its TRAINING-majority label (rate >= 1/2 -> 1); evaluated over the
+    // full frame, all stumps + ensemble in one scan
+    val voteCols = stumps.map { case (s, n, pos) =>
+      val leftVote = if (1000000L * s.posl / s.nl >= 500000L) 1L else 0L
+      val rightVote =
+        if (1000000L * (pos - s.posl) / (n - s.nl) >= 500000L) 1L else 0L
+      when(col(s.feature) <= s.thr, lit(leftVote)).otherwise(lit(rightVote))
+    }
+    val ensemble = when(
+      voteCols.reduce(_ + _) * 2 > bags, 1L).otherwise(0L)
+    val accExprs = (voteCols :+ ensemble).map(v =>
+      sum(when(v === col("y"), 1L).otherwise(0L)))
+    val accRow = base.agg(count(lit(1)), accExprs: _*).head()
+    val total = accRow.getLong(0)
+    def accMicro(i: Int): Long = 1000000L * accRow.getLong(i + 1) / total
+
+    val rows = stumps.zipWithIndex.map { case ((s, _, _), i) =>
+      (s"bag${i + 1}", Option(s.feature), Option(s.thr), accMicro(i))
+    } :+ (("ensemble", Option.empty[String], Option.empty[Long],
+      accMicro(bags)))
+    rows.toDF("member", "split_feature", "split_thr", "acc_micro")
+      .orderBy("member")
   }
 }

@@ -55,4 +55,33 @@ class CartTreeSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](fit(rows))
     assert(e.getMessage.contains("no informative root split"))
   }
+
+  private def stumps(rows: Seq[(Long, Long, Long, Boolean)], bags: Int) = {
+    import spark.implicits._
+    CartTree.baggedStumps(rows.toDF("id", "x", "z", "y"),
+      Seq("x", "z"), "y", "id", bags)
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.toString),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))))
+      .toMap
+  }
+
+  test("bagged stumps: separable data gives perfect members and ensemble") {
+    // x separates y exactly; every bag (whatever md5 keeps) learns x<=0
+    val rows = (1L to 40L).map(i => (i, i % 2, 7L, i % 2 == 1L))
+    val got = stumps(rows, bags = 3)
+    assert(got.keySet == Set("bag1", "bag2", "bag3", "ensemble"))
+    for (b <- Seq("bag1", "bag2", "bag3")) {
+      assert(got(b)._1 == Some("x") && got(b)._2 == Some(0L))
+      assert(got(b)._3 == 1000000L) // evaluated on the FULL frame
+    }
+    assert(got("ensemble") == ((None, None, 1000000L)))
+  }
+
+  test("bagged stumps: deterministic across runs; bags must be odd") {
+    val rows = (1L to 60L).map(i =>
+      (i, i % 3, (i / 7) % 4, (i % 3 == 0) != (i % 13 == 0)))
+    assert(stumps(rows, 5) == stumps(rows, 5))
+    intercept[IllegalArgumentException](stumps(rows, 4))
+  }
 }
