@@ -979,4 +979,46 @@ class StreamingSpec extends AnyFunSuite {
       "event_type", "day", "y").collect().head.getAs[Long]("ts_slope_micro")
     assert(tsStream == tsBatch && tsStream == 2000000L) // slopes 0,4,2 -> median 2
   }
+
+  test("streaming EWMA twin: smoothing replays exactly on the streamed series") {
+    import graft.operators.Trend
+
+    val src = Files.createTempDirectory("graft_stream_ewma")
+    val ckp = Files.createTempDirectory("graft_stream_ewma_ckp")
+    // day 1 arrives AFTER day 2 (late data): the packed-series state
+    // re-sorts by day, so the recursion replays in event-time order
+    // regardless of arrival order — the property that makes the EWMA
+    // operator streaming-safe (state = the calendar-bounded series,
+    // not a running scalar that would bake in arrival order).
+    def line(day: String, v: Int) =
+      s"""{"g":"m","day":$day,"v":$v}"""
+    Files.write(src.resolve("a.json"),
+      Seq(line("2", 20), line("3", 5)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      Seq(line("1", 10)).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = Trend.ewmaSeries(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "g", "day", "v", aNum = 1L, aDen = 5L)
+      .writeStream
+      .format("memory").queryName("ewma_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getAs[Long]("x") -> r.getAs[Long]("ewma_micro")).toMap
+    val streamed = canon(spark.table("ewma_stream").collect())
+    val batch = canon(Trend.ewmaSeries(spark.read.json(src.toString),
+      "g", "day", "v", 1L, 5L).collect())
+    assert(streamed == batch)
+    // the TrendSpec hand trajectory, despite day 1 arriving last:
+    // e(1)=10e6, e(2)=12e6, e(3)=10.6e6
+    assert(streamed == Map(1L -> 10000000L, 2L -> 12000000L,
+      3L -> 10600000L))
+  }
 }
