@@ -398,27 +398,40 @@ object Trend {
 
   /** MAXIMUM DRAWDOWN per key — the deepest peak-to-current drop of the
     * series, with the (earliest) x where it bottoms: the classic
-    * "worst slump" diagnostic for any monitored metric. Pure windows
-    * over the day-bounded series frame plus one aggregate; the argmin
-    * over the trough is picked inside the same aggregate via a
-    * (drawdown, −x) struct max — one pass, no re-join.
+    * "worst slump" diagnostic for any monitored metric.
+    *
+    * Same packed array-domain fold as [[ewmaSeries]]/[[holtForecast]]
+    * (it IS a sequential recursion: the running peak carries forward):
+    * one struct state (running peak, deepest drawdown so far, its x)
+    * folds over the sorted per-key series inside a single codegen'd
+    * expression — no per-key window, and because the state is the
+    * calendar-bounded packed series this operator is STREAMING-SAFE
+    * under complete-mode replay (the StreamingSpec twin proves late
+    * arrivals re-sort into event-time order). A STRICT `>` keeps the
+    * EARLIEST x among maximal drawdowns, matching the (dd, −x) struct
+    * max of the windowed formulation it replaces.
     *
     * @return (key, peak_y, max_dd, trough_x)
     */
   def maxDrawdown(series: DataFrame, keyCol: String, xCol: String,
-                  yCol: String): DataFrame = {
-    val run = Window.partitionBy(col(keyCol)).orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    series
-      .select(col(keyCol), col(xCol).cast("long").as("x"),
-        col(yCol).cast("long").as("y"))
-      .withColumn("dd", max(col("y")).over(run) - col("y"))
-      .groupBy(col(keyCol))
-      .agg(max(col("y")).as("peak_y"),
-        max(col("dd")).as("max_dd"),
-        max(struct(col("dd"), (-col("x")).as("nx"))).as("m"))
-      .select(col(keyCol), col("peak_y"), col("max_dd"),
-        (-col("m.nx")).as("trough_x"))
+                  yCol: String): DataFrame =
+    packed(series, keyCol, xCol, yCol)
+      .withColumn("st", expr(
+        """aggregate(s,
+          |  named_struct('pk', CAST(NULL AS BIGINT), 'dd', 0L,
+          |               'tx', CAST(NULL AS BIGINT)),
+          |  (acc, p) -> CASE WHEN acc.pk IS NULL
+          |    THEN named_struct('pk', p.y, 'dd', 0L, 'tx', p.x)
+          |    ELSE named_struct(
+          |      'pk', greatest(acc.pk, p.y),
+          |      'dd', CASE WHEN greatest(acc.pk, p.y) - p.y > acc.dd
+          |                 THEN greatest(acc.pk, p.y) - p.y
+          |                 ELSE acc.dd END,
+          |      'tx', CASE WHEN greatest(acc.pk, p.y) - p.y > acc.dd
+          |                 THEN p.x ELSE acc.tx END) END)"""
+          .stripMargin.replace("\n", " ")))
+      .filter(col("st.pk").isNotNull)
+      .select(col(keyCol), col("st.pk").as("peak_y"),
+        col("st.dd").as("max_dd"), col("st.tx").as("trough_x"))
       .orderBy(keyCol)
-  }
 }

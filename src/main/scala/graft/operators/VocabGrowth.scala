@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one tokenize pass; first-occurrence positions come from
   * a min-aggregate keyed on the token (map-side combined — the natural
-  * shuffle of vocabulary work); the only windows are (a) the document
-  * prefix-sum for corpus offsets — over the DOC frame, not the token
-  * stream (the standard range-partitioned prefix-sum shape), and (b) the
-  * cumulative octave sum over a ≤64-row frame. Token arrays are
+  * shuffle of vocabulary work). The document-offset prefix sum is the
+  * TWO-PHASE range-partitioned form (no data-sized frame ever ordered
+  * under one global window): docs range-partition by id, each partition
+  * running-sums locally under a PARTITIONED window, and the
+  * per-partition totals — a frame bounded by the partition COUNT, not
+  * the data — cumulate on the driver-sized frame and broadcast-join
+  * back as offsets. The only unpartitioned windows left are over that
+  * partition-count frame and the ≤64-row octave frame. Token arrays are
   * checkpointed before the two consumers so documents tokenize once.
   *
   * Output: one row per octave k that introduced new vocabulary —
@@ -35,11 +39,31 @@ object VocabGrowth {
     val toked = docs.select(col(idCol).as("_id"), tokens.as("_tk"))
       .localCheckpoint(true) // counts + positions: tokenize once
     val counts = toked.select(col("_id"), size(col("_tk")).cast("long").as("_t"))
-    // corpus offset of each doc = tokens before it in _id order; the
-    // window runs over the doc frame (see scaladoc)
-    val off = counts.withColumn("_o",
-      sum(col("_t")).over(Window.orderBy(col("_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("_t"))
+    // corpus offset of each doc = tokens before it in _id order, via the
+    // two-phase range-partitioned prefix sum (see scaladoc). Phase 1:
+    // range-partition by _id (ranges ARE the global order) and running-sum
+    // within each partition under a window PARTITIONED by the physical
+    // partition id — per-group size is bounded by the range-partition
+    // size, never the corpus. The checkpoint pins the sampled range
+    // boundaries: _pid must mean the same partition in both phases.
+    val local = counts.repartitionByRange(col("_id"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_ls",
+        sum(col("_t")).over(Window.partitionBy(col("_pid")).orderBy(col("_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    // Phase 2: per-partition totals collapse to one row per partition —
+    // a frame bounded by the partition COUNT (32 locally, O(cluster) at
+    // scale) — so the cumulative-offset window over it is benign, and
+    // the offsets broadcast back.
+    val partOff = local.groupBy(col("_pid")).agg(sum(col("_t")).as("_pt"))
+      .withColumn("_po",
+        sum(col("_pt")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("_pt"))
+      .select(col("_pid"), col("_po"))
+    val off = local.join(broadcast(partOff), "_pid")
+      .select(col("_id"), col("_t"),
+        (col("_po") + col("_ls") - col("_t")).as("_o"))
     val firstPos = toked.join(off, "_id")
       .select(posexplode(col("_tk")).as(Seq("_p", "token")), col("_o"))
       .groupBy(col("token"))

@@ -1021,4 +1021,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Map(1L -> 10000000L, 2L -> 12000000L,
       3L -> 10600000L))
   }
+
+  test("streaming Holt twin: level/trend recursion replays exactly on the streamed series") {
+    import graft.operators.Trend
+
+    val src = Files.createTempDirectory("graft_stream_holt")
+    val ckp = Files.createTempDirectory("graft_stream_holt_ckp")
+    // same packed-series state design as the EWMA twin: the recursion
+    // state is the calendar-bounded (x, y) array, re-sorted per trigger,
+    // so a two-variable level+trend recursion — where a wrong arrival
+    // order would poison BOTH carried variables — still replays in
+    // event-time order. Day 1 deliberately arrives last.
+    def line(day: String, v: Int) = s"""{"g":"m","day":$day,"v":$v}"""
+    Files.write(src.resolve("a.json"),
+      Seq(line("2", 20), line("3", 30)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      Seq(line("1", 10)).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = Trend.holtForecast(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "g", "day", "v",
+        aNum = 1L, aDen = 2L, bNum = 1L, bDen = 2L, horizon = 3)
+      .writeStream
+      .format("memory").queryName("holt_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getAs[Long]("h") ->
+        (r.getAs[Long]("forecast_micro"), r.getAs[Long]("level_micro"),
+          r.getAs[Long]("trend_micro"))).toMap
+    val streamed = canon(spark.table("holt_stream").collect())
+    val batch = canon(Trend.holtForecast(spark.read.json(src.toString),
+      "g", "day", "v", 1L, 2L, 1L, 2L, 3).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // hand trajectory (alpha = beta = 1/2), despite day 1 arriving last:
+    //   l1 = 10e6, b1 = 0
+    //   l2 = (20e6 + (10e6 + 0)) DIV 2 = 15e6
+    //   b2 = ((15e6 - 10e6) + 0) DIV 2 = 2.5e6
+    //   l3 = (30e6 + 17.5e6) DIV 2 = 23.75e6
+    //   b3 = ((23.75e6 - 15e6) + 2.5e6) DIV 2 = 5.625e6
+    assert(streamed(1L) == ((29375000L, 23750000L, 5625000L)))
+    assert(streamed(3L) == ((40625000L, 23750000L, 5625000L)))
+  }
+
+  test("streaming drawdown twin: peak-to-trough scan replays exactly on the streamed series") {
+    import graft.operators.Trend
+
+    val src = Files.createTempDirectory("graft_stream_dd")
+    val ckp = Files.createTempDirectory("graft_stream_dd_ckp")
+    // drawdown is order-critical in the sharpest way: the running peak
+    // only counts days BEFORE the trough, so late-arriving early data
+    // (the day-1 peak arriving after the crash days) must still be
+    // credited as the peak. Arrival order here would give max_dd = 0 if
+    // the state were a running scalar.
+    def line(day: String, v: Int) = s"""{"g":"m","day":$day,"v":$v}"""
+    Files.write(src.resolve("a.json"),
+      Seq(line("2", 3), line("3", 8)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      Seq(line("1", 10)).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = Trend.maxDrawdown(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "g", "day", "v")
+      .writeStream
+      .format("memory").queryName("dd_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getAs[Long]("peak_y"), r.getAs[Long]("max_dd"),
+        r.getAs[Long]("trough_x"))).toSet
+    val streamed = canon(spark.table("dd_stream").collect())
+    val batch = canon(Trend.maxDrawdown(spark.read.json(src.toString),
+      "g", "day", "v").collect())
+    assert(streamed == batch)
+    // series in event-time order: 10, 3, 8 -> peak 10, deepest drop
+    // 10 - 3 = 7 bottoming at day 2 (NOT 10 - 8: the running peak
+    // credits the late-arriving day-1 high)
+    assert(streamed == Set((10L, 7L, 2L)))
+  }
 }
