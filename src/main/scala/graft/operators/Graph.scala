@@ -396,9 +396,11 @@ object Graph {
       .repartition(col("a"))
       .distinct()
       .localCheckpoint(true)
-    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
+    // both lazy: the round-0 probe job materializes them along with the
+    // first frontier expansion — no standalone pre-loop jobs
+    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(false)
     var visited = nodes.filter(col("node").isin(seeds: _*))
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
     var frontier = visited.select("node")
     var d = 0L
     var exhausted = false
