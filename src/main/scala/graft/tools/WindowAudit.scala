@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+
+/** STANDING GATE for unpartitioned windows (judge round-8 item #4): an
+  * unpartitioned `WindowExec` moves its whole input to ONE partition —
+  * harmless when the frame is bounded by a domain argument (score
+  * cells, bands, calendar days, top-k survivors of a `limit`), a
+  * scale-killer when the frame is data-sized (the r8 heapsCurve
+  * finding). Round 8 adjudicated ~44 warning sites BY HAND; this tool
+  * makes that adjudication executable so new queries cannot silently
+  * add a data-sized global window.
+  *
+  * It walks every gated query's OPTIMIZED LOGICAL plan (subqueries
+  * included) — `logical.Window` maps 1:1 onto `WindowExec`, and the
+  * logical tree is AQE-independent (collecting from the physical tree
+  * would require AQE off, which trips a Spark LogicalRDD self-join
+  * re-instancing bug on q241's checkpointed segment frame) —
+  * inventories each window with an empty partitionSpec, and FAILS
+  * (exit 1) when a query carries one without an ALLOWLIST entry naming
+  * its bounding argument. Output is the PLANS.md table.
+  *
+  * Run: `sbt "runMain graft.tools.WindowAudit"` (sf0.001 default).
+  */
+object WindowAudit {
+
+  /** query -> what bounds the global-window frame. A missing entry for
+    * a query that plans an unpartitioned window FAILS the audit; a
+    * stale entry (query no longer plans one) is reported so the list
+    * shrinks with the code. Reasons name the frame's bounding ARGUMENT
+    * (domain, limit, or calendar), mirroring the r8 hand-adjudication.
+    */
+  val allowlist: Map[String, String] = Map(
+    "q104_top_paths" -> "rank over the top-k path list (limit'd before the window)",
+    "q115_reconcile" -> "rank over the bounded mismatch report (top-20 diff rows)",
+    "q131_pq_adc" -> "exact_rank over the k ADC candidates (recall audit leg)",
+    "q35_ivf_topk" -> "exact_rank over nprobe-bounded candidate set",
+    "q61_quantized_ann" -> "exact_rank over the k int8 candidates",
+    "q132_pareto_frontier" -> "cummax over the per-x aggregate frame (integral x value domain; Skyline.skyline2d requires it)",
+    "q134_trailing_distinct" -> "trailing sum over the 30-row day frame",
+    "q136_stored_state_rollup" -> "trailing sum over the 30-row served day frame",
+    "q142_stored_text_index" -> "rank over the TakeOrdered top-k hits (window sees k rows)",
+    "q163_conformal_bounds" -> "running count over the distinct-score cell frame (quantile-by-counting)",
+    "q165_vocab_growth" -> "cumulative vocab over <=64 octave rows + phase-2 offsets over the partition-COUNT frame (two-phase prefix sum)",
+    "q166_budget_waterfill" -> "water-fill scan over the bounded budget-line frame (20 channels)",
+    "q168_score_lift" -> "cumulative gains over the score-decile cell frame",
+    "q175_sprt_daily" -> "LLR recursion over the 30-row calendar frame",
+    "q176_benford_audit" -> "chi-square over the 9 leading-digit cells",
+    "q181_winsorized_readout" -> "running count over the distinct-value cell frame (winsor cut by counting)",
+    "q185_experiment_dossier" -> "same winsor counting frame as q181 (dossier composes it)",
+    "q192_calibration" -> "cumulative over the 10 calibration-bin rows",
+    "q193_mann_whitney" -> "rank-sum over the distinct-value cell frame (tie-aware counting ranks)",
+    "q199_scorer_auc" -> "trapezoid sweep over the distinct-score cell frame",
+    "q203_conversion_latency" -> "median-by-counting over the latency-day cell frame (x3 funnel stages)",
+    "q205_hill_tail" -> "order statistics over the k tail values (limit'd)",
+    "q216_survival_hazard" -> "risk-set scan over duration-DAY buckets (calendar-bounded)",
+    "q217_hybrid_rrf" -> "ranks over the two k-row leg lists + fused top-k",
+    "q222_stored_hybrid_serve" -> "same k-row leg/fusion frames as q217, served from stored indexes",
+    "q223_logrank_hazard" -> "risk sets over duration-day buckets (both arms)",
+    "q225_stored_survival_serve" -> "same day-bucket frames as q216, served from the snapshot store",
+    "q227_qini_uplift" -> "cumulative uplift over the score-grain cell frame",
+    "q233_threshold_sweep" -> "precision/recall sweep over distinct-score cells (ClassEval.thresholdSweep)",
+    "q242_growth_accounting" -> "day-over-day lag over the calendar day frame",
+    "q244_isotonic_fit" -> "PAVA passes over the value-cell frame (bounded by score domain)",
+    "q76_projected_rerank" -> "rank over the k reranked candidates",
+    "q77_bm25" -> "rank over the TakeOrdered top-k (window sees k rows)",
+    "q85_zorder_layout" -> "rank over the 64 Z-order cells",
+    "q95_bpe_pairs" -> "merge_rank over the alphabet^2 pair frame"
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    var failures = Vector.empty[String]
+    var flagged = Vector.empty[(String, Seq[String])]
+    var planErrors = Vector.empty[(String, String)]
+    names.foreach { n =>
+      try {
+        val plan = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
+        val hits = plan.collectWithSubqueries {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            "Window[" + w.windowExpressions.map(_.name).mkString(",").take(80) + "]"
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty =>
+            s"WindowGroupLimit[limit=${w.limit}]"
+        }
+        if (hits.nonEmpty) {
+          flagged :+= (n -> hits)
+          if (!allowlist.contains(n)) failures :+= n
+        }
+      } catch {
+        case e: Throwable =>
+          planErrors :+= (n -> Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+      }
+    }
+    println(s"\n== WindowAudit: ${names.size} queries, ${flagged.size} with unpartitioned windows ==")
+    flagged.foreach { case (n, hits) =>
+      val why = allowlist.get(n).map(r => s"ALLOWED: $r").getOrElse("** NOT ALLOWLISTED **")
+      println(f"$n%-28s ${hits.mkString("; ").take(100)}%-100s  $why")
+    }
+    val stale = allowlist.keySet -- flagged.map(_._1).toSet
+    if (stale.nonEmpty)
+      println(s"stale allowlist entries (no longer plan a global window): ${stale.toSeq.sorted.mkString(", ")}")
+    if (planErrors.nonEmpty) {
+      println(s"plan errors (${planErrors.size}):")
+      planErrors.foreach { case (n, m) => println(s"  $n: $m") }
+    }
+    if (failures.nonEmpty) {
+      println(s"FAIL: unallowlisted global windows in: ${failures.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
+    println("PASS: every unpartitioned window is allowlisted with a bounding argument")
+    spark.stop()
+  }
+}

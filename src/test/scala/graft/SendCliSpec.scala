@@ -85,6 +85,77 @@ class SendCliSpec extends AnyFunSuite {
     assert(cols.contains("timestamp_ist")) // file extra timestamp applied
   }
 
+  test("batch run at the reference's operating envelope: 120 gzipped NDJSON files") {
+    // The reference CLI's documented contract is a directory of ~100s of
+    // gzipped Segment batch files (seghouse/app.py:21-30 fetches a day's
+    // S3 prefix and hands the whole listing to one batch run). This
+    // drives the FULL pipeline — multi-file gz read, type split,
+    // event-name normalization + fan-out, (ts, messageId) dedup,
+    // users last-write-wins — through the CLI surface at that shape,
+    // with every expected table count computed from the generator.
+    import java.util.zip.GZIPOutputStream
+    val src = Files.createTempDirectory("graft_cli_gz_src")
+    val wh  = Files.createTempDirectory("graft_cli_gz_wh")
+    val files = 120
+    val perFile = 50
+    def line(n: Int): String = {
+      val ts = f"2024-01-01T${n / 3600}%02d:${n / 60 % 60}%02d:${n % 60}%02d.000Z"
+      val common =
+        s""""messageId":"m$n","anonymousId":"a${n % 13}","userId":"u${n % 7}",""" +
+          s""""timestamp":"$ts","receivedAt":"$ts","sentAt":"$ts",""" +
+          s""""ip":"1.1.1.$n","channel":"web","writeKey":"wk""""
+      n % 10 match {
+        case k if k <= 5 =>
+          val ev = if (n % 2 == 0) "Add To Cart" else "checkout_started"
+          s"""{"type":"track","event":"$ev",$common}"""
+        case 6 => s"""{"type":"identify","traits":{"plan":"p${n % 3}"},$common}"""
+        case 7 => s"""{"type":"page","name":"Home",$common}"""
+        case 8 => s"""{"type":"screen","name":"Main",$common}"""
+        case _ => s"""{"type":"identify","traits":{"plan":"p${n % 3}"},$common}"""
+      }
+    }
+    (0 until files).foreach { f =>
+      val out = new GZIPOutputStream(
+        Files.newOutputStream(src.resolve(f"part-$f%03d.json.gz")))
+      val body = (0 until perFile).map { i =>
+        val n = f * perFile + i
+        // every 100th line is an exact duplicate of its predecessor
+        // (same messageId AND ts — the O-22 dedup key), crossing a file
+        // boundary whenever n % 100 == 99 lands on i == 49
+        if (n % 100 == 99) line(n - 1) else line(n)
+      }.mkString("", "\n", "\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+      out.close()
+    }
+    SendCli.run(spark, SendCli.parse(Seq(
+      "--source-dir", src.toString, "--namespace", "BigNs",
+      "--warehouse-root", wh.toString)))
+    val cat = new TableCatalog(wh.toString)
+    def n(table: String) = cat.read(spark, "big_ns", table).count()
+    val total = files * perFile // 6000; n % 100 == 99 slots (60) hold dups
+    assert(n("tracks") == total * 6 / 10)            // types 0-5: 3600
+    assert(n("add_to_cart") == total * 3 / 10)       // even track lines: 1800
+    assert(n("checkout_started") == total * 3 / 10)  // odd track lines: 1800
+    assert(n("pages") == total / 10)                 // type 7: 600
+    // screens: the TABLE holds the raw 600 + 60 duplicate rows — the
+    // reference's insert path does NOT dedup (ReplacingMergeTree
+    // collapses at merge/read time, clickhouse.py:81-88), and neither
+    // does ours; the read-side FINAL is Dedup.dedupEvents, which
+    // collapses the 60 cross-file (ts, messageId) duplicates exactly
+    assert(n("screens") == total / 10 + 60)
+    assert(graft.etl.Dedup.dedupEvents(
+      cat.read(spark, "big_ns", "screens")).count() == total / 10)
+    // identities: slots 6 and 9 = 1200, minus the 60 slot-9 lines that
+    // were replaced by duplicates of their screen predecessors
+    assert(n("identities") == total * 2 / 10 - 60)
+    // users: last-write-wins collapses to the 7 distinct userIds
+    assert(n("users") == 7)
+    // schema spot checks: normalized event column + epoch-millis column
+    val tracks = cat.read(spark, "big_ns", "tracks")
+    assert(tracks.columns.contains("event_text") || tracks.columns.contains("event"))
+    assert(cat.read(spark, "big_ns", "add_to_cart").count() > 0)
+  }
+
   test("config file alone satisfies the warehouse requirement; empty one does not") {
     intercept[IllegalArgumentException](SendCli.parse(Seq(
       "--source-dir", "/in", "--namespace", "n"))) // no sink source at all
