@@ -3108,6 +3108,50 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — CUSUM DRIFT (Trend.cusum): one-sided upward CUSUM of
+    // each event type's daily counts — the sequential detector that
+    // catches slow level CREEP a point-outlier rule misses. Target
+    // self-calibrates as the truncating mean of the first 10 days;
+    // slack 1 count, alarm at 20 cumulative excess counts. Same packed
+    // array-domain recursion family as q253/q254; oracle replays the
+    // trajectory with WITH RECURSIVE. Hash-exact.
+    "q260_cusum_daily" -> ((s, dir) => {
+      graft.operators.Trend.cusum(dailyEventSeries(s, dir),
+        "event_type", "day", "y",
+        baseline = 10, slackMicro = 1000000L, hMicro = 20000000L)
+    }),
+
+    // Extension — SHARED-N-GRAM LADDER (NearDup.sharedNgramLadder): per
+    // document, the longest n in {3,5,7,10} at which it shares a
+    // verbatim token n-gram with ANY other document, and how many of
+    // its n-grams are shared at that length — the contamination
+    // diagnostic between exact dedup (whole text) and span dedup
+    // (fixed n). One tokenize pass, array-side n-gram explode per
+    // ladder length, the natural gram-key shuffle; per-doc readout is a
+    // doc-PARTITIONED window. Hash-exact.
+    "q261_shared_ngrams" -> ((s, dir) => {
+      graft.operators.NearDup.sharedNgramLadder(
+        t(s, dir, "documents"), "doc_id", "text", Seq(3, 5, 7, 10))
+    }),
+
+    // Extension — PR-AUC (ClassEval.prAuc): area under the
+    // precision-recall curve of the q199 pinned-hash quality scorer
+    // against the is-English label, at score-cell grain — the
+    // imbalance-robust companion to q199's ROC-AUC (same scorer, same
+    // cells, so the two metrics are directly comparable). Trapezoid
+    // terms in truncating micros over DECIMAL(38,0) cross-products.
+    // Hash-exact.
+    "q262_pr_auc" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val w = QualityModel.pinnedWeights(1024, seed = 7L)
+      val scored = t(s, dir, "documents").select(
+        QualityModel.scoreMicros(col("text"), w, 0L).as("score_micros"),
+        (col("lang") === "en").cast("int").as("is_en"))
+        .withColumn("conf_pm",
+          expr("least(999L, greatest(0L, 500L + score_micros DIV 20))"))
+      graft.operators.ClassEval.prAuc(scored, "conf_pm", "is_en")
+    }),
+
     "q259_observed_scan" -> ((s, dir) => {
       import org.apache.spark.sql.Observation
       val obs = Observation()
@@ -7923,6 +7967,103 @@ object SparkEntry {
       |    AS BIGINT) AS n_kept
       |FROM events""".stripMargin
 
+
+  /** q260: the CUSUM recurrence replayed with WITH RECURSIVE — the
+    * self-calibrated target joins into both the base and step cases;
+    * greatest() pins the reset-at-zero in both engines. */
+  private def q260Oracle: String =
+    s"""WITH RECURSIVE $dailySeriesCte,
+       |idx AS MATERIALIZED (SELECT event_type AS et, day, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM daily),
+       |tgt AS MATERIALIZED (SELECT et,
+       |    (sum(CASE WHEN i <= 10 THEN y END) * 1000000)
+       |      // least(10, max(i)) AS t
+       |  FROM idx GROUP BY 1),
+       |r AS (SELECT x.et, x.i, x.day, x.y,
+       |    greatest(0, x.y * 1000000 - t.t - 1000000) AS s
+       |  FROM idx x JOIN tgt t ON t.et = x.et WHERE x.i = 1
+       |  UNION ALL
+       |  SELECT n.et, n.i, n.day, n.y,
+       |    greatest(0, r.s + n.y * 1000000 - t.t - 1000000)
+       |  FROM r JOIN idx n ON n.et = r.et AND n.i = r.i + 1
+       |         JOIN tgt t ON t.et = n.et)
+       |SELECT et AS event_type, day AS x, y, CAST(s AS BIGINT)
+       |  AS cusum_micro,
+       |  CAST(CASE WHEN s > 20000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+       |FROM r ORDER BY 1, 2""".stripMargin
+
+  /** q261: ladder n-grams via one UNION block per n (list slicing is
+    * 1-based inclusive; range() end-exclusive; the greatest() guard
+    * empties short docs exactly like the Spark-side CASE). */
+  private def q261Oracle: String = {
+    val blocks = Seq(3, 5, 7, 10).map { n =>
+      s"""  SELECT DISTINCT doc_id, CAST($n AS BIGINT) AS n,
+         |      array_to_string(t[ii.i : ii.i + $n - 1], ' ') AS gram
+         |    FROM toks
+         |    CROSS JOIN LATERAL (SELECT unnest(range(1,
+         |      greatest(len(t) - $n + 2, 1))) AS i) ii""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |g AS ($blocks),
+       |sh AS (SELECT n, gram FROM g GROUP BY n, gram HAVING count(*) >= 2),
+       |per AS (SELECT g.doc_id, g.n, CAST(count(*) AS BIGINT) AS c
+       |  FROM g SEMI JOIN sh USING (n, gram) GROUP BY 1, 2),
+       |top AS (SELECT doc_id, n, c,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC) AS rn
+       |  FROM per)
+       |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS max_shared_n,
+       |  CAST(coalesce(t.c, 0) AS BIGINT) AS shared_at_max
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q262: PR trapezoid over descending score cells; the conventional
+    * (recall 0, precision 1) start anchors the kept0 = 0 branch;
+    * HUGEINT cross-products mirror Spark's DECIMAL(38,0). */
+  private def q262Oracle: String =
+    s"""WITH $scoredDocsCte,
+       |cells AS (SELECT least(999, greatest(0, 500 + score // 20)) AS v,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS np
+       |  FROM scored GROUP BY 1),
+       |pts AS (SELECT v, n, np,
+       |    CAST(sum(n) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS kept,
+       |    CAST(sum(np) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS tp,
+       |    CAST(sum(np) OVER () AS BIGINT) AS pos_total
+       |  FROM cells),
+       |lg AS (SELECT *,
+       |    CAST(coalesce(lag(kept) OVER (ORDER BY v DESC), 0) AS BIGINT)
+       |      AS kept0,
+       |    CAST(coalesce(lag(tp) OVER (ORDER BY v DESC), 0) AS BIGINT)
+       |      AS tp0
+       |  FROM pts),
+       |terms AS (SELECT kept, tp,
+       |    CASE WHEN pos_total > 0 AND tp > tp0 THEN
+       |      CASE WHEN kept0 = 0
+       |        THEN (1000000::HUGEINT * (tp - tp0) * (tp + kept))
+       |             // (2::HUGEINT * pos_total * kept)
+       |        ELSE (1000000::HUGEINT * (tp - tp0)
+       |               * (tp::HUGEINT * kept0 + tp0::HUGEINT * kept))
+       |             // (2::HUGEINT * pos_total * kept * kept0)
+       |      END ELSE 0 END AS term
+       |  FROM lg)
+       |SELECT CAST(max(kept) AS BIGINT) AS n,
+       |  CAST(max(tp) AS BIGINT) AS total_pos,
+       |  CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(sum(term) AS BIGINT) AS pr_auc_micro
+       |FROM terms""".stripMargin
+
   /** q213: Poisson bootstrap — md5 ppm uniforms, the pinned Poisson(1)
     * inverse-CDF CASE ladder, per-replicate sufficient sums, CI by
     * rank selection over the B replicate means. */
@@ -9854,6 +9995,9 @@ object SparkEntry {
     "q257_bagged_stumps" -> q257Oracle,
     "q258_lateral_topk" -> q258Oracle,
     "q259_observed_scan" -> q259Oracle,
+    "q260_cusum_daily" -> q260Oracle,
+    "q261_shared_ngrams" -> q261Oracle,
+    "q262_pr_auc" -> q262Oracle,
     "q138_stored_hitters" -> q138Oracle,
     "q139_snapshot_time_travel" -> q139Oracle,
     "q140_kmeans_clusters" -> q140Oracle,

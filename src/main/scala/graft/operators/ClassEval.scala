@@ -110,4 +110,50 @@ object ClassEval {
       .select("score", "kept", "tp", "precision_pm", "recall_pm", "f1_pm")
       .orderBy(col("score").desc)
   }
+
+  /** PR-AUC — the area under the precision–recall curve, the metric
+    * that matters when positives are rare (ROC-AUC saturates under
+    * class imbalance; PR-AUC does not). Computed as the trapezoid
+    * integral of precision over recall at SCORE-CELL boundaries (the
+    * [[thresholdSweep]] grain): descending thresholds trace the curve,
+    * each zero-width (Δtp = 0) segment contributes nothing, and the
+    * conventional (recall 0, precision 1) start point anchors the first
+    * segment. Per-term truncating micro division over DECIMAL(38,0)
+    * cross-products — deterministic, bit-replayable in SQL, overflow-
+    * safe to ~10¹⁰ rows.
+    *
+    * @return ONE row: n, total_pos, n_cells, pr_auc_micro
+    */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("np"))
+    // windows run over the score-CELL frame (bounded by the score
+    // domain — the thresholdSweep/WindowAudit-adjudicated shape)
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLag = Window.orderBy(col("score").desc)
+    cells
+      .withColumn("kept", sum(col("n")).over(wCum))
+      .withColumn("tp", sum(col("np")).over(wCum))
+      .withColumn("pos_total", sum(col("np")).over(wAll))
+      .withColumn("kept0", coalesce(lag(col("kept"), 1).over(wLag), lit(0L)))
+      .withColumn("tp0", coalesce(lag(col("tp"), 1).over(wLag), lit(0L)))
+      .withColumn("term", expr(
+        """CASE WHEN pos_total > 0 AND tp > tp0 THEN
+          |  CASE WHEN kept0 = 0
+          |    THEN (1000000 * CAST(tp - tp0 AS DECIMAL(38,0)) * (tp + kept))
+          |         DIV (2 * CAST(pos_total AS DECIMAL(38,0)) * kept)
+          |    ELSE (1000000 * CAST(tp - tp0 AS DECIMAL(38,0))
+          |           * (tp * kept0 + tp0 * kept))
+          |         DIV (2 * CAST(pos_total AS DECIMAL(38,0)) * kept * kept0)
+          |  END ELSE CAST(0 AS DECIMAL(38,0)) END"""
+          .stripMargin.replace("\n", " ")))
+      .agg(max(col("kept")).as("n"),
+        max(col("tp")).as("total_pos"),
+        count(lit(1)).as("n_cells"),
+        sum(col("term")).cast("long").as("pr_auc_micro"))
+  }
 }

@@ -857,4 +857,57 @@ object NearDup {
         nodes.join(labeled.select(col("id")), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster_id")))
   }
+
+  /** SHARED-N-GRAM LADDER — per document, the LONGEST n from a fixed
+    * ladder at which the document shares a verbatim token n-gram with
+    * ANY other document, and how many of its n-grams are shared at that
+    * length. The cross-document contamination/boilerplate diagnostic
+    * that sits between exact dedup (whole-text) and span dedup (fixed
+    * n): a doc sharing 10-grams is near-copied; one sharing only
+    * 3-grams just speaks the language.
+    *
+    * Scale shape: one tokenize pass; each ladder length explodes its
+    * n-grams ARRAY-side (≤ |tokens| grams per length — the ladder is a
+    * constant factor), dedups per (doc, n, gram), and the only shuffle
+    * is the natural groupBy on the gram key; the per-doc readout joins
+    * back on the (doc, n) frame and takes the max-n row under a window
+    * PARTITIONED by doc. Guard: `sequence(1, k)` is only emitted when
+    * size ≥ n (Spark's sequence DESCENDS when stop < start — an empty
+    * guard, not a clamp).
+    *
+    * @return (doc_id, max_shared_n, shared_at_max) for EVERY input doc
+    *         (0, 0 when nothing is shared at any ladder length)
+    */
+  def sharedNgramLadder(docs: DataFrame, idCol: String, textCol: String,
+                        ladder: Seq[Int]): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ >= 1), "ladder of n >= 1")
+    val toked = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .localCheckpoint(true) // one tokenize, |ladder| consumers
+    val grams = ladder.map { n =>
+      toked.select(col("doc_id"), lit(n.toLong).as("n"),
+        explode(expr(
+          s"""CASE WHEN size(tk) >= $n
+             |  THEN transform(sequence(1, size(tk) - $n + 1),
+             |    i -> array_join(slice(tk, i, $n), ' '))
+             |  ELSE CAST(array() AS ARRAY<STRING>) END"""
+            .stripMargin.replace("\n", " "))).as("gram"))
+    }.reduce(_ unionByName _)
+    val dg = grams.distinct().localCheckpoint(true) // gram census + per-doc join
+    val shared = dg.groupBy("n", "gram")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select("n", "gram")
+    val perDocN = dg.join(shared, Seq("n", "gram"), "left_semi")
+      .groupBy("doc_id", "n").agg(count(lit(1)).as("c"))
+    val top = perDocN
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("n").desc)))
+      .filter(col("rn") === 1)
+    toked.select("doc_id")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("max_shared_n"),
+        coalesce(col("c"), lit(0L)).as("shared_at_max"))
+      .orderBy("doc_id")
+  }
 }

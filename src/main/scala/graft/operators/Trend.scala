@@ -396,6 +396,50 @@ object Trend {
       .orderBy(col(keyCol), col("h"))
   }
 
+  /** ONE-SIDED UPWARD CUSUM per key — the sequential drift detector that
+    * catches SLOW level creep a point-outlier rule misses: the running
+    * statistic accumulates every excess over (target + slack) and resets
+    * at zero,
+    *
+    *     S₀ = 0;  Sᵢ = max(0, Sᵢ₋₁ + yᵢ·10⁶ − target − slack)
+    *
+    * with the target self-calibrated as the truncating mean of the first
+    * `baseline` points (×10⁶). An alarm fires while Sᵢ > hMicro. All
+    * arithmetic is integer micros, so a WITH RECURSIVE oracle replays
+    * the trajectory bit-exactly.
+    *
+    * Same packed array-domain fold as [[ewmaSeries]] — the recursion
+    * runs inside one codegen'd expression over the calendar-bounded
+    * per-key series (streaming-safe by the same argument as the EWMA
+    * twin: state is the re-sorted packed series, not an arrival-order
+    * scalar).
+    *
+    * @return (key, x, y, cusum_micro, alarm) — one row per input point
+    */
+  def cusum(series: DataFrame, keyCol: String, xCol: String, yCol: String,
+            baseline: Int, slackMicro: Long, hMicro: Long): DataFrame = {
+    require(baseline >= 1, "baseline must be positive")
+    require(slackMicro >= 0 && hMicro > 0, "slack >= 0, h > 0")
+    packed(series, keyCol, xCol, yCol)
+      // truncating baseline mean in micros (capped at the series length)
+      .withColumn("tgt", expr(
+        s"""aggregate(slice(s, 1, $baseline), 0L, (a, p) -> a + p.y)
+           | * 1000000L DIV least(CAST($baseline AS BIGINT), size(s))"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("c", expr(
+        s"""aggregate(s, CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, p) -> array_append(acc, greatest(0L,
+           |    CASE WHEN size(acc) = 0 THEN 0L
+           |         ELSE element_at(acc, -1) END
+           |    + p.y * 1000000L - tgt - ${slackMicro}L)))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col(keyCol), posexplode(col("s")).as(Seq("i", "p")), col("c"))
+      .select(col(keyCol), col("p.x").as("x"), col("p.y").as("y"),
+        element_at(col("c"), col("i") + 1).as("cusum_micro"))
+      .withColumn("alarm", (col("cusum_micro") > hMicro).cast("int").cast("long"))
+      .orderBy(col(keyCol), col("x"))
+  }
+
   /** MAXIMUM DRAWDOWN per key — the deepest peak-to-current drop of the
     * series, with the (earliest) x where it bottoms: the classic
     * "worst slump" diagnostic for any monitored metric.

@@ -63,6 +63,7 @@ object WindowAudit {
     "q233_threshold_sweep" -> "precision/recall sweep over distinct-score cells (ClassEval.thresholdSweep)",
     "q242_growth_accounting" -> "day-over-day lag over the calendar day frame",
     "q244_isotonic_fit" -> "PAVA passes over the value-cell frame (bounded by score domain)",
+    "q262_pr_auc" -> "PR trapezoid over the distinct-score cell frame (ClassEval.prAuc)",
     "q76_projected_rerank" -> "rank over the k reranked candidates",
     "q77_bm25" -> "rank over the TakeOrdered top-k (window sees k rows)",
     "q85_zorder_layout" -> "rank over the 64 Z-order cells",

@@ -65,4 +65,28 @@ class ClassEvalSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("f1_pm") == 10000L))
     assert(out.forall(_.getAs[Long]("accuracy_pm") == 10000L))
   }
+
+  test("prAuc: perfect separation scores 1e6; hand trapezoid on an interleaved case") {
+    val perfect = Seq((9L, 1), (8L, 1), (7L, 0)).toDF("s", "y")
+    val p1 = ClassEval.prAuc(perfect, "s", "y").collect().head
+    assert(p1.getAs[Long]("pr_auc_micro") == 1000000L)
+    assert(p1.getAs[Long]("total_pos") == 2L && p1.getAs[Long]("n") == 3L)
+    // (9,1),(8,0),(7,1),(6,0): terms 500000 + 0 + 7e6 DIV 24 + 0 = 791666
+    val mixed = Seq((9L, 1), (8L, 0), (7L, 1), (6L, 0)).toDF("s", "y")
+    val p2 = ClassEval.prAuc(mixed, "s", "y").collect().head
+    assert(p2.getAs[Long]("pr_auc_micro") == 791666L)
+    assert(p2.getAs[Long]("n_cells") == 4L)
+  }
+
+  test("prAuc: no positives yields zero area; ties collapse to one cell") {
+    val none = Seq((5L, 0), (4L, 0)).toDF("s", "y")
+    assert(ClassEval.prAuc(none, "s", "y").collect().head
+      .getAs[Long]("pr_auc_micro") == 0L)
+    // all rows one score cell: single point, kept0 = 0 branch only:
+    // (1e6 * 2 * (2 + 4)) DIV (2 * 2 * 4) = 750000
+    val tied = Seq((5L, 1), (5L, 1), (5L, 0), (5L, 0)).toDF("s", "y")
+    val t = ClassEval.prAuc(tied, "s", "y").collect().head
+    assert(t.getAs[Long]("n_cells") == 1L)
+    assert(t.getAs[Long]("pr_auc_micro") == 750000L)
+  }
 }

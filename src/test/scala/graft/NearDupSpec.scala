@@ -423,4 +423,18 @@ class NearDupSpec extends AnyFunSuite {
     assert(r.head.getAs[Int]("chars_a") == 5) // "b c d"
     assert(r.head.getAs[Int]("chars_b") == 9) // "a b c d e"
   }
+
+  test("shared n-gram ladder: longest shared length per doc, zeros for loners") {
+    // d1/d2 share "a b c" (one 3-gram) and its two 2-grams; d3 shares nothing
+    val docs = Seq((1L, "a b c d e"), (2L, "x a b c y"), (3L, "q w e r t"))
+      .toDF("doc_id", "text")
+    val out = NearDup.sharedNgramLadder(docs, "doc_id", "text", Seq(2, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 0L, 0L)))
+    // repeated gram inside ONE doc does not make it shared
+    val solo = Seq((1L, "p q p q"), (2L, "z z z")).toDF("doc_id", "text")
+    val o2 = NearDup.sharedNgramLadder(solo, "doc_id", "text", Seq(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(o2 == Seq((1L, 0L), (2L, 0L)))
+  }
 }

@@ -261,6 +261,34 @@ class TrendSpec extends AnyFunSuite {
     assert(out.getAs[Long]("forecast_micro") == 17800000L)
   }
 
+  // ---------------------------------------------------------------- cusum
+
+  test("cusum: hand trajectory — creep accumulates, reset pins at zero") {
+    // y = 10,10,10,20,30; baseline 3 -> tgt = 10e6; slack 1e6:
+    // S = max(0, prev + y*1e6 - 11e6): 0, 0, 0, 9e6, 28e6; h = 20e6
+    val out = Trend.cusum(
+      series(Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+        ("a", 4L, 20L), ("a", 5L, 30L))),
+      "k", "x", "y", baseline = 3, slackMicro = 1000000L,
+      hMicro = 20000000L)
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("cusum_micro"),
+        r.getAs[Long]("alarm")))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L),
+      (4L, 9000000L, 0L), (5L, 28000000L, 1L)))
+  }
+
+  test("cusum: baseline longer than the series uses the whole series; keys independent") {
+    // key b: y = 4, 10; baseline 3 -> tgt = (14e6) DIV 2 = 7e6; slack 0:
+    // S1 = max(0, 4e6-7e6) = 0; S2 = max(0, 0+10e6-7e6) = 3e6
+    val out = Trend.cusum(
+      series(Seq(("b", 1L, 4L), ("b", 2L, 10L), ("c", 1L, 100L))),
+      "k", "x", "y", baseline = 3, slackMicro = 0L, hMicro = 1000000L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("x"),
+        r.getAs[Long]("cusum_micro"))).toSet
+    assert(out(("b", 1L, 0L)) && out(("b", 2L, 3000000L)))
+    assert(out(("c", 1L, 0L))) // own target: 100e6 - 100e6 = 0
+  }
+
   // ----------------------------------------------------------- maxDrawdown
 
   test("drawdown: deepest slump and its earliest trough") {
