@@ -3108,6 +3108,32 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — HAMPEL FILTER (Anomaly.hampel): rolling-median
+    // outliers over each type's daily counts (centered 7-day window,
+    // k = 3.00 MAD) — the robust companion to q91's trailing-sigma
+    // monitor: a level shift poisons a mean/sigma window, the
+    // median/MAD pair shrugs off up to half the window. Median and MAD
+    // computed array-side from ONE window collect per row; integer
+    // threshold 100|y-med| > 300 mad. Hash-exact.
+    "q263_hampel_outliers" -> ((s, dir) => {
+      graft.operators.Anomaly.hampel(dailyEventSeries(s, dir),
+        "event_type", "day", "y", half = 3, kPct = 300L)
+    }),
+
+    // Extension — INTER-EVENT GAP HISTOGRAM (Anomaly.interEventGaps):
+    // per type, the distribution of DAY gaps between a user's
+    // consecutive events, with the counting median flagged — the
+    // cadence fingerprint behind churn alarms. One per-(type,user) lag,
+    // one map-side-combined histogram shuffle, median read off the
+    // cumulative histogram. Hash-exact.
+    "q264_interevent_gaps" -> ((s, dir) => {
+      graft.operators.Anomaly.interEventGaps(
+        events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("event_type"), col("user_id"),
+            expr("unix_millis(ts) DIV 86400000").as("day")),
+        "event_type", "user_id", "day")
+    }),
+
     // Extension — CUSUM DRIFT (Trend.cusum): one-sided upward CUSUM of
     // each event type's daily counts — the sequential detector that
     // catches slow level CREEP a point-outlier rule misses. Target
@@ -7994,6 +8020,51 @@ object SparkEntry {
        |  CAST(CASE WHEN s > 20000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
        |FROM r ORDER BY 1, 2""".stripMargin
 
+
+  /** q263: Hampel replay — the window VALUES list per row, sorted
+    * lower-median and MAD via list ops (1-based indexing, (n+1)//2 —
+    * identical to Spark's element_at convention). */
+  private def q263Oracle: String =
+    s"""WITH $dailySeriesCte,
+       |w AS (SELECT event_type, day AS x, y,
+       |    list_sort(list(y) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win
+       |  FROM daily),
+       |m AS (SELECT event_type, x, y, win,
+       |    win[(len(win) + 1) // 2] AS med FROM w),
+       |d AS (SELECT event_type, x, y, med,
+       |    list_sort(list_transform(win, v -> abs(v - med)))
+       |      [(len(win) + 1) // 2] AS mad FROM m)
+       |SELECT event_type, x, y, CAST(med AS BIGINT) AS med,
+       |  CAST(mad AS BIGINT) AS mad,
+       |  CAST(CASE WHEN 100 * abs(y - med) > 300 * mad
+       |    THEN 1 ELSE 0 END AS BIGINT) AS outlier
+       |FROM d ORDER BY 1, 2""".stripMargin
+
+  /** q264: gap histogram replay — distinct (type, user, day) spine,
+    * per-entity lag, cumulative-histogram counting median. */
+  private def q264Oracle: String =
+    """WITH e AS (SELECT DISTINCT event_type, user_id,
+      |    epoch_ms(ts) // 86400000 AS d
+      |  FROM events WHERE user_id IS NOT NULL),
+      |g AS (SELECT event_type,
+      |    d - lag(d) OVER (PARTITION BY event_type, user_id ORDER BY d)
+      |      AS gap
+      |  FROM e),
+      |h AS (SELECT event_type, CAST(gap AS BIGINT) AS gap_days,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM g WHERE gap >= 1 GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY gap_days)
+      |      AS BIGINT) AS cum_n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM h)
+      |SELECT event_type, gap_days, n, cum_n, total,
+      |  CAST(CASE WHEN cum_n - n < (total + 1) // 2
+      |    AND cum_n >= (total + 1) // 2 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_median
+      |FROM c ORDER BY 1, 2""".stripMargin
+
   /** q261: ladder n-grams via one UNION block per n (list slicing is
     * 1-based inclusive; range() end-exclusive; the greatest() guard
     * empties short docs exactly like the Spark-side CASE). */
@@ -9996,6 +10067,8 @@ object SparkEntry {
     "q258_lateral_topk" -> q258Oracle,
     "q259_observed_scan" -> q259Oracle,
     "q260_cusum_daily" -> q260Oracle,
+    "q263_hampel_outliers" -> q263Oracle,
+    "q264_interevent_gaps" -> q264Oracle,
     "q261_shared_ngrams" -> q261Oracle,
     "q262_pr_auc" -> q262Oracle,
     "q138_stored_hitters" -> q138Oracle,

@@ -150,4 +150,79 @@ object Anomaly {
       .withColumn("regular", col("cv2_pm") <= thresholdPm)
       .orderBy("entity")
   }
+
+  /** HAMPEL FILTER — rolling-median outlier detection over a per-key
+    * series: a point is flagged when it deviates from its CENTERED
+    * window median by more than `kPct`% of the window's median absolute
+    * deviation (MAD). The robust companion to [[rateAnomalies]]'s
+    * trailing-σ test: a level shift poisons a mean/σ monitor for the
+    * whole trailing window, while the median/MAD pair shrugs off up to
+    * half the window being wild.
+    *
+    * INTEGER-EXACT: the window VALUES are collected once per row
+    * (frame = 2·`half`+1 points of the calendar-bounded series — a
+    * constant), and median, MAD, and the flag are all computed from
+    * that array in one codegen'd expression chain:
+    *   med = sorted[(n+1) DIV 2];  mad = sorted(|v − med|)[(n+1) DIV 2]
+    *   outlier ⇔ 100·|y − med| > kPct·mad
+    * (lower-median convention on even frames, exact in both engines;
+    * mad = 0 makes ANY deviation an outlier — deterministic, and the
+    * honest reading of a half-window of identical values).
+    *
+    * @return (key, x, y, med, mad, outlier) — one row per input point
+    */
+  def hampel(series: DataFrame, keyCol: String, xCol: String,
+             yCol: String, half: Int, kPct: Long): DataFrame = {
+    require(half >= 1 && half <= 50, "half-window in [1,50]")
+    require(kPct > 0, "kPct must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("x"))
+      .rowsBetween(-half, half)
+    series
+      .select(col(keyCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("_win", array_sort(collect_list(col("y")).over(w)))
+      .withColumn("med",
+        expr("element_at(_win, CAST((size(_win) + 1) DIV 2 AS INT))"))
+      .withColumn("mad", expr(
+        """element_at(array_sort(transform(_win, v -> abs(v - med))),
+          |  CAST((size(_win) + 1) DIV 2 AS INT))""".stripMargin.replace("\n", " ")))
+      .withColumn("outlier",
+        (expr("100 * abs(y - med)") > col("mad") * kPct).cast("long"))
+      .select(col(keyCol), col("x"), col("y"), col("med"), col("mad"),
+        col("outlier"))
+      .orderBy(col(keyCol), col("x"))
+  }
+
+  /** INTER-EVENT GAP HISTOGRAM — per key, the distribution of day gaps
+    * between an entity's consecutive events (gap ≥ 1 day), plus the
+    * counting median gap: the cadence fingerprint behind churn alarms
+    * and send-frequency tuning. One (entity, key)-partitioned lag, one
+    * map-side-combined histogram shuffle; the median is read off the
+    * cumulative histogram (quantile-by-counting — no per-row sort).
+    *
+    * @return (key, gap_days, n, cum_n, total, is_median) ordered by
+    *         (key, gap_days); is_median marks the counting-median row
+    */
+  def interEventGaps(df: DataFrame, keyCol: String, entityCol: String,
+                     dayCol: String): DataFrame = {
+    val byEnt = Window.partitionBy(col(keyCol), col(entityCol))
+      .orderBy(col("d"))
+    val gaps = df
+      .select(col(keyCol), col(entityCol), col(dayCol).cast("long").as("d"))
+      .distinct() // one row per (key, entity, day): gaps are day-grained
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(byEnt))
+      .filter(col("gap") >= 1)
+      .groupBy(col(keyCol), col("gap").as("gap_days"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("gap_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    gaps
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("is_median",
+        (col("cum_n") - col("n") < expr("(total + 1) DIV 2") &&
+          col("cum_n") >= expr("(total + 1) DIV 2")).cast("long"))
+      .orderBy(col(keyCol), col("gap_days"))
+  }
 }

@@ -115,4 +115,52 @@ class AnomalySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       regularity(Seq((1L, 0L), (1L, 1L)), minGaps = 1L))
   }
+
+  test("hampel: spike flagged by median/MAD, level edges tolerated") {
+    import graft.operators.Anomaly
+    val series = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L),
+      ("a", 4L, 50L), ("a", 5L, 5L), ("a", 6L, 5L), ("a", 7L, 5L))
+      .toDF("k", "x", "y")
+    val out = Anomaly.hampel(series, "k", "x", "y", half = 1, kPct = 300L)
+      .collect().map(r => r.getAs[Long]("x") ->
+        (r.getAs[Long]("med"), r.getAs[Long]("mad"), r.getAs[Long]("outlier")))
+      .toMap
+    // day 4's window [5,50,5]: med 5, mad 0 -> any deviation flags
+    assert(out(4L) == ((5L, 0L, 1L)))
+    // its neighbors see the spike in-window but sit AT the median
+    assert(out(3L) == ((5L, 0L, 0L)) && out(5L) == ((5L, 0L, 0L)))
+    // edge windows (2 points) use the lower median
+    assert(out(1L) == ((5L, 0L, 0L)))
+  }
+
+  test("hampel: MAD > 0 scales the threshold; keys independent") {
+    import graft.operators.Anomaly
+    // day 2's full window [10,20,30]: med 20, devs sorted [0,10,10] ->
+    // mad 10; k = 300% -> flag iff 100|y-20| > 3000: y=20 -> 0, no flag.
+    // Edge day 3's window [20,30]: lower med 20, mad 0 -> its own
+    // y=30 deviation (1000 > 0) flags — the mad=0 convention applies
+    // to short edge windows too.
+    val series = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 1L, 100L)).toDF("k", "x", "y")
+    val out = Anomaly.hampel(series, "k", "x", "y", half = 1, kPct = 300L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("x")) ->
+        (r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Long]("outlier"))).toMap
+    assert(out(("a", 2L)) == ((20L, 10L, 0L)))
+    assert(out(("a", 3L)) == ((20L, 0L, 1L)))
+    assert(out(("b", 1L)) == ((100L, 0L, 0L)))
+  }
+
+  test("interEventGaps: histogram, cumulative counts, counting median") {
+    import graft.operators.Anomaly
+    // u1: days 1,2,5 -> gaps 1,3; u2: days 1,4 -> gap 3
+    val df = Seq(("t", "u1", 1L), ("t", "u1", 2L), ("t", "u1", 5L),
+      ("t", "u2", 1L), ("t", "u2", 4L), ("t", "u2", 4L)) // dup day collapses
+      .toDF("k", "ent", "d")
+    val out = Anomaly.interEventGaps(df, "k", "ent", "d")
+      .collect().map(r => (r.getAs[Long]("gap_days"), r.getAs[Long]("n"),
+        r.getAs[Long]("cum_n"), r.getAs[Long]("total"),
+        r.getAs[Long]("is_median")))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 3L, 0L), (3L, 2L, 3L, 3L, 1L)))
+  }
 }

@@ -1111,4 +1111,46 @@ class StreamingSpec extends AnyFunSuite {
     // credits the late-arriving day-1 high)
     assert(streamed == Set((10L, 7L, 2L)))
   }
+
+  test("streaming CUSUM twin: drift statistic replays exactly on the streamed series") {
+    import graft.operators.Trend
+
+    val src = Files.createTempDirectory("graft_stream_cusum")
+    val ckp = Files.createTempDirectory("graft_stream_cusum_ckp")
+    // the baseline target is computed from the FIRST days of the
+    // re-sorted packed series, so a late-arriving day 1 changes the
+    // target itself — the strongest order-sensitivity in the family,
+    // and exactly what the packed-state design makes safe.
+    def line(day: String, v: Int) = s"""{"g":"m","day":$day,"v":$v}"""
+    Files.write(src.resolve("a.json"),
+      Seq(line("2", 10), line("3", 20), line("4", 30)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      Seq(line("1", 10)).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = Trend.cusum(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "g", "day", "v",
+        baseline = 2, slackMicro = 1000000L, hMicro = 15000000L)
+      .writeStream
+      .format("memory").queryName("cusum_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getAs[Long]("x") ->
+        (r.getAs[Long]("cusum_micro"), r.getAs[Long]("alarm"))).toMap
+    val streamed = canon(spark.table("cusum_stream").collect())
+    val batch = canon(Trend.cusum(spark.read.json(src.toString),
+      "g", "day", "v", 2, 1000000L, 15000000L).collect())
+    assert(streamed == batch)
+    // tgt = mean(10, 10) = 10e6 (needs the late day 1!); slack 1e6:
+    // S = 0, 0, max(0, 20e6-11e6) = 9e6, 9e6+30e6-11e6 = 28e6 > h
+    assert(streamed == Map(1L -> (0L, 0L), 2L -> (0L, 0L),
+      3L -> (9000000L, 0L), 4L -> (28000000L, 1L)))
+  }
 }
