@@ -3108,6 +3108,40 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — HOLT-WINTERS SEASONAL (Trend.holtWinters): the full
+    // level+trend+SEASONAL triple recursion over each type's daily
+    // counts (period 7, alpha=1/5, beta=1/10, gamma=1/5, 7-day
+    // horizon) — completes the q253/q254 smoothing family with the
+    // member that tracks weekly shape. State = a struct carrying the
+    // 7-slot seasonal RING as an array, folded in one codegen'd
+    // expression; the oracle replays it with WITH RECURSIVE carrying
+    // the ring as seven columns. Signed seasonals exercise the
+    // truncate-toward-zero convention on every step. Hash-exact.
+    "q265_holt_winters" -> ((s, dir) => {
+      graft.operators.Trend.holtWinters(dailyEventSeries(s, dir),
+        "event_type", "day", "y", period = 7,
+        aNum = 1L, aDen = 5L, bNum = 1L, bDen = 10L,
+        gNum = 1L, gDen = 5L, horizon = 7)
+    }),
+
+    // Extension — RFM SEGMENTATION (Audience.rfmSegments): the classic
+    // recency/frequency/monetary audience grid over purchases, scored
+    // 1..5 by COUNTING quintiles (cumulative cell histograms + the
+    // 1 + (5*cum_before) DIV total rule — no entity-sized global rank;
+    // monetary quantized to dollars so its cell frame stays
+    // domain-bounded). One row per populated segment. Hash-exact.
+    "q266_rfm_segments" -> ((s, dir) => {
+      graft.operators.Audience.rfmSegments(
+        events(s, dir)
+          .filter(col("event_type") === "purchase" &&
+            col("user_id").isNotNull)
+          .select(col("user_id"),
+            expr("unix_millis(ts) DIV 86400000").as("day"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("cents")),
+        "user_id", "day", "cents")
+    }),
+
     // Extension — HAMPEL FILTER (Anomaly.hampel): rolling-median
     // outliers over each type's daily counts (centered 7-day window,
     // k = 3.00 MAD) — the robust companion to q91's trailing-sigma
@@ -8041,6 +8075,95 @@ object SparkEntry {
        |    THEN 1 ELSE 0 END AS BIGINT) AS outlier
        |FROM d ORDER BY 1, 2""".stripMargin
 
+
+  /** q265: Holt–Winters replay — WITH RECURSIVE carrying the 7-slot
+    * seasonal ring as seven columns; slot selection and the fully
+    * expanded l'/b'/s' expressions are generated, mirroring the Spark
+    * fold term for term (signed, truncate-toward-zero). */
+  private def q265Oracle: String =
+    s"""WITH RECURSIVE daily AS (SELECT event_type,
+       |    epoch_ms(ts) // 86400000 AS day,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |idx AS MATERIALIZED (SELECT event_type AS et, day, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM daily),
+       |l0 AS MATERIALIZED (SELECT et,
+       |    (sum(y) FILTER (WHERE i <= 7) * 1000000) // 7 AS l0
+       |  FROM idx GROUP BY 1),
+       |init AS MATERIALIZED (SELECT x.et, l0.l0 AS l,
+       |    max(CASE WHEN i = 1 THEN y END) * 1000000 - l0.l0 AS s1,
+       |    max(CASE WHEN i = 2 THEN y END) * 1000000 - l0.l0 AS s2,
+       |    max(CASE WHEN i = 3 THEN y END) * 1000000 - l0.l0 AS s3,
+       |    max(CASE WHEN i = 4 THEN y END) * 1000000 - l0.l0 AS s4,
+       |    max(CASE WHEN i = 5 THEN y END) * 1000000 - l0.l0 AS s5,
+       |    max(CASE WHEN i = 6 THEN y END) * 1000000 - l0.l0 AS s6,
+       |    max(CASE WHEN i = 7 THEN y END) * 1000000 - l0.l0 AS s7
+       |  FROM idx x JOIN l0 ON l0.et = x.et WHERE x.i <= 7
+       |  GROUP BY 1, 2),
+       |r AS (SELECT et, CAST(7 AS BIGINT) AS i, l, CAST(0 AS BIGINT) AS b,
+       |    s1, s2, s3, s4, s5, s6, s7
+       |  FROM init
+       |  UNION ALL
+       |  SELECT n.et, n.i, ((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5), ((1 * (((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5) - r.l) + 9 * r.b) // 10),
+       |    CASE WHEN (n.i - 1) % 7 = 0 THEN ((1 * (n.y * 1000000 - ((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5)) + 4 * CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) // 5) ELSE r.s1 END AS s1,
+       |    CASE WHEN (n.i - 1) % 7 = 1 THEN ((1 * (n.y * 1000000 - ((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5)) + 4 * CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) // 5) ELSE r.s2 END AS s2,
+       |    CASE WHEN (n.i - 1) % 7 = 2 THEN ((1 * (n.y * 1000000 - ((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5)) + 4 * CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) // 5) ELSE r.s3 END AS s3,
+       |    CASE WHEN (n.i - 1) % 7 = 3 THEN ((1 * (n.y * 1000000 - ((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5)) + 4 * CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) // 5) ELSE r.s4 END AS s4,
+       |    CASE WHEN (n.i - 1) % 7 = 4 THEN ((1 * (n.y * 1000000 - ((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5)) + 4 * CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) // 5) ELSE r.s5 END AS s5,
+       |    CASE WHEN (n.i - 1) % 7 = 5 THEN ((1 * (n.y * 1000000 - ((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5)) + 4 * CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) // 5) ELSE r.s6 END AS s6,
+       |    CASE WHEN (n.i - 1) % 7 = 6 THEN ((1 * (n.y * 1000000 - ((1 * (n.y * 1000000 - CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) + 4 * (r.l + r.b)) // 5)) + 4 * CASE CAST((n.i - 1) % 7 AS INT) WHEN 0 THEN r.s1 WHEN 1 THEN r.s2 WHEN 2 THEN r.s3 WHEN 3 THEN r.s4 WHEN 4 THEN r.s5 WHEN 5 THEN r.s6 WHEN 6 THEN r.s7 END) // 5) ELSE r.s7 END AS s7
+       |  FROM r JOIN idx n ON n.et = r.et AND n.i = r.i + 1),
+       |fin AS MATERIALIZED (SELECT r.* FROM r
+       |  JOIN (SELECT et, max(i) AS li FROM idx GROUP BY 1) t
+       |    ON t.et = r.et AND r.i = t.li)
+       |SELECT fin.et AS event_type, h.h AS h,
+       |  CAST(fin.l + h.h * fin.b + (CASE CAST((fin.i + h.h - 1) % 7 AS INT) WHEN 0 THEN fin.s1 WHEN 1 THEN fin.s2 WHEN 2 THEN fin.s3 WHEN 3 THEN fin.s4 WHEN 4 THEN fin.s5 WHEN 5 THEN fin.s6 WHEN 6 THEN fin.s7 END) AS BIGINT) AS forecast_micro,
+       |  CAST(fin.l AS BIGINT) AS level_micro,
+       |  CAST(fin.b AS BIGINT) AS trend_micro,
+       |  CAST(CASE CAST((fin.i + h.h - 1) % 7 AS INT) WHEN 0 THEN fin.s1 WHEN 1 THEN fin.s2 WHEN 2 THEN fin.s3 WHEN 3 THEN fin.s4 WHEN 4 THEN fin.s5 WHEN 5 THEN fin.s6 WHEN 6 THEN fin.s7 END AS BIGINT) AS seasonal_micro
+       |FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q266: RFM replay — counting-quintile scores off cumulative cell
+    * histograms per metric (recency descending inverts), monetary at
+    * dollar grain, joined back and collapsed to the segment grid. */
+  private def q266Oracle: String =
+    s"""WITH p AS (SELECT user_id AS e, epoch_ms(ts) // 86400000 AS d,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+       |agg AS MATERIALIZED (SELECT e, CAST(max(d) AS BIGINT) AS last_day,
+       |    CAST(count(*) AS BIGINT) AS f, CAST(sum(cents) AS BIGINT) AS m
+       |  FROM p GROUP BY 1),
+       |per AS MATERIALIZED (SELECT *,
+       |    (SELECT max(last_day) FROM agg) - last_day AS r,
+       |    m // 100 AS m_cell
+       |  FROM agg),
+       |rs AS (SELECT v, least(5, 1 + (5 * cb) // tot) AS r_score FROM (
+       |  SELECT v, sum(n) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cb,
+       |    sum(n) OVER () AS tot
+       |  FROM (SELECT r AS v, count(*) AS n FROM per GROUP BY 1))),
+       |fs AS (SELECT v, least(5, 1 + (5 * cb) // tot) AS f_score FROM (
+       |  SELECT v, sum(n) OVER (ORDER BY v ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cb,
+       |    sum(n) OVER () AS tot
+       |  FROM (SELECT f AS v, count(*) AS n FROM per GROUP BY 1))),
+       |ms AS (SELECT v, least(5, 1 + (5 * cb) // tot) AS m_score FROM (
+       |  SELECT v, sum(n) OVER (ORDER BY v ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cb,
+       |    sum(n) OVER () AS tot
+       |  FROM (SELECT m_cell AS v, count(*) AS n FROM per GROUP BY 1)))
+       |SELECT CAST(rs.r_score AS BIGINT) AS r_score,
+       |  CAST(fs.f_score AS BIGINT) AS f_score,
+       |  CAST(ms.m_score AS BIGINT) AS m_score,
+       |  CAST(count(*) AS BIGINT) AS n_entities,
+       |  CAST(sum(per.m) AS BIGINT) AS value_cents
+       |FROM per JOIN rs ON rs.v = per.r JOIN fs ON fs.v = per.f
+       |  JOIN ms ON ms.v = per.m_cell
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** q264: gap histogram replay — distinct (type, user, day) spine,
     * per-entity lag, cumulative-histogram counting median. */
   private def q264Oracle: String =
@@ -10068,6 +10191,8 @@ object SparkEntry {
     "q259_observed_scan" -> q259Oracle,
     "q260_cusum_daily" -> q260Oracle,
     "q263_hampel_outliers" -> q263Oracle,
+    "q265_holt_winters" -> q265Oracle,
+    "q266_rfm_segments" -> q266Oracle,
     "q264_interevent_gaps" -> q264Oracle,
     "q261_shared_ngrams" -> q261Oracle,
     "q262_pr_auc" -> q262Oracle,

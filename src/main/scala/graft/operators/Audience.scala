@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** AUDIENCE SET ALGEBRA — the segment-overlap readout ClickHouse serves
@@ -117,4 +118,72 @@ object Audience {
   def overlapMatrix(df: DataFrame, userCol: String, typeCol: String,
       types: Seq[String]): DataFrame =
     overlapFromFlags(membershipFlags(df, userCol, typeCol, types), types)
+
+  /** RFM SEGMENTATION — the classic recency/frequency/monetary audience
+    * grid: per entity, days since last qualifying event (R), qualifying
+    * event count (F), and value total (M), each scored 1..5 by QUINTILE
+    * — computed the COUNTING way (the q129/thresholdSweep discipline):
+    * each metric collapses to its distinct-value cell frame, the
+    * cumulative histogram positions every cell, and
+    *
+    *     score = 1 + (5 · cum_before) DIV total      (capped at 5)
+    *
+    * so ties share one score, no entity-sized frame is ever globally
+    * ranked (a plain ntile would move every entity to one partition —
+    * the named scale-killer), and the whole scoring pass is three
+    * value-domain-bounded windows plus broadcast joins back. R scores
+    * INVERT (recent = 5): the cell frame orders days-since ascending
+    * and scores 6 − q.
+    *
+    * @return one row per populated segment: (r_score, f_score, m_score,
+    *         n_entities, value_cents) ordered by the triple
+    */
+  def rfmSegments(df: DataFrame, entityCol: String, dayCol: String,
+                  valueCentsCol: String): DataFrame = {
+    val agg = df
+      .groupBy(col(entityCol).as("e"))
+      .agg(max(col(dayCol).cast("long")).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(col(valueCentsCol).cast("long")).as("m"))
+    // anchor day as a 1-row scalar crossJoin (the q84 pattern), NOT a
+    // global window over the entity frame
+    val per = agg
+      .crossJoin(agg.agg(max(col("last_day")).as("_h")))
+      .withColumn("r", col("_h") - col("last_day"))
+      // monetary scores at DOLLAR grain: per-entity cent totals are
+      // near-unique, so their cell frame would be entity-sized — the
+      // thresholdSweep convention (quantize continuous metrics first)
+      // keeps every scoring window domain-bounded
+      .withColumn("m_cell", expr("m DIV 100"))
+      .drop("_h")
+      .localCheckpoint(true) // three metric censuses + the final join
+
+    // counting-quantile score for one metric: cells -> cumulative
+    // position -> 1..5. `asc = false` inverts (low value = high score).
+    def scoreOf(metric: String, asc: Boolean): DataFrame = {
+      val cells = per.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("n"))
+      val ord = if (asc) col("v").asc else col("v").desc
+      val wCum = Window.orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("cb", sum(col("n")).over(wCum) - col("n"))
+        .withColumn("tot", sum(col("n")).over(wAll))
+        .select(col("v"),
+          expr("least(5L, 1 + (5 * cb) DIV tot)").as(s"${metric}_score".replace("_cell", "")))
+    }
+    per
+      .join(broadcast(scoreOf("r", asc = false)
+        .withColumnRenamed("v", "r")), "r")
+      .join(broadcast(scoreOf("f", asc = true)
+        .withColumnRenamed("v", "f")), "f")
+      .join(broadcast(scoreOf("m_cell", asc = true)
+        .withColumnRenamed("v", "m_cell")), "m_cell")
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("m")).as("value_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
 }

@@ -396,6 +396,74 @@ object Trend {
       .orderBy(col(keyCol), col("h"))
   }
 
+  /** HOLT–WINTERS ADDITIVE (triple) smoothing per key — the full
+    * level + trend + SEASONAL recursion, completing the
+    * [[ewmaSeries]]/[[holtForecast]] family with the member that tracks
+    * weekly shape:
+    *
+    *     init (first `period` points): l = ⌊mean(y₁..y_p)·10⁶⌋, b = 0,
+    *       s_j = y_j·10⁶ − l  (j = 1..p)
+    *     for i > p, slot = (i−1) mod p:
+    *       l' = (aNum·(yᵢ·10⁶ − s_slot) + (aDen−aNum)·(l+b)) DIV aDen
+    *       b' = (bNum·(l'−l) + (bDen−bNum)·b) DIV bDen
+    *       s_slot' = (gNum·(yᵢ·10⁶ − l') + (gDen−gNum)·s_slot) DIV gDen
+    *     ŷ(n+h) = l + h·b + s_{(n+h−1) mod p}
+    *
+    * The state is a STRUCT carrying the seasonal ring as a p-slot array,
+    * folded over the packed per-key series inside one codegen'd
+    * expression — a three-variable sequential recursion with array
+    * state, no driver loop, no window. Signed throughout (seasonal
+    * deviations go negative), which is why the truncate-toward-zero
+    * division convention is pinned in both engines. Keys shorter than
+    * `period`+1 points are dropped (no season to calibrate).
+    *
+    * @return (key, h, forecast_micro, level_micro, trend_micro,
+    *         seasonal_micro) for h = 1..horizon
+    */
+  def holtWinters(series: DataFrame, keyCol: String, xCol: String,
+                  yCol: String, period: Int, aNum: Long, aDen: Long,
+                  bNum: Long, bDen: Long, gNum: Long, gDen: Long,
+                  horizon: Int): DataFrame = {
+    require(period >= 2 && period <= 366, "period in [2,366]")
+    require(aNum > 0 && aNum <= aDen && bNum > 0 && bNum <= bDen &&
+      gNum > 0 && gNum <= gDen, "alpha, beta, gamma in (0,1]")
+    require(horizon >= 1 && horizon <= 366, "horizon in [1,366]")
+    val p = period
+    // previous seasonal for the CURRENT step (i = acc.i + 1, slot =
+    // acc.i % p; the ring is 1-based via element_at)
+    val sPrev = s"element_at(acc.si, CAST(acc.i % $p AS INT) + 1)"
+    val lNew = s"(($aNum * (q.y * 1000000L - $sPrev)" +
+      s" + ($aDen - $aNum) * (acc.l + acc.b)) DIV $aDen)"
+    packed(series, keyCol, xCol, yCol)
+      .filter(size(col("s")) > p)
+      .withColumn("l0", expr(
+        s"aggregate(slice(s, 1, $p), 0L, (a, q) -> a + q.y) * 1000000L DIV $p"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(s, ${p + 1}, size(s) - $p),
+           |  named_struct('l', l0, 'b', 0L, 'i', CAST($p AS BIGINT),
+           |    'si', transform(slice(s, 1, $p), q -> q.y * 1000000L - l0)),
+           |  (acc, q) -> named_struct(
+           |    'l', $lNew,
+           |    'b', ($bNum * ($lNew - acc.l)
+           |          + ($bDen - $bNum) * acc.b) DIV $bDen,
+           |    'i', acc.i + 1,
+           |    'si', transform(acc.si, (v, j) ->
+           |      CASE WHEN j = CAST(acc.i % $p AS INT)
+           |           THEN ($gNum * (q.y * 1000000L - $lNew)
+           |                 + ($gDen - $gNum) * $sPrev) DIV $gDen
+           |           ELSE v END)))""".stripMargin.replace("\n", " ")))
+      .select(col(keyCol),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("h"), col("st"))
+      .select(col(keyCol), col("h"),
+        (col("st.l") + col("h") * col("st.b") +
+          expr(s"element_at(st.si, CAST((st.i + h - 1) % $p AS INT) + 1)"))
+          .as("forecast_micro"),
+        col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+        expr(s"element_at(st.si, CAST((st.i + h - 1) % $p AS INT) + 1)")
+          .as("seasonal_micro"))
+      .orderBy(col(keyCol), col("h"))
+  }
+
   /** ONE-SIDED UPWARD CUSUM per key — the sequential drift detector that
     * catches SLOW level creep a point-outlier rule misses: the running
     * statistic accumulates every excess over (target + slack) and resets

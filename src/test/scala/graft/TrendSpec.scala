@@ -261,6 +261,42 @@ class TrendSpec extends AnyFunSuite {
     assert(out.getAs[Long]("forecast_micro") == 17800000L)
   }
 
+  // ---------------------------------------------------------- holtWinters
+
+  test("holt-winters: hand trajectory with a period-2 ring (signed seasonals)") {
+    // y = 10,20,12,22; p = 2 -> l0 = 15e6, s = [-5e6, 5e6], b = 0
+    // i=3 slot 0: l = ((12e6+5e6) + 15e6) DIV 2 = 16e6
+    //            b = (1e6 + 0) DIV 2 = 5e5
+    //            s0 = ((12e6-16e6) + -5e6) DIV 2 = -4500000 (trunc toward 0)
+    // i=4 slot 1: l = ((22e6-5e6) + 16.5e6) DIV 2 = 16750000
+    //            b = (750000 + 500000) DIV 2 = 625000
+    //            s1 = ((22e6-16.75e6) + 5e6) DIV 2 = 5125000
+    // h=1 -> slot 0: 16.75e6 + 625000 - 4.5e6 = 12875000
+    // h=2 -> slot 1: 16.75e6 + 1.25e6 + 5.125e6 = 23125000
+    val out = Trend.holtWinters(
+      series(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 12L),
+        ("a", 4L, 22L))),
+      "k", "x", "y", period = 2, 1L, 2L, 1L, 2L, 1L, 2L, horizon = 2)
+      .collect().map(r => r.getAs[Long]("h") ->
+        (r.getAs[Long]("forecast_micro"), r.getAs[Long]("level_micro"),
+          r.getAs[Long]("trend_micro"), r.getAs[Long]("seasonal_micro")))
+      .toMap
+    assert(out(1L) == ((12875000L, 16750000L, 625000L, -4500000L)))
+    assert(out(2L) == ((23125000L, 16750000L, 625000L, 5125000L)))
+  }
+
+  test("holt-winters: flat seasonal series forecasts its own pattern; short keys dropped") {
+    // y repeats 10,30 exactly: l stays 20e6, b 0, s = [-10e6, +10e6]
+    val rows = (1L to 8L).map(i => ("a", i, if (i % 2 == 1) 10L else 30L)) :+
+      (("b", 1L, 5L)) :+ (("b", 2L, 6L)) // only 2 points: dropped (p+1 needed)
+    val out = Trend.holtWinters(series(rows), "k", "x", "y",
+      period = 2, 1L, 2L, 1L, 2L, 1L, 2L, horizon = 4).collect()
+    assert(out.forall(_.getString(0) == "a"))
+    val f = out.map(r => r.getAs[Long]("h") -> r.getAs[Long]("forecast_micro")).toMap
+    assert(f(1L) == 10000000L && f(2L) == 30000000L &&
+      f(3L) == 10000000L && f(4L) == 30000000L)
+  }
+
   // ---------------------------------------------------------------- cusum
 
   test("cusum: hand trajectory — creep accumulates, reset pins at zero") {
