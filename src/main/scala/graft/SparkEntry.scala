@@ -3108,6 +3108,34 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — STORED CUSUM STATE (Trend.cusumFrom through the
+    // q136/q239 snapshot pattern): days 1-20 run the full CUSUM, the
+    // per-key sufficient state — (frozen target, last statistic) — is
+    // committed through SnapshotSink, and days 21+ CONTINUE from the
+    // stored state with no history scan. Gate = the full-batch oracle
+    // restricted to the continuation days: hash-equality proves
+    // (target, S) is the complete state of the recursion AND the store
+    // is lossless. Hash-exact.
+    "q267_stored_cusum_serve" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q267", dir)
+      val daily = dailyEventSeries(s, dir).localCheckpoint(true)
+      val split = daily.agg(min(col("day"))).head().getLong(0) + 19L
+      val t1 = graft.operators.Trend.cusum(
+        daily.filter(col("day") <= split), "event_type", "day", "y",
+        baseline = 10, slackMicro = 1000000L, hMicro = 20000000L)
+      val state = t1
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("x").desc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("target_micro"), col("cusum_micro"))
+      SnapshotSink.commit(state.coalesce(1), root)
+      graft.operators.Trend.cusumFrom(
+        daily.filter(col("day") > split), "event_type", "day", "y",
+        SnapshotSink.read(s, root), slackMicro = 1000000L,
+        hMicro = 20000000L)
+    }),
+
     // Extension — HOLT-WINTERS SEASONAL (Trend.holtWinters): the full
     // level+trend+SEASONAL triple recursion over each type's daily
     // counts (period 7, alpha=1/5, beta=1/10, gamma=1/5, 7-day
@@ -8049,10 +8077,11 @@ object SparkEntry {
        |    greatest(0, r.s + n.y * 1000000 - t.t - 1000000)
        |  FROM r JOIN idx n ON n.et = r.et AND n.i = r.i + 1
        |         JOIN tgt t ON t.et = n.et)
-       |SELECT et AS event_type, day AS x, y, CAST(s AS BIGINT)
-       |  AS cusum_micro,
-       |  CAST(CASE WHEN s > 20000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
-       |FROM r ORDER BY 1, 2""".stripMargin
+       |SELECT r.et AS event_type, r.day AS x, r.y,
+       |  CAST(t.t AS BIGINT) AS target_micro,
+       |  CAST(r.s AS BIGINT) AS cusum_micro,
+       |  CAST(CASE WHEN r.s > 20000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+       |FROM r JOIN tgt t ON t.et = r.et ORDER BY 1, 2""".stripMargin
 
 
   /** q263: Hampel replay — the window VALUES list per row, sorted
@@ -8124,6 +8153,36 @@ object SparkEntry {
        |  CAST(fin.b AS BIGINT) AS trend_micro,
        |  CAST(CASE CAST((fin.i + h.h - 1) % 7 AS INT) WHEN 0 THEN fin.s1 WHEN 1 THEN fin.s2 WHEN 2 THEN fin.s3 WHEN 3 THEN fin.s4 WHEN 4 THEN fin.s5 WHEN 5 THEN fin.s6 WHEN 6 THEN fin.s7 END AS BIGINT) AS seasonal_micro
        |FROM fin CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+       |ORDER BY 1, 2""".stripMargin
+
+
+  /** q267: the q260 full-history recursion, output restricted to the
+    * continuation days (day > min+19) — what the stored-state serve
+    * must reproduce exactly if (target, S) is sufficient. */
+  private def q267Oracle: String =
+    s"""WITH RECURSIVE $dailySeriesCte,
+       |idx AS MATERIALIZED (SELECT event_type AS et, day, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM daily),
+       |tgt AS MATERIALIZED (SELECT et,
+       |    (sum(CASE WHEN i <= 10 THEN y END) * 1000000)
+       |      // least(10, max(i)) AS t
+       |  FROM idx GROUP BY 1),
+       |r AS (SELECT x.et, x.i, x.day, x.y,
+       |    greatest(0, x.y * 1000000 - t.t - 1000000) AS s
+       |  FROM idx x JOIN tgt t ON t.et = x.et WHERE x.i = 1
+       |  UNION ALL
+       |  SELECT n.et, n.i, n.day, n.y,
+       |    greatest(0, r.s + n.y * 1000000 - t.t - 1000000)
+       |  FROM r JOIN idx n ON n.et = r.et AND n.i = r.i + 1
+       |         JOIN tgt t ON t.et = n.et)
+       |SELECT r.et AS event_type, r.day AS x, r.y,
+       |  CAST(t.t AS BIGINT) AS target_micro,
+       |  CAST(r.s AS BIGINT) AS cusum_micro,
+       |  CAST(CASE WHEN r.s > 20000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+       |FROM r JOIN tgt t ON t.et = r.et
+       |WHERE r.day > (SELECT min(day) + 19 FROM daily)
        |ORDER BY 1, 2""".stripMargin
 
   /** q266: RFM replay — counting-quintile scores off cumulative cell
@@ -10192,6 +10251,7 @@ object SparkEntry {
     "q260_cusum_daily" -> q260Oracle,
     "q263_hampel_outliers" -> q263Oracle,
     "q265_holt_winters" -> q265Oracle,
+    "q267_stored_cusum_serve" -> q267Oracle,
     "q266_rfm_segments" -> q266Oracle,
     "q264_interevent_gaps" -> q264Oracle,
     "q261_shared_ngrams" -> q261Oracle,

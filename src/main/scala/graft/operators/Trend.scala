@@ -501,8 +501,45 @@ object Trend {
            |         ELSE element_at(acc, -1) END
            |    + p.y * 1000000L - tgt - ${slackMicro}L)))"""
           .stripMargin.replace("\n", " ")))
-      .select(col(keyCol), posexplode(col("s")).as(Seq("i", "p")), col("c"))
+      .select(col(keyCol), posexplode(col("s")).as(Seq("i", "p")),
+        col("c"), col("tgt"))
       .select(col(keyCol), col("p.x").as("x"), col("p.y").as("y"),
+        col("tgt").as("target_micro"),
+        element_at(col("c"), col("i") + 1).as("cusum_micro"))
+      .withColumn("alarm", (col("cusum_micro") > hMicro).cast("int").cast("long"))
+      .orderBy(col(keyCol), col("x"))
+  }
+
+  /** CUSUM CONTINUATION — resume [[cusum]] from a persisted per-key
+    * state (the stored-state serving discipline, q136/q239): `state`
+    * carries one row per key with the FROZEN calibration target and the
+    * statistic's last value, and the fold starts from that value
+    * instead of zero. (target, S) is the complete sufficient state of
+    * the recursion, so continuing from a snapshot is bit-identical to
+    * replaying the full history — the q267 gate proves it against the
+    * full-batch oracle.
+    *
+    * @param state (keyCol, target_micro, cusum_micro) — e.g. the last
+    *              trajectory row per key from a prior [[cusum]] run
+    */
+  def cusumFrom(series: DataFrame, keyCol: String, xCol: String,
+                yCol: String, state: DataFrame, slackMicro: Long,
+                hMicro: Long): DataFrame = {
+    require(slackMicro >= 0 && hMicro > 0, "slack >= 0, h > 0")
+    packed(series, keyCol, xCol, yCol)
+      .join(state.select(col(keyCol), col("target_micro").as("tgt"),
+        col("cusum_micro").as("s0")), keyCol)
+      .withColumn("c", expr(
+        s"""aggregate(s, CAST(array() AS ARRAY<BIGINT>),
+           |  (acc, p) -> array_append(acc, greatest(0L,
+           |    CASE WHEN size(acc) = 0 THEN s0
+           |         ELSE element_at(acc, -1) END
+           |    + p.y * 1000000L - tgt - ${slackMicro}L)))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col(keyCol), posexplode(col("s")).as(Seq("i", "p")),
+        col("c"), col("tgt"))
+      .select(col(keyCol), col("p.x").as("x"), col("p.y").as("y"),
+        col("tgt").as("target_micro"),
         element_at(col("c"), col("i") + 1).as("cusum_micro"))
       .withColumn("alarm", (col("cusum_micro") > hMicro).cast("int").cast("long"))
       .orderBy(col(keyCol), col("x"))

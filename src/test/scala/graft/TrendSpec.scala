@@ -261,6 +261,29 @@ class TrendSpec extends AnyFunSuite {
     assert(out.getAs[Long]("forecast_micro") == 17800000L)
   }
 
+  test("cusumFrom: continuation from (target, S) state equals the full-history run") {
+    import spark.implicits._
+    val full = Trend.cusum(
+      series(Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+        ("a", 4L, 20L), ("a", 5L, 30L), ("a", 6L, 5L))),
+      "k", "x", "y", baseline = 3, slackMicro = 1000000L,
+      hMicro = 20000000L).collect()
+    // state after day 4: (target 10e6+slack handled in op; S = 9e6)
+    val state = Seq(("a", 10000000L, 9000000L))
+      .toDF("k", "target_micro", "cusum_micro")
+    val cont = Trend.cusumFrom(
+      series(Seq(("a", 5L, 30L), ("a", 6L, 5L))),
+      "k", "x", "y", state, slackMicro = 1000000L, hMicro = 20000000L)
+      .collect()
+    val canon = (rs: Array[org.apache.spark.sql.Row]) => rs.map(r =>
+      r.getAs[Long]("x") -> (r.getAs[Long]("cusum_micro"),
+        r.getAs[Long]("alarm"))).toMap
+    val tail = canon(full.filter(_.getAs[Long]("x") > 4L))
+    assert(canon(cont) == tail && tail.nonEmpty)
+    // S5 = max(0, 9e6 + 30e6 - 11e6) = 28e6 (alarm), S6 = 22e6 (alarm)
+    assert(tail(5L) == ((28000000L, 1L)) && tail(6L) == ((22000000L, 1L)))
+  }
+
   // ---------------------------------------------------------- holtWinters
 
   test("holt-winters: hand trajectory with a period-2 ring (signed seasonals)") {
