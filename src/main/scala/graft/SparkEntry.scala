@@ -3108,6 +3108,24 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — BOOSTED STUMPS (CartTree.boostedStumps): q257's
+    // sequential sibling — three depth-1 trees fit under integer row
+    // weights that DOUBLE on every row the previous stump missed (the
+    // x2 multiplier replaces AdaBoost's exp(alpha): fully integer, so
+    // three rounds of weighted split searches replay bit-exactly in
+    // SQL). Bias reduction where bagging is variance reduction; the
+    // weighted error, per-member accuracy, and ensemble majority are
+    // all reported. Same q248 feature base. Hash-exact.
+    "q268_boosted_stumps" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        expr("least(19L, greatest(0L, CAST(floor(value) AS LONG)) DIV 2)")
+          .as("f_val"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("f_hour"),
+        (col("value") >= 15).as("y"))
+      graft.operators.CartTree.boostedStumps(base,
+        Seq("f_hour", "f_val"), "y", rounds = 3)
+    }),
+
     // Extension — STORED CUSUM STATE (Trend.cusumFrom through the
     // q136/q239 snapshot pattern): days 1-20 run the full CUSUM, the
     // per-key sufficient state — (frozen target, last statistic) — is
@@ -8185,6 +8203,88 @@ object SparkEntry {
        |WHERE r.day > (SELECT min(day) + 19 FROM daily)
        |ORDER BY 1, 2""".stripMargin
 
+
+  /** q268: three rounds of WEIGHTED split search replayed — each round
+    * re-melts the weighted frame, scores candidates by weighted Gini,
+    * votes by weighted majority, and doubles the weights of its
+    * misses; the member/ensemble readout mirrors the operator row for
+    * row. */
+  private def q268Oracle: String = {
+    def gini(p: String, n: String): String = {
+      val r = s"((1000000 * ($p)) // ($n))"
+      s"((2 * $r * (1000000 - $r)) // 1000000)"
+    }
+    def fsel(r: Int): String =
+      s"(CASE WHEN (SELECT f FROM b$r) = 'f_hour' THEN f_hour ELSE f_val END)"
+    def pred(r: Int): String =
+      s"(CASE WHEN ${fsel(r)} <= (SELECT v FROM b$r) " +
+        s"THEN (SELECT lv FROM vo$r) ELSE (SELECT rv FROM vo$r) END)"
+    def round(r: Int): String = {
+      val prev = s"base${r - 1}"
+      s"""st$r AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS nw,
+         |    CAST(sum(w * y) AS BIGINT) AS pw FROM $prev),
+         |m$r AS (SELECT f, v, CAST(sum(w) AS BIGINT) AS bn,
+         |    CAST(sum(w * y) AS BIGINT) AS bpos
+         |  FROM (SELECT 'f_hour' AS f, f_hour AS v, y, w FROM $prev
+         |        UNION ALL SELECT 'f_val', f_val, y, w FROM $prev)
+         |  GROUP BY 1, 2),
+         |c$r AS (SELECT f, v,
+         |    sum(bn) OVER wd AS nl, sum(bpos) OVER wd AS posl
+         |  FROM m$r WINDOW wd AS (PARTITION BY f ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |b$r AS MATERIALIZED (SELECT f, v, nl, posl, CAST(
+         |    (nl * ${gini("posl", "nl")}
+         |     + ((SELECT nw FROM st$r) - nl)
+         |       * ${gini(s"(SELECT pw FROM st$r) - posl",
+                          s"(SELECT nw FROM st$r) - nl")})
+         |    // (SELECT nw FROM st$r) AS BIGINT) AS wg
+         |  FROM c$r WHERE nl < (SELECT nw FROM st$r)
+         |  ORDER BY wg ASC, f ASC, v ASC LIMIT 1),
+         |vo$r AS MATERIALIZED (SELECT
+         |    CASE WHEN 2 * (SELECT posl FROM b$r) >= (SELECT nl FROM b$r)
+         |      THEN 1 ELSE 0 END AS lv,
+         |    CASE WHEN 2 * ((SELECT pw FROM st$r) - (SELECT posl FROM b$r))
+         |           >= ((SELECT nw FROM st$r) - (SELECT nl FROM b$r))
+         |      THEN 1 ELSE 0 END AS rv),
+         |we$r AS MATERIALIZED (SELECT CAST((1000000 *
+         |    sum(CASE WHEN ${pred(r)} <> y THEN w ELSE 0 END))
+         |    // (SELECT nw FROM st$r) AS BIGINT) AS e FROM $prev),
+         |base$r AS MATERIALIZED (SELECT f_hour, f_val, y,
+         |    CASE WHEN ${pred(r)} = y THEN w ELSE w * 2 END AS w
+         |  FROM $prev)""".stripMargin
+    }
+    def memberRow(r: Int): String =
+      s"""SELECT 'round$r' AS member, (SELECT f FROM b$r) AS split_feature,
+         |  CAST((SELECT v FROM b$r) AS BIGINT) AS split_thr,
+         |  CAST((SELECT lv FROM vo$r) AS BIGINT) AS vote_left,
+         |  CAST((SELECT rv FROM vo$r) AS BIGINT) AS vote_right,
+         |  (SELECT e FROM we$r) AS werr_micro,
+         |  CAST((1000000 * sum(CASE WHEN ${pred(r)} = y THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS acc_micro
+         |FROM base0""".stripMargin
+    val ens = s"(CASE WHEN (${pred(1)} + ${pred(2)} + ${pred(3)}) * 2 > 3 " +
+      "THEN 1 ELSE 0 END)"
+    s"""WITH base0 AS MATERIALIZED (SELECT
+       |    least(19, greatest(0, CAST(floor(value) AS BIGINT)) // 2) AS f_val,
+       |    (epoch_us(ts) // 3600000000) % 24 AS f_hour,
+       |    CASE WHEN value >= 15 THEN 1 ELSE 0 END AS y,
+       |    CAST(1 AS BIGINT) AS w
+       |  FROM events),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |${memberRow(1)}
+       |UNION ALL ${memberRow(2)}
+       |UNION ALL ${memberRow(3)}
+       |UNION ALL SELECT 'ensemble', CAST(NULL AS VARCHAR),
+       |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT),
+       |  CAST((1000000 * sum(CASE WHEN $ens = y THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT)
+       |FROM base0
+       |ORDER BY member""".stripMargin
+  }
+
   /** q266: RFM replay — counting-quintile scores off cumulative cell
     * histograms per metric (recency descending inverts), monetary at
     * dollar grain, joined back and collapsed to the segment grid. */
@@ -10252,6 +10352,7 @@ object SparkEntry {
     "q263_hampel_outliers" -> q263Oracle,
     "q265_holt_winters" -> q265Oracle,
     "q267_stored_cusum_serve" -> q267Oracle,
+    "q268_boosted_stumps" -> q268Oracle,
     "q266_rfm_segments" -> q266Oracle,
     "q264_interevent_gaps" -> q264Oracle,
     "q261_shared_ngrams" -> q261Oracle,

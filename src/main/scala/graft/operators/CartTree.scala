@@ -208,4 +208,112 @@ object CartTree {
     rows.toDF("member", "split_feature", "split_thr", "acc_micro")
       .orderBy("member")
   }
+
+  /** Weighted [[bestSplit]]: identical melt/cumulate/score shape with
+    * per-row integer weights — bn/bpos become Σw and Σw·y, so the
+    * weighted Gini reranks candidates as boosting re-emphasizes the
+    * hard rows. (nW, posW) are the WEIGHTED totals. */
+  private def bestSplitW(sub: DataFrame, features: Seq[String],
+                         nW: Long, posW: Long): Option[Split] = {
+    val melted = sub.select(explode(array(features.map(f =>
+        struct(lit(f).as("f"), col(f).as("v"))): _*)).as("fv"),
+        col("y"), col("w"))
+      .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"), col("w"))
+    val byF = Window.partitionBy("f").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val best = melted.groupBy("f", "v")
+      .agg(sum(col("w")).as("bn"), sum(col("w") * col("y")).as("bpos"))
+      .withColumn("nl", sum(col("bn")).over(byF))
+      .withColumn("posl", sum(col("bpos")).over(byF))
+      .filter(col("nl") < nW)
+      .select(col("f"), col("v"),
+        expr(s"(nl * ${giniSql("posl", "nl")} + ($nW - nl) * " +
+          s"${giniSql(s"($posW - posl)", s"($nW - nl)")}) DIV $nW").as("wg"),
+        col("nl"), col("posl"))
+      .orderBy(col("wg").asc, col("f").asc, col("v").asc)
+      .limit(1)
+      .collect() // bounded: the single split decision, not data
+    best.headOption
+      .map(r => Split(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(s => giniOf(posW, nW) - s.wg > 0)
+  }
+
+  /** BOOSTED STUMPS — deterministic integer boosting, the sequential
+    * sibling of [[baggedStumps]]: `rounds` (odd) depth-1 trees fit in
+    * sequence, each on the SAME frame under integer row weights that
+    * DOUBLE on every row the previous stump misclassified (the ×2
+    * multiplier replaces AdaBoost's real-valued exp(α) — fully
+    * integer, so the trajectory is bit-replayable in SQL). Where
+    * bagging reduces variance by averaging independent fits, boosting
+    * reduces bias: each stump's weighted split search is pulled toward
+    * the rows its predecessors get wrong, so member 2+ typically picks
+    * a DIFFERENT feature/threshold than a refit of member 1 would.
+    *
+    * Votes: a side votes its training-weighted majority (2·posl ≥ nl);
+    * the ensemble is the unweighted majority of the odd member votes.
+    * Per member the WEIGHTED error under its own training weights and
+    * the unweighted full-frame accuracy are both reported; the
+    * ensemble row reports accuracy only.
+    *
+    * Scale shape: per round one weighted melt-aggregate + one
+    * 1-row decision collect (the [[fitDepth2]] discipline) and one
+    * lazily-checkpointed reweight column; the final pass evaluates all
+    * member votes + the ensemble as literal-threshold expressions in a
+    * single scan.
+    *
+    * @return (member, split_feature, split_thr, vote_left, vote_right,
+    *         werr_micro, acc_micro) — "round1".."roundR" + "ensemble"
+    */
+  def boostedStumps(df: DataFrame, features: Seq[String], labelCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 9 && rounds % 2 == 1, "rounds odd, 1..9")
+    require(features.nonEmpty && features.size <= 8, "1..8 binned features")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    var cur = df.select(
+        features.map(f => col(f).cast("long").as(f)) :+
+          when(col(labelCol), 1L).otherwise(0L).as("y"): _*)
+      .withColumn("w", lit(1L))
+      .localCheckpoint(true)
+
+    final case class Stump(s: Split, lv: Long, rv: Long, werrMicro: Long)
+    val stumps = (1 to rounds).map { r =>
+      val t = cur.agg(sum(col("w")), sum(col("w") * col("y"))).head()
+      val (nW, posW) = (t.getLong(0), t.getLong(1))
+      val s = bestSplitW(cur, features, nW, posW)
+      require(s.isDefined, s"round $r has no informative weighted split")
+      val sp = s.get
+      val lv = if (2L * sp.posl >= sp.nl) 1L else 0L
+      val rv = if (2L * (posW - sp.posl) >= (nW - sp.nl)) 1L else 0L
+      val pred = when(col(sp.feature) <= sp.thr, lit(lv)).otherwise(lit(rv))
+      val werr = cur.agg(
+        sum(when(pred =!= col("y"), col("w")).otherwise(0L))).head().getLong(0)
+      // reweight for the next round: misclassified rows double
+      cur = cur.withColumn("w",
+          when(pred === col("y"), col("w")).otherwise(col("w") * 2))
+        .localCheckpoint(false) // next round's stats job materializes it
+      Stump(sp, lv, rv, 1000000L * werr / nW)
+    }
+
+    val voteCols = stumps.map(st =>
+      when(col(st.s.feature) <= st.s.thr, lit(st.lv)).otherwise(lit(st.rv)))
+    val ensemble = when(voteCols.reduce(_ + _) * 2 > rounds, 1L).otherwise(0L)
+    val accExprs = (voteCols :+ ensemble).map(v =>
+      sum(when(v === col("y"), 1L).otherwise(0L)))
+    val accRow = cur.agg(count(lit(1)), accExprs: _*).head()
+    val total = accRow.getLong(0)
+    def accMicro(i: Int): Long = 1000000L * accRow.getLong(i + 1) / total
+
+    val rows = stumps.zipWithIndex.map { case (st, i) =>
+      (s"round${i + 1}", Option(st.s.feature), Option(st.s.thr),
+        Option(st.lv), Option(st.rv), Option(st.werrMicro), accMicro(i))
+    } :+ (("ensemble", Option.empty[String], Option.empty[Long],
+      Option.empty[Long], Option.empty[Long], Option.empty[Long],
+      accMicro(rounds)))
+    rows.toDF("member", "split_feature", "split_thr", "vote_left",
+        "vote_right", "werr_micro", "acc_micro")
+      .orderBy("member")
+  }
 }

@@ -84,4 +84,33 @@ class CartTreeSpec extends AnyFunSuite {
     assert(stumps(rows, 5) == stumps(rows, 5))
     intercept[IllegalArgumentException](stumps(rows, 4))
   }
+
+  test("boostedStumps: reweighting flips the round-2 split; ensemble beats every member") {
+    import graft.operators.CartTree
+    // counts: (fa, fb, y): A (0,0,1) x3, B (0,1,1) x1, C (1,0,0) x3,
+    // D (1,1,1) x2. Round 1 picks fa<=0 (weighted gini 266666 < fb's
+    // 333333), votes L=1 R=0, misses D (w 2 -> werr 222222), then D's
+    // weights double. Round 2's weighted search now prefers fb<=0
+    // (272727 < fa's 311687) — the boosting flip — votes L=1 (tie->1)
+    // R=1, misses C (w 3 of 11 -> werr 272727). Round 3 keeps fb with
+    // votes L=0 R=1 (werr 3/14). Members score 7/9, 6/9, 6/9 unweighted;
+    // the majority vote scores 9/9.
+    import spark.implicits._
+    val rows =
+      Seq.fill(3)((0L, 0L, true)) ++ Seq((0L, 1L, true)) ++
+      Seq.fill(3)((1L, 0L, false)) ++ Seq.fill(2)((1L, 1L, true))
+    val out = CartTree.boostedStumps(rows.toDF("fa", "fb", "y"),
+      Seq("fa", "fb"), "y", rounds = 3)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5)), r.getAs[Long]("acc_micro")))
+      .toMap
+    assert(out("round1") == ((Some("fa"), Some(0L), Some(1L), Some(0L),
+      Some(222222L), 777777L)))
+    assert(out("round2") == ((Some("fb"), Some(0L), Some(1L), Some(1L),
+      Some(272727L), 666666L)))
+    assert(out("round3") == ((Some("fb"), Some(0L), Some(0L), Some(1L),
+      Some(214285L), 666666L)))
+    assert(out("ensemble") == ((None, None, None, None, None, 1000000L)))
+  }
 }
