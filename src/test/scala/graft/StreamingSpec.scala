@@ -1153,4 +1153,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Map(1L -> (0L, 0L), 2L -> (0L, 0L),
       3L -> (9000000L, 0L), 4L -> (28000000L, 1L)))
   }
+
+  test("streaming Holt-Winters twin: ring state replays exactly on the streamed series") {
+    import graft.operators.Trend
+
+    val src = Files.createTempDirectory("graft_stream_hw")
+    val ckp = Files.createTempDirectory("graft_stream_hw_ckp")
+    // the seasonal ring is calibrated from the first `period` points of
+    // the RE-SORTED series, and every later step writes one ring slot —
+    // a wrong arrival order would corrupt both the calibration and the
+    // slot phase. Day 1 (a ring-defining point) arrives last.
+    def line(day: String, v: Int) = s"""{"g":"m","day":$day,"v":$v}"""
+    Files.write(src.resolve("a.json"),
+      Seq(line("2", 20), line("3", 12), line("4", 22)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      Seq(line("1", 10)).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = Trend.holtWinters(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "g", "day", "v",
+        period = 2, 1L, 2L, 1L, 2L, 1L, 2L, horizon = 2)
+      .writeStream
+      .format("memory").queryName("hw_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getAs[Long]("h") ->
+        (r.getAs[Long]("forecast_micro"), r.getAs[Long]("seasonal_micro"))).toMap
+    val streamed = canon(spark.table("hw_stream").collect())
+    val batch = canon(Trend.holtWinters(spark.read.json(src.toString),
+      "g", "day", "v", 2, 1L, 2L, 1L, 2L, 1L, 2L, 2).collect())
+    assert(streamed == batch && streamed.nonEmpty)
+    // the TrendSpec period-2 hand trajectory, despite day 1 arriving last
+    assert(streamed(1L) == ((12875000L, -4500000L)))
+    assert(streamed(2L) == ((23125000L, 5125000L)))
+  }
 }
