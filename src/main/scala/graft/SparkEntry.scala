@@ -3108,6 +3108,46 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — WRITE-AUDIT-PUBLISH SERVING (SnapshotSink.publish/
+    // readPublished): the Iceberg WAP discipline on the snapshot store.
+    // Batch 1 (first 15 days' daily cents) commits as v1 and is
+    // PUBLISHED; batch 2 (the rest, through a deliberately poisoned
+    // transform that drives cents negative) stages as v2; the AUDIT
+    // (cents >= 0 contract on the staged read) fails, so the publish
+    // pointer stays at v1 and downstream readers never see the bad
+    // batch. Gate = the served-through-pointer frame + the audit
+    // scalars against the from-source oracle: if WAP wrongly promoted
+    // v2, the poisoned rows would hash-break it. Hash-exact.
+    "q269_wap_serve" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q269", dir)
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+        .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .as("cents"))
+        .localCheckpoint(true)
+      val d0 = daily.agg(min(col("day"))).head().getLong(0)
+      SnapshotSink.commit(
+        daily.filter(col("day") <= d0 + 14).coalesce(1), root) // v1: WRITE
+      SnapshotSink.publish(s, root, 1)                          // PUBLISH v1
+      SnapshotSink.append(                                      // v2: staged
+        daily.filter(col("day") > d0 + 14)
+          .withColumn("cents", col("cents") - lit(100000000000L))
+          .coalesce(1), root)
+      // AUDIT the staged table; promote only on a clean pass
+      val violations = SnapshotSink.read(s, root)
+        .filter(col("cents") < 0).count()
+      if (violations == 0L) SnapshotSink.publish(s, root, 2)
+      import s.implicits._
+      SnapshotSink.readPublished(s, root)
+        .crossJoin(Seq((
+          SnapshotSink.publishedVersion(s, root).get.toLong,
+          SnapshotSink.versions(s, root).last.toLong,
+          violations))
+          .toDF("published_version", "staged_version", "violations"))
+    }),
+
     // Extension — BOOSTED STUMPS (CartTree.boostedStumps): q257's
     // sequential sibling — three depth-1 trees fit under integer row
     // weights that DOUBLE on every row the previous stump missed (the
@@ -8174,6 +8214,25 @@ object SparkEntry {
        |ORDER BY 1, 2""".stripMargin
 
 
+/** q269: the WAP outcome from source — served rows are batch 1's
+    * clean aggregation (the audit must fail: every staged row is
+    * negative by construction), pointers 1/2, violations = the staged
+    * batch's row count. */
+  private def q269Oracle: String =
+    """WITH daily AS (SELECT event_type,
+      |    epoch_ms(ts) // 86400000 AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (SELECT min(day) AS d FROM daily)
+      |SELECT event_type, day, cents,
+      |  CAST(1 AS BIGINT) AS published_version,
+      |  CAST(2 AS BIGINT) AS staged_version,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM daily, d0 WHERE day > d + 14)
+      |    AS violations
+      |FROM daily, d0 WHERE day <= d + 14
+      |ORDER BY 1, 2""".stripMargin
+
   /** q267: the q260 full-history recursion, output restricted to the
     * continuation days (day > min+19) — what the stored-state serve
     * must reproduce exactly if (target, S) is sufficient. */
@@ -10353,6 +10412,7 @@ object SparkEntry {
     "q265_holt_winters" -> q265Oracle,
     "q267_stored_cusum_serve" -> q267Oracle,
     "q268_boosted_stumps" -> q268Oracle,
+    "q269_wap_serve" -> q269Oracle,
     "q266_rfm_segments" -> q266Oracle,
     "q264_interevent_gaps" -> q264Oracle,
     "q261_shared_ngrams" -> q261Oracle,

@@ -214,6 +214,66 @@ object SnapshotSink {
       .toDF("version", "n_files", "n_rows")
   }
 
+  private def publishDir(root: String) = new Path(root, "_published")
+
+  private def publishSeqs(spark: SparkSession, root: String): Seq[Int] = {
+    val dir = publishDir(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("p\\d+\\.json") =>
+        s.stripPrefix("p").stripSuffix(".json").toInt }
+      .sorted
+  }
+
+  /** WRITE–AUDIT–PUBLISH promotion: mark a COMMITTED version as the one
+    * published readers see. Commits are the WRITE, the caller's checks
+    * between commit and this call are the AUDIT, and this pointer is
+    * the PUBLISH — staged versions stay invisible to
+    * [[readPublished]] until promoted (the Iceberg WAP discipline on
+    * this store). The pointer advances by the manifest rename
+    * discipline (write temp, atomic rename), and pointer files are
+    * SEQUENCED, never overwritten, so the publish history — including
+    * rollbacks to an older version — is itself auditable. */
+  def publish(spark: SparkSession, root: String, version: Int): Unit = {
+    require(versions(spark, root).contains(version),
+      s"cannot publish uncommitted version $version")
+    val pdir = publishDir(root)
+    val f = fs(spark, pdir)
+    f.mkdirs(pdir)
+    val seq = publishSeqs(spark, root).lastOption.getOrElse(0) + 1
+    val tmp = new Path(pdir, s"p$seq.json.tmp")
+    val fin = new Path(pdir, s"p$seq.json")
+    val out = f.create(tmp, true)
+    try out.write(s"""{"seq":$seq,"version":$version}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, fin))
+      throw new IllegalStateException(s"publish failed: cannot rename $tmp to $fin")
+  }
+
+  /** The currently published version (highest-sequence pointer), or
+    * None when nothing has been published yet. */
+  def publishedVersion(spark: SparkSession, root: String): Option[Int] = {
+    publishSeqs(spark, root).lastOption.map { seq =>
+      val p = new Path(publishDir(root), s"p$seq.json")
+      val in = fs(spark, p).open(p)
+      val json =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      """"version":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+    }
+  }
+
+  /** Read through the published pointer — what a downstream consumer
+    * sees; staged (committed-but-unpublished) versions are invisible. */
+  def readPublished(spark: SparkSession, root: String): DataFrame = {
+    val v = publishedVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"nothing published at $root"))
+    read(spark, root, Some(v))
+  }
+
   /** Read a committed snapshot BY ITS MANIFEST — orphan files in the
     * data directories are invisible by construction. */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {

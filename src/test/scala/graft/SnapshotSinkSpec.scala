@@ -414,4 +414,36 @@ class SnapshotSinkSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](SnapshotSink.statsTable(spark, root))
     assert(e.getMessage.contains("commitWithStats"))
   }
+
+  test("write-audit-publish: staged versions invisible, pointer sequenced, rollback works") {
+    val root = tmpRoot()
+    // nothing published yet
+    assert(SnapshotSink.publishedVersion(spark, root).isEmpty)
+    intercept[IllegalStateException](SnapshotSink.readPublished(spark, root))
+    // cannot publish what is not committed
+    intercept[IllegalArgumentException](SnapshotSink.publish(spark, root, 1))
+
+    SnapshotSink.commit(Seq((1L, 10L)).toDF("k", "v"), root) // v1
+    SnapshotSink.publish(spark, root, 1)
+    assert(SnapshotSink.publishedVersion(spark, root).contains(1))
+
+    // stage v2: COMMITTED (time travel sees it) but NOT published
+    SnapshotSink.commit(Seq((1L, 10L), (2L, -5L)).toDF("k", "v"), root)
+    assert(SnapshotSink.versions(spark, root) == Seq(1, 2))
+    assert(SnapshotSink.readPublished(spark, root).count() == 1) // still v1
+
+    // audit passes on a fixed v3 -> promote; published readers move
+    SnapshotSink.commit(Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), root)
+    val staged = SnapshotSink.read(spark, root)
+    assert(staged.filter(org.apache.spark.sql.functions.col("v") < 0).count() == 0)
+    SnapshotSink.publish(spark, root, 3)
+    assert(SnapshotSink.publishedVersion(spark, root).contains(3))
+    assert(SnapshotSink.readPublished(spark, root).count() == 2)
+
+    // rollback = publishing an OLDER version again; the pointer history
+    // grows (sequenced files), never rewrites
+    SnapshotSink.publish(spark, root, 1)
+    assert(SnapshotSink.publishedVersion(spark, root).contains(1))
+    assert(SnapshotSink.readPublished(spark, root).count() == 1)
+  }
 }
