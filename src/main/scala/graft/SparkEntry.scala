@@ -3108,6 +3108,56 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — CALENDAR DENSIFY (Trend.densify): zero-fill each
+    // key's [min, max] day span — the primitive the series family's
+    // contract assumes ("the caller zero-fills first": row-indexed
+    // recursions silently compress time across gaps). Per-user daily
+    // event counts for a 1-in-50 user slice; the spine is
+    // explode(sequence(lo, hi)) per key (calendar-bounded), back-joined
+    // on the (key, day) grain. Hash-exact.
+    "q270_calendar_densify" -> ((s, dir) => {
+      graft.operators.Trend.densify(
+        events(s, dir)
+          .filter(col("user_id").isNotNull &&
+            pmod(col("user_id"), lit(50)) === 0)
+          .groupBy(col("user_id"),
+            expr("unix_millis(ts) DIV 86400000").as("day"))
+          .agg(count(lit(1)).as("y")),
+        "user_id", "day", "y")
+        .withColumnRenamed("x", "day")
+    }),
+
+    // Extension — SNAPSHOT CDC (SnapshotSink.cdc): the keyed delta
+    // between any two committed versions — I/D/U rows only, payload
+    // from the TO side for I/U and the FROM side for D. Lifecycle
+    // under test: v1 = per-user cent totals of the first 15 days,
+    // v2 = full-history totals (updates + inserts), v3 = an RTBF
+    // rewrite dropping user_id % 89 == 0 — cdc(v1 -> v3) surfaces the
+    // users whose totals grew (U), the users first seen after day 15
+    // (I), and the forgotten users (D). Two manifest reads regardless
+    // of the number of intermediate commits. Hash-exact.
+    "q271_snapshot_cdc" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q271", dir)
+      val base = events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_millis(ts) DIV 86400000").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .localCheckpoint(true)
+      val d0 = base.agg(min(col("day"))).head().getLong(0)
+      def totals(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(sum(col("cents")).as("cents"))
+      SnapshotSink.commit(
+        totals(base.filter(col("day") <= d0 + 14)).coalesce(1), root) // v1
+      SnapshotSink.commit(totals(base).coalesce(1), root)             // v2
+      SnapshotSink.commit(totals(base)                                // v3:
+        .filter(pmod(col("user_id"), lit(89)) =!= 0)                  // RTBF
+        .coalesce(1), root)                                           // rewrite
+      SnapshotSink.cdc(s, root, fromV = 1, toV = 3, Seq("user_id"))
+        .orderBy("op", "user_id")
+    }),
+
     // Extension — WRITE-AUDIT-PUBLISH SERVING (SnapshotSink.publish/
     // readPublished): the Iceberg WAP discipline on the snapshot store.
     // Batch 1 (first 15 days' daily cents) commits as v1 and is
@@ -8214,7 +8264,46 @@ object SparkEntry {
        |ORDER BY 1, 2""".stripMargin
 
 
-/** q269: the WAP outcome from source — served rows are batch 1's
+  /** q270: dense per-user day spine via range(), zero-filled. */
+  private def q270Oracle: String =
+    """WITH s AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND user_id % 50 = 0
+      |  GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+      |  FROM s GROUP BY 1),
+      |spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day
+      |  FROM spans)
+      |SELECT sp.user_id, sp.day, CAST(coalesce(s.y, 0) AS BIGINT) AS y,
+      |  CAST(CASE WHEN s.y IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_filled
+      |FROM spine sp LEFT JOIN s
+      |  ON s.user_id = sp.user_id AND s.day = sp.day
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q271: CDC replay from source — v1/v3 user totals rebuilt, keyed
+    * full-outer diff with the same I/D/U and payload-side rules. */
+  private def q271Oracle: String =
+    """WITH base AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id IS NOT NULL),
+      |d0 AS (SELECT min(day) AS d FROM base),
+      |v1 AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM base, d0 WHERE day <= d + 14 GROUP BY 1),
+      |v3 AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM base WHERE user_id % 89 <> 0 GROUP BY 1),
+      |j AS (SELECT coalesce(v1.user_id, v3.user_id) AS user_id,
+      |    v1.cents AS c1, v3.cents AS c3,
+      |    v1.user_id IS NULL AS miss1, v3.user_id IS NULL AS miss3
+      |  FROM v1 FULL OUTER JOIN v3 ON v1.user_id = v3.user_id)
+      |SELECT CASE WHEN miss1 THEN 'I' WHEN miss3 THEN 'D' ELSE 'U' END
+      |    AS op,
+      |  user_id, CAST(coalesce(c3, c1) AS BIGINT) AS cents
+      |FROM j WHERE miss1 OR miss3 OR c1 <> c3
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q269: the WAP outcome from source — served rows are batch 1's
     * clean aggregation (the audit must fail: every staged row is
     * negative by construction), pointers 1/2, violations = the staged
     * batch's row count. */
@@ -10413,6 +10502,8 @@ object SparkEntry {
     "q267_stored_cusum_serve" -> q267Oracle,
     "q268_boosted_stumps" -> q268Oracle,
     "q269_wap_serve" -> q269Oracle,
+    "q270_calendar_densify" -> q270Oracle,
+    "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
     "q264_interevent_gaps" -> q264Oracle,
     "q261_shared_ngrams" -> q261Oracle,

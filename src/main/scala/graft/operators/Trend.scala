@@ -396,6 +396,38 @@ object Trend {
       .orderBy(col(keyCol), col("h"))
   }
 
+  /** CALENDAR DENSIFY — zero-fill the missing integer x of each key's
+    * [min, max] span: the primitive this whole family's contract
+    * assumes ("the caller zero-fills first" — [[acf]], [[ewmaSeries]]
+    * et al. index by ROW, so a gap silently compresses time unless the
+    * spine is dense). Emits every (key, x) of the span with the summed
+    * y (0 where absent) and an `is_filled` marker.
+    *
+    * Scale shape: one map-side-combined aggregate to the (key, x)
+    * frame, a per-key span aggregate, and an array-side
+    * `explode(sequence(lo, hi))` — the span is calendar-bounded by the
+    * series contract, so the generated spine is keys × span rows,
+    * never data-sized blowup; the back-join is on the (key, x) grain.
+    *
+    * @return (key, x, y, is_filled) dense over each key's span
+    */
+  def densify(series: DataFrame, keyCol: String, xCol: String,
+              yCol: String): DataFrame = {
+    val base = series
+      .select(col(keyCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col(keyCol), col("x")).agg(sum(col("y")).as("y"))
+      .localCheckpoint(true) // spans + the back-join share one build
+    val spine = base.groupBy(col(keyCol))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(col(keyCol), explode(expr("sequence(lo, hi)")).as("x"))
+    spine.join(base, Seq(keyCol, "x"), "left")
+      .select(col(keyCol), col("x"),
+        coalesce(col("y"), lit(0L)).as("y"),
+        col("y").isNull.cast("long").as("is_filled"))
+      .orderBy(col(keyCol), col("x"))
+  }
+
   /** HOLT–WINTERS ADDITIVE (triple) smoothing per key — the full
     * level + trend + SEASONAL recursion, completing the
     * [[ewmaSeries]]/[[holtForecast]] family with the member that tracks

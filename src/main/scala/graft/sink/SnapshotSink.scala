@@ -274,6 +274,40 @@ object SnapshotSink {
     read(spark, root, Some(v))
   }
 
+  /** CHANGE DATA CAPTURE between two committed versions, keyed:
+    * `I` inserted, `D` deleted, `U` updated (same key, different
+    * non-key payload); unchanged rows are omitted. Payload columns
+    * come from the TO side for I/U and the FROM side for D — the
+    * minimal keyed delta an incremental downstream consumer replays
+    * instead of re-reading the table. One full-outer join on the key
+    * (both sides are manifest reads, so CDC between ANY two versions
+    * costs two snapshot scans regardless of how many commits lie
+    * between them). */
+  def cdc(spark: SparkSession, root: String, fromV: Int, toV: Int,
+          keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val from = read(spark, root, Some(fromV))
+    val to = read(spark, root, Some(toV))
+    require(from.columns.sorted.sameElements(to.columns.sorted),
+      s"cdc requires matching schemas, got ${from.columns.toSeq} vs ${to.columns.toSeq}")
+    require(keyCols.nonEmpty && keyCols.forall(from.columns.contains),
+      "key columns must exist")
+    val others = from.columns.filterNot(keyCols.contains).toSeq
+    val f = from.select(keyCols.map(col) :+
+      struct(others.map(col): _*).as("_vf"): _*)
+    val t = to.select(keyCols.map(col) :+
+      struct(others.map(col): _*).as("_vt"): _*)
+    f.join(t, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("_vf").isNull, "I")
+          .when(col("_vt").isNull, "D")
+          .when(col("_vf") =!= col("_vt"), "U"))
+      .filter(col("op").isNotNull)
+      .withColumn("_v", coalesce(col("_vt"), col("_vf")))
+      .select(col("op") +: keyCols.map(col) ++:
+        others.map(o => col(s"_v.$o").as(o)): _*)
+  }
+
   /** Read a committed snapshot BY ITS MANIFEST — orphan files in the
     * data directories are invisible by construction. */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {

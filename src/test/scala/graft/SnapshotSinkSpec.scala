@@ -446,4 +446,19 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(SnapshotSink.publishedVersion(spark, root).contains(1))
     assert(SnapshotSink.readPublished(spark, root).count() == 1)
   }
+
+  test("cdc: keyed I/D/U delta between any two versions; unchanged rows omitted") {
+    val root = tmpRoot()
+    SnapshotSink.commit(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), root)
+    SnapshotSink.commit(Seq((1L, 10L), (2L, 25L), (4L, 40L)).toDF("k", "v"), root)
+    val delta = SnapshotSink.cdc(spark, root, 1, 2, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // k=1 unchanged (omitted); k=2 updated (TO payload); k=3 deleted
+    // (FROM payload); k=4 inserted
+    assert(delta == Set(("U", 2L, 25L), ("D", 3L, 30L), ("I", 4L, 40L)))
+    // schema mismatch rejected loudly
+    SnapshotSink.commit(Seq((1L, "x")).toDF("k", "w"), root)
+    intercept[IllegalArgumentException](
+      SnapshotSink.cdc(spark, root, 2, 3, Seq("k")))
+  }
 }

@@ -284,6 +284,19 @@ class TrendSpec extends AnyFunSuite {
     assert(tail(5L) == ((28000000L, 1L)) && tail(6L) == ((22000000L, 1L)))
   }
 
+  test("densify: gaps zero-fill within each key's own span; dupes aggregate") {
+    val out = Trend.densify(
+      series(Seq(("a", 3L, 5L), ("a", 3L, 2L), ("a", 6L, 1L),
+        ("b", 10L, 4L))),
+      "k", "x", "y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 7L, 0L), ("a", 4L, 0L, 1L), ("a", 5L, 0L, 1L),
+      ("a", 6L, 1L, 0L),
+      ("b", 10L, 4L, 0L))) // single-point span: no fill rows
+  }
+
   // ---------------------------------------------------------- holtWinters
 
   test("holt-winters: hand trajectory with a period-2 ring (signed seasonals)") {
