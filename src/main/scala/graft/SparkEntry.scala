@@ -3108,6 +3108,23 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
+    // did average event value move between the first and second half of
+    // the month — per-type RATE movement (what changed) vs MIX movement
+    // (who showed up), the exact telescoping two-part attribution in
+    // cross-multiplied DECIMAL(38,0) micros. The Simpson's-paradox
+    // guard every metrics review needs. Hash-exact.
+    "q272_mix_shift" -> ((s, dir) => {
+      val base = events(s, dir)
+        .withColumn("day", expr("unix_millis(ts) DIV 86400000"))
+      val d0 = base.agg(min(col("day"))).head().getLong(0)
+      graft.operators.MixShift.decompose(
+        base.withColumn("in_b", col("day") > d0 + 14)
+          .withColumn("cents",
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")),
+        "event_type", "in_b", "cents")
+    }),
+
     // Extension — CALENDAR DENSIFY (Trend.densify): zero-fill each
     // key's [min, max] day span — the primitive the series family's
     // contract assumes ("the caller zero-fills first": row-indexed
@@ -8264,6 +8281,37 @@ object SparkEntry {
        |ORDER BY 1, 2""".stripMargin
 
 
+  /** q272: the decomposition replayed — segment cells, 1-row totals,
+    * the same cross-multiplied HUGEINT divisions. */
+  private def q272Oracle: String =
+    """WITH base AS (SELECT event_type,
+      |    epoch_ms(ts) // 86400000 AS day,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |d0 AS (SELECT min(day) AS d FROM base),
+      |cells AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN day <= d + 14 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN day > d + 14 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN day <= d + 14 THEN cents ELSE 0 END) AS BIGINT) AS v_a,
+      |    CAST(sum(CASE WHEN day > d + 14 THEN cents ELSE 0 END) AS BIGINT) AS v_b
+      |  FROM base, d0 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS na_tot,
+      |    CAST(sum(n_b) AS BIGINT) AS nb_tot FROM cells)
+      |SELECT event_type, n_a, n_b, v_a, v_b,
+      |  CAST(CASE WHEN n_a > 0
+      |    THEN (1000000 * v_a::HUGEINT) // n_a END AS BIGINT) AS rate_a_micro,
+      |  CAST(CASE WHEN n_b > 0
+      |    THEN (1000000 * v_b::HUGEINT) // n_b END AS BIGINT) AS rate_b_micro,
+      |  CAST(CASE WHEN n_a > 0 AND n_b > 0
+      |    THEN (1000000 * (v_b::HUGEINT * n_a - v_a::HUGEINT * n_b))
+      |         // (na_tot::HUGEINT * n_b) END AS BIGINT) AS rate_effect_micro,
+      |  CAST(CASE WHEN n_b > 0
+      |    THEN (1000000 * (n_b::HUGEINT * na_tot - n_a::HUGEINT * nb_tot)
+      |           * v_b)
+      |         // (na_tot::HUGEINT * nb_tot * n_b) END AS BIGINT)
+      |    AS mix_effect_micro
+      |FROM cells, tot ORDER BY 1""".stripMargin
+
   /** q270: dense per-user day spine via range(), zero-filled. */
   private def q270Oracle: String =
     """WITH s AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
@@ -10502,6 +10550,7 @@ object SparkEntry {
     "q267_stored_cusum_serve" -> q267Oracle,
     "q268_boosted_stumps" -> q268Oracle,
     "q269_wap_serve" -> q269Oracle,
+    "q272_mix_shift" -> q272Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
