@@ -3108,6 +3108,57 @@ object SparkEntry {
     // returned frame IS the metrics row — the one driver-side
     // materialization is 4 scalars. Hash-exact against a plain
     // aggregate replay. [Spark: Observation + Dataset.observe]
+    // Extension — BITEMPORAL ATTRIBUTE SERVING (Scd2 + snapshot
+    // versions): valid time x transaction time. v1 commits the SCD2
+    // attribute history built from RAW events ("what we believed");
+    // v2 commits the history rebuilt after a reprocessing correction
+    // (error events reclassified as non-signal) — snapshot versions ARE
+    // the transaction-time axis. The probe asks, for valid-time day
+    // min+10, which users' attribute CHANGED between the two knowledge
+    // versions (full-outer, null-safe inequality). Hash-exact.
+    "q273_bitemporal_attr" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q273", dir)
+      val ev = events(s, dir).localCheckpoint(true)
+      val d0 = ev.agg(min(expr("unix_millis(ts) DIV 86400000")))
+        .head().getLong(0)
+      val pMs = (d0 + 10L) * 86400000L
+      SnapshotSink.commit(graft.operators.Scd2.history(
+        ev, "user_id", "ts", "event_type", "event_id").coalesce(1), root)
+      SnapshotSink.commit(graft.operators.Scd2.history(
+        ev.filter(col("event_type") =!= "error"),
+        "user_id", "ts", "event_type", "event_id").coalesce(1), root)
+      def atP(v: Int) = SnapshotSink.read(s, root, Some(v))
+        .filter(col("valid_from_ms") <= pMs &&
+          (col("valid_to_ms").isNull || col("valid_to_ms") > pMs))
+        .select(col("user_id"), col("attr"))
+      atP(1).withColumnRenamed("attr", "attr_v1")
+        .join(atP(2).withColumnRenamed("attr", "attr_v2"),
+          Seq("user_id"), "full_outer")
+        .filter(!(col("attr_v1") <=> col("attr_v2")))
+        .orderBy("user_id")
+    }),
+
+    // Extension — QUOTA SAMPLING (Sampling.quotaSample): the matched-
+    // sampling primitive — the LARGEST deterministic subset whose
+    // type mix hits the prescribed permyriad targets (view 40%, click
+    // 30%, purchase 20%, signup 5%, error 5%) without exceeding any
+    // type's supply; membership is a pure salted-md5 rank of the row
+    // key (reproducible on any engine — the q47/q60 determinism
+    // family). Gated on the per-type count AND the content-sensitive
+    // event-id sum of the picked rows. Hash-exact.
+    "q274_quota_sample" -> ((s, dir) => {
+      graft.operators.Sampling.quotaSample(
+          events(s, dir).select("event_id", "event_type"),
+          "event_type", "event_id",
+          Seq("view" -> 4000L, "click" -> 3000L, "purchase" -> 2000L,
+            "signup" -> 500L, "error" -> 500L), salt = "|q274")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_taken"),
+          sum(col("event_id")).as("sum_event_id"))
+        .orderBy("event_type")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -8281,6 +8332,59 @@ object SparkEntry {
        |ORDER BY 1, 2""".stripMargin
 
 
+  /** q273: both knowledge versions' SCD2 chains replayed (one CTE
+    * family per version, the corrected one filtering error events), the
+    * valid-time probe at day min+10, full-outer null-safe diff. */
+  private def q273Oracle: String = {
+    def hist(tag: String, where: String): String =
+      s"""e$tag AS (SELECT user_id, epoch_ms(ts) AS ms, event_type AS attr,
+         |    event_id AS tie FROM events $where),
+         |m$tag AS (SELECT *, lag(attr) OVER w AS prev,
+         |    row_number() OVER w AS rn
+         |  FROM e$tag WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ms ASC, tie ASC)),
+         |ch$tag AS (SELECT user_id, ms, attr, tie FROM m$tag
+         |  WHERE rn = 1 OR attr IS DISTINCT FROM prev),
+         |v$tag AS (SELECT user_id, attr, ms AS vf,
+         |    lead(ms) OVER w2 AS vt
+         |  FROM ch$tag WINDOW w2 AS (PARTITION BY user_id
+         |    ORDER BY ms ASC, tie ASC)),
+         |p$tag AS (SELECT user_id, attr FROM v$tag, probe
+         |  WHERE vf <= p_ms AND (vt IS NULL OR vt > p_ms))""".stripMargin
+    s"""WITH probe AS (SELECT (min(epoch_ms(ts) // 86400000) + 10)
+       |    * 86400000 AS p_ms FROM events),
+       |${hist("1", "")},
+       |${hist("2", "WHERE event_type <> 'error'")}
+       |SELECT coalesce(p1.user_id, p2.user_id) AS user_id,
+       |  p1.attr AS attr_v1, p2.attr AS attr_v2
+       |FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id
+       |WHERE p1.attr IS DISTINCT FROM p2.attr
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** q274: quota replay — availability census, min-feasibility scale,
+    * per-type md5-ranked pick, content-sensitive id sums. */
+  private def q274Oracle: String =
+    """WITH t(ty, share) AS (VALUES ('view', 4000), ('click', 3000),
+      |    ('purchase', 2000), ('signup', 500), ('error', 500)),
+      |base AS (SELECT event_id, event_type, share
+      |  FROM events JOIN t ON event_type = ty),
+      |avail AS (SELECT event_type, share, CAST(count(*) AS BIGINT) AS a
+      |  FROM base GROUP BY 1, 2),
+      |sc AS (SELECT min(a * 10000 // share) AS s FROM avail),
+      |q AS (SELECT event_type, (SELECT s FROM sc) * share // 10000 AS quota
+      |  FROM avail),
+      |rk AS (SELECT event_id, event_type,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY md5(event_id::VARCHAR || '|q274') ASC, event_id ASC)
+      |      AS r
+      |  FROM base)
+      |SELECT rk.event_type, CAST(count(*) AS BIGINT) AS n_taken,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+      |FROM rk JOIN q ON q.event_type = rk.event_type
+      |WHERE r <= quota
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q272: the decomposition replayed — segment cells, 1-row totals,
     * the same cross-multiplied HUGEINT divisions. */
   private def q272Oracle: String =
@@ -10551,6 +10655,8 @@ object SparkEntry {
     "q268_boosted_stumps" -> q268Oracle,
     "q269_wap_serve" -> q269Oracle,
     "q272_mix_shift" -> q272Oracle,
+    "q273_bitemporal_attr" -> q273Oracle,
+    "q274_quota_sample" -> q274Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -371,4 +371,50 @@ object Sampling {
     val cumBefore = coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L))
     df.withColumn(binCol, floor(cumBefore / budget))
   }
+
+  /** QUOTA SAMPLING to a TARGET MIX — the matched-sampling primitive a
+    * training-data pipeline uses to hit a prescribed distribution
+    * ("40% web, 30% books, ..."): per category, take the `quota_k`
+    * rows with the smallest salted md5 rank, where
+    *
+    *     scale   = min_k (available_k · 10⁴ DIV target_k)   (feasibility)
+    *     quota_k = scale · target_k DIV 10⁴
+    *
+    * — the LARGEST sample whose composition matches the permyriad
+    * targets without exceeding any category's supply. Hash-ranked
+    * selection makes membership a pure function of row content (the
+    * [[bucket]] determinism argument: reproducible across runs,
+    * partitionings, and engines — unlike `sample()`), and the rank
+    * window partitions BY CATEGORY, never globally.
+    *
+    * @param targets (category, permyriad) — must sum to 10000; rows of
+    *                uncovered categories are dropped
+    * @return the sampled subset of `df`'s rows, original columns
+    */
+  def quotaSample(df: DataFrame, typeCol: String, keyCol: String,
+                  targets: Seq[(String, Long)], salt: String): DataFrame = {
+    require(targets.nonEmpty && targets.map(_._2).sum == 10000L,
+      "targets must sum to 10000 permyriad")
+    require(targets.forall(_._2 > 0), "each target must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toDF("_t", "_share")
+    val base = df.join(broadcast(t), col(typeCol) === col("_t"))
+      .localCheckpoint(true) // availability census + the ranked pick
+    val avail = base.groupBy(col(typeCol).as("_ty"), col("_share"))
+      .agg(count(lit(1)).as("_avail"))
+    // the feasibility scale is a 1-row scalar crossJoin (q84 pattern)
+    val quotas = avail
+      .crossJoin(avail.agg(
+        min(expr("_avail * 10000 DIV _share")).as("_scale")))
+      .select(col("_ty"), expr("_scale * _share DIV 10000").as("_quota"))
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol))
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))).asc,
+        col(keyCol).asc)
+    base.withColumn("_rk", row_number().over(byType))
+      .join(broadcast(quotas), col(typeCol) === col("_ty"))
+      .filter(col("_rk") <= col("_quota"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

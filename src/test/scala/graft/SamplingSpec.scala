@@ -211,4 +211,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(re == got)
     intercept[IllegalArgumentException](Sampling.packBins(docs, "n", "ord", Nil, 100))
   }
+
+  test("quotaSample: scarcest category caps the scale; mix hits targets; deterministic") {
+    import graft.operators.Sampling
+    // A: 10 rows available, B: 2 rows; 50/50 targets -> scale =
+    // min(20, 4) = 4 -> quota 2 + 2
+    val df = ((1L to 10L).map(i => (i, "A")) ++ Seq((100L, "B"), (101L, "B")))
+      .toDF("k", "ty")
+    val out = Sampling.quotaSample(df, "ty", "k",
+      Seq("A" -> 5000L, "B" -> 5000L), salt = "|s")
+    val byTy = out.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byTy == Map("A" -> 2, "B" -> 2))
+    // membership is content-determined: a rerun picks the same rows
+    val again = Sampling.quotaSample(df, "ty", "k",
+      Seq("A" -> 5000L, "B" -> 5000L), salt = "|s")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+    // uncovered categories drop; bad targets fail loudly
+    val withC = df.union(Seq((999L, "C")).toDF("k", "ty"))
+    assert(!Sampling.quotaSample(withC, "ty", "k",
+      Seq("A" -> 5000L, "B" -> 5000L), "|s")
+      .collect().map(_.getString(1)).contains("C"))
+    intercept[IllegalArgumentException](Sampling.quotaSample(
+      df, "ty", "k", Seq("A" -> 5000L), "|s"))
+  }
 }
