@@ -3159,6 +3159,141 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Extension — INTERVAL-UNION COVERAGE (Interval.unionCoverage): per
+    // user, the length of the UNION of overlapping activity intervals
+    // (each event occupies [ts, ts + 60 s + 10 s·clamp(value)]) — the
+    // honest active-time figure that naive sum(duration) double-counts
+    // under overlap, plus merged-span count and the longest burst.
+    // Gaps-and-islands with ONLY user-partitioned windows. Hash-exact.
+    "q275_span_coverage" -> ((s, dir) => {
+      graft.operators.Interval.unionCoverage(
+        events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 1000000").as("st"),
+            expr("unix_micros(ts) DIV 1000000 + 60 + 10 * " +
+              "greatest(0, least(120, floor(coalesce(value, 0))))")
+              .as("en")),
+        "user_id", "st", "en")
+        .withColumnRenamed("covered", "covered_s")
+        .withColumnRenamed("longest_span", "longest_s")
+        .orderBy("user_id")
+    }),
+
+    // Extension — TIME-DECAYED POPULARITY (freshness-weighted top-k):
+    // per part, recency-decayed demand where a line's weight HALVES per
+    // week of age — in INTEGER arithmetic (2²⁰ >> age_weeks, capped at
+    // 20 octaves), so the decay curve replays bit-for-bit on any
+    // engine, unlike exp(-λ·age). The anchor day is a 1-row broadcast
+    // scalar (q84 pattern), the score one map-side-combined aggregate,
+    // the readout a TakeOrdered top-20 with part names joined on the
+    // part-count-sized frame. Hash-exact.
+    "q276_decayed_topk" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_partkey"),
+        expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000")
+          .as("day"))
+      val anchor = l.agg(max(col("day")).as("d_max"))
+      val scored = l.crossJoin(broadcast(anchor))
+        .withColumn("w", expr(
+          "shiftright(1048576, CAST(least((d_max - day) DIV 7, 20) AS INT))"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("w")).as("decayed_score"),
+          count(lit(1)).as("n_lines"))
+      scored
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("p_name"), col("decayed_score"),
+          col("n_lines"))
+        .orderBy(col("decayed_score").desc, col("l_partkey").asc)
+        .limit(20)
+    }),
+
+    // Extension — HITS HUBS/AUTHORITIES (Graph.hits): Kleinberg's
+    // mutual recursion on the BUILDING-segment purchase bipartite
+    // (customers → parts), integer-exact with per-round DECIMAL(38,0)
+    // L1 renormalization — authorities are the parts broad-basket
+    // buyers concentrate on (a different signal from raw degree; the
+    // spec pins a degree-tie HITS breaks). Six synchronous rounds, the
+    // edge list shuffled once per direction, L1 totals as 1-row
+    // crossJoin scalars, zero jobs inside the loop. Four rounds (the
+    // loop is stage-count-bound at test scale, and the ordering is
+    // converged by round 4 — the probe data's spectral gap is wide);
+    // the oracle unrolls them as MATERIALIZED CTE chains. Hash-exact.
+    "q278_hits_purchase" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val edges = t(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("buyer"), col("l_partkey").as("part"))
+      val scored = graft.operators.Graph.hits(edges, "buyer", "part", 4)
+        .localCheckpoint(true) // two role-sliced TakeOrdereds below
+      def top(role: String) = scored.filter(col("role") === role)
+        .orderBy(col("score_micros").desc, col("node").asc).limit(15)
+      top("authority").unionByName(top("hub"))
+        .orderBy(col("role"), col("score_micros").desc, col("node"))
+    }),
+
+    // Extension — ZIPF OCTAVE CENSUS: the rank-frequency readout beside
+    // q165's Heaps curve — per frequency octave k (= bit length of the
+    // type's count; no float log anywhere), the number of types and
+    // token mass, with cumulative corpus share in truncating permyriad.
+    // A healthy corpus shows the Zipf head (few octaves carrying most
+    // mass); boilerplate floods the top octave. Vocabulary-sized after
+    // one token shuffle; the cumulative window sees ≤64 octave rows.
+    // Hash-exact.
+    "q279_zipf_octaves" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val oct = freq
+        .groupBy(expr("CAST(length(bin(c)) AS BIGINT)").as("k"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("octave_tokens"))
+        .localCheckpoint(true) // census + 1-row total share one pass
+      oct.crossJoin(oct.agg(sum(col("octave_tokens")).as("n_tokens")))
+        .withColumn("cum_tokens",
+          sum(col("octave_tokens")).over(Window.orderBy(col("k"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_share_pm", expr(
+          "CAST(CAST(cum_tokens AS DECIMAL(38,0)) * 10000 DIV n_tokens" +
+            " AS BIGINT)"))
+        .select(col("k"), col("n_types"), col("octave_tokens"),
+          col("cum_tokens"), col("cum_share_pm"))
+        .orderBy("k")
+    }),
+
+    // Extension — RENDEZVOUS SHARD RESIZE (Sharding.resizeCensus): HRW
+    // assignment of users onto 8 shards, then the 8→9 resize
+    // experiment — per old shard, population before/after, keys
+    // surrendered to the new shard, and the n_lateral column that the
+    // HRW minimal-disruption property pins to ZERO (a self-verifying
+    // invariant inside the hash gate). Keys×shards is a map-side
+    // explode; the argmax one user-partitioned window. Hash-exact.
+    "q280_shard_resize" -> ((s, dir) => {
+      graft.operators.Sharding.resizeCensus(
+        events(s, dir).filter(col("user_id").isNotNull),
+        "user_id", (0 until 8).map(i => s"S$i"), "S8")
+        .orderBy("shard")
+    }),
+
+    // Extension — BLOCKING-QUALITY AUDIT (BlockingAudit.audit): the
+    // measured instrument for the dedup/ER blocking stage — reduction
+    // ratio vs pair completeness of a (lang, length-centile) blocking
+    // scheme against exact-duplicate ground truth (canonical
+    // fingerprint groups), all pair counts via group-size combinatorics
+    // (no pair ever materialized; corpus-level sums in DECIMAL(38,0)).
+    // Whitespace-variant duplicates shift n_chars across the bucket
+    // edge, so completeness is genuinely < 10000 pm. Hash-exact.
+    "q277_blocking_audit" -> ((s, dir) => {
+      graft.operators.BlockingAudit.audit(
+        t(s, dir, "documents").select(
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp"),
+          concat_ws("|", col("lang"),
+            expr("CAST(n_chars DIV 100 AS STRING)")).as("blk")),
+        "fp", "blk")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -8385,6 +8520,170 @@ object SparkEntry {
       |WHERE r <= quota
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q278: six HITS rounds unrolled as MATERIALIZED CTE chains (the
+    * q268 oracle discipline — DuckDB would otherwise re-evaluate the
+    * recursion 2^rounds times), HUGEINT sums, the same 10⁶-mass L1
+    * renormalization per round via // . */
+  private def q278Oracle: String = {
+    // normalization is once per round, hub side (authority raw sums
+    // flow through; the final a4 rescales once) — mirrors Graph.hits
+    val rounds = (1 to 4).map { k =>
+      s"""a${k}r AS MATERIALIZED (SELECT e.dst AS node, sum(h) AS r
+         |  FROM e JOIN h${k - 1} ON h${k - 1}.node = e.src GROUP BY 1),
+         |h${k}r AS MATERIALIZED (SELECT e.src AS node, sum(r) AS r
+         |  FROM e JOIN a${k}r ON a${k}r.node = e.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT node,
+         |  1000000 * r // (SELECT sum(r) FROM h${k}r) AS h
+         |  FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,
+       |    l.l_partkey AS dst
+       |  FROM orders o
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |    AND c.c_mktsegment = 'BUILDING'
+       |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS node,
+       |  CAST(1000000 AS HUGEINT) AS h FROM e),
+       |$rounds,
+       |a4 AS (SELECT node,
+       |  1000000 * r // (SELECT sum(r) FROM a4r) AS a FROM a4r)
+       |SELECT role, node, score_micros, degree FROM (
+       |  (SELECT 'authority' AS role, a4.node,
+       |     CAST(a AS BIGINT) AS score_micros,
+       |     (SELECT CAST(count(*) AS BIGINT) FROM e
+       |      WHERE e.dst = a4.node) AS degree
+       |   FROM a4 ORDER BY a DESC, node ASC LIMIT 15)
+       |  UNION ALL
+       |  (SELECT 'hub', h4.node, CAST(h AS BIGINT),
+       |     (SELECT CAST(count(*) AS BIGINT) FROM e
+       |      WHERE e.src = h4.node)
+       |   FROM h4 ORDER BY h DESC, node ASC LIMIT 15))
+       |ORDER BY role, score_micros DESC, node""".stripMargin
+  }
+
+  /** q279: token census → per-type counts → bit-length octaves, with
+    * the cumulative permyriad share over the ≤64 octave rows. */
+  private def q279Oracle: String =
+    """WITH tk AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> x <> '')) AS token FROM documents),
+      |f AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+      |  FROM tk GROUP BY 1),
+      |o AS (SELECT CAST(length(bin(c)) AS BIGINT) AS k,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(c) AS BIGINT) AS octave_tokens
+      |  FROM f GROUP BY 1),
+      |t AS (SELECT CAST(sum(octave_tokens) AS BIGINT) AS n_tokens FROM o)
+      |SELECT k, n_types, octave_tokens,
+      |  CAST(sum(octave_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(CAST(sum(octave_tokens) OVER w AS HUGEINT) * 10000
+      |    // n_tokens AS BIGINT) AS cum_share_pm
+      |FROM o, t
+      |WINDOW w AS (ORDER BY k ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY k""".stripMargin
+
+  /** q280: the HRW argmax replayed — keys × 9 shard weights, per-key
+    * rank under both shard sets, per-old-shard resize census. */
+  private def q280Oracle: String =
+    """WITH k AS (SELECT DISTINCT user_id AS key FROM events
+      |  WHERE user_id IS NOT NULL),
+      |sh AS (SELECT unnest(['S0','S1','S2','S3','S4','S5','S6','S7',
+      |    'S8']) AS shard),
+      |w AS (SELECT key, shard,
+      |    md5(CAST(key AS VARCHAR) || '|' || shard) AS w
+      |  FROM k, sh),
+      |a8 AS (SELECT key, shard AS shard_before FROM (
+      |  SELECT key, shard, row_number() OVER (PARTITION BY key
+      |    ORDER BY w DESC, shard ASC) AS rn
+      |  FROM w WHERE shard <> 'S8') WHERE rn = 1),
+      |a9 AS (SELECT key, shard AS shard_after FROM (
+      |  SELECT key, shard, row_number() OVER (PARTITION BY key
+      |    ORDER BY w DESC, shard ASC) AS rn FROM w) WHERE rn = 1)
+      |SELECT shard_before AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_before,
+      |  CAST(sum(CASE WHEN shard_after = shard_before THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_after,
+      |  CAST(sum(CASE WHEN shard_after = 'S8' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_to_new,
+      |  CAST(sum(CASE WHEN shard_after <> shard_before
+      |    AND shard_after <> 'S8' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lateral
+      |FROM a8 JOIN a9 USING (key) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q275: the same gaps-and-islands replay — strictly-before running
+    * max of ends opens islands, per-island spans roll up per user. */
+  private def q275Oracle: String =
+    """WITH iv AS (SELECT user_id,
+      |    epoch_us(ts) // 1000000 AS st,
+      |    epoch_us(ts) // 1000000 + 60 + 10 *
+      |      greatest(0, least(120, CAST(floor(coalesce(value, 0))
+      |        AS BIGINT))) AS en
+      |  FROM events WHERE user_id IS NOT NULL),
+      |m AS (SELECT user_id, st, en,
+      |    max(en) OVER (PARTITION BY user_id ORDER BY st ASC, en ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv),
+      |f AS (SELECT user_id, st, en,
+      |    CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS nw
+      |  FROM m),
+      |i AS (SELECT user_id, st, en,
+      |    sum(nw) OVER (PARTITION BY user_id ORDER BY st ASC, en ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM f),
+      |sp AS (SELECT user_id, isl, min(st) AS lo, max(en) AS hi,
+      |    count(*) AS n
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(hi - lo) AS BIGINT) AS covered_s,
+      |  CAST(max(hi - lo) AS BIGINT) AS longest_s
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q276: integer half-life decay replayed with >> off the same
+    * anchor-day scalar; identical top-20 tiebreak. */
+  private def q276Oracle: String =
+    """WITH l AS (SELECT l_partkey,
+      |    epoch_ms(l_shipdate) // 86400000 AS day FROM lineitem),
+      |a AS (SELECT max(day) AS d_max FROM l),
+      |s AS (SELECT l_partkey,
+      |    CAST(sum(1048576 >> CAST(least((d_max - day) // 7, 20)
+      |      AS INTEGER)) AS BIGINT) AS decayed_score,
+      |    CAST(count(*) AS BIGINT) AS n_lines
+      |  FROM l, a GROUP BY 1)
+      |SELECT s.l_partkey, p.p_name, s.decayed_score, s.n_lines
+      |FROM s JOIN part p ON p.p_partkey = s.l_partkey
+      |ORDER BY decayed_score DESC, l_partkey ASC LIMIT 20""".stripMargin
+
+  /** q277: group-size combinatorics replay — block / truth / joint
+    * censuses, HUGEINT pair sums, the permyriad // convention. */
+  private def q277Oracle: String =
+    """WITH d AS (SELECT
+      |    md5(array_to_string(list_filter(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x <> ''), ' ')) AS fp,
+      |    lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk
+      |  FROM documents),
+      |tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM d),
+      |cand AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS p
+      |  FROM (SELECT CAST(count(*) AS HUGEINT) AS c FROM d GROUP BY blk)),
+      |tp AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS p
+      |  FROM (SELECT CAST(count(*) AS HUGEINT) AS c FROM d GROUP BY fp)),
+      |cb AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS p
+      |  FROM (SELECT CAST(count(*) AS HUGEINT) AS c FROM d
+      |        GROUP BY fp, blk))
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  CAST(n * (n - 1) // 2 AS DECIMAL(38,0)) AS total_pairs,
+      |  CAST(cand.p AS DECIMAL(38,0)) AS cand_pairs,
+      |  CAST(tp.p AS DECIMAL(38,0)) AS true_pairs,
+      |  CAST(cb.p AS DECIMAL(38,0)) AS coblocked_pairs,
+      |  CAST(CASE WHEN n > 1 THEN
+      |    10000 - (10000 * cand.p) // (n * (n - 1) // 2) END AS BIGINT)
+      |    AS reduction_pm,
+      |  CAST(CASE WHEN tp.p > 0 THEN (10000 * cb.p) // tp.p END
+      |    AS BIGINT) AS completeness_pm
+      |FROM tot, cand, tp, cb""".stripMargin
+
   /** q272: the decomposition replayed — segment cells, 1-row totals,
     * the same cross-multiplied HUGEINT divisions. */
   private def q272Oracle: String =
@@ -10657,6 +10956,12 @@ object SparkEntry {
     "q272_mix_shift" -> q272Oracle,
     "q273_bitemporal_attr" -> q273Oracle,
     "q274_quota_sample" -> q274Oracle,
+    "q275_span_coverage" -> q275Oracle,
+    "q276_decayed_topk" -> q276Oracle,
+    "q277_blocking_audit" -> q277Oracle,
+    "q278_hits_purchase" -> q278Oracle,
+    "q279_zipf_octaves" -> q279Oracle,
+    "q280_shard_resize" -> q280Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BLOCKING-QUALITY AUDIT — the two numbers every entity-resolution /
+  * dedup blocking scheme must publish before anyone trusts it:
+  *
+  *   reduction ratio    = 1 − candidate_pairs / total_pairs
+  *     (how much of the O(n²) comparison space the blocks eliminate)
+  *   pair completeness  = co-blocked true pairs / true pairs
+  *     (how many KNOWN duplicate pairs still land in a common block —
+  *      the recall the downstream matcher can at best achieve)
+  *
+  * A scheme is only as good as BOTH: trivial blocks (everything in one
+  * bucket) have completeness 1 but reduction 0; over-sharp blocks
+  * reduce brilliantly and silently drop the very pairs the pipeline
+  * exists to find. This is the q231/q232 measured-instrument discipline
+  * pointed at the blocking stage itself.
+  *
+  * Scale shape: NO pair is ever materialized — every pair count is
+  * group-size combinatorics. Candidate pairs = Σ_b C(size_b, 2) off a
+  * block-size aggregate; true pairs = Σ_g C(size_g, 2) off a truth-key
+  * aggregate; co-blocked true pairs = Σ_{g,b} C(size, 2) off the
+  * (truth, block) aggregate — three map-side-combined shuffles whose
+  * output is bounded by the number of DISTINCT blocks/truth groups,
+  * never the corpus, and nothing downstream exceeds those frames. Per-
+  * group pair counts stay in BIGINT (a single block would need >3×10⁹
+  * members to overflow — already a broken scheme); the corpus-level
+  * sums and the C(n,2) denominator are DECIMAL(38,0) because at 10¹²
+  * rows total_pairs ≈ 5×10²³ is past int64. Ratios are truncating
+  * permyriad via the DECIMAL(38,0) DIV convention (bit-identical to
+  * DuckDB HUGEINT //).
+  *
+  * @param df       one row per record
+  * @param truthCol ground-truth duplicate key (e.g. canonical content
+  *                 fingerprint): rows sharing it ARE duplicates
+  * @param blockCol the blocking key under audit
+  * @return ONE row: n_rows, total_pairs, cand_pairs, true_pairs,
+  *         coblocked_pairs (pair counts DECIMAL(38,0)),
+  *         reduction_pm, completeness_pm (truncating permyriad;
+  *         completeness NULL when there are no true pairs)
+  */
+object BlockingAudit {
+
+  def audit(df: DataFrame, truthCol: String, blockCol: String): DataFrame = {
+    val base = df.select(col(truthCol).as("_truth"), col(blockCol).as("_blk"))
+      .localCheckpoint(true) // three census passes share one input scan
+    def pairSum(grouped: DataFrame): DataFrame =
+      grouped
+        .withColumn("_p", expr("_c * (_c - 1) DIV 2"))
+        .agg(coalesce(sum(col("_p").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("_pairs"))
+    val tot = base.agg(count(lit(1)).as("n_rows"))
+      .withColumn("total_pairs",
+        // true decimal division, not DIV: DIV's long result would
+        // overflow at 10¹² rows; n(n−1) is even so /2 is exact
+        expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1) / 2 " +
+          "AS DECIMAL(38,0))"))
+    val cand = pairSum(base.groupBy(col("_blk")).agg(count(lit(1)).as("_c")))
+      .withColumnRenamed("_pairs", "cand_pairs")
+    val truth = pairSum(base.groupBy(col("_truth")).agg(count(lit(1)).as("_c")))
+      .withColumnRenamed("_pairs", "true_pairs")
+    val cob = pairSum(base.groupBy(col("_truth"), col("_blk"))
+        .agg(count(lit(1)).as("_c")))
+      .withColumnRenamed("_pairs", "coblocked_pairs")
+    tot.crossJoin(cand).crossJoin(truth).crossJoin(cob) // all 1-row scalars
+      .withColumn("reduction_pm", expr(
+        "CASE WHEN total_pairs > 0 THEN " +
+          "10000 - (10000 * cand_pairs) DIV total_pairs END"))
+      .withColumn("completeness_pm", expr(
+        "CASE WHEN true_pairs > 0 THEN " +
+          "(10000 * coblocked_pairs) DIV true_pairs END"))
+      .select(col("n_rows"), col("total_pairs"), col("cand_pairs"),
+        col("true_pairs"), col("coblocked_pairs"),
+        col("reduction_pm").cast("long").as("reduction_pm"),
+        col("completeness_pm").cast("long").as("completeness_pm"))
+  }
+}

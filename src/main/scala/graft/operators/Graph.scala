@@ -431,4 +431,88 @@ object Graph {
       .filter(col("n_nodes") > 0)
     reached.unionByName(unreached).orderBy("dist")
   }
+
+  /** HITS (Kleinberg) hubs-and-authorities, INTEGER-EXACT in the
+    * PageRank discipline: scores live in micro-units and renormalize to
+    * L1 mass 10⁶ via one DECIMAL(38,0) cross-multiplied `DIV` (the
+    * classic normalization — without it HITS diverges; with float norms
+    * it un-reproduces). The mutual recursion
+    *
+    *     auth(v) = Σ_{u→v} hub(u)
+    *     hub(u)  = Σ_{u→v} auth(v)     (then L1-rescale to 10⁶)
+    *
+    * is the power iteration on AᵀA / AAᵀ. Normalization is ONCE per
+    * full round, on the hub side (authorities carry exact raw sums
+    * through the round and rescale once at the end): scale factors
+    * cancel in the eigenvector limit, so this computes the same
+    * direction with HALF the truncation events per round (exactly one)
+    * and half the L1-total chains — which is also what makes the loop
+    * stage-lean. On a purchase bipartite graph the authorities are the
+    * parts broad-basket buyers concentrate on and the hubs those
+    * buyers — a different signal from raw degree (the spec pins a case
+    * where degree ties and HITS doesn't).
+    *
+    * Scale shape: the edge list shuffles ONCE per direction (a src- and
+    * a dst-keyed copy, both checkpointed); each round is two |E|-sized
+    * joins with map-side-combined sums, both exchange-free on the score
+    * side (groupBy re-keys each score frame to the side its join
+    * needs); the L1 total rides as a 1-row crossJoin scalar (q84
+    * pattern — no driver collect); LAZY checkpoints per round keep plan
+    * depth constant and the loop submits zero jobs (the final consumer
+    * materializes the chain). Sums run in DECIMAL(38,0): un-normalized
+    * authority mass is ≤ 10⁶·|E| and the following hub raw sums
+    * ≤ 10⁶·|E|² — 128-bit headroom is required at 10¹² edges before
+    * the DIV lands every score back in [0, 10⁶]. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 6): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations in [1,50]")
+    val eSrc = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val eDst = eSrc.repartition(col("dst")).localCheckpoint(true)
+    // degree frames double as the node sets (init + final join) — no
+    // separate distinct passes
+    val outDeg = eSrc.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree")).localCheckpoint(true)
+    val inDeg = eDst.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_degree")).localCheckpoint(true)
+    // L1-normalize to total mass 10⁶ (truncating per node). Only the
+    // RAW-sum frames are (lazily) checkpointed — each is consumed
+    // twice (the L1 total and the per-node division) and carries the
+    // round's |E|-join; the division/crossJoin layer stays inline so a
+    // round materializes exactly TWO frames (the r9 graph-family
+    // lesson: at node-sized data the fixed cost per materialized frame
+    // dominates, so fewer frames = faster loop).
+    def rescale(raw: DataFrame, scoreAs: String): DataFrame =
+      raw.crossJoin(raw.agg(sum(col("_raw")).as("_tot")))
+        .select(col("node"), expr(
+          "CAST(1000000 * CAST(_raw AS DECIMAL(38,0)) DIV _tot AS BIGINT)")
+          .as(scoreAs))
+    var h = outDeg.select(col("node"), lit(1000000L).as("h_micros"))
+    var aRaw: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      aRaw = eSrc.join(h, eSrc("src") === h("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h_micros").cast("decimal(38,0)")).as("_raw"))
+        .localCheckpoint(false)
+      val hRaw = eDst.join(aRaw, eDst("dst") === aRaw("node"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("_raw")).as("_raw"))
+        .localCheckpoint(false)
+      h = rescale(hRaw, "h_micros")
+      i += 1
+    }
+    val a = rescale(aRaw, "a_micros")
+    inDeg.join(a, Seq("node"), "left")
+      .select(col("node"), lit("authority").as("role"),
+        coalesce(col("a_micros"), lit(0L)).as("score_micros"),
+        col("in_degree").as("degree"))
+      .unionByName(
+        outDeg.join(h, Seq("node"), "left")
+          .select(col("node"), lit("hub").as("role"),
+            coalesce(col("h_micros"), lit(0L)).as("score_micros"),
+            col("out_degree").as("degree")))
+  }
 }

@@ -25,67 +25,21 @@ object ScratchProbe {
       println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
 
-    def strong = {
-      def tb(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
-      tb("orders")
-        .join(tb("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("cust"),
-          concat(lit("s"), col("l_suppkey")).as("supp"))
-        .distinct()
-    }
-    def strongInt = {
-      def tb(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
-      tb("orders")
-        .join(tb("lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("cust"),
-          (col("l_suppkey") * 2 + 1).as("supp"))
-        .distinct()
-    }
+    def tb(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
     for (rep <- 1 to 2) {
-      val edges = t(s"edge_build rep$rep") { strong.localCheckpoint(true) }
-      t(s"kcore rep$rep") {
-        graft.operators.Graph.kCore(edges, "cust", "supp", k = 46).count()
+      val edges = t(s"edge_build rep$rep") {
+        val cust = tb("customer")
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        tb("orders")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(tb("lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("buyer"), col("l_partkey").as("part"))
+          .localCheckpoint(true)
       }
-      val edgesI = t(s"edge_build_int rep$rep") { strongInt.localCheckpoint(true) }
-      t(s"kcore_int rep$rep") {
-        graft.operators.Graph.kCore(edgesI, "cust", "supp", k = 46).count()
-      }
-    }
-    // round count visibility: replicate the double-step probe loop
-    locally {
-      val edges = strong.localCheckpoint(true)
-      println(s"[probe] strong_edges=${edges.count()}")
-      var sym = t("sym_build") {
-        edges.select(col("cust").as("a"), col("supp").as("b"))
-          .unionAll(edges.select(col("supp").as("a"), col("cust").as("b")))
-          .filter(col("a") =!= col("b"))
-          .repartition(col("a")).distinct().localCheckpoint(true)
-      }
-      println(s"[probe] sym_edges=${sym.count()}")
-      t("final_agg") {
-        sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
-          .orderBy("node").count()
-      }
-      def subK(g: org.apache.spark.sql.DataFrame) =
-        g.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
-          .filter(col("d") < 46).select("n")
-      def peel(g: org.apache.spark.sql.DataFrame, bad: org.apache.spark.sql.DataFrame) =
-        g.join(bad.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
-          .join(bad.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
-          .select("a", "b")
-      var round = 0
-      var done = false
-      while (!done && round < 50) {
-        val bad = subK(sym).localCheckpoint(false)
-        val t0 = System.nanoTime()
-        val n = bad.count()
-        println(f"[probe] round=$round bad=$n probe=${(System.nanoTime() - t0) / 1e9}%.3f s")
-        if (n == 0) done = true
-        else {
-          val sym1 = peel(sym, bad).localCheckpoint(false)
-          val bad1 = subK(sym1).localCheckpoint(false)
-          sym = peel(sym1, bad1).localCheckpoint(false)
-          round += 1
+      println(s"[probe] edges=${edges.count()}")
+      for (it <- Seq(1, 2, 6)) {
+        t(s"hits_it$it rep$rep") {
+          graft.operators.Graph.hits(edges, "buyer", "part", it).count()
         }
       }
     }
