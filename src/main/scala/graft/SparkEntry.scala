@@ -3294,6 +3294,53 @@ object SparkEntry {
         "fp", "blk")
     }),
 
+    // Extension — INTERVAL×INTERVAL OVERLAP JOIN (Interval.overlapJoin):
+    // which purchase fulfillment windows [sec, sec+600) overlapped a
+    // high-severity incident window [sec, sec+1800). The naive
+    // two-inequality join plans as a cartesian; the bucketed form
+    // explodes each interval to its covered 10-minute buckets,
+    // equi-joins on the bucket, and keeps ONLY the meet bucket
+    // (greatest of the two start buckets) — exactly one row per
+    // overlapping pair, no distinct pass. Oracle: the plain quadratic
+    // overlap join (safe at DuckDB's scale, not at ours). Hash-exact.
+    "q281_overlap_join" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("sec", expr("unix_micros(ts) DIV 1000000"))
+      val incidents = e
+        .filter(col("event_type") === "error" && col("value") > 300)
+        .select(col("event_id").as("incident_id"),
+          col("sec").as("i_start"), (col("sec") + 1800L).as("i_end"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          col("sec").as("p_start"), (col("sec") + 600L).as("p_end"))
+      graft.operators.Interval.overlapJoin(
+          incidents, "i_start", "i_end", purchases, "p_start", "p_end",
+          bucket = 600L)
+        .select(col("incident_id"), col("event_id"),
+          (least(col("i_end"), col("p_end")) -
+            greatest(col("i_start"), col("p_start"))).as("overlap_s"))
+        .orderBy("incident_id", "event_id")
+    }),
+
+    // Extension — CO-PURCHASE LINK PREDICTION (LinkPredict
+    // .resourceAllocation): the RA index over order baskets — part
+    // pairs scored Σ 1000000 DIV |basket| micros across shared orders,
+    // so pairs meeting in SMALL baskets outrank hub-basket noise (the
+    // signal raw co-occurrence counts can't separate). Membership
+    // shuffles once on the order key, pair fan-out is per-basket
+    // combinatorics under the maxBasket contract, one map-side
+    // aggregate on the pair. Top-30 by (score, pair) — the full tuple
+    // is unique, so the cut is total-order deterministic. Hash-exact.
+    "q282_copurchase_links" -> ((s, dir) => {
+      graft.operators.LinkPredict.resourceAllocation(
+          t(s, dir, "lineitem").select(
+            col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+          "basket", "item", maxBasket = 64)
+        .orderBy(col("ra_micros").desc, col("item_a").asc,
+          col("item_b").asc)
+        .limit(30)
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -8611,6 +8658,38 @@ object SparkEntry {
       |    AS n_lateral
       |FROM a8 JOIN a9 USING (key) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q281: the plain quadratic half-open overlap join — safe at
+    * DuckDB's scale, the very plan the bucketed form exists to avoid. */
+  private def q281Oracle: String =
+    """WITH e AS (SELECT event_id, event_type, value,
+      |    epoch_us(ts) // 1000000 AS sec FROM events),
+      |i AS (SELECT event_id AS incident_id, sec AS i_start,
+      |    sec + 1800 AS i_end FROM e
+      |  WHERE event_type = 'error' AND value > 300),
+      |p AS (SELECT event_id, sec AS p_start, sec + 600 AS p_end
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT incident_id, event_id,
+      |  CAST(least(i_end, p_end) - greatest(i_start, p_start) AS BIGINT)
+      |    AS overlap_s
+      |FROM i JOIN p ON i_start < p_end AND p_start < i_end
+      |ORDER BY incident_id, event_id""".stripMargin
+
+  /** q282: RA replay — per-basket 1000000 // size weights under the
+    * same maxBasket=64 contract, identical top-30 total order. */
+  private def q282Oracle: String =
+    """WITH m AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |  FROM lineitem),
+      |deg AS (SELECT bk, count(*) AS bsize FROM m GROUP BY 1),
+      |b AS (SELECT m.bk, m.it, 1000000 // bsize AS w
+      |  FROM m JOIN deg USING (bk) WHERE bsize <= 64)
+      |SELECT a.it AS item_a, c.it AS item_b,
+      |  CAST(count(*) AS BIGINT) AS common_baskets,
+      |  CAST(sum(a.w) AS BIGINT) AS ra_micros
+      |FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+      |GROUP BY 1, 2
+      |ORDER BY ra_micros DESC, item_a ASC, item_b ASC
+      |LIMIT 30""".stripMargin
+
   /** q275: the same gaps-and-islands replay — strictly-before running
     * max of ends opens islands, per-island spans roll up per user. */
   private def q275Oracle: String =
@@ -10962,6 +11041,8 @@ object SparkEntry {
     "q278_hits_purchase" -> q278Oracle,
     "q279_zipf_octaves" -> q279Oracle,
     "q280_shard_resize" -> q280Oracle,
+    "q281_overlap_join" -> q281Oracle,
+    "q282_copurchase_links" -> q282Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -59,4 +59,58 @@ object Interval {
         sum(col("_hi") - col("_lo")).as("covered"),
         max(col("_hi") - col("_lo")).as("longest_span"))
   }
+
+  /** INTERVAL × INTERVAL OVERLAP JOIN at scale — all pairs (l, r) with
+    * half-open overlap `l.start < r.end AND r.start < l.end`. Spark
+    * plans the naive two-inequality join as a BroadcastNestedLoopJoin /
+    * cartesian — O(|L|·|R|) and un-broadcastable once either side
+    * outgrows memory. Bucketing restores an equi-join (the q53
+    * point-in-interval trick, extended to interval-vs-interval):
+    * each interval explodes to the fixed-width buckets it covers
+    * (half-open: start DIV W .. (end-1) DIV W), the join key is the
+    * bucket, and the exact overlap predicate filters candidates.
+    *
+    * Exactly-once without a distinct pass: an overlapping pair co-covers
+    * every bucket in the overlap range, so candidates would multiply —
+    * instead keep the single MEET bucket, the one holding
+    * max(l.start, r.start). floor-division is monotonic, so that bucket
+    * is `greatest(l_start_bucket, r_start_bucket)`, both sides provably
+    * cover it when the pair overlaps, and no other kept bucket exists.
+    * One row per overlapping pair, no row ever deduplicated.
+    *
+    * Shuffle volume: Σ len/W + 1 per interval per side — pick W near the
+    * median interval length so most intervals cover ≤2 buckets.
+    * `maxBucketsPerInterval` fails LOUDLY on a degenerate interval (an
+    * open-ended sentinel) that would otherwise explode the job. Times
+    * must be non-negative (floor(x/W) ≠ x DIV W below zero) — enforced
+    * per row inside the same raise_error guard. */
+  def overlapJoin(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucket: Long,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"overlapJoin: sides share column names $shared — rename one side")
+    require(!(left.columns ++ right.columns).exists(Set("__bk", "__lsb", "__rsb")),
+      "overlapJoin reserves __bk/__lsb/__rsb")
+    def exploded(df: DataFrame, s: String, e: String, sb: String) = {
+      val lo = floor(col(s) / bucket)
+      val hi = floor((col(e) - 1) / bucket)
+      val n = hi - lo + lit(1)
+      df.withColumn(sb, lo.cast("long"))
+        .withColumn("__bk", explode(
+          when(n > maxBucketsPerInterval || n < 1 || col(s) < 0, raise_error(concat(
+            lit(s"overlapJoin: interval outside 1..$maxBucketsPerInterval buckets or negative: "),
+            col(s).cast("string"), lit(".."), col(e).cast("string"))))
+          .otherwise(sequence(lo, hi))))
+    }
+    val l = exploded(left, lStart, lEnd, "__lsb")
+    val r = exploded(right, rStart, rEnd, "__rsb").withColumnRenamed("__bk", "__bk2")
+    l.join(r, l("__bk") === r("__bk2"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__bk") === greatest(col("__lsb"), col("__rsb")))
+      .drop("__bk", "__bk2", "__lsb", "__rsb")
+  }
 }

@@ -54,4 +54,65 @@ class IntervalSpec extends AnyFunSuite {
       assert(got(k)._2 == spans.toLong, s"span count mismatch for $k")
     }
   }
+
+  private def ovl(l: Seq[(String, Long, Long)], r: Seq[(String, Long, Long)],
+                  bucket: Long) =
+    Interval.overlapJoin(
+        l.toDF("lid", "ls", "le"), "ls", "le",
+        r.toDF("rid", "rs", "re"), "rs", "re", bucket)
+      .select("lid", "rid").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+
+  test("overlapJoin: half-open semantics — touching endpoints do not join") {
+    val got = ovl(Seq(("a", 0L, 10L)), Seq(("x", 10L, 20L), ("y", 9L, 12L)), 4L)
+    assert(got == Set(("a", "y")))
+  }
+
+  test("overlapJoin: a pair co-covering many buckets appears exactly once") {
+    // both intervals span 25 buckets of width 4 — the meet-bucket rule
+    // must collapse the 25 candidate meetings to one row
+    val got = Interval.overlapJoin(
+        Seq(("a", 0L, 100L)).toDF("lid", "ls", "le"), "ls", "le",
+        Seq(("x", 1L, 99L)).toDF("rid", "rs", "re"), "rs", "re", 4L)
+      .collect()
+    assert(got.length == 1)
+  }
+
+  test("overlapJoin: containment, disjoint, and cross-bucket overlap") {
+    val got = ovl(
+      Seq(("a", 10L, 20L), ("b", 100L, 110L)),
+      Seq(("in", 12L, 14L), ("cross", 18L, 25L), ("far", 50L, 60L)), 8L)
+    assert(got == Set(("a", "in"), ("a", "cross")))
+  }
+
+  test("overlapJoin: matches brute force on a randomized frame") {
+    val rnd = new scala.util.Random(7)
+    val ls = (1 to 120).map(i => (s"l$i", rnd.nextInt(500).toLong, 0L))
+      .map { case (id, st, _) => (id, st, st + 1 + rnd.nextInt(40)) }
+    val rs = (1 to 120).map(i => (s"r$i", rnd.nextInt(500).toLong, 0L))
+      .map { case (id, st, _) => (id, st, st + 1 + rnd.nextInt(40)) }
+    val got = ovl(ls, rs, 16L)
+    val want = (for {
+      (li, lst, len) <- ls; (ri, rst, ren) <- rs
+      if lst < ren && rst < len
+    } yield (li, ri)).toSet
+    assert(got == want)
+  }
+
+  test("overlapJoin: degenerate and negative intervals fail loudly") {
+    intercept[Exception] {
+      ovl(Seq(("a", 20L, 10L)), Seq(("x", 0L, 5L)), 4L)
+    }
+    intercept[Exception] {
+      ovl(Seq(("a", -3L, 10L)), Seq(("x", 0L, 5L)), 4L)
+    }
+  }
+
+  test("overlapJoin: shared column names are rejected") {
+    intercept[IllegalArgumentException] {
+      Interval.overlapJoin(
+        Seq(("a", 0L, 1L)).toDF("id", "ls", "le"), "ls", "le",
+        Seq(("x", 0L, 1L)).toDF("id", "rs", "re"), "rs", "re", 4L)
+    }
+  }
 }
