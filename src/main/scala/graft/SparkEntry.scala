@@ -3341,6 +3341,36 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // Extension — RANGE-PARTITION PLAN (PartitionPlan.rangePlan):
+    // equi-depth boundaries for the event-time sort key on an hourly
+    // quantized grid — the durable artifact behind bucketing DDL and
+    // writer grids that repartitionByRange only ever samples. One
+    // map-side aggregate to the ≤maxCells grid, counting-quantile rank
+    // rule for boundaries (cum·n ≥ k·total — no division), boundaries
+    // ride back as a ≤15-element broadcast array, census reported per
+    // induced range with balance_pm = 10000·n·16/total. Hash-exact.
+    "q283_range_plan" -> ((s, dir) => {
+      graft.operators.PartitionPlan.rangePlan(
+          events(s, dir).select(
+            expr("unix_micros(ts) DIV 1000000").as("sec")),
+          "sec", nRanges = 16, resolution = 3600L)
+        .orderBy("range_id")
+    }),
+
+    // Extension — SALT PLAN (PartitionPlan.saltPlan): the hot-key
+    // census a pre-salted join is declared from — per user, row count,
+    // the salt count capping any (key, salt) task at 16 expected rows,
+    // and the residual max_task_rows self-check (≤ target by
+    // construction, gated in-hash). One map-side-combined aggregate;
+    // top-20 by (census, key) — unique tuple, total-order cut.
+    "q284_salt_plan" -> ((s, dir) => {
+      graft.operators.PartitionPlan.saltPlan(
+          events(s, dir).select(col("user_id")),
+          "user_id", targetPerTask = 16L)
+        .orderBy(col("n_rows").desc, col("user_id").asc)
+        .limit(20)
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -8690,6 +8720,41 @@ object SparkEntry {
       |ORDER BY ra_micros DESC, item_a ASC, item_b ASC
       |LIMIT 30""".stripMargin
 
+  /** q283: the grid planner replayed — hourly cells, the cum·n ≥
+    * k·total rank rule, boundary-count range ids, identical census. */
+  private def q283Oracle: String =
+    """WITH g AS (SELECT epoch_us(ts) // 1000000 // 3600 AS cell,
+      |    count(*) AS cnt FROM events GROUP BY 1),
+      |c AS (SELECT cell, cnt, sum(cnt) OVER (ORDER BY cell ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM g),
+      |t AS (SELECT sum(cnt) AS total FROM g),
+      |ks AS (SELECT unnest(generate_series(1, 15)) AS k),
+      |bnd AS (SELECT k, min(cell) AS b FROM c, t, ks
+      |  WHERE cum * 16 >= k * total GROUP BY 1),
+      |r AS (SELECT c.cell, c.cnt,
+      |    (SELECT count(*) FROM bnd WHERE bnd.b < c.cell) AS range_id
+      |  FROM c)
+      |SELECT CAST(range_id AS BIGINT) AS range_id,
+      |  CAST(min(cell) * 3600 AS BIGINT) AS lo_key,
+      |  CAST((max(cell) + 1) * 3600 AS BIGINT) AS hi_key,
+      |  CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(10000 * sum(cnt) // total AS BIGINT) AS share_pm,
+      |  CAST(10000 * sum(cnt) * 16 // total AS BIGINT) AS balance_pm
+      |FROM r, t GROUP BY range_id, total ORDER BY range_id""".stripMargin
+
+  /** q284: the salt census replayed with the same ceil-division
+    * arithmetic and the same unique-tuple top-20 cut. */
+  private def q284Oracle: String =
+    """WITH s AS (SELECT user_id, count(*) AS n,
+      |    (count(*) + 15) // 16 AS salts
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(salts AS BIGINT) AS n_salts,
+      |  CAST((n + salts - 1) // salts AS BIGINT) AS max_task_rows
+      |FROM s ORDER BY n_rows DESC, user_id ASC LIMIT 20""".stripMargin
+
   /** q275: the same gaps-and-islands replay — strictly-before running
     * max of ends opens islands, per-island spans roll up per user. */
   private def q275Oracle: String =
@@ -11043,6 +11108,8 @@ object SparkEntry {
     "q280_shard_resize" -> q280Oracle,
     "q281_overlap_join" -> q281Oracle,
     "q282_copurchase_links" -> q282Oracle,
+    "q283_range_plan" -> q283Oracle,
+    "q284_salt_plan" -> q284Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
