@@ -3371,6 +3371,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Extension — KNESER-NEY CONTINUATION CENSUS (NgramLm
+    // .knContinuation): the count table a KN-smoothed LM trains from —
+    // per token, distinct left contexts (the KN unigram numerator that
+    // demotes frequent-but-stuck tokens), distinct right fan-out (the
+    // backoff λ normalizer), continuation probability in truncating
+    // ppm, and the corpus Ney discount n1/(n1+2·n2) in permyriad. One
+    // bigram explode to the vocabulary-bounded TYPE table; everything
+    // downstream is type-table-sized. Top-30 by (cont_left, token) —
+    // token is unique, total-order cut. Hash-exact.
+    "q285_kn_continuation" -> ((s, dir) => {
+      graft.operators.NgramLm.knContinuation(
+          t(s, dir, "documents"), "text")
+        .orderBy(col("cont_left").desc, col("token").asc)
+        .limit(30)
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -8755,6 +8771,39 @@ object SparkEntry {
       |  CAST((n + salts - 1) // salts AS BIGINT) AS max_task_rows
       |FROM s ORDER BY n_rows DESC, user_id ASC LIMIT 20""".stripMargin
 
+  /** q285: the KN census replayed — per-document bigram unnest, the
+    * same type-table aggregates and truncating ppm/permyriad. */
+  private def q285Oracle: String =
+    """WITH d AS (SELECT list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> x <> '') AS t FROM documents),
+      |tk AS (SELECT unnest(t) AS token FROM d),
+      |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c_uni
+      |  FROM tk GROUP BY 1),
+      |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+      |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      |  FROM d WHERE len(t) >= 2)),
+      |bi AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+      |cont AS (SELECT w2 AS token, CAST(count(*) AS BIGINT) AS cl
+      |  FROM bi GROUP BY 1),
+      |fan AS (SELECT w1 AS token, CAST(count(*) AS BIGINT) AS fr
+      |  FROM bi GROUP BY 1),
+      |corp AS (SELECT CAST(count(*) AS BIGINT) AS bigram_types,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM bi)
+      |SELECT u.token, u.c_uni,
+      |  CAST(coalesce(cont.cl, 0) AS BIGINT) AS cont_left,
+      |  CAST(coalesce(fan.fr, 0) AS BIGINT) AS fanout_right,
+      |  CAST(1000000 * coalesce(cont.cl, 0) // nullif(bigram_types, 0)
+      |    AS BIGINT) AS p_cont_ppm,
+      |  bigram_types, n1, n2,
+      |  CAST(10000 * n1 // nullif(n1 + 2 * n2, 0) AS BIGINT)
+      |    AS discount_pm
+      |FROM uni u LEFT JOIN cont USING (token)
+      |  LEFT JOIN fan USING (token), corp
+      |ORDER BY cont_left DESC, token ASC LIMIT 30""".stripMargin
+
   /** q275: the same gaps-and-islands replay — strictly-before running
     * max of ends opens islands, per-island spans roll up per user. */
   private def q275Oracle: String =
@@ -11110,6 +11159,7 @@ object SparkEntry {
     "q282_copurchase_links" -> q282Oracle,
     "q283_range_plan" -> q283Oracle,
     "q284_salt_plan" -> q284Oracle,
+    "q285_kn_continuation" -> q285Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -60,6 +60,50 @@ object Interval {
         max(col("_hi") - col("_lo")).as("longest_span"))
   }
 
+  /** [[unionCoverage]] re-expressed as a PACKED-SERIES AGGREGATE — the
+    * streaming-compatible twin (the Trend.ewmaSeries design): window
+    * functions cannot run in a streaming aggregation, but
+    * `sort_array(collect_list(...))` + one `aggregate` fold can, so the
+    * same census maintains live under `outputMode("complete")` with the
+    * per-key interval list as state. The fold carries
+    * (covered, spans, longest, current island [lo, hi)) over the
+    * (start, end)-sorted list and closes the last island in the finish.
+    * State per key = that key's interval count — the identical envelope
+    * as the window form, just held in the agg state store instead of a
+    * window frame. Long columns; identical output schema, and
+    * IntervalSpec pins fold ≡ window on a randomized frame. */
+  def unionCoverageAgg(df: DataFrame, keyCol: String,
+                       startCol: String, endCol: String): DataFrame = {
+    val z = "CAST(NULL AS BIGINT)"
+    df.select(col(keyCol), col(startCol).cast("long").as("st"),
+        col(endCol).cast("long").as("en"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("_ivs"))
+      .withColumn("_r", expr(
+        s"""aggregate(_ivs,
+           |  named_struct('cov', 0L, 'spans', 0L, 'longest', 0L,
+           |               'lo', $z, 'hi', $z),
+           |  (a, x) -> CASE
+           |    WHEN a.hi IS NULL THEN named_struct('cov', a.cov,
+           |      'spans', a.spans, 'longest', a.longest,
+           |      'lo', x.st, 'hi', x.en)
+           |    WHEN x.st > a.hi THEN named_struct(
+           |      'cov', a.cov + a.hi - a.lo, 'spans', a.spans + 1L,
+           |      'longest', greatest(a.longest, a.hi - a.lo),
+           |      'lo', x.st, 'hi', x.en)
+           |    ELSE named_struct('cov', a.cov, 'spans', a.spans,
+           |      'longest', a.longest, 'lo', a.lo,
+           |      'hi', greatest(a.hi, x.en)) END,
+           |  a -> named_struct(
+           |    'covered', a.cov + a.hi - a.lo,
+           |    'n_spans', a.spans + 1L,
+           |    'longest_span', greatest(a.longest, a.hi - a.lo)))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col(keyCol), size(col("_ivs")).cast("long").as("n_events"),
+        col("_r.n_spans").as("n_spans"), col("_r.covered").as("covered"),
+        col("_r.longest_span").as("longest_span"))
+  }
+
   /** INTERVAL × INTERVAL OVERLAP JOIN at scale — all pairs (l, r) with
     * half-open overlap `l.start < r.end AND r.start < l.end`. Spark
     * plans the naive two-inequality join as a BroadcastNestedLoopJoin /

@@ -68,6 +68,70 @@ object NgramLm {
         sum(floor(col("nll") * lit(1e6) + lit(0.5)).cast("long")).as("nll_micros"))
   }
 
+  /** KNESER-NEY CONTINUATION STATISTICS — the count table a KN-smoothed
+    * LM is built from, and the diagnostic that separates VERSATILE
+    * tokens from FREQUENT-BUT-STUCK ones. Raw unigram counts mislead a
+    * backoff model: "Francisco" is frequent but follows almost only
+    * "San", so its weight when the bigram context is MISSING should be
+    * near zero. KN fixes this by replacing raw counts with continuation
+    * counts — per token w:
+    *
+    *   cont_left    = N1+(·w)  distinct left contexts (the KN unigram
+    *                           numerator),
+    *   fanout_right = N1+(w·)  distinct continuations (the backoff
+    *                           weight λ(w)'s normalizer),
+    *   p_cont_ppm   = 10⁶·cont_left / Σ N1+ = 10⁶·cont_left / |bigram
+    *                           types| (truncating — the house DIV),
+    *
+    * plus the corpus-level absolute-discount estimate
+    * D = n1/(n1 + 2·n2) (Ney/Essen/Kneser) in truncating permyriad,
+    * where n1/n2 are the bigram types seen exactly once/twice.
+    *
+    * Scale shape: one bigram explode → (w1, w2) count aggregate
+    * (map-side combined; output is the observed-bigram TYPE table,
+    * vocabulary-bounded and checkpointed — ALL downstream frames derive
+    * from types, never re-touching row grain); continuation and fanout
+    * are two vocab-sized aggregates of the type table; corpus n1/n2/T
+    * ride as a 1-row crossJoin scalar. Bigrams never cross document
+    * boundaries. All counts exact integers — hash-identical anywhere. */
+  def knContinuation(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs
+      .select(TextAnalysis.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 1)
+      .localCheckpoint(true) // unigram + bigram passes share one tokenize
+    val bi = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1)," +
+          " (w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // type table feeds cont, fanout, and corpus
+    val uni = toks.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_uni"))
+    val cont = bi.groupBy(col("w2").as("token"))
+      .agg(count(lit(1)).as("cont_left"))
+    val fan = bi.groupBy(col("w1").as("token"))
+      .agg(count(lit(1)).as("fanout_right"))
+    val corpus = bi.agg(
+        count(lit(1)).as("bigram_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      // a corpus where every bigram repeats 3+ times has no singleton
+      // evidence to estimate a discount from — NULL, not a crash (and
+      // not 0, which would claim "no discounting needed")
+      .withColumn("discount_pm",
+        expr("CAST(10000 * n1 DIV nullif(n1 + 2 * n2, 0) AS BIGINT)"))
+    uni
+      .join(cont, Seq("token"), "left")
+      .join(fan, Seq("token"), "left")
+      .na.fill(0L, Seq("cont_left", "fanout_right"))
+      .crossJoin(corpus)
+      .withColumn("p_cont_ppm",
+        expr("CAST(1000000 * cont_left DIV nullif(bigram_types, 0) AS BIGINT)"))
+  }
+
   /** Deterministic OUT-OF-VOCABULARY twin of a text column: every token
     * replaced by a unique synthetic token derived from (`seedCol`,
     * position) — same length, every bigram novel. The canonical planted

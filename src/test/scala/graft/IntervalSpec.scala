@@ -55,6 +55,24 @@ class IntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("packed-aggregate form equals the window form on a randomized frame") {
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 500).map { _ =>
+      val k = s"k${rnd.nextInt(7)}"
+      val st = rnd.nextInt(1000).toLong
+      (k, st, st + 1 + rnd.nextInt(60))
+    }
+    val df = rows.toDF("k", "st", "en")
+    val canon = (r: Array[org.apache.spark.sql.Row]) =>
+      r.map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toMap
+    val win = canon(Interval.unionCoverage(df, "k", "st", "en")
+      .select("k", "n_events", "n_spans", "covered", "longest_span").collect())
+    val agg = canon(Interval.unionCoverageAgg(df, "k", "st", "en")
+      .select("k", "n_events", "n_spans", "covered", "longest_span").collect())
+    assert(agg == win)
+  }
+
   private def ovl(l: Seq[(String, Long, Long)], r: Seq[(String, Long, Long)],
                   bucket: Long) =
     Interval.overlapJoin(

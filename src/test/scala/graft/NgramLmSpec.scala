@@ -36,4 +36,48 @@ class NgramLmSpec extends AnyFunSuite {
       .head().getString(0)
     assert(twin == again)
   }
+
+  private def kn(docs: Seq[String]) =
+    NgramLm.knContinuation(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("c_uni"), r.getAs[Long]("cont_left"),
+          r.getAs[Long]("fanout_right"), r.getAs[Long]("discount_pm")))
+      .toMap
+
+  test("knContinuation: the San-Francisco case — frequent but stuck") {
+    // 'francisco' appears 3x, always after 'san'; 'york' appears 3x
+    // after three DIFFERENT left contexts — same raw count, different
+    // continuation count, which is the whole point of KN
+    val out = kn(Seq(
+      "san francisco fog", "san francisco bay", "san francisco hills",
+      "new york", "old york", "em york"))
+    assert(out("francisco")._1 == 3L && out("york")._1 == 3L)
+    assert(out("francisco")._2 == 1L)
+    assert(out("york")._2 == 3L)
+  }
+
+  test("knContinuation: fan-out, boundaries, and singleton tokens") {
+    val out = kn(Seq("a b", "a c", "a d", "z"))
+    assert(out("a")._3 == 3L)           // a -> {b,c,d}
+    assert(out("a")._2 == 0L)           // nothing precedes a
+    // bigrams never cross documents: 'b a' would need doc1->doc2
+    assert(out("b")._3 == 0L)
+    // 'z' has no bigrams at all but still appears in the census
+    assert(out("z") == ((1L, 0L, 0L, out("z")._4)))
+  }
+
+  test("knContinuation: Ney discount from n1/n2") {
+    // bigrams: (a b) x1, (c d) x2 -> n1=1, n2=1, D = 1/(1+2) = 3333pm
+    val out = kn(Seq("a b", "c d", "c d"))
+    assert(out("a")._4 == 3333L)
+  }
+
+  test("knContinuation: no singleton/doubleton evidence -> NULL discount, not 0") {
+    val rows = NgramLm.knContinuation(
+        Seq((1L, "a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text"),
+        "text").collect()
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("discount_pm"))))
+  }
 }

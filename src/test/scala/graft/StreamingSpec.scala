@@ -1112,6 +1112,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((10L, 7L, 2L)))
   }
 
+  test("streaming interval-coverage twin: the union census replays exactly on streamed intervals") {
+    import graft.operators.Interval
+
+    val src = Files.createTempDirectory("graft_stream_iv")
+    val ckp = Files.createTempDirectory("graft_stream_iv_ckp")
+    // interval union is order-critical through the MERGE rule: the
+    // island [0,15) only exists once BOTH [0,10) and [5,15) are seen —
+    // and [5,15) arrives in a later trigger, so a scalar running state
+    // keyed on arrival order would have closed [0,10) as its own span.
+    def line(st: Long, en: Long) = s"""{"k":"u","st":$st,"en":$en}"""
+    Files.write(src.resolve("a.json"),
+      Seq(line(0, 10), line(30, 40)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      Seq(line(5, 15), line(15, 20)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = Interval.unionCoverageAgg(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "k", "st", "en")
+      .writeStream
+      .format("memory").queryName("iv_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("covered"), r.getAs[Long]("longest_span"))).toMap
+    val streamed = canon(spark.table("iv_stream").collect())
+    val batchAgg = canon(Interval.unionCoverageAgg(
+      spark.read.json(src.toString), "k", "st", "en").collect())
+    val batchWin = canon(Interval.unionCoverage(
+      spark.read.json(src.toString), "k", "st", "en")
+      .select("k", "n_events", "n_spans", "covered", "longest_span")
+      .collect())
+    assert(streamed == batchAgg && streamed == batchWin)
+    // islands: [0,15)+[15,20) merge (touch), [30,40) separate ->
+    // 2 spans, covered 30, longest 20
+    assert(streamed == Map("u" -> ((4L, 2L, 30L, 20L))))
+  }
+
   test("streaming CUSUM twin: drift statistic replays exactly on the streamed series") {
     import graft.operators.Trend
 
