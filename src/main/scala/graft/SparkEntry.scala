@@ -3387,6 +3387,53 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // Extension — RANK-BIASED OVERLAP (RankAgree.rbo): per brand, how
+    // much the quantity-ranked and revenue-ranked part top-10s agree —
+    // depth d weighted at (1-p)p^(d-1), so head swaps move the score
+    // far more than tail swaps (plain overlap@k can't see the
+    // difference). Geometric weights ride as EXACT BigInt power
+    // literals on a broadcast depth spine (a float pow corrupts the
+    // deep terms past 2^53); per-depth truncation in DECIMAL(38,0);
+    // residual_ppm reports the mass truncation leaves unassigned.
+    // Hash-exact.
+    "q286_rank_rbo" -> ((s, dir) => {
+      val pm = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_partkey").as("item"))
+        .agg(expr("CAST(sum(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)" +
+            " AS BIGINT)").as("cents"))
+        .localCheckpoint(true) // both rankings rank the same frame
+      def ranked(m: String) = pm.withColumn("r", row_number().over(
+        Window.partitionBy("brand").orderBy(col(m).desc, col("item").asc)))
+      graft.operators.RankAgree.rbo(
+          ranked("qty"), ranked("cents"), "brand", "item", "r", k = 10)
+        .orderBy("brand")
+    }),
+
+    // Extension — KENDALL τ-b FROM THE CONTINGENCY GRID (RankAgree
+    // .tauB): is higher order quantity associated with deeper discount,
+    // per brand — the tie-corrected monotone-association readout. The
+    // textbook C(n,2) pair enumeration is quadratic in rows; this
+    // computes the identical counts from the (quantity, discount-cell)
+    // contingency table — cell-pair sums + within-cell combinatorics
+    // (the q277 discipline), O(grid²) with the grid bounded by the
+    // 50×11 value DOMAIN, independent of row count. Signed squared τ
+    // in truncating permyriad (√ isn't integer-expressible); raw
+    // concordant/discordant/tie counts in DECIMAL(38,0) alongside.
+    // Hash-exact.
+    "q287_qty_discount_tau" -> ((s, dir) => {
+      graft.operators.RankAgree.tauB(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+            .select(col("p_brand").as("brand"),
+              expr("CAST(l_quantity AS BIGINT)").as("xc"),
+              expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)")
+                .as("yc")),
+          "brand", "xc", "yc")
+        .orderBy("brand")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -8804,6 +8851,81 @@ object SparkEntry {
       |  LEFT JOIN fan USING (token), corp
       |ORDER BY cont_left DESC, token ASC LIMIT 30""".stripMargin
 
+  /** q286: RBO replayed — identical rankings, the exact 9^(d-1)/10^d
+    * weight literals as a VALUES spine, per-depth HUGEINT truncation;
+    * residual = floor(10⁶·9¹⁰/10¹⁰) = 348678. */
+  private def q286Oracle: String =
+    """WITH pm AS (SELECT p_brand AS brand, l_partkey AS item,
+      |    CAST(sum(l_quantity) AS BIGINT) AS qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+      |      AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2),
+      |ra AS (SELECT brand, item, row_number() OVER (PARTITION BY brand
+      |    ORDER BY qty DESC, item ASC) AS r FROM pm),
+      |rb AS (SELECT brand, item, row_number() OVER (PARTITION BY brand
+      |    ORDER BY cents DESC, item ASC) AS r FROM pm),
+      |sh AS (SELECT ra.brand, greatest(ra.r, rb.r) AS dmin
+      |  FROM ra JOIN rb ON ra.brand = rb.brand AND ra.item = rb.item
+      |  WHERE ra.r <= 10 AND rb.r <= 10),
+      |ks AS (SELECT * FROM (VALUES (1,1,10),(2,9,100),(3,81,1000),
+      |  (4,729,10000),(5,6561,100000),(6,59049,1000000),
+      |  (7,531441,10000000),(8,4782969,100000000),
+      |  (9,43046721,1000000000),(10,387420489,10000000000))
+      |  v(d, pn, pd)),
+      |xd AS (SELECT brand, d, pn, pd, CAST(count(*) AS HUGEINT) AS x
+      |  FROM sh JOIN ks ON sh.dmin <= ks.d GROUP BY 1, 2, 3, 4),
+      |terms AS (SELECT brand, d, x,
+      |    CAST(1000000 AS HUGEINT) * pn * x
+      |      // (CAST(pd AS HUGEINT) * d) AS tm
+      |  FROM xd)
+      |SELECT brand,
+      |  CAST(max(CASE WHEN d = 10 THEN x END) AS BIGINT) AS overlap_at_k,
+      |  CAST(sum(tm) AS BIGINT) AS rbo_ppm,
+      |  CAST(348678 AS BIGINT) AS residual_ppm
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q287: τ-b replayed off the same contingency grid — cell-pair
+    * sums, within-cell C(c,2), the signed-square permyriad DIV. */
+  private def q287Oracle: String =
+    """WITH base AS (SELECT p_brand AS brand,
+      |    CAST(l_quantity AS BIGINT) AS xc,
+      |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |cells AS (SELECT brand, xc, yc, CAST(count(*) AS HUGEINT) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |w AS (SELECT brand, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(c * (c - 1) // 2) AS tboth FROM cells GROUP BY 1),
+      |b AS (SELECT l.brand,
+      |    sum(CASE WHEN (r.xc - l.xc) * (r.yc - l.yc) > 0
+      |      THEN l.c * r.c ELSE 0 END) AS conc,
+      |    sum(CASE WHEN (r.xc - l.xc) * (r.yc - l.yc) < 0
+      |      THEN l.c * r.c ELSE 0 END) AS disc,
+      |    sum(CASE WHEN l.xc = r.xc AND l.yc <> r.yc
+      |      THEN l.c * r.c ELSE 0 END) AS txo,
+      |    sum(CASE WHEN l.yc = r.yc AND l.xc <> r.xc
+      |      THEN l.c * r.c ELSE 0 END) AS tyo
+      |  FROM cells l JOIN cells r ON l.brand = r.brand
+      |    AND (l.xc < r.xc OR (l.xc = r.xc AND l.yc < r.yc))
+      |  GROUP BY 1)
+      |SELECT w.brand, w.n,
+      |  CAST(coalesce(conc, 0) AS DECIMAL(38,0)) AS concordant,
+      |  CAST(coalesce(disc, 0) AS DECIMAL(38,0)) AS discordant,
+      |  CAST(coalesce(txo, 0) + tboth AS DECIMAL(38,0)) AS ties_x,
+      |  CAST(coalesce(tyo, 0) + tboth AS DECIMAL(38,0)) AS ties_y,
+      |  CAST(tboth AS DECIMAL(38,0)) AS ties_both,
+      |  CAST((CASE WHEN coalesce(conc, 0) >= coalesce(disc, 0)
+      |      THEN 1 ELSE -1 END)
+      |    * (10000 * (coalesce(conc, 0) - coalesce(disc, 0))
+      |       * (coalesce(conc, 0) - coalesce(disc, 0))
+      |       // nullif(
+      |         (CAST(w.n AS HUGEINT) * (w.n - 1) // 2
+      |           - (coalesce(txo, 0) + tboth))
+      |         * (CAST(w.n AS HUGEINT) * (w.n - 1) // 2
+      |           - (coalesce(tyo, 0) + tboth)), 0))
+      |    AS BIGINT) AS tau2_pm
+      |FROM w LEFT JOIN b ON w.brand = b.brand
+      |ORDER BY w.brand""".stripMargin
+
   /** q275: the same gaps-and-islands replay — strictly-before running
     * max of ends opens islands, per-island spans roll up per user. */
   private def q275Oracle: String =
@@ -11160,6 +11282,8 @@ object SparkEntry {
     "q283_range_plan" -> q283Oracle,
     "q284_salt_plan" -> q284Oracle,
     "q285_kn_continuation" -> q285Oracle,
+    "q286_rank_rbo" -> q286Oracle,
+    "q287_qty_discount_tau" -> q287Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
