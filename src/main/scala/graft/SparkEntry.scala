@@ -3434,6 +3434,70 @@ object SparkEntry {
         .orderBy("brand")
     }),
 
+    // Extension — COORDINATED (join-preserving) SAMPLE census: a 10%
+    // sample that stays REFERENTIALLY CLOSED across the customer →
+    // orders → lineitem chain — membership decided ONCE by the salted
+    // md5 bucket of the root key (Sampling.bucket, the q47 splitter)
+    // and propagated by two left-semi joins, so every sampled lineitem
+    // still joins to its sampled order and customer (row-independent
+    // sampling of each table breaks every join). Gated on per-table
+    // counts AND content-sensitive key sums. At 100 TB this is the only
+    // way to build a coherent dev slice: two key-only semi shuffles.
+    "q288_coordinated_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val custS = t(s, dir, "customer").select(col("c_custkey"))
+        .filter(Sampling.bucket(col("c_custkey"), "|q288") < 1000L)
+        .localCheckpoint(true) // census + both propagation joins
+      val ordS = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(custS, col("o_custkey") === col("c_custkey"), "left_semi")
+        .localCheckpoint(true) // census + lineitem propagation
+      val liS = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .join(ordS, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      def census(name: String, total: DataFrame,
+                 sampled: DataFrame, key: String) =
+        total.agg(count(lit(1)).as("n_total")).crossJoin(
+          sampled.agg(count(lit(1)).as("n_sample"),
+            sum(col(key)).cast("decimal(38,0)").as("key_sum")))
+          .select(lit(name).as("tbl"), col("n_total"), col("n_sample"),
+            expr("CAST(10000 * n_sample DIV n_total AS BIGINT)")
+              .as("share_pm"), col("key_sum"))
+      census("customer", t(s, dir, "customer"), custS, "c_custkey")
+        .unionByName(census("orders", t(s, dir, "orders"), ordS,
+          "o_orderkey"))
+        .unionByName(census("lineitem", t(s, dir, "lineitem"), liS,
+          "l_orderkey"))
+        .orderBy("tbl")
+    }),
+
+    // Extension — REFERENTIAL-INTEGRITY CENSUS (FkAudit.audit): per FK
+    // edge of the schema, child rows / NULL fks / orphans / joinable
+    // coverage pm — the "how many rows does each inner join silently
+    // drop" audit, counted BEFORE anyone joins. The events.user_id →
+    // customer edge is the deliberately dirty one (synthetic user ids
+    // include 0 and NULLs; custkeys start at 1). One anti-join per
+    // edge, keys-only payloads. Hash-exact.
+    "q289_fk_audit" -> ((s, dir) => {
+      graft.operators.FkAudit.audit(Seq(
+        ("orders.custkey->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("lineitem.orderkey->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.partkey->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("lineitem.suppkey->supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        ("customer.nationkey->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("supplier.nationkey->nation", t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("nation.regionkey->region", t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey"),
+        ("events.user_id->customer", events(s, dir), "user_id",
+          t(s, dir, "customer"), "c_custkey")))
+        .orderBy("edge")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -8926,6 +8990,75 @@ object SparkEntry {
       |FROM w LEFT JOIN b ON w.brand = b.brand
       |ORDER BY w.brand""".stripMargin
 
+  /** q288: the coordinated sample replayed — same salted md5 bucket on
+    * the root key, same semi-join propagation, same key sums. */
+  private def q288Oracle: String =
+    """WITH cs AS (SELECT c_custkey FROM customer
+      |  WHERE (('0x' || substr(md5(c_custkey::VARCHAR || '|q288'),
+      |    1, 8))::BIGINT % 10000) < 1000),
+      |os AS (SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM cs)),
+      |ls AS (SELECT l_orderkey FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM os))
+      |SELECT 'customer' AS tbl,
+      |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+      |  CAST(count(*) AS BIGINT) AS n_sample,
+      |  CAST(10000 * count(*)
+      |    // (SELECT count(*) FROM customer) AS BIGINT) AS share_pm,
+      |  CAST(sum(c_custkey) AS DECIMAL(38,0)) AS key_sum FROM cs
+      |UNION ALL
+      |SELECT 'orders',
+      |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(10000 * count(*)
+      |    // (SELECT count(*) FROM orders) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS DECIMAL(38,0)) FROM os
+      |UNION ALL
+      |SELECT 'lineitem',
+      |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(10000 * count(*)
+      |    // (SELECT count(*) FROM lineitem) AS BIGINT),
+      |  CAST(sum(l_orderkey) AS DECIMAL(38,0)) FROM ls
+      |ORDER BY tbl""".stripMargin
+
+  /** q289: per-edge child/null/orphan counts via NOT-IN-with-null-guard
+    * anti semantics, identical coverage permyriad. */
+  private def q289Oracle: String = {
+    def edge(name: String, child: String, fk: String,
+             parent: String, pk: String) =
+      s"""SELECT '$name' AS edge,
+         |  CAST(count(*) AS BIGINT) AS n_child,
+         |  CAST(sum(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null_fk,
+         |  CAST(sum(CASE WHEN $fk IS NOT NULL AND $fk NOT IN
+         |    (SELECT $pk FROM $parent) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphan
+         |FROM $child""".stripMargin
+    val edges = Seq(
+      edge("orders.custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem.partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("customer.nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("supplier.nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      edge("nation.regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      edge("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey"))
+    s"""WITH e AS (${edges.mkString("\nUNION ALL\n")})
+       |SELECT edge, n_child, n_null_fk, n_orphan,
+       |  CAST(10000 * (n_child - n_null_fk - n_orphan)
+       |    // nullif(n_child, 0) AS BIGINT) AS coverage_pm
+       |FROM e ORDER BY edge""".stripMargin
+  }
+
   /** q275: the same gaps-and-islands replay — strictly-before running
     * max of ends opens islands, per-island spans roll up per user. */
   private def q275Oracle: String =
@@ -11284,6 +11417,8 @@ object SparkEntry {
     "q285_kn_continuation" -> q285Oracle,
     "q286_rank_rbo" -> q286Oracle,
     "q287_qty_discount_tau" -> q287Oracle,
+    "q288_coordinated_sample" -> q288Oracle,
+    "q289_fk_audit" -> q289Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
