@@ -3227,11 +3227,10 @@ object SparkEntry {
         .join(t(s, dir, "lineitem"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("buyer"), col("l_partkey").as("part"))
-      val scored = graft.operators.Graph.hits(edges, "buyer", "part", 4)
-        .localCheckpoint(true) // two role-sliced TakeOrdereds below
-      def top(role: String) = scored.filter(col("role") === role)
-        .orderBy(col("score_micros").desc, col("node").asc).limit(15)
-      top("authority").unionByName(top("hub"))
+      graft.operators.Graph.hits(edges, "buyer", "part", 4)
+        .withColumn("rk", row_number().over(Window.partitionBy("role")
+          .orderBy(col("score_micros").desc, col("node").asc)))
+        .filter(col("rk") <= 15).drop("rk")
         .orderBy(col("role"), col("score_micros").desc, col("node"))
     }),
 

@@ -473,10 +473,12 @@ object Graph {
     val eDst = eSrc.repartition(col("dst")).localCheckpoint(true)
     // degree frames double as the node sets (init + final join) — no
     // separate distinct passes
+    // lazy: each materializes inside its first consumer (init join /
+    // final join) instead of paying a dedicated up-front job
     val outDeg = eSrc.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("out_degree")).localCheckpoint(true)
+      .agg(count(lit(1)).as("out_degree")).localCheckpoint(false)
     val inDeg = eDst.groupBy(col("dst").as("node"))
-      .agg(count(lit(1)).as("in_degree")).localCheckpoint(true)
+      .agg(count(lit(1)).as("in_degree")).localCheckpoint(false)
     // L1-normalize to total mass 10⁶ (truncating per node). Only the
     // RAW-sum frames are (lazily) checkpointed — each is consumed
     // twice (the L1 total and the per-node division) and carries the

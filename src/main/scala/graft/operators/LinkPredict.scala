@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * of integers — bit-identical on any engine, no float accumulation
   * order to replay.
   *
-  * Scale shape: the membership frame shuffles ONCE on basket (the
-  * self-join reuses the same exchange on both sides); candidate pairs
-  * are generated per basket — Σ C(|basket|,2) rows, bounded by the
-  * `maxBasket` contract below — then one map-side-combined aggregate on
-  * the pair key. No all-pairs step anywhere: items never meeting in a
-  * basket are never materialized.
+  * Scale shape: TWO shuffles total. The membership frame aggregates
+  * once into per-basket sorted distinct-item arrays (map-side combined;
+  * the size cut applies to the array, so hub baskets die before
+  * emitting a single pair); candidate pairs are then generated
+  * MAP-SIDE from each array — Σ C(|basket|,2) rows, bounded by the
+  * `maxBasket` contract below, no self-join and no second pass over
+  * membership — and one map-side-combined aggregate on the pair key
+  * finishes. Items never meeting in a basket are never materialized,
+  * and the sorted array makes item_a < item_b canonical for free.
   *
   * Contract: baskets larger than `maxBasket` are EXCLUDED, not sampled —
   * the standard LP practice, for two reasons that agree: a hub basket's
@@ -39,21 +42,21 @@ object LinkPredict {
       membership: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int = 256): DataFrame = {
     require(maxBasket >= 2, "maxBasket must be at least 2")
-    val m = membership
+    membership
       .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-      .distinct()
-    val deg = m.groupBy("__bk").agg(count(lit(1)).as("__bsize"))
-    // weight rides the left copy only — summing it once per pair
-    val bounded = m.join(deg.filter(col("__bsize") <= maxBasket), "__bk")
-      .withColumn("__w",
-        expr("CAST(1000000 DIV __bsize AS BIGINT)"))
-      .localCheckpoint(true) // consumed twice: both sides of the self-join
-    val a = bounded.select(col("__bk"), col("__it").as("item_a"), col("__w"))
-    val b = bounded.select(col("__bk"), col("__it").as("item_b"))
-    a.join(b, Seq("__bk"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b")
+      .groupBy("__bk")
+      .agg(sort_array(collect_set(col("__it"))).as("__items"))
+      .filter(size(col("__items")).between(2, maxBasket))
+      .select(explode(expr(
+        // all i<j pairs off the sorted array, map-side: the struct
+        // carries (item_a, item_b, weight) per co-occurrence
+        """flatten(transform(__items, (a, i) ->
+          |  transform(slice(__items, i + 2, size(__items) - i - 1),
+          |    b -> struct(a AS item_a, b AS item_b,
+          |      CAST(1000000 DIV size(__items) AS BIGINT) AS w))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("common_baskets"),
-        sum(col("__w")).as("ra_micros"))
+        sum(col("p.w")).as("ra_micros"))
   }
 }
