@@ -3497,6 +3497,61 @@ object SparkEntry {
         .orderBy("edge")
     }),
 
+    // Extension — MATRYOSHKA TRUNCATION AUDIT: can the ANN tier serve
+    // PREFIX-dimension vectors (8/16/32 of 64) — the modern
+    // latency/memory lever — and what recall does each truncation
+    // cost? An 8-query panel scores the whole base ONCE per dim in
+    // pure int8 integer arithmetic (q61's quantization; prefix dots
+    // via slice + zip_with fold — no floats anywhere), per-(query,
+    // dim) top-10 via ONE window over the (qid, dim) partition
+    // (WindowGroupLimit: a per-partition heap, the q258 discipline,
+    // never a global sort), and recall@10 against the full-dim top-10
+    // aggregates per dim. The dim=64 row gates itself at 10000 pm.
+    // Hash-exact.
+    "q290_matryoshka" -> ((s, dir) => {
+      val qz = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.quantizeEmbedding(col("embedding")).as("qe"))
+        .localCheckpoint(true) // panel + base share the quantize pass
+      val panel = qz.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("qe").as("qv"))
+      val dims = Seq(8, 16, 32, 64)
+      def pdot(d: Int) = expr(
+        s"""CAST(aggregate(zip_with(slice(bv, 1, $d), slice(qv, 1, $d),
+           |  (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, p) -> a + p)
+           |  AS BIGINT)""".stripMargin.replace("\n", " "))
+      val scored = qz.filter(col("vec_id") >= 8)
+        .withColumnRenamed("qe", "bv")
+        .crossJoin(broadcast(panel))
+        .select(col("qid"), col("vec_id"), explode(array(dims.map(d =>
+          struct(lit(d.toLong).as("dim"), pdot(d).as("score"))): _*))
+          .as("s"))
+        .select(col("qid"), col("vec_id"), col("s.dim").as("dim"),
+          col("s.score").as("score"))
+      val top = scored
+        .withColumn("r", row_number().over(
+          Window.partitionBy("qid", "dim")
+            .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("r") <= 10)
+        .select("qid", "vec_id", "dim")
+        .localCheckpoint(true) // full-dim reference + all-dim probe
+      val full = top.filter(col("dim") === 64)
+        .select(col("qid").as("fqid"), col("vec_id").as("fid"))
+      top.join(full, col("qid") === col("fqid") &&
+          col("vec_id") === col("fid"), "left")
+        .groupBy(col("dim"), col("qid"))
+        .agg(count(col("fid")).as("ov"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_queries"), sum(col("ov")).as("hits"),
+          min(col("ov")).as("worst_ov"))
+        .withColumn("mean_recall_pm",
+          expr("CAST(10000 * hits DIV (10 * n_queries) AS BIGINT)"))
+        .withColumn("min_recall_pm",
+          expr("CAST(10000 * worst_ov DIV 10 AS BIGINT)"))
+        .drop("worst_ov")
+        .orderBy("dim")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11070,6 +11125,41 @@ object SparkEntry {
        |SELECT t.vec_id, t.qscore, fr.exact_rank FROM topq t LEFT JOIN fr USING (vec_id)
        |ORDER BY qscore DESC, vec_id ASC""".stripMargin
 
+  /** q290: the truncation audit replayed — q61's int8 quantization,
+    * prefix dots over range(1, dim+1), per-(query, dim) top-10,
+    * recall@10 against the full-dim reference. */
+  private def q290Oracle: String =
+    """WITH qz AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(least(127, greatest(-127, round(
+      |        (CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 0
+      |         ELSE CAST(x AS DOUBLE) END) * 64))) AS INT)) AS qe
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, qe AS qv FROM qz WHERE vec_id < 8),
+      |b AS (SELECT vec_id, qe AS bv FROM qz WHERE vec_id >= 8),
+      |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+      |sc AS (SELECT q.qid, b.vec_id, d.dim,
+      |    CAST(list_reduce(list_transform(range(1, d.dim + 1),
+      |      i -> CAST(b.bv[i] AS BIGINT) * q.qv[i]),
+      |      (x, y) -> x + y) AS BIGINT) AS score
+      |  FROM b, q, dims d),
+      |rk AS (SELECT qid, vec_id, dim, row_number() OVER (
+      |    PARTITION BY qid, dim ORDER BY score DESC, vec_id ASC) AS r
+      |  FROM sc),
+      |top AS (SELECT qid, vec_id, dim FROM rk WHERE r <= 10),
+      |f64 AS (SELECT qid, vec_id FROM top WHERE dim = 64),
+      |ov AS (SELECT t.dim, t.qid, count(f.vec_id) AS ov
+      |  FROM top t LEFT JOIN f64 f
+      |    ON t.qid = f.qid AND t.vec_id = f.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT CAST(dim AS BIGINT) AS dim,
+      |  CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(sum(ov) AS BIGINT) AS hits,
+      |  CAST(10000 * sum(ov) // (10 * count(*)) AS BIGINT)
+      |    AS mean_recall_pm,
+      |  CAST(10000 * min(ov) // 10 AS BIGINT) AS min_recall_pm
+      |FROM ov GROUP BY dim ORDER BY dim""".stripMargin
+
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
     * q32 (PNG byte streams), q35 (data-adaptive k-means centroids),
@@ -11418,6 +11508,7 @@ object SparkEntry {
     "q287_qty_discount_tau" -> q287Oracle,
     "q288_coordinated_sample" -> q288Oracle,
     "q289_fk_audit" -> q289Oracle,
+    "q290_matryoshka" -> q290Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
