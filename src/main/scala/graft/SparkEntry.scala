@@ -3552,6 +3552,71 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    // Extension — MULTI-WINDOW SLO BURN RATE: the Google-SRE paging
+    // rule computed exactly — error-budget burn over a SHORT (1h) and
+    // LONG (6h) window simultaneously, page only when BOTH exceed
+    // their thresholds (14.4× / 6× for a 1% budget): the short window
+    // catches the spike, the long window keeps a blip from paging.
+    // One hourly census (map-side combined); the 6h frame is a rollup
+    // of the hourly buckets (bucket DIV 6 — no second scan); one
+    // equi-join back on the parent window. burn_pm = 10⁴·100·errors
+    // DIV total (budget 1% ⇒ burn = err_rate/0.01). Hash-exact.
+    "q291_burn_rate" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .withColumn("h", expr("unix_micros(ts) DIV 3600000000"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("total_1h"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errors_1h"))
+        .localCheckpoint(true) // census feeds both windows
+      val six = hourly.groupBy(expr("h DIV 6").as("h6"))
+        .agg(sum(col("total_1h")).as("total_6h"),
+          sum(col("errors_1h")).as("errors_6h"))
+      hourly.join(six, expr("h DIV 6") === col("h6"))
+        .withColumn("burn1_pm",
+          expr("CAST(1000000 * errors_1h DIV total_1h AS BIGINT)"))
+        .withColumn("burn6_pm",
+          expr("CAST(1000000 * errors_6h DIV total_6h AS BIGINT)"))
+        .withColumn("page",
+          (col("burn1_pm") >= 144000L && col("burn6_pm") >= 60000L)
+            .cast("int"))
+        .select(col("h").as("hour"), col("errors_1h"), col("total_1h"),
+          col("burn1_pm"), col("burn6_pm"), col("page"))
+        .orderBy("hour")
+    }),
+
+    // Extension — P99 TAIL ATTRIBUTION: which event type OWNS the tail
+    // — the global p99 value threshold (exact TYPE-1 counting quantile
+    // over the bounded cents domain, q129/q238 discipline), then per
+    // type: rows, rows above the threshold, share of the tail in pm
+    // (who to page) vs within-type tail rate in pm (who degraded).
+    // The two rankings disagree exactly when a small type degrades
+    // hard — the case averaging hides. Hash-exact.
+    "q292_tail_attribution" -> ((s, dir) => {
+      val cents = events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("c"))
+        .localCheckpoint(true) // threshold pass + census pass
+      val thr = graft.operators.CountingQuantile.countingQuantiles(
+          cents.withColumn("g", lit(1)), Seq("g"), "c",
+          Seq(("p99", 9900L)))
+        .select(col("p99").cast("long").as("thr"))
+      val tail = cents.crossJoin(broadcast(thr))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c") > col("thr"), 1L).otherwise(0L))
+            .as("n_above"), max(col("thr")).as("p99_cents"))
+      tail.crossJoin(broadcast(
+          tail.agg(sum(col("n_above")).as("tail_total"))))
+        .withColumn("tail_share_pm",
+          expr("CAST(10000 * n_above DIV nullif(tail_total, 0) AS BIGINT)"))
+        .withColumn("tail_rate_pm",
+          expr("CAST(10000 * n_above DIV n_rows AS BIGINT)"))
+        .drop("tail_total")
+        .orderBy("event_type")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11160,6 +11225,50 @@ object SparkEntry {
       |  CAST(10000 * min(ov) // 10 AS BIGINT) AS min_recall_pm
       |FROM ov GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** q291: the burn-rate replay — hourly census, 6h rollup of the
+    * hourly buckets, the same 14.4×/6× paging conjunction. */
+  private def q291Oracle: String =
+    """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS h,
+      |    count(*) AS total_1h,
+      |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS errors_1h
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT h // 6 AS h6, sum(total_1h) AS total_6h,
+      |    sum(errors_1h) AS errors_6h FROM h GROUP BY 1)
+      |SELECT h.h AS hour, CAST(errors_1h AS BIGINT) AS errors_1h,
+      |  CAST(total_1h AS BIGINT) AS total_1h,
+      |  CAST(1000000 * errors_1h // total_1h AS BIGINT) AS burn1_pm,
+      |  CAST(1000000 * errors_6h // total_6h AS BIGINT) AS burn6_pm,
+      |  CAST(CASE WHEN 1000000 * errors_1h // total_1h >= 144000
+      |    AND 1000000 * errors_6h // total_6h >= 60000
+      |    THEN 1 ELSE 0 END AS INT) AS page
+      |FROM h JOIN s ON h.h // 6 = s.h6 ORDER BY hour""".stripMargin
+
+  /** q292: tail attribution replayed — the ceil-rank TYPE-1 p99 over
+    * the cents cells, per-type census, identical permyriads. */
+  private def q292Oracle: String =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |cells AS (SELECT c, count(*) AS cnt FROM ev
+      |  WHERE c IS NOT NULL GROUP BY 1),
+      |cum AS (SELECT c, sum(cnt) OVER (ORDER BY c ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    (SELECT sum(cnt) FROM cells) AS n FROM cells),
+      |thr AS (SELECT min(c) AS thr FROM cum
+      |  WHERE cum >= (n * 9900 + 9999) // 10000),
+      |t AS (SELECT event_type, count(*) AS n_rows,
+      |    sum(CASE WHEN c > thr THEN 1 ELSE 0 END) AS n_above
+      |  FROM ev, thr GROUP BY 1),
+      |tt AS (SELECT sum(n_above) AS tail_total FROM t)
+      |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_above AS BIGINT) AS n_above,
+      |  CAST(thr AS BIGINT) AS p99_cents,
+      |  CAST(10000 * n_above // nullif(tail_total, 0) AS BIGINT)
+      |    AS tail_share_pm,
+      |  CAST(10000 * n_above // n_rows AS BIGINT) AS tail_rate_pm
+      |FROM t, tt, thr ORDER BY event_type""".stripMargin
+
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
     * q32 (PNG byte streams), q35 (data-adaptive k-means centroids),
@@ -11509,6 +11618,8 @@ object SparkEntry {
     "q288_coordinated_sample" -> q288Oracle,
     "q289_fk_audit" -> q289Oracle,
     "q290_matryoshka" -> q290Oracle,
+    "q291_burn_rate" -> q291Oracle,
+    "q292_tail_attribution" -> q292Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
