@@ -3617,6 +3617,71 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Extension — SHINGLE-SIZE SENSITIVITY: how aggressive does span/
+    // near-dup detection get as the n-gram size shrinks — per n in
+    // {3,5,8,13} (13 = the public decontamination convention, 8 = the
+    // q126 span size), gram types, types shared by ≥2 docs, and the
+    // share of DOCS a dedup pass at that n would touch. The instrument
+    // for the dedup KNOB, beside q231's recall instrument for the
+    // LSH stage. One tokenize pass explodes all four gram streams
+    // (per-doc arrays; docs shorter than n contribute nothing at that
+    // n); the type table is vocabulary-bounded per n. Hash-exact.
+    "q293_shingle_sensitivity" -> ((s, dir) => {
+      val ns = Seq(3, 5, 8, 13)
+      val occ = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(array(ns.map(n =>
+          struct(lit(n.toLong).as("n"),
+            graft.plans.SketchFunctions.portableNgramHashes(col("t"), n)
+              .as("ghs"))): _*)).as("s"))
+        .select(col("doc_id"), col("s.n").as("n"),
+          explode(col("s.ghs")).as("gh"))
+        .localCheckpoint(true) // type table + the flagged-docs semi join
+      val types = occ.select("n", "gh", "doc_id").distinct()
+        .groupBy("n", "gh").agg(count(lit(1)).as("nd"))
+        .localCheckpoint(true) // census + the shared-gram probe
+      val census = types.groupBy("n").agg(
+        count(lit(1)).as("gram_types"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_types"))
+      val flagged = occ
+        .join(types.filter(col("nd") >= 2).select("n", "gh"),
+          Seq("n", "gh"), "left_semi")
+        .select("n", "doc_id").distinct()
+        .groupBy("n").agg(count(lit(1)).as("docs_touched"))
+      census.join(flagged, Seq("n"), "left")
+        .na.fill(0L, Seq("docs_touched"))
+        .crossJoin(broadcast(
+          t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))))
+        .withColumn("shared_type_pm",
+          expr("CAST(10000 * shared_types DIV gram_types AS BIGINT)"))
+        .withColumn("docs_pm",
+          expr("CAST(10000 * docs_touched DIV n_docs AS BIGINT)"))
+        .drop("n_docs")
+        .orderBy("n")
+    }),
+
+    // Extension — DIVERSITY×LENGTH CONFOUND (RankAgree.tauB): per
+    // language, the tie-corrected monotone association between a doc's
+    // token-count OCTAVE and its lexical-diversity band (10·distinct
+    // DIV tokens) — Heaps' law guarantees it is NEGATIVE, which is
+    // exactly why a flat distinct-ratio quality threshold silently
+    // biases a corpus against LONG documents; this query measures the
+    // bias instead of assuming it. Both axes are bounded domains
+    // (≤64 octaves × 11 bands), so the τ grid stays domain-sized at
+    // any corpus size. Hash-exact.
+    "q294_diversity_length_tau" -> ((s, dir) => {
+      graft.operators.RankAgree.tauB(
+          t(s, dir, "documents")
+            .select(col("lang"), TextAnalysis.tokens(col("text")).as("t"))
+            .filter(size(col("t")) >= 1)
+            .select(col("lang"),
+              expr("CAST(length(bin(size(t))) AS BIGINT)").as("xc"),
+              expr("CAST(10 * size(array_distinct(t)) DIV size(t)" +
+                " AS BIGINT)").as("yc")),
+          "lang", "xc", "yc")
+        .orderBy("lang")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11269,6 +11334,86 @@ object SparkEntry {
       |  CAST(10000 * n_above // n_rows AS BIGINT) AS tail_rate_pm
       |FROM t, tt, thr ORDER BY event_type""".stripMargin
 
+  /** q293: the sensitivity sweep replayed — per n, the q126 gram
+    * construction (space-joined n tokens through the portable md5
+    * hash), type census, shared-doc probe. */
+  private def q293Oracle: String = {
+    def gramExpr(n: Int) = (0 until n)
+      .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    def grams(n: Int) =
+      s"""SELECT $n AS n, doc_id, ${duckMd5Long(s"(${gramExpr(n)})")} AS gh
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${n - 2})) AS i
+         |        FROM tok WHERE len(t) >= $n)""".stripMargin
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |g AS (${Seq(3, 5, 8, 13).map(grams).mkString("\nUNION ALL\n")}),
+       |ty AS (SELECT n, gh, count(*) AS nd
+       |  FROM (SELECT DISTINCT n, gh, doc_id FROM g) GROUP BY 1, 2),
+       |cen AS (SELECT n, CAST(count(*) AS BIGINT) AS gram_types,
+       |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS shared_types
+       |  FROM ty GROUP BY 1),
+       |fl AS (SELECT g.n, CAST(count(DISTINCT g.doc_id) AS BIGINT)
+       |    AS docs_touched
+       |  FROM g JOIN ty ON g.n = ty.n AND g.gh = ty.gh
+       |  WHERE ty.nd >= 2 GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT CAST(cen.n AS BIGINT) AS n, gram_types, shared_types,
+       |  CAST(10000 * shared_types // gram_types AS BIGINT)
+       |    AS shared_type_pm,
+       |  coalesce(docs_touched, 0) AS docs_touched,
+       |  CAST(10000 * coalesce(docs_touched, 0) // n_docs AS BIGINT)
+       |    AS docs_pm
+       |FROM cen LEFT JOIN fl ON cen.n = fl.n, nd ORDER BY n""".stripMargin
+  }
+
+  /** q294: the confound replay — same octave/band quantization, the
+    * q287 τ-b contingency-grid formulation per language. */
+  private def q294Oracle: String =
+    """WITH base AS (SELECT lang,
+      |    CAST(length(bin(len(t))) AS BIGINT) AS xc,
+      |    CAST(10 * len(list_distinct(t)) // len(t) AS BIGINT) AS yc
+      |  FROM (SELECT lang, list_filter(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS t FROM documents)
+      |  WHERE len(t) >= 1),
+      |cells AS (SELECT lang AS brand, xc, yc,
+      |    CAST(count(*) AS HUGEINT) AS c FROM base GROUP BY 1, 2, 3),
+      |w AS (SELECT brand, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(c * (c - 1) // 2) AS tboth FROM cells GROUP BY 1),
+      |b AS (SELECT l.brand,
+      |    sum(CASE WHEN (r.xc - l.xc) * (r.yc - l.yc) > 0
+      |      THEN l.c * r.c ELSE 0 END) AS conc,
+      |    sum(CASE WHEN (r.xc - l.xc) * (r.yc - l.yc) < 0
+      |      THEN l.c * r.c ELSE 0 END) AS disc,
+      |    sum(CASE WHEN l.xc = r.xc AND l.yc <> r.yc
+      |      THEN l.c * r.c ELSE 0 END) AS txo,
+      |    sum(CASE WHEN l.yc = r.yc AND l.xc <> r.xc
+      |      THEN l.c * r.c ELSE 0 END) AS tyo
+      |  FROM cells l JOIN cells r ON l.brand = r.brand
+      |    AND (l.xc < r.xc OR (l.xc = r.xc AND l.yc < r.yc))
+      |  GROUP BY 1)
+      |SELECT w.brand AS lang, w.n,
+      |  CAST(coalesce(conc, 0) AS DECIMAL(38,0)) AS concordant,
+      |  CAST(coalesce(disc, 0) AS DECIMAL(38,0)) AS discordant,
+      |  CAST(coalesce(txo, 0) + tboth AS DECIMAL(38,0)) AS ties_x,
+      |  CAST(coalesce(tyo, 0) + tboth AS DECIMAL(38,0)) AS ties_y,
+      |  CAST(tboth AS DECIMAL(38,0)) AS ties_both,
+      |  CAST((CASE WHEN coalesce(conc, 0) >= coalesce(disc, 0)
+      |      THEN 1 ELSE -1 END)
+      |    * (10000 * (coalesce(conc, 0) - coalesce(disc, 0))
+      |       * (coalesce(conc, 0) - coalesce(disc, 0))
+      |       // nullif(
+      |         (CAST(w.n AS HUGEINT) * (w.n - 1) // 2
+      |           - (coalesce(txo, 0) + tboth))
+      |         * (CAST(w.n AS HUGEINT) * (w.n - 1) // 2
+      |           - (coalesce(tyo, 0) + tboth)), 0))
+      |    AS BIGINT) AS tau2_pm
+      |FROM w LEFT JOIN b ON w.brand = b.brand
+      |ORDER BY w.brand""".stripMargin
+
   /** DuckDB-runnable equivalents, same column aliases, same total order.
     * Rows-only queries (hash-free weaker check) are intentionally absent:
     * q32 (PNG byte streams), q35 (data-adaptive k-means centroids),
@@ -11620,6 +11765,8 @@ object SparkEntry {
     "q290_matryoshka" -> q290Oracle,
     "q291_burn_rate" -> q291Oracle,
     "q292_tail_attribution" -> q292Oracle,
+    "q293_shingle_sensitivity" -> q293Oracle,
+    "q294_diversity_length_tau" -> q294Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

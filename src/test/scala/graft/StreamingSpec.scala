@@ -1158,6 +1158,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Map("u" -> ((4L, 2L, 30L, 20L))))
   }
 
+  test("streaming dedup-within-watermark: duplicates across triggers collapse, state stays bounded") {
+    val src = Files.createTempDirectory("graft_stream_ddw")
+    val ckp = Files.createTempDirectory("graft_stream_ddw_ckp")
+    // the streaming-native dedup API (dropDuplicatesWithinWatermark):
+    // unlike dropDuplicates, its state EXPIRES with the watermark, so a
+    // year-long stream doesn't accumulate a year of keys — the q13/q20
+    // batch dedup semantics at unbounded-stream state cost. The late
+    // copy of e1 arrives in a LATER trigger and must still collapse.
+    def line(id: String, ts: String) =
+      s"""{"event_id":"$id","ts":"$ts"}"""
+    Files.write(src.resolve("a.json"),
+      Seq(line("e1", "2024-01-01 10:00:00"),
+        line("e2", "2024-01-01 10:00:05")).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      Seq(line("e1", "2024-01-01 10:00:02"), // duplicate, within watermark
+        line("e3", "2024-01-01 10:00:30")).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id STRING, ts STRING")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(src.toString)
+      .selectExpr("event_id", "to_timestamp(ts) AS ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("memory").queryName("ddw_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ddw_stream").collect()
+      .map(_.getAs[String]("event_id")).sorted.toSeq
+    assert(got == Seq("e1", "e2", "e3"))
+  }
+
   test("streaming CUSUM twin: drift statistic replays exactly on the streamed series") {
     import graft.operators.Trend
 
