@@ -3682,6 +3682,46 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Extension — GENERALIZATION LADDER for k-anonymity: how much must
+    // the account-balance quasi-identifier be COARSENED before the
+    // (nation, balance-band) classes reach k=5 — the release-decision
+    // instrument (q113 audits ONE generalization; this measures the
+    // whole knob, the q293 discipline pointed at privacy). Per band
+    // width in {1, 10, 100, 1000} dollars: classes, risky classes/rows
+    // under k=5, min class size, and the residual risk permyriad. One
+    // census per width off a shared 1-dollar-grain aggregate — row
+    // grain is touched ONCE; widths re-bucket the dollar CELLS.
+    "q295_generalization_ladder" -> ((s, dir) => {
+      // +1000 shifts TPC-H's negative balances into the non-negative
+      // domain where Spark's truncating DIV and DuckDB's floor //
+      // agree (they differ below zero)
+      val cells = t(s, dir, "customer")
+        .select(col("c_nationkey"),
+          expr("CAST((CAST(c_acctbal AS DECIMAL(12,2)) + 1000) DIV 1" +
+            " AS BIGINT)").as("usd"))
+        .groupBy("c_nationkey", "usd").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // all four widths re-bucket these cells
+      val widths = Seq(1L, 10L, 100L, 1000L)
+      widths.map { w =>
+        cells
+          .groupBy(col("c_nationkey"),
+            expr(s"CAST(usd DIV $w AS BIGINT)").as("band"))
+          .agg(sum(col("cnt")).as("_sz"))
+          .agg(sum(col("_sz")).as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            sum(when(col("_sz") < 5, 1L).otherwise(0L))
+              .as("n_risky_classes"),
+            sum(when(col("_sz") < 5, col("_sz")).otherwise(0L))
+              .as("n_risky_rows"),
+            min(col("_sz")).as("min_class_size"))
+          .select(lit(w).as("band_usd"), col("n_rows"), col("n_classes"),
+            col("n_risky_classes"), col("n_risky_rows"),
+            col("min_class_size"),
+            expr("CAST(10000 * n_risky_rows DIV n_rows AS BIGINT)")
+              .as("risk_pm"))
+      }.reduce(_.unionByName(_)).orderBy("band_usd")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11369,6 +11409,30 @@ object SparkEntry {
        |FROM cen LEFT JOIN fl ON cen.n = fl.n, nd ORDER BY n""".stripMargin
   }
 
+  /** q295: the ladder replay — the same +1000 shift into the
+    * non-negative domain (truncating DIV ≡ floor // there), dollar
+    * cells re-bucketed per width, identical k=5 census. */
+  private def q295Oracle: String = {
+    def rung(w: Long) =
+      s"""SELECT $w AS band_usd, CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_risky_classes,
+         |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         |    AS n_risky_rows,
+         |  CAST(min(sz) AS BIGINT) AS min_class_size,
+         |  CAST(10000 * sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+         |    // sum(sz) AS BIGINT) AS risk_pm
+         |FROM (SELECT c_nationkey, usd // $w AS band, sum(cnt) AS sz
+         |      FROM cells GROUP BY 1, 2)""".stripMargin
+    s"""WITH cells AS (SELECT c_nationkey,
+       |    CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) + 1000)
+       |      AS BIGINT) AS usd, count(*) AS cnt
+       |  FROM customer GROUP BY 1, 2)
+       |${Seq(1L, 10L, 100L, 1000L).map(rung).mkString("\nUNION ALL\n")}
+       |ORDER BY band_usd""".stripMargin
+  }
+
   /** q294: the confound replay — same octave/band quantization, the
     * q287 τ-b contingency-grid formulation per language. */
   private def q294Oracle: String =
@@ -11767,6 +11831,7 @@ object SparkEntry {
     "q292_tail_attribution" -> q292Oracle,
     "q293_shingle_sensitivity" -> q293Oracle,
     "q294_diversity_length_tau" -> q294Oracle,
+    "q295_generalization_ladder" -> q295Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
