@@ -3722,6 +3722,48 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("band_usd")
     }),
 
+    // Extension — DICTIONARY-ENCODING ADVISOR: the storage-layout
+    // counterpart of the q283/q284 planners — per candidate string
+    // column, NDV, total/avg bytes, and the two integer cost models a
+    // columnar writer weighs: plain (= total bytes) vs dictionary
+    // (= dictionary bytes + n·ceil(log2 ndv) bits packed), with the
+    // verdict and the saving in permyriad. One map-side census per
+    // column (distinct byte totals via a (col, value) grain aggregate,
+    // value-domain-sized), unioned. The q112 profile says what the
+    // data IS; this says what the writer should DO. Hash-exact.
+    "q296_encoding_advisor" -> ((s, dir) => {
+      def census(name: String, df: DataFrame, c: String) = df
+        .select(col(c).cast("string").as("v")).filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("ndv"),
+          sum(length(col("v")) * col("cnt")).as("plain_bytes"),
+          sum(length(col("v"))).as("dict_bytes"))
+        .select(lit(name).as("column_name"), col("n_rows"), col("ndv"),
+          col("plain_bytes"),
+          // dict cost: the dictionary itself + n keys at
+          // ceil(log2 ndv) bits = bit_length(ndv - 1), packed to bytes
+          expr("""CAST(dict_bytes +
+                 (n_rows * CAST(length(bin(ndv - 1)) AS BIGINT) + 7)
+                 DIV 8 AS BIGINT)""").as("dict_total_bytes"))
+        .withColumn("use_dict",
+          (col("dict_total_bytes") < col("plain_bytes")).cast("int"))
+        // signed permyriad over NON-NEGATIVE divisions only — trunc
+        // (Spark DIV) and floor (DuckDB //) disagree below zero
+        .withColumn("saving_pm", expr(
+          """CAST(CASE WHEN dict_total_bytes <= plain_bytes
+            | THEN 10000 * (plain_bytes - dict_total_bytes) DIV plain_bytes
+            | ELSE -(10000 * (dict_total_bytes - plain_bytes) DIV plain_bytes)
+            | END AS BIGINT)""".stripMargin.replace("\n", " ")))
+      census("events.event_type", events(s, dir), "event_type")
+        .unionByName(census("events.user_id", events(s, dir), "user_id"))
+        .unionByName(census("documents.lang",
+          t(s, dir, "documents"), "lang"))
+        .unionByName(census("documents.text",
+          t(s, dir, "documents"), "text"))
+        .unionByName(census("part.p_brand", t(s, dir, "part"), "p_brand"))
+        .orderBy("column_name")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11433,6 +11475,34 @@ object SparkEntry {
        |ORDER BY band_usd""".stripMargin
   }
 
+  /** q296: the advisor replayed — per-column value census, the same
+    * bit_length dictionary cost model, sign-split permyriad. */
+  private def q296Oracle: String = {
+    def census(name: String, table: String, c: String) =
+      s"""SELECT '$name' AS column_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS ndv,
+         |  CAST(sum(len(v) * cnt) AS BIGINT) AS plain_bytes,
+         |  CAST(sum(len(v)) +
+         |    (sum(cnt) * length(bin(count(*) - 1)) + 7) // 8
+         |    AS BIGINT) AS dict_total_bytes
+         |FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
+         |      FROM $table WHERE $c IS NOT NULL GROUP BY 1)""".stripMargin
+    s"""WITH c AS (${Seq(
+         census("events.event_type", "events", "event_type"),
+         census("events.user_id", "events", "user_id"),
+         census("documents.lang", "documents", "lang"),
+         census("documents.text", "documents", "text"),
+         census("part.p_brand", "part", "p_brand")).mkString("\nUNION ALL\n")})
+       |SELECT column_name, n_rows, ndv, plain_bytes, dict_total_bytes,
+       |  CAST(CASE WHEN dict_total_bytes < plain_bytes THEN 1 ELSE 0 END
+       |    AS INT) AS use_dict,
+       |  CAST(CASE WHEN dict_total_bytes <= plain_bytes
+       |    THEN 10000 * (plain_bytes - dict_total_bytes) // plain_bytes
+       |    ELSE -(10000 * (dict_total_bytes - plain_bytes) // plain_bytes)
+       |    END AS BIGINT) AS saving_pm
+       |FROM c ORDER BY column_name""".stripMargin
+  }
+
   /** q294: the confound replay — same octave/band quantization, the
     * q287 τ-b contingency-grid formulation per language. */
   private def q294Oracle: String =
@@ -11832,6 +11902,7 @@ object SparkEntry {
     "q293_shingle_sensitivity" -> q293Oracle,
     "q294_diversity_length_tau" -> q294Oracle,
     "q295_generalization_ladder" -> q295Oracle,
+    "q296_encoding_advisor" -> q296Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -1158,6 +1158,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Map("u" -> ((4L, 2L, 30L, 20L))))
   }
 
+  test("streaming burn-rate twin: the two-window paging conjunction replays on streamed hours") {
+    val src = Files.createTempDirectory("graft_stream_burn")
+    val ckp = Files.createTempDirectory("graft_stream_burn_ckp")
+    // the q291 shape: hourly error/total census + a 6h rollup of the
+    // hourly buckets, paging when BOTH burn rates exceed threshold.
+    // All-algebraic sums, so the same frame maintains live under
+    // complete mode; the spike hour's errors arrive SPLIT across two
+    // triggers and must still page only once fully assembled.
+    def line(h: Long, t: String) = s"""{"h":$h,"event_type":"$t"}"""
+    val quiet = (0L until 5L).flatMap(h => Seq.fill(10)(line(h, "view")))
+    Files.write(src.resolve("a.json"),
+      (quiet ++ Seq.fill(3)(line(5, "error")) ++
+        Seq.fill(2)(line(5, "view"))).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      (Seq.fill(4)(line(5, "error")) ++ Seq.fill(1)(line(5, "view")))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    // the STREAM maintains only the mergeable hourly census (a
+    // stream-stream join is illegal in complete mode — and unnecessary:
+    // in deployment the census is the state, the paging rule is a view
+    // over it); the burn/page readout is the same pure view applied to
+    // the live census table and to the batch census.
+    def hourly(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("h")
+        .agg(org.apache.spark.sql.functions.expr("count(1) AS total_1h"),
+          org.apache.spark.sql.functions.expr(
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)" +
+              " AS errors_1h"))
+    def burnView(census: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions.{col, expr}
+      census.join(
+          census.groupBy(expr("h DIV 6").as("h6"))
+            .agg(expr("sum(total_1h) AS total_6h"),
+              expr("sum(errors_1h) AS errors_6h")),
+          expr("h DIV 6") === col("h6"))
+        .selectExpr("h",
+          "CAST(1000000 * errors_1h DIV total_1h AS BIGINT) AS burn1_pm",
+          "CAST(1000000 * errors_6h DIV total_6h AS BIGINT) AS burn6_pm",
+          "CAST(1000000 * errors_1h DIV total_1h >= 144000 AND " +
+            "1000000 * errors_6h DIV total_6h >= 60000 AS INT) AS page")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "h BIGINT, event_type STRING")
+    val q = hourly(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(src.toString))
+      .writeStream.format("memory").queryName("burn_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.getAs[Long]("h") ->
+        (r.getAs[Long]("burn1_pm"), r.getAs[Long]("burn6_pm"),
+          r.getAs[Int]("page"))).toMap
+    val streamed = canon(burnView(spark.table("burn_stream")).collect())
+    val batch = canon(burnView(hourly(spark.read.json(src.toString))).collect())
+    assert(streamed == batch)
+    // hour 5 fully assembled: 7 errors / 10 rows = 700000 pm short,
+    // 7/60 = 116666 pm long -> both thresholds cleared, page fires
+    assert(streamed(5L) == ((700000L, 116666L, 1)))
+    assert(streamed(0L)._3 == 0)
+  }
+
   test("streaming dedup-within-watermark: duplicates across triggers collapse, state stays bounded") {
     val src = Files.createTempDirectory("graft_stream_ddw")
     val ckp = Files.createTempDirectory("graft_stream_ddw_ckp")
