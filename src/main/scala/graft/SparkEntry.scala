@@ -3764,6 +3764,61 @@ object SparkEntry {
         .orderBy("column_name")
     }),
 
+    // Extension — EMPIRICAL-BAYES SHRUNK LEADERBOARD: the part
+    // return-rate ranking a 1-of-1 return cannot top — each part's
+    // rate shrinks toward the corpus prior by a 100-line pseudo-count
+    // (shrunk = (r + 100·p̂)/(n + 100), p̂ = R/N), the standard fix for
+    // small-sample leaderboard pollution. Cross-multiplied into ONE
+    // exact integer division: 10⁴·(r·N + 100·R) DIV ((n+100)·N) in
+    // DECIMAL(38,0) (r·N ~ 10²⁴ at 10¹² lines — past int64). One
+    // map-side census + a 1-row prior crossJoin; top-20 by
+    // (shrunk, part) — unique tuple. raw_pm rides along so the
+    // rank-flip vs the naive leaderboard is visible in the gate.
+    "q297_shrunk_returns" -> ((s, dir) => {
+      val census = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returns"))
+        .localCheckpoint(true) // census + the 1-row prior
+      census.crossJoin(broadcast(census.agg(
+          sum(col("n_lines")).as("nn"), sum(col("n_returns")).as("rr"))))
+        .withColumn("raw_pm",
+          expr("CAST(10000 * n_returns DIV n_lines AS BIGINT)"))
+        .withColumn("shrunk_pm", expr(
+          """CAST(10000 * (CAST(n_returns AS DECIMAL(38,0)) * nn + 100 * rr)
+            | DIV ((n_lines + 100) * CAST(nn AS DECIMAL(38,0)))
+            | AS BIGINT)""".stripMargin.replace("\n", " ")))
+        .select("l_partkey", "n_lines", "n_returns", "raw_pm", "shrunk_pm")
+        .orderBy(col("shrunk_pm").desc, col("l_partkey").asc)
+        .limit(20)
+    }),
+
+    // Extension — TEAM-DRAFT INTERLEAVED SERVING (Interleave
+    // .teamDraft): the online ranker-comparison mechanism — ONE list
+    // per brand interleaving the quantity-ranked and revenue-ranked
+    // top-10s, coin-per-round by salted md5 (deterministic, so the
+    // drafted lists hash), each team contributing its best undrafted
+    // item with source attribution for click crediting. One aggregate
+    // fold over the 5-round spine per key (packed-array discipline, no
+    // iterative jobs); oracle replays the draft as a WITH RECURSIVE
+    // round chain. Hash-exact.
+    "q298_interleaved_serving" -> ((s, dir) => {
+      val pm = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_partkey").as("item"))
+        .agg(expr("CAST(sum(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)" +
+            " AS BIGINT)").as("cents"))
+        .localCheckpoint(true) // both rankings rank the same frame
+      def ranked(m: String) = pm.withColumn("r", row_number().over(
+        Window.partitionBy("brand").orderBy(col(m).desc, col("item").asc)))
+      graft.operators.Interleave.teamDraft(
+          ranked("qty"), ranked("cents"), "brand", "item", "r",
+          kOut = 10, salt = "q298")
+        .orderBy("brand", "pos")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11503,6 +11558,74 @@ object SparkEntry {
        |FROM c ORDER BY column_name""".stripMargin
   }
 
+  /** q297: the shrinkage replay — same census, same cross-multiplied
+    * HUGEINT division, same unique-tuple top-20. */
+  private def q297Oracle: String =
+    """WITH c AS (SELECT l_partkey, count(*) AS n,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      |  FROM lineitem GROUP BY 1),
+      |p AS (SELECT sum(n) AS nn, sum(r) AS rr FROM c)
+      |SELECT l_partkey, CAST(n AS BIGINT) AS n_lines,
+      |  CAST(r AS BIGINT) AS n_returns,
+      |  CAST(10000 * r // n AS BIGINT) AS raw_pm,
+      |  CAST(10000 * (CAST(r AS HUGEINT) * nn + 100 * rr)
+      |    // ((n + 100) * CAST(nn AS HUGEINT)) AS BIGINT) AS shrunk_pm
+      |FROM c, p
+      |ORDER BY shrunk_pm DESC, l_partkey ASC LIMIT 20""".stripMargin
+
+  /** q298: the draft replayed as a WITH RECURSIVE round chain — same
+    * rankings, same md5 coin, same first-undrafted pick rule. */
+  private def q298Oracle: String = {
+    def nxt(xs: String, p: String) =
+      s"list_filter($xs, e -> NOT list_contains($p, e))[1]"
+    def pickP(x: String, y: String): String = {
+      val n1 = nxt(x, "p")
+      val p1 = s"(CASE WHEN $n1 IS NULL THEN p ELSE list_append(p, $n1) END)"
+      val n2 = nxt(y, p1)
+      s"(CASE WHEN $n2 IS NULL THEN $p1 ELSE list_append($p1, $n2) END)"
+    }
+    def pickT(x: String, y: String, tx: Int, ty: Int): String = {
+      val n1 = nxt(x, "p")
+      val p1 = s"(CASE WHEN $n1 IS NULL THEN p ELSE list_append(p, $n1) END)"
+      val t1 = s"(CASE WHEN $n1 IS NULL THEN tm ELSE list_append(tm, $tx) END)"
+      val n2 = nxt(y, p1)
+      s"(CASE WHEN $n2 IS NULL THEN $t1 ELSE list_append($t1, $ty) END)"
+    }
+    val coin = "(('0x' || substr(md5(brand || '|q298|' ||" +
+      " CAST(t AS VARCHAR)), 1, 1))::INT % 2) = 0"
+    s"""WITH RECURSIVE
+       |pm AS (SELECT p_brand AS brand, l_partkey AS item,
+       |    CAST(sum(l_quantity) AS BIGINT) AS qty,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+       |      AS BIGINT) AS cents
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2),
+       |ra AS (SELECT brand, item, row_number() OVER (PARTITION BY brand
+       |    ORDER BY qty DESC, item ASC) AS r FROM pm),
+       |rb AS (SELECT brand, item, row_number() OVER (PARTITION BY brand
+       |    ORDER BY cents DESC, item ASC) AS r FROM pm),
+       |la AS (SELECT brand, list(item ORDER BY r ASC) AS xs
+       |  FROM ra WHERE r <= 10 GROUP BY 1),
+       |lb AS (SELECT brand, list(item ORDER BY r ASC) AS xs
+       |  FROM rb WHERE r <= 10 GROUP BY 1),
+       |st AS (
+       |  SELECT la.brand, la.xs AS a, lb.xs AS b, 0 AS t,
+       |    CAST([] AS BIGINT[]) AS p, CAST([] AS INT[]) AS tm
+       |  FROM la JOIN lb ON la.brand = lb.brand
+       |  UNION ALL
+       |  SELECT brand, a, b, t + 1,
+       |    CASE WHEN $coin THEN ${pickP("a", "b")}
+       |         ELSE ${pickP("b", "a")} END,
+       |    CASE WHEN $coin THEN ${pickT("a", "b", 0, 1)}
+       |         ELSE ${pickT("b", "a", 1, 0)} END
+       |  FROM st WHERE t < 5)
+       |SELECT brand, CAST(i AS BIGINT) AS pos, p[i] AS item,
+       |  CAST(tm[i] AS INT) AS team
+       |FROM (SELECT brand, p, tm,
+       |      unnest(generate_series(1, len(p))) AS i
+       |      FROM st WHERE t = 5)
+       |ORDER BY brand, pos""".stripMargin
+  }
+
   /** q294: the confound replay — same octave/band quantization, the
     * q287 τ-b contingency-grid formulation per language. */
   private def q294Oracle: String =
@@ -11903,6 +12026,8 @@ object SparkEntry {
     "q294_diversity_length_tau" -> q294Oracle,
     "q295_generalization_ladder" -> q295Oracle,
     "q296_encoding_advisor" -> q296Oracle,
+    "q297_shrunk_returns" -> q297Oracle,
+    "q298_interleaved_serving" -> q298Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -35,6 +35,7 @@ object WindowAudit {
     "q104_top_paths" -> "rank over the top-k path list (limit'd before the window)",
     "q279_zipf_octaves" -> "cumulative share over the <=64 frequency-octave rows (bit-length domain)",
     "q283_range_plan" -> "cumulative counts over the quantized key grid (<= maxCells rows; per-row raise_error guard)",
+    "q292_tail_attribution" -> "counting-quantile cum over the VALUE-CELL frame (cents domain; the literal group key constant-folds away)",
     "q115_reconcile" -> "rank over the bounded mismatch report (top-20 diff rows)",
     "q131_pq_adc" -> "exact_rank over the k ADC candidates (recall audit leg)",
     "q35_ivf_topk" -> "exact_rank over nprobe-bounded candidate set",
