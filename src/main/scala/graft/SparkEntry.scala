@@ -3819,6 +3819,52 @@ object SparkEntry {
         .orderBy("brand", "pos")
     }),
 
+    // Extension — LSH BAND-GEOMETRY SWEEP: the OTHER dedup knob (q293
+    // swept the shingle size; q231 measured recall at ONE banding) —
+    // at a fixed 64-hash signature budget, (bands, rows/band) in
+    // {(32,2), (16,4), (8,8)} moves the S-curve threshold
+    // (1/b)^(1/r) ≈ 0.18 / 0.50 / 0.77, trading candidate volume for
+    // recall. Per config: verified pairs found, overlap with the
+    // exhaustive truth, recall and precision permyriad — measured on
+    // q231's graded-twin corpus so truth pairs populate the whole
+    // curve. Corpus and truth are computed ONCE (checkpointed); each
+    // config re-bands the same signatures. Hash-exact.
+    "q299_band_geometry" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id", "text")
+      val twins = base.filter(pmod(col("doc_id"), lit(15)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("""array_join(slice(
+            |  filter(split(lower(trim(text)), '\\s+'), x -> x != ''), 1,
+            |  CAST(greatest(3, (size(filter(split(lower(trim(text)),
+            |    '\\s+'), x -> x != '')) * ((doc_id DIV 15) % 8 + 2)) DIV 10)
+            |    AS INT)), ' ')""".stripMargin.replace("\n", " "))
+            .as("text"))
+      val slice = base.unionByName(twins).localCheckpoint(true)
+      val truth = NearDup.jaccardPairs(slice, "text", "doc_id", n = 3,
+          thresholdPct = 5, maxShingleFreq = NearDup.Exhaustive)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val sigs = NearDup.minhashSigs(slice, "text", "doc_id", n = 3,
+        numHashes = 64, hash = NearDup.SketchHash.PortableMd5)
+      Seq((32, 2), (16, 4), (8, 8)).map { case (b, r) =>
+        val found = NearDup.minhashLshPairsFromSigs(sigs,
+            bands = b, rowsPerBand = r, thresholdPct = 5,
+            hash = NearDup.SketchHash.PortableMd5)
+          .select("id_a", "id_b").localCheckpoint(true)
+        found.agg(count(lit(1)).as("n_found"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(found.join(truth, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hit")))
+          .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("n_truth"), col("n_found"), col("n_hit"))
+      }.reduce(_.unionByName(_))
+        .withColumn("recall_pm",
+          expr("CAST(10000 * n_hit DIV n_truth AS BIGINT)"))
+        .withColumn("precision_pm",
+          expr("CAST(10000 * n_hit DIV nullif(n_found, 0) AS BIGINT)"))
+        .orderBy("bands")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11626,6 +11672,78 @@ object SparkEntry {
        |ORDER BY brand, pos""".stripMargin
   }
 
+  /** q299: the sweep replayed — q231's corpus/signature CTEs computed
+    * once, re-banded per config, per-config verified pairs vs the
+    * shared exhaustive truth. */
+  private def q299Oracle: String = {
+    val n = 3
+    val (as, bs) = graft.plans.PortableSketch.affineCoeffs(64)
+    val coeffRows = as.indices.map(j => s"(${j}, ${as(j)}, ${bs(j)})").mkString(", ")
+    val shingleExpr = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    def cfg(b: Int, r: Int) =
+      s"""bnd$b AS (SELECT doc_id, j // $r AS band,
+         |    string_agg(s::VARCHAR, ',' ORDER BY j) AS bucket
+         |  FROM sigr GROUP BY doc_id, j // $r),
+         |cand$b AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bnd$b a JOIN bnd$b b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |found$b AS MATERIALIZED (SELECT c.id_a, c.id_b
+         |  FROM cand$b c JOIN hs x ON c.id_a = x.doc_id
+         |    JOIN hs y ON c.id_b = y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs)) * 100 >=
+         |    (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 5),
+         |row$b AS (SELECT $b AS bands, $r AS rows_per_band,
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM found$b) AS n_found,
+         |  (SELECT count(*) FROM found$b f JOIN truth t
+         |     ON f.id_a = t.id_a AND f.id_b = t.id_b) AS n_hit)""".stripMargin
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(tt[1:CAST(greatest(3,
+       |      (len(tt) * ((doc_id // 15) % 8 + 2)) // 10) AS INT)], ' ')
+       |  FROM (SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> x <> '') AS tt
+       |    FROM documents WHERE doc_id % 15 = 0 AND doc_id % 3 = 0)),
+       |tok AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    x -> x <> '') AS t
+       |  FROM corpus),
+       |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - ${n - 2}, 1)),
+       |    i -> $shingleExpr)) AS s
+       |  FROM tok WHERE len(t) >= $n),
+       |truth AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 100 >=
+       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 5),
+       |hs AS MATERIALIZED (SELECT doc_id,
+       |    list_distinct(list_transform(s, x -> ${duckMd5Long("x")})) AS hs
+       |  FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+       |sigr AS MATERIALIZED (SELECT doc_id, co.j,
+       |    min((co.a * (h & 4294967295) + co.b) % 4294967296) AS s
+       |  FROM ex CROSS JOIN (VALUES $coeffRows) co(j, a, b)
+       |  GROUP BY doc_id, co.j),
+       |${cfg(32, 2)},
+       |${cfg(16, 4)},
+       |${cfg(8, 8)},
+       |allrows AS (SELECT * FROM row32 UNION ALL
+       |  SELECT * FROM row16 UNION ALL SELECT * FROM row8)
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_found AS BIGINT) AS n_found,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(10000 * n_hit // n_truth AS BIGINT) AS recall_pm,
+       |  CAST(10000 * n_hit // nullif(n_found, 0) AS BIGINT)
+       |    AS precision_pm
+       |FROM allrows ORDER BY bands""".stripMargin
+  }
+
   /** q294: the confound replay — same octave/band quantization, the
     * q287 τ-b contingency-grid formulation per language. */
   private def q294Oracle: String =
@@ -12028,6 +12146,7 @@ object SparkEntry {
     "q296_encoding_advisor" -> q296Oracle,
     "q297_shrunk_returns" -> q297Oracle,
     "q298_interleaved_serving" -> q298Oracle,
+    "q299_band_geometry" -> q299Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

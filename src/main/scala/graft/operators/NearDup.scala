@@ -285,8 +285,16 @@ object NearDup {
       thresholdPct: Int = 80,
       maxBucketSize: Int = 1000,
       hash: SketchHash = SketchHash.Xx64
-  ): DataFrame = {
-    val numHashes = bands * rowsPerBand
+  ): DataFrame = minhashLshPairsFromSigs(
+    minhashSigs(df, textCol, idCol, n, bands * rowsPerBand, hash),
+    bands, rowsPerBand, thresholdPct, maxBucketSize, hash)
+
+  /** The signature stage of [[minhashLshPairs]], exposed so a BAND-
+    * GEOMETRY sweep (several (bands, rows) configs at one signature
+    * budget — q299) computes the expensive shingle+minhash pass ONCE
+    * and only re-bands. Output: (id, sh, sz, sig), checkpointed. */
+  def minhashSigs(df: DataFrame, textCol: String, idCol: String, n: Int,
+                  numHashes: Int, hash: SketchHash): DataFrame = {
     // localCheckpoint: materialize signatures ONCE and cut lineage — the
     // signature is a large nested higher-order-function expression, and
     // letting projection-collapse inline it into all `bands` slice
@@ -301,11 +309,23 @@ object NearDup {
       case SketchHash.Xx64        => minhashSignature(_, numHashes)
       case SketchHash.PortableMd5 => graft.plans.SketchFunctions.affineMinhash(_, numHashes)
     }
-    val sigs = shingleSets
+    shingleSets
       .withColumn("sz", size(col("sh")))
       .withColumn("sig", sigOf(col("sh")))
       .localCheckpoint(true)
+  }
 
+  /** Banding + candidate + verification stages of [[minhashLshPairs]],
+    * over a precomputed [[minhashSigs]] frame (which must carry at
+    * least bands·rowsPerBand signature slots). */
+  def minhashLshPairsFromSigs(
+      sigs: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      thresholdPct: Int,
+      maxBucketSize: Int = 1000,
+      hash: SketchHash = SketchHash.Xx64
+  ): DataFrame = {
     // band bucket key: the xx64 path hashes the band's sub-signature to a
     // compact 8-byte key; the portable path joins on the sub-signature's
     // decimal string rendition, identical to the oracle's ordered
