@@ -3865,6 +3865,62 @@ object SparkEntry {
         .orderBy("bands")
     }),
 
+    // Extension — LAYOUT DRIFT (PartitionPlan × SnapshotSink): has the
+    // data outgrown yesterday's layout — the ops loop the q283 planner
+    // artifact exists FOR. The plan cut on the month's FIRST HALF is
+    // committed to the manifest store and served back; today's full
+    // grid is assigned to the STORED boundaries (rid = |{stored hi
+    // edges ≤ cell value}| off a broadcast edge array — cells past the
+    // last edge land in the self-announcing OVERFLOW range), and each
+    // stored range reports then-vs-now rows and its balance under the
+    // old cuts. Uniform growth reads ~10000 pm everywhere; the
+    // overflow row IS the "recut now" signal. Hash-exact (the oracle
+    // replays the plan+diff math; the store round-trip is the
+    // SnapshotSink spec surface).
+    "q300_layout_drift" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q300", dir)
+      val secs = events(s, dir).select(
+        expr("unix_micros(ts) DIV 1000000").as("sec"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val d0 = secs.agg(min(col("day"))).head().getLong(0)
+      SnapshotSink.commit(
+        graft.operators.PartitionPlan.rangePlan(
+          secs.filter(col("day") < d0 + 15).select("sec"),
+          "sec", nRanges = 8, resolution = 3600L).coalesce(1), root)
+      val stored = SnapshotSink.read(s, root)
+        .select(col("range_id"), col("lo_key"), col("hi_key"),
+          col("n_rows").as("n_then"))
+        .localCheckpoint(true) // edge array + ordinal + the diff join
+      val edges = stored
+        .agg(sort_array(collect_list(col("hi_key"))).as("edges"))
+      val ord = stored.crossJoin(broadcast(edges))
+        .withColumn("ord",
+          expr("CAST(size(filter(edges, e -> e < hi_key)) AS BIGINT)"))
+        .select("ord", "lo_key", "hi_key", "n_then")
+      val assigned = secs
+        .select(expr("CAST(sec DIV 3600 AS BIGINT) * 3600").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(edges))
+        .withColumn("rid",
+          expr("CAST(size(filter(edges, e -> e <= v)) AS BIGINT)"))
+        .groupBy("rid").agg(sum(col("cnt")).as("n_now"))
+        .localCheckpoint(true) // totals + the diff join
+      ord.join(assigned, col("ord") === col("rid"), "full_outer")
+        .crossJoin(broadcast(
+          assigned.agg(sum(col("n_now")).as("total_now"))))
+        .select(coalesce(col("ord"), col("rid")).as("range_ord"),
+          col("lo_key"), col("hi_key"),
+          coalesce(col("n_then"), lit(0L)).as("n_then"),
+          coalesce(col("n_now"), lit(0L)).as("n_now"),
+          expr("CAST(10000 * coalesce(n_now, 0) * 8 DIV total_now" +
+            " AS BIGINT)").as("balance_now_pm"),
+          when(col("ord").isNull, lit("overflow"))
+            .when(col("n_now").isNull, lit("drained"))
+            .otherwise(lit("ok")).as("status"))
+        .orderBy("range_ord")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11744,6 +11800,49 @@ object SparkEntry {
        |FROM allrows ORDER BY bands""".stripMargin
   }
 
+  /** q300: the drift replayed — the q283 plan construction on the
+    * first half, hi-edge assignment of the full grid, identical
+    * then/now/overflow census (the store round-trip itself is
+    * SnapshotSink spec surface, not SQL-replayable). */
+  private def q300Oracle: String =
+    """WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |d0 AS (SELECT min(day) AS d FROM e),
+      |g1 AS (SELECT sec // 3600 AS cell, count(*) AS cnt
+      |  FROM e, d0 WHERE day < d + 15 GROUP BY 1),
+      |c1 AS (SELECT cell, cnt, sum(cnt) OVER (ORDER BY cell ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM g1),
+      |t1 AS (SELECT sum(cnt) AS total FROM g1),
+      |ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+      |bnd AS (SELECT k, min(cell) AS b FROM c1, t1, ks
+      |  WHERE cum * 8 >= k * total GROUP BY 1),
+      |r1 AS (SELECT cell, cnt,
+      |    (SELECT count(*) FROM bnd WHERE bnd.b < c1.cell) AS rid
+      |  FROM c1),
+      |planthen AS (SELECT rid,
+      |    CAST(min(cell) * 3600 AS BIGINT) AS lo_key,
+      |    CAST((max(cell) + 1) * 3600 AS BIGINT) AS hi_key,
+      |    CAST(sum(cnt) AS BIGINT) AS n_then
+      |  FROM r1 GROUP BY 1),
+      |ord AS (SELECT (SELECT count(*) FROM planthen q
+      |    WHERE q.hi_key < p.hi_key) AS ord, lo_key, hi_key, n_then
+      |  FROM planthen p),
+      |gnow AS (SELECT (sec // 3600) * 3600 AS v, count(*) AS cnt
+      |  FROM e GROUP BY 1),
+      |assigned AS (SELECT (SELECT count(*) FROM planthen q
+      |    WHERE q.hi_key <= g.v) AS rid, CAST(sum(cnt) AS BIGINT) AS n_now
+      |  FROM gnow g GROUP BY 1),
+      |tn AS (SELECT sum(n_now) AS total_now FROM assigned)
+      |SELECT coalesce(ord, rid) AS range_ord, lo_key, hi_key,
+      |  coalesce(n_then, 0) AS n_then, coalesce(n_now, 0) AS n_now,
+      |  CAST(10000 * coalesce(n_now, 0) * 8 // total_now AS BIGINT)
+      |    AS balance_now_pm,
+      |  CASE WHEN ord IS NULL THEN 'overflow'
+      |       WHEN n_now IS NULL THEN 'drained' ELSE 'ok' END AS status
+      |FROM ord FULL OUTER JOIN assigned ON ord.ord = assigned.rid, tn
+      |ORDER BY range_ord""".stripMargin
+
   /** q294: the confound replay — same octave/band quantization, the
     * q287 τ-b contingency-grid formulation per language. */
   private def q294Oracle: String =
@@ -12147,6 +12246,7 @@ object SparkEntry {
     "q297_shrunk_returns" -> q297Oracle,
     "q298_interleaved_serving" -> q298Oracle,
     "q299_band_geometry" -> q299Oracle,
+    "q300_layout_drift" -> q300Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
