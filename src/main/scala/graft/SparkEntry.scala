@@ -3921,6 +3921,59 @@ object SparkEntry {
         .orderBy("range_ord")
     }),
 
+    // Extension — PROBE-RADIUS SWEEP for signature ANN: the probe-
+    // BREADTH knob beside q299's banding knob — at Hamming radius
+    // 0/1/2 (1 / 7 / 22 buckets probed at 6 bits), candidate volume
+    // per query vs recall@8 against the exhaustive truth. Signatures
+    // and the truth are computed ONCE (checkpointed); each radius
+    // re-probes the same signed base. The oracle replays probing as
+    // the equivalent bit_count(xor) ≤ r non-equi join (the q232
+    // identity: the enumerated probe set IS the Hamming ball).
+    // Hash-exact.
+    "q301_probe_radius_sweep" -> ((s, dir) => {
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      val signed = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.normalized(col("embedding")).as("ne"),
+          lsh.signature(col("embedding")).as("sig"))
+        .localCheckpoint(true) // panel + base + truth share it
+      val panel = signed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("ne").as("qne"),
+          col("sig").as("qsig"))
+        .localCheckpoint(true)
+      val base = signed.filter(col("vec_id") >= 8)
+      def dotQ = expr(
+        "aggregate(zip_with(qne, ne, (x, y) -> x * y), 0D, (a, p) -> a + p)")
+      val truth = panel.crossJoin(base)
+        .select(col("qid"), col("vec_id"), dotQ.as("score"))
+        .withColumn("r", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("r") <= 8).select("qid", "vec_id")
+        .localCheckpoint(true) // joined by all three radii
+      Seq(0, 1, 2).map { rad =>
+        val cand = panel
+          .select(col("qid"), col("qne"),
+            explode(lsh.probeBucketsR(col("qsig"), rad)).as("bucket"))
+          .join(base, col("bucket") === col("sig"))
+          .select(col("qid"), col("vec_id"), dotQ.as("score"))
+          .localCheckpoint(true) // census + rerank
+        val found = cand
+          .withColumn("r", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("vec_id").asc)))
+          .filter(col("r") <= 8).select("qid", "vec_id")
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(found.join(truth, Seq("qid", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit")))
+          .crossJoin(panel.agg(count(lit(1)).as("n_queries")))
+          .select(lit(rad.toLong).as("radius"), col("n_queries"),
+            col("n_candidates"),
+            expr("CAST(n_candidates DIV n_queries AS BIGINT)")
+              .as("cand_per_query"), col("n_hit"))
+      }.reduce(_.unionByName(_))
+        .withColumn("recall_pm",
+          expr("CAST(10000 * n_hit DIV (8 * n_queries) AS BIGINT)"))
+        .orderBy("radius")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11843,6 +11896,53 @@ object SparkEntry {
       |FROM ord FULL OUTER JOIN assigned ON ord.ord = assigned.rid, tn
       |ORDER BY range_ord""".stripMargin
 
+  /** q301: the sweep replayed — probing as the equivalent
+    * bit_count(xor) ≤ r non-equi join per radius, shared signatures
+    * and exhaustive truth, identical rerank and census. */
+  private def q301Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    val dotQ = "list_reduce(list_transform(range(1, 65)," +
+      " i -> q.qne[i] * s.ne[i]), (x, y) -> x + y)"
+    def rad(r: Int) =
+      s"""cand$r AS MATERIALIZED (SELECT q.qid, s.vec_id, $dotQ AS score
+         |  FROM q JOIN sigs s ON bit_count(xor(q.qsig, s.sig)) <= $r
+         |    AND s.vec_id >= 8),
+         |found$r AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, vec_id ASC) AS rr FROM cand$r)
+         |  WHERE rr <= 8),
+         |row$r AS (SELECT $r AS radius,
+         |  (SELECT count(*) FROM q) AS n_queries,
+         |  (SELECT count(*) FROM cand$r) AS n_candidates,
+         |  (SELECT count(*) FROM found$r f JOIN truth t
+         |     ON f.qid = t.qid AND f.vec_id = t.vec_id) AS n_hit)""".stripMargin
+    s"""WITH sigs AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+       |      / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS sig
+       |  FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, ne AS qne, sig AS qsig
+       |  FROM sigs WHERE vec_id < 8),
+       |tc AS (SELECT q.qid, s.vec_id, $dotQ AS score
+       |  FROM q CROSS JOIN sigs s WHERE s.vec_id >= 8),
+       |truth AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, vec_id ASC) AS rr FROM tc)
+       |  WHERE rr <= 8),
+       |${rad(0)},
+       |${rad(1)},
+       |${rad(2)},
+       |allr AS (SELECT * FROM row0 UNION ALL SELECT * FROM row1
+       |  UNION ALL SELECT * FROM row2)
+       |SELECT CAST(radius AS BIGINT) AS radius,
+       |  CAST(n_queries AS BIGINT) AS n_queries,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_candidates // n_queries AS BIGINT) AS cand_per_query,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(10000 * n_hit // (8 * n_queries) AS BIGINT) AS recall_pm
+       |FROM allr ORDER BY radius""".stripMargin
+  }
+
   /** q294: the confound replay — same octave/band quantization, the
     * q287 τ-b contingency-grid formulation per language. */
   private def q294Oracle: String =
@@ -12247,6 +12347,7 @@ object SparkEntry {
     "q298_interleaved_serving" -> q298Oracle,
     "q299_band_geometry" -> q299Oracle,
     "q300_layout_drift" -> q300Oracle,
+    "q301_probe_radius_sweep" -> q301Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

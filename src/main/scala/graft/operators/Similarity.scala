@@ -81,6 +81,25 @@ object Similarity {
         transform(sequence(lit(0), lit(bits - 1)),
           i => sig.bitwiseXOR(call_function("shiftleft", lit(1L), i))))
 
+    /** Probe buckets out to Hamming radius 0/1/2 — the probe-BREADTH
+      * knob (more buckets = more candidates = higher recall), swept by
+      * q301. Radius 2 adds the C(bits,2) double-flips; the set equals
+      * {s' : hamming(s, s') ≤ r} exactly, so a non-equi bit_count join
+      * replays it in SQL. */
+    def probeBucketsR(sig: Column, radius: Int): Column = {
+      require(radius >= 0 && radius <= 2, "radius in [0,2]")
+      radius match {
+        case 0 => array(sig)
+        case 1 => probeBuckets(sig)
+        case 2 => array_union(
+          probeBuckets(sig),
+          flatten(transform(sequence(lit(0), lit(bits - 2)), i =>
+            transform(sequence(i + 1, lit(bits - 1)), j =>
+              sig.bitwiseXOR(call_function("shiftleft", lit(1L), i))
+                .bitwiseXOR(call_function("shiftleft", lit(1L), j))))))
+      }
+    }
+
     /** Driver-side signature of a literal vector — same math as
       * [[signature]], so an index built with the column form is probed
       * consistently by the literal form. */
