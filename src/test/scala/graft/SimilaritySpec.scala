@@ -405,4 +405,21 @@ class SimilaritySpec extends AnyFunSuite {
       .head().getSeq[Double](0).toIndexedSeq
     assert(fromCol == proj.projectOf(v))
   }
+
+  test("probeBucketsR generates the exact Hamming ball at each radius") {
+    val lsh = Similarity.HyperplaneLsh(dim = 4, bits = 6)
+    val sig = 0x2AL // 101010
+    def ball(r: Int) = spark.range(1)
+      .select(lsh.probeBucketsR(lit(sig), r).as("b"))
+      .head().getSeq[Long](0).toSet
+    assert(ball(0) == Set(sig))
+    assert(ball(1).size == 7)
+    assert(ball(2).size == 1 + 6 + 15)
+    val want2 = (0L until 64L).filter(s =>
+      java.lang.Long.bitCount(s ^ sig) <= 2).toSet
+    assert(ball(2) == want2)
+    intercept[IllegalArgumentException] {
+      lsh.probeBucketsR(lit(sig), 3)
+    }
+  }
 }
