@@ -3974,6 +3974,43 @@ object SparkEntry {
         .orderBy("radius")
     }),
 
+    // Extension — SALTED-SHUFFLE CENSUS: q284's plan VERIFIED by
+    // actually salting (the q300 closure discipline pointed at the
+    // salt knob) — every event gets a deterministic md5 salt in
+    // [0, n_salts) from its own id, and the realized (key, salt) task
+    // census is compared to the plan's perfect-split ideal: hashing
+    // has variance the ceil arithmetic doesn't, and the overshoot
+    // permyriad MEASURES it instead of assuming it away. One plan
+    // join + one (key, salt) aggregate; 1-row readout. Hash-exact.
+    "q302_salted_shuffle_census" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"))
+      val plan = graft.operators.PartitionPlan.saltPlan(
+          ev, "user_id", targetPerTask = 16L)
+        .localCheckpoint(true) // ideal census + the salting join
+      val tasks = ev
+        .join(plan.select(col("user_id"), col("n_salts")), Seq("user_id"))
+        .withColumn("salt", pmod(
+          conv(substring(md5(concat(col("event_id").cast("string"),
+            lit("|q302"))), 1, 8), 16, 10).cast("long"), col("n_salts")))
+        .groupBy("user_id", "salt").agg(count(lit(1)).as("task_rows"))
+        .localCheckpoint(true) // census consumed by two aggregates
+      val ideal = plan.agg(count(lit(1)).as("n_keys"),
+        sum(col("n_salts")).as("n_planned_tasks"),
+        max(col("max_task_rows")).as("ideal_max"))
+      tasks.agg(count(lit(1)).as("n_tasks"),
+          sum(col("task_rows")).as("total_rows"),
+          max(col("task_rows")).as("realized_max"))
+        .crossJoin(broadcast(ideal))
+        .crossJoin(broadcast(tasks.crossJoin(broadcast(ideal))
+          .filter(col("task_rows") > col("ideal_max"))
+          .agg(count(lit(1)).as("tasks_over_ideal"))))
+        .withColumn("overshoot_pm",
+          expr("CAST(10000 * realized_max DIV ideal_max AS BIGINT)"))
+        .select("n_keys", "n_planned_tasks", "n_tasks", "total_rows",
+          "ideal_max", "realized_max", "tasks_over_ideal", "overshoot_pm")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11943,6 +11980,35 @@ object SparkEntry {
        |FROM allr ORDER BY radius""".stripMargin
   }
 
+  /** q302: the salted census replayed — same ceil plan, same md5 salt,
+    * identical realized-vs-ideal readout. */
+  private def q302Oracle: String =
+    """WITH ev AS (SELECT user_id, event_id FROM events
+      |  WHERE user_id IS NOT NULL),
+      |plan AS (SELECT user_id, count(*) AS n,
+      |    (count(*) + 15) // 16 AS n_salts,
+      |    (count(*) + (count(*) + 15) // 16 - 1)
+      |      // ((count(*) + 15) // 16) AS max_task_rows
+      |  FROM ev GROUP BY 1),
+      |tasks AS (SELECT e.user_id,
+      |    (('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '|q302'),
+      |      1, 8))::BIGINT % p.n_salts) AS salt, count(*) AS task_rows
+      |  FROM ev e JOIN plan p ON e.user_id = p.user_id
+      |  GROUP BY 1, 2),
+      |ideal AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(n_salts) AS BIGINT) AS n_planned_tasks,
+      |    CAST(max(max_task_rows) AS BIGINT) AS ideal_max FROM plan),
+      |re AS (SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+      |    CAST(sum(task_rows) AS BIGINT) AS total_rows,
+      |    CAST(max(task_rows) AS BIGINT) AS realized_max FROM tasks),
+      |ov AS (SELECT CAST(count(*) AS BIGINT) AS tasks_over_ideal
+      |  FROM tasks, ideal WHERE task_rows > ideal_max)
+      |SELECT n_keys, n_planned_tasks, n_tasks, total_rows, ideal_max,
+      |  realized_max, tasks_over_ideal,
+      |  CAST(10000 * realized_max // ideal_max AS BIGINT)
+      |    AS overshoot_pm
+      |FROM re, ideal, ov""".stripMargin
+
   /** q294: the confound replay — same octave/band quantization, the
     * q287 τ-b contingency-grid formulation per language. */
   private def q294Oracle: String =
@@ -12348,6 +12414,7 @@ object SparkEntry {
     "q299_band_geometry" -> q299Oracle,
     "q300_layout_drift" -> q300Oracle,
     "q301_probe_radius_sweep" -> q301Oracle,
+    "q302_salted_shuffle_census" -> q302Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -53,7 +53,8 @@ object JoinShapeAudit {
     "q285_kn_continuation", "q288_coordinated_sample",
     "q289_fk_audit", "q292_tail_attribution", "q293_shingle_sensitivity",
     "q297_shrunk_returns", "q299_band_geometry", "q300_layout_drift",
-    "q301_probe_radius_sweep", "q84_kmv_distinct",
+    "q301_probe_radius_sweep", "q302_salted_shuffle_census",
+    "q84_kmv_distinct",
     "q89_selfjoin_estimate", "q93_hll_distinct", "q98_temperature_mixture"
   ).map(_ -> scalarCross).toMap ++ Map(
     "q186_chi2_mix" -> "contingency marginals cross (category-domain² grid) + 1-row totals",
