@@ -51,11 +51,22 @@ for name in sorted(os.listdir(outdir)):
         continue
     # The driver hashes typed values, so an int64 column on one side vs
     # float64 on the other (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float in
-    # pandas) is a hash mismatch even when values compare equal. Mirror that.
+    # pandas) is a hash mismatch even when values compare equal. Mirror
+    # that — INCLUDING object-vs-numeric pairs: Spark parquet decimal128
+    # lands in pandas as object (Python Decimal) while DuckDB 1.0's
+    # fetchdf renders DECIMAL(38,0) as float64; equal values, different
+    # typed hashes (this exact blind spot let four round-9 queries pass
+    # locally and fail the driver). An object dtype on either side with a
+    # numeric dtype on the other is a mismatch; object-vs-object is left
+    # to the value comparison (strings etc.).
+    def _num(k):
+        return k in ("i", "u", "f")
     kind_mismatch = [
         (c, a[c].dtype, b[c].dtype) for c in a.columns
         if a[c].dtype.kind != b[c].dtype.kind
-        and {a[c].dtype.kind, b[c].dtype.kind} <= {"i", "u", "f"}
+        and ({a[c].dtype.kind, b[c].dtype.kind} <= {"i", "u", "f"}
+             or ("O" in {a[c].dtype.kind, b[c].dtype.kind}
+                 and (_num(a[c].dtype.kind) or _num(b[c].dtype.kind))))
     ]
     if kind_mismatch:
         fails.append((name, f"dtype kind mismatch: {kind_mismatch}"))

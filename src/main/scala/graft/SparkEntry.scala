@@ -3281,7 +3281,8 @@ object SparkEntry {
     // ratio vs pair completeness of a (lang, length-centile) blocking
     // scheme against exact-duplicate ground truth (canonical
     // fingerprint groups), all pair counts via group-size combinatorics
-    // (no pair ever materialized; corpus-level sums in DECIMAL(38,0)).
+    // (no pair ever materialized; corpus-level sums run in
+    // DECIMAL(38,0) internally, BIGINT readout).
     // Whitespace-variant duplicates shift n_chars across the bucket
     // edge, so completeness is genuinely < 10000 pm. Hash-exact.
     "q277_blocking_audit" -> ((s, dir) => {
@@ -3457,7 +3458,10 @@ object SparkEntry {
                  sampled: DataFrame, key: String) =
         total.agg(count(lit(1)).as("n_total")).crossJoin(
           sampled.agg(count(lit(1)).as("n_sample"),
-            sum(col(key)).cast("decimal(38,0)").as("key_sum")))
+            // decimal(38,0) internally (the sampled-lineitem orderkey
+            // sum passes int64 around sf300); BIGINT readout — a
+            // decimal column hashes differently across engines
+            sum(col(key).cast("decimal(38,0)")).cast("long").as("key_sum")))
           .select(lit(name).as("tbl"), col("n_total"), col("n_sample"),
             expr("CAST(10000 * n_sample DIV n_total AS BIGINT)")
               .as("share_pm"), col("key_sum"))
@@ -9485,11 +9489,11 @@ object SparkEntry {
       |    AND (l.xc < r.xc OR (l.xc = r.xc AND l.yc < r.yc))
       |  GROUP BY 1)
       |SELECT w.brand, w.n,
-      |  CAST(coalesce(conc, 0) AS DECIMAL(38,0)) AS concordant,
-      |  CAST(coalesce(disc, 0) AS DECIMAL(38,0)) AS discordant,
-      |  CAST(coalesce(txo, 0) + tboth AS DECIMAL(38,0)) AS ties_x,
-      |  CAST(coalesce(tyo, 0) + tboth AS DECIMAL(38,0)) AS ties_y,
-      |  CAST(tboth AS DECIMAL(38,0)) AS ties_both,
+      |  CAST(coalesce(conc, 0) AS BIGINT) AS concordant,
+      |  CAST(coalesce(disc, 0) AS BIGINT) AS discordant,
+      |  CAST(coalesce(txo, 0) + tboth AS BIGINT) AS ties_x,
+      |  CAST(coalesce(tyo, 0) + tboth AS BIGINT) AS ties_y,
+      |  CAST(tboth AS BIGINT) AS ties_both,
       |  CAST((CASE WHEN coalesce(conc, 0) >= coalesce(disc, 0)
       |      THEN 1 ELSE -1 END)
       |    * (10000 * (coalesce(conc, 0) - coalesce(disc, 0))
@@ -9518,21 +9522,21 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_sample,
       |  CAST(10000 * count(*)
       |    // (SELECT count(*) FROM customer) AS BIGINT) AS share_pm,
-      |  CAST(sum(c_custkey) AS DECIMAL(38,0)) AS key_sum FROM cs
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM cs
       |UNION ALL
       |SELECT 'orders',
       |  CAST((SELECT count(*) FROM orders) AS BIGINT),
       |  CAST(count(*) AS BIGINT),
       |  CAST(10000 * count(*)
       |    // (SELECT count(*) FROM orders) AS BIGINT),
-      |  CAST(sum(o_orderkey) AS DECIMAL(38,0)) FROM os
+      |  CAST(sum(o_orderkey) AS BIGINT) FROM os
       |UNION ALL
       |SELECT 'lineitem',
       |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
       |  CAST(count(*) AS BIGINT),
       |  CAST(10000 * count(*)
       |    // (SELECT count(*) FROM lineitem) AS BIGINT),
-      |  CAST(sum(l_orderkey) AS DECIMAL(38,0)) FROM ls
+      |  CAST(sum(l_orderkey) AS BIGINT) FROM ls
       |ORDER BY tbl""".stripMargin
 
   /** q289: per-edge child/null/orphan counts via NOT-IN-with-null-guard
@@ -9634,10 +9638,10 @@ object SparkEntry {
       |  FROM (SELECT CAST(count(*) AS HUGEINT) AS c FROM d
       |        GROUP BY fp, blk))
       |SELECT CAST(n AS BIGINT) AS n_rows,
-      |  CAST(n * (n - 1) // 2 AS DECIMAL(38,0)) AS total_pairs,
-      |  CAST(cand.p AS DECIMAL(38,0)) AS cand_pairs,
-      |  CAST(tp.p AS DECIMAL(38,0)) AS true_pairs,
-      |  CAST(cb.p AS DECIMAL(38,0)) AS coblocked_pairs,
+      |  CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs,
+      |  CAST(cand.p AS BIGINT) AS cand_pairs,
+      |  CAST(tp.p AS BIGINT) AS true_pairs,
+      |  CAST(cb.p AS BIGINT) AS coblocked_pairs,
       |  CAST(CASE WHEN n > 1 THEN
       |    10000 - (10000 * cand.p) // (n * (n - 1) // 2) END AS BIGINT)
       |    AS reduction_pm,
@@ -12036,11 +12040,11 @@ object SparkEntry {
       |    AND (l.xc < r.xc OR (l.xc = r.xc AND l.yc < r.yc))
       |  GROUP BY 1)
       |SELECT w.brand AS lang, w.n,
-      |  CAST(coalesce(conc, 0) AS DECIMAL(38,0)) AS concordant,
-      |  CAST(coalesce(disc, 0) AS DECIMAL(38,0)) AS discordant,
-      |  CAST(coalesce(txo, 0) + tboth AS DECIMAL(38,0)) AS ties_x,
-      |  CAST(coalesce(tyo, 0) + tboth AS DECIMAL(38,0)) AS ties_y,
-      |  CAST(tboth AS DECIMAL(38,0)) AS ties_both,
+      |  CAST(coalesce(conc, 0) AS BIGINT) AS concordant,
+      |  CAST(coalesce(disc, 0) AS BIGINT) AS discordant,
+      |  CAST(coalesce(txo, 0) + tboth AS BIGINT) AS ties_x,
+      |  CAST(coalesce(tyo, 0) + tboth AS BIGINT) AS ties_y,
+      |  CAST(tboth AS BIGINT) AS ties_both,
       |  CAST((CASE WHEN coalesce(conc, 0) >= coalesce(disc, 0)
       |      THEN 1 ELSE -1 END)
       |    * (10000 * (coalesce(conc, 0) - coalesce(disc, 0))

@@ -27,19 +27,30 @@ import org.apache.spark.sql.functions._
   * never the corpus, and nothing downstream exceeds those frames. Per-
   * group pair counts stay in BIGINT (a single block would need >3×10⁹
   * members to overflow — already a broken scheme); the corpus-level
-  * sums and the C(n,2) denominator are DECIMAL(38,0) because at 10¹²
-  * rows total_pairs ≈ 5×10²³ is past int64. Ratios are truncating
-  * permyriad via the DECIMAL(38,0) DIV convention (bit-identical to
-  * DuckDB HUGEINT //).
+  * sums and the C(n,2) denominator run INTERNALLY in DECIMAL(38,0)
+  * because at 10¹² rows total_pairs ≈ 5×10²³ is past int64. Ratios are
+  * truncating permyriad via the DECIMAL(38,0) DIV convention
+  * (bit-identical to DuckDB HUGEINT //).
+  *
+  * READOUT convention: the emitted pair counters are BIGINT — the
+  * 128-bit width is an internal arithmetic detail, and a decimal
+  * readout hashes differently across engines (pandas renders Spark's
+  * decimal128 as `Decimal` objects but DuckDB's as float64 — equal
+  * values, different typed hashes, the round-9 gate lesson). The cast
+  * is exact up to ~4.3×10⁹ corpus rows (total_pairs < 2⁶³); past that
+  * a caller auditing a full 10¹²-row corpus should bucket the audit
+  * (e.g. per shard) — the ratios, which always fit, compose from the
+  * decimal internals unchanged.
   *
   * @param df       one row per record
   * @param truthCol ground-truth duplicate key (e.g. canonical content
   *                 fingerprint): rows sharing it ARE duplicates
   * @param blockCol the blocking key under audit
   * @return ONE row: n_rows, total_pairs, cand_pairs, true_pairs,
-  *         coblocked_pairs (pair counts DECIMAL(38,0)),
-  *         reduction_pm, completeness_pm (truncating permyriad;
-  *         completeness NULL when there are no true pairs)
+  *         coblocked_pairs (pair counts BIGINT, exact — see the
+  *         readout-convention note above), reduction_pm,
+  *         completeness_pm (truncating permyriad; completeness NULL
+  *         when there are no true pairs)
   */
 object BlockingAudit {
 
@@ -71,8 +82,11 @@ object BlockingAudit {
       .withColumn("completeness_pm", expr(
         "CASE WHEN true_pairs > 0 THEN " +
           "(10000 * coblocked_pairs) DIV true_pairs END"))
-      .select(col("n_rows"), col("total_pairs"), col("cand_pairs"),
-        col("true_pairs"), col("coblocked_pairs"),
+      .select(col("n_rows"),
+        col("total_pairs").cast("long").as("total_pairs"),
+        col("cand_pairs").cast("long").as("cand_pairs"),
+        col("true_pairs").cast("long").as("true_pairs"),
+        col("coblocked_pairs").cast("long").as("coblocked_pairs"),
         col("reduction_pm").cast("long").as("reduction_pm"),
         col("completeness_pm").cast("long").as("completeness_pm"))
   }

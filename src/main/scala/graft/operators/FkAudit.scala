@@ -23,6 +23,7 @@ object FkAudit {
   /** One (child, fk, parent, pk) edge per entry; output one row per
     * edge, ordered by edge name. */
   def audit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "FkAudit.audit: at least one FK edge required")
     val per = edges.map { case (name, child, fk, parent, pk) =>
       val keys = child.select(col(fk).as("fk"))
       val nn = keys.filter(col("fk").isNotNull)

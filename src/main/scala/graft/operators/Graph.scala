@@ -113,12 +113,15 @@ object Graph {
         .crossJoin(danglingDf) // 1-row scalar
         .select(col("node"),
           (base + coalesce(col("in_sum"), lit(0L))).as("pr_micros"))
-        .localCheckpoint(false) // LAZY (the LPA discipline): fixed
-        // iteration count + column-carried dangling mass = no per-round
-        // probe to answer, so the loop submits ZERO jobs — the final
-        // consumer materializes the chain once, each checkpoint caching
-        // (for its three same-round consumers) and truncating lineage
-        // as it is first computed
+        .localCheckpoint(true) // EAGER, deliberately: the round-9 lazy
+        // variant (zero jobs, one deferred materialization) was faster
+        // isolated (1.8 s vs 3.0 s) but fragile — in the driver's full
+        // 301-query session the single deep deferred chain read 14.1 s
+        // min-of-2 (~4.5× the eager shape) under accumulated JVM/
+        // session state, both interleaved passes. A fixed per-round job
+        // whose cost is bounded by the node frame is the shape that
+        // holds regardless of session history; at real scale the
+        // per-round data cost dwarfs the scheduler overhead anyway
       i += 1
     }
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
@@ -462,7 +465,19 @@ object Graph {
     * materializes the chain). Sums run in DECIMAL(38,0): un-normalized
     * authority mass is ≤ 10⁶·|E| and the following hub raw sums
     * ≤ 10⁶·|E|² — 128-bit headroom is required at 10¹² edges before
-    * the DIV lands every score back in [0, 10⁶]. */
+    * the DIV lands every score back in [0, 10⁶].
+    *
+    * RESOLUTION LIMIT: the GLOBAL L1 mass is a fixed 10⁶ micros, so
+    * once one side holds ≫10⁶ nodes most per-node scores truncate to
+    * 0, and on a near-flat graph the rescaled total itself can reach 0
+    * (the DECIMAL(38,0) headroom above covers overflow, NOT this
+    * floor). PageRank sidesteps it by carrying 10⁶ micros PER node;
+    * HITS can't without changing the gated arithmetic, so the rescale
+    * fails loudly (raise_error) the moment the incoming L1 total is
+    * ≤ 0 instead of silently propagating an all-zero eigenvector.
+    * Graphs whose hub/authority side approaches ~10⁶ nodes need a
+    * coarser unit — run per community/shard (the intended deployment:
+    * HITS is a neighborhood instrument, not a whole-web score). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 6): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations in [1,50]")
@@ -488,8 +503,13 @@ object Graph {
     // dominates, so fewer frames = faster loop).
     def rescale(raw: DataFrame, scoreAs: String): DataFrame =
       raw.crossJoin(raw.agg(sum(col("_raw")).as("_tot")))
-        .select(col("node"), expr(
-          "CAST(1000000 * CAST(_raw AS DECIMAL(38,0)) DIV _tot AS BIGINT)")
+        .select(col("node"),
+          when(col("_tot") <= 0, raise_error(concat(
+            lit("hits: L1 mass truncated to zero — graph exceeds the "),
+            lit("~1e6-node resolution of the fixed 1e6-micro unit; "),
+            lit("shard the graph (see scaladoc)"))))
+          .otherwise(expr(
+            "CAST(1000000 * CAST(_raw AS DECIMAL(38,0)) DIV _tot AS BIGINT)"))
           .as(scoreAs))
     var h = outDeg.select(col("node"), lit(1000000L).as("h_micros"))
     var aRaw: DataFrame = null

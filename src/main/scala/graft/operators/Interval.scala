@@ -145,8 +145,15 @@ object Interval {
       val n = hi - lo + lit(1)
       df.withColumn(sb, lo.cast("long"))
         .withColumn("__bk", explode(
-          when(n > maxBucketsPerInterval || n < 1 || col(s) < 0, raise_error(concat(
-            lit(s"overlapJoin: interval outside 1..$maxBucketsPerInterval buckets or negative: "),
+          // `e <= s` (empty/degenerate) must fail REGARDLESS of bucket
+          // alignment: when s is a bucket multiple n=0 already trips
+          // `n < 1`, but otherwise n=1 and the strict overlap predicate
+          // downstream would happily pair a mathematically empty
+          // interval — so the emptiness check is explicit, not an
+          // artifact of where the bucket edges fall
+          when(n > maxBucketsPerInterval || n < 1 || col(s) < 0 ||
+              col(e) <= col(s), raise_error(concat(
+            lit(s"overlapJoin: empty, negative, or >$maxBucketsPerInterval-bucket interval: "),
             col(s).cast("string"), lit(".."), col(e).cast("string"))))
           .otherwise(sequence(lo, hi))))
     }

@@ -96,12 +96,19 @@ object RankAgree {
     * τ-b = (C−D)/√((n0−Tx)(n0−Ty)); the square root is not integer-
     * expressible, so the gated readout is the SIGNED SQUARE in
     * truncating permyriad: τ²_pm = sign(C−D)·10⁴·(C−D)² DIV
-    * ((n0−Tx)(n0−Ty)) in DECIMAL(38,0) (pair counts square to ~10²⁴ at
-    * 10¹² rows), NULL when either margin is fully tied (denominator 0).
+    * ((n0−Tx)(n0−Ty)), computed in DECIMAL(38,0) (pair counts square
+    * to ~10²⁴ at 10¹² rows), NULL when either margin is fully tied
+    * (denominator 0).
     *
     * Output per key: n, concordant, discordant, ties_x, ties_y (each
     * INCLUDING both-tied pairs, per the τ-b margins), ties_both, and
-    * tau2_pm. */
+    * tau2_pm. The pair counters are emitted as BIGINT — the 128-bit
+    * width stays internal to the τ² arithmetic, because a decimal
+    * readout hashes differently across engines (pandas renders Spark's
+    * decimal128 as `Decimal` objects, DuckDB's as float64 — equal
+    * values, different typed hashes). Exact while any single key holds
+    * < ~4.3×10⁹ rows (C(n,2) < 2⁶³); keys are grading cells (brands,
+    * languages), so that bound holds far past 100 TB of raw rows. */
   def tauB(df: DataFrame, keyCol: String, xCellCol: String,
            yCellCol: String): DataFrame = {
     val cells = df
@@ -132,12 +139,13 @@ object RankAgree {
         col("m")).otherwise(lit(0))).as("tyo"))
     within.join(between, Seq("key"), "left")
       .na.fill(0L, Seq("conc", "disc", "txo", "tyo"))
-      .select(col("key").as(keyCol), col("n").cast("long").as("n"),
+      .select(col("key"), col("n").cast("long").as("n"),
         col("conc").cast("decimal(38,0)").as("concordant"),
         col("disc").cast("decimal(38,0)").as("discordant"),
         (col("txo") + col("tboth")).cast("decimal(38,0)").as("ties_x"),
         (col("tyo") + col("tboth")).cast("decimal(38,0)").as("ties_y"),
         col("tboth").cast("decimal(38,0)").as("ties_both"))
+      // τ² on the 128-bit counters FIRST; only then narrow the readout
       .withColumn("tau2_pm", expr(
         """CAST(
           |  CASE WHEN concordant >= discordant THEN 1 ELSE -1 END
@@ -146,5 +154,12 @@ object RankAgree {
           |       (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - ties_x)
           |       * (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - ties_y), 0))
           |  AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .select(col("key").as(keyCol), col("n"),
+        col("concordant").cast("long").as("concordant"),
+        col("discordant").cast("long").as("discordant"),
+        col("ties_x").cast("long").as("ties_x"),
+        col("ties_y").cast("long").as("ties_y"),
+        col("ties_both").cast("long").as("ties_both"),
+        col("tau2_pm"))
   }
 }

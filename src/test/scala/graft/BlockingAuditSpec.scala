@@ -12,10 +12,10 @@ class BlockingAuditSpec extends AnyFunSuite {
     val r = BlockingAudit.audit(rows.toDF("truth", "blk"), "truth", "blk")
       .collect().head
     (r.getAs[Long]("n_rows"),
-      r.getAs[java.math.BigDecimal]("total_pairs").longValueExact(),
-      r.getAs[java.math.BigDecimal]("cand_pairs").longValueExact(),
-      r.getAs[java.math.BigDecimal]("true_pairs").longValueExact(),
-      r.getAs[java.math.BigDecimal]("coblocked_pairs").longValueExact(),
+      r.getAs[Long]("total_pairs"),
+      r.getAs[Long]("cand_pairs"),
+      r.getAs[Long]("true_pairs"),
+      r.getAs[Long]("coblocked_pairs"),
       r.getAs[Long]("reduction_pm"),
       if (r.isNullAt(r.fieldIndex("completeness_pm"))) -1L
       else r.getAs[Long]("completeness_pm"))

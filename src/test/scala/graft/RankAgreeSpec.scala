@@ -80,11 +80,11 @@ class RankAgreeSpec extends AnyFunSuite {
       else if (s > 0) conc += 1
       else disc += 1
     }
-    assert(got.getAs[java.math.BigDecimal]("concordant").longValue == conc)
-    assert(got.getAs[java.math.BigDecimal]("discordant").longValue == disc)
-    assert(got.getAs[java.math.BigDecimal]("ties_x").longValue == tx + tb)
-    assert(got.getAs[java.math.BigDecimal]("ties_y").longValue == ty + tb)
-    assert(got.getAs[java.math.BigDecimal]("ties_both").longValue == tb)
+    assert(got.getAs[Long]("concordant") == conc)
+    assert(got.getAs[Long]("discordant") == disc)
+    assert(got.getAs[Long]("ties_x") == tx + tb)
+    assert(got.getAs[Long]("ties_y") == ty + tb)
+    assert(got.getAs[Long]("ties_both") == tb)
     val n0 = 40L * 39 / 2
     val want = {
       val num = BigInt(10000) * BigInt(conc - disc) * BigInt(conc - disc)

@@ -1345,4 +1345,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(1L) == ((12875000L, -4500000L)))
     assert(streamed(2L) == ((23125000L, 5125000L)))
   }
+
+  test("streaming overlap-join twin: the bucketed interval join replays on two unsynchronized streams") {
+    import graft.operators.Interval
+
+    val srcL = Files.createTempDirectory("graft_stream_ovl_l")
+    val srcR = Files.createTempDirectory("graft_stream_ovl_r")
+    val ckp = Files.createTempDirectory("graft_stream_ovl_ckp")
+    // the q281 shape run as a STREAM-STREAM inner equi-join:
+    // overlapJoin's explode → equi-join-on-meet-bucket → strict-
+    // predicate plan is stateful-join-legal UNMODIFIED (the bucket is
+    // the equality key Structured Streaming requires; the overlap
+    // predicate rides as the residual condition), so the same operator
+    // certifies for the streaming path without a twin implementation.
+    // The decisive pair (i2, p3) arrives SPLIT across triggers — the
+    // incident in the left stream's first file, the purchase in the
+    // right stream's second — so the join state must hold trigger 1's
+    // exploded buckets until trigger 2 delivers the match.
+    def li(id: Long, s: Long, e: Long) = s"""{"iid":$id,"i_s":$s,"i_e":$e}"""
+    def pr(id: Long, s: Long, e: Long) = s"""{"pid":$id,"p_s":$s,"p_e":$e}"""
+    Files.write(srcL.resolve("a.json"), Seq(
+      li(1, 0, 100),    // meets p1 inside bucket 0
+      li(2, 950, 1250)  // spans buckets 9..12; p3 arrives a trigger later
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(srcL.resolve("b.json"), Seq(
+      li(3, 500, 601)   // shares bucket 6 with p2 but is disjoint in time
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(srcR.resolve("a.json"), Seq(
+      pr(1, 50, 150),
+      pr(2, 610, 700)
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(srcR.resolve("b.json"), Seq(
+      pr(3, 1200, 1300) // the late match for i2 (meet bucket 12)
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val lSchema = spark.read.json(srcL.toString).schema
+    val rSchema = spark.read.json(srcR.toString).schema
+    val q = Interval.overlapJoin(
+        spark.readStream.schema(lSchema).option("maxFilesPerTrigger", "1")
+          .json(srcL.toString), "i_s", "i_e",
+        spark.readStream.schema(rSchema).option("maxFilesPerTrigger", "1")
+          .json(srcR.toString), "p_s", "p_e",
+        bucket = 100L)
+      .select("iid", "pid")
+      .writeStream
+      .format("memory").queryName("ovl_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getAs[Long]("iid"), r.getAs[Long]("pid"))).toSet
+    val streamed = canon(spark.table("ovl_stream").collect())
+    val batch = canon(Interval.overlapJoin(
+        spark.read.json(srcL.toString), "i_s", "i_e",
+        spark.read.json(srcR.toString), "p_s", "p_e", bucket = 100L)
+      .select("iid", "pid").collect())
+    assert(streamed == batch)
+    // (1,1) same-trigger; (2,3) cross-trigger via held state; (3,2)
+    // co-bucketed but time-disjoint -> the residual predicate drops it
+    assert(streamed == Set((1L, 1L), (2L, 3L)))
+  }
 }
