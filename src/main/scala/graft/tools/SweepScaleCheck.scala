@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-scale evidence for the round-9 instrument/sweep family (judge
+  * round-9 item #5): q293 (shingle-size sweep), q299 (LSH band-geometry
+  * sweep with an Exhaustive truth pass), q301 (probe-radius sweep with
+  * an exhaustive-cosine truth pass), q302 (salted-shuffle census) and
+  * q277 (blocking audit) are graded at sf0.1 — this tool re-runs the
+  * REAL gated query bodies (via `SparkEntry.queries`, not copies) on a
+  * 10× corpus and prints wall time plus the per-stage row counts each
+  * readout already carries (truth pairs, candidate volumes, gram
+  * types, task censuses), so PLANS.md can record that the
+  * evidence-corpus slicing keeps the exhaustive truth passes growing
+  * LINEARLY with the corpus, not quadratically.
+  *
+  * The 10× corpus models real growth — ten DISJOINT replicas, not ten
+  * near-copies (a grown corpus is mostly new documents; near-copying
+  * every doc 10× would square the truth-pair space and measure a
+  * different, artificial problem):
+  *   - documents: replica k ≥ 1 prefixes every token with `r<k>·`, so
+  *     replicas share no shingles with the original but preserve the
+  *     original's INTERNAL duplicate structure (same-text rows stay
+  *     duplicates within a replica); n_chars recomputed, lang kept.
+  *   - embeddings: replica k rotates the vector by k positions —
+  *     norm-preserving, deterministic, distinct directions per replica.
+  *   - events: replica k remaps event_id (id·10+k) and keeps user_id,
+  *     so hot keys get 10× hotter — the harsh case for the salt plan.
+  * ids remap as id·10+k, so the queries' value-based slices (doc_id%3,
+  * doc_id%15, vec_id<8) keep their proportions.
+  *
+  * Run: `sbt "runMain graft.tools.SweepScaleCheck [sfDir] [factor]"`
+  * (default /root/testdata/sf0.1, 10). Results go to PLANS.md.
+  */
+object SweepScaleCheck {
+
+  private val SweepQueries = Seq(
+    "q277_blocking_audit", "q293_shingle_sensitivity",
+    "q299_band_geometry", "q301_probe_radius_sweep",
+    "q302_salted_shuffle_census")
+
+  private def replicate(spark: SparkSession, srcDir: String, outDir: String,
+                        factor: Int): Unit = {
+    val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") * factor + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(expr(
+          """array_join(transform(
+            |  filter(split(text, '\\s+'), x -> x != ''),
+            |  x -> concat('r', CAST(rep AS STRING), x)), ' ')"""
+            .stripMargin.replace("\n", " "))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") * factor + col("rep")).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(expr(
+          // rotate by rep positions: distinct direction, same norm
+          """concat(slice(embedding, rep + 1, 64 - rep),
+            |       slice(embedding, 1, rep))"""
+            .stripMargin.replace("\n", " ")).cast("array<float>"))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    spark.read.parquet(s"$srcDir/events.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") * factor + col("rep")).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val bigDir = s"${sys.props("java.io.tmpdir")}/graft_sweep_scale_${factor}x"
+    val t0 = System.nanoTime()
+    replicate(spark, srcDir, bigDir, factor)
+    println(f"SWEEP_SCALE corpus build: ${factor}x of $srcDir -> $bigDir " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    for (tbl <- Seq("documents", "embeddings", "events")) {
+      val n = spark.read.parquet(s"$bigDir/$tbl.parquet").count()
+      println(f"  $tbl%-11s $n%,12d rows")
+    }
+
+    def run(dir: String, label: String): Unit = {
+      println(s"\n== $label ==")
+      SweepQueries.foreach { q =>
+        val s0 = System.nanoTime()
+        val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
+        val sec = (System.nanoTime() - s0) / 1e9
+        println(f"$q%-28s ${sec}%7.1f s  readout:")
+        rows.foreach(r => println(s"    $r"))
+      }
+    }
+    run(srcDir, s"1x baseline ($srcDir)")
+    run(bigDir, s"${factor}x corpus ($bigDir)")
+    spark.stop()
+  }
+}
