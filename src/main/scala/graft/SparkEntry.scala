@@ -4015,6 +4015,55 @@ object SparkEntry {
           "ideal_max", "realized_max", "tasks_over_ideal", "overshoot_pm")
     }),
 
+    // Extension — SEQUENCE-PACKING CENSUS (Packing.packCensus): the
+    // concat-then-chunk training layout's fragmentation cost, measured
+    // per context budget in {256, 1024, 4096} — sequences produced,
+    // documents cut by a sequence boundary (the quality cost this
+    // packer trades for zero padding), oversize docs, tail padding.
+    // Document offsets via the two-phase range-partitioned prefix sum
+    // (heapsCurve's proven form — no global running-sum window);
+    // offsets computed ONCE, each budget re-buckets the cached frame
+    // (the q295 ladder discipline). Hash-exact.
+    "q303_packing_census" -> ((s, dir) => {
+      graft.operators.Packing.packCensus(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("t")),
+        "doc_id", "t", Seq(256L, 1024L, 4096L))
+    }),
+
+    // Extension — LANGUAGE-LABEL AGREEMENT (Agreement.cohenKappa): per
+    // source, Cohen's κ between the DECLARED lang column and the
+    // function-word langId prediction — the label-noise instrument for
+    // the corpus's own metadata (raw percent-agree flatters skewed
+    // label mixes; κ subtracts the chance floor; zh is declared but
+    // never predicted, so the disagreement structure is real). One
+    // shuffle to (source, declared, predicted) cells; margins and the
+    // margin dot-product are label-domain-bounded. Signed truncating
+    // permyriad via cross-multiplied DECIMAL(38,0), BIGINT readout.
+    // Hash-exact.
+    "q304_lang_agreement" -> ((s, dir) => {
+      graft.operators.Agreement.cohenKappa(
+          t(s, dir, "documents").select(col("source"),
+            col("lang").as("declared"),
+            TextAnalysis.langId(col("text")).as("predicted")),
+          "source", "declared", "predicted")
+        .orderBy("source")
+    }),
+
+    // Extension — CHUNKING CENSUS (Packing.chunkCensus): the sliding-
+    // window (RAG/embedding) layout's overlap cost per (size, overlap)
+    // config in {(16,0), (16,4), (64,8)} — chunks produced, tokens
+    // read including overlap re-reads, the expansion permyriad, and
+    // how many docs fit one chunk. One token-count scan feeds every
+    // config; per-config work is pure row arithmetic + one aggregate.
+    // Hash-exact.
+    "q305_chunking_census" -> ((s, dir) => {
+      graft.operators.Packing.chunkCensus(
+        t(s, dir, "documents").select(
+          TextAnalysis.tokenCount(col("text")).cast("long").as("t")),
+        "t", Seq((16L, 0L), (16L, 4L), (64L, 8L)))
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11986,6 +12035,99 @@ object SparkEntry {
 
   /** q302: the salted census replayed — same ceil plan, same md5 salt,
     * identical realized-vs-ideal readout. */
+  /** q303: token counts in doc_id order, window cumsum for offsets
+    * (safe at oracle scale; the Spark side uses the two-phase
+    * range-partitioned prefix sum), budgets re-bucket. */
+  private def q303Oracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'), x -> x <> '')) AS BIGINT) AS t
+      |  FROM documents),
+      |off AS (SELECT t,
+      |    sum(t) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) - t AS o
+      |  FROM toks),
+      |b AS (SELECT CAST(unnest([256, 1024, 4096]) AS BIGINT) AS budget)
+      |SELECT budget,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(t) AS BIGINT) AS n_tokens,
+      |  CAST((sum(t) + budget - 1) // budget AS BIGINT) AS n_seqs,
+      |  CAST(sum(CASE WHEN t > 0 AND o // budget <> (o + t - 1) // budget
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS frag_docs,
+      |  CAST(10000 * sum(CASE WHEN t > 0
+      |      AND o // budget <> (o + t - 1) // budget THEN 1 ELSE 0 END)
+      |    // nullif(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS frag_pm,
+      |  CAST(sum(CASE WHEN t > budget THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS oversize_docs,
+      |  CAST((sum(t) + budget - 1) // budget * budget - sum(t) AS BIGINT)
+      |    AS tail_pad
+      |FROM off, b GROUP BY budget ORDER BY budget""".stripMargin
+
+  /** q304: the q23 langId CASE replayed, then κ via the
+    * cross-multiplied integer identity. */
+  private def q304Oracle: String =
+    """WITH toks AS (SELECT doc_id, source, lang,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM documents),
+      |sc AS (SELECT doc_id, source, lang,
+      |  len(list_filter(t, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS s_en,
+      |  len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
+      |  len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+      |  len(list_filter(t, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
+      |  FROM toks),
+      |base AS (SELECT source, lang AS la, CASE
+      |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+      |    WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+      |    WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+      |    WHEN s_de >= s_fr THEN 'de'
+      |    ELSE 'fr' END AS lb
+      |  FROM sc),
+      |cells AS (SELECT source, la, lb, CAST(count(*) AS HUGEINT) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |tot AS (SELECT source, sum(c) AS n,
+      |    sum(CASE WHEN la = lb THEN c ELSE 0 END) AS agree
+      |  FROM cells GROUP BY 1),
+      |ra AS (SELECT source, la AS l, sum(c) AS r FROM cells GROUP BY 1, 2),
+      |cb AS (SELECT source, lb AS l, sum(c) AS cc FROM cells GROUP BY 1, 2),
+      |rc AS (SELECT ra.source, sum(r * cc) AS src
+      |  FROM ra JOIN cb ON ra.source = cb.source AND ra.l = cb.l
+      |  GROUP BY 1)
+      |SELECT tot.source, CAST(n AS BIGINT) AS n,
+      |  CAST(agree AS BIGINT) AS n_agree,
+      |  CAST(10000 * agree // n AS BIGINT) AS po_pm,
+      |  CAST(10000 * coalesce(src, 0) // (n * n) AS BIGINT) AS pe_pm,
+      |  CAST((CASE WHEN n * agree - coalesce(src, 0) >= 0 THEN 1 ELSE -1 END)
+      |    * (10000 * abs(n * agree - coalesce(src, 0))
+      |       // nullif(n * n - coalesce(src, 0), 0)) AS BIGINT) AS kappa_pm
+      |FROM tot LEFT JOIN rc ON tot.source = rc.source
+      |ORDER BY tot.source""".stripMargin
+
+  /** q305: per-config chunk arithmetic replayed row-wise. */
+  private def q305Oracle: String =
+    """WITH toks AS (SELECT
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'), x -> x <> '')) AS BIGINT) AS t
+      |  FROM documents),
+      |cfg AS (SELECT CAST(sz AS BIGINT) AS sz, CAST(ov AS BIGINT) AS ov
+      |  FROM (VALUES (16, 0), (16, 4), (64, 8)) AS v(sz, ov)),
+      |per AS (SELECT sz, ov, t,
+      |    CASE WHEN t <= 0 THEN 0 WHEN t <= sz THEN 1
+      |      ELSE 1 + (t - sz + (sz - ov) - 1) // (sz - ov) END AS nc
+      |  FROM toks, cfg)
+      |SELECT sz AS chunk_size, ov AS overlap,
+      |  CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(sum(t) AS BIGINT) AS n_tokens,
+      |  CAST(sum(nc) AS BIGINT) AS n_chunks,
+      |  CAST(sum(t + (CASE WHEN nc > 0 THEN nc - 1 ELSE 0 END) * ov)
+      |    AS BIGINT) AS tokens_read,
+      |  CAST(10000 * sum(t + (CASE WHEN nc > 0 THEN nc - 1 ELSE 0 END) * ov)
+      |    // nullif(sum(t), 0) AS BIGINT) AS expansion_pm,
+      |  CAST(sum(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS single_chunk_docs
+      |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def q302Oracle: String =
     """WITH ev AS (SELECT user_id, event_id FROM events
       |  WHERE user_id IS NOT NULL),
@@ -12419,6 +12561,9 @@ object SparkEntry {
     "q300_layout_drift" -> q300Oracle,
     "q301_probe_radius_sweep" -> q301Oracle,
     "q302_salted_shuffle_census" -> q302Oracle,
+    "q303_packing_census" -> q303Oracle,
+    "q304_lang_agreement" -> q304Oracle,
+    "q305_chunking_census" -> q305Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
