@@ -110,11 +110,23 @@ object RankAgree {
     * < ~4.3×10⁹ rows (C(n,2) < 2⁶³); keys are grading cells (brands,
     * languages), so that bound holds far past 100 TB of raw rows. */
   def tauB(df: DataFrame, keyCol: String, xCellCol: String,
-           yCellCol: String): DataFrame = {
-    val cells = df
-      .groupBy(col(keyCol).as("key"), col(xCellCol).as("xc"),
-        col(yCellCol).as("yc"))
-      .agg(count(lit(1)).as("c"))
+           yCellCol: String): DataFrame =
+    tauBFromCells(
+      df.groupBy(col(keyCol), col(xCellCol), col(yCellCol))
+        .agg(count(lit(1)).as("__tau_c")),
+      keyCol, xCellCol, yCellCol, "__tau_c")
+
+  /** The τ-b finish off a MAINTAINED contingency census — the
+    * streaming-monitor split (the PSI/KS/Qini twin discipline): cell
+    * counts are algebraic, so a live (key, xcell, ycell, count) frame
+    * under complete-mode aggregation IS the operator's state, and this
+    * pure view finishes it identically to the batch path (`tauB` is
+    * exactly census + this). Cells must be unique per (key, x, y). */
+  def tauBFromCells(cellDf: DataFrame, keyCol: String, xCol: String,
+                    yCol: String, cntCol: String): DataFrame = {
+    val cells = cellDf
+      .select(col(keyCol).as("key"), col(xCol).as("xc"),
+        col(yCol).as("yc"), col(cntCol).cast("long").as("c"))
       .localCheckpoint(true) // within-cell stats + the cell-pair join
     val within = cells.groupBy("key").agg(
       sum(col("c")).as("n"),

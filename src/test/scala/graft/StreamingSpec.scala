@@ -1346,6 +1346,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(2L) == ((23125000L, 5125000L)))
   }
 
+  test("streaming tau-b twin: live contingency cells + batch finish equal the one-shot tauB") {
+    import graft.operators.RankAgree
+
+    val src = Files.createTempDirectory("graft_stream_tau")
+    val ckp = Files.createTempDirectory("graft_stream_tau_ckp")
+    // the q287/q294 shape as a live monitor: the (key, xcell, ycell)
+    // census is the ONLY state (algebraic counts, complete mode); the
+    // pair-combinatorics finish is a pure view. The same (x, y) cell
+    // recurs in BOTH triggers, so the maintained count must merge
+    // across micro-batches before the finish squares it into tied/
+    // concordant pair counts — a per-trigger finish would undercount
+    // within-cell pairs quadratically.
+    def line(x: Long, y: Long) = s"""{"k":"g","xc":$x,"yc":$y}"""
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(60)((rnd.nextInt(3).toLong, rnd.nextInt(3).toLong))
+    val (first, second) = rows.splitAt(30)
+    Files.write(src.resolve("a.json"),
+      first.map((line _).tupled).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      second.map((line _).tupled).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k STRING, xc BIGINT, yc BIGINT")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(src.toString)
+      .groupBy("k", "xc", "yc")
+      .agg(org.apache.spark.sql.functions.expr("count(1) AS c"))
+      .writeStream.format("memory").queryName("tau_cells")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getAs[Long]("n"), r.getAs[Long]("concordant"),
+        r.getAs[Long]("discordant"), r.getAs[Long]("ties_x"),
+        r.getAs[Long]("ties_y"), r.getAs[Long]("tau2_pm"))).toSet
+    val streamed = canon(RankAgree.tauBFromCells(
+      spark.table("tau_cells"), "k", "xc", "yc", "c").collect())
+    val batch = canon(RankAgree.tauB(
+      spark.read.json(src.toString), "k", "xc", "yc").collect())
+    assert(streamed == batch && streamed.size == 1)
+    assert(streamed.head._1 == 60L) // both triggers assembled
+  }
+
   test("streaming overlap-join twin: the bucketed interval join replays on two unsynchronized streams") {
     import graft.operators.Interval
 
