@@ -4064,6 +4064,46 @@ object SparkEntry {
         "t", Seq((16L, 0L), (16L, 4L), (64L, 8L)))
     }),
 
+    // Extension — CORPUS DATASHEET (Datasheet.corpusDatasheet): the
+    // per-source dossier a dataset owner publishes — docs, tokens,
+    // exact-dup exposure against the WHOLE corpus (cross-source dups
+    // count), quality-gate failures, declared-vs-predicted language
+    // mismatches, and the declared-language Simpson diversity
+    // 1 − Σp² (integer-exact, unlike entropy). All per-doc signals
+    // from ONE textStats pass + the canonical fingerprint; the
+    // operator composes q20/q22/q23's gated signals into one
+    // decision-grade readout. Hash-exact.
+    "q306_corpus_datasheet" -> ((s, dir) => {
+      val st = t(s, dir, "documents").select(col("source"), col("lang"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("fp"),
+        TextAnalysis.textStats(col("text")).as("st"))
+      graft.operators.Datasheet.corpusDatasheet(
+          st.select(col("source"), col("fp"), col("lang"),
+            col("st.n_tokens").cast("long").as("tc"),
+            TextAnalysis.qualityOkFromStats(col("st")).as("qok"),
+            TextAnalysis.langIdFromStats(col("st")).as("pred")),
+          "source", "fp", "tc", "qok", "lang", "pred")
+        .orderBy("source")
+    }),
+
+    // Extension — SOURCE/LANGUAGE CONCENTRATION (Concentration.gini):
+    // how unequally the corpus's TOKEN mass is spread over its source
+    // and language mixes — Gini via the mean-absolute-difference
+    // identity on the key-TOTAL frame's self-join (O(domain²), never
+    // rows; the operator hard-fails past 4096 keys — unbounded keys
+    // belong to q279's octaves), plus top-1/top-5 holder shares. The
+    // "is this mixture one crawl wearing twenty labels" instrument.
+    // Hash-exact.
+    "q307_source_concentration" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tc"))
+        .localCheckpoint(true) // both censuses share the tokenize pass
+      graft.operators.Concentration.gini(d, "source", "tc", "by_source")
+        .unionByName(
+          graft.operators.Concentration.gini(d, "lang", "tc", "by_lang"))
+        .orderBy("census")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12104,6 +12144,96 @@ object SparkEntry {
       |FROM tot LEFT JOIN rc ON tot.source = rc.source
       |ORDER BY tot.source""".stripMargin
 
+  /** q306: one token pass feeds fingerprint, quality, langId; dup
+    * census corpus-wide; Simpson over declared-lang cells. */
+  private def q306Oracle: String =
+    """WITH toks AS (SELECT source, lang, text,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM documents),
+      |feat AS (SELECT source, lang,
+      |    md5(array_to_string(t, ' ')) AS fp,
+      |    CAST(len(t) AS BIGINT) AS tc,
+      |    (len(t) BETWEEN 5 AND 100000)
+      |      AND len(list_distinct(t)) * 5 >= len(t)
+      |      AND (length(text) - length(regexp_replace(text,
+      |        '[[:punct:]]', '', 'g'))) * 10 <= length(text) * 3 AS qok,
+      |  len(list_filter(t, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS s_en,
+      |  len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS s_es,
+      |  len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','mit','ein','zu','den'))) AS s_de,
+      |  len(list_filter(t, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS s_fr
+      |  FROM toks),
+      |p AS (SELECT source, lang, fp, tc, qok, CASE
+      |    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+      |    WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+      |    WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+      |    WHEN s_de >= s_fr THEN 'de'
+      |    ELSE 'fr' END AS pred
+      |  FROM feat),
+      |fpc AS (SELECT fp, count(*) AS fc FROM p GROUP BY 1),
+      |per AS (SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(tc) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN fc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS dup_docs,
+      |    CAST(sum(CASE WHEN NOT qok THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS quality_fail_docs,
+      |    CAST(sum(CASE WHEN lang <> pred THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS lang_mismatch_docs
+      |  FROM p JOIN fpc USING (fp) GROUP BY 1),
+      |simp AS (SELECT source, sum(c) AS n, sum(c * c) AS sq
+      |  FROM (SELECT source, lang, CAST(count(*) AS HUGEINT) AS c
+      |        FROM p GROUP BY 1, 2) GROUP BY 1)
+      |SELECT per.source, n_docs, n_tokens,
+      |  dup_docs, CAST(10000 * dup_docs // n_docs AS BIGINT) AS dup_pm,
+      |  quality_fail_docs,
+      |  CAST(10000 * quality_fail_docs // n_docs AS BIGINT)
+      |    AS quality_fail_pm,
+      |  lang_mismatch_docs,
+      |  CAST(10000 * lang_mismatch_docs // n_docs AS BIGINT)
+      |    AS lang_mismatch_pm,
+      |  CAST(10000 * (n * n - sq) // (n * n) AS BIGINT)
+      |    AS lang_simpson_pm
+      |FROM per JOIN simp ON per.source = simp.source
+      |ORDER BY per.source""".stripMargin
+
+  /** q307: Gini via the mean-absolute-difference pair identity on the
+    * per-key token totals, one census per dimension. */
+  private def q307Oracle: String =
+    """WITH toks AS (SELECT source, lang,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'), x -> x <> '')) AS BIGINT) AS tc
+      |  FROM documents),
+      |st AS (SELECT source AS k, sum(tc) AS w FROM toks GROUP BY 1),
+      |lt AS (SELECT lang AS k, sum(tc) AS w FROM toks GROUP BY 1),
+      |g1 AS (SELECT 'by_source' AS census,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(w) AS BIGINT) AS total_w,
+      |    CAST(max(w) AS BIGINT) AS max_w,
+      |    (SELECT coalesce(sum(2 * abs(CAST(a.w AS HUGEINT) - b.w)), 0)
+      |     FROM st a JOIN st b ON a.k < b.k) AS ad,
+      |    (SELECT sum(w) FROM
+      |      (SELECT w FROM st ORDER BY w DESC, k LIMIT 5)) AS top5
+      |  FROM st),
+      |g2 AS (SELECT 'by_lang' AS census,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(w) AS BIGINT) AS total_w,
+      |    CAST(max(w) AS BIGINT) AS max_w,
+      |    (SELECT coalesce(sum(2 * abs(CAST(a.w AS HUGEINT) - b.w)), 0)
+      |     FROM lt a JOIN lt b ON a.k < b.k) AS ad,
+      |    (SELECT sum(w) FROM
+      |      (SELECT w FROM lt ORDER BY w DESC, k LIMIT 5)) AS top5
+      |  FROM lt),
+      |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+      |SELECT census, n_keys, total_w, max_w,
+      |  CAST(10000 * ad // nullif(2 * CAST(n_keys AS HUGEINT) * total_w,
+      |    0) AS BIGINT) AS gini_pm,
+      |  CAST(10000 * CAST(max_w AS HUGEINT) // nullif(total_w, 0)
+      |    AS BIGINT) AS top1_pm,
+      |  CAST(10000 * CAST(top5 AS HUGEINT) // nullif(total_w, 0)
+      |    AS BIGINT) AS top5_pm
+      |FROM u ORDER BY census""".stripMargin
+
   /** q305: per-config chunk arithmetic replayed row-wise. */
   private def q305Oracle: String =
     """WITH toks AS (SELECT
@@ -12564,6 +12694,8 @@ object SparkEntry {
     "q303_packing_census" -> q303Oracle,
     "q304_lang_agreement" -> q304Oracle,
     "q305_chunking_census" -> q305Oracle,
+    "q306_corpus_datasheet" -> q306Oracle,
+    "q307_source_concentration" -> q307Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * who both say "en" 90% of the time agree 82% by luck alone); κ
   * subtracts exactly that chance floor.
   *
+  * Relationship to [[Inference.cohenKappa]] (q187): that is the GLOBAL
+  * single-table κ with the full contingency-cell readout (one
+  * experiment, inspect the confusion structure). This is the KEYED
+  * monitor variant — one row per key with per-key margins — for
+  * sweeping κ across a partition of the corpus (per source, per day,
+  * per experiment arm), where broadcasting a global scalar onto cells
+  * would answer the wrong question. Same integer identity, same
+  * truncating-permyriad convention.
+  *
   *   κ = (p_o − p_e) / (1 − p_e)
   *     p_o = Σ_k n_kk / N          (observed agreement)
   *     p_e = Σ_k r_k·c_k / N²      (chance agreement from the margins)

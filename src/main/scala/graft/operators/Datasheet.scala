@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CORPUS DATASHEET — the per-group dossier a dataset owner publishes
+  * before anyone trains on the corpus (the "datasheets for datasets"
+  * practice): for each group (source, shard, crawl, license bucket) —
+  * volume (docs, tokens), EXACT-DUPLICATE exposure (docs whose
+  * canonical fingerprint recurs anywhere in the WHOLE corpus, not just
+  * in-group: cross-source duplication is the finding), quality-gate
+  * failures, metadata trust (declared vs predicted language), and the
+  * declared-language Simpson diversity 1 − Σp² (integer-exact, unlike
+  * entropy: 10⁴·(N² − Σc²) DIV N² — the probability two random docs of
+  * the group differ in language).
+  *
+  * This COMPOSES the corpus's own gated signals (q20 fingerprints,
+  * q22 quality, q23 langId) into one decision-grade readout — the
+  * operator takes the per-doc columns as inputs so callers prepare
+  * them in ONE text pass (TextAnalysis.textStats) and the composition
+  * stays signal-agnostic.
+  *
+  * Scale shape: one shuffle to the fingerprint census (fingerprint-
+  * domain-sized, the q20 dedup shape), one join back on the
+  * fingerprint, one per-group aggregate, plus a (group × language)
+  * cell frame for Simpson — language-domain-bounded. No frame scales
+  * with pairs. Simpson's N² runs in DECIMAL(38,0) internally (10²⁴ at
+  * 10¹² docs per group), BIGINT permyriad readout.
+  */
+object Datasheet {
+
+  /** @param df           one row per document
+    * @param groupCol     the datasheet grain (source/shard/license)
+    * @param fpCol        canonical content fingerprint
+    * @param tokenCountCol per-doc token count
+    * @param qualityOkCol boolean quality gate
+    * @param declaredCol  declared (metadata) label, e.g. lang
+    * @param predictedCol predicted label on the same domain
+    * @return one row per group: n_docs, n_tokens, dup_docs/dup_pm,
+    *         quality_fail_docs/quality_fail_pm, lang_mismatch_docs/
+    *         lang_mismatch_pm, lang_simpson_pm */
+  def corpusDatasheet(df: DataFrame, groupCol: String, fpCol: String,
+                      tokenCountCol: String, qualityOkCol: String,
+                      declaredCol: String, predictedCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"), col(fpCol).as("_fp"),
+        col(tokenCountCol).cast("long").as("_t"), col(qualityOkCol).as("_q"),
+        col(declaredCol).as("_la"), col(predictedCol).as("_lb"))
+      .localCheckpoint(true) // fp census + dup join + simpson cells
+    val fpc = base.groupBy("_fp").agg(count(lit(1)).as("_fc"))
+    val per = base.join(fpc, "_fp")
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("_t")), lit(0L)).as("n_tokens"),
+        sum(when(col("_fc") >= 2, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(!col("_q"), 1L).otherwise(0L)).as("quality_fail_docs"),
+        sum(when(col("_la") =!= col("_lb"), 1L).otherwise(0L))
+          .as("lang_mismatch_docs"))
+    val simpson = base.groupBy(col("_g"), col("_la"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("_g")
+      .agg(sum(col("_c")).as("_n"),
+        sum(expr("CAST(_c AS DECIMAL(38,0)) * _c")).as("_sq"))
+      .select(col("_g"), expr(
+        "CAST(10000 * (CAST(_n AS DECIMAL(38,0)) * _n - _sq)" +
+          " DIV (CAST(_n AS DECIMAL(38,0)) * _n) AS BIGINT)")
+        .as("lang_simpson_pm"))
+    per.join(simpson, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n_docs"), col("n_tokens"),
+        col("dup_docs"),
+        expr("CAST(10000 * dup_docs DIV n_docs AS BIGINT)").as("dup_pm"),
+        col("quality_fail_docs"),
+        expr("CAST(10000 * quality_fail_docs DIV n_docs AS BIGINT)")
+          .as("quality_fail_pm"),
+        col("lang_mismatch_docs"),
+        expr("CAST(10000 * lang_mismatch_docs DIV n_docs AS BIGINT)")
+          .as("lang_mismatch_pm"),
+        col("lang_simpson_pm"))
+  }
+}

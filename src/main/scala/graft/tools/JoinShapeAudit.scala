@@ -57,6 +57,7 @@ object JoinShapeAudit {
     "q84_kmv_distinct",
     "q89_selfjoin_estimate", "q93_hll_distinct", "q98_temperature_mixture"
   ).map(_ -> scalarCross).toMap ++ Map(
+    "q307_source_concentration" -> "Gini pair self-join over KEY TOTALS (<=4096-key domain contract, hard require in Concentration.gini) + 1-row scalar crosses",
     "q186_chi2_mix" -> "contingency marginals cross (category-domain² grid) + 1-row totals",
     "q194_mutual_info" -> "same marginal-grid + totals crosses as q186 (Inference.mutualInfo)",
     "q190_acf" -> "packed series x broadcast <=k-row lag spine (Trend.acf)",
