@@ -4104,6 +4104,62 @@ object SparkEntry {
         .orderBy("census")
     }),
 
+    // Extension — ANN INDEX STALENESS (the serving-ops instrument
+    // beside q301's probe knob): the index was built when only ⅔ of
+    // the corpus existed (vec_id % 3 ≠ 0); queries are graded against
+    // the FULL-corpus truth, and the recall loss DECOMPOSES into
+    // miss_new (truth neighbors the stale index cannot contain — no
+    // probe budget fixes these; stale_ceiling_pm is the best any
+    // probe could do) vs miss_indexed (indexed but unprobed — the
+    // part a wider radius buys back). The reindex-cadence decision
+    // reads directly off this split. Signatures computed once
+    // (checkpointed); radius-1 probing, the q301 identity. Hash-exact.
+    "q308_index_staleness" -> ((s, dir) => {
+      val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+      val signed = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.normalized(col("embedding")).as("ne"),
+          lsh.signature(col("embedding")).as("sig"))
+        .localCheckpoint(true) // panel + truth + the indexed slice
+      val panel = signed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("ne").as("qne"),
+          col("sig").as("qsig"))
+        .localCheckpoint(true)
+      val full = signed.filter(col("vec_id") >= 8)
+      def dotQ = expr(
+        "aggregate(zip_with(qne, ne, (x, y) -> x * y), 0D, (a, p) -> a + p)")
+      val truth = panel.crossJoin(full)
+        .select(col("qid"), col("vec_id"), dotQ.as("score"))
+        .withColumn("r", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("r") <= 8).select("qid", "vec_id")
+      val served = panel
+        .select(col("qid"), col("qne"),
+          explode(lsh.probeBucketsR(col("qsig"), 1)).as("bucket"))
+        .join(full.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+          col("bucket") === col("sig"))
+        .select(col("qid"), col("vec_id"), dotQ.as("score"))
+        .withColumn("r", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("r") <= 8)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(served, Seq("qid", "vec_id"), "left")
+        .select(col("qid"),
+          coalesce(col("hit"), lit(0L)).as("hit"),
+          when(pmod(col("vec_id"), lit(3)) === 0, 1L).otherwise(0L)
+            .as("is_new"))
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_truth"),
+          sum(col("hit")).as("n_hit"),
+          sum(col("is_new")).as("miss_new"),
+          sum(when(col("hit") === 0 && col("is_new") === 0, 1L)
+            .otherwise(0L)).as("miss_indexed"))
+        .select(col("n_queries"), col("n_truth"), col("n_hit"),
+          expr("CAST(10000 * n_hit DIV n_truth AS BIGINT)").as("recall_pm"),
+          col("miss_new"), col("miss_indexed"),
+          expr("CAST(10000 * (n_truth - miss_new) DIV n_truth AS BIGINT)")
+            .as("stale_ceiling_pm"))
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12073,6 +12129,49 @@ object SparkEntry {
        |FROM allr ORDER BY radius""".stripMargin
   }
 
+  /** q308: the staleness decomposition replayed — same signatures, same
+    * radius-1 probe identity, the indexed slice filtered in SQL. */
+  private def q308Oracle: String = {
+    val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
+    val dotQ = "list_reduce(list_transform(range(1, 65)," +
+      " i -> q.qne[i] * s.ne[i]), (x, y) -> x + y)"
+    s"""WITH sigs AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+       |      / sqrt(${duckDot("embedding", "embedding")})) AS ne,
+       |    ${duckSig("embedding", lsh)} AS sig
+       |  FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, ne AS qne, sig AS qsig
+       |  FROM sigs WHERE vec_id < 8),
+       |tc AS (SELECT q.qid, s.vec_id, $dotQ AS score
+       |  FROM q CROSS JOIN sigs s WHERE s.vec_id >= 8),
+       |truth AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, vec_id ASC) AS rr FROM tc)
+       |  WHERE rr <= 8),
+       |served AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |    SELECT q.qid, s.vec_id, $dotQ AS score,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY $dotQ DESC, s.vec_id ASC) AS rr
+       |    FROM q JOIN sigs s ON bit_count(xor(q.qsig, s.sig)) <= 1
+       |      AND s.vec_id >= 8 AND s.vec_id % 3 <> 0)
+       |  WHERE rr <= 8),
+       |j AS (SELECT t.qid,
+       |    CASE WHEN sv.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+       |    CASE WHEN t.vec_id % 3 = 0 THEN 1 ELSE 0 END AS is_new
+       |  FROM truth t LEFT JOIN served sv
+       |    ON t.qid = sv.qid AND t.vec_id = sv.vec_id)
+       |SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  CAST(10000 * sum(hit) // count(*) AS BIGINT) AS recall_pm,
+       |  CAST(sum(is_new) AS BIGINT) AS miss_new,
+       |  CAST(sum(CASE WHEN hit = 0 AND is_new = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS miss_indexed,
+       |  CAST(10000 * (count(*) - sum(is_new)) // count(*) AS BIGINT)
+       |    AS stale_ceiling_pm
+       |FROM j""".stripMargin
+  }
+
   /** q302: the salted census replayed — same ceil plan, same md5 salt,
     * identical realized-vs-ideal readout. */
   /** q303: token counts in doc_id order, window cumsum for offsets
@@ -12696,6 +12795,7 @@ object SparkEntry {
     "q305_chunking_census" -> q305Oracle,
     "q306_corpus_datasheet" -> q306Oracle,
     "q307_source_concentration" -> q307Oracle,
+    "q308_index_staleness" -> q308Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -54,6 +54,7 @@ object JoinShapeAudit {
     "q289_fk_audit", "q292_tail_attribution", "q293_shingle_sensitivity",
     "q297_shrunk_returns", "q299_band_geometry", "q300_layout_drift",
     "q301_probe_radius_sweep", "q302_salted_shuffle_census",
+    "q308_index_staleness",
     "q84_kmv_distinct",
     "q89_selfjoin_estimate", "q93_hll_distinct", "q98_temperature_mixture"
   ).map(_ -> scalarCross).toMap ++ Map(
