@@ -4160,6 +4160,21 @@ object SparkEntry {
             .as("stale_ceiling_pm"))
     }),
 
+    // Extension — DEDUP YIELD CENSUS (Datasheet.dedupYield): what an
+    // exact-dedup pass would actually buy, BY CLUSTER SIZE — clusters,
+    // docs, token mass, mass kept under keep-the-longest survivorship,
+    // savings pm per size. Savings concentrated in a few huge clusters
+    // mean targeted removal beats a full pass; a long size-2 tail
+    // means the opposite. One fingerprint shuffle, then a size-domain
+    // group. Hash-exact.
+    "q309_dedup_yield" -> ((s, dir) => {
+      graft.operators.Datasheet.dedupYield(
+        t(s, dir, "documents").select(
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tc")),
+        "fp", "tc")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12172,6 +12187,26 @@ object SparkEntry {
        |FROM j""".stripMargin
   }
 
+  /** q309: fingerprint clusters, then the size-grouped yield. */
+  private def q309Oracle: String =
+    """WITH p AS (SELECT
+      |    md5(array_to_string(list_filter(regexp_split_to_array(
+      |      lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fp,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'), x -> x <> '')) AS BIGINT) AS w
+      |  FROM documents),
+      |cl AS (SELECT fp, CAST(count(*) AS BIGINT) AS sz, sum(w) AS tw,
+      |    max(w) AS kw
+      |  FROM p GROUP BY 1)
+      |SELECT sz AS cluster_size,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tw) AS BIGINT) AS tokens_total,
+      |  CAST(sum(kw) AS BIGINT) AS tokens_kept,
+      |  CAST(10000 - 10000 * sum(kw) // nullif(sum(tw), 0) AS BIGINT)
+      |    AS savings_pm
+      |FROM cl GROUP BY sz ORDER BY sz""".stripMargin
+
   /** q302: the salted census replayed — same ceil plan, same md5 salt,
     * identical realized-vs-ideal readout. */
   /** q303: token counts in doc_id order, window cumsum for offsets
@@ -12796,6 +12831,7 @@ object SparkEntry {
     "q306_corpus_datasheet" -> q306Oracle,
     "q307_source_concentration" -> q307Oracle,
     "q308_index_staleness" -> q308Oracle,
+    "q309_dedup_yield" -> q309Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

@@ -43,10 +43,23 @@ import org.apache.spark.sql.functions._
 object Agreement {
 
   def cohenKappa(df: DataFrame, keyCol: String, aCol: String,
-                 bCol: String): DataFrame = {
-    val cells = df
-      .groupBy(col(keyCol).as("key"), col(aCol).as("la"), col(bCol).as("lb"))
-      .agg(count(lit(1)).as("c"))
+                 bCol: String): DataFrame =
+    kappaFromCells(
+      df.groupBy(col(keyCol), col(aCol), col(bCol))
+        .agg(count(lit(1)).as("__kap_c")),
+      keyCol, aCol, bCol, "__kap_c")
+
+  /** The κ finish off a MAINTAINED (key, label_a, label_b, count)
+    * census — the streaming-monitor split (the tauBFromCells / PSI /
+    * KS twin discipline): confusion-cell counts are algebraic, so a
+    * live census under complete-mode aggregation IS the state and this
+    * pure view finishes it identically to the batch path. Cells must
+    * be unique per (key, a, b). */
+  def kappaFromCells(cellDf: DataFrame, keyCol: String, aCol: String,
+                     bCol: String, cntCol: String): DataFrame = {
+    val cells = cellDf
+      .select(col(keyCol).as("key"), col(aCol).as("la"),
+        col(bCol).as("lb"), col(cntCol).cast("long").as("c"))
       .localCheckpoint(true) // totals + both margins off one census
     val tot = cells.groupBy("key").agg(
       sum(col("c")).as("n"),

@@ -76,4 +76,37 @@ object Datasheet {
           .as("lang_mismatch_pm"),
         col("lang_simpson_pm"))
   }
+
+  /** DEDUP YIELD CENSUS — what an exact-dedup pass would actually buy,
+    * BY CLUSTER SIZE: for each duplicate-cluster size s, how many
+    * clusters, how many docs they hold, their total token mass, the
+    * mass KEPT under keep-one survivorship (the max-weight member —
+    * fingerprint-identical docs can still differ in raw token count
+    * through whitespace variants, and keeping the longest raw variant
+    * is the Survivorship best-of-cluster rule), and the savings
+    * permyriad. The size histogram is the decision readout: savings
+    * concentrated in a few huge clusters mean targeted removal beats a
+    * full dedup pass; a long size-2 tail means the opposite.
+    *
+    * Scale shape: ONE shuffle to the fingerprint clusters, then a
+    * group on cluster SIZE — a frame bounded by the number of DISTINCT
+    * cluster sizes, never the corpus. size = 1 rows (unique docs) are
+    * included: savings 0, the baseline mass. */
+  def dedupYield(df: DataFrame, fpCol: String, weightCol: String): DataFrame = {
+    val clusters = df
+      .select(col(fpCol).as("_fp"), col(weightCol).cast("long").as("_w"))
+      .groupBy("_fp")
+      .agg(count(lit(1)).as("_sz"), sum(col("_w")).as("_tw"),
+        max(col("_w")).as("_kw"))
+    clusters.groupBy(col("_sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("_tw")).as("tokens_total"),
+        sum(col("_kw")).as("tokens_kept"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        col("tokens_total"), col("tokens_kept"),
+        expr("CAST(10000 - 10000 * tokens_kept DIV nullif(tokens_total, 0)" +
+          " AS BIGINT)").as("savings_pm"))
+      .orderBy("cluster_size")
+  }
 }

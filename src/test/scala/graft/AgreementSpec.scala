@@ -45,6 +45,27 @@ class AgreementSpec extends AnyFunSuite {
     assert(k == Some(-1111L)) // (10*8 - 82) / (100 - 82) = -2/18
   }
 
+  test("kappa matches brute-force confusion-matrix arithmetic on random labelings") {
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val labels = Vector("en", "de", "fr", "zh")
+      val rows = Seq.fill(80)((labels(rnd.nextInt(4)), labels(rnd.nextInt(4))))
+      val (n, agree, po, pe, k) = kappaOf(rows)
+      val byA = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val byB = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nAgree = rows.count { case (a, b) => a == b }.toLong
+      val src = labels.map(l =>
+        byA.getOrElse(l, 0L) * byB.getOrElse(l, 0L)).sum
+      assert(n == 80L && agree == nAgree, s"trial $trial")
+      assert(po == 10000L * nAgree / 80L, s"trial $trial")
+      assert(pe == 10000L * src / (80L * 80L), s"trial $trial")
+      val num = 80L * nAgree - src
+      val den = 80L * 80L - src
+      val want = (if (num >= 0) 1L else -1L) * (10000L * math.abs(num) / den)
+      assert(k == Some(want), s"trial $trial")
+    }
+  }
+
   test("kappa: keys compute independently and missing-margin labels contribute zero") {
     val df = Seq(
       ("k1", "x", "x"), ("k1", "x", "y"),

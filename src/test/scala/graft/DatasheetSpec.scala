@@ -43,6 +43,23 @@ class DatasheetSpec extends AnyFunSuite {
     assert(r.getAs[Long]("lang_simpson_pm") == 0L)
   }
 
+  test("dedupYield hand frame: size histogram, keep-the-longest survivorship, savings") {
+    // fp A x3 (weights 10,12,8 -> keep 12), fp B x2 (5,5 -> keep 5),
+    // fps C,D unique
+    val df = Seq(("A", 10L), ("A", 12L), ("A", 8L), ("B", 5L), ("B", 5L),
+      ("C", 7L), ("D", 9L)).toDF("fp", "w")
+    val got = Datasheet.dedupYield(df, "fp", "w").collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Long]("savings_pm")))).toMap
+    assert(got(1L) == ((2L, 2L, 16L, 16L, 0L)))
+    assert(got(2L) == ((1L, 2L, 10L, 5L, 5000L)))
+    // size 3: total 30, kept 12 -> savings 10000 - 10000*12/30 = 6000
+    assert(got(3L) == ((1L, 3L, 30L, 12L, 6000L)))
+    assert(got.size == 3)
+  }
+
   test("gini: perfectly equal weights read 0, a single holder reads (n-1)/n") {
     val eq = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
       .toDF("k", "w")
@@ -67,6 +84,21 @@ class DatasheetSpec extends AnyFunSuite {
     assert(r.getAs[Long]("gini_pm") == 2500L)
     assert(r.getAs[Long]("top1_pm") == 4000L)
     assert(r.getAs[Long]("top5_pm") == 10000L) // only 4 keys: all of them
+  }
+
+  test("gini matches the brute-force pair identity on random weights") {
+    val rnd = new scala.util.Random(17)
+    (1 to 5).foreach { trial =>
+      val ws = Vector.fill(12)(rnd.nextInt(1000).toLong + 1L)
+      val df = ws.zipWithIndex.map { case (w, i) => (s"k$i", w) }.toDF("k", "w")
+      val r = Concentration.gini(df, "k", "w", "rnd").collect().head
+      val ad = (for (i <- ws.indices; j <- ws.indices) yield
+        math.abs(ws(i) - ws(j))).sum
+      val want = 10000L * ad / (2L * ws.size * ws.sum)
+      assert(r.getAs[Long]("gini_pm") == want, s"trial $trial")
+      assert(r.getAs[Long]("top5_pm") ==
+        10000L * ws.sorted.reverse.take(5).sum / ws.sum, s"trial $trial")
+    }
   }
 
   test("gini: the domain contract fails loudly past maxKeys") {

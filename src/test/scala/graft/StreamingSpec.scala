@@ -1394,6 +1394,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.head._1 == 60L) // both triggers assembled
   }
 
+  test("streaming kappa twin: live confusion cells + batch finish equal the one-shot cohenKappa") {
+    import graft.operators.Agreement
+
+    val src = Files.createTempDirectory("graft_stream_kap")
+    val ckp = Files.createTempDirectory("graft_stream_kap_ckp")
+    // the q304 shape as a live label-noise monitor: the (key, a, b)
+    // confusion census is the only state; the margins and the κ
+    // cross-multiplication are a pure finish. The SAME cell recurs in
+    // both triggers, so the maintained count must merge before the
+    // margin dot-product squares it into chance mass.
+    def line(a: String, b: String) = s"""{"k":"g","a":"$a","b":"$b"}"""
+    val rnd = new scala.util.Random(19)
+    val labels = Vector("en", "de", "fr")
+    val rows = Seq.fill(50)((labels(rnd.nextInt(3)), labels(rnd.nextInt(3))))
+    val (first, second) = rows.splitAt(25)
+    Files.write(src.resolve("a.json"),
+      first.map((line _).tupled).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"),
+      second.map((line _).tupled).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k STRING, a STRING, b STRING")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(src.toString)
+      .groupBy("k", "a", "b")
+      .agg(org.apache.spark.sql.functions.expr("count(1) AS c"))
+      .writeStream.format("memory").queryName("kap_cells")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val canon = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_agree"),
+        r.getAs[Long]("po_pm"), r.getAs[Long]("pe_pm"),
+        r.getAs[Long]("kappa_pm"))).toSet
+    val streamed = canon(Agreement.kappaFromCells(
+      spark.table("kap_cells"), "k", "a", "b", "c").collect())
+    val batch = canon(Agreement.cohenKappa(
+      spark.read.json(src.toString), "k", "a", "b").collect())
+    assert(streamed == batch && streamed.size == 1)
+    assert(streamed.head._1 == 50L) // both triggers assembled
+  }
+
   test("streaming overlap-join twin: the bucketed interval join replays on two unsynchronized streams") {
     import graft.operators.Interval
 
