@@ -4175,6 +4175,39 @@ object SparkEntry {
         "fp", "tc")
     }),
 
+    // Extension — ROBUST CENTER/SCALE (median + MAD by counting): the
+    // outlier instrument a mean/stddev readout can't be trusted for —
+    // per event type, the exact type-1 median of value cents, the
+    // median absolute deviation (two counting-quantile passes over
+    // CENTS-domain cell frames, never row sorts), and the share of
+    // rows beyond the 5·MAD fence. Medians broadcast back by type
+    // (type-domain-bounded). Hash-exact.
+    "q310_robust_center" -> ((s, dir) => {
+      import graft.operators.CountingQuantile
+      val cents = events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("c"))
+        .filter(col("c").isNotNull)
+        .localCheckpoint(true) // median cells + the deviation pass
+      val med = CountingQuantile.countingQuantiles(
+        cents, Seq("event_type"), "c", Seq(("m", 5000L)))
+      val dev = cents.join(broadcast(med), Seq("event_type"))
+        .withColumn("d", abs(col("c") - col("m")))
+        .localCheckpoint(true) // MAD cells + the outlier census
+      val mad = CountingQuantile.countingQuantiles(
+        dev, Seq("event_type"), "d", Seq(("mad", 5000L)))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("m")).as("median_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("d") > lit(5L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("outlier_pm",
+          expr("CAST(10000 * n_outliers DIV n AS BIGINT)"))
+        .orderBy("event_type")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12187,6 +12220,43 @@ object SparkEntry {
        |FROM j""".stripMargin
   }
 
+  /** q310: the two counting-quantile passes replayed on cents/
+    * deviation cell frames, same ceil rank, same 5*MAD fence. */
+  private def q310Oracle: String =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events
+      |  WHERE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    IS NOT NULL),
+      |cells AS (SELECT event_type, c, count(*) AS cnt
+      |  FROM ev GROUP BY 1, 2),
+      |cum AS (SELECT event_type, c,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM cells),
+      |med AS (SELECT event_type, min(c) AS m FROM cum
+      |  WHERE cum >= (n * 5000 + 9999) // 10000 GROUP BY 1),
+      |dev AS (SELECT e.event_type, abs(e.c - med.m) AS d, med.m
+      |  FROM ev e JOIN med ON e.event_type = med.event_type),
+      |dcells AS (SELECT event_type, d, count(*) AS cnt
+      |  FROM dev GROUP BY 1, 2),
+      |dcum AS (SELECT event_type, d,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM dcells),
+      |mad AS (SELECT event_type, min(d) AS madv FROM dcum
+      |  WHERE cum >= (n * 5000 + 9999) // 10000 GROUP BY 1)
+      |SELECT dev.event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(dev.m) AS BIGINT) AS median_cents,
+      |  CAST(max(mad.madv) AS BIGINT) AS mad_cents,
+      |  CAST(sum(CASE WHEN dev.d > 5 * mad.madv THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(10000 * sum(CASE WHEN dev.d > 5 * mad.madv THEN 1 ELSE 0 END)
+      |    // count(*) AS BIGINT) AS outlier_pm
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q309: fingerprint clusters, then the size-grouped yield. */
   private def q309Oracle: String =
     """WITH p AS (SELECT
@@ -12832,6 +12902,7 @@ object SparkEntry {
     "q307_source_concentration" -> q307Oracle,
     "q308_index_staleness" -> q308Oracle,
     "q309_dedup_yield" -> q309Oracle,
+    "q310_robust_center" -> q310Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
