@@ -38,7 +38,12 @@ object SweepScaleCheck {
   private val SweepQueries = Seq(
     "q277_blocking_audit", "q293_shingle_sensitivity",
     "q299_band_geometry", "q301_probe_radius_sweep",
-    "q302_salted_shuffle_census")
+    "q302_salted_shuffle_census",
+    // round-10 instruments: packing offsets (two-phase prefix sum),
+    // datasheet (corpus-wide fp census), dedup yield (size histogram),
+    // robust center (two counting-quantile passes over cents cells)
+    "q303_packing_census", "q306_corpus_datasheet",
+    "q309_dedup_yield", "q310_robust_center")
 
   private def replicate(spark: SparkSession, srcDir: String, outDir: String,
                         factor: Int): Unit = {
