@@ -4208,6 +4208,59 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Extension — DATASHEET DRIFT (q300's closure discipline pointed
+    // at the governance artifact): yesterday's per-source datasheet
+    // (computed on the doc_id-even half) is COMMITTED to the manifest
+    // store and served back; today's full-corpus datasheet diffs
+    // against the stored rows per source — then/now volumes and the
+    // three governance permyriads side by side, with the q300 status
+    // convention (new/drained/ok). The "did a source's dup or quality
+    // posture regress since the last published sheet" ops loop. Oracle
+    // replays BOTH datasheets (the q306 SQL body parameterized by the
+    // corpus predicate); the store round-trip is SnapshotSink's spec
+    // surface. Hash-exact.
+    "q311_datasheet_drift" -> ((s, dir) => {
+      import graft.sink.SnapshotSink
+      val root = freshStateRoot(s, "q311", dir)
+      def sheet(docs: DataFrame) = {
+        val st = docs.select(col("source"), col("lang"),
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp"),
+          TextAnalysis.textStats(col("text")).as("st"))
+        graft.operators.Datasheet.corpusDatasheet(
+          st.select(col("source"), col("fp"), col("lang"),
+            col("st.n_tokens").cast("long").as("tc"),
+            TextAnalysis.qualityOkFromStats(col("st")).as("qok"),
+            TextAnalysis.langIdFromStats(col("st")).as("pred")),
+          "source", "fp", "tc", "qok", "lang", "pred")
+      }
+      val docs = t(s, dir, "documents")
+      SnapshotSink.commit(
+        sheet(docs.filter(pmod(col("doc_id"), lit(2)) === 0)).coalesce(1),
+        root)
+      val thenDs = SnapshotSink.read(s, root).select(col("source"),
+        col("n_docs").as("n_docs_then"), col("dup_pm").as("dup_pm_then"),
+        col("quality_fail_pm").as("qfail_pm_then"),
+        col("lang_mismatch_pm").as("mismatch_pm_then"))
+      val nowDs = sheet(docs).select(col("source"),
+        col("n_docs").as("n_docs_now"), col("dup_pm").as("dup_pm_now"),
+        col("quality_fail_pm").as("qfail_pm_now"),
+        col("lang_mismatch_pm").as("mismatch_pm_now"))
+      thenDs.join(nowDs, Seq("source"), "full_outer")
+        .select(col("source"),
+          when(col("n_docs_then").isNull, lit("new"))
+            .when(col("n_docs_now").isNull, lit("drained"))
+            .otherwise(lit("ok")).as("status"),
+          coalesce(col("n_docs_then"), lit(0L)).as("n_docs_then"),
+          coalesce(col("n_docs_now"), lit(0L)).as("n_docs_now"),
+          coalesce(col("dup_pm_then"), lit(0L)).as("dup_pm_then"),
+          coalesce(col("dup_pm_now"), lit(0L)).as("dup_pm_now"),
+          coalesce(col("qfail_pm_then"), lit(0L)).as("qfail_pm_then"),
+          coalesce(col("qfail_pm_now"), lit(0L)).as("qfail_pm_now"),
+          coalesce(col("mismatch_pm_then"), lit(0L)).as("mismatch_pm_then"),
+          coalesce(col("mismatch_pm_now"), lit(0L)).as("mismatch_pm_now"))
+        .orderBy("source")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12348,13 +12401,16 @@ object SparkEntry {
       |FROM tot LEFT JOIN rc ON tot.source = rc.source
       |ORDER BY tot.source""".stripMargin
 
-  /** q306: one token pass feeds fingerprint, quality, langId; dup
-    * census corpus-wide; Simpson over declared-lang cells. */
-  private def q306Oracle: String =
-    """WITH toks AS (SELECT source, lang, text,
-      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+  /** The q306 datasheet as a reusable SQL body (q311 replays it on a
+    * filtered "yesterday" corpus): one token pass feeds fingerprint,
+    * quality, langId; dup census corpus-wide (within the given
+    * corpus); Simpson over declared-lang cells. `where` filters the
+    * documents scan ("" = whole corpus). */
+  private def datasheetSql(where: String): String =
+    s"""WITH toks AS (SELECT source, lang, text,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
       |      x -> x <> '') AS t
-      |  FROM documents),
+      |  FROM documents $where),
       |feat AS (SELECT source, lang,
       |    md5(array_to_string(t, ' ')) AS fp,
       |    CAST(len(t) AS BIGINT) AS tc,
@@ -12400,6 +12456,30 @@ object SparkEntry {
       |    AS lang_simpson_pm
       |FROM per JOIN simp ON per.source = simp.source
       |ORDER BY per.source""".stripMargin
+
+  private def q306Oracle: String = datasheetSql("")
+
+  /** q311: both datasheets replayed via the parameterized body, then
+    * the keyed full-outer drift diff with the q300 status rule. */
+  private def q311Oracle: String =
+    s"""WITH then_ds AS (${datasheetSql("WHERE doc_id % 2 = 0")}),
+       |now_ds AS (${datasheetSql("")})
+       |SELECT coalesce(t.source, n.source) AS source,
+       |  CASE WHEN t.source IS NULL THEN 'new'
+       |       WHEN n.source IS NULL THEN 'drained'
+       |       ELSE 'ok' END AS status,
+       |  CAST(coalesce(t.n_docs, 0) AS BIGINT) AS n_docs_then,
+       |  CAST(coalesce(n.n_docs, 0) AS BIGINT) AS n_docs_now,
+       |  CAST(coalesce(t.dup_pm, 0) AS BIGINT) AS dup_pm_then,
+       |  CAST(coalesce(n.dup_pm, 0) AS BIGINT) AS dup_pm_now,
+       |  CAST(coalesce(t.quality_fail_pm, 0) AS BIGINT) AS qfail_pm_then,
+       |  CAST(coalesce(n.quality_fail_pm, 0) AS BIGINT) AS qfail_pm_now,
+       |  CAST(coalesce(t.lang_mismatch_pm, 0) AS BIGINT)
+       |    AS mismatch_pm_then,
+       |  CAST(coalesce(n.lang_mismatch_pm, 0) AS BIGINT)
+       |    AS mismatch_pm_now
+       |FROM then_ds t FULL OUTER JOIN now_ds n ON t.source = n.source
+       |ORDER BY source""".stripMargin
 
   /** q307: Gini via the mean-absolute-difference pair identity on the
     * per-key token totals, one census per dimension. */
@@ -12903,6 +12983,7 @@ object SparkEntry {
     "q308_index_staleness" -> q308Oracle,
     "q309_dedup_yield" -> q309Oracle,
     "q310_robust_center" -> q310Oracle,
+    "q311_datasheet_drift" -> q311Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
