@@ -4222,26 +4222,30 @@ object SparkEntry {
     "q311_datasheet_drift" -> ((s, dir) => {
       import graft.sink.SnapshotSink
       val root = freshStateRoot(s, "q311", dir)
-      def sheet(docs: DataFrame) = {
-        val st = docs.select(col("source"), col("lang"),
+      // per-doc signals computed ONCE (the expensive text pass); both
+      // sheets are corpus SLICES of this frame — each sheet still runs
+      // its own fingerprint census, because dup exposure is defined
+      // against the sheet's OWN corpus
+      val perDoc = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
           TextAnalysis.canonicalFingerprint(col("text")).as("fp"),
           TextAnalysis.textStats(col("text")).as("st"))
+        .select(col("doc_id"), col("source"), col("lang"), col("fp"),
+          col("st.n_tokens").cast("long").as("tc"),
+          TextAnalysis.qualityOkFromStats(col("st")).as("qok"),
+          TextAnalysis.langIdFromStats(col("st")).as("pred"))
+        .localCheckpoint(true)
+      def sheet(docs: DataFrame) =
         graft.operators.Datasheet.corpusDatasheet(
-          st.select(col("source"), col("fp"), col("lang"),
-            col("st.n_tokens").cast("long").as("tc"),
-            TextAnalysis.qualityOkFromStats(col("st")).as("qok"),
-            TextAnalysis.langIdFromStats(col("st")).as("pred")),
-          "source", "fp", "tc", "qok", "lang", "pred")
-      }
-      val docs = t(s, dir, "documents")
+          docs, "source", "fp", "tc", "qok", "lang", "pred")
       SnapshotSink.commit(
-        sheet(docs.filter(pmod(col("doc_id"), lit(2)) === 0)).coalesce(1),
+        sheet(perDoc.filter(pmod(col("doc_id"), lit(2)) === 0)).coalesce(1),
         root)
       val thenDs = SnapshotSink.read(s, root).select(col("source"),
         col("n_docs").as("n_docs_then"), col("dup_pm").as("dup_pm_then"),
         col("quality_fail_pm").as("qfail_pm_then"),
         col("lang_mismatch_pm").as("mismatch_pm_then"))
-      val nowDs = sheet(docs).select(col("source"),
+      val nowDs = sheet(perDoc).select(col("source"),
         col("n_docs").as("n_docs_now"), col("dup_pm").as("dup_pm_now"),
         col("quality_fail_pm").as("qfail_pm_now"),
         col("lang_mismatch_pm").as("mismatch_pm_now"))
