@@ -4265,6 +4265,46 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Extension — CORPUS YIELD FUNNEL: raw → quality-pass →
+    // dedup-survivor tokens PER SOURCE, in the real pipeline order
+    // (filter, then dedup the survivors' fingerprints corpus-wide,
+    // keep-the-longest per cluster, attribute the kept tokens to the
+    // SURVIVOR's source — a source whose content is duplicated
+    // elsewhere loses the yield to whoever holds the longest copy).
+    // The "how many trainable tokens does each source actually
+    // contribute" readout that q306's flag rates imply but don't
+    // state. One text pass, one fingerprint shuffle. Hash-exact.
+    "q312_yield_funnel" -> ((s, dir) => {
+      val perDoc = t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.canonicalFingerprint(col("text")).as("fp"),
+          TextAnalysis.textStats(col("text")).as("st"))
+        .select(col("source"), col("fp"),
+          col("st.n_tokens").cast("long").as("tc"),
+          TextAnalysis.qualityOkFromStats(col("st")).as("qok"))
+        .localCheckpoint(true) // raw census + quality slice + survivors
+      val raw = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("raw_docs"), sum(col("tc")).as("raw_tokens"))
+      val q = perDoc.filter(col("qok"))
+      val qual = q.groupBy("source")
+        .agg(count(lit(1)).as("q_docs"), sum(col("tc")).as("q_tokens"))
+      // one survivor per fingerprint cluster: lexicographic max of
+      // (tc, source) = ORDER BY tc DESC, source DESC LIMIT 1 — the
+      // keep-the-longest rule with a total-order tiebreak
+      val surv = q.groupBy("fp")
+        .agg(max(struct(col("tc"), col("source"))).as("w"))
+        .select(col("w.source").as("source"), col("w.tc").as("tc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("surv_docs"), sum(col("tc")).as("surv_tokens"))
+      raw.join(qual, Seq("source"), "left")
+        .join(surv, Seq("source"), "left")
+        .na.fill(0L, Seq("q_docs", "q_tokens", "surv_docs", "surv_tokens"))
+        .withColumn("yield_pm",
+          expr("CAST(10000 * surv_tokens DIV nullif(raw_tokens, 0)" +
+            " AS BIGINT)"))
+        .orderBy("source")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12463,6 +12503,43 @@ object SparkEntry {
 
   private def q306Oracle: String = datasheetSql("")
 
+  /** q312: same token/quality/fingerprint signals, funnel replayed —
+    * survivor = ORDER BY tc DESC, source DESC per fingerprint. */
+  private def q312Oracle: String =
+    """WITH toks AS (SELECT source, text,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM documents),
+      |p AS (SELECT source,
+      |    md5(array_to_string(t, ' ')) AS fp,
+      |    CAST(len(t) AS BIGINT) AS tc,
+      |    (len(t) BETWEEN 5 AND 100000)
+      |      AND len(list_distinct(t)) * 5 >= len(t)
+      |      AND (length(text) - length(regexp_replace(text,
+      |        '[[:punct:]]', '', 'g'))) * 10 <= length(text) * 3 AS qok
+      |  FROM toks),
+      |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS raw_docs,
+      |    CAST(sum(tc) AS BIGINT) AS raw_tokens FROM p GROUP BY 1),
+      |q AS (SELECT * FROM p WHERE qok),
+      |qual AS (SELECT source, CAST(count(*) AS BIGINT) AS q_docs,
+      |    CAST(sum(tc) AS BIGINT) AS q_tokens FROM q GROUP BY 1),
+      |sv AS (SELECT source, tc FROM (
+      |    SELECT source, tc, row_number() OVER (PARTITION BY fp
+      |      ORDER BY tc DESC, source DESC) AS rn FROM q)
+      |  WHERE rn = 1),
+      |surv AS (SELECT source, CAST(count(*) AS BIGINT) AS surv_docs,
+      |    CAST(sum(tc) AS BIGINT) AS surv_tokens FROM sv GROUP BY 1)
+      |SELECT raw.source, raw_docs, raw_tokens,
+      |  CAST(coalesce(q_docs, 0) AS BIGINT) AS q_docs,
+      |  CAST(coalesce(q_tokens, 0) AS BIGINT) AS q_tokens,
+      |  CAST(coalesce(surv_docs, 0) AS BIGINT) AS surv_docs,
+      |  CAST(coalesce(surv_tokens, 0) AS BIGINT) AS surv_tokens,
+      |  CAST(10000 * coalesce(surv_tokens, 0)
+      |    // nullif(raw_tokens, 0) AS BIGINT) AS yield_pm
+      |FROM raw LEFT JOIN qual ON raw.source = qual.source
+      |LEFT JOIN surv ON raw.source = surv.source
+      |ORDER BY raw.source""".stripMargin
+
   /** q311: both datasheets replayed via the parameterized body, then
     * the keyed full-outer drift diff with the q300 status rule. */
   private def q311Oracle: String =
@@ -12988,6 +13065,7 @@ object SparkEntry {
     "q309_dedup_yield" -> q309Oracle,
     "q310_robust_center" -> q310Oracle,
     "q311_datasheet_drift" -> q311Oracle,
+    "q312_yield_funnel" -> q312Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
