@@ -4305,6 +4305,52 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Extension — EMBEDDING-CENTROID DRIFT: per label, how far apart
+    // the two cohorts' (vec_id parity) centroid DIRECTIONS sit —
+    // signed cos² permyriad between the int8-quantized element-sum
+    // vectors (sums ARE the unnormalized centroids; the count factors
+    // cancel inside cos², so no division touches the vectors), plus
+    // the dimension moving hardest (argmax |sa·n_b − sb·n_a| — the
+    // cross-multiplied mean gap, same ordering as the mean difference).
+    // The feature/model drift instrument: cos² ≈ 10⁴ = same direction.
+    // Element sums via ONE posexplode shuffle to a (label, pos) frame
+    // — 64·labels rows per cohort, domain-bounded. Width envelope:
+    // dot² needs DECIMAL(38,0), which holds to ~10⁸ int8 vectors per
+    // (label, cohort); past that subsample the cohort (drift is a
+    // statistical readout). Hash-exact.
+    "q313_embedding_drift" -> ((s, dir) => {
+      val el = t(s, dir, "embeddings")
+        .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+          posexplode(Similarity.quantizeEmbedding(col("embedding"))))
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("sv"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true) // both cohort slices read it
+      def side(h: Int, sAs: String, nAs: String) =
+        el.filter(col("half") === h)
+          .select(col("label"), col("pos"), col("sv").as(sAs),
+            col("n").as(nAs))
+      side(0, "sa", "na_rows").join(side(1, "sb", "nb_rows"),
+          Seq("label", "pos"))
+        .groupBy("label")
+        .agg(max(col("na_rows")).as("n_a"), max(col("nb_rows")).as("n_b"),
+          sum(expr("CAST(sa AS DECIMAL(38,0)) * sb")).as("dot"),
+          sum(expr("CAST(sa AS DECIMAL(38,0)) * sa")).as("nna"),
+          sum(expr("CAST(sb AS DECIMAL(38,0)) * sb")).as("nnb"),
+          max(struct(
+            expr("abs(CAST(sa AS DECIMAL(38,0)) * nb_rows" +
+              " - CAST(sb AS DECIMAL(38,0)) * na_rows)").as("m"),
+            (lit(-1) * col("pos")).as("negp"))).as("mx"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          expr("""CAST(
+            CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+            * (10000 * dot * dot DIV nullif(nna * nnb, 0)) AS BIGINT)""")
+            .as("cos2_pm"),
+          (lit(-1) * col("mx.negp") + lit(1)).cast("long")
+            .as("top_drift_dim")) // 1-based dimension index
+        .orderBy("label")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12503,6 +12549,41 @@ object SparkEntry {
 
   private def q306Oracle: String = datasheetSql("")
 
+  /** q313: quantization replayed (the q61 clamp), element sums per
+    * (label, parity-cohort, dim), identical cross-multiplied cos2 and
+    * argmax-drift-dimension arithmetic. */
+  private def q313Oracle: String =
+    """WITH qz AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(least(127, greatest(-127, round(
+      |        (CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 0
+      |         ELSE CAST(x AS DOUBLE) END) * 64))) AS INT)) AS qe
+      |  FROM embeddings),
+      |el AS (SELECT label, vec_id % 2 AS half, t.i,
+      |    CAST(qe[t.i] AS HUGEINT) AS v
+      |  FROM qz CROSS JOIN range(1, 65) t(i)),
+      |sums AS (SELECT label, half, i, sum(v) AS s, count(*) AS n
+      |  FROM el GROUP BY 1, 2, 3),
+      |j AS (SELECT a.label, a.i, a.s AS sa, b.s AS sb,
+      |    a.n AS na_rows, b.n AS nb_rows
+      |  FROM sums a JOIN sums b ON a.label = b.label AND a.i = b.i
+      |    AND a.half = 0 AND b.half = 1),
+      |agg AS (SELECT label, max(na_rows) AS n_a, max(nb_rows) AS n_b,
+      |    sum(sa * sb) AS dot, sum(sa * sa) AS nna, sum(sb * sb) AS nnb
+      |  FROM j GROUP BY 1),
+      |top AS (SELECT label, i FROM (
+      |    SELECT label, i, row_number() OVER (PARTITION BY label
+      |      ORDER BY abs(sa * nb_rows - sb * na_rows) DESC, i ASC) AS rn
+      |    FROM j) WHERE rn = 1)
+      |SELECT agg.label, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  CAST((CASE WHEN dot >= 0 THEN 1 ELSE -1 END)
+      |    * (10000 * dot * dot // nullif(nna * nnb, 0)) AS BIGINT)
+      |    AS cos2_pm,
+      |  CAST(top.i AS BIGINT) AS top_drift_dim
+      |FROM agg JOIN top ON agg.label = top.label
+      |ORDER BY agg.label""".stripMargin
+
   /** q312: same token/quality/fingerprint signals, funnel replayed —
     * survivor = ORDER BY tc DESC, source DESC per fingerprint. */
   private def q312Oracle: String =
@@ -13066,6 +13147,7 @@ object SparkEntry {
     "q310_robust_center" -> q310Oracle,
     "q311_datasheet_drift" -> q311Oracle,
     "q312_yield_funnel" -> q312Oracle,
+    "q313_embedding_drift" -> q313Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
