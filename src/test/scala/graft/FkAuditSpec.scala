@@ -33,6 +33,12 @@ class FkAuditSpec extends AnyFunSuite {
     assert(out == Map("clean" -> 10000L, "dirty" -> 0L))
   }
 
+  test("an empty edge list fails loudly (require), not with a reduce crash") {
+    intercept[IllegalArgumentException] {
+      graft.operators.FkAudit.audit(Seq.empty)
+    }
+  }
+
   test("empty child table yields NULL coverage, not a crash") {
     val child = Seq.empty[Long].toDF("fk")
     val parent = Seq(1L).toDF("pk")

@@ -124,6 +124,16 @@ class IntervalSpec extends AnyFunSuite {
     intercept[Exception] {
       ovl(Seq(("a", -3L, 10L)), Seq(("x", 0L, 5L)), 4L)
     }
+    // EMPTY [s, s) must fail REGARDLESS of bucket alignment (the r9
+    // advice item): aligned (s a multiple of the bucket) already
+    // tripped n < 1; the off-alignment case used to slip through with
+    // n = 1 and could pair an empty interval via the strict predicate
+    intercept[Exception] {
+      ovl(Seq(("a", 8L, 8L)), Seq(("x", 0L, 50L)), 4L) // aligned
+    }
+    intercept[Exception] {
+      ovl(Seq(("a", 9L, 9L)), Seq(("x", 0L, 50L)), 4L) // off-aligned
+    }
   }
 
   test("overlapJoin: shared column names are rejected") {
