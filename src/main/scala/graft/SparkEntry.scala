@@ -4351,6 +4351,38 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Extension — TOKENIZER FERTILITY CENSUS: per language, subword
+    // pieces per whitespace word (the q34 BPE-ish run-count splitter
+    // over the q21 word counter) and chars per subword — the
+    // instrument behind per-language token BUDGETS (a high-fertility
+    // language pays more context per word; mixture and pricing
+    // decisions read directly off this). One scan, language-bounded
+    // aggregate, truncating-permyriad readouts. On THIS synthetic
+    // corpus fertility reads exactly 10000 pm (pure lowercase-word
+    // text: every word is one letter run) — the chars-per-subword leg
+    // carries the per-language variation; on real text (digits,
+    // punctuation, CJK) the fertility leg is the headline. Hash-exact.
+    "q314_tokenizer_fertility" -> ((s, dir) => {
+      val c = col("text")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(c).cast("long").as("w"),
+          TextAnalysis.subwordCount(c).cast("long").as("sw"),
+          TextAnalysis.nChars(c).cast("long").as("ch"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("sw")).as("n_subwords"),
+          sum(col("ch")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"), col("n_chars"),
+          expr("CAST(10000 * n_subwords DIV nullif(n_words, 0) AS BIGINT)")
+            .as("fertility_pm"),
+          expr("CAST(10000 * n_chars DIV nullif(n_subwords, 0) AS BIGINT)")
+            .as("chars_per_subword_pm"))
+        .orderBy("lang")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12549,6 +12581,28 @@ object SparkEntry {
 
   private def q306Oracle: String = datasheetSql("")
 
+  /** q314: q21's word count + q34's subword run-count formulation,
+    * language census, same truncating permyriads. */
+  private def q314Oracle: String =
+    """WITH p AS (SELECT lang,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'), x -> x <> '')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+      |      + len(regexp_extract_all(lower(text), '[0-9]+'))
+      |      + (length(lower(text)) - length(regexp_replace(lower(text),
+      |          '[^a-z0-9 \t\n\r\f]', '', 'g'))) AS BIGINT) AS sw,
+      |    CAST(length(text) AS BIGINT) AS ch
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS n_words,
+      |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+      |  CAST(sum(ch) AS BIGINT) AS n_chars,
+      |  CAST(10000 * sum(sw) // nullif(sum(w), 0) AS BIGINT)
+      |    AS fertility_pm,
+      |  CAST(10000 * sum(ch) // nullif(sum(sw), 0) AS BIGINT)
+      |    AS chars_per_subword_pm
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q313: quantization replayed (the q61 clamp), element sums per
     * (label, parity-cohort, dim), identical cross-multiplied cos2 and
     * argmax-drift-dimension arithmetic. */
@@ -13148,6 +13202,7 @@ object SparkEntry {
     "q311_datasheet_drift" -> q311Oracle,
     "q312_yield_funnel" -> q312Oracle,
     "q313_embedding_drift" -> q313Oracle,
+    "q314_tokenizer_fertility" -> q314Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
