@@ -31,6 +31,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the finished query's eager-checkpoint blocks: a 313-query
+      // session otherwise accumulates block-manager occupancy (the r10
+      // full-session inflation finding). Safe: no DataFrame crosses query
+      // boundaries (cross-query reuse is on-disk only).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -24,7 +24,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, St
   * instead emit the value as BIGINT micro-units or a string, both of
   * which hash identically across engines.
   *
-  * Schema-only: no job runs; `.schema` forces analysis, not execution.
+  * Since round 11 it ALSO scans the ORACLE side: a decimal readout can
+  * re-enter through the DuckDB SQL alone (HUGEINT `//`, `::DECIMAL`
+  * casts) while the Spark side stays BIGINT — same typed-hash mismatch,
+  * opposite origin. SQL isn't parsed here; the check is the house
+  * convention made textual: an oracle that mentions DECIMAL or HUGEINT
+  * must also contain at least one `AS BIGINT` readout cast (every
+  * legitimate internal-width use does — the widened arithmetic always
+  * funnels through the narrowing readout), and DuckDB's float-rendered
+  * `::DECIMAL` select-list casts are flagged outright.
+  *
+  * NOT side-effect-free (advisor r10 note): building a query's
+  * DataFrame runs real jobs — eager `localCheckpoint(true)` in many
+  * operators, `require`-guard `count()`s (Concentration.gini), and
+  * stored-state queries (q311, q315) actually COMMIT snapshot state
+  * during plan construction. The tool therefore needs the sf data dir
+  * readable and a writable tmp/state root, and it releases each query's
+  * retained blocks as it walks the surface.
   *
   * Run: `sbt "runMain graft.tools.DecimalGateAudit"` (sf0.001 default).
   */
@@ -65,22 +81,47 @@ object DecimalGateAudit {
         case e: Throwable =>
           planErrors :+= (n -> Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
       }
+      // query construction runs eager checkpoints (see scaladoc) — release
+      // them so walking 314 queries doesn't accumulate block-manager state
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    // oracle-side scan (round-11 item #7): textual convention check over
+    // SparkEntry.oracleSql — see scaladoc for what it can and cannot catch
+    var oracleFails = Vector.empty[(String, String)]
+    graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      if (!names.contains(n)) ()
+      else {
+        val up = sql.toUpperCase
+        val mentionsWide = up.contains("DECIMAL") || up.contains("HUGEINT")
+        if (up.contains("::DECIMAL"))
+          oracleFails :+= (n -> ("oracle uses a ::DECIMAL select-list cast " +
+            "(DuckDB fetchdf renders it float64 — hash-unsafe); " +
+            "funnel through CAST(... AS BIGINT)"))
+        else if (mentionsWide && !up.contains("AS BIGINT"))
+          oracleFails :+= (n -> ("oracle widens to DECIMAL/HUGEINT but has " +
+            "no `AS BIGINT` readout cast — the narrowed readout convention " +
+            "is missing on the oracle side"))
+      }
     }
     println(s"\n== DecimalGateAudit: ${names.size} queries scanned ==")
     if (planErrors.nonEmpty) {
       println(s"plan errors (${planErrors.size}):")
       planErrors.foreach { case (n, m) => println(s"  $n: $m") }
     }
-    if (failures.nonEmpty || planErrors.nonEmpty) {
+    if (failures.nonEmpty || planErrors.nonEmpty || oracleFails.nonEmpty) {
       failures.foreach { case (n, hits) =>
         println(s"FAIL  $n  decimal output column(s): ${hits.mkString("; ")}")
       }
-      println(s"FAIL: ${failures.size} queries emit DECIMAL gated output " +
+      oracleFails.foreach { case (n, why) => println(s"FAIL  $n  $why") }
+      println(s"FAIL: ${failures.size} queries emit DECIMAL gated output, " +
+        s"${oracleFails.size} oracles break the readout convention " +
         s"(allowlist: none — cast the readout to BIGINT)")
       spark.stop()
       sys.exit(1)
     }
-    println("PASS: no gated query emits a DECIMAL output column")
+    println("PASS: no gated query emits a DECIMAL output column; " +
+      "all oracles honor the BIGINT readout convention")
     spark.stop()
   }
 }
