@@ -40,7 +40,10 @@ import org.apache.spark.sql.functions._
   * is exact up to ~4.3×10⁹ corpus rows (total_pairs < 2⁶³); past that
   * a caller auditing a full 10¹²-row corpus should bucket the audit
   * (e.g. per shard) — the ratios, which always fit, compose from the
-  * decimal internals unchanged.
+  * decimal internals unchanged. The narrowing is GUARDED: a counter
+  * past Long.MaxValue raises instead of the silent NULL a non-ANSI
+  * session's decimal→long cast would produce (advisor r10 — the
+  * fail-loudly discipline of hits' resolution floor applied here).
   *
   * @param df       one row per record
   * @param truthCol ground-truth duplicate key (e.g. canonical content
@@ -53,6 +56,16 @@ import org.apache.spark.sql.functions._
   *         when there are no true pairs)
   */
 object BlockingAudit {
+
+  /** Guarded DECIMAL(38,0)→BIGINT narrowing: raises past Long.MaxValue
+    * (where a non-ANSI cast silently NULLs) — shared with RankAgree. */
+  private[operators] def narrowChecked(c: org.apache.spark.sql.Column,
+                                       what: String): org.apache.spark.sql.Column =
+    when(c > lit("9223372036854775807").cast("decimal(38,0)"),
+      raise_error(concat(
+        lit(s"$what exceeds the BIGINT readout (counter past 2^63) — "),
+        lit("bucket the computation (e.g. per shard; see scaladoc)"))))
+      .otherwise(c.cast("long"))
 
   def audit(df: DataFrame, truthCol: String, blockCol: String): DataFrame = {
     val base = df.select(col(truthCol).as("_truth"), col(blockCol).as("_blk"))
@@ -83,10 +96,14 @@ object BlockingAudit {
         "CASE WHEN true_pairs > 0 THEN " +
           "(10000 * coblocked_pairs) DIV true_pairs END"))
       .select(col("n_rows"),
-        col("total_pairs").cast("long").as("total_pairs"),
-        col("cand_pairs").cast("long").as("cand_pairs"),
-        col("true_pairs").cast("long").as("true_pairs"),
-        col("coblocked_pairs").cast("long").as("coblocked_pairs"),
+        narrowChecked(col("total_pairs"), "BlockingAudit: total_pairs")
+          .as("total_pairs"),
+        narrowChecked(col("cand_pairs"), "BlockingAudit: cand_pairs")
+          .as("cand_pairs"),
+        narrowChecked(col("true_pairs"), "BlockingAudit: true_pairs")
+          .as("true_pairs"),
+        narrowChecked(col("coblocked_pairs"), "BlockingAudit: coblocked_pairs")
+          .as("coblocked_pairs"),
         col("reduction_pm").cast("long").as("reduction_pm"),
         col("completeness_pm").cast("long").as("completeness_pm"))
   }

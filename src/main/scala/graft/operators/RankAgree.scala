@@ -108,7 +108,9 @@ object RankAgree {
     * decimal128 as `Decimal` objects, DuckDB's as float64 — equal
     * values, different typed hashes). Exact while any single key holds
     * < ~4.3×10⁹ rows (C(n,2) < 2⁶³); keys are grading cells (brands,
-    * languages), so that bound holds far past 100 TB of raw rows. */
+    * languages), so that bound holds far past 100 TB of raw rows — and
+    * the narrowing is guarded (raise_error past Long.MaxValue, advisor
+    * r10), never a silent non-ANSI NULL. */
   def tauB(df: DataFrame, keyCol: String, xCellCol: String,
            yCellCol: String): DataFrame =
     tauBFromCells(
@@ -167,11 +169,16 @@ object RankAgree {
           |       * (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2 - ties_y), 0))
           |  AS BIGINT)""".stripMargin.replace("\n", " ")))
       .select(col("key").as(keyCol), col("n"),
-        col("concordant").cast("long").as("concordant"),
-        col("discordant").cast("long").as("discordant"),
-        col("ties_x").cast("long").as("ties_x"),
-        col("ties_y").cast("long").as("ties_y"),
-        col("ties_both").cast("long").as("ties_both"),
+        BlockingAudit.narrowChecked(col("concordant"), "tauB: concordant")
+          .as("concordant"),
+        BlockingAudit.narrowChecked(col("discordant"), "tauB: discordant")
+          .as("discordant"),
+        BlockingAudit.narrowChecked(col("ties_x"), "tauB: ties_x")
+          .as("ties_x"),
+        BlockingAudit.narrowChecked(col("ties_y"), "tauB: ties_y")
+          .as("ties_y"),
+        BlockingAudit.narrowChecked(col("ties_both"), "tauB: ties_both")
+          .as("ties_both"),
         col("tau2_pm"))
   }
 }

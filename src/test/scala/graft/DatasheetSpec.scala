@@ -29,6 +29,31 @@ class DatasheetSpec extends AnyFunSuite {
     assert(got("s2") == ((3L, 120L, 1L, 0L, 0L, 4444L)))
   }
 
+  test("datasheetFromCells: cells + dup rollup equal corpusDatasheet; absent dup groups read 0") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("s1", "A", 10L, true, "en", "en"),
+      ("s1", "B", 20L, false, "en", "de"),
+      ("s2", "A", 30L, true, "en", "en"),
+      ("s2", "C", 40L, true, "en", "en"),
+      ("s2", "D", 50L, true, "de", "de"))
+      .toDF("src", "fp", "tc", "qok", "la", "lb")
+    val cells = Datasheet.datasheetCells(df, "src", "tc", "qok", "la", "lb")
+    val fpc = df.groupBy("fp").agg(count(lit(1)).as("fc"))
+    val dup = df.join(fpc, "fp").groupBy(col("src"))
+      .agg(sum(when(col("fc") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getAs[String]("src") -> r.toSeq.tail).toMap
+    val fromCells = canon(Datasheet.datasheetFromCells(cells, dup, "src", "la", "lb"))
+    val batch = canon(Datasheet.corpusDatasheet(df, "src", "fp", "tc", "qok", "la", "lb"))
+    assert(fromCells == batch)
+    // a group absent from the dup rollup (no recurrence observed) reads 0
+    val partial = canon(Datasheet.datasheetFromCells(
+      cells, dup.filter(col("src") === "s2"), "src", "la", "lb"))
+    assert(partial("s2") == batch("s2"))
+    assert(partial("s1")(2) == 0L && partial("s1")(3) == 0L) // dup_docs, dup_pm
+  }
+
   test("datasheet permyriads truncate and a clean group reads zeros") {
     val df = Seq(
       ("s", "X", 5L, true, "en", "en"),
@@ -45,17 +70,20 @@ class DatasheetSpec extends AnyFunSuite {
 
   test("dedupYield hand frame: size histogram, keep-the-longest survivorship, savings") {
     // fp A x3 (weights 10,12,8 -> keep 12), fp B x2 (5,5 -> keep 5),
-    // fps C,D unique
+    // fp E x2 (2,1 -> keep 2, non-exact ratio), fps C,D unique
     val df = Seq(("A", 10L), ("A", 12L), ("A", 8L), ("B", 5L), ("B", 5L),
-      ("C", 7L), ("D", 9L)).toDF("fp", "w")
+      ("E", 2L), ("E", 1L), ("C", 7L), ("D", 9L)).toDF("fp", "w")
     val got = Datasheet.dedupYield(df, "fp", "w").collect()
       .map(r => r.getAs[Long]("cluster_size") ->
         ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
           r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_kept"),
           r.getAs[Long]("savings_pm")))).toMap
     assert(got(1L) == ((2L, 2L, 16L, 16L, 0L)))
-    assert(got(2L) == ((1L, 2L, 10L, 5L, 5000L)))
-    // size 3: total 30, kept 12 -> savings 10000 - 10000*12/30 = 6000
+    // size 2: totals 10+3, kept 5+2 -> savings 10000*6/13 = 4615
+    // TRUNCATED toward zero (the old kept-ratio form read 4616 — the
+    // savings ratio, not the kept ratio, is what truncates)
+    assert(got(2L) == ((2L, 4L, 13L, 7L, 4615L)))
+    // size 3: total 30, kept 12 -> savings 10000*18/30 = 6000
     assert(got(3L) == ((1L, 3L, 30L, 12L, 6000L)))
     assert(got.size == 3)
   }
