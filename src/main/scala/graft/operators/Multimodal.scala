@@ -375,15 +375,24 @@ object Multimodal {
              |ELSE shiftrightunsigned(phash, k * $width) & ${(1L << width) - 1}L
              |END AS chunk))""".stripMargin)).as("c"))
       .select(col("id"), col("phash"), col("c.k"), col("c.chunk"))
+    // capped feeds BOTH join sides: materialize it once (it is banded-
+    // sized, 7 rows per image) or the explode + over-cap census run twice
     val capped = BucketCap.dropOverCap(banded, Seq("k", "chunk"), maxBucketSize)
+      .localCheckpoint(true)
     val l = capped.select(col("k"), col("chunk"), col("id").as("id_a"), col("phash").as("ph_a"))
     val r = capped.select(col("k"), col("chunk"), col("id").as("id_b"), col("phash").as("ph_b"))
     l.join(r, Seq("k", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ph_a", "ph_b")
-      .dropDuplicates("id_a", "id_b")
+      // verify BEFORE the dedup shuffle: bit_count is a per-row ALU op
+      // while dropDuplicates shuffles its whole input, so filtering first
+      // shrinks the shuffled stream from every co-bucketed candidate to
+      // the true near-dups (hamming is pair-determined, so dedup order is
+      // immaterial). The tiny-image fixture makes this the dominant cost:
+      // its pHash diversity is low, buckets run heavy, and candidates
+      // outnumber matches ~20:1.
       .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 
