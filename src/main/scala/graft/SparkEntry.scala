@@ -4456,6 +4456,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Extension — CROSS-SOURCE N-GRAM REDUNDANCY MATRIX
+    // (SourceOverlap.redundancyMatrix): for every ordered source pair
+    // (a, b), the fraction of b's distinct 3-gram TYPES already present
+    // in a — the DIRECTIONAL "who swallowed whom" readout the symmetric
+    // dup-rate instruments (q306's dup_pm, q309's yield) can't express,
+    // and the triage signal for where the q312 funnel's dedup budget
+    // should go first. One distinct-shuffle to (source, gram) types,
+    // then a self-equi-join on gram whose fan-out is bounded by the
+    // source DOMAIN (hard ≤64-source require off the per-source frame,
+    // the Concentration discipline). Hash-exact.
+    "q316_source_redundancy" -> ((s, dir) => {
+      graft.operators.SourceOverlap.redundancyMatrix(
+        t(s, dir, "documents"), "source", "text", n = 3)
+    }),
+
+    // Extension — STOPWORD-PROFILE DRIFT (StopwordDrift.profileDrift):
+    // per-source total-variation distance, truncating permyriad,
+    // between the source's distribution over the pinned q246
+    // function-word vocabulary and the corpus profile — the cheap
+    // register/boilerplate drift alarm (content words move with topic;
+    // the function-word MIX moving means generated text, boilerplate,
+    // or mis-labeled language). Log-free TV with the absent-word mass
+    // folded in closed form (s·(T − Σ_present c)), so the plan is one
+    // vocabulary-filtered scan + one (source × vocab)-bounded cell
+    // shuffle. The headline word is the largest ABSOLUTE TV
+    // contributor, which skews toward frequent words by construction
+    // (documented in the operator — on this corpus it is always
+    // 'the'); the aggregate tv_pm is the alarm. Hash-exact.
+    "q317_stopword_drift" -> ((s, dir) => {
+      graft.operators.StopwordDrift.profileDrift(
+        t(s, dir, "documents"), "source", "text", rakeStopwords)
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12704,6 +12737,62 @@ object SparkEntry {
       |FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q316: the same house token split and q261 gram build, DISTINCT
+    * (source, gram) types, self-join on gram, per-b-source type census
+    * as the containment denominator. */
+  private def q316Oracle: String =
+    """WITH toks AS (SELECT source,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (SELECT DISTINCT source,
+      |    array_to_string(t[ii.i : ii.i + 2], ' ') AS gram
+      |  FROM toks
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1,
+      |    greatest(len(t) - 1, 1))) AS i) ii),
+      |per AS (SELECT source, CAST(count(*) AS BIGINT) AS grams_b
+      |  FROM g GROUP BY 1)
+      |SELECT a.source AS src_a, b.source AS src_b, per.grams_b,
+      |  CAST(count(*) AS BIGINT) AS shared,
+      |  CAST(10000 * count(*) // per.grams_b AS BIGINT) AS containment_pm
+      |FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+      |JOIN per ON per.source = b.source
+      |GROUP BY 1, 2, per.grams_b
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q317: pinned-vocabulary token cells, corpus/source/grand rollups,
+    * |o·T − c·s| drift mass with the absent-word term in closed form,
+    * argmax contributor via the (d DESC, w DESC) row_number idiom —
+    * HUGEINT internals, BIGINT readouts. */
+  private def q317Oracle: String = {
+    val vocab = rakeStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH cells AS (SELECT source, u.w AS w,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM documents, LATERAL (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+      |    x -> list_contains($vocab, x))) AS w) u
+      |  GROUP BY 1, 2),
+      |corpus AS (SELECT w, sum(o) AS c FROM cells GROUP BY 1),
+      |per AS (SELECT source, sum(o) AS s FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(o) AS tt FROM cells),
+      |j AS (SELECT cells.source, cells.w, cells.o, corpus.c, per.s, tot.tt,
+      |    abs(cells.o::HUGEINT * tot.tt - corpus.c::HUGEINT * per.s) AS d
+      |  FROM cells JOIN corpus USING (w) JOIN per USING (source)
+      |  CROSS JOIN tot),
+      |top AS (SELECT source, w AS tw FROM (SELECT source, w,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY d DESC, w DESC) AS rn
+      |  FROM j) WHERE rn = 1)
+      |SELECT j.source,
+      |  CAST(max(j.s) AS BIGINT) AS sw_tokens,
+      |  CAST(10000 * (sum(j.d) + max(j.s)::HUGEINT * (max(j.tt) - sum(j.c)))
+      |    // (2 * max(j.s)::HUGEINT * max(j.tt)) AS BIGINT) AS tv_pm,
+      |  max(top.tw) AS top_drift_word
+      |FROM j JOIN top USING (source)
+      |GROUP BY j.source
+      |ORDER BY j.source""".stripMargin
+  }
+
   /** q313: quantization replayed (the q61 clamp), element sums per
     * (label, parity-cohort, dim), identical cross-multiplied cos2 and
     * argmax-drift-dimension arithmetic. */
@@ -13305,6 +13394,8 @@ object SparkEntry {
     "q313_embedding_drift" -> q313Oracle,
     "q314_tokenizer_fertility" -> q314Oracle,
     "q315_phash_pair_replay" -> q315Oracle,
+    "q316_source_redundancy" -> q316Oracle,
+    "q317_stopword_drift" -> q317Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,
