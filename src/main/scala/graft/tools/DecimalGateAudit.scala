@@ -29,10 +29,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, St
   * casts) while the Spark side stays BIGINT — same typed-hash mismatch,
   * opposite origin. SQL isn't parsed here; the check is the house
   * convention made textual: an oracle that mentions DECIMAL or HUGEINT
-  * must also contain at least one `AS BIGINT` readout cast (every
-  * legitimate internal-width use does — the widened arithmetic always
-  * funnels through the narrowing readout), and DuckDB's float-rendered
-  * `::DECIMAL` select-list casts are flagged outright.
+  * must also contain at least one narrowing readout cast — `AS BIGINT`
+  * for the integer-exact family, or `AS DOUBLE` for the monetary family
+  * that sums doubles through DECIMAL(12,2) for deterministic addition
+  * and reads back out as float64 (q01/q02/q16/q46 and the store-serve
+  * twins; the Spark side performs the identical widen-sum-narrow, so
+  * the typed hashes agree). Every legitimate internal-width use funnels
+  * through one of the two. DuckDB's float-rendered `::DECIMAL`
+  * select-list casts are flagged outright.
   *
   * NOT side-effect-free (advisor r10 note): building a query's
   * DataFrame runs real jobs — eager `localCheckpoint(true)` in many
@@ -98,10 +102,11 @@ object DecimalGateAudit {
           oracleFails :+= (n -> ("oracle uses a ::DECIMAL select-list cast " +
             "(DuckDB fetchdf renders it float64 — hash-unsafe); " +
             "funnel through CAST(... AS BIGINT)"))
-        else if (mentionsWide && !up.contains("AS BIGINT"))
+        else if (mentionsWide && !up.contains("AS BIGINT")
+            && !up.contains("AS DOUBLE"))
           oracleFails :+= (n -> ("oracle widens to DECIMAL/HUGEINT but has " +
-            "no `AS BIGINT` readout cast — the narrowed readout convention " +
-            "is missing on the oracle side"))
+            "no `AS BIGINT`/`AS DOUBLE` readout cast — the narrowed readout " +
+            "convention is missing on the oracle side"))
       }
     }
     println(s"\n== DecimalGateAudit: ${names.size} queries scanned ==")
