@@ -1,7 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** At-scale evidence for the round-9 instrument/sweep family (judge
   * round-9 item #5): q293 (shingle-size sweep), q299 (LSH band-geometry
@@ -45,44 +44,14 @@ object SweepScaleCheck {
     "q303_packing_census", "q306_corpus_datasheet",
     "q309_dedup_yield", "q310_robust_center")
 
+  /** Corpus build: since round 11 the growth model lives in
+    * [[ReplicaCorpus]] (which extends the disjoint-replica transforms
+    * pioneered here to ALL ten tables, for the full-surface 10×
+    * Verify+check); this tool builds the same full corpus and runs its
+    * instrument slice over it. */
   private def replicate(spark: SparkSession, srcDir: String, outDir: String,
-                        factor: Int): Unit = {
-    val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
-
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-      .crossJoin(broadcast(reps))
-      .select(
-        (col("doc_id") * factor + col("rep")).as("doc_id"),
-        when(col("rep") === 0, col("text")).otherwise(expr(
-          """array_join(transform(
-            |  filter(split(text, '\\s+'), x -> x != ''),
-            |  x -> concat('r', CAST(rep AS STRING), x)), ' ')"""
-            .stripMargin.replace("\n", " "))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-
-    spark.read.parquet(s"$srcDir/embeddings.parquet")
-      .crossJoin(broadcast(reps))
-      .select(
-        (col("vec_id") * factor + col("rep")).as("vec_id"),
-        when(col("rep") === 0, col("embedding")).otherwise(expr(
-          // rotate by rep positions: distinct direction, same norm
-          """concat(slice(embedding, rep + 1, 64 - rep),
-            |       slice(embedding, 1, rep))"""
-            .stripMargin.replace("\n", " ")).cast("array<float>"))
-          .as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
-    spark.read.parquet(s"$srcDir/events.parquet")
-      .crossJoin(broadcast(reps))
-      .select(
-        (col("event_id") * factor + col("rep")).as("event_id"),
-        col("ts"), col("user_id"), col("event_type"), col("value"),
-        col("props"))
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-  }
+                        factor: Int): Unit =
+    ReplicaCorpus.build(spark, srcDir, outDir, factor)
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
