@@ -4489,6 +4489,25 @@ object SparkEntry {
         t(s, dir, "documents"), "source", "text", rakeStopwords)
     }),
 
+    // Extension — INT8 QUANTIZATION-ERROR CENSUS
+    // (Similarity.quantizationErrorCensus): per label, the round-trip
+    // health of the q61 int8 layout BEFORE flipping serving to
+    // quantized scoring — MSE and worst element error in exact
+    // micro-units (10⁶/scale integral, so dequantization is exact
+    // integer arithmetic; the one double op is the pinned round the
+    // q313 gate already replays), plus the saturation rate (elements
+    // the ±127 clamp bit — scale-wrong, a different failure than
+    // rounding; honestly 0 pm on these unit-norm embeddings, and the
+    // SimilaritySpec hand frame proves the counter fires). One explode
+    // into a label-bounded map-side-combined aggregate — zero
+    // pre-aggregate shuffles. MSE reads ~2.05e7 µ² ≈ step²/12, the
+    // uniform-rounding-noise floor — the honest readout for
+    // well-scaled data. Hash-exact.
+    "q318_quantization_error" -> ((s, dir) => {
+      graft.operators.Similarity.quantizationErrorCensus(
+        t(s, dir, "embeddings"), "label", "embedding")
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12793,6 +12812,27 @@ object SparkEntry {
       |ORDER BY j.source""".stripMargin
   }
 
+  /** q318: the q61 clamp replayed pre-saturation, micro-unit error via
+    * the pinned round, HUGEINT square sums, BIGINT readouts. */
+  private def q318Oracle: String =
+    """WITH el AS (SELECT label,
+      |    round((CASE WHEN isnan(CAST(e AS DOUBLE)) THEN 0
+      |      ELSE CAST(e AS DOUBLE) END) * 64) AS r,
+      |    CAST(round((CASE WHEN isnan(CAST(e AS DOUBLE)) THEN 0
+      |      ELSE CAST(e AS DOUBLE) END) * 1000000) AS BIGINT) AS xm
+      |  FROM (SELECT label, embedding[t.i] AS e
+      |    FROM embeddings CROSS JOIN range(1, 65) t(i))),
+      |e2 AS (SELECT label,
+      |    xm - CAST(least(127.0, greatest(-127.0, r)) AS BIGINT) * 15625
+      |      AS em,
+      |    abs(r) > 127.0 AS sat FROM el)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_elems,
+      |  CAST(10000 * sum(CASE WHEN sat THEN 1 ELSE 0 END) // count(*)
+      |    AS BIGINT) AS sat_pm,
+      |  CAST(sum(em::HUGEINT * em) // count(*) AS BIGINT) AS mse_u2,
+      |  CAST(max(abs(em)) AS BIGINT) AS max_abs_e_micro
+      |FROM e2 GROUP BY label ORDER BY label""".stripMargin
+
   /** q313: quantization replayed (the q61 clamp), element sums per
     * (label, parity-cohort, dim), identical cross-multiplied cos2 and
     * argmax-drift-dimension arithmetic. */
@@ -13396,6 +13436,7 @@ object SparkEntry {
     "q315_phash_pair_replay" -> q315Oracle,
     "q316_source_redundancy" -> q316Oracle,
     "q317_stopword_drift" -> q317Oracle,
+    "q318_quantization_error" -> q318Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

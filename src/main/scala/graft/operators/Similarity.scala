@@ -588,6 +588,49 @@ object Similarity {
       least(lit(127.0), greatest(lit(-127.0),
         round(nanvl(x.cast("double"), lit(0.0)) * scale))).cast("int"))
 
+  /** QUANTIZATION-ERROR CENSUS for [[quantizeEmbedding]]'s int8 layout:
+    * per label, the round-trip health a serving owner checks before
+    * flipping a corpus to quantized scoring — mean squared error, worst
+    * element error, and the saturation rate (elements the ±127 clamp
+    * actually bit, i.e. |round(x·scale)| > 127: saturation means the
+    * scale is wrong for the data, a different failure than rounding).
+    *
+    * Integer-exact by the house rule: x maps to micro-units via ONE
+    * pinned double op (round(x·10⁶) — the same round both engines
+    * already replay hash-exactly in the q313 gate), the dequantized
+    * value qe/scale is exact in micros whenever 10⁶/scale is integral
+    * (scale 64 → 15625 — enforced), so the per-element error is a
+    * BIGINT and its square sums in DECIMAL(38,0) (error ≤ ~7813 µ at
+    * scale 64 → Σe² fits to ~10²⁸ elements). Plan: one explode of the
+    * embedding column straight into a label-bounded map-side-combined
+    * aggregate — zero shuffles beyond the final cell merge. */
+  def quantizationErrorCensus(df: DataFrame, labelCol: String,
+                              embCol: String, scale: Int = 64): DataFrame = {
+    require(1000000 % scale == 0,
+      s"quantizationErrorCensus: 10^6/$scale must be integral for the " +
+        "micro-unit dequantization to be exact (use 64, 100, 125, ...)")
+    val step = 1000000L / scale
+    df.select(col(labelCol).as("label"), explode(col(embCol)).as("x"))
+      .select(col("label"),
+        expr(s"round(nanvl(CAST(x AS DOUBLE), 0.0) * $scale)").as("r"),
+        expr("CAST(round(nanvl(CAST(x AS DOUBLE), 0.0) * 1000000) AS BIGINT)")
+          .as("xm"))
+      .select(col("label"),
+        (col("xm") - expr("CAST(least(127.0, greatest(-127.0, r)) AS BIGINT)")
+          * lit(step)).as("em"),
+        (abs(col("r")) > 127.0).as("sat"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_elems"),
+        sum(when(col("sat"), 1L).otherwise(0L)).as("sat_elems"),
+        sum(expr("CAST(em AS DECIMAL(38,0)) * em")).as("_se2"),
+        max(abs(col("em"))).as("max_abs_e_micro"))
+      .select(col("label"), col("n_elems"),
+        expr("CAST(10000 * sat_elems DIV n_elems AS BIGINT)").as("sat_pm"),
+        expr("CAST(_se2 DIV n_elems AS BIGINT)").as("mse_u2"),
+        col("max_abs_e_micro"))
+      .orderBy("label")
+  }
+
   /** PRODUCT-QUANTIZATION ADC top-k — the serving layout for corpora too
     * big even for scalar quantization (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", 2011): the vector space

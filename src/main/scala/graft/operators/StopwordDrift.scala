@@ -43,19 +43,37 @@ import org.apache.spark.sql.functions._
   */
 object StopwordDrift {
 
-  def profileDrift(df: DataFrame, srcCol: String, textCol: String,
-                   vocabulary: Seq[String]): DataFrame = {
+  /** The streaming-legal CENSUS stage: one (source × vocab)-bounded
+    * count aggregate — all-algebraic, so a live complete-mode census of
+    * these cells IS the drift monitor's entire state (unlike the
+    * datasheet's duplicate leg, NOTHING here is corpus-relative beyond
+    * the cells themselves: the corpus profile, source totals, and grand
+    * total all ROLL UP from the cells, so the finish needs no second
+    * stored input). Output: (srcCol, word, n_tokens). */
+  def driftCells(df: DataFrame, srcCol: String, textCol: String,
+                 vocabulary: Seq[String]): DataFrame = {
     require(vocabulary.nonEmpty && vocabulary.size <= 4096,
       s"StopwordDrift: vocabulary of ${vocabulary.size} outside [1, 4096]" +
         " — the cell frame is sources × vocab and must stay tiny")
-    val cells = df
-      .select(col(srcCol).as("_src"),
+    df.select(col(srcCol),
         graft.functions.TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_src"), explode(expr(
+      .select(col(srcCol), explode(expr(
         s"filter(_t, x -> x IN (${vocabulary.map(w => s"'$w'").mkString(", ")}))"))
-        .as("_w"))
-      .groupBy(col("_src"), col("_w"))
-      .agg(count(lit(1)).as("_o"))
+        .as("word"))
+      .groupBy(col(srcCol), col("word"))
+      .agg(count(lit(1)).as("n_tokens"))
+  }
+
+  def profileDrift(df: DataFrame, srcCol: String, textCol: String,
+                   vocabulary: Seq[String]): DataFrame =
+    driftFromCells(driftCells(df, srcCol, textCol, vocabulary), srcCol)
+
+  /** The TV finish off a maintained cell census: pure view, identical
+    * to the batch path by construction ([[profileDrift]] routes through
+    * it). `cells` carries (srcCol, word, n_tokens). */
+  def driftFromCells(cellsIn: DataFrame, srcCol: String): DataFrame = {
+    val cells = cellsIn.select(col(srcCol).as("_src"),
+        col("word").as("_w"), col("n_tokens").cast("long").as("_o"))
       .localCheckpoint(true) // corpus rollup, source totals, drift finish
     val corpus = cells.groupBy(col("_w")).agg(sum(col("_o")).as("_c"))
     val perSrc = cells.groupBy(col("_src")).agg(sum(col("_o")).as("_s"))

@@ -406,6 +406,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fromCol == proj.projectOf(v))
   }
 
+  test("quantization-error census hand frame: exact micro errors, saturation counter, NaN pin") {
+    import org.apache.spark.sql.functions.col
+    // label 0: x = 0.25 -> r=16, em = 250000 - 16*15625 = 0 (exact grid)
+    //          x = 0.26 -> r = round(16.64) = 17, xm = 260000,
+    //                      em = 260000 - 265625 = -5625
+    // label 1: x = 3.0  -> r = 192 SATURATES to 127,
+    //                      em = 3000000 - 1984375 = 1015625
+    //          x = NaN  -> pins to 0: r=0, xm=0, em=0
+    val df = Seq(
+      (0, Seq(0.25f, 0.26f)),
+      (1, Seq(3.0f, Float.NaN)))
+      .toDF("label", "embedding")
+    val got = graft.operators.Similarity
+      .quantizationErrorCensus(df, "label", "embedding")
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_elems"), r.getAs[Long]("sat_pm"),
+          r.getAs[Long]("mse_u2"), r.getAs[Long]("max_abs_e_micro")))).toMap
+    // label 0: mse = (0 + 5625^2)/2 = 15820312 (truncated)
+    assert(got(0) == ((2L, 0L, 15820312L, 5625L)))
+    // label 1: 1 of 2 saturated -> 5000 pm; mse = 1015625^2 / 2
+    assert(got(1) == ((2L, 5000L, 515747070312L, 1015625L)))
+  }
+
+  test("quantization-error census rejects a non-integral micro step") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0, Seq(0.1f))).toDF("label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.quantizationErrorCensus(
+        df, "label", "embedding", scale = 48)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("probeBucketsR generates the exact Hamming ball at each radius") {
     val lsh = Similarity.HyperplaneLsh(dim = 4, bits = 6)
     val sig = 0x2AL // 101010

@@ -71,6 +71,20 @@ class SourceOverlapSpec extends AnyFunSuite {
     assert(got("s2") == ((2L, 2500L, "the")))
   }
 
+  test("stopword drift cells + finish equal the batch path (the census/finish twin contract)") {
+    val df = Seq(
+      ("s1", "the the of x"),
+      ("s2", "the of of y z the"))
+      .toDF("source", "text")
+    val vocab = Seq("the", "of")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getAs[String]("source") -> r.toSeq.tail).toMap
+    val viaCells = canon(StopwordDrift.driftFromCells(
+      StopwordDrift.driftCells(df, "source", "text", vocab), "source"))
+    val batch = canon(StopwordDrift.profileDrift(df, "source", "text", vocab))
+    assert(viaCells == batch && batch.nonEmpty)
+  }
+
   test("stopword drift: a profile matching the corpus reads zero; no-hit sources are absent") {
     val df = Seq(
       ("s1", "the of the of"),

@@ -1577,6 +1577,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(users.toSeq == Seq(("u1", "pro")))
   }
 
+  test("streaming stopword-drift cells + batch finish (live register-drift monitor)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.StopwordDrift
+
+    val src = Files.createTempDirectory("graft_stream_swdrift")
+    val ckp = Files.createTempDirectory("graft_stream_swdrift_ckp")
+    // one (source, word) cell's mass SPLITS across micro-batches ("the"
+    // for s1 arrives in both files) — the census must merge through the
+    // state store before the finish sees it. Unlike the datasheet twin,
+    // NOTHING here needs stored state beyond the cells: corpus profile,
+    // source totals, and the grand total all roll up from the census.
+    Files.write(src.resolve("a.json"), Seq(
+      """{"source":"s1","text":"the the of x"}""",
+      """{"source":"s2","text":"the of of y"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"source":"s1","text":"the z"}""",
+      """{"source":"s2","text":"of w the"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val vocab = Seq("the", "of")
+    val schema = spark.read.json(src.toString).schema
+    val q = StopwordDrift.driftCells(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString), "source", "text", vocab)
+      .writeStream
+      .format("memory").queryName("swdrift_cells_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("source") -> r.toSeq.tail).toMap
+    val streamed = canon(StopwordDrift.driftFromCells(
+      spark.table("swdrift_cells_stream"), "source"))
+    val batch = canon(StopwordDrift.profileDrift(
+      spark.read.json(src.toString), "source", "text", vocab))
+    assert(streamed == batch && batch.nonEmpty)
+    // the merged census itself: s1's "the" cell spans both triggers
+    val cell = spark.table("swdrift_cells_stream")
+      .filter(col("source") === "s1" && col("word") === "the")
+      .collect().head
+    assert(cell.getAs[Long]("n_tokens") == 3L)
+  }
+
   test("streaming datasheet cells + batch finish (live corpus-governance monitor)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Datasheet
