@@ -28,7 +28,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 fails, passes, skips = [], [], []
+import time
 for name in sorted(os.listdir(outdir)):
+    t0 = time.time()
+    # flushed progress heartbeat: the summary prints at the end, so on a
+    # big corpus a slow oracle would otherwise look like a silent hang
+    print(f"... {name}", file=sys.stderr, flush=True)
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
         continue
@@ -77,6 +82,8 @@ for name in sorted(os.listdir(outdir)):
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         passes.append((name, len(a)))
+        print(f"    {name} ok in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
     except AssertionError as e:
         # find first differing cell for diagnostics
         msg = str(e).split("\n")[0]

@@ -46,6 +46,23 @@ object SparkEntry {
   private val D = "decimal(12,2)"
   private def dec(c: Column): Column = c.cast(D)
 
+  /** Engine-deterministic MONEY READOUT for unbounded decimal sums
+    * (round-11, caught by the 10× full-surface check): rendering a big
+    * decimal as double is only CORRECTLY rounded on the Spark side
+    * (BigDecimal.doubleValue); DuckDB converts the int128 mantissa and
+    * divides by the scale — two roundings — so past 2⁵³ micro-units
+    * the two engines can land on ADJACENT doubles (observed: q01's
+    * sum_charge at 10×, off by one ULP at 3.8×10¹⁰ dollars). The
+    * bridge: truncate the exact decimal sum to integer CENTS while
+    * still in decimal (floor is exact-decimal in both engines), cast
+    * the integral value to int64 (exact), then int64→double (one
+    * hardware-correct rounding in both) ÷ 100 (IEEE-correct in both).
+    * Deterministic while cents < 2⁶³ (≈ $9.2×10¹⁶ — past any corpus);
+    * scale-2 sums are unchanged in value, product sums (scale > 2)
+    * lose only sub-cent noise. */
+  private def money(sumDec: Column): Column =
+    floor(sumDec * 100).cast("long").cast("double") / 100
+
   /** Per-(event_type, epoch-day) count series — the shared input of the
     * q189/q190/q191 trend trio. One map-side-combined aggregate collapses
     * the event log to a types × days frame; every downstream window/pair
@@ -136,11 +153,12 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-            * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          money(sum(dec(col("l_extendedprice"))
+            * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
+          money(sum(dec(col("l_extendedprice"))
+            * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -153,8 +171,8 @@ object SparkEntry {
           && col("l_discount").between(0.03, 0.07)
           && col("l_quantity") < 24)
         .agg(
-          sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-            .cast("double").as("revenue"),
+          money(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+            .as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -167,8 +185,8 @@ object SparkEntry {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("revenue"),
+          money(sum(dec(col("l_extendedprice"))
+            * (lit(1) - dec(col("l_discount"))))).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_lines"))
         .orderBy("c_mktsegment")
@@ -184,8 +202,8 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("revenue"))
+          money(sum(dec(col("l_extendedprice"))
+            * (lit(1) - dec(col("l_discount"))))).as("revenue"))
         .orderBy("n_name")
     }),
 
@@ -292,7 +310,7 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
+          money(sum(dec(col("value")))).as("sum_value"))
         .orderBy("event_date")
     }),
 
@@ -1197,7 +1215,7 @@ object SparkEntry {
       SkewJoin.saltedJoin(o, c, Seq("c_custkey"), salts = 16)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+          money(sum(dec(col("o_totalprice")))).as("revenue"))
         .orderBy("c_mktsegment")
     }),
 
@@ -1236,7 +1254,7 @@ object SparkEntry {
     "q40_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+        .agg(money(sum(dec(col("l_extendedprice")))).as("sum_base"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -2287,7 +2305,7 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
+          money(sum(dec(col("value")))).as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -2349,7 +2367,7 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
+          money(sum(dec(col("value")))).as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -5724,7 +5742,7 @@ object SparkEntry {
       SnapshotSink.read(s, root)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), min("day").as("first_day"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
+          money(sum(dec(col("value")))).as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -5791,7 +5809,7 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
+          money(sum(dec(col("value")))).as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -5815,7 +5833,7 @@ object SparkEntry {
         ev.repartitionByRange(10, col("day")), root, Seq("day"), None,
         sumCols = Seq("value"))
       SnapshotSink.aggRangeFromStats(s, root, "day", 19730L, 19739L, "value")
-        .df.select(col("n"), col("sum").cast("double").as("sum_value"))
+        .df.select(col("n"), money(col("sum")).as("sum_value"))
     }),
 
     // Extension — HASHED-SIGN TEXT EMBEDDING + cosine top-k
@@ -5862,7 +5880,7 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
+          money(sum(dec(col("value")))).as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -5916,7 +5934,7 @@ object SparkEntry {
         .filter(col("user_id") === 41L)
         .groupBy("day")
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
+          money(sum(dec(col("value")))).as("sum_value"))
         .orderBy("day")
     }),
 
@@ -6141,7 +6159,7 @@ object SparkEntry {
       events(s, dir)
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("sum_value"))
+          money(sum(dec(col("value")))).as("sum_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
@@ -6540,7 +6558,7 @@ object SparkEntry {
        |      i -> 'oov' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i - 1 AS VARCHAR)) AS t
        |  FROM tok WHERE doc_id % 25 = 0),
        |alldocs AS (SELECT doc_id, t FROM tok UNION ALL SELECT doc_id, t FROM twin),
-       |grams AS (SELECT doc_id, g['gram'] AS gram, g['w1'] AS w1 FROM (
+       |grams AS MATERIALIZED (SELECT doc_id, g['gram'] AS gram, g['w1'] AS w1 FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
        |      i -> {'gram': t[i] || ' ' || t[i+1], 'w1': t[i]})) AS g
        |    FROM alldocs WHERE len(t) >= 2)),
@@ -6550,7 +6568,7 @@ object SparkEntry {
        |scored AS (SELECT g.doc_id,
        |    CAST(floor(-ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS m
        |  FROM grams g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v),
-       |per_doc AS (SELECT doc_id, count(*) AS n_grams,
+       |per_doc AS MATERIALIZED (SELECT doc_id, count(*) AS n_grams,
        |    CAST(sum(m) AS BIGINT) AS nll_micros
        |  FROM scored GROUP BY doc_id)
        |SELECT o.doc_id, o.n_grams AS n_grams_orig, tw.n_grams AS n_grams_twin,
@@ -7611,7 +7629,7 @@ object SparkEntry {
   private def q144Oracle: String =
     """SELECT event_type, count(*) AS n,
       |  count(DISTINCT user_id) AS n_users,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(floor(sum(CAST(value AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
       |FROM events
       |WHERE epoch_ms(ts) // 86400000 BETWEEN 19733 AND 19738
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -9072,23 +9090,38 @@ object SparkEntry {
   /** q243: gap-merge replay of Spark's session_window semantics in
     * MICROSECONDS — merge iff gap <= 30min (exact boundary extends the
     * session; pinned by SessionWindowSemanticsSpec), end = last + gap. */
+  /** Tie-safe since round 11 (caught by the 10× replica corpus, where
+    * every timestamp carries 10 copies): the previous form ran BOTH
+    * windows over raw rows `ORDER BY ts` — with duplicate timestamps
+    * that order is arbitrary PER WINDOW, and when the two windows
+    * disagreed on tie order, tied rows could land before/after the
+    * ns=1 row and split a session into two rows with identical
+    * boundaries. Collapsing to DISTINCT (user, ts) first (carrying the
+    * multiplicity) makes every window key unique, hence both windows
+    * deterministic; session logic on distinct instants is identical by
+    * definition (tied events can never open a session). Spark's native
+    * session_window is unaffected — it merges by interval, not row
+    * order. */
   private val q243Oracle =
-    """WITH marked AS (
-      |  SELECT user_id, ts,
+    """WITH ev AS (
+      |  SELECT user_id, ts, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, ts),
+      |marked AS (
+      |  SELECT user_id, ts, c,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS ns
-      |  FROM events
+      |  FROM ev
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
       |sess AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, c,
       |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
       |  FROM marked)
       |SELECT user_id,
       |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
       |  CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
-      |  CAST(count(*) AS BIGINT) AS n_events
+      |  CAST(sum(c) AS BIGINT) AS n_events
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
@@ -10071,26 +10104,36 @@ object SparkEntry {
 
   /** q275: the same gaps-and-islands replay — strictly-before running
     * max of ends opens islands, per-island spans roll up per user. */
+  /** Tie-safe since round 11 (the q243 lesson, same mechanism): the
+    * island windows ran over raw interval rows `ORDER BY st, en` —
+    * EXACT duplicate intervals (10 copies of every event in the 10×
+    * replica corpus) leave the two windows free to disagree on tie
+    * order, misattaching copies to the previous island. Collapse to
+    * DISTINCT (user, st, en) with multiplicity first: window keys
+    * unique → both windows deterministic; union coverage is set-based,
+    * so the spans are identical by definition. */
   private def q275Oracle: String =
-    """WITH iv AS (SELECT user_id,
+    """WITH iv AS (SELECT user_id, st, en, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT user_id,
       |    epoch_us(ts) // 1000000 AS st,
       |    epoch_us(ts) // 1000000 + 60 + 10 *
       |      greatest(0, least(120, CAST(floor(coalesce(value, 0))
       |        AS BIGINT))) AS en
-      |  FROM events WHERE user_id IS NOT NULL),
-      |m AS (SELECT user_id, st, en,
+      |  FROM events WHERE user_id IS NOT NULL)
+      |  GROUP BY user_id, st, en),
+      |m AS (SELECT user_id, st, en, c,
       |    max(en) OVER (PARTITION BY user_id ORDER BY st ASC, en ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
       |  FROM iv),
-      |f AS (SELECT user_id, st, en,
+      |f AS (SELECT user_id, st, en, c,
       |    CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS nw
       |  FROM m),
-      |i AS (SELECT user_id, st, en,
+      |i AS (SELECT user_id, st, en, c,
       |    sum(nw) OVER (PARTITION BY user_id ORDER BY st ASC, en ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
       |  FROM f),
       |sp AS (SELECT user_id, isl, min(st) AS lo, max(en) AS hi,
-      |    count(*) AS n
+      |    sum(c) AS n
       |  FROM i GROUP BY 1, 2)
       |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
       |  CAST(count(*) AS BIGINT) AS n_spans,
@@ -11582,7 +11625,7 @@ object SparkEntry {
   private val q160Oracle =
     """SELECT event_type, count(*) AS n,
       |  count(DISTINCT user_id) AS n_users,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(floor(sum(CAST(value AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
       |FROM events
       |WHERE epoch_ms(ts) // 86400000 BETWEEN 19733 AND 19738
       |  AND user_id BETWEEN 20 AND 60
@@ -11670,7 +11713,7 @@ object SparkEntry {
   private val q156Oracle =
     """SELECT event_type, count(*) AS n,
       |  min(epoch_ms(ts) // 86400000) AS first_day,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(floor(sum(CAST(value AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
       |FROM events
       |WHERE epoch_ms(ts) // 86400000 >= 19733
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -11694,7 +11737,7 @@ object SparkEntry {
   private val q154Oracle =
     """SELECT event_type, count(*) AS n,
       |  count(DISTINCT user_id) AS n_users,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(floor(sum(CAST(value AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
       |FROM events
       |WHERE user_id IS DISTINCT FROM 41
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -11705,7 +11748,7 @@ object SparkEntry {
     * aggregate in the same DECIMAL(18,6) quantization. */
   private val q153Oracle =
     """SELECT count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
       |FROM events
       |WHERE epoch_ms(ts) // 86400000 BETWEEN 19730 AND 19739""".stripMargin
 
@@ -11742,7 +11785,7 @@ object SparkEntry {
   private val q151Oracle =
     """SELECT event_type, count(*) AS n,
       |  count(DISTINCT user_id) AS n_users,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(floor(sum(CAST(value AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
       |FROM events
       |WHERE epoch_ms(ts) // 86400000 BETWEEN 19740 AND 19745
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -11785,7 +11828,7 @@ object SparkEntry {
     * bloom-positive), so the oracle is the plain filtered aggregate. */
   private val q148Oracle =
     """SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(floor(sum(CAST(value AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
       |FROM events
       |WHERE user_id = 41
       |  AND epoch_ms(ts) // 86400000 BETWEEN 19728 AND 19737
@@ -14439,7 +14482,7 @@ object SparkEntry {
 
     "q46_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         CAST(CAST(floor(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
@@ -14456,9 +14499,9 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         CAST(CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_base_price,
+         CAST(CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_disc_price,
+         CAST(CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_charge,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate < TIMESTAMP '2000-01-01'
@@ -14466,7 +14509,7 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
 
     "q02_filter_pushdown" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS revenue,
          count(*) AS n_rows
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
@@ -14474,7 +14517,7 @@ object SparkEntry {
 
     "q03_join_agg" ->
       """SELECT c_mktsegment,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+         CAST(CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 100) AS BIGINT) AS DOUBLE) / 100 AS revenue,
          count(DISTINCT o_orderkey) AS n_orders,
          count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -14484,7 +14527,7 @@ object SparkEntry {
     "q04_nation_revenue" ->
       """SELECT n_name,
          sum(l_quantity) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         CAST(CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 100) AS BIGINT) AS DOUBLE) / 100 AS revenue
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
@@ -14553,7 +14596,7 @@ object SparkEntry {
 
     "q16_date_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         CAST(CAST(floor(sum(CAST(value AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
          FROM events GROUP BY 1 ORDER BY event_date""",
 
     "q17_extra_tz" ->
@@ -14709,7 +14752,7 @@ object SparkEntry {
     "q36_tumbling_windows" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         CAST(CAST(floor(sum(CAST(value AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     "q42_dedup_best" ->
@@ -14763,7 +14806,7 @@ object SparkEntry {
 
     "q40_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+         CAST(CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100) AS BIGINT) AS DOUBLE) / 100 AS sum_base,
          count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
