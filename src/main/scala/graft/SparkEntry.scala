@@ -4526,6 +4526,68 @@ object SparkEntry {
         t(s, dir, "embeddings"), "label", "embedding")
     }),
 
+    // Extension — LABEL-GEOMETRY MATRIX: signed cos² permyriad between
+    // every label PAIR's quantized centroid-sum vectors — the class
+    // ENTANGLEMENT census (q313 measures one label drifting against
+    // itself over cohorts; this measures labels against EACH OTHER —
+    // which classes an embedding space has failed to separate, the
+    // readout that decides whether label-conditioned dedup/sampling
+    // can trust the space at all). Same integer-exact machinery as
+    // q313: element SUMS are unnormalized centroids (counts cancel in
+    // cos²), one posexplode shuffle to the (label × 64) frame, the
+    // pair join runs on THAT bounded frame (labels²·64 rows), and the
+    // same data-adaptive DECIMAL(38,0) guard raises with a subsample
+    // instruction instead of nulling. Near-orthogonal labels read
+    // |cos²| ≈ 0 pm — honest for this synthetic corpus; entangled
+    // pairs surface as cos2_pm → 10⁴. Hash-exact.
+    "q319_label_geometry" -> ((s, dir) => {
+      val sums = t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(Similarity.quantizeEmbedding(col("embedding"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("sv"), count(lit(1)).as("n"))
+        .localCheckpoint(true) // both pair sides read it
+      val a = sums.select(col("label").as("la"), col("pos"),
+        col("sv").as("sa"), col("n").as("na_rows"))
+      val b = sums.select(col("label").as("lb"), col("pos"),
+        col("sv").as("sb"), col("n").as("nb_rows"))
+      a.join(b, Seq("pos")).filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(max(col("na_rows")).as("n_a"), max(col("nb_rows")).as("n_b"),
+          sum(expr("CAST(sa AS DECIMAL(38,0)) * sb")).as("dot"),
+          sum(expr("CAST(sa AS DECIMAL(38,0)) * sa")).as("nna"),
+          sum(expr("CAST(sb AS DECIMAL(38,0)) * sb")).as("nnb"))
+        .select(col("la"), col("lb"), col("n_a"), col("n_b"),
+          when(expr("abs(dot) >= CAST('100000000000000000' AS DECIMAL(38,0))" +
+              " OR nna >= CAST('10000000000000000000' AS DECIMAL(38,0))" +
+              " OR nnb >= CAST('10000000000000000000' AS DECIMAL(38,0))"),
+            raise_error(lit("q319: cos2 intermediates exceed DECIMAL(38,0)" +
+              " — subsample the labels (the q313 width-envelope note)")))
+            .otherwise(expr("""CAST(
+              CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+              * (10000 * dot * dot DIV nullif(nna * nnb, 0)) AS BIGINT)"""))
+            .as("cos2_pm"))
+        .orderBy("la", "lb")
+    }),
+
+    // Extension — BUCKET-CAP LOSS CENSUS (Multimodal.phashBandCensus):
+    // the honesty meter for the banded pHash join — per chunk
+    // position, bucket count, largest bucket, and the rows the
+    // BucketCap drop would discard (truncating permyriad). Every
+    // banded instrument in this library bounds degenerate blow-ups by
+    // dropping over-cap buckets, which silently costs recall; this is
+    // the readout a corpus owner checks BEFORE trusting the pair
+    // output (the tiny-image fixture's low DCT diversity makes the
+    // loss non-zero here — the instrument demonstrably fires). Runs
+    // off the SAME session pHash store as q102/q315 and the SAME
+    // banding definition as the join (one shared method — the census
+    // audits exactly the buckets the join uses). One groupBy to
+    // (k, chunk) cells + a 7-row rollup; no joins. Hash-exact.
+    "q320_bucket_cap_census" -> ((s, dir) => {
+      val hashes = graft.sink.SnapshotSink.read(s, phashStore(s, dir))
+      Multimodal.phashBandCensus(hashes, maxHamming = 6)
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -12855,6 +12917,50 @@ object SparkEntry {
       |ORDER BY j.source""".stripMargin
   }
 
+  /** q319: q313's quantize + element-sum replay, pair-joined across
+    * LABELS instead of parity cohorts; identical cross-multiplied cos²
+    * arithmetic, HUGEINT internals, BIGINT readouts. */
+  private def q319Oracle: String =
+    """WITH qz AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(least(127, greatest(-127, round(
+      |        (CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 0
+      |         ELSE CAST(x AS DOUBLE) END) * 64))) AS INT)) AS qe
+      |  FROM embeddings),
+      |el AS (SELECT label, t.i, CAST(qe[t.i] AS HUGEINT) AS v
+      |  FROM qz CROSS JOIN range(1, 65) t(i)),
+      |sums AS (SELECT label, i, sum(v) AS s, count(*) AS n
+      |  FROM el GROUP BY 1, 2),
+      |j AS (SELECT a.label AS la, b.label AS lb, a.s AS sa, b.s AS sb,
+      |    a.n AS na, b.n AS nb
+      |  FROM sums a JOIN sums b ON a.i = b.i AND a.label < b.label)
+      |SELECT la, lb,
+      |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      |  CAST((CASE WHEN sum(sa*sb) >= 0 THEN 1 ELSE -1 END)
+      |    * (10000 * sum(sa*sb) * sum(sa*sb)
+      |       // nullif(sum(sa*sa) * sum(sb*sb), 0)) AS BIGINT) AS cos2_pm
+      |FROM j GROUP BY la, lb ORDER BY la, lb""".stripMargin
+
+  /** q320: the q315 banding replay off the SAME committed store,
+    * reduced to per-chunk bucket cells — census only, no pair join. */
+  private def q320Oracle: String =
+    s"""WITH ph AS (SELECT media_id, phash
+      |    FROM read_parquet('$phashOracleDataGlob')),
+      |b AS (SELECT media_id AS id, t.k,
+      |    CASE WHEN t.k = 6 THEN (phash >> 54) & 1023
+      |         ELSE (phash >> (t.k * 9)) & 511 END AS chunk
+      |  FROM ph CROSS JOIN range(0, 7) t(k)),
+      |cells AS (SELECT k, chunk, CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1, 2)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(max(n) AS BIGINT) AS max_bucket,
+      |  CAST(sum(CASE WHEN n > 1000 THEN n ELSE 0 END) AS BIGINT)
+      |    AS dropped_rows,
+      |  CAST(10000 * sum(CASE WHEN n > 1000 THEN n ELSE 0 END) // sum(n)
+      |    AS BIGINT) AS dropped_pm
+      |FROM cells GROUP BY k ORDER BY k""".stripMargin
+
   /** q318: the q61 clamp replayed pre-saturation, micro-unit error via
     * the pinned round, HUGEINT square sums, BIGINT readouts. */
   private def q318Oracle: String =
@@ -13480,6 +13586,8 @@ object SparkEntry {
     "q316_source_redundancy" -> q316Oracle,
     "q317_stopword_drift" -> q317Oracle,
     "q318_quantization_error" -> q318Oracle,
+    "q319_label_geometry" -> q319Oracle,
+    "q320_bucket_cap_census" -> q320Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

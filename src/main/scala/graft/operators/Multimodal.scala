@@ -354,27 +354,67 @@ object Multimodal {
     * verify candidates with one `bit_count(xor)`. Ids and 8-byte hashes
     * through the shuffle, payload bytes never — the image-dedup plan that
     * survives a billion-image corpus. */
-  def imagePhashPairs(
-      phashes: DataFrame,
-      maxHamming: Int = 6,
-      maxBucketSize: Int = 1000
-  ): DataFrame = {
+  /** The pigeonhole BANDING shared by [[imagePhashPairs]] and
+    * [[phashBandCensus]] (one definition, so the census audits the
+    * exact buckets the join uses): maxHamming+1 chunks of the 64-bit
+    * hash — ≤ maxHamming differing bits leave at least one chunk equal
+    * — with the top chunk absorbing the remainder bits. Emits one row
+    * per (id, k, chunk) off a checkpointed hash frame (the self-join
+    * fans the upstream out twice and the explode re-reads per chunk;
+    * upstream is the DECODE stage — the signature-frame checkpoint
+    * rule; measured 2× on q102 at sf0.1). */
+  private def phashBands(phashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming in [0,32), got $maxHamming")
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    // The self-join fans the upstream lineage out twice (and the banding
-    // explode re-reads it per chunk) — but upstream here is the DECODE
-    // stage, the most expensive pipeline step. Materialize the tiny
-    // (id, 8-byte phash) frame once so no decoder runs twice (the
-    // signature-frame checkpoint rule; measured 2× on q102 at sf0.1).
-    val pinned = phashes.localCheckpoint(true)
-    val banded = pinned.select(col("media_id").as("id"), col("phash"),
+    phashes.localCheckpoint(true)
+      .select(col("media_id").as("id"), col("phash"),
         explode(expr(
           s"""transform(sequence(0, ${chunks - 1}), k -> struct(k AS k,
              |CASE WHEN k = ${chunks - 1} THEN shiftrightunsigned(phash, k * $width)
              |ELSE shiftrightunsigned(phash, k * $width) & ${(1L << width) - 1}L
              |END AS chunk))""".stripMargin)).as("c"))
       .select(col("id"), col("phash"), col("c.k"), col("c.chunk"))
+  }
+
+  /** BUCKET-CAP LOSS CENSUS over the pigeonhole bands: the honesty
+    * meter for the banded join. The cap ([[BucketCap]]) bounds a
+    * degenerate corpus's candidate blow-up by DROPPING over-cap
+    * buckets — which silently costs recall. This readout says, per
+    * chunk position: how many buckets, how big the largest is, and how
+    * many rows the cap would drop (with a truncating permyriad), so a
+    * corpus owner can see the recall cost BEFORE trusting the pair
+    * output. A hash family drifting toward degeneracy (the tiny-image
+    * fixture's low DCT diversity, a pathological crawl) shows up here
+    * first. One groupBy over the banded frame (7 rows/image) to
+    * (k, chunk) cells, then a k-bounded rollup — no joins at all. */
+  def phashBandCensus(
+      phashes: DataFrame,
+      maxHamming: Int = 6,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    phashBands(phashes, maxHamming)
+      .groupBy(col("k"), col("chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("k"))
+      .agg(sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("_n")).as("max_bucket"),
+        sum(when(col("_n") > maxBucketSize, col("_n")).otherwise(0L))
+          .as("dropped_rows"))
+      .select(col("k").cast("long").as("k"), col("n_rows"),
+        col("n_buckets"), col("max_bucket"), col("dropped_rows"),
+        expr("CAST(10000 * dropped_rows DIV n_rows AS BIGINT)")
+          .as("dropped_pm"))
+      .orderBy("k")
+  }
+
+  def imagePhashPairs(
+      phashes: DataFrame,
+      maxHamming: Int = 6,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val banded = phashBands(phashes, maxHamming)
     // capped feeds BOTH join sides: materialize it once (it is banded-
     // sized, 7 rows per image) or the explode + over-cap census run twice
     val capped = BucketCap.dropOverCap(banded, Seq("k", "chunk"), maxBucketSize)

@@ -128,4 +128,25 @@ class MultimodalSpec extends AnyFunSuite {
     // verification really bounds the distance
     assert(pairs.agg(org.apache.spark.sql.functions.max("hamming")).head().getInt(0) <= 6)
   }
+
+  test("pHash band census hand frame: per-chunk buckets, cap loss, permyriad") {
+    import spark.implicits._
+    // maxHamming=1 -> 2 chunks of 32 bits: k=0 reads the low word,
+    // k=1 the high word. Low words collide 3x on 5 (over a cap of 2);
+    // high words are all distinct.
+    val hashes = Seq(
+      (1L, (1L << 32) | 5L),
+      (2L, (2L << 32) | 5L),
+      (3L, (3L << 32) | 5L),
+      (4L, (4L << 32) | 9L))
+      .toDF("media_id", "phash")
+    val got = Multimodal.phashBandCensus(hashes, maxHamming = 1,
+        maxBucketSize = 2)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("dropped_rows"),
+          r.getAs[Long]("dropped_pm")))).toMap
+    assert(got(0L) == ((4L, 2L, 3L, 3L, 7500L)))
+    assert(got(1L) == ((4L, 4L, 1L, 0L, 0L)))
+  }
 }
