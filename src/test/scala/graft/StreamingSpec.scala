@@ -1577,6 +1577,96 @@ class StreamingSpec extends AnyFunSuite {
     assert(users.toSeq == Seq(("u1", "pro")))
   }
 
+  test("StreamingSend restart resumes a MULTI-warehouse fan-out consistently from one checkpoint") {
+    import org.apache.spark.sql.functions.col
+    import graft.sink.TableCatalog
+
+    // the O-34 shape under the restart cert: ONE checkpoint drives the
+    // fan-out to several warehouses, so a resume must leave EVERY
+    // warehouse exactly-once — a batch acknowledged by the offset log
+    // was written to all of them, and the re-delivered message must be
+    // dropped for all of them (per-warehouse divergence after a crash
+    // is the failure a multi-sink ingest job must not have).
+    val src = Files.createTempDirectory("graft_stream_mwh")
+    val wh1 = Files.createTempDirectory("graft_stream_mwh_a")
+    val wh2 = Files.createTempDirectory("graft_stream_mwh_b")
+    val ckp = Files.createTempDirectory("graft_stream_mwh_ckp")
+
+    def track(id: String, ts: String) =
+      s"""{"messageId":"$id","anonymousId":"a","userId":"u1","type":"track","event":"Ping",""" +
+        s""""timestamp":"$ts","receivedAt":"$ts","sentAt":"$ts","ip":"1.2.3.4","channel":"web","writeKey":"wk"}"""
+    val phase1 = Seq(track("m-1", "2024-01-01T00:00:00.000Z"),
+      track("m-2", "2024-01-01T00:01:00.000Z"))
+    val phase2 = Seq(track("m-1", "2024-01-01T00:00:00.000Z"), // re-delivered
+      track("m-3", "2024-01-01T00:02:00.000Z"))
+
+    val sample = Files.createTempDirectory("graft_stream_mwh_sample")
+    Files.write(sample.resolve("all.json"),
+      (phase1 ++ phase2).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val schema = spark.read.json(sample.toString).schema
+    val conf = JobConf(warehouseRoots = Seq(wh1.toString, wh2.toString))
+
+    Files.write(src.resolve("s1.json"),
+      phase1.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    StreamingSend.start(spark, conf, "MwhNs", src.toString, schema,
+      ckp.toString).awaitTermination(120000)
+    Files.write(src.resolve("s2.json"),
+      phase2.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    StreamingSend.start(spark, conf, "MwhNs", src.toString, schema,
+      ckp.toString).awaitTermination(120000)
+
+    for (wh <- Seq(wh1, wh2)) {
+      val ids = new TableCatalog(wh.toString).read(spark, "mwh_ns", "tracks")
+        .groupBy("message_id").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ids == Map("m-1" -> 1L, "m-2" -> 1L, "m-3" -> 1L),
+        s"warehouse $wh diverged after restart: $ids")
+    }
+  }
+
+  test("streaming quantization-error census: complete-mode aggregate equals the batch census") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+
+    // quantizationErrorCensus is ONE algebraic aggregate (counts, sums
+    // of squares, max) — streaming-legal as-is in complete mode; the
+    // serving owner's quantization-health monitor can run live on the
+    // ingest stream. A label's elements split across micro-batches so
+    // the cells must merge through the state store.
+    val src = Files.createTempDirectory("graft_stream_qerr")
+    val ckp = Files.createTempDirectory("graft_stream_qerr_ckp")
+    Files.write(src.resolve("a.json"), Seq(
+      """{"label":0,"embedding":[0.25,0.26]}""",
+      """{"label":1,"embedding":[3.0,0.125]}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"label":0,"embedding":[0.5,-0.26]}""",
+      """{"label":1,"embedding":[0.0625,0.04]}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("label").cast("int").as("label"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = Similarity.quantizationErrorCensus(
+        prep(spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString)), "label", "embedding")
+      .writeStream
+      .format("memory").queryName("qerr_census_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Int]("label") -> r.toSeq.tail).toMap
+    val streamed = canon(spark.table("qerr_census_stream"))
+    val batch = canon(Similarity.quantizationErrorCensus(
+      prep(spark.read.json(src.toString)), "label", "embedding"))
+    assert(streamed == batch && batch.size == 2)
+  }
+
   test("streaming stopword-drift cells + batch finish (live register-drift monitor)") {
     import org.apache.spark.sql.functions._
     import graft.operators.StopwordDrift
