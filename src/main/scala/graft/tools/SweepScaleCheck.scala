@@ -42,7 +42,13 @@ object SweepScaleCheck {
     // datasheet (corpus-wide fp census), dedup yield (size histogram),
     // robust center (two counting-quantile passes over cents cells)
     "q303_packing_census", "q306_corpus_datasheet",
-    "q309_dedup_yield", "q310_robust_center")
+    "q309_dedup_yield", "q310_robust_center",
+    // round-11 instruments: source-pair containment (distinct-type
+    // shuffle + domain-bounded self-join), stopword TV cells,
+    // quantization health, label-pair geometry, bucket-cap loss
+    "q316_source_redundancy", "q317_stopword_drift",
+    "q318_quantization_error", "q319_label_geometry",
+    "q320_bucket_cap_census")
 
   /** Corpus build: since round 11 the growth model lives in
     * [[ReplicaCorpus]] (which extends the disjoint-replica transforms
