@@ -17,11 +17,13 @@ row count recorded.
 Usage: python3 scripts/scale_check.py <sfDir> <verifyOutDir>
          [wallBudgetSec] [workers]
 
-The budget is a GLOBAL wall deadline for the whole run: with `workers`
-slots and the non-quadratic oracles each finishing in seconds-to-
-minutes, everything legitimate drains long before it — whatever is
-still running at the deadline is, by elimination, a brute-force truth
-pass and is classified TIMEOUT.
+The budget is a GLOBAL wall deadline for the whole run. A query still
+running at the deadline is only classified as a benign TIMEOUT if it
+is on the EXPLICIT allowlist of known exhaustive truth-pass oracles
+below; anything else over budget is a FAIL and the run exits nonzero
+(round-11 advisor: "by elimination" classification silently converted
+hung workers and accidentally-quadratic new oracles into benign
+timeouts, overstating the evidence run's coverage).
 """
 import json, sys, glob, os, time
 import multiprocessing as mp
@@ -29,6 +31,15 @@ import multiprocessing as mp
 sfdir, outdir = sys.argv[1], sys.argv[2]
 budget = float(sys.argv[3]) if len(sys.argv) > 3 else 2700.0
 workers = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+# Oracles ALLOWED to time out: quadratic-by-design exhaustive truth
+# passes whose brute-force shape IS their value at gate scale. EMPTY
+# since round 12 — q25/q118/q231/q299 now run their truth pass on the
+# scale-tiered 2048-doc panel (SparkEntry.TruthPanelCap), so every
+# declared oracle is expected to certify at 10x. Add a name here ONLY
+# with a PLANS.md entry explaining why its oracle cannot be
+# scale-tiered.
+TRUTH_PASS_ALLOWLIST: set = set()
 
 
 def canon(df):
@@ -118,11 +129,20 @@ def main():
     pool.terminate()
     for n, _ in async_res:
         if n not in results:
-            results[n] = (n, "TIMEOUT",
-                          "oracle exceeded the wall budget (exhaustive "
-                          "truth pass — quadratic by design at 10x)", budget)
-            print(f"TIMEOUT {n}  (truth-pass oracle over budget)",
-                  flush=True)
+            if n in TRUTH_PASS_ALLOWLIST:
+                results[n] = (n, "TIMEOUT",
+                              "oracle exceeded the wall budget (allowlisted "
+                              "exhaustive truth pass — quadratic by design)",
+                              budget)
+                print(f"TIMEOUT {n}  (allowlisted truth-pass oracle over "
+                      f"budget)", flush=True)
+            else:
+                results[n] = (n, "FAIL",
+                              "oracle over wall budget and NOT on the "
+                              "truth-pass allowlist — hung worker or "
+                              "accidentally-quadratic oracle", budget)
+                print(f"FAIL    {n}  (over budget, not allowlisted)",
+                      flush=True)
     npass = sum(1 for v in results.values() if v[1] == "PASS")
     nskip = sum(1 for v in results.values() if v[1] == "SKIP")
     nfail = sum(1 for v in results.values() if v[1] == "FAIL")
