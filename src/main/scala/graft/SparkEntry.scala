@@ -12905,19 +12905,21 @@ object SparkEntry {
       |FROM pairs WHERE bit_count(xor(ph_a, ph_b)) <= 6
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** q316: the same house token split and q261 gram build, DISTINCT
-    * (source, gram) types, self-join on gram, per-b-source type census
-    * as the containment denominator. */
+  /** q316: the same house token split and q261 gram build, each gram
+    * pushed through the portable 64-bit md5 fingerprint (the Spark
+    * side hashes grams BEFORE its distinct — round-12 scale fix), then
+    * DISTINCT (source, gram-hash) types, self-join on the hash,
+    * per-b-source type census as the containment denominator. */
   private def q316Oracle: String =
-    """WITH toks AS (SELECT source,
-      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+    s"""WITH toks AS (SELECT source,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
       |      x -> x <> '') AS t
       |  FROM documents),
-      |g AS (SELECT DISTINCT source,
-      |    array_to_string(t[ii.i : ii.i + 2], ' ') AS gram
-      |  FROM toks
-      |  CROSS JOIN LATERAL (SELECT unnest(range(1,
-      |    greatest(len(t) - 1, 1))) AS i) ii),
+      |g AS (SELECT DISTINCT source, ${duckMd5Long("gs")} AS gram
+      |  FROM (SELECT source, array_to_string(t[ii.i : ii.i + 2], ' ') AS gs
+      |    FROM toks
+      |    CROSS JOIN LATERAL (SELECT unnest(range(1,
+      |      greatest(len(t) - 1, 1))) AS i) ii)),
       |per AS (SELECT source, CAST(count(*) AS BIGINT) AS grams_b
       |  FROM g GROUP BY 1)
       |SELECT a.source AS src_a, b.source AS src_b, per.grams_b,
