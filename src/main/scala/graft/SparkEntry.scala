@@ -12935,7 +12935,11 @@ object SparkEntry {
     * argmax contributor via the (d DESC, w DESC) row_number idiom —
     * HUGEINT internals, BIGINT readouts. */
   private def q317Oracle: String = {
-    val vocab = rakeStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // SQL-escape each word (doubled quotes) — the pinned list is plain
+    // ASCII, but the escape keeps the oracle faithful to the operator's
+    // typed-literal membership test for ANY vocabulary
+    val vocab = rakeStopwords.map(w => s"'${w.replace("'", "''")}'")
+      .mkString("[", ", ", "]")
     s"""WITH cells AS (SELECT source, u.w AS w,
       |    CAST(count(*) AS BIGINT) AS o
       |  FROM documents, LATERAL (SELECT unnest(list_filter(

@@ -38,7 +38,16 @@ object Datasheet {
     * @param predictedCol predicted label on the same domain
     * @return one row per group: n_docs, n_tokens, dup_docs/dup_pm,
     *         quality_fail_docs/quality_fail_pm, lang_mismatch_docs/
-    *         lang_mismatch_pm, lang_simpson_pm */
+    *         lang_mismatch_pm, lang_simpson_pm
+    *
+    * NULL-fingerprint contract (round-11 advisor): a doc with a null
+    * `fpCol` HAS no canonical content identity, so it counts in every
+    * census cell (n_docs, n_tokens, quality/simpson) but can never be
+    * duplicate-exposed — the dup leg's fingerprint equi-join drops
+    * null keys, so such docs sit in dup_pm's denominator and never in
+    * its numerator. That is the intended reading (an un-fingerprintable
+    * doc is not evidence of duplication); pipelines that want null fps
+    * EXCLUDED from the datasheet entirely must filter upstream. */
   def corpusDatasheet(df: DataFrame, groupCol: String, fpCol: String,
                       tokenCountCol: String, qualityOkCol: String,
                       declaredCol: String, predictedCol: String): DataFrame = {
@@ -67,7 +76,9 @@ object Datasheet {
     * recurs anywhere in the whole corpus, so it cannot be finished from
     * label cells; maintain the fingerprint census as STORED STATE (the
     * q68/q72 incremental-dedup shape) and pass its per-group rollup to
-    * [[datasheetFromCells]] alongside the streamed cells.
+    * [[datasheetFromCells]] alongside the streamed cells. Null
+    * fingerprints count in these cells but are invisible to that dup
+    * leg (see [[corpusDatasheet]]'s null-fingerprint contract).
     *
     * `qualityOkCol` is a boolean column; counts land in
     * (n_docs, n_tokens, quality_fail_docs) per cell. */

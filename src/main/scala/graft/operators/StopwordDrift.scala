@@ -55,11 +55,15 @@ object StopwordDrift {
     require(vocabulary.nonEmpty && vocabulary.size <= 4096,
       s"StopwordDrift: vocabulary of ${vocabulary.size} outside [1, 4096]" +
         " — the cell frame is sources × vocab and must stay tiny")
+    // typed-literal membership test (round-11 advisor: interpolating the
+    // words into SQL text breaks on quotes/backslashes in a PUBLIC-API
+    // vocabulary; array_contains against a lit array has no text path)
+    val vocabLit = lit(vocabulary.toArray)
     df.select(col(srcCol),
         graft.functions.TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col(srcCol), explode(expr(
-        s"filter(_t, x -> x IN (${vocabulary.map(w => s"'$w'").mkString(", ")}))"))
-        .as("word"))
+      .select(col(srcCol),
+        explode(filter(col("_t"), x => array_contains(vocabLit, x)))
+          .as("word"))
       .groupBy(col(srcCol), col("word"))
       .agg(count(lit(1)).as("n_tokens"))
   }

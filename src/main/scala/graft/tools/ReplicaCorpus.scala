@@ -51,10 +51,10 @@ object ReplicaCorpus {
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    // every remapped key column in the testdata schema is int64; an
+    // int32 key would need an overflow-safe long multiply before any
+    // narrowing cast (none exists today — round-11 advisor)
     def remap(c: String) = (col(c) * factor + col("rep")).cast("long").as(c)
-    // int32 keys stay int32 (schema-faithful: check.py's compare is typed)
-    def remapInt(c: String) =
-      (col(c) * factor + col("rep")).cast("int").as(c)
     def suffix(c: String) =
       concat(col(c), when(col("rep") === 0, lit(""))
         .otherwise(concat(lit("_r"), col("rep").cast("string")))).as(c)
