@@ -126,6 +126,17 @@ def main():
                       f"  [{results[n][3]:.1f}s]", flush=True)
                 del pending[n]
         time.sleep(2)
+    # Final drain BEFORE terminate: the poll loop sleeps 2s, so a worker
+    # that finished just inside the deadline can be ready() but undrained
+    # when the loop exits — terminate() would discard its (possibly
+    # PASSing) result and the over-budget branch below would reclassify a
+    # genuinely completed oracle as a hard FAIL (round-12 advisor).
+    for n, r in list(pending.items()):
+        if r.ready():
+            results[n] = r.get()
+            print(f"{results[n][1]:7s} {n}  ({results[n][2]})"
+                  f"  [{results[n][3]:.1f}s]", flush=True)
+            del pending[n]
     pool.terminate()
     for n, _ in async_res:
         if n not in results:

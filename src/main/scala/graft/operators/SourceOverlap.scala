@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *
   * Fingerprint envelope: two distinct gram types colliding in 64 bits
   * would merge their type rows — expected collisions ≈ T²/2⁶⁵ per
-  * source (T = gram types), under 0.003 at a billion types; readouts
+  * source (T = gram types), ≈ 0.03 at a billion types; readouts
   * are truncating permyriad, so the instrument's signal is unaffected
   * at any scale it can be read at.
   *

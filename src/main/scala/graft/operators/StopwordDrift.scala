@@ -57,12 +57,14 @@ object StopwordDrift {
         " — the cell frame is sources × vocab and must stay tiny")
     // typed-literal membership test (round-11 advisor: interpolating the
     // words into SQL text breaks on quotes/backslashes in a PUBLIC-API
-    // vocabulary; array_contains against a lit array has no text path)
-    val vocabLit = lit(vocabulary.toArray)
+    // vocabulary). isin over typed literals rather than array_contains
+    // on a lit array (round-12 advisor): In(>10 literals) optimizes to a
+    // hashed InSet, while array_contains is an O(|vocab|) linear scan
+    // per token — the scan-stage cost the 4096-word API bound relies on.
     df.select(col(srcCol),
         graft.functions.TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col(srcCol),
-        explode(filter(col("_t"), x => array_contains(vocabLit, x)))
+        explode(filter(col("_t"), x => x.isin(vocabulary: _*)))
           .as("word"))
       .groupBy(col(srcCol), col("word"))
       .agg(count(lit(1)).as("n_tokens"))
