@@ -38,6 +38,10 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
     }
+    // inline the pHash store into the q315/q320 oracles so the dumped
+    // oracle_sql.json is self-contained — even when SPARK_GRAFT_VERIFY_ONLY
+    // skipped the image family and the store was never built above
+    SparkEntry.ensureOracleData(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

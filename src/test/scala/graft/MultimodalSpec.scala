@@ -149,4 +149,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0L) == ((4L, 2L, 3L, 3L, 7500L)))
     assert(got(1L) == ((4L, 4L, 1L, 0L, 0L)))
   }
+
+  test("ensureOracleData inlines the pHash store into the q315 oracle") {
+    SparkEntry.ensureOracleData(spark, "/root/testdata/sf0.001")
+    val sql = SparkEntry.oracleSql("q315_phash_pair_replay")
+    // self-contained: an inline VALUES table, no file reads anywhere
+    assert(sql.contains("FROM (VALUES ("))
+    assert(!sql.contains("read_parquet"))
+    assert(!sql.contains("_unbuilt"))
+    // and the inlined frame is the store Spark actually serves
+    val served = graft.operators.Multimodal.imagePhashes(
+      graft.operators.Multimodal.fixtureImageCorpus(spark, docs),
+      "media_id", "content").count()
+    val inlined = "\\(-?\\d+,-?\\d+\\)".r.findAllIn(sql).size
+    assert(inlined.toLong == served)
+  }
 }
