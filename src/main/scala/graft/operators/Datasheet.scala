@@ -58,11 +58,42 @@ object Datasheet {
     // the batch path IS cells + finish (the kappa/tauB twin discipline):
     // one definition, so the streaming census route cannot diverge
     val cells = datasheetCells(base, "_g", "_t", "_q", "_la", "_lb")
-    val fpc = base.groupBy("_fp").agg(count(lit(1)).as("_fc"))
-    val dup = base.join(fpc, "_fp")
-      .groupBy(col("_g"))
-      .agg(sum(when(col("_fc") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+    val dup = dupFromCells(dupCells(base, "_g", "_fp"), "_g", "_fp")
     datasheetFromCells(cells, dup, "_g", "_la", "_lb")
+      .withColumnRenamed("_g", groupCol)
+  }
+
+  /** The streaming-legal FINGERPRINT CENSUS for the duplicate leg: one
+    * (group × fingerprint) count aggregate — all-algebraic, so a live
+    * complete-mode census of these cells IS the dup leg's stored state
+    * (the q68/q72 incremental-dedup shape the datasheetCells contract
+    * points at). Null fingerprints are CARRIED as a cell (they belong
+    * to the group's census) but [[dupFromCells]] never counts them as
+    * duplicate-exposed — the null-fingerprint contract. */
+  def dupCells(df: DataFrame, groupCol: String, fpCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(fpCol))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-group duplicate rollup off a maintained fingerprint census:
+    * a doc is duplicate-exposed iff its fingerprint's CORPUS-WIDE count
+    * (summed across ALL groups — cross-source duplication is the
+    * finding) is ≥ 2; null fingerprints never qualify. Pure arithmetic
+    * off the census — [[corpusDatasheet]] routes its batch dup leg
+    * through it, so the streamed form cannot diverge. The census is
+    * fingerprint-domain-sized, so it is deliberately NOT eagerly
+    * checkpointed here (both consumers re-aggregate from the caller's
+    * already-checkpointed base; materializing a corpus-scale census in
+    * the block manager would cost more than the extra aggregate). */
+  def dupFromCells(cells: DataFrame, groupCol: String,
+                   fpCol: String): DataFrame = {
+    val c = cells.select(col(groupCol).as("_g"), col(fpCol).as("_fp"),
+        col("n_docs").cast("long").as("_n"))
+      .filter(col("_fp").isNotNull)
+    val tot = c.groupBy(col("_fp")).agg(sum(col("_n")).as("_fc"))
+    c.join(tot, "_fp")
+      .groupBy(col("_g"))
+      .agg(sum(when(col("_fc") >= 2, col("_n")).otherwise(lit(0L)))
+        .as("dup_docs"))
       .withColumnRenamed("_g", groupCol)
   }
 
@@ -74,11 +105,12 @@ object Datasheet {
     * The boundary (documented per the r10 judge item): `dup_docs` is
     * CORPUS-RELATIVE — a doc is duplicate-exposed iff its fingerprint
     * recurs anywhere in the whole corpus, so it cannot be finished from
-    * label cells; maintain the fingerprint census as STORED STATE (the
-    * q68/q72 incremental-dedup shape) and pass its per-group rollup to
-    * [[datasheetFromCells]] alongside the streamed cells. Null
-    * fingerprints count in these cells but are invisible to that dup
-    * leg (see [[corpusDatasheet]]'s null-fingerprint contract).
+    * label cells; maintain [[dupCells]]'s fingerprint census as STORED
+    * STATE (the q68/q72 incremental-dedup shape) and pass
+    * [[dupFromCells]]'s rollup of it to [[datasheetFromCells]]
+    * alongside the streamed label cells. Null fingerprints count in
+    * these cells but are invisible to that dup leg (see
+    * [[corpusDatasheet]]'s null-fingerprint contract).
     *
     * `qualityOkCol` is a boolean column; counts land in
     * (n_docs, n_tokens, quality_fail_docs) per cell. */

