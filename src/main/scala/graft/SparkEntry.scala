@@ -700,15 +700,9 @@ object SparkEntry {
     // and genuinely transitive clusters exist. Oracle: same edge set +
     // recursive-CTE reachability closure in DuckDB, hash-exact.
     "q45_dup_clusters" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
-      val seeds = base.filter(pmod(col("doc_id"), lit(65)) === 0)
-      val v1 = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" planted near duplicate tail")).as("text"))
-      val v2 = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
-        concat(col("text"),
-          lit(" planted near duplicate tail with more appended words")).as("text"))
-      val pairs = NearDup.jaccardPairs(base.unionByName(v1).unionByName(v2),
+      // scale-tiered panel corpus shared with q67/q128 (clusterPanelCorpus):
+      // non-binding at gate scales, bounds the exhaustive pair graph at 10×+
+      val pairs = NearDup.jaccardPairs(clusterPanelCorpus(s, dir),
         "text", "doc_id", n = 3, thresholdPct = 50,
         maxShingleFreq = NearDup.Exhaustive)
       NearDup.dupClusters(pairs).orderBy("id")
@@ -1000,15 +994,8 @@ object SparkEntry {
     // decision a dedup pipeline actually ships. Oracle: recursive-CTE
     // closure + the same window. Hash-exact.
     "q67_cluster_dedup" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
-      val seeds = base.filter(pmod(col("doc_id"), lit(65)) === 0)
-      val v1 = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" planted near duplicate tail")).as("text"))
-      val v2 = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
-        concat(col("text"),
-          lit(" planted near duplicate tail with more appended words")).as("text"))
-      val corpus = base.unionByName(v1).unionByName(v2)
+      // scale-tiered panel corpus shared with q45/q128 (clusterPanelCorpus)
+      val corpus = clusterPanelCorpus(s, dir)
       val pairs = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3,
         thresholdPct = 50, maxShingleFreq = NearDup.Exhaustive)
       val clusters = NearDup.dupClusters(pairs)
@@ -6168,15 +6155,10 @@ object SparkEntry {
     // the oracle replays the pair graph, the recursive closure, both md5
     // bucketings and the audit.
     "q128_leakage_safe_split" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
-      val seeds = base.filter(pmod(col("doc_id"), lit(65)) === 0)
-      val v1 = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" planted near duplicate tail")).as("text"))
-      val v2 = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
-        concat(col("text"),
-          lit(" planted near duplicate tail with more appended words")).as("text"))
-      val corpus = base.unionByName(v1).unionByName(v2)
+      // scale-tiered panel corpus shared with q45/q67 (clusterPanelCorpus):
+      // the round-13 10× evidence run caught this query's all-pairs oracle
+      // blowing the 2700 s wall budget — the exact class the cap bounds
+      val corpus = clusterPanelCorpus(s, dir)
       val pairs = NearDup.jaccardPairs(corpus, "text", "doc_id", n = 3,
         thresholdPct = 50, maxShingleFreq = NearDup.Exhaustive)
       val clusters = NearDup.dupClusters(pairs).withColumnRenamed("id", "doc_id")
@@ -7428,8 +7410,40 @@ object SparkEntry {
     *
     * All four oracle strings interpolate this constant directly
     * (round-12 advisor: a bare-literal copy could drift and surface
-    * only at >panel scales, exactly where the gate doesn't look). */
+    * only at >panel scales, exactly where the gate doesn't look).
+    * Round 13 extends the same tier to the exact-pair-graph cluster
+    * family (q45/q67/q128) via [[clusterPanelCorpus]] below. */
   private val TruthPanelCap = 2048
+
+  /** Shared corpus for the exact-pair-graph CLUSTER family (q45 transitive
+    * clusters, q67 survivorship, q128 leakage-safe split): the smallest
+    * `TruthPanelCap` doc_ids of the %13 slice, plus the two planted
+    * near-duplicate variants of every %65 doc IN THE PANEL (65 = 13·5, so
+    * every 5th panel doc seeds a 3-chain — the transitive structure the
+    * family exists to exercise survives the cap at any scale).
+    *
+    * Same tiering discipline as the four truth passes above: the cap never
+    * binds at gate scales (sf0.01 has ~39 slice docs, sf0.1 ~385) and the
+    * oracles replay the identical `ORDER BY doc_id LIMIT` base, so at 10×+
+    * their deliberately-exhaustive all-pairs `list_intersect` edge joins
+    * stay bounded (~4.3M intersections incl. planted rows) instead of
+    * growing quadratically — the round-13 10× evidence run caught q128's
+    * oracle blowing a 2700 s wall budget (q45 1325 s, q67 1521 s) exactly
+    * as this class predicts. The unbounded scale path for near-dup pairs
+    * remains the banded/LSH machinery (q26/q101/q293); these three are
+    * exact-graph instruments whose brute-force oracle IS their value. */
+  private def clusterPanelCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
+      .orderBy("doc_id").limit(TruthPanelCap)
+    val seeds = base.filter(pmod(col("doc_id"), lit(65)) === 0)
+    val v1 = seeds.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+    val v2 = seeds.select((col("doc_id") + 4000000L).as("doc_id"),
+      concat(col("text"),
+        lit(" planted near duplicate tail with more appended words")).as("text"))
+    base.unionByName(v1).unionByName(v2)
+  }
 
   /** Repetition-gate geometry (q59/q64) and chunk-window geometry
     * (q63/q64) — shared between every query and oracle that uses them,
@@ -13798,21 +13812,24 @@ object SparkEntry {
     // q45's pair graph + recursive closure, then both md5 bucketings
     // (cluster-rep-keyed and doc-keyed) and the crossing audit.
     "q128_leakage_safe_split" ->
-      """WITH RECURSIVE corpus AS (
+      s"""WITH RECURSIVE base AS MATERIALIZED (
         |    SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+        |    ORDER BY doc_id LIMIT $TruthPanelCap),
+        |  corpus AS (
+        |    SELECT doc_id, text FROM base
         |    UNION ALL
         |    SELECT doc_id + 2000000, text || ' planted near duplicate tail'
-        |    FROM documents WHERE doc_id % 65 = 0
+        |    FROM base WHERE doc_id % 65 = 0
         |    UNION ALL
         |    SELECT doc_id + 4000000,
         |      text || ' planted near duplicate tail with more appended words'
-        |    FROM documents WHERE doc_id % 65 = 0),
-        |  sh AS (
+        |    FROM base WHERE doc_id % 65 = 0),
+        |  sh AS MATERIALIZED (
         |    SELECT doc_id, list_distinct(list_transform(
         |      range(1, greatest(len(t) - 1, 1)),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
         |    FROM (SELECT doc_id,
-        |      list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
         |      FROM corpus)
         |    WHERE len(t) >= 3),
         |  edges AS (
@@ -14368,21 +14385,24 @@ object SparkEntry {
          FROM kept GROUP BY source ORDER BY source""",
 
     "q67_cluster_dedup" ->
-      """WITH RECURSIVE corpus AS (
+      s"""WITH RECURSIVE base AS MATERIALIZED (
            SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+           ORDER BY doc_id LIMIT $TruthPanelCap),
+         corpus AS (
+           SELECT doc_id, text FROM base
            UNION ALL
            SELECT doc_id + 2000000, text || ' planted near duplicate tail'
-           FROM documents WHERE doc_id % 65 = 0
+           FROM base WHERE doc_id % 65 = 0
            UNION ALL
            SELECT doc_id + 4000000,
              text || ' planted near duplicate tail with more appended words'
-           FROM documents WHERE doc_id % 65 = 0),
-         sh AS (
+           FROM base WHERE doc_id % 65 = 0),
+         sh AS MATERIALIZED (
            SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(t) - 1, 1)),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            FROM (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
              FROM corpus)
            WHERE len(t) >= 3),
          edges AS (
@@ -14398,7 +14418,7 @@ object SparkEntry {
          labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
            FROM reach GROUP BY src),
          toks AS (SELECT doc_id AS id,
-           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS n_tokens
            FROM corpus),
          m AS (SELECT l.id, l.cluster_id, t.n_tokens,
              row_number() OVER (PARTITION BY l.cluster_id
@@ -14969,21 +14989,24 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q45_dup_clusters" ->
-      """WITH RECURSIVE corpus AS (
+      s"""WITH RECURSIVE base AS MATERIALIZED (
            SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+           ORDER BY doc_id LIMIT $TruthPanelCap),
+         corpus AS (
+           SELECT doc_id, text FROM base
            UNION ALL
            SELECT doc_id + 2000000, text || ' planted near duplicate tail'
-           FROM documents WHERE doc_id % 65 = 0
+           FROM base WHERE doc_id % 65 = 0
            UNION ALL
            SELECT doc_id + 4000000,
              text || ' planted near duplicate tail with more appended words'
-           FROM documents WHERE doc_id % 65 = 0),
-         sh AS (
+           FROM base WHERE doc_id % 65 = 0),
+         sh AS MATERIALIZED (
            SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(t) - 1, 1)),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            FROM (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
              FROM corpus)
            WHERE len(t) >= 3),
          edges AS (
