@@ -5075,7 +5075,16 @@ object SparkEntry {
     "q232_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val lsh = Similarity.HyperplaneLsh(dim = 64, bits = 6)
-      val qs = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      // query panel capped at Q232QueryPanelCap (identical ORDER BY
+      // vec_id LIMIT in the oracle): non-binding at gate scales (20 /
+      // 200 queries at sf0.01 / sf0.1), binding at 10×+ — it pins the
+      // exhaustive truth leg to panel × corpus (linear in corpus with a
+      // bounded constant) instead of (corpus/10) × corpus, which read
+      // 103 s at 10× in BENCH_10x (72.8× the 1× time, the artifact's
+      // worst super-linear grower) and grows quadratically past it
+      val qpanel = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .orderBy("vec_id").limit(Q232QueryPanelCap)
+      val qs = qpanel
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       val found = Similarity.annJoin(qs, e, "embedding", "vec_id", k = 9, lsh)
         .filter(col("base_id") =!= col("query_id") - 10000000L)
@@ -5085,7 +5094,7 @@ object SparkEntry {
         .select(col("query_id"), col("base_id"), lit(1L).as("hit"))
       val baseN = e.select(col("vec_id").as("base_id"),
         Similarity.normalized(col("embedding")).as("b"))
-      val qn = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val qn = qpanel
         .select(col("vec_id").as("qid"),
           Similarity.normalized(col("embedding")).as("q"))
       val truth = baseN.crossJoin(broadcast(qn))
@@ -7432,6 +7441,16 @@ object SparkEntry {
     * as this class predicts. The unbounded scale path for near-dup pairs
     * remains the banded/LSH machinery (q26/q101/q293); these three are
     * exact-graph instruments whose brute-force oracle IS their value. */
+  /** q232's recall-audit QUERY panel — smaller than [[TruthPanelCap]]
+    * because its truth pass is panel × WHOLE-CORPUS exhaustive cosine
+    * (64 interpreted double ops per pair), not panel × panel: 2048
+    * queries over a 100× corpus would be ~26G element-ops per engine.
+    * 256 queries × 8 truth hits each is still a 2048-cell recall
+    * census. Non-binding at gate scales (20 / 200 queries at sf0.01 /
+    * sf0.1); binds at 10×+ where BENCH_10x measured the uncapped leg
+    * at 103 s (72.8× its 1× time, the worst super-linear grower). */
+  private val Q232QueryPanelCap = 256
+
   private def clusterPanelCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id", "text")
@@ -8900,7 +8919,8 @@ object SparkEntry {
        |    ${duckSig("embedding", lsh)} AS sig
        |  FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id AS qid, ne AS qne, sig AS qsig
-       |  FROM sigs WHERE vec_id % 10 = 0),
+       |  FROM sigs WHERE vec_id % 10 = 0
+       |  ORDER BY vec_id LIMIT $Q232QueryPanelCap),
        |fc AS (SELECT q.qid, s.vec_id AS base_id,
        |    list_reduce(list_transform(range(1, 65), i -> q.qne[i] * s.ne[i]),
        |      (x, y) -> x + y) AS score
