@@ -48,7 +48,12 @@ object SweepScaleCheck {
     // quantization health, label-pair geometry, bucket-cap loss
     "q316_source_redundancy", "q317_stopword_drift",
     "q318_quantization_error", "q319_label_geometry",
-    "q320_bucket_cap_census")
+    "q320_bucket_cap_census",
+    // round-13: the shared-n-gram ladder, after its rung grams moved to
+    // 64-bit md5 fingerprints inside the scan (the q316 recipe) — the
+    // corpus-sized shuffle now carries fixed 8-byte keys, so its 10×
+    // growth should read near-linear instead of string-key-bound
+    "q261_shared_ngrams")
 
   /** Corpus build: since round 11 the growth model lives in
     * [[ReplicaCorpus]] (which extends the disjoint-replica transforms
@@ -88,8 +93,11 @@ object SweepScaleCheck {
         val s0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
         val sec = (System.nanoTime() - s0) / 1e9
-        println(f"$q%-28s ${sec}%7.1f s  readout:")
-        rows.foreach(r => println(s"    $r"))
+        println(f"$q%-28s ${sec}%7.1f s  readout (${rows.length} rows):")
+        // instruments have small readouts; q261's gram ladder is ~500
+        // rows, so cap the dump — the row count above still witnesses it
+        rows.take(40).foreach(r => println(s"    $r"))
+        if (rows.length > 40) println(s"    ... ${rows.length - 40} more")
       }
     }
     run(srcDir, s"1x baseline ($srcDir)")
