@@ -27,10 +27,16 @@ import org.apache.spark.sql.SparkSession
   *       - "passes": the per-query time of EVERY pass, not just the min —
   *         a loaded run shows both passes inflated in lockstep;
   *       - "canary": a fixed single-threaded spin (2e8 xorshift64 steps,
-  *         JIT-warmed) timed before each pass. Its cost is code-constant,
-  *         so canary_i / min(canary) >> 1 marks pass i as loaded, and a
-  *         min(canary) far above the quiet-box constant (~0.1-0.2 s on
-  *         this class of hardware) marks the WHOLE run as contaminated;
+  *         JIT-warmed) timed before each pass AND re-sampled every 25
+  *         queries INSIDE each pass ("intra_spin_sec", with matching
+  *         "intra_load_avg" — the r13 lesson: a per-pass-only canary
+  *         missed a uniform ~10% ambient-load inflation that arrived
+  *         mid-run and lifted both passes in lockstep). Its cost is
+  *         code-constant, so any sample / min(all samples) >> 1 marks
+  *         that slice of the run as loaded, and a min far above the
+  *         quiet-box constant (~0.1-0.2 s on this class of hardware)
+  *         marks the WHOLE run as contaminated; "worst_ratio" spans all
+  *         pre-pass and intra-pass samples;
   *       - "load_avg" (1-min system load before each pass) and "cpus":
   *         loadavg >> cpus means the numbers are untrustworthy no matter
   *         what they say.
@@ -124,9 +130,22 @@ object Bench {
     val canaries = Array.fill(reps)(0.0)
     val loads = Array.fill(reps)(0.0)
     val released = Array.fill(reps)(0)
+    // INTRA-pass witnesses (r13 lesson: a before-each-pass canary is
+    // blind to load that arrives mid-pass and lifts every query a
+    // uniform ~10% — the r13 artifact carried exactly that, with
+    // worst_ratio 1.029). Every IntraEvery queries the spin + loadavg
+    // are re-sampled INSIDE the pass, so ambient load is localized to
+    // the slice it contaminated and a uniformly-loaded run shows a
+    // uniformly-raised intra series, not a clean pre-pass reading.
+    // ~13 samples/pass at 319 queries × ~0.15 s spin ≈ 2 s/pass —
+    // untimed (between queries), so no query's number carries it.
+    val IntraEvery = 25
+    val intraCanaries = Vector.fill(reps)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    val intraLoads = Vector.fill(reps)(scala.collection.mutable.ArrayBuffer.empty[Double])
     for (pass <- 0 until reps) {
       loads(pass) = loadAvg()
       canaries(pass) = canarySpin()
+      var sinceSample = 0
       for (name <- order if !errors.contains(name)) {
         val t0 = System.nanoTime()
         try {
@@ -139,6 +158,12 @@ object Bench {
         // untimed: releasing the finished query's checkpoint blocks is
         // session hygiene, not part of the query's cost
         released(pass) += releaseRetainedRdds(spark)
+        sinceSample += 1
+        if (sinceSample >= IntraEvery) {
+          sinceSample = 0
+          intraCanaries(pass) += canarySpin()
+          intraLoads(pass) += loadAvg()
+        }
       }
     }
     // a query that threw on ANY rep reports -1 and poisons the run below
@@ -159,10 +184,20 @@ object Bench {
     val qs = jmap(best)
     val total = best.map(_._2).filter(_ >= 0).sum
     val passJson = passes.map(p => jmap(order.flatMap(n => p.get(n).map(n -> _)))).mkString("[", ",", "]")
-    val canaryBest = canaries.min
+    // worst_ratio now spans the PRE-PASS *and* INTRA-PASS spins: the
+    // best observation anywhere is the box's quiet constant, and any
+    // sample far above it — whenever it occurred — marks contamination
+    val allSpins = canaries ++ intraCanaries.flatten
+    val canaryBest = allSpins.min
+    val canaryWorstRatio = if (canaryBest > 0) allSpins.max / canaryBest else -1.0
+    val intraJson = intraCanaries
+      .map(p => p.map(jnum).mkString("[", ",", "]")).mkString("[", ",", "]")
+    val intraLoadJson = intraLoads
+      .map(p => p.map(jnum).mkString("[", ",", "]")).mkString("[", ",", "]")
     val canaryJson = s"""{"spin_sec":${canaries.map(jnum).mkString("[", ",", "]")},""" +
+      s""""intra_spin_sec":$intraJson,"intra_load_avg":$intraLoadJson,""" +
       s""""best":${jnum(canaryBest)},""" +
-      s""""worst_ratio":${jnum(if (canaryBest > 0) canaries.max / canaryBest else -1.0)}}"""
+      s""""worst_ratio":${jnum(canaryWorstRatio)}}"""
     val loadJson = loads.map(jnum).mkString("[", ",", "]")
     val errJson =
       if (errors.isEmpty) ""
@@ -181,7 +216,8 @@ object Bench {
     val slowest = best.filter(_._2 >= 0).sortBy(-_._2).take(12)
     val summaryJson = s"""{"total_sec":${jnum(total)},"n_queries":$n,""" +
       s""""mean_sec":${jnum(mean)},"canary_best":${jnum(canaryBest)},""" +
-      s""""canary_worst_ratio":${jnum(if (canaryBest > 0) canaries.max / canaryBest else -1.0)},""" +
+      s""""canary_worst_ratio":${jnum(canaryWorstRatio)},""" +
+      s""""canary_samples":${allSpins.length},""" +
       s""""slowest_min":${jmap(slowest)}}"""
     val releasedJson = released.map(_.toString).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps""" +

@@ -85,4 +85,65 @@ object RecordLinkage {
           .otherwise(lit("non_match")).as("decision"))
       .orderBy(col(leftKey))
   }
+
+  /** [[linkBest]] with a BLOCK-SIZE CAP on the reference side: every
+    * block whose reference membership exceeds `blockCap` is dropped
+    * BEFORE the candidate join (the BucketCap aggregate + broadcast
+    * anti-join — the same bound every banded pair operator in this
+    * library uses), so the join output is ≤ Σ_b |L_b|·cap — LINEAR in
+    * the left file even when a blocking key degenerates. The cost is
+    * recall on exactly the dropped blocks' records: pair
+    * [[blockCensus]] with this (the q320 pattern) so the loss is a
+    * reported number, never a silent one. q164 keeps the uncapped
+    * pinned-geometry form (it is the exactness instrument);
+    * q322/q323 are the capped, censused scale path. */
+  def linkBestCapped(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      blockCols: Seq[String],
+      fields: Seq[FieldWeight],
+      upper: Long,
+      lower: Long,
+      blockCap: Int
+  ): DataFrame = {
+    require(blockCap > 0, "blockCap must be positive")
+    linkBest(left, leftKey, BucketCap.dropOverCap(right, blockCols, blockCap),
+      rightKey, blockCols, fields, upper, lower)
+  }
+
+  /** The honesty meter for [[linkBestCapped]]: one row of totals —
+    * reference blocks, the largest block, blocks over `blockCap`, the
+    * reference rows those blocks hold (all dropped by the cap), and the
+    * LEFT records whose block was dropped (they leave the capped link
+    * output entirely — the recall cost a corpus owner signs off on
+    * before trusting the capped decisions). One aggregate per side over
+    * the block key; the left probe of the over-cap set is the same
+    * broadcast the cap itself uses. */
+  def blockCensus(
+      left: DataFrame,
+      right: DataFrame,
+      blockCols: Seq[String],
+      blockCap: Int
+  ): DataFrame = {
+    require(blockCap > 0, "blockCap must be positive")
+    val keys = blockCols.map(col)
+    val sizes = right.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds totals AND the over-cap probe
+    val over = sizes.filter(col("n") > blockCap)
+    val affected = left.join(
+        broadcast(over.select(keys: _*)), blockCols, "left_semi")
+      .agg(count(lit(1)).as("left_affected"))
+    sizes.agg(
+        count(lit(1)).as("n_blocks"),
+        max(col("n")).as("max_block"),
+        coalesce(sum(when(col("n") > blockCap, 1L).otherwise(0L)), lit(0L))
+          .as("over_cap_blocks"),
+        coalesce(sum(when(col("n") > blockCap, col("n")).otherwise(0L)),
+          lit(0L)).as("rows_dropped"))
+      .select(lit(blockCap.toLong).as("block_cap"), col("n_blocks"),
+        col("max_block"), col("over_cap_blocks"), col("rows_dropped"))
+      .crossJoin(affected) // both sides are single aggregate rows
+  }
 }

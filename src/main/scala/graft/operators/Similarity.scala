@@ -61,7 +61,24 @@ object Similarity {
   /** Random hyperplane LSH signature: bit h = sign(v · plane_h). Planes are
     * generated driver-side from a deterministic seed and inlined as
     * literals (tiny: H × dim doubles), so the signature is a pure per-row
-    * projection — the same planes serve index build and query time. */
+    * projection — the same planes serve index build and query time.
+    *
+    * BITS SELECTION RULE (the scale knob): `bits` fixes the bucket count
+    * at 2^bits, so candidate volume in any bucketed pair join is
+    * ~n²/2^bits — a FIXED bits is only right for a fixed corpus size, and
+    * at fixed bits in-bucket pairs grow QUADRATICALLY with the corpus
+    * (q30 is the pinned-geometry exactness instrument that demonstrates
+    * exactly that shape). Grow bits with log₂(n): [[recommendedBits]] /
+    * [[adaptiveBits]] pick bits ≈ log₂(n / targetBucketSize), which holds
+    * expected bucket occupancy — and therefore per-row candidate work —
+    * CONSTANT as the corpus grows. q321_adaptive_cosine_census is the
+    * gated, oracle-replayed witness: same planted-pair exactness as q30
+    * with near-linear total cost, because its width is re-derived from
+    * the corpus count on both engines. Planes for width b are the first
+    * b planes of any wider same-seed instance (row-major fill from one
+    * seeded stream), so a re-derived width never re-randomizes the
+    * geometry — a 16-bit signature masked to its low b bits IS the b-bit
+    * signature. */
   final case class HyperplaneLsh(dim: Int, bits: Int, seed: Long = 42L) {
     val planes: IndexedSeq[IndexedSeq[Double]] = {
       val rnd = new scala.util.Random(seed)
@@ -719,19 +736,44 @@ object Similarity {
     math.min(62, math.max(4, ideal))
   }
 
+  /** [[recommendedBits]] in pure integer arithmetic — the smallest b in
+    * [4, maxBits] with targetBucketSize · 2^b ≥ n, else maxBits — so a
+    * SQL oracle can re-derive the SAME width from a corpus count with a
+    * bounded generate-and-filter (`min(b) WHERE target << b >= n`)
+    * instead of floating log2, whose ulp behavior at exact powers of two
+    * is not guaranteed to agree across engines. maxBits also bounds how
+    * many literal planes an oracle must inline: a width-maxBits signature
+    * masked to its low b bits equals the width-b signature (see the
+    * plane-prefix property on [[HyperplaneLsh]]). */
+  def adaptiveBits(corpusSize: Long, targetBucketSize: Int = 200,
+                   maxBits: Int = 16): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0 && maxBits >= 4)
+    (4 to maxBits).find(b => (targetBucketSize.toLong << b) >= corpusSize)
+      .getOrElse(maxBits)
+  }
+
   /** Embedding-cosine near-dup pairs: all (a<b) with cosine ≥ threshold,
     * generated through the LSH buckets (multiprobe on the left side) and
     * verified exactly. Size `lsh.bits` with [[recommendedBits]] — candidate
     * volume is ~n²/2^bits. `maxBucketSize` additionally caps any single
     * degenerate bucket (e.g. a mass-duplicated embedding) before the join,
-    * mirroring NearDup.minhashLshPairs. */
+    * mirroring NearDup.minhashLshPairs.
+    *
+    * `probeRadius` is the recall/cost knob (the q301 sweep's axis): each
+    * left row probes every bucket within Hamming radius r of its own
+    * signature, so candidates ≈ n · occupancy · Σ_{i≤r} C(bits, i). At
+    * radius 0 the pair set is exactly same-bucket (a·sig = b·sig) —
+    * identical rows always collide there at ANY width, which is what lets
+    * the adaptive census (q321) re-derive bits from the corpus count and
+    * stay linear without losing its planted exact duplicates. */
   def cosineDupPairs(
       df: DataFrame,
       embCol: String,
       idCol: String,
       threshold: Double,
       lsh: HyperplaneLsh,
-      maxBucketSize: Int = 100000
+      maxBucketSize: Int = 100000,
+      probeRadius: Int = 1
   ): DataFrame = {
     // candidate generation shuffles only (bucket, id) pairs; unit-normalized
     // embeddings are re-attached afterwards (AQE broadcasts the embedding
@@ -740,7 +782,7 @@ object Similarity {
       lsh.signature(col(embCol)).as("sig"))
       .localCheckpoint(true) // materialize sig+normalized once; cut lineage
     val l = sigs.select(col("id").as("id_a"),
-      explode(lsh.probeBuckets(col("sig"))).as("bucket"))
+      explode(lsh.probeBucketsR(col("sig"), probeRadius)).as("bucket"))
     // cap the indexed (right) side per bucket: every probe row then joins
     // at most maxBucketSize rows, so the join is ≤ (bits+1)·n·cap rows —
     // linear in n even on a degenerate corpus

@@ -49,4 +49,54 @@ object StreamingSend {
       }
       .start()
   }
+
+  /** The LIVE redundancy monitor over the SAME ingest directory [[start]]
+    * consumes (the O-2 NDJSON source): maintains the cross-source
+    * distinct (source, gram-hash) TYPE state —
+    * `SourceOverlap.gramTypes` (a shuffle-free per-doc projection) under
+    * an event-time watermark with `dropDuplicatesWithinWatermark` — and
+    * appends new types to a parquet state table, so
+    * `SourceOverlap.redundancyFromTypes(spark.read.parquet(typesPath))`
+    * serves the containment matrix at ANY point without rescanning the
+    * corpus. Restart-safe by construction: the type state and the file-
+    * source offsets live in the checkpoint, so a stopped monitor resumed
+    * on the same checkpoint emits each type ONCE even when the file that
+    * carried it is re-read (the multi-warehouse restart discipline, on
+    * monitor state instead of warehouse rows). Re-arrivals beyond the
+    * watermark re-emit — the same already-adjudicated expiry tradeoff as
+    * the q68/q72 incremental dedup; the batch twin
+    * (`SourceOverlap.redundancyMatrix`) remains the exact census.
+    *
+    * @param textCol the ingested column carrying document text
+    * @param srcCol  the ingested column naming the source/feed
+    * @param tsCol   event-time column (ISO string or timestamp) for the
+    *                watermark
+    */
+  def startRedundancyCensus(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceSchema: StructType,
+      checkpointDir: String,
+      typesPath: String,
+      srcCol: String,
+      textCol: String,
+      tsCol: String,
+      n: Int = 3,
+      watermark: String = "1 hour",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val raw = spark.readStream.schema(sourceSchema).json(sourceDir)
+      .select(col(srcCol), to_timestamp(col(tsCol)).as("__event_ts"),
+        col(textCol))
+    graft.operators.SourceOverlap
+      .gramTypes(raw, srcCol, textCol, n, carryCols = Seq("__event_ts"))
+      .withWatermark("__event_ts", watermark)
+      .dropDuplicatesWithinWatermark(srcCol, "gram")
+      .select(col(srcCol), col("gram"))
+      .writeStream.format("parquet")
+      .option("path", typesPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

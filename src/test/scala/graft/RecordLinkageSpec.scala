@@ -66,4 +66,40 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(row.getAs[Long]("score") == -3000L - 1500L - 2000L)
     assert(row.getAs[String]("decision") == "non_match")
   }
+
+  test("linkBestCapped drops over-cap blocks whole; under-cap blocks link normally") {
+    // block 7 holds 3 reference rows (over cap 2) -> dropped entirely;
+    // block 8 holds 1 -> links as usual
+    val right = (Seq((1L, 7), (2L, 7), (3L, 7), (4L, 8)))
+      .map { case (id, b) => (id, b, s"p$id", "A", Double.box(1.0)) }
+    val left = Seq(
+      (100L, 7, "p1", "A", Double.box(1.0)),   // candidate set capped away
+      (200L, 8, "p4", "A", Double.box(1.0)))
+    val rows = RecordLinkage.linkBestCapped(
+        left.toDF("id", "blk", "name", "seg", "bal"), "id",
+        right.toDF("rid", "blk", "name", "seg", "bal"), "rid",
+        blockCols = Seq("blk"), fields = weights,
+        upper = 12000L, lower = 0L, blockCap = 2)
+      .collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(200L))
+    assert(rows.head.getAs[Long]("cand_rid") == 4L)
+    assert(rows.head.getAs[String]("decision") == "match")
+  }
+
+  test("blockCensus reports the cap's recall cost, not just block sizes") {
+    val right = (Seq((1L, 7), (2L, 7), (3L, 7), (4L, 8)))
+      .map { case (id, b) => (id, b, "x", "A", Double.box(1.0)) }
+      .toDF("rid", "blk", "name", "seg", "bal")
+    val left = Seq((100L, 7), (101L, 7), (200L, 8))
+      .toDF("id", "blk")
+    val Array(c) = RecordLinkage.blockCensus(left, right, Seq("blk"), blockCap = 2)
+      .collect()
+    assert(c.getAs[Long]("block_cap") == 2L)
+    assert(c.getAs[Long]("n_blocks") == 2L)
+    assert(c.getAs[Long]("max_block") == 3L)
+    assert(c.getAs[Long]("over_cap_blocks") == 1L)
+    assert(c.getAs[Long]("rows_dropped") == 3L)
+    // BOTH left rows in block 7 lose all candidates — the census says so
+    assert(c.getAs[Long]("left_affected") == 2L)
+  }
 }

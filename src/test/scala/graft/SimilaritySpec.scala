@@ -269,6 +269,44 @@ class SimilaritySpec extends AnyFunSuite {
       .contains((7L, 9999L)))
   }
 
+  test("adaptiveBits: integer rule matches the log form and bounds") {
+    // smallest b in [4,16] with 200·2^b >= n
+    assert(Similarity.adaptiveBits(1L) == 4)
+    assert(Similarity.adaptiveBits(3200L) == 4)      // boundary tie -> low side
+    assert(Similarity.adaptiveBits(3201L) == 5)
+    assert(Similarity.adaptiveBits(10000L) == Similarity.recommendedBits(10000L))
+    assert(Similarity.adaptiveBits(1000000L) == Similarity.recommendedBits(1000000L))
+    assert(Similarity.adaptiveBits(200L * (1L << 16)) == 16)
+    assert(Similarity.adaptiveBits(Long.MaxValue / 4) == 16) // maxBits fallback
+    assert(Similarity.adaptiveBits(1L << 40, maxBits = 62) == 33)
+  }
+
+  test("plane-prefix property: a wide signature masked to b bits IS the b-bit signature") {
+    val wide = Similarity.HyperplaneLsh(dim = dim, bits = 16)
+    val narrow = Similarity.HyperplaneLsh(dim = dim, bits = 5)
+    assert(wide.planes.take(5) == narrow.planes)
+    val v = (0 until dim).map(i => math.sin(i * 1.7) * (if (i % 3 == 0) -1 else 1))
+    assert((wide.signatureOf(v) & 0x1FL) == narrow.signatureOf(v))
+  }
+
+  test("cosineDupPairs radius-0 keeps planted identical duplicates at any width") {
+    val planted = base.union(
+      base.filter($"vec_id" === 7)
+        .select(lit(9999L).as("vec_id"), col("embedding")))
+    for (bits <- Seq(4, 9, 14)) {
+      val pairs = Similarity.cosineDupPairs(planted, "embedding", "vec_id", 0.99,
+          Similarity.HyperplaneLsh(dim = dim, bits = bits), probeRadius = 0)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(pairs.contains((7L, 9999L)), s"planted pair lost at bits=$bits")
+    }
+    // radius-0 pair set is a subset of the radius-1 set (same geometry)
+    val lsh = Similarity.HyperplaneLsh(dim = dim, bits = 6)
+    def pairSet(r: Int) =
+      Similarity.cosineDupPairs(planted, "embedding", "vec_id", 0.5, lsh, probeRadius = r)
+        .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    assert(pairSet(0).subsetOf(pairSet(1)))
+  }
+
   test("cosineDupPairs finds planted near-duplicate") {
     val planted = base.union(
       base.filter($"vec_id" === 7)

@@ -1889,4 +1889,62 @@ class StreamingSpec extends AnyFunSuite {
         (r.getAs[Long]("grams_b"), r.getAs[Long]("shared"))).toMap
     assert(m(("s1", "s2")) == ((4L, 1L)) && m(("s2", "s1")) == ((2L, 1L)))
   }
+
+  test("end-to-end redundancy monitor: ingest dir -> gramTypes state -> containment finish, across a restart") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SourceOverlap
+    import graft.streaming.StreamingSend
+
+    // the full wiring the reference's pipeline implies: the SAME ingest
+    // NDJSON directory StreamingSend.start() consumes, monitored live —
+    // StreamingSend.startRedundancyCensus maintains the (source, gram)
+    // type state under the checkpoint, the finish is a pure view over
+    // the state table. The RESTART is the point: run 1 processes file a,
+    // terminates (AvailableNow), run 2 resumes the SAME checkpoint on
+    // file b — offsets skip a, the dedup state remembers a's types, so
+    // the state table nets one row per (source, gram) across both runs.
+    val src = Files.createTempDirectory("graft_e2e_redund_src")
+    val types = Files.createTempDirectory("graft_e2e_redund_types")
+    val ckp = Files.createTempDirectory("graft_e2e_redund_ckp")
+    Files.write(src.resolve("a.json"), Seq(
+      """{"source":"s1","at":"2024-01-01T00:00:01Z","text":"a b c d"}""",
+      """{"source":"s2","at":"2024-01-01T00:00:02Z","text":"x y z w"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val schema = spark.read.json(src.toString).schema
+
+    def runOnce(): Unit = {
+      val q = StreamingSend.startRedundancyCensus(
+        spark, src.toString, schema, ckp.toString, types.toString,
+        srcCol = "source", textCol = "text", tsCol = "at", n = 3)
+      q.awaitTermination(120000)
+    }
+    runOnce() // run 1: file a only
+
+    // between runs: a cross-source duplicate ("a b c" reaches s2), an
+    // s1 re-sighting of its own already-stored types, and a new s2 type
+    Files.write(src.resolve("b.json"), Seq(
+      """{"source":"s2","at":"2024-01-01T00:00:03Z","text":"a b c e"}""",
+      """{"source":"s1","at":"2024-01-01T00:00:04Z","text":"a b c d"}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    runOnce() // run 2: resumes the checkpoint, sees only file b
+
+    val state = spark.read.parquet(types.toString)
+    // restart discipline: s1's re-sighting collapsed in the resumed
+    // dedup state — one row per (source, gram), never re-emitted
+    assert(state.count() == state.dropDuplicates("source", "gram").count())
+    assert(state.filter(col("source") === "s1").count() == 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    // the served matrix off the maintained state == the batch census
+    // over everything the ingest dir ever carried
+    val served = canon(SourceOverlap.redundancyFromTypes(state, "source"))
+    val batch = canon(SourceOverlap.redundancyMatrix(
+      spark.read.json(src.toString), "source", "text", n = 3))
+    assert(served == batch && batch.nonEmpty)
+    // and the cross-RUN containment formed: s2 gained "a b c" in run 2
+    val m = SourceOverlap.redundancyFromTypes(state, "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("grams_b"), r.getAs[Long]("shared"))).toMap
+    assert(m(("s1", "s2")) == ((4L, 1L)) && m(("s2", "s1")) == ((2L, 1L)))
+  }
 }
