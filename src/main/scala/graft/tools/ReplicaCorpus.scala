@@ -101,14 +101,29 @@ object ReplicaCorpus {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
-    // embeddings: replica k rotates the vector by k positions —
-    // norm-preserving, deterministic, distinct directions per replica
+    // embeddings: replica k rotates the vector by k MOD 64 positions and
+    // NEGATES it on every 64-replica wrap — norm-preserving,
+    // deterministic, distinct directions per replica. The wrap negation
+    // is what keeps factors > 64 honest: a bare rotation repeats every
+    // 64 replicas, and a repeated rotation of the SAME source vector is
+    // an IDENTICAL embedding — 20k planted exact duplicates per
+    // colliding replica pair, squaring the very pair space the disjoint
+    // growth model exists to avoid. Negation flips the direction
+    // (cosine −1), so wrapped replicas can never pair with their
+    // rotation twins under any positive similarity threshold. Two wraps
+    // (factor > 128) would collide again — guarded loudly below.
+    require(factor <= 128,
+      s"ReplicaCorpus factor $factor > 128: the rotate+negate embedding " +
+        "transform repeats after two 64-replica wraps; extend the " +
+        "transform (e.g. seeded per-wrap sign masks) before going higher")
     write(src("embeddings").crossJoin(broadcast(reps))
       .select(
         (col("vec_id") * factor + col("rep")).as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(expr(
-          """concat(slice(embedding, rep + 1, 64 - rep),
-            |       slice(embedding, 1, rep))"""
+          """transform(
+            |  concat(slice(embedding, (rep % 64) + 1, 64 - (rep % 64)),
+            |         slice(embedding, 1, rep % 64)),
+            |  x -> CASE WHEN rep >= 64 THEN -x ELSE x END)"""
             .stripMargin.replace("\n", " ")).cast("array<float>"))
           .as("embedding"),
         col("label")), "embeddings")
