@@ -3732,33 +3732,42 @@ object SparkEntry {
     // q126 span size), gram types, types shared by ≥2 docs, and the
     // share of DOCS a dedup pass at that n would touch. The instrument
     // for the dedup KNOB, beside q231's recall instrument for the
-    // LSH stage. One tokenize pass explodes all four gram streams
-    // (per-doc arrays; docs shorter than n contribute nothing at that
-    // n); the type table is vocabulary-bounded per n. Hash-exact.
+    // LSH stage. One tokenize pass explodes all four gram TYPE streams
+    // (PortableShingleHashes dedupes per doc inside the scan — every
+    // consumer here is type-set-grain, so the occurrence stream the
+    // previous shape materialized and corpus-wide-distinct'd carried
+    // pure overhead; same md5 values, so the oracle is untouched).
+    // The gram stream is shuffled exactly ONCE: per-type doc counts
+    // (nd) and a first-row marker (rn) are windows over the one
+    // (n, gh) exchange — the q261 recipe, which the 100× rung measured
+    // at 380 s for the old double-shuffle shape — and the census
+    // (types via rn=1 rows), the shared census, and the touched-docs
+    // count then fold into a single (n, doc)-grain aggregate, so the
+    // windowed stream is consumed once and never checkpointed.
+    // Hash-exact.
     "q293_shingle_sensitivity" -> ((s, dir) => {
       val ns = Seq(3, 5, 8, 13)
       val occ = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(array(ns.map(n =>
           struct(lit(n.toLong).as("n"),
-            graft.plans.SketchFunctions.portableNgramHashes(col("t"), n)
+            graft.plans.SketchFunctions.portableShingleHashes(col("t"), n)
               .as("ghs"))): _*)).as("s"))
         .select(col("doc_id"), col("s.n").as("n"),
           explode(col("s.ghs")).as("gh"))
-        .localCheckpoint(true) // type table + the flagged-docs semi join
-      val types = occ.select("n", "gh", "doc_id").distinct()
-        .groupBy("n", "gh").agg(count(lit(1)).as("nd"))
-        .localCheckpoint(true) // census + the shared-gram probe
-      val census = types.groupBy("n").agg(
-        count(lit(1)).as("gram_types"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_types"))
-      val flagged = occ
-        .join(types.filter(col("nd") >= 2).select("n", "gh"),
-          Seq("n", "gh"), "left_semi")
-        .select("n", "doc_id").distinct()
-        .groupBy("n").agg(count(lit(1)).as("docs_touched"))
-      census.join(flagged, Seq("n"), "left")
-        .na.fill(0L, Seq("docs_touched"))
+      val w = Window.partitionBy("n", "gh")
+      val perDoc = occ
+        .withColumn("nd", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+        .groupBy("n", "doc_id").agg(
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("first_types"),
+          sum(when(col("rn") === 1 && col("nd") >= 2, 1L).otherwise(0L))
+            .as("first_shared"),
+          max(when(col("nd") >= 2, 1L).otherwise(0L)).as("touched"))
+      perDoc.groupBy("n").agg(
+          sum(col("first_types")).as("gram_types"),
+          sum(col("first_shared")).as("shared_types"),
+          sum(col("touched")).as("docs_touched"))
         .crossJoin(broadcast(
           t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))))
         .withColumn("shared_type_pm",
