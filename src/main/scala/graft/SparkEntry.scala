@@ -4757,6 +4757,31 @@ object SparkEntry {
         dirty, c, Seq("c_nationkey", "blk"), blockCap = 64)
     }),
 
+    // Extension — DEGREE-CAPPED TRIANGLE CENSUS (q178's scale twin,
+    // closing the q321/q322 trilogy): q178 stays the exact instrument;
+    // THIS is the shape for a graph whose hubs densify with the corpus
+    // (events keep user_id at every replica rung, so co-occurrence
+    // degree grows with the data). Each node keeps its 64 SMALLEST
+    // oriented out-neighbors — a deterministic row_number truncation on
+    // the orientation's own exchange — so per-arc intersection work is
+    // ≤ 2·64 at ANY scale, adjacency rows are ≤ 64 longs (shuffle-
+    // joined, never broadcast), and the count is a certified lower
+    // bound with the loss CENSUSED in the same row (truncated sources,
+    // dropped arcs, the out-wedges those drops close off). The cap
+    // BINDS at gate scale (~half the sources, out-degree median ≈ 66)
+    // so the drop path is exercised by the hash gate itself, not only
+    // at 100×. Hash-exact — the oracle replays the orientation, the
+    // row_number truncation and the census arithmetic literally.
+    "q324_capped_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graph.triangleStatsCapped(pairs, "src", "dst",
+        maxOut = 64)
+    }),
+
     // Extension — MIX-SHIFT DECOMPOSITION (MixShift.decompose): why
     // did average event value move between the first and second half of
     // the month — per-type RATE movement (what changed) vs MIX movement
@@ -11997,6 +12022,51 @@ object SparkEntry {
       |  (SELECT left_affected FROM aff) AS left_affected
       |FROM sz""".stripMargin
 
+  /** q324: q178's orientation replayed literally, then the
+    * row_number-over-(s ORDER BY t) truncation at 64, the kept-arc
+    * wedge-path closure, and the drop census off the same ranked
+    * frame. */
+  private val q324Oracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |r AS MATERIALIZED (SELECT s, t,
+      |    row_number() OVER (PARTITION BY s ORDER BY t) AS rn
+      |  FROM (SELECT
+      |      CASE WHEN (d1.d, e.u) < (d2.d, e.v) THEN e.u ELSE e.v END AS s,
+      |      CASE WHEN (d1.d, e.u) < (d2.d, e.v) THEN e.v ELSE e.u END AS t
+      |    FROM e JOIN deg d1 ON d1.n = e.u JOIN deg d2 ON d2.n = e.v)),
+      |kept AS MATERIALIZED (SELECT s, t FROM r WHERE rn <= 64),
+      |od AS MATERIALIZED (SELECT s, CAST(max(rn) AS BIGINT) AS dout
+      |  FROM r GROUP BY 1),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles_capped FROM (
+      |    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |    FROM kept e1 JOIN kept e2 ON e1.t = e2.s) w
+      |  WHERE EXISTS (SELECT 1 FROM kept e3
+      |    WHERE e3.s = w.a AND e3.t = w.c)),
+      |cen AS (SELECT
+      |    CAST(coalesce(sum(CASE WHEN dout > 64 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS n_trunc_nodes,
+      |    CAST(coalesce(sum(greatest(dout - 64, 0)), 0) AS BIGINT)
+      |      AS n_arcs_dropped,
+      |    CAST(coalesce(sum(CASE WHEN dout > 64
+      |        THEN dout * (dout - 1) // 2 - 2016 ELSE 0 END), 0) AS BIGINT)
+      |      AS dropped_src_wedges,
+      |    CAST(coalesce(sum(least(dout, 64)), 0) AS BIGINT) AS n_arcs_kept
+      |  FROM od),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+      |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges, CAST(64 AS BIGINT) AS cap,
+      |  n_trunc_nodes, n_arcs_dropped, dropped_src_wedges,
+      |  n_triangles_capped,
+      |  CASE WHEN n_edges > 0
+      |       THEN CAST(10000 * n_arcs_kept // n_edges AS BIGINT)
+      |       ELSE 0 END AS kept_arcs_pm
+      |FROM st CROSS JOIN tri CROSS JOIN cen""".stripMargin
+
   /** q163: split-conformal — q66's token-count replay feeds the residual
     * scores; q̂ is the rank-k order statistic via the same distinct-score
     * cumulative count the operator uses; ∞ spelled as BIGINT max. */
@@ -13958,6 +14028,7 @@ object SparkEntry {
     "q321_adaptive_cosine_census" -> q321Oracle,
     "q322_capped_linkage_census" -> q322Oracle,
     "q323_linkage_block_census" -> q323Oracle,
+    "q324_capped_triangles" -> q324Oracle,
     "q270_calendar_densify" -> q270Oracle,
     "q271_snapshot_cdc" -> q271Oracle,
     "q266_rfm_segments" -> q266Oracle,

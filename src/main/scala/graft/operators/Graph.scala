@@ -195,6 +195,94 @@ object Graph {
           .otherwise(0L))
   }
 
+  /** DEGREE-CAPPED TRIANGLE CENSUS — [[triangleStats]]'s scale path
+    * (the q321/q322 pattern: the exact instrument keeps its geometry,
+    * the production twin bounds the hot dimension and CENSUSES what the
+    * bound cost). On a corpus whose co-occurrence graph DENSIFIES with
+    * scale, the exact count's per-edge intersection work is
+    * Σ (deg⁺(u) + deg⁺(v)) — unbounded when hubs grow with the data.
+    * Here each node keeps only its `maxOut` SMALLEST oriented
+    * out-neighbors (`row_number OVER (PARTITION BY s ORDER BY t)` — a
+    * deterministic, engine-replayable sample of over-cap adjacency, the
+    * q323 drop-before-join move), so per-arc intersection work is ≤
+    * 2·maxOut FOREVER, row width is ≤ maxOut longs (no broadcast — the
+    * adjacency join shuffles on the arc keys and reuses the window's
+    * own exchange on `s`), and the count is a certified LOWER bound
+    * (kept arcs ⊆ oriented arcs; a triangle is counted iff all three
+    * arcs survive — equality whenever maxOut ≥ max out-degree, which a
+    * spec pins). The honesty meter rides in the same row: truncated
+    * sources, dropped arcs, and the out-wedges those drops close off
+    * (`C(d⁺,2) − C(maxOut,2)` per truncated source — the closure
+    * opportunities the cap removed at its sources).
+    *
+    * One row: original n_nodes / n_edges / n_wedges (the exact
+    * instrument's frame), the cap, n_trunc_nodes, n_arcs_dropped,
+    * dropped_src_wedges, n_triangles_capped, and kept_arcs_pm
+    * (10⁴·kept DIV edges) — all exact integers. */
+  def triangleStatsCapped(edges: DataFrame, srcCol: String, dstCol: String,
+      maxOut: Int): DataFrame = {
+    require(maxOut >= 1, s"maxOut must be >= 1, got $maxOut")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint(true) // degrees + orientation, one build
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"))
+    // deterministic truncation on the orientation's one exchange; the
+    // ranked frame feeds both the kept subgraph and the drop census
+    val ranked = oriented
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("s").orderBy("t")))
+      .localCheckpoint(true)
+    val kept = ranked.filter(col("rn") <= maxOut).select("s", "t")
+    // bounded adjacency (≤ maxOut longs per row); groupBy("s") reuses
+    // the window's hash partitioning, the t-side join is the one new
+    // shuffle — deliberately NO broadcast hint: at any scale both
+    // sides are (≤ maxOut)-bounded rows keyed by node
+    val adj = kept.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    val tri = kept
+      .join(adj.select(col("s"), col("nbrs").as("_nu")), Seq("s"), "left")
+      .join(adj.select(col("s").as("t"), col("nbrs").as("_nv")), Seq("t"), "left")
+      .select(size(array_intersect(
+        coalesce(col("_nu"), array()),
+        coalesce(col("_nv"), array()))).cast("long").as("_c"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n_triangles_capped"))
+    val capWedges = lit(maxOut.toLong * (maxOut - 1L) / 2L)
+    val census = ranked.groupBy(col("s")).agg(max(col("rn")).cast("long").as("dout"))
+      .agg(
+        coalesce(sum(when(col("dout") > maxOut, 1L).otherwise(0L)), lit(0L))
+          .as("n_trunc_nodes"),
+        coalesce(sum(greatest(col("dout") - maxOut, lit(0L))), lit(0L))
+          .as("n_arcs_dropped"),
+        coalesce(sum(when(col("dout") > maxOut,
+            expr("dout * (dout - 1) DIV 2") - capWedges).otherwise(0L)),
+          lit(0L)).as("dropped_src_wedges"),
+        coalesce(sum(least(col("dout"), lit(maxOut.toLong))), lit(0L))
+          .as("n_arcs_kept"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(expr("sum(d) DIV 2"), lit(0L)).as("n_edges"),
+      coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("n_wedges"))
+    stats.crossJoin(tri).crossJoin(census) // 1-row x 1-row x 1-row
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        lit(maxOut.toLong).as("cap"),
+        col("n_trunc_nodes"), col("n_arcs_dropped"),
+        col("dropped_src_wedges"), col("n_triangles_capped"),
+        when(col("n_edges") > 0,
+          expr("10000 * n_arcs_kept DIV n_edges")).otherwise(0L)
+          .as("kept_arcs_pm"))
+  }
+
   /** K-CORE DECOMPOSITION — the maximal subgraph in which every node
     * keeps degree ≥ k, found by iterative peeling: drop every node
     * whose CURRENT degree is < k, recompute degrees on the induced

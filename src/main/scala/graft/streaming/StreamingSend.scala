@@ -27,10 +27,15 @@ object StreamingSend {
       sourceSchema: StructType,
       checkpointDir: String,
       watermark: String = "1 hour",
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      sourceOptions: Map[String, String] = Map.empty
   ): StreamingQuery = {
     val job = new SendToWarehouseJob(spark, conf, namespace)
-    val raw = spark.readStream.schema(sourceSchema).json(sourceDir)
+    val raw = spark.readStream.schema(sourceSchema)
+      .options(sourceOptions) // e.g. maxFilesPerTrigger: AvailableNow
+      // honors it as a rate limit, so a big backlog drains as MANY
+      // bounded micro-batches instead of one giant one
+      .json(sourceDir)
 
     val deduped =
       if (raw.columns.contains("timestamp") && raw.columns.contains("messageId"))
@@ -83,9 +88,12 @@ object StreamingSend {
       tsCol: String,
       n: Int = 3,
       watermark: String = "1 hour",
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      sourceOptions: Map[String, String] = Map.empty
   ): StreamingQuery = {
-    val raw = spark.readStream.schema(sourceSchema).json(sourceDir)
+    val raw = spark.readStream.schema(sourceSchema)
+      .options(sourceOptions)
+      .json(sourceDir)
       .select(col(srcCol), to_timestamp(col(tsCol)).as("__event_ts"),
         col(textCol))
     graft.operators.SourceOverlap

@@ -56,7 +56,7 @@ object JoinShapeAudit {
     "q301_probe_radius_sweep", "q302_salted_shuffle_census",
     "q308_index_staleness",
     "q317_stopword_drift",
-    "q323_linkage_block_census",
+    "q323_linkage_block_census", "q324_capped_triangles",
     "q84_kmv_distinct",
     "q89_selfjoin_estimate", "q93_hll_distinct", "q98_temperature_mixture"
   ).map(_ -> scalarCross).toMap ++ Map(

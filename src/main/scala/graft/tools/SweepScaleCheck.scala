@@ -62,7 +62,13 @@ object SweepScaleCheck {
     // high-cardinality digit key with a BucketCap'd reference side;
     // q323 is q322's cap-loss census (the q320 pattern)
     "q321_adaptive_cosine_census", "q322_capped_linkage_census",
-    "q323_linkage_block_census")
+    "q323_linkage_block_census",
+    // round-15: q178's scale twin — oriented adjacency truncated at 64
+    // per source (deterministic smallest-t sample), triangle count on
+    // the kept arcs with the drop censused in-row; per-arc work is
+    // cap-bounded so the line should read ~linear where q178 tracks
+    // the densifying co-occurrence graph
+    "q324_capped_triangles")
 
   /** The slowest-bench family (BENCH_10x slowest_min, r13), run
     * alongside the instruments on every rung so the 100× spot-check

@@ -132,6 +132,52 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getLong(3) == 1L)
   }
 
+  test("capped triangles: non-binding cap reproduces the exact count, " +
+      "census all-zero") {
+    // K4 has max out-degree 3 under any orientation, so cap=8 keeps
+    // every arc: capped count == exact count, zero drops, 10000 pm kept
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("src", "dst")
+    val r = Graph.triangleStatsCapped(k4, "src", "dst", maxOut = 8)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 6L, 12L)))
+    assert(r.getLong(3) == 8L) // cap echoed
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((0L, 0L, 0L)))
+    assert(r.getLong(7) == 4L && r.getLong(8) == 10000L)
+  }
+
+  test("capped triangles: binding cap drops the LARGEST-t arcs, count " +
+      "is a lower bound, census is exact") {
+    // K5, all degrees tie at 4 -> orientation is id-ascending, so
+    // N+(1)={2,3,4,5}, N+(2)={3,4,5}, N+(3)={4,5}, N+(4)={5}. cap=2
+    // keeps 1->{2,3}, 2->{3,4}, 3->{4,5}, 4->{5}: of the 10 exact
+    // triangles only the three arc-complete triples (1,2,3), (2,3,4),
+    // (3,4,5) survive.
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+      .toDF("src", "dst")
+    val exact = Graph.triangleStats(k5, "src", "dst").collect().head
+    val r = Graph.triangleStatsCapped(k5, "src", "dst", maxOut = 2)
+      .collect().head
+    assert(exact.getLong(3) == 10L)
+    assert(r.getLong(7) == 3L) // lower bound, deterministic survivors
+    assert(r.getLong(4) == 2L) // truncated sources: nodes 1 (dout 4), 2 (dout 3)
+    assert(r.getLong(5) == 3L) // arcs dropped: (4-2) + (3-2)
+    // out-wedges lost: (C(4,2)-C(2,2)) + (C(3,2)-C(2,2)) = 5 + 2
+    assert(r.getLong(6) == 7L)
+    assert(r.getLong(8) == 10000L * 7 / 10) // kept arcs 7 of 10
+    // frame columns stay the ORIGINAL graph's (q178's instrument frame)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 10L, 30L)))
+    assert(r.getLong(2) == exact.getLong(2))
+  }
+
+  test("capped triangles: empty edge set yields the all-zero row") {
+    val r = Graph.triangleStatsCapped(
+        Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", maxOut = 4)
+      .collect().head
+    assert((0 to 8).filter(_ != 3).forall(i => r.getLong(i) == 0L))
+    assert(r.getLong(3) == 4L)
+  }
+
   private def lpa(edges: Seq[(String, String, Long)], rounds: Int) =
     Graph.labelPropagationBipartite(edges.toDF("l", "r", "w"), "l", "r", "w",
         rounds)

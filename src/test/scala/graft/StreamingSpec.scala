@@ -1947,4 +1947,28 @@ class StreamingSpec extends AnyFunSuite {
         (r.getAs[Long]("grams_b"), r.getAs[Long]("shared"))).toMap
     assert(m(("s1", "s2")) == ((4L, 1L)) && m(("s2", "s1")) == ((2L, 1L)))
   }
+
+  test("scale drive replays at toy geometry: bounded micro-batches, " +
+      "restart, exactly-once state + sink invariants") {
+    import graft.tools.StreamingScaleDrive
+    // the 10x evidence run's harness, shrunk to sf0.001: 4 chunks at
+    // maxFilesPerTrigger=1 forces >= 2 micro-batches in run 1 (the
+    // AvailableNow rate-limit path the toy cases never exercised), the
+    // restart resumes mid-corpus, and the drives' own hard `require`s
+    // are the exactly-once gate (census: state table set-equals the
+    // batch twin; ingest: one warehouse row per messageId even with
+    // the planted 1k-duplicate chunk arriving after the resume)
+    val work = Files.createTempDirectory("graft_scale_drive").toString
+    val census = StreamingScaleDrive.driveCensus(
+      spark, "/root/testdata/sf0.001", work, chunks = 4, filesPerTrigger = 1)
+    assert(census.run1Batches >= 2 && census.run2Batches >= 1)
+    assert(census.sinkRows == census.distinctKeys)
+    assert(census.stats.exists(_.stateRows > 0)) // watermark state witnessed
+    val ingest = StreamingScaleDrive.driveIngest(
+      spark, "/root/testdata/sf0.001", work, chunks = 4, filesPerTrigger = 1)
+    assert(ingest.run1Batches >= 2 && ingest.run2Batches >= 1)
+    assert(ingest.sinkRows == ingest.distinctKeys)
+    assert(ingest.sourceRows == ingest.distinctKeys) // event_ids unique at source
+    assert(ingest.stats.exists(_.stateRows > 0))
+  }
 }
