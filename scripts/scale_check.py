@@ -66,7 +66,13 @@ def run_one(args):
             return (name, "SKIP", f"rows-only, {len(spark_df)} rows",
                     time.time() - t0)
         con = duckdb.connect()
-        con.execute(f"SET memory_limit='12GB'; SET threads=4;")
+        # per-worker caps sized so `workers` coexist on a 128 GiB box;
+        # a single resource-heavy oracle (q221's unrolled k-core peel
+        # chain at 100x needs >12 GB of CTE materializations) re-runs
+        # solo with SCALE_CHECK_MEM/THREADS raised
+        mem = os.environ.get("SCALE_CHECK_MEM", "12GB")
+        thr = os.environ.get("SCALE_CHECK_THREADS", "4")
+        con.execute(f"SET memory_limit='{mem}'; SET threads={thr};")
         for p in glob.glob(f"{sfdir}/*.parquet"):
             tname = os.path.basename(p)[:-len(".parquet")]
             src = f"{p}/*.parquet" if os.path.isdir(p) else p

@@ -14,7 +14,12 @@ same HEAD would print. Batches are cheap: a worker re-opens its own
 DuckDB either way.
 
 Usage: scale_check_stream.py <sfDir> <verifyOutDir> <stageRoot>
-         [batchBudgetSec] [workers] [pollSec]
+         [batchBudgetSec] [workers] [pollSec] [skipFile]
+
+`skipFile` (one query name per line) pre-seeds the done set — the
+resume/parallel-instance hook: a second instance can take over the
+stream while a straggler batch of the first is still draining, without
+double-checking its queries.
 
 Stops when no new dir has appeared for `idle_limit` polls AND a
 `DONE` file exists in verifyOutDir (touch it when Verify's process
@@ -31,6 +36,9 @@ here = os.path.dirname(os.path.abspath(__file__))
 
 os.makedirs(stage_root, exist_ok=True)
 done: set = set()
+if len(sys.argv) > 7:
+    done.update(l.strip() for l in open(sys.argv[7]) if l.strip())
+    print(f"== pre-seeded done set: {len(done)} queries ==", flush=True)
 batch_no = 0
 any_fail = False
 while True:
