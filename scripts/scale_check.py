@@ -73,6 +73,13 @@ def run_one(args):
         mem = os.environ.get("SCALE_CHECK_MEM", "12GB")
         thr = os.environ.get("SCALE_CHECK_THREADS", "4")
         con.execute(f"SET memory_limit='{mem}'; SET threads={thr};")
+        # in-memory DuckDB spills to <cwd>/.tmp with block files that are
+        # NOT pid-scoped — concurrent workers sharing a cwd unlink each
+        # other's spill blocks (observed at 100x as spurious aborts /
+        # instant allocation failures). Give every worker its own dir.
+        tmp = f"/tmp/duckdb_tmp_{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}';")
         for p in glob.glob(f"{sfdir}/*.parquet"):
             tname = os.path.basename(p)[:-len(".parquet")]
             src = f"{p}/*.parquet" if os.path.isdir(p) else p

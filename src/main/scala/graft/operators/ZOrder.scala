@@ -83,8 +83,13 @@ object ZOrder {
     val n = df.count() // bounded: one scalar for the bucket arithmetic
     df.select(Seq(col(xCol).as("x"), col(yCol).as("y"), z.as("z")) ++ tieCols.map(col): _*)
       .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
-      // integer floor division (Divide would go through DOUBLE)
-      .withColumn("file_id", expr(s"CAST(((rn - 1) * $nFiles) DIV $n AS BIGINT)"))
+      // integer floor division (Divide would go through DOUBLE). rn is
+      // Spark's INT row_number — widen BEFORE the multiply: (rn−1)·nFiles
+      // passes 2³¹ once the frame exceeds 2³¹/nFiles rows (first hit at
+      // the 100× rung: 6e7 rows × 64 files; ANSI threw loudly, round-15
+      // full-surface gate's catch)
+      .withColumn("file_id",
+        expr(s"(CAST(rn AS BIGINT) - 1) * $nFiles DIV $n"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("x").as("min_x"), max("x").as("max_x"),
