@@ -8258,7 +8258,14 @@ object SparkEntry {
       |FROM g ORDER BY event_type""".stripMargin
 
   /** q178: triangles — the same degree-(row-value)-ordered orientation,
-    * the a→b→c wedge path and the EXISTS closure. */
+    * then the ADJACENCY-INTERSECTION closure the operator itself uses
+    * (per oriented edge (u,v): |N⁺(u) ∩ N⁺(v)| via sorted out-neighbor
+    * lists), which counts the identical arc-complete triples as the
+    * a→b→c wedge-path + EXISTS form this replaces — but with bounded
+    * intermediates: the wedge expansion materialized Σ indeg·outdeg
+    * rows (~1.4 B at the 100× rung) and needed >40 GB of DuckDB spill
+    * (round-15 full-surface gate), where the list form carries |V|
+    * adjacency rows holding m longs total. */
   private val q178Oracle =
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
@@ -8269,11 +8276,12 @@ object SparkEntry {
       |    CASE WHEN (d1.d, e.u) < (d2.d, e.v) THEN e.u ELSE e.v END AS s,
       |    CASE WHEN (d1.d, e.u) < (d2.d, e.v) THEN e.v ELSE e.u END AS t
       |  FROM e JOIN deg d1 ON d1.n = e.u JOIN deg d2 ON d2.n = e.v),
-      |tri AS (SELECT count(*) AS n_triangles FROM (
-      |    SELECT e1.s AS a, e1.t AS b, e2.t AS c
-      |    FROM o e1 JOIN o e2 ON e1.t = e2.s) w
-      |  WHERE EXISTS (SELECT 1 FROM o e3
-      |    WHERE e3.s = w.a AND e3.t = w.c)),
+      |adj AS MATERIALIZED (SELECT s, list_sort(list(t)) AS nbrs
+      |  FROM o GROUP BY s),
+      |tri AS (SELECT CAST(coalesce(sum(len(list_intersect(
+      |      coalesce(x.nbrs, []), coalesce(y.nbrs, [])))), 0) AS BIGINT)
+      |    AS n_triangles
+      |  FROM o LEFT JOIN adj x ON o.s = x.s LEFT JOIN adj y ON o.t = y.s),
       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
       |    CAST(sum(d) // 2 AS BIGINT) AS n_edges,
       |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
@@ -12563,12 +12571,23 @@ object SparkEntry {
 
   /** q27: portable SimHash in DuckDB — md5-slice token hashes (multiset),
     * per-bit ±1 vote via a 64-row bit-value table (no shift semantics to
-    * trust), signature reassembled from the winning bits, then the EXACT
-    * all-pairs Hamming-≤3 join. The operator's banded pigeonhole join is
-    * complete whenever no (chunk, value) bucket exceeds its cap — at
-    * oracle scale a bucket cannot reach the cap, so the sets coincide. */
+    * trust), signature reassembled from the winning bits, then the banded
+    * pigeonhole candidate join REPLAYED LITERALLY — chunk buckets, the
+    * ≤-cap filter (the q322 `HAVING ≤ cap` move), candidates through
+    * surviving buckets only — and the exact Hamming-≤3 filter on top. At
+    * gate scales no bucket reaches the cap, so this equals the exact
+    * all-pairs join it replaces; at 100× (500k docs) hot chunk values DO
+    * cross the cap and the oracle now certifies the operator's declared
+    * capped contract instead of silently demanding the uncapped superset
+    * (round-15 full-surface 100× gate's catch: 85,959 capped vs 86,624
+    * uncapped pairs). `(sig >> s) & mask` is shift-fill-proof: the mask
+    * keeps only bits below 16, which arithmetic and logical fills agree
+    * on for every s ≤ 48. */
   private def q27Oracle: String = {
     val bitRows = (0 until 64).map(b => s"(${1L << b})").mkString(", ")
+    val chunks = Q27MaxHamming + 1
+    val bitsPer = 64 / chunks
+    val cap = 1000 // simhashPairs default maxBucketSize (NearDup.scala)
     s"""WITH toks AS (SELECT doc_id, t FROM (
        |    SELECT doc_id,
        |      list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
@@ -12579,12 +12598,21 @@ object SparkEntry {
        |    sum(CASE WHEN (h & bv.bitval) <> 0 THEN 1 ELSE -1 END) AS c
        |  FROM h CROSS JOIN (VALUES $bitRows) bv(bitval)
        |  GROUP BY doc_id, bv.bitval),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |    CAST(sum(CASE WHEN c > 0 THEN bitval ELSE 0 END) AS BIGINT) AS sig
-       |  FROM bits GROUP BY doc_id)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  FROM bits GROUP BY doc_id),
+       |ch AS MATERIALIZED (SELECT doc_id,
+       |    (sig >> (k.k * $bitsPer)) & ${(1L << bitsPer) - 1} AS chunk, k.k
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $chunks)) AS k) k),
+       |keep AS MATERIALIZED (SELECT doc_id, chunk, k FROM ch
+       |  QUALIFY count(*) OVER (PARTITION BY k, chunk) <= $cap),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keep a JOIN keep b
+       |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b,
        |  bit_count(xor(a.sig, b.sig)) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |FROM cand c JOIN sig a ON c.id_a = a.doc_id
+       |  JOIN sig b ON c.id_b = b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $Q27MaxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
