@@ -80,6 +80,12 @@ def run_one(args):
         tmp = f"/tmp/duckdb_tmp_{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}';")
+        if os.environ.get("SCALE_CHECK_NO_ORDER"):
+            # stream large joins instead of materializing them in
+            # insertion order — the difference between 67 GB of spill
+            # and none for list-payload joins; canon() sorts rows, so
+            # result order never matters to the compare
+            con.execute("SET preserve_insertion_order=false;")
         for p in glob.glob(f"{sfdir}/*.parquet"):
             tname = os.path.basename(p)[:-len(".parquet")]
             src = f"{p}/*.parquet" if os.path.isdir(p) else p
