@@ -54,9 +54,15 @@ def run_one(args):
     memory + threads so `workers` of these coexist), own compare."""
     name, d, sql = args
     import duckdb
+    import shutil
     import pyarrow.parquet as pq
     import pandas as pd
     t0 = time.time()
+    con = None
+    # per-worker spill dir (see below); removed in the finally so repeated
+    # runs / the stream wrapper's many batches don't accumulate leftovers
+    # in /tmp (r15 advisor)
+    tmp = f"/tmp/duckdb_tmp_{os.getpid()}"
     try:
         files = glob.glob(f"{d}/*.parquet")
         if not files:
@@ -77,7 +83,6 @@ def run_one(args):
         # NOT pid-scoped — concurrent workers sharing a cwd unlink each
         # other's spill blocks (observed at 100x as spurious aborts /
         # instant allocation failures). Give every worker its own dir.
-        tmp = f"/tmp/duckdb_tmp_{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}';")
         if os.environ.get("SCALE_CHECK_NO_ORDER"):
@@ -120,6 +125,13 @@ def run_one(args):
         return (name, "FAIL", str(e).split("\n")[0], time.time() - t0)
     except Exception as e:
         return (name, "FAIL", f"oracle error: {e}"[:200], time.time() - t0)
+    finally:
+        if con is not None:
+            try:
+                con.close()
+            except Exception:
+                pass
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():

@@ -20,15 +20,20 @@ import org.apache.spark.sql.functions._
   * 64-bit integer `& | <<`.
   *
   * Scale shape: `clusterStats` assigns rows to equal-count z-range
-  * "files" with one global-ordered window — fine for a stats/pruning
-  * AUDIT (its output is file-count-sized), but the window is a single
-  * partition. The production WRITE path is
-  * `df.repartitionByRange(nFiles, zValue(x, y)).sortWithinPartitions(z)`
-  * + partitioned write: the range exchange is the distributed sort (no
-  * single-partition stage), each partition becomes one file, and the
-  * file boundaries come from Spark's range sampling (non-reproducible
-  * across runs, which is why the auditable query uses rank buckets
-  * instead).
+  * "files" via the TWO-PHASE range-partitioned rank (the q165
+  * heapsCurve prefix-sum move) — `repartitionByRange` on the total
+  * order (z, ties) is the distributed sort, each partition ranks
+  * locally under a window PARTITIONED by its physical partition id,
+  * and the per-partition row counts (a frame bounded by the partition
+  * COUNT, never the data) cumulate into offsets that broadcast back.
+  * No data-sized single-partition window anywhere; the rank is
+  * deterministic regardless of where the sampled range boundaries
+  * fall, because (z, ties) is a total order. The production WRITE path
+  * is `df.repartitionByRange(nFiles, zValue(x, y))
+  * .sortWithinPartitions(z)` + partitioned write: each partition
+  * becomes one file, and the file boundaries come from Spark's range
+  * sampling (non-reproducible across runs, which is why the auditable
+  * query uses rank buckets instead).
   */
 object ZOrder {
 
@@ -69,7 +74,9 @@ object ZOrder {
     * min_y, max_y)` — the min/max footer stats a reader would prune on.
     * File assignment is the portable rank bucket `(rank−1)·nFiles / n`
     * over `(z, tieCols…)` (total order ⇒ deterministic, replayable),
-    * not range-sampled boundaries. Output is nFiles rows. */
+    * not range-sampled boundaries. The rank is the two-phase
+    * range-partitioned form (see object scaladoc): no single-partition
+    * window ever holds the data. Output is nFiles rows. */
   def clusterStats(
       df: DataFrame,
       xCol: String,
@@ -81,15 +88,34 @@ object ZOrder {
     val z = zValue(col(xCol), col(yCol))
     val ord = col("z").asc +: tieCols.map(col(_).asc)
     val n = df.count() // bounded: one scalar for the bucket arithmetic
-    df.select(Seq(col(xCol).as("x"), col(yCol).as("y"), z.as("z")) ++ tieCols.map(col): _*)
-      .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
-      // integer floor division (Divide would go through DOUBLE). rn is
-      // Spark's INT row_number — widen BEFORE the multiply: (rn−1)·nFiles
-      // passes 2³¹ once the frame exceeds 2³¹/nFiles rows (first hit at
-      // the 100× rung: 6e7 rows × 64 files; ANSI threw loudly, round-15
-      // full-surface gate's catch)
-      .withColumn("file_id",
-        expr(s"(CAST(rn AS BIGINT) - 1) * $nFiles DIV $n"))
+    // Phase 1: range-partition on the total order (the ranges ARE the
+    // global order), rank locally under a window PARTITIONED by the
+    // physical partition id — per-group size is bounded by the range
+    // partition, never the table. The checkpoint pins the sampled range
+    // boundaries so _pid means the same partition in both phases.
+    val local = df
+      .select(Seq(col(xCol).as("x"), col(yCol).as("y"), z.as("z")) ++ tieCols.map(col): _*)
+      .repartitionByRange(ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn",
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(ord: _*)))
+      .localCheckpoint(true)
+    // Phase 2: per-partition counts collapse to one row per partition —
+    // a frame bounded by the partition COUNT (O(cluster), not O(data))
+    // — cumulate into exclusive prefix offsets and broadcast back.
+    val partOff = local.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_pc"))
+      .withColumn("_off",
+        coalesce(sum(col("_pc")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(partOff), "_pid")
+      // global rank = offset + local rank, BIGINT from birth (the r15
+      // 100× gate's catch: an INT rank × nFiles passes 2³¹ once the
+      // frame exceeds 2³¹/nFiles rows — 6e7 × 64 threw under ANSI).
+      // Integer floor division (Divide would go through DOUBLE).
+      .withColumn("rn", col("_off") + col("_lrn"))
+      .withColumn("file_id", expr(s"(rn - 1) * $nFiles DIV $n"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("x").as("min_x"), max("x").as("max_x"),

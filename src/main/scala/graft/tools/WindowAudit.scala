@@ -70,7 +70,7 @@ object WindowAudit {
     "q266_rfm_segments" -> "counting-quintile scores over metric CELL frames (day/count/dollar domains; monetary quantized to dollars by design)",
     "q76_projected_rerank" -> "rank over the k reranked candidates",
     "q77_bm25" -> "rank over the TakeOrdered top-k (window sees k rows)",
-    "q85_zorder_layout" -> "rank over the 64 Z-order cells",
+    "q85_zorder_layout" -> "phase-2 rank offsets over the partition-COUNT frame (two-phase rank; the data-sized row_number is partitioned by _pid)",
     "q95_bpe_pairs" -> "merge_rank over the alphabet^2 pair frame"
   )
 
