@@ -8262,31 +8262,51 @@ object SparkEntry {
       |       ELSE 0 END AS gini_pm
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** The triangle oracles' chunk fan-out: the per-arc intersection sum
+    * Σ_{(u,v)∈arcs} |N⁺(u) ∩ N⁺(v)| partitioned by `s % n` — the chunk
+    * sums add to the identical total (the arc set is partitioned), but
+    * each chunk's intersection join probes only 1/n of the arcs, so
+    * DuckDB can never pick an arc-sized hash-join BUILD side: the
+    * unchunked single join at the 100× rung (119.6M arcs × two ~60-long
+    * neighbor lists ≈ a 60+ GB flow) built on the arc side and parked
+    * 72 GB of spill before being killed (round-16); chunked, the whole
+    * run stays in memory. Arcs whose head has no out-list contribute 0
+    * to the sum, so the INNER joins (vs the old LEFT + coalesce) drop
+    * exactly the zero terms. */
+  private def triChunkCtes(arcsCte: String, adjCte: String, n: Int): String =
+    (0 until n).map { i =>
+      s"""ch$i AS (SELECT CAST(coalesce(sum(len(list_intersect(x.nbrs, y.nbrs))), 0) AS BIGINT) AS s
+         |  FROM $arcsCte o JOIN $adjCte x ON o.s = x.s JOIN $adjCte y ON o.t = y.s
+         |  WHERE o.s % $n = $i)""".stripMargin
+    }.mkString(",\n")
+
+  private def triChunkUnion(n: Int): String =
+    (0 until n).map(i => s"SELECT s FROM ch$i").mkString(" UNION ALL ")
+
   /** q178: triangles — the same degree-(row-value)-ordered orientation,
     * then the ADJACENCY-INTERSECTION closure the operator itself uses
     * (per oriented edge (u,v): |N⁺(u) ∩ N⁺(v)| via sorted out-neighbor
     * lists), which counts the identical arc-complete triples as the
-    * a→b→c wedge-path + EXISTS form this replaces — but with bounded
-    * intermediates: the wedge expansion materialized Σ indeg·outdeg
-    * rows (~1.4 B at the 100× rung) and needed >40 GB of DuckDB spill
-    * (round-15 full-surface gate), where the list form carries |V|
-    * adjacency rows holding m longs total. */
+    * a→b→c wedge-path + EXISTS form it replaced (round 15; that form
+    * materialized ~1.4 B wedge rows at 100×). The intersection join
+    * runs as the [[triChunkCtes]] fan-out — round 16's lesson: even
+    * the list form dies at 100× when DuckDB builds its hash join on
+    * the arc-sized side; 32 chunks bound the per-join flow. */
   private val q178Oracle =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
       |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
       |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
-      |o AS MATERIALIZED (SELECT
+      |orc AS MATERIALIZED (SELECT
       |    CASE WHEN (d1.d, e.u) < (d2.d, e.v) THEN e.u ELSE e.v END AS s,
       |    CASE WHEN (d1.d, e.u) < (d2.d, e.v) THEN e.v ELSE e.u END AS t
       |  FROM e JOIN deg d1 ON d1.n = e.u JOIN deg d2 ON d2.n = e.v),
       |adj AS MATERIALIZED (SELECT s, list_sort(list(t)) AS nbrs
-      |  FROM o GROUP BY s),
-      |tri AS (SELECT CAST(coalesce(sum(len(list_intersect(
-      |      coalesce(x.nbrs, []), coalesce(y.nbrs, [])))), 0) AS BIGINT)
-      |    AS n_triangles
-      |  FROM o LEFT JOIN adj x ON o.s = x.s LEFT JOIN adj y ON o.t = y.s),
+      |  FROM orc GROUP BY s),
+      |${triChunkCtes("orc", "adj", 32)},
+      |tri AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS n_triangles
+      |  FROM (${triChunkUnion(32)})),
       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
       |    CAST(coalesce(sum(d) // 2, 0) AS BIGINT) AS n_edges,
       |    CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges FROM deg)
@@ -12037,12 +12057,16 @@ object SparkEntry {
 
   /** q324: q178's orientation replayed literally, then the
     * row_number-over-(s ORDER BY t) truncation at 64, the kept-arc
-    * wedge-path closure, and the drop census off the same ranked
-    * frame. The st sums coalesce to 0 on an empty graph, matching the
-    * operator's coalesce(…, lit(0L)) (r15 advisor's degenerate-corpus
-    * note; unreachable at gate scales where lineitem is non-empty). */
+    * closure as the chunked adjacency-intersection sum (the
+    * [[triChunkCtes]] fan-out — same arc-complete triple count as the
+    * wedge-path + EXISTS form it replaced, which at 100× expanded
+    * Σ d⁻·d⁺ ≈ billions of wedge rows), and the drop census off the
+    * same ranked frame. The st sums coalesce to 0 on an empty graph,
+    * matching the operator's coalesce(…, lit(0L)) (r15 advisor's
+    * degenerate-corpus note; unreachable at gate scales where lineitem
+    * is non-empty). */
   private val q324Oracle =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
       |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
@@ -12056,11 +12080,12 @@ object SparkEntry {
       |kept AS MATERIALIZED (SELECT s, t FROM r WHERE rn <= 64),
       |od AS MATERIALIZED (SELECT s, CAST(max(rn) AS BIGINT) AS dout
       |  FROM r GROUP BY 1),
-      |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles_capped FROM (
-      |    SELECT e1.s AS a, e1.t AS b, e2.t AS c
-      |    FROM kept e1 JOIN kept e2 ON e1.t = e2.s) w
-      |  WHERE EXISTS (SELECT 1 FROM kept e3
-      |    WHERE e3.s = w.a AND e3.t = w.c)),
+      |adjk AS MATERIALIZED (SELECT s, list_sort(list(t)) AS nbrs
+      |  FROM kept GROUP BY s),
+      |${triChunkCtes("kept", "adjk", 32)},
+      |tri AS (SELECT CAST(coalesce(sum(s), 0) AS BIGINT)
+      |    AS n_triangles_capped
+      |  FROM (${triChunkUnion(32)})),
       |cen AS (SELECT
       |    CAST(coalesce(sum(CASE WHEN dout > 64 THEN 1 ELSE 0 END), 0) AS BIGINT)
       |      AS n_trunc_nodes,
