@@ -9012,41 +9012,78 @@ object SparkEntry {
 
   /** q229: attribution replay — the direct range join (the operator's
     * bucketing is a lossless co-location), same (ms, id) rank order,
-    * the SAME pinned decay literals, every division truncating. */
+    * the SAME pinned decay literals, every division truncating.
+    *
+    * Round-16 restructure: the hot-user 100× corpus makes the
+    * purchase×touch range join 2.215 B pairs — the join STREAMS in
+    * DuckDB (~60 s for a count), but the old form's two windows over
+    * (u, cid) materialized the pair set (150+ GB, ENOSPC even solo).
+    * Every per-pair quantity here depends only on group-level stats, so
+    * the rewrite is window-free: three streamed scans of the join feed
+    * bounded hash aggregates — `g` (per-conversion n, Σw, first/last
+    * channel via arg_min/arg_max over the (tms,tid) order encoded as a
+    * HUGEINT), `chg` (per-conversion-channel counts), `chw`
+    * (per-conversion-channel-WEIGHT counts — w takes ≤31 distinct
+    * values, and floor((1e6·w)/Σw) is constant within such a cell, so
+    * the per-pair truncating division is replayed exactly). The pair
+    * scan is textually copied per consumer so DuckDB's multi-reference
+    * CTE materialization can never park it; nothing pair-sized is ever
+    * stored. Identities checked per case in the derivation: n=1 (the
+    * single pair is both first and last), n=2 (500000 each regardless
+    * of position), n≥3 (first/last distinct pairs, possibly the same
+    * CHANNEL — 400000·(isf+isl) + (200000//(n−2))·middles). */
   private def q229Oracle: String = {
     val decayArr = graft.operators.Attribution.DecayMicro.mkString("[", ", ", "]")
     val L = 7L * 24 * 3600 * 1000
-    s"""WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS ms,
+    // one streamed copy of the pair scan per consumer; `key` encodes the
+    // (tms, tid) rank order into one HUGEINT (tms < 2^41, tid < 2^63)
+    def pairScan(cols: String): String =
+      s"""SELECT $cols
+         |    FROM (SELECT u, ms AS cms, eid AS cid FROM e
+         |          WHERE etype = 'purchase') c
+         |    JOIN (SELECT u, ms AS tms, etype, eid AS tid FROM e
+         |          WHERE etype <> 'purchase') t
+         |      ON c.u = t.u AND t.tms >= c.cms - $L AND t.tms < c.cms""".stripMargin
+    val w = s"CAST(($decayArr)[CAST(least((cms - tms) // 86400000, 30) + 1 AS INT)] AS BIGINT)"
+    val key = "CAST(tms AS HUGEINT) * 9223372036854775808 + tid"
+    s"""WITH e AS MATERIALIZED (SELECT user_id AS u, epoch_ms(ts) AS ms,
        |    event_type AS etype, event_id AS eid FROM events),
-       |c AS (SELECT u, ms AS cms, eid AS cid FROM e
-       |  WHERE etype = 'purchase'),
-       |t AS (SELECT u, ms AS tms, etype, eid AS tid FROM e
-       |  WHERE etype <> 'purchase'),
-       |p AS (SELECT c.u, c.cid, c.cms, t.tms, t.etype, t.tid
-       |  FROM c JOIN t ON c.u = t.u
-       |    AND t.tms >= c.cms - $L AND t.tms < c.cms),
-       |r AS (SELECT *,
-       |    row_number() OVER (PARTITION BY u, cid ORDER BY tms, tid) AS idx,
-       |    count(*) OVER (PARTITION BY u, cid) AS n,
-       |    CAST(($decayArr)[
-       |      CAST(least((cms - tms) // 86400000, 30) + 1 AS INT)] AS BIGINT) AS w
-       |  FROM p),
-       |r2 AS (SELECT *, sum(w) OVER (PARTITION BY u, cid) AS sumw FROM r),
-       |cr AS (SELECT etype AS channel,
-       |    CASE WHEN idx = 1 THEN 1 ELSE 0 END AS isf,
-       |    CASE WHEN idx = n THEN 1 ELSE 0 END AS isl,
-       |    1000000 // n AS lin,
-       |    CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
-       |      WHEN idx = 1 OR idx = n THEN 400000
-       |      ELSE 200000 // (n - 2) END AS ush,
-       |    (1000000 * w) // sumw AS shr
-       |  FROM r2)
-       |SELECT channel, CAST(sum(isf) AS BIGINT) AS n_first,
-       |  CAST(sum(isl) AS BIGINT) AS n_last,
-       |  CAST(sum(lin) AS BIGINT) AS linear_micro,
-       |  CAST(sum(ush) AS BIGINT) AS ushape_micro,
-       |  CAST(sum(shr) AS BIGINT) AS decay_micro
-       |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
+       |g AS MATERIALIZED (SELECT u, cid,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(w) AS BIGINT) AS sumw,
+       |    arg_min(etype, key) AS first_ch,
+       |    arg_max(etype, key) AS last_ch
+       |  FROM (${pairScan(s"c.u, c.cid, t.etype, $w AS w, $key AS key")}) p0
+       |  GROUP BY u, cid),
+       |chg AS (SELECT u, cid, etype AS channel,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (${pairScan("c.u, c.cid, t.etype")}) p1
+       |  GROUP BY 1, 2, 3),
+       |per AS (SELECT cg.channel, cg.cnt, g.n,
+       |    CASE WHEN g.first_ch = cg.channel THEN 1 ELSE 0 END AS isf,
+       |    CASE WHEN g.last_ch = cg.channel THEN 1 ELSE 0 END AS isl
+       |  FROM chg cg JOIN g USING (u, cid)),
+       |ush AS (SELECT channel,
+       |    CAST(sum(isf) AS BIGINT) AS n_first,
+       |    CAST(sum(isl) AS BIGINT) AS n_last,
+       |    CAST(sum((1000000 // n) * cnt) AS BIGINT) AS linear_micro,
+       |    CAST(sum(CASE WHEN n = 1 THEN 1000000
+       |      WHEN n = 2 THEN 500000 * cnt
+       |      ELSE 400000 * (isf + isl)
+       |        + (200000 // (n - 2)) * (cnt - isf - isl) END) AS BIGINT)
+       |      AS ushape_micro
+       |  FROM per GROUP BY 1),
+       |chw AS (SELECT u, cid, etype AS channel, w,
+       |    CAST(count(*) AS BIGINT) AS cntw
+       |  FROM (${pairScan(s"c.u, c.cid, t.etype, $w AS w")}) p2
+       |  GROUP BY 1, 2, 3, 4),
+       |dec AS (SELECT cw.channel,
+       |    CAST(sum(cw.cntw * ((1000000 * cw.w) // g.sumw)) AS BIGINT)
+       |      AS decay_micro
+       |  FROM chw cw JOIN g USING (u, cid) GROUP BY 1)
+       |SELECT channel, n_first, n_last, linear_micro, ushape_micro,
+       |  decay_micro
+       |FROM ush JOIN dec USING (channel) ORDER BY channel""".stripMargin
   }
 
   /** q230: dedup-impact replay — the q24 canonical fingerprint, global
