@@ -180,9 +180,12 @@ object Graph {
     val tri = oriented
       .join(broadcast(adj.select(col("s"), col("nbrs").as("_nu"))), Seq("s"), "left")
       .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("_nv"))), Seq("t"), "left")
-      .select(size(array_intersect(
-        coalesce(col("_nu"), array()),
-        coalesce(col("_nv"), array()))).cast("long").as("_c"))
+      // fused sorted-merge count (r16): the lists are sorted-unique, so
+      // this equals size(array_intersect(...)) with no per-row hash set,
+      // boxing, or materialized intersection array
+      .select(graft.plans.SketchFunctions.sortedIntersectCount(
+        coalesce(col("_nu"), expr("CAST(array() AS array<bigint>)")),
+        coalesce(col("_nv"), expr("CAST(array() AS array<bigint>)"))).as("_c"))
       .agg(coalesce(sum(col("_c")), lit(0L)).as("n_triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
@@ -253,9 +256,11 @@ object Graph {
     val tri = kept
       .join(adj.select(col("s"), col("nbrs").as("_nu")), Seq("s"), "left")
       .join(adj.select(col("s").as("t"), col("nbrs").as("_nv")), Seq("t"), "left")
-      .select(size(array_intersect(
-        coalesce(col("_nu"), array()),
-        coalesce(col("_nv"), array()))).cast("long").as("_c"))
+      // fused sorted-merge count (r16): equals size(array_intersect(...))
+      // on these sorted-unique bounded lists — see triangleStats
+      .select(graft.plans.SketchFunctions.sortedIntersectCount(
+        coalesce(col("_nu"), expr("CAST(array() AS array<bigint>)")),
+        coalesce(col("_nv"), expr("CAST(array() AS array<bigint>)"))).as("_c"))
       .agg(coalesce(sum(col("_c")), lit(0L)).as("n_triangles_capped"))
     val capWedges = lit(maxOut.toLong * (maxOut - 1L) / 2L)
     val census = ranked.groupBy(col("s")).agg(max(col("rn")).cast("long").as("dout"))

@@ -138,7 +138,8 @@ object NearDup {
     cand
       .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.plans.SketchFunctions
+        .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("int"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * thresholdPct)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
@@ -197,7 +198,8 @@ object NearDup {
     cand
       .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.plans.SketchFunctions
+        .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("int"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * thresholdPct)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
@@ -243,7 +245,8 @@ object NearDup {
         col("sh").as("sh_a"), col("sig").as("sig_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"),
         col("sh").as("sh_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.plans.SketchFunctions
+        .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("int"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * minJaccardPct)
       .withColumn("est_matches",
@@ -364,7 +367,8 @@ object NearDup {
     cand
       .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.plans.SketchFunctions
+        .sortedIntersectCount(col("sh_a"), col("sh_b")).cast("int"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * thresholdPct)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))

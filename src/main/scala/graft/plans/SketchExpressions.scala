@@ -626,6 +626,76 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of common elements of two SORTED-ASCENDING, duplicate-free
+  * `array<long>` columns — the fused replacement for
+  * `size(array_intersect(a, b))` on shingle-set and adjacency-list
+  * columns (r16 optimization; guide §1.2 step 2 / §4.1: prefer tight
+  * primitive loops over generic expression machinery in the hot path).
+  * `ArrayIntersect` builds a per-row hash set of boxed Longs and
+  * materializes the intersection array that `size` immediately reduces
+  * to its length; this expression is one merge walk over the primitive
+  * values — no boxing, no hash set, no allocation. Returns BIGINT (cast
+  * at call sites that previously exposed `size`'s INT).
+  *
+  * PRECONDITION (every caller's arrays are built this way): both inputs
+  * sorted ascending with unique, non-null elements — [[ShingleHashes]] /
+  * [[PortableShingleHashes]] emit sorted-deduped sets, and the triangle
+  * adjacency lists are `sort_array(collect_list(...))` over distinct
+  * arcs. On such inputs the merge count equals
+  * `size(array_intersect(a, b))` exactly. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_intersect_count requires two array<bigint> inputs, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.value} = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x < $y) { $i++; }
+         |  else if ($x > $y) { $j++; }
+         |  else { ${ev.value}++; $i++; $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchFunctions {
   def minhash(preHashed: Column, numHashes: Int): Column =
     EU.column(MinHashSignature(EU.expression(preHashed), numHashes))
@@ -647,4 +717,6 @@ object SketchFunctions {
     EU.column(AffineMinHash(EU.expression(portableHashes), numHashes, seed))
   def bloomMightContain(s: Column, bloomBytes: Array[Byte]): Column =
     EU.column(BloomMightContain(EU.expression(s), bloomBytes))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    EU.column(SortedIntersectCount(EU.expression(a), EU.expression(b)))
 }
