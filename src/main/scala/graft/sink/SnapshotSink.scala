@@ -80,10 +80,25 @@ object SnapshotSink {
   private def writeData(df: DataFrame, root: String): (Seq[String], Long) = {
     val spark = df.sparkSession
     val files = writeFiles(df, root)
-    // footer-only count: no data scan
+    // Exact row count from parquet footer METADATA. For small commits the
+    // footers are read on the driver (r16 optimization: the previous
+    // `spark.read.parquet(files).count()` was already footer-only but
+    // still planned and scheduled one Spark job per commit — pure
+    // scheduler latency for state-sized snapshots, ~40 commit sites across
+    // the query surface). A commit with many files keeps the DISTRIBUTED
+    // footer count: driver-serial footer I/O is O(files) and the driver
+    // should not do data-proportional work (guide §5).
     val rows =
       if (files.isEmpty) 0L
-      else spark.read.parquet(files: _*).count()
+      else if (files.size <= 64) {
+        val conf = spark.sessionState.newHadoopConf()
+        files.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      } else spark.read.parquet(files: _*).count()
     (files, rows)
   }
 
